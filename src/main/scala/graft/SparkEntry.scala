@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries`: one named entry per implemented operator from SURVEY.md §2
+  * (plus the scale extensions), each a DataFrame over the harness testdata
+  * at `sfDir`. `oracleSql`: the DuckDB-runnable ANSI twin with IDENTICAL
+  * output column names; omitted only for ops SQL can't express (those get a
+  * rows-only check).
+  */
 object SparkEntry {
+
+  /** Fixed as-of date for the past-due report (orders span 1995‥2001). */
+  val AsOf = "1998-06-01"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_past_due")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalCatalog.queries
+
+  def oracleSql: Map[String, String] =
+    RelationalCatalog.oracleSql
 }

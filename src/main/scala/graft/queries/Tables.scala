@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Loaders for the harness testdata (TESTDATA.md) plus the AR-semantics view
+  * mapping documented in FIXTURES.md §5: `orders`→invoices fact,
+  * `customer`→customers dimension.
+  *
+  * Money columns arrive as `double` in parquet and are cast to
+  * `DECIMAL(18,2)` at scan (reference schema: `app/db/schema.py:29-30`) so
+  * every downstream aggregate is exact decimal arithmetic and matches the
+  * DuckDB oracle bit-for-bit — SURVEY.md §7.3 hard part 1. The cast happens
+  * in the select list directly over the scan, so Catalyst still pushes
+  * filters/pruning into the parquet reader.
+  *
+  * Scale posture: these are plain projections over columnar scans — no
+  * shuffle, no collect; at 100 TB each view is a partition-parallel scan
+  * whose filters/column pruning reach the parquet footer.
+  */
+object Tables {
+  /** DECIMAL(18,2) — reference money type (`app/db/schema.py:29-30`). */
+  val Money: DecimalType = DecimalType(18, 2)
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Invoices fact derived from `orders` (FIXTURES.md §5 mapping).
+    *
+    * Replicates the reference ingest casts on the substrate:
+    *  - terms_days: first integer extracted from a terms string ×7
+    *    (`scripts/ingest.py:49-58`, SURVEY.md T3) — here the digit of
+    *    `o_orderpriority` ("1-URGENT"→7 … "5-LOW"→35);
+    *  - due_date = invoice_date + terms_days (`ingest.py:155-158`, T4).
+    */
+  def invoices(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey").as("invoice_number"),
+        col("o_custkey").as("customer_id"),
+        to_date(col("o_orderdate")).as("invoice_date"),
+        col("o_totalprice").cast(Money).as("bill_total"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("customer_terms"))
+      .withColumn("terms_days",
+        regexp_extract(col("customer_terms"), "(\\d+)", 1).cast("int") * 7)
+      .withColumn("due_date", date_add(col("invoice_date"), col("terms_days")))
+
+  /** Customers dimension derived from `customer` (FIXTURES.md §5). */
+  def customers(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey").as("id"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"),
+      col("c_acctbal").cast(Money).as("acctbal"))
+
+  /** Per-invoice applied payments: revenue of lineitems shipped on or
+    * before `asOf` (substrate stand-in for the reference `applied` column,
+    * `app/db/schema.py:30`). Exact decimal: (18,2)×(19,2)→(38,4), summed,
+    * rounded once at the final cast. Map-side partial aggregation + one
+    * shuffle on the join key — the natural distributed shape.
+    */
+  def applied(s: SparkSession, d: String, asOf: String): DataFrame =
+    lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) <= lit(asOf).cast("date"))
+      .groupBy(col("l_orderkey").as("invoice_number"))
+      .agg(sum(col("l_extendedprice").cast(Money) *
+             (lit(1) - col("l_discount").cast(Money)))
+        .cast(Money).as("applied"))
+}
