@@ -33,11 +33,15 @@ object RelationalCatalog {
       |    + 7 * CAST(regexp_extract(o_orderpriority, '(\d+)', 1) AS INT) AS due_date
       |FROM orders""".stripMargin
 
-  /** SQL fragment: per-invoice applied payments (Tables.applied twin). */
+  /** SQL fragment: per-invoice applied payments (Tables.applied twin).
+    * ROUND before the final cast: DuckDB's decimal downcast truncates while
+    * Spark's rounds HALF_UP; DuckDB ROUND is half-away-from-zero, which
+    * matches HALF_UP on these positive sums.
+    */
   private def appliedSql(asOf: String) =
     s"""SELECT l_orderkey AS invoice_number,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-       |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,2)) AS applied
+       |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       |       * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS applied
        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '$asOf'
        |GROUP BY 1""".stripMargin
 

@@ -10,10 +10,12 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Money columns arrive as `double` in parquet and are cast to
   * `DECIMAL(18,2)` at scan (reference schema: `app/db/schema.py:29-30`) so
-  * every downstream aggregate is exact decimal arithmetic and matches the
-  * DuckDB oracle bit-for-bit — SURVEY.md §7.3 hard part 1. The cast happens
-  * in the select list directly over the scan, so Catalyst still pushes
-  * filters/pruning into the parquet reader.
+  * every downstream aggregate is exact decimal arithmetic — SURVEY.md §7.3
+  * hard part 1. Final-downcast rounding differs across engines (Spark
+  * HALF_UP vs DuckDB truncation), so oracle SQL must ROUND before any
+  * narrowing decimal cast. The cast happens in the select list directly
+  * over the scan, so Catalyst still pushes filters/pruning into the
+  * parquet reader.
   *
   * Scale posture: these are plain projections over columnar scans — no
   * shuffle, no collect; at 100 TB each view is a partition-parallel scan
@@ -40,9 +42,10 @@ object Tables {
   /** Invoices fact derived from `orders` (FIXTURES.md §5 mapping).
     *
     * Replicates the reference ingest casts on the substrate:
-    *  - terms_days: first integer extracted from a terms string ×7
-    *    (`scripts/ingest.py:49-58`, SURVEY.md T3) — here the digit of
-    *    `o_orderpriority` ("1-URGENT"→7 … "5-LOW"→35);
+    *  - terms_days: first integer extracted from a terms string
+    *    (`scripts/ingest.py:49-58`, SURVEY.md T3); the ×7 is OUR substrate
+    *    mapping choice so the digit of `o_orderpriority` ("1-URGENT"…"5-LOW")
+    *    spreads due dates over 7–35 days — the reference extracts as-is;
     *  - due_date = invoice_date + terms_days (`ingest.py:155-158`, T4).
     */
   def invoices(s: SparkSession, d: String): DataFrame =

@@ -21,7 +21,9 @@ def norm(v):
     if v is None:
         return None
     if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
+        # unnormalized: a scale difference the driver's hash would catch
+        # must fail locally too
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
