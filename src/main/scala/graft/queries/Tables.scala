@@ -56,6 +56,11 @@ object Tables {
         to_date(col("o_orderdate")).as("invoice_date"),
         col("o_totalprice").cast(Money).as("bill_total"),
         col("o_orderstatus").as("status"),
+        // currency stand-in (reference `invoices.currency`,
+        // `app/db/schema.py:31`): the substrate has no currency column, so
+        // order status plays the role — it exercises A3's MIN(currency)
+        // quirk with 3 distinct values.
+        col("o_orderstatus").as("currency"),
         col("o_orderpriority").as("customer_terms"))
       .withColumn("terms_days",
         regexp_extract(col("customer_terms"), "(\\d+)", 1).cast("int") * 7)
