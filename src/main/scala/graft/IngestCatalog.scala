@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.{Load, Normalize, Parse, Raw}
+import graft.queries.Tables
+
+/** Ingest-pipeline operator catalog (SURVEY.md §2.1/2.3/2.4): the raw
+  * string substrate, the T1-T7 scalar transforms, the D1-D4 dimension
+  * build, and the S5 merge — each as a named query with a DuckDB twin.
+  *
+  * The raw substrate itself is oracle-checked (q_ingest_raw): the Scala
+  * generators in `ingest.Raw` and the SQL generators in `rawSql` must
+  * produce byte-identical strings, which pins every downstream parse
+  * comparison to genuinely identical inputs.
+  */
+object IngestCatalog {
+  type Q = RelationalCatalog.Q
+
+  private def parsed(s: SparkSession, d: String): DataFrame =
+    Parse.parsed(Raw.raw(s, d))
+
+  // ------------------------------------------------------------ SQL twins
+
+  /** DuckDB twin of ingest.Raw.raw — keep in lockstep with the Scala. */
+  private val rawSql =
+    """SELECT o_orderkey AS row_id,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN '  ' || c_name || ' '
+      |       ELSE c_name END AS CustomerName,
+      |  CAST(o_orderkey AS VARCHAR) AS InvoiceNumber,
+      |  strftime(CAST(o_orderdate AS DATE), '%m/%d/%Y') AS InvoiceDate,
+      |  CASE WHEN o_orderkey % 11 = 0 THEN ''
+      |       ELSE 'PO-' || CAST(o_orderkey AS VARCHAR) END AS CustomerPoNumber,
+      |  CASE WHEN o_orderkey % 113 = 0 THEN 'N/A'
+      |       WHEN o_orderkey % 97 = 0 THEN ''
+      |       ELSE ' ' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || ' '
+      |       END AS BillTotal,
+      |  CASE WHEN o_orderkey % 89 = 0 THEN ''
+      |       ELSE CAST(o_custkey AS VARCHAR) || '.75' END AS Applied,
+      |  o_orderstatus AS Status,
+      |  CASE WHEN o_orderkey % 53 = 0 THEN ''
+      |       WHEN o_orderkey % 127 = 0 THEN 'CAD' ELSE 'USD' END AS Currency,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN ''
+      |       ELSE 'Contact ' || c_name END AS ContactName,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN ''
+      |       ELSE 'P-' || CAST(o_custkey AS VARCHAR) END AS ContactPhone,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN ''
+      |       ELSE lower(replace(c_name, '#', '')) || '@example.com'
+      |       END AS ContactEmail,
+      |  CASE WHEN o_orderkey % 61 = 0 THEN 'Due on receipt'
+      |       ELSE 'Net ' || CAST(7 * CAST(regexp_extract(o_orderpriority, '(\d+)', 1) AS INT) AS VARCHAR)
+      |       END AS CustomerTerms,
+      |  CASE WHEN o_orderkey % 41 = 0 THEN ''
+      |       ELSE strftime(CAST(o_orderdate AS DATE)
+      |              + 7 * CAST(regexp_extract(o_orderpriority, '(\d+)', 1) AS INT),
+      |            '%m/%d/%Y') || ' 00:00'
+      |       END AS DueDate
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** DuckDB twin of ingest.Parse.parsed over the raw substrate. */
+  private val parsedSql =
+    s"""raw AS ($rawSql),
+       |parsed AS (
+       |  SELECT row_id,
+       |    trim(CustomerName) AS name,
+       |    trim(InvoiceNumber) AS invoice_number,
+       |    CAST(try_strptime(NULLIF(split_part(trim(InvoiceDate), ' ', 1), ''),
+       |         '%m/%d/%Y') AS DATE) AS invoice_date,
+       |    TRY_CAST(COALESCE(NULLIF(trim(BillTotal), ''), '0') AS DECIMAL(18,2)) AS bill_total,
+       |    TRY_CAST(COALESCE(NULLIF(trim(Applied), ''), '0') AS DECIMAL(18,2)) AS applied,
+       |    NULLIF(trim(Status), '') AS status,
+       |    NULLIF(trim(Currency), '') AS currency,
+       |    NULLIF(trim(ContactName), '') AS contact_name,
+       |    NULLIF(trim(ContactPhone), '') AS contact_phone,
+       |    NULLIF(trim(ContactEmail), '') AS contact_email,
+       |    NULLIF(trim(CustomerTerms), '') AS customer_terms,
+       |    trim(CustomerPoNumber) AS customer_po_number,
+       |    TRY_CAST(NULLIF(regexp_extract(trim(CustomerTerms), '(\\d+)', 1), '') AS INT) AS terms_days,
+       |    CAST(try_strptime(NULLIF(split_part(trim(DueDate), ' ', 1), ''),
+       |         '%m/%d/%Y') AS DATE) AS due_date_raw
+       |  FROM raw),
+       |final AS (
+       |  SELECT *, COALESCE(due_date_raw, invoice_date + terms_days) AS due_date
+       |  FROM parsed)""".stripMargin
+
+  /** DuckDB twin of ingest.Normalize.dimension (D1-D3). */
+  private val dimSql =
+    s"""WITH $parsedSql,
+       |dim AS (
+       |  SELECT name, min(row_id) AS first_row_id,
+       |    arg_min(contact_name, row_id) FILTER (WHERE contact_name IS NOT NULL) AS contact_name,
+       |    arg_min(contact_phone, row_id) FILTER (WHERE contact_phone IS NOT NULL) AS contact_phone,
+       |    arg_min(contact_email, row_id) FILTER (WHERE contact_email IS NOT NULL) AS contact_email,
+       |    CAST(row_number() OVER (ORDER BY min(row_id)) AS INT) AS customer_id
+       |  FROM final GROUP BY name)""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    // S1-shape canary: the raw CSV-shaped substrate itself.
+    "q_ingest_raw" -> ((s, d) => Raw.raw(s, d)),
+
+    // T1 money parse (empty→0, junk→NULL, exact decimal).
+    "q_parse_money" -> ((s, d) =>
+      parsed(s, d).select(col("row_id"), col("bill_total"), col("applied"))),
+
+    // T2 date parse with time-strip (empty→NULL).
+    "q_parse_date" -> ((s, d) =>
+      parsed(s, d).select(col("row_id"), col("invoice_date"),
+        col("due_date_raw"))),
+
+    // T3 terms-days regex extract (digitless→NULL).
+    "q_parse_terms" -> ((s, d) =>
+      parsed(s, d).select(col("row_id"), col("customer_terms"),
+        col("terms_days"))),
+
+    // T5 trim + empty→NULL, incl. the po_number keeps-'' quirk.
+    "q_trim_null" -> ((s, d) =>
+      parsed(s, d).select(col("row_id"), col("status"), col("currency"),
+        col("contact_name"), col("contact_phone"), col("contact_email"),
+        col("customer_po_number"))),
+
+    // T4 due-date derivation (explicit wins, else invoice_date+terms).
+    "q_due_derive" -> ((s, d) =>
+      parsed(s, d).select(col("row_id"), col("due_date"))),
+
+    // D1+D2+D3: first-seen dedup, first-non-null backfill, surrogate keys.
+    "q_dim_build" -> ((s, d) => Normalize.dimension(parsed(s, d))),
+
+    // D4: broadcast FK resolution of every fact row.
+    "q_fk_resolve" -> ((s, d) => {
+      val p = parsed(s, d)
+      Normalize.fkResolve(p, Normalize.dimension(p))
+        .select(col("row_id"), col("invoice_number"), col("customer_id"))
+    }),
+
+    // T7: duplicate-key detection (dups injected at row_id % 500 = 0).
+    "q_dup_check" -> ((s, d) => {
+      val p = parsed(s, d)
+      Normalize.dupCheck(p.unionByName(p.filter(col("row_id") % 500 === 0)))
+    }),
+
+    // T6: quarantine of unparseable money rows.
+    "q_quarantine" -> ((s, d) => Normalize.quarantine(Raw.raw(s, d))),
+
+    // S5: MERGE emulation — existing ⟂ incoming ∪ incoming.
+    "q_upsert" -> ((s, d) => {
+      val p = parsed(s, d).select(col("row_id"), col("invoice_number"),
+        col("bill_total"))
+      val existing = p.filter(col("row_id") % 10 =!= 0)
+        .select(col("invoice_number"), col("bill_total"))
+      val incoming = p.filter(col("row_id") % 5 === 0)
+        .select(col("invoice_number"),
+          (col("bill_total") + lit(BigDecimal("1.00")))
+            .cast(Tables.Money).as("bill_total"))
+      Load.merge(existing, incoming, "invoice_number")
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  val oracleSql: Map[String, String] = Map(
+    "q_ingest_raw" -> rawSql,
+
+    "q_parse_money" ->
+      s"""WITH $parsedSql
+         |SELECT row_id, bill_total, applied FROM final""".stripMargin,
+
+    "q_parse_date" ->
+      s"""WITH $parsedSql
+         |SELECT row_id, invoice_date, due_date_raw FROM final""".stripMargin,
+
+    "q_parse_terms" ->
+      s"""WITH $parsedSql
+         |SELECT row_id, customer_terms, terms_days FROM final""".stripMargin,
+
+    "q_trim_null" ->
+      s"""WITH $parsedSql
+         |SELECT row_id, status, currency, contact_name, contact_phone,
+         |  contact_email, customer_po_number FROM final""".stripMargin,
+
+    "q_due_derive" ->
+      s"""WITH $parsedSql
+         |SELECT row_id, due_date FROM final""".stripMargin,
+
+    "q_dim_build" ->
+      s"""$dimSql
+         |SELECT name, first_row_id, contact_name, contact_phone,
+         |  contact_email, customer_id
+         |FROM dim""".stripMargin,
+
+    "q_fk_resolve" ->
+      s"""$dimSql
+         |SELECT f.row_id, f.invoice_number, dim.customer_id
+         |FROM final f JOIN dim ON f.name = dim.name""".stripMargin,
+
+    "q_dup_check" ->
+      s"""WITH $parsedSql,
+         |withdups AS (
+         |  SELECT invoice_number FROM final
+         |  UNION ALL
+         |  SELECT invoice_number FROM final WHERE row_id % 500 = 0)
+         |SELECT invoice_number, COUNT(*) AS n
+         |FROM withdups GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+
+    "q_quarantine" ->
+      s"""WITH raw AS ($rawSql)
+         |SELECT row_id, trim(BillTotal) AS bad_value
+         |FROM raw
+         |WHERE trim(BillTotal) <> ''
+         |  AND TRY_CAST(trim(BillTotal) AS DECIMAL(18,2)) IS NULL""".stripMargin,
+
+    "q_upsert" ->
+      s"""WITH $parsedSql,
+         |existing AS (
+         |  SELECT invoice_number, bill_total FROM final WHERE row_id % 10 <> 0),
+         |incoming AS (
+         |  SELECT invoice_number,
+         |    CAST(ROUND(bill_total + 1.00, 2) AS DECIMAL(18,2)) AS bill_total
+         |  FROM final WHERE row_id % 5 = 0)
+         |SELECT * FROM existing e
+         |WHERE NOT EXISTS (SELECT 1 FROM incoming i
+         |                  WHERE i.invoice_number = e.invoice_number)
+         |UNION ALL
+         |SELECT * FROM incoming""".stripMargin
+  )
+}

@@ -22,8 +22,8 @@ object SparkEntry {
     queries("q_past_due")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalCatalog.queries
+    RelationalCatalog.queries ++ IngestCatalog.queries
 
   def oracleSql: Map[String, String] =
-    RelationalCatalog.oracleSql
+    RelationalCatalog.oracleSql ++ IngestCatalog.oracleSql
 }

@@ -1,0 +1,45 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sinks — S4 full-rebuild overwrite and S5 upsert/MERGE emulation
+  * (SURVEY.md §2.1; reference `scripts/ingest.py:61-101,220-240`).
+  *
+  * Vanilla Spark has no in-place MERGE; the idempotent-re-ingest contract
+  * (`SOLUTION.md:312-325`) is met by recomputing the post-merge state:
+  * rows of the existing table whose key does NOT appear in the incoming
+  * batch (left_anti), unioned with the incoming batch — new keys insert,
+  * existing keys take the incoming row's values, exactly the reference's
+  * `ON CONFLICT(invoice_number) DO UPDATE`.
+  *
+  * Scale: the anti-join shuffles both sides on the key once (or neither,
+  * if both tables are bucketed by the key on disk — the right layout for
+  * a repeatedly-merged 100 TB fact). The union is shuffle-free.
+  */
+object Load {
+
+  /** S5: MERGE-equivalent state: `existing ⟂ incoming ∪ incoming`. */
+  def merge(existing: DataFrame, incoming: DataFrame,
+            key: String): DataFrame =
+    existing.join(incoming.select(col(key)), Seq(key), "left_anti")
+      .unionByName(incoming)
+
+  /** S4: deterministic full rebuild of the dimension (`ingest.py:221-236`
+    * — DELETE + bulk INSERT each run). Parquet overwrite is the same
+    * contract with an atomic directory commit.
+    */
+  def overwriteDim(dim: DataFrame, path: String): Unit =
+    dim.write.mode("overwrite").parquet(path)
+
+  /** S5 applied to a parquet table path (read-merge-rewrite). */
+  def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
+                incoming: DataFrame, key: String): Unit = {
+    val existing = spark.read.parquet(path)
+    // materialize before overwriting the directory being read
+    val merged = merge(existing, incoming, key).cache()
+    merged.count()
+    merged.write.mode("overwrite").parquet(path)
+    merged.unpersist()
+  }
+}
