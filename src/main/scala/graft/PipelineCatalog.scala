@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.Dedup
+import graft.queries.Tables
+
+/** Training-data pipeline operator catalog: text analysis and document
+  * deduplication over the `documents` table (builder brief; these have no
+  * reference counterpart — correctness anchors are exact DuckDB twins,
+  * kept float-free by integer-arithmetic thresholds and md5-derived
+  * hashes).
+  */
+object PipelineCatalog {
+  type Q = RelationalCatalog.Q
+
+  // ------------------------------------------------------------ SQL twins
+
+  /** Corpus with injected NEAR-duplicates (Dedup.withNearDuplicates). */
+  private val corpusNearSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
+
+  /** Corpus with injected EXACT duplicates (Dedup.withExactDuplicates). */
+  private val corpusExactSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 40 = 0)""".stripMargin
+
+  /** Distinct 3-token shingles per doc (TextOps.shingles twin). */
+  private val shinglesSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+      |ex AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |       FROM ex)""".stripMargin
+
+  /** Exact-Jaccard near-dup pairs at J ≥ 7/10 — the shared oracle for both
+    * the inverted-index exact path and the MinHash-LSH path.
+    */
+  private val jaccardPairsSql =
+    s"""WITH $corpusNearSql,
+       |$shinglesSql,
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersect_n
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, intersect_n,
+       |  sa.sz + sb.sz - intersect_n AS union_n
+       |FROM inter
+       |JOIN sz sa ON inter.doc_a = sa.doc_id
+       |JOIN sz sb ON inter.doc_b = sb.doc_id
+       |WHERE intersect_n * 10 >= (sa.sz + sb.sz - intersect_n) * 7""".stripMargin
+
+  /** SimHash twin: generated 60-bit vote/assemble SQL. */
+  private val simhashSql = {
+    val votes = (0 until 60)
+      .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")
+    val sig = (0 until 60)
+      .map(j => s"CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+       |SELECT doc_id, $sig AS simhash FROM v""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    // Token counting (whitespace tokenizer; distinct-token cardinality).
+    "q_doc_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.distinctTokenCount(col("text")).as("n_distinct_tokens"))),
+
+    // Quality scoring: integer length/diversity/stopword stats + bucket.
+    "q_doc_quality" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.distinctTokenCount(col("text")).as("n_distinct_tokens"),
+        TextOps.stopwordCount(col("text")).as("n_stop"))
+        .withColumn("quality",
+          when(col("n_tokens") >= 40 &&
+            col("n_distinct_tokens") * 100 >= col("n_tokens") * 30, "good")
+            .when(col("n_tokens") >= 10, "fair")
+            .otherwise("poor"))),
+
+    // Language-ID heuristic: stopword-ratio threshold (n-gram-free stub —
+    // the substrate text is synthetic; the operator shape is the point).
+    "q_doc_langid" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.stopwordCount(col("text")).as("n_stop"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("predicted",
+          when(col("n_stop") * 100 >= col("n_tokens") * 12, "en")
+            .otherwise("und"))),
+
+    // Document fingerprinting: md5 + 60-bit integer fingerprint.
+    "q_doc_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.fingerprintMd5(col("text")).as("fp_md5"),
+        TextOps.fingerprint64(col("text")).as("fp64"))),
+
+    // Exact dedup over a corpus with injected exact copies.
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDuplicateGroups(
+        Dedup.withExactDuplicates(Tables.documents(s, d)))),
+
+    // Exact n-gram Jaccard near-dup pairs (shingle inverted index).
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.exactJaccardPairs(
+        Dedup.withNearDuplicates(Tables.documents(s, d)))),
+
+    // MinHash-LSH near-dup pairs (banded buckets + exact verify) — same
+    // contract, same oracle as q_dedup_jaccard.
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashVerifiedPairs(
+        Dedup.withNearDuplicates(Tables.documents(s, d)))),
+
+    // SimHash 60-bit signatures (md5-derived, oracle-reproducible).
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashSignatures(Tables.documents(s, d)))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  val oracleSql: Map[String, String] = Map(
+    "q_doc_tokens" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id, len(t) AS n_tokens,
+        |  len(list_distinct(t)) AS n_distinct_tokens
+        |FROM toks""".stripMargin,
+
+    "q_doc_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, n_chars, len(t) AS n_tokens,
+        |    len(list_distinct(t)) AS n_distinct_tokens,
+        |    len(list_filter(t, x -> x IN ('the', 'a'))) AS n_stop
+        |  FROM toks)
+        |SELECT *, CASE
+        |    WHEN n_tokens >= 40 AND n_distinct_tokens * 100 >= n_tokens * 30
+        |      THEN 'good'
+        |    WHEN n_tokens >= 10 THEN 'fair'
+        |    ELSE 'poor' END AS quality
+        |FROM st""".stripMargin,
+
+    "q_doc_langid" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (
+        |  SELECT doc_id,
+        |    len(list_filter(t, x -> x IN ('the', 'a'))) AS n_stop,
+        |    len(t) AS n_tokens
+        |  FROM toks)
+        |SELECT *, CASE WHEN n_stop * 100 >= n_tokens * 12
+        |    THEN 'en' ELSE 'und' END AS predicted
+        |FROM st""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp64
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""WITH $corpusExactSql
+         |SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_doc_id,
+         |  COUNT(*) AS n
+         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+
+    "q_dedup_jaccard" -> jaccardPairsSql,
+
+    "q_dedup_minhash" -> jaccardPairsSql,
+
+    "q_dedup_simhash" -> simhashSql
+  )
+}

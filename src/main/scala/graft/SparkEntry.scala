@@ -22,8 +22,10 @@ object SparkEntry {
     queries("q_past_due")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalCatalog.queries ++ IngestCatalog.queries
+    RelationalCatalog.queries ++ IngestCatalog.queries ++
+      PipelineCatalog.queries
 
   def oracleSql: Map[String, String] =
-    RelationalCatalog.oracleSql ++ IngestCatalog.oracleSql
+    RelationalCatalog.oracleSql ++ IngestCatalog.oracleSql ++
+      PipelineCatalog.oracleSql
 }

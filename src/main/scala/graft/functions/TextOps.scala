@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline surface
+  * (builder brief; no reference counterpart — the reference is AR-only).
+  * All are compositions of codegen'd built-ins over the `documents`
+  * table's whitespace-tokenized text: no UDFs, so the whole analysis
+  * stays inside whole-stage codegen and scales as a pure map over the
+  * scan.
+  */
+object TextOps {
+
+  /** Tiny English-ish stopword set present in the testdata vocabulary. */
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*)))
+
+  /** Occurrences of one exact token (language-ID marker counting). */
+  def occurrences(text: Column, word: String): Column =
+    size(filter(tokens(text), t => t === lit(word)))
+
+  /** Distinct n-token shingles (1-based positions; <n tokens → empty).
+    * The `when` guard matters: Spark's `sequence(1, 0)` would count DOWN.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exact-dup fingerprint: md5 hex (lowercase in Spark and DuckDB). */
+  def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
+
+  /** 60-bit integer fingerprint: first 15 hex digits of md5 → BIGINT.
+    * Chosen over xxhash64 because it is reproducible in any engine with
+    * md5 — the differential oracle needs cross-engine agreement.
+    */
+  def fingerprint64(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+}

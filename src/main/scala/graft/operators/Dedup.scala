@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Document deduplication for the training-data pipeline surface: exact
+  * (hash groupBy), exact n-gram Jaccard via a shingle inverted index, and
+  * MinHash-LSH banding. Designs follow the published MinHash/LSH
+  * literature (Broder '97; see PAPERS.md) — never all-pairs:
+  *
+  *  - exact Jaccard joins docs only through shared shingles (inverted
+  *    index); at scale add a document-frequency cap on shingles to bound
+  *    the hottest posting lists (`maxDocFreq`);
+  *  - MinHash-LSH compares only docs whose signature bands collide, and
+  *    the exact-verify step computes intersections per CANDIDATE pair via
+  *    semi-joins on the shingle index, not over the full corpus.
+  *
+  * The testdata has no natural near-dups (random word soup), so the
+  * `with*Duplicates` helpers inject deterministic dups — a copy with the
+  * first token dropped (J ≈ 0.98 on shingle sets) or an exact copy —
+  * making every dedup query self-validating against a DuckDB exact-
+  * Jaccard oracle.
+  */
+object Dedup {
+
+  /** Corpus ∪ near-dup copies (first token dropped) of every Nth doc. */
+  def withNearDuplicates(docs: DataFrame, everyN: Int = 50,
+                         idOffset: Long = 1000000L): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % everyN === 0)
+        .select((col("doc_id") + idOffset).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+
+  /** Corpus ∪ exact copies of every Nth doc. */
+  def withExactDuplicates(docs: DataFrame, everyN: Int = 40,
+                          idOffset: Long = 2000000L): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % everyN === 0)
+        .select((col("doc_id") + idOffset).as("doc_id"), col("text")))
+
+  /** Exact dedup: one hash-groupBy; keeper = min doc_id per fingerprint.
+    * Map-side partial agg + one shuffle on the fingerprint.
+    */
+  def exactDuplicateGroups(corpus: DataFrame): DataFrame =
+    corpus
+      .groupBy(TextOps.fingerprintMd5(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** (doc_id, shingle) inverted index — distinct shingles per doc. */
+  def shingleIndex(corpus: DataFrame, n: Int = 3): DataFrame =
+    corpus.select(col("doc_id"),
+      explode(TextOps.shingles(col("text"), n)).as("shingle"))
+
+  private def sizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+
+  /** Join pair-intersections to set sizes and keep pairs with
+    * Jaccard ≥ num/den — pure integer arithmetic (den*inter ≥ num*union),
+    * so the differential compare is float-free.
+    */
+  private def jaccardSelect(inter: DataFrame, sh: DataFrame,
+                            num: Int, den: Int): DataFrame = {
+    val sz = sizes(sh)
+    inter
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("union_n",
+        col("sa.sz") + col("sb.sz") - col("intersect_n"))
+      .filter(col("intersect_n") * den >= col("union_n") * num)
+      .select(col("doc_a"), col("doc_b"), col("intersect_n"), col("union_n"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via the inverted index.
+    * `maxDocFreq`: at scale, drop shingles appearing in more than this
+    * many docs before pairing — bounds the quadratic blowup of hot
+    * shingles at a tiny recall cost (they carry almost no signal). Off by
+    * default so the result is exactly the oracle's.
+    */
+  def exactJaccardPairs(corpus: DataFrame, num: Int = 7, den: Int = 10,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
+    val shAll = shingleIndex(corpus)
+    val sh = maxDocFreq.fold(shAll) { m =>
+      val rare = shAll.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= m)
+        .select(col("shingle"))
+      shAll.join(rare, Seq("shingle"))
+    }
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("intersect_n"))
+    jaccardSelect(inter, shAll, num, den)
+  }
+
+  /** MinHash signatures: `numHashes` independent hash functions simulated
+    * by salting xxhash64; one groupBy produces the whole signature row.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val mins = (0 until numHashes).map(k =>
+      min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: hash each band of r consecutive signature slots; docs
+    * colliding in ANY band become candidate pairs. b=16, r=4 puts the
+    * S-curve threshold near J ≈ 0.5 with miss-probability ~2e-12 at
+    * J = 0.95.
+    */
+  def lshCandidatePairs(sigs: DataFrame, numHashes: Int = 64,
+                        bands: Int = 16): DataFrame = {
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(((b * r until (b + 1) * r).map(j => col(s"h$j")) :+
+          lit(b)): _*).as("bh"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    buckets.as("x")
+      .join(buckets.as("y"), Seq("band", "bh"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH dedup: band-bucket candidates, then EXACT Jaccard
+    * verification computed per candidate pair through the shingle index
+    * (two semi-joins + groupBy — never corpus×corpus). Output contract is
+    * identical to exactJaccardPairs, so one DuckDB oracle checks both the
+    * exact and the LSH path (LSH recall at the injected J≈0.98 dups is
+    * 1 − ~2e-12).
+    */
+  def minhashVerifiedPairs(corpus: DataFrame, num: Int = 7, den: Int = 10,
+                           numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sh = shingleIndex(corpus)
+    val cand = lshCandidatePairs(minhashSignatures(sh, numHashes),
+      numHashes, bands)
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("intersect_n"))
+    jaccardSelect(inter, sh, num, den)
+  }
+
+  /** SimHash (Charikar '02): per-token 60-bit md5-derived hash, bit-wise
+    * ±1 vote weighted by token multiplicity, sign → signature bit.
+    * md5-based (not xxhash64) so the oracle can reproduce it exactly.
+    */
+  def simhashSignatures(corpus: DataFrame, bits: Int = 60): DataFrame = {
+    val tok = corpus
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("h", TextOps.fingerprint64(col("tok")))
+    val votes = (0 until bits).map(j =>
+      sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"s$j"))
+    val sig = (0 until bits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+}
