@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity}
+import graft.queries.Tables
+import graft.streaming.Events
+
+/** Scale-extension operator catalog: similarity search over embeddings,
+  * event-time windowed aggregation, and multimodal-column plumbing
+  * (builder brief). Float work is rounded into DECIMAL before compare;
+  * everything else is integer/timestamp-exact.
+  */
+object ScaleCatalog {
+  type Q = RelationalCatalog.Q
+
+  // ------------------------------------------------------------ SQL twins
+
+  /** Brute/IVF knn oracle skeleton; `joinClause` picks the probe scope. */
+  private def knnSql(joinClause: String) =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e, label
+       |  FROM embeddings WHERE vec_id < 10),
+       |c AS (
+       |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e, label
+       |  FROM embeddings WHERE vec_id >= 10),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(round(list_inner_product(q.e, c.e)
+       |      / (sqrt(list_inner_product(q.e, q.e))
+       |         * sqrt(list_inner_product(c.e, c.e))), 6)
+       |      AS DECIMAL(10,6)) AS score
+       |  FROM q $joinClause),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rnk
+       |  FROM s)
+       |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 5""".stripMargin
+
+  /** Typed events view twin (ts normalized to µs, value exact decimal). */
+  private val eventsSql =
+    """e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |    CAST(value AS DECIMAL(18,2)) AS v, props
+      |  FROM events)""".stripMargin
+
+  private val mediaMetaSql =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  sha256(text) AS sha,
+      |  16 + length(text) % 240 AS width,
+      |  16 + (length(text) * 7) % 240 AS height,
+      |  3 AS channels
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    // Exact cosine top-5: broadcast queries × streamed corpus.
+    "q_knn_brute" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteTopK(e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") >= 10), 5)
+    }),
+
+    // IVF-style: probe only the query's cell (label = coarse quantizer).
+    "q_knn_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") >= 10), 5)
+    }),
+
+    // Hyperplane-LSH ANN: approximate by design → rows-only check.
+    "q_knn_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") >= 10), 5)
+    }),
+
+    // Tumbling 1h windows over event time.
+    "q_events_tumbling" -> ((s, d) =>
+      Events.tumbling(Events.typed(Tables.events(s, d)))),
+
+    // Sliding 1h/30m windows (every event in exactly two).
+    "q_events_sliding" -> ((s, d) =>
+      Events.sliding(Events.typed(Tables.events(s, d)))),
+
+    // Gap-based per-user sessions (30 min).
+    "q_events_session" -> ((s, d) =>
+      Events.sessions(Events.typed(Tables.events(s, d)))),
+
+    // JSON property extraction + rollup.
+    "q_events_json" -> ((s, d) =>
+      Events.jsonRollup(Events.typed(Tables.events(s, d)))),
+
+    // Multimodal metadata — codegen expression path.
+    "q_media_meta" -> ((s, d) =>
+      Multimodal.metaExpressions(
+        Multimodal.mediaTable(Tables.documents(s, d)))),
+
+    // Multimodal metadata — mapPartitions "decoder" path (same contract,
+    // same oracle: both paths must agree).
+    "q_media_decode" -> ((s, d) =>
+      Multimodal.decodePartitions(
+        Multimodal.mediaTable(Tables.documents(s, d))).toDF())
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  val oracleSql: Map[String, String] = Map(
+    "q_knn_brute" -> knnSql("CROSS JOIN c"),
+
+    "q_knn_ivf" -> knnSql("JOIN c ON q.label = c.label"),
+
+    // q_knn_lsh: deliberately no oracle — approximate path, rows-only.
+
+    "q_events_tumbling" ->
+      s"""WITH $eventsSql
+         |SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         |  event_type, COUNT(*) AS n,
+         |  CAST(ROUND(SUM(v), 2) AS DECIMAL(18,2)) AS total
+         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q_events_sliding" ->
+      s"""WITH $eventsSql,
+         |off AS (SELECT unnest([0, 1]) AS i)
+         |SELECT time_bucket(INTERVAL '30 minutes', ts)
+         |    - i * INTERVAL '30 minutes' AS window_start,
+         |  event_type, COUNT(*) AS n,
+         |  CAST(ROUND(SUM(v), 2) AS DECIMAL(18,2)) AS total
+         |FROM e CROSS JOIN off GROUP BY 1, 2""".stripMargin,
+
+    "q_events_session" ->
+      s"""WITH $eventsSql,
+         |m AS (
+         |  SELECT user_id, ts, v,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |g AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m)
+         |SELECT MIN(ts) AS session_start,
+         |  MAX(ts) + INTERVAL '30 minutes' AS session_end,
+         |  user_id, COUNT(*) AS n_events,
+         |  CAST(ROUND(SUM(v), 2) AS DECIMAL(18,2)) AS total
+         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q_events_json" ->
+      s"""WITH $eventsSql
+         |SELECT event_type, COUNT(*) AS n,
+         |  SUM(CAST(props->>'$$.k' AS INT)) AS sum_k
+         |FROM e GROUP BY 1""".stripMargin,
+
+    "q_media_meta" -> mediaMetaSql,
+
+    "q_media_decode" -> mediaMetaSql
+  )
+}

@@ -23,9 +23,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalCatalog.queries ++ IngestCatalog.queries ++
-      PipelineCatalog.queries
+      PipelineCatalog.queries ++ ScaleCatalog.queries
 
   def oracleSql: Map[String, String] =
     RelationalCatalog.oracleSql ++ IngestCatalog.oracleSql ++
-      PipelineCatalog.oracleSql
+      PipelineCatalog.oracleSql ++ ScaleCatalog.oracleSql
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Three paths, trading recall for scan cost:
+  *  - brute-force: exact; broadcast the (small) query set and stream the
+  *    corpus once — the baseline and the oracle anchor;
+  *  - IVF-style: partition the corpus by a coarse quantizer and probe
+  *    only the query's cell. Here the testdata `label` column stands in
+  *    for the k-means cell id (the container has no trainer); the
+  *    partition-probe-rank plumbing is the real thing;
+  *  - hyperplane LSH: deterministic md5-seeded random hyperplanes bucket
+  *    vectors by sign pattern; probe the query's bucket only.
+  *
+  * All scores are computed in double (sequential fold, same order as the
+  * oracle's list_inner_product), rounded to 6 dp and cast to DECIMAL so
+  * the differential compare is bit-stable; ranking happens on the rounded
+  * score with an id tie-break.
+  *
+  * Scale: brute-force is one broadcast-nested-loop pass — O(corpus) per
+  * query batch, the right plan when the query set is small; IVF/LSH cut
+  * the scanned fraction to one cell/bucket. The per-query top-k window
+  * runs over per-query partitions (rows ≤ cell size), never a global sort.
+  */
+object Similarity {
+
+  private def dbl(c: Column): Column = transform(c, _.cast("double"))
+
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+
+  /** Cosine similarity of two float-array columns, in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val (ad, bd) = (dbl(a), dbl(b))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Rounded, decimal-typed score — the cross-engine-stable form. */
+  def score(a: Column, b: Column): Column =
+    round(cosine(a, b), 6).cast(DecimalType(10, 6))
+
+  private def rank(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
+
+  /** Exact top-k: broadcast query set × streamed corpus. */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    rank(c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        score(col("qe"), col("ce")).as("score")), k)
+  }
+
+  /** IVF-style top-k: probe only the query's cell (`cellCol`). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              cellCol: String = "label"): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col(cellCol).as("cell"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col(cellCol).as("cell"))
+    rank(c.join(broadcast(q), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        score(col("qe"), col("ce")).as("score")), k)
+  }
+
+  /** Deterministic hyperplane weights: md5("p:i") → first 15 hex digits →
+    * signed unit-ish double. Reproducible anywhere md5 exists.
+    */
+  def planeWeights(planes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dim) { (p, i) =>
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
+    }
+  }
+
+  /** Sign-pattern bucket id of an embedding against the hyperplanes. */
+  def lshBucket(e: Column, w: Array[Array[Double]]): Column =
+    w.zipWithIndex.map { case (plane, p) =>
+      when(dot(dbl(e), typedlit(plane.toSeq)) >= 0, 1 << p).otherwise(0)
+    }.reduce(_ + _)
+
+  /** ANN top-k probing only the query's LSH bucket. Recall < 1 by design
+    * (a near neighbor across a hyperplane is missed) — the scale path;
+    * brute-force is the exactness anchor.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Int = 8, dim: Int = 64): DataFrame = {
+    val w = planeWeights(planes, dim)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), lshBucket(col("embedding"), w).as("bucket"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), lshBucket(col("embedding"), w).as("bucket"))
+    rank(c.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        score(col("qe"), col("ce")).as("score")), k)
+  }
+}

@@ -35,7 +35,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * read natively; with `spark.sql.legacy.parquet.nanosAsLong` the column
+    * arrives as a nanos LongType and is converted here. Integer DIV, not
+    * `/`: epoch-nanos (~1.7e18) exceed double's 2^53 exact range.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else df
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

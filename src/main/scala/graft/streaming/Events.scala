@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.Tables.Money
+
+/** Event-time windowed aggregation over the `events` table — the
+  * streaming surface of the engine (builder brief; Structured Streaming).
+  *
+  * Every transform below is expressed once and works on BOTH a batch
+  * DataFrame (the differential-oracle path: DuckDB reproduces tumbling
+  * windows with time_bucket, sliding with an offset cross join, sessions
+  * with classic gap-island windows) and a streaming DataFrame (apply
+  * `withWatermark` upstream; see `watermarked` and StreamingSpec).
+  *
+  * `value` is cast to DECIMAL(18,2) at scan so sums are exact and
+  * engine-comparable.
+  *
+  * Scale: tumbling/sliding aggs are partial+final hash aggs keyed by
+  * (window, type) — map-side combine keeps the shuffle tiny; sessions key
+  * state by user_id, the natural shard key for streaming state stores.
+  */
+object Events {
+
+  /** Typed view: timestamps as TIMESTAMP, value as exact decimal. */
+  def typed(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+      col("user_id"), col("event_type"),
+      col("value").cast(Money).as("v"), col("props"))
+
+  /** Watermarked variant for streaming sources. */
+  def watermarked(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    typed(events).withWatermark("ts", delay)
+
+  /** Tumbling event-time windows: count + exact sum per (window, type). */
+  def tumbling(e: DataFrame, width: String = "1 hour"): DataFrame =
+    e.groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast(Money).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Sliding windows (each event lands in width/slide windows). */
+  def sliding(e: DataFrame, width: String = "1 hour",
+              slide: String = "30 minutes"): DataFrame =
+    e.groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast(Money).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Gap-based sessions per user: window end = last event + gap
+    * (Spark session_window semantics; an event AT the end bound starts a
+    * new session).
+    */
+  def sessions(e: DataFrame, gap: String = "30 minutes"): DataFrame =
+    e.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).cast(Money).as("total"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total"))
+
+  /** JSON property extraction + rollup (props is a JSON string). */
+  def jsonRollup(e: DataFrame): DataFrame =
+    e.select(col("event_type"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+}
