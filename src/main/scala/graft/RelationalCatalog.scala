@@ -76,6 +76,7 @@ object RelationalCatalog {
        |  pd.due_date, pd.bill_total, pd.applied,
        |  CAST(GREATEST(COALESCE(pd.bill_total,0) - COALESCE(pd.applied,0), 0)
        |       AS DECIMAL(18,2)) AS outstanding,
+       |  pd.currency, pd.status,
        |  CAST(datediff('day', pd.due_date, DATE '$AsOf') AS INT) AS days_past_due""".stripMargin
 
   private val pastDueColsSerialized =
@@ -86,6 +87,7 @@ object RelationalCatalog {
        |  CAST(pd.applied AS VARCHAR) AS applied,
        |  CAST(CAST(GREATEST(COALESCE(pd.bill_total,0) - COALESCE(pd.applied,0), 0)
        |       AS DECIMAL(18,2)) AS VARCHAR) AS outstanding,
+       |  pd.currency, pd.status,
        |  CAST(datediff('day', pd.due_date, DATE '$AsOf') AS INT) AS days_past_due""".stripMargin
 
   /** Oracle twin of the monthly summary (MonthlySummary.summary). */
@@ -147,7 +149,8 @@ object RelationalCatalog {
     // substrate mapping so >1 customer matches (see CustomerContact doc).
     "q_customer_contact" -> ((s, d) =>
       CustomerContact.contacts(Tables.customers(s, d), Tables.invoices(s, d),
-        "builDING", "segment", limit = 10, offset = 2)),
+        "builDING", "segment", Seq("segment", "acctbal"),
+        limit = 10, offset = 2)),
 
     // F4 ∘ J1: single-invoice detail.
     "q_invoice_lookup" -> ((s, d) =>

@@ -51,8 +51,10 @@ object Parse {
 
   /** T5 quirk: `customer_po_number` is trimmed but KEEPS the empty string
     * (`ingest.py:166` has no falsy-guard). Preserved: observable behavior.
+    * coalesce: Spark's CSV reader yields NULL for an empty unquoted field
+    * where Python's csv yields "" — normalize to the reference's "".
     */
-  def trimKeepEmpty(c: Column): Column = trim(c)
+  def trimKeepEmpty(c: Column): Column = coalesce(trim(c), lit(""))
 
   /** T4 due-date derivation (`ingest.py:155-158`): explicit DueDate wins;
     * else invoice_date + terms_days (column-valued date_add).

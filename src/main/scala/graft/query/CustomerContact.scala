@@ -26,7 +26,9 @@ object CustomerContact {
       .agg(count(lit(1)).as("n"))
 
   /** The contact page (`app/api/customers.py:77-99`): matched customers
-    * ⟕ invoices, MAX(invoice_date) per customer, ordered by name.
+    * ⟕ invoices, MAX(invoice_date) per customer grouped over the carried
+    * dim columns (the reference groups by its 5 customer columns,
+    * `customers.py:87-93` — pass them via `dimCols`), ordered by name.
     *
     * `matchCol` is the column the case-insensitive lookup runs against —
     * `name` in the reference; the harness catalog passes `segment` so the
@@ -39,14 +41,17 @@ object CustomerContact {
     */
   def contacts(customers: DataFrame, invoices: DataFrame, name: String,
                matchCol: String = "name",
-               limit: Int = 10, offset: Int = 0): DataFrame =
+               dimCols: Seq[String] = Seq("segment", "acctbal"),
+               limit: Int = 10, offset: Int = 0): DataFrame = {
+    val groupCols = (Seq("id", "name") ++ dimCols).map(col)
     customers.filter(lower(col(matchCol)) === lit(name.toLowerCase))
       .join(invoices.select(col("customer_id"), col("invoice_date")),
         col("id") === col("customer_id"), "left_outer")
-      .groupBy(col("id"), col("name"), col("segment"), col("acctbal"))
+      .groupBy(groupCols: _*)
       .agg(max(col("invoice_date")).as("last_seen_invoice_date"))
       .orderBy(col("name").asc, col("id").asc)
       .offset(offset).limit(limit)
+  }
 
   /** The reference's envelope quirk: `total` in the response is the PAGE
     * length, not the matched-customer count (`app/api/customers.py:118`).

@@ -46,6 +46,10 @@ object MonthlySummary {
       Seq(col("invoice_date") >= first, col("invoice_date") < next) ++
         customerName.map(n => lower(col("name")) === lit(n.toLowerCase))
     invoices
+      // prune the fact side to what the rollup needs BEFORE the join —
+      // also avoids capturing an unrelated fact-side `name` column
+      .select(col("customer_id"), col("invoice_date"), col("bill_total"),
+        col("currency"))
       .join(broadcast(customers.select(col("id"), col("name"))),
         col("customer_id") === col("id"), "inner")
       .filter(preds.reduce(_ && _))

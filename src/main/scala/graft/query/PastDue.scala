@@ -18,6 +18,14 @@ import graft.queries.Tables.Money
   */
 object PastDue {
 
+  /** C3: the reference defaults `as_of` to today in America/New_York
+    * (`app/api/invoices.py:57-59`) regardless of server timezone. The
+    * session runs UTC (harness contract), so shift explicitly.
+    */
+  def defaultAsOf: Column =
+    to_date(convert_timezone(lit("UTC"), lit("America/New_York"),
+      current_timestamp()))
+
   /** COALESCE(bill,0) - COALESCE(applied,0), exact decimal — the reference
     * computes this twice: as the filter (`app/api/invoices.py:70-79`) and,
     * clamped, as the output column (`invoices.py:107-113`).
@@ -52,6 +60,8 @@ object PastDue {
         col("applied"),
         greatest(rawOutstanding, lit(BigDecimal(0)).cast(Money))
           .cast(Money).as("outstanding"),
+        col("currency"),
+        col("status"),
         datediff(asOf, col("due_date")).cast("int").as("days_past_due"))
       .orderBy(dueOrder, col("invoice_number").asc)
   }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Cosine correctness and the brute/IVF/LSH consistency contracts. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(id: Long, label: Int, v: Float*) =
+    (id, v.toArray, label)
+
+  private val vecs = Seq(
+    emb(0L, 0, 1f, 0f), // query
+    emb(10L, 0, 1f, 0f), // identical direction
+    emb(11L, 0, 0f, 1f), // orthogonal
+    emb(12L, 1, -1f, 0f), // opposite, other cell
+    emb(13L, 0, 1f, 1f) // 45 degrees
+  ).toDF("vec_id", "embedding", "label")
+
+  private val queries = vecs.filter(col("vec_id") < 10)
+  private val corpus = vecs.filter(col("vec_id") >= 10)
+
+  test("brute-force top-k: exact cosine ordering with id tie-breaks") {
+    val rows = Similarity.bruteTopK(queries, corpus, 4).collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("neighbor_id"),
+        r.getAs[java.math.BigDecimal]("score")))
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((1, 10L), (2, 13L), (3, 11L), (4, 12L)))
+    assert(rows(0)._3.compareTo(bd("1.000000")) == 0)
+    assert(rows(1)._3.compareTo(bd("0.707107")) == 0)
+    assert(rows(2)._3.compareTo(bd("0.000000")) == 0)
+    assert(rows(3)._3.compareTo(bd("-1.000000")) == 0)
+  }
+
+  test("IVF top-k equals brute-force restricted to the query's cell") {
+    val ivf = Similarity.ivfTopK(queries, corpus, 4).collect()
+      .map(r => r.getAs[Long]("neighbor_id")).toSet
+    // label-0 corpus members only; vec 12 (label 1) must be absent
+    assert(ivf == Set(10L, 11L, 13L))
+  }
+
+  test("LSH top-k returns a subset of brute-force results (same scores)") {
+    val brute = Similarity.bruteTopK(queries, corpus, 10).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[java.math.BigDecimal]("score"))).toMap
+    val lsh = Similarity.lshTopK(queries, corpus, 10, dim = 2).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val n = r.getAs[Long]("neighbor_id")
+      assert(brute(n).compareTo(r.getAs[java.math.BigDecimal]("score")) == 0)
+    }
+  }
+
+  test("deterministic hyperplanes: same seed, same weights") {
+    val a = Similarity.planeWeights(4, 8)
+    val b = Similarity.planeWeights(4, 8)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(w => w >= -1.0 && w <= 1.0))
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM under `Test / fork`). */
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.session
+
+  def bd(s: String): java.math.BigDecimal = new java.math.BigDecimal(s)
+
+  def assertDecimal(actual: Any, expected: String): Unit = actual match {
+    case d: java.math.BigDecimal =>
+      assert(d.compareTo(bd(expected)) == 0, s"$d != $expected")
+    case other => fail(s"not a decimal: $other (${Option(other).map(_.getClass)})")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.queries.Tables
+import graft.streaming.Events
+
+/** Structured Streaming parity: the SAME windowed-aggregation plan,
+  * fed through a file stream in micro-batches with a watermark, must
+  * reproduce the batch result over `events` (sf0.001).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling window == batch tumbling window") {
+    val typed = Events.typed(Tables.events(spark, "/root/testdata/sf0.001"))
+      .cache()
+    val batch = Events.tumbling(typed).collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
+        r.getAs[java.math.BigDecimal](3).toPlainString)).toSet
+
+    // stage the events as three parquet slices → three micro-batches
+    val dir = Files.createTempDirectory("graft-stream").toString
+    typed.withColumn("slice", pmod(col("event_id"), lit(3)))
+      .write.partitionBy("slice").mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(typed.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/slice=*")
+    // stream is already typed (schema = typed.schema): watermark directly
+    val q = Events.tumbling(stream.withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("evt_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("evt_stream").collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
+        r.getAs[java.math.BigDecimal](3).toPlainString)).toSet
+    assert(streamed == batch)
+  }
+
+  test("session windows: per-user gap sessions are disjoint and ordered") {
+    val sessions = Events.sessions(
+      Events.typed(Tables.events(spark, "/root/testdata/sf0.001"))).cache()
+    assert(sessions.count() > 0)
+    // within a user, session intervals must not overlap
+    val overlaps = sessions.as("a").join(sessions.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.session_start") < col("b.session_start") &&
+        col("b.session_start") < col("a.session_end"))
+    assert(overlaps.count() == 0)
+  }
+}

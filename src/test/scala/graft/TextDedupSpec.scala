@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.Dedup
+
+/** Shingles, Jaccard, MinHash-LSH recall, SimHash invariants. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shingleSet(text: String): Set[String] =
+    Seq(text).toDF("text")
+      .select(TextOps.shingles(col("text")).as("sh"))
+      .collect().head.getSeq[String](0).toSet
+
+  test("shingles: 3-gram windows, distinct, short-text empty") {
+    assert(shingleSet("a b c d") == Set("a b c", "b c d"))
+    assert(shingleSet("a b") == Set.empty[String])
+    assert(shingleSet("x y z x y z x y z") == Set("x y z", "y z x", "z x y"))
+  }
+
+  private val corpus = {
+    val doc1 = (1 to 20).map(i => s"t$i").mkString(" ")
+    val doc2 = (2 to 20).map(i => s"t$i").mkString(" ") // first token dropped
+    val doc3 = (1 to 20).map(i => s"u$i").mkString(" ") // unrelated
+    Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+  }
+
+  test("exact Jaccard pairs: near-dup found with exact set counts") {
+    val rows = Dedup.exactJaccardPairs(corpus).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == (1L, 2L))
+    assert(r.getAs[Long]("intersect_n") == 17) // shingles: 18 vs 17
+    assert(r.getAs[Long]("union_n") == 18)
+  }
+
+  test("MinHash-LSH path finds the same verified pairs as the exact path") {
+    val exact = Dedup.exactJaccardPairs(corpus).collect().toSet
+    val lsh = Dedup.minhashVerifiedPairs(corpus).collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("exact dedup groups: copies collapse to min-id keeper") {
+    val withCopy = corpus.unionByName(
+      corpus.filter(col("doc_id") === 1)
+        .select(lit(99L).as("doc_id"), col("text")))
+    val groups = Dedup.exactDuplicateGroups(withCopy).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("keeper_doc_id") == 1L)
+    assert(groups.head.getAs[Long]("n") == 2L)
+  }
+
+  test("simhash: equal texts equal signatures; disjoint texts differ") {
+    val sigs = Dedup.simhashSignatures(
+      Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t"))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("fingerprints are cross-engine md5 (known value)") {
+    // md5("abc") is a published constant — pins the md5/conv path
+    val r = Seq("abc").toDF("text").select(
+      TextOps.fingerprintMd5(col("text")).as("m"),
+      TextOps.fingerprint64(col("text")).as("f")).collect().head
+    assert(r.getString(0) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getLong(1) ==
+      java.lang.Long.parseLong("900150983cd24fb", 16))
+  }
+}
