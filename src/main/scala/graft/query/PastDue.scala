@@ -80,4 +80,21 @@ object PastDue {
   def total(invoices: DataFrame, asOf: Column): Long =
     invoices.filter(rawOutstanding > lit(BigDecimal(0)) && col("due_date") < asOf)
       .count()
+
+  /** The reference's full page envelope (`{items, total}`) served the
+    * scale-right way: the applied-payments aggregation — the dominant cost
+    * (full lineitem scan + shuffle) — is computed ONCE and shared by the
+    * page and the count via a cache, instead of replanning it per action.
+    */
+  case class PageResult(items: Array[org.apache.spark.sql.Row], total: Long)
+
+  def servePage(invoices: DataFrame, customers: DataFrame, asOf: Column,
+                limit: Int, offset: Int,
+                descending: Boolean = false): PageResult = {
+    val inv = invoices.cache()
+    try PageResult(
+      page(report(inv, customers, asOf, descending), limit, offset).collect(),
+      total(inv, asOf))
+    finally inv.unpersist()
+  }
 }

@@ -87,6 +87,14 @@ class GoldenReferenceSpec extends SparkSpec {
     assert(total == 1)
   }
 
+  test("servePage envelope: items + total share one applied computation") {
+    val env = PastDue.servePage(withFk, customers,
+      lit("2025-03-01").cast("date"), limit = 5, offset = 0)
+    assert(env.items.length == 5)
+    assert(env.total == 28)
+    assert(env.items.head.getAs[String]("invoice_number") == "DF2014658")
+  }
+
   test("C3: default as_of is a valid date (America/New_York today)") {
     val d = spark.range(1).select(PastDue.defaultAsOf.as("d"))
       .collect().head.get(0)
