@@ -118,6 +118,14 @@ object RelationalCatalog {
           lit(AsOf).cast("date")),
         limit = 50, offset = 10)),
 
+    // O1 descending branch: sort=due_date.desc page (the reference's
+    // other sort arm, `app/api/invoices.py:61-65`).
+    "q_past_due_desc" -> ((s, d) =>
+      PastDue.page(
+        PastDue.report(invoicesWithApplied(s, d), Tables.customers(s, d),
+          lit(AsOf).cast("date"), descending = true),
+        limit = 20, offset = 0)),
+
     // A1: count-before-page scalar (as a 1-row DataFrame for the oracle).
     "q_past_due_total" -> ((s, d) => {
       import s.implicits._
@@ -182,6 +190,17 @@ object RelationalCatalog {
     "q_past_due" -> pastDueSql(pastDueCols),
 
     "q_past_due_page" -> pastDueSql(pastDueCols, "\nLIMIT 50 OFFSET 10"),
+
+    "q_past_due_desc" ->
+      s"""WITH inv AS ($invSql), app AS (${appliedSql(AsOf)}),
+         |pd AS (
+         |  SELECT inv.*, app.applied FROM inv LEFT JOIN app USING (invoice_number)
+         |  WHERE COALESCE(bill_total, 0) - COALESCE(applied, 0) > 0
+         |    AND due_date < DATE '$AsOf')
+         |SELECT $pastDueCols
+         |FROM pd JOIN customer c ON pd.customer_id = c.c_custkey
+         |ORDER BY pd.due_date DESC, pd.invoice_number
+         |LIMIT 20""".stripMargin,
 
     "q_past_due_total" ->
       s"""WITH inv AS ($invSql), app AS (${appliedSql(AsOf)})

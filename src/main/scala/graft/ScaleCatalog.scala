@@ -69,6 +69,17 @@ object ScaleCatalog {
         e.filter(col("vec_id") >= 10), 5)
     }),
 
+    // Embedding-cosine near-dup pairs (exact copies injected at
+    // vec_id % 25 = 0 → cosine 1.0; random pairs sit far below τ=0.9).
+    "q_dedup_embedding" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
+        e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Similarity.embeddingNearDupPairs(corpus,
+        new java.math.BigDecimal("0.900000"))
+    }),
+
     // Hyperplane-LSH ANN: approximate by design → rows-only check.
     "q_knn_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -110,6 +121,21 @@ object ScaleCatalog {
     "q_knn_brute" -> knnSql("CROSS JOIN c"),
 
     "q_knn_ivf" -> knnSql("JOIN c ON q.label = c.label"),
+
+    "q_dedup_embedding" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |s AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    CAST(round(list_inner_product(a.e, b.e)
+        |      / (sqrt(list_inner_product(a.e, a.e))
+        |         * sqrt(list_inner_product(b.e, b.e))), 6)
+        |      AS DECIMAL(10,6)) AS score
+        |  FROM base a JOIN base b ON a.vec_id < b.vec_id)
+        |SELECT * FROM s WHERE score >= 0.9""".stripMargin,
 
     // q_knn_lsh: deliberately no oracle — approximate path, rows-only.
 

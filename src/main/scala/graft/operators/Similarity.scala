@@ -93,6 +93,22 @@ object Similarity {
       when(dot(dbl(e), typedlit(plane.toSeq)) >= 0, 1 << p).otherwise(0)
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-dup pairs: all (a, b) with rounded cosine ≥
+    * `tau`. Exact pairwise at oracle scale; at 100 TB the same contract
+    * runs behind `lshBucket` pre-grouping (compare within buckets only)
+    * at a bounded recall cost — this exact form is the correctness
+    * anchor, the bucketed form the scale path.
+    */
+  def embeddingNearDupPairs(vecs: DataFrame,
+                            tau: java.math.BigDecimal): DataFrame = {
+    val a = vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        score(col("ea"), col("eb")).as("score"))
+      .filter(col("score") >= lit(tau))
+  }
+
   /** ANN top-k probing only the query's LSH bucket. Recall < 1 by design
     * (a near neighbor across a hyperplane is missed) — the scale path;
     * brute-force is the exactness anchor.

@@ -17,10 +17,10 @@ class GoldenReferenceSpec extends SparkSpec {
   private val csvPath = "/root/reference/data/unicorn_inc.csv"
 
   private lazy val raw: DataFrame = {
-    val df = spark.read.option("header", "true").csv(csvPath)
+    val df = graft.sources.CsvSource.read(spark, csvPath)
     // single small file → one partition; monotonic id = file order
     assert(df.rdd.getNumPartitions == 1)
-    df.withColumn("row_id", monotonically_increasing_id()).cache()
+    df.cache()
   }
 
   private lazy val parsed = Parse.parsed(raw).cache()
