@@ -80,7 +80,9 @@ object Dedup {
     */
   def exactJaccardPairs(corpus: DataFrame, num: Int = 7, den: Int = 10,
                         maxDocFreq: Option[Int] = None): DataFrame = {
-    val shAll = shingleIndex(corpus)
+    // The index feeds pairing AND sizes — cache it or every consumer
+    // re-runs scan+explode+distinct (plan-audit finding, PLANS.md).
+    val shAll = shingleIndex(corpus).cache()
     val sh = maxDocFreq.fold(shAll) { m =>
       val rare = shAll.groupBy(col("shingle"))
         .agg(count(lit(1)).as("df")).filter(col("df") <= m)
@@ -137,7 +139,10 @@ object Dedup {
     */
   def minhashVerifiedPairs(corpus: DataFrame, num: Int = 7, den: Int = 10,
                            numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sh = shingleIndex(corpus)
+    // One materialization feeds signatures, per-candidate intersections
+    // (both join sides) and set sizes — uncached, the plan re-scans and
+    // re-explodes the corpus four times (plan-audit finding, PLANS.md).
+    val sh = shingleIndex(corpus).cache()
     val cand = lshCandidatePairs(minhashSignatures(sh, numHashes),
       numHashes, bands)
     val inter = cand
