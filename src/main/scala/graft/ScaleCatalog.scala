@@ -87,6 +87,20 @@ object ScaleCatalog {
         e.filter(col("vec_id") >= 10), 5)
     }),
 
+    // Exact top-k via the bounded-heap Aggregator (same contract and
+    // oracle as q_knn_brute; partial-agg physical shape — see TopK.scala).
+    "q_knn_topk_agg" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.TopK.bruteTopKAgg(e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") >= 10), 5)
+    }),
+
+    // Custom-state sessionization (flatMapGroupsWithState) — same session
+    // bounds as q_events_session, per-session event counts.
+    "q_sessionize_custom" -> ((s, d) =>
+      graft.streaming.Sessionize.sessionize(
+        Events.typed(Tables.events(s, d))).toDF()),
+
     // Tumbling 1h windows over event time.
     "q_events_tumbling" -> ((s, d) =>
       Events.tumbling(Events.typed(Tables.events(s, d)))),
@@ -171,6 +185,25 @@ object ScaleCatalog {
          |  MAX(ts) + INTERVAL '30 minutes' AS session_end,
          |  user_id, COUNT(*) AS n_events,
          |  CAST(ROUND(SUM(v), 2) AS DECIMAL(18,2)) AS total
+         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q_knn_topk_agg" -> knnSql("CROSS JOIN c"),
+
+    "q_sessionize_custom" ->
+      s"""WITH $eventsSql,
+         |m AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |g AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m)
+         |SELECT user_id, MIN(ts) AS session_start,
+         |  MAX(ts) + INTERVAL '30 minutes' AS session_end,
+         |  COUNT(*) AS n_events
          |FROM g GROUP BY user_id, sid""".stripMargin,
 
     "q_events_json" ->

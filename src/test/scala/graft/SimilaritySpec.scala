@@ -52,6 +52,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bounded-heap TopK aggregator == window-rank brute force") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rnk"),
+        r.getAs[java.math.BigDecimal]("score").toPlainString)
+    val window = Similarity.bruteTopK(queries, corpus, 3).collect().map(key)
+    val heap = graft.operators.TopK.bruteTopKAgg(queries, corpus, 3)
+      .collect().map(key)
+    assert(heap.toSet == window.toSet)
+  }
+
   test("deterministic hyperplanes: same seed, same weights") {
     val a = Similarity.planeWeights(4, 8)
     val b = Similarity.planeWeights(4, 8)

@@ -39,6 +39,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState sessionization == session_window (batch)") {
+    val typed = Events.typed(Tables.events(spark, "/root/testdata/sf0.001"))
+    val builtin = Events.sessions(typed).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[java.sql.Timestamp]("session_end").getTime,
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSet
+    val custom = graft.streaming.Sessionize.sessionize(typed).collect()
+      .map(s => (s.session_start.getTime, s.session_end.getTime,
+        s.user_id, s.n_events)).toSet
+    assert(custom == builtin)
+  }
+
   test("session windows: per-user gap sessions are disjoint and ordered") {
     val sessions = Events.sessions(
       Events.typed(Tables.events(spark, "/root/testdata/sf0.001"))).cache()
