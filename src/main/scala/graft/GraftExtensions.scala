@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.CosineSimilarity
+
+/** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
+  * registers the native expressions so they are callable from SQL and via
+  * `call_function`. Every session builder in this library sets it; an
+  * embedding application adds the same config line.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children.head, children(1))))
+  }
+}

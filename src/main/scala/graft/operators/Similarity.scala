@@ -34,15 +34,27 @@ object Similarity {
   private def dot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
 
-  /** Cosine similarity of two float-array columns, in double. */
+  /** Cosine similarity — declarative form (zip_with → aggregate).
+    * Bit-identical to the native expression below (same left-to-right
+    * double accumulation); kept as the no-extensions fallback and as the
+    * cross-check the shared oracle enforces (TopK uses this form, the
+    * ranked queries the native one).
+    */
   def cosine(a: Column, b: Column): Column = {
     val (ad, bd) = (dbl(a), dbl(b))
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
+  /** Cosine similarity — native codegen'd expression
+    * (graft.expressions.CosineSimilarity; fused single loop, no
+    * intermediate arrays). Requires GraftExtensions on the session.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
   /** Rounded, decimal-typed score — the cross-engine-stable form. */
   def score(a: Column, b: Column): Column =
-    round(cosine(a, b), 6).cast(DecimalType(10, 6))
+    round(cosineNative(a, b), 6).cast(DecimalType(10, 6))
 
   private def rank(scored: DataFrame, k: Int): DataFrame =
     scored

@@ -63,6 +63,23 @@ class SimilaritySpec extends SparkSpec {
     assert(heap.toSet == window.toSet)
   }
 
+  test("native codegen cosine == declarative zip_with/aggregate cosine") {
+    import graft.queries.Tables
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")))
+    val diff = pairs.select(
+      Similarity.cosine(col("ea"), col("eb")).as("d"),
+      Similarity.cosineNative(col("ea"), col("eb")).as("n"))
+      .filter(col("d") =!= col("n")) // bit-identical, not approximately
+    assert(diff.count() == 0)
+    // also callable from SQL via the extension registration
+    val sqlVal = spark.sql(
+      "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").head.getDouble(0)
+    assert(sqlVal == 1.0)
+  }
+
   test("deterministic hyperplanes: same seed, same weights") {
     val a = Similarity.planeWeights(4, 8)
     val b = Similarity.planeWeights(4, 8)
