@@ -42,4 +42,29 @@ object Load {
     merged.write.mode("overwrite").parquet(path)
     merged.unpersist()
   }
+
+  /** The 100 TB layout for a repeatedly-merged fact: store it BUCKETED on
+    * the merge key. The anti-join then reads the existing side already
+    * hash-partitioned — no shuffle of the (huge) stored table per
+    * re-ingest; only the (small) incoming batch shuffles to match.
+    * BucketedMergeSpec asserts the plan: one exchange, on the incoming
+    * side only.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  /** Merge against a bucketed table, rewriting it in the same layout.
+    * localCheckpoint truncates the lineage: the overwrite would otherwise
+    * be rejected for reading the table it targets (a cache alone keeps
+    * the table reference in the plan).
+    */
+  def mergeIntoBucketed(spark: org.apache.spark.sql.SparkSession,
+                        table: String, incoming: DataFrame, key: String,
+                        buckets: Int): Unit = {
+    val merged = merge(spark.table(table), incoming, key)
+      .localCheckpoint(eager = true)
+    writeBucketed(merged, table, key, buckets)
+  }
 }

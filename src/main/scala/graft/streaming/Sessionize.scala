@@ -76,8 +76,17 @@ object Sessionize extends Serializable {
         state.remove()
       } else {
         open.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.last / 1000L + gapUs / 1000L)
+          val closeAtMs = s.last / 1000L + gapUs / 1000L
+          val wm = state.getCurrentWatermarkMs()
+          if (wm > 0 && closeAtMs <= wm) {
+            // watermark already past the gap: no event can reopen it
+            out += close(uid, s)
+            state.remove()
+          } else {
+            state.update(s)
+            // a timeout must sit beyond the current watermark
+            state.setTimeoutTimestamp(math.max(closeAtMs, wm + 1))
+          }
         }
       }
       out.result().iterator

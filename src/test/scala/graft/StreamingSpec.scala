@@ -51,6 +51,42 @@ class StreamingSpec extends SparkSpec {
     assert(custom == builtin)
   }
 
+  test("streaming sessionize: incremental closed sessions ⊆ batch sessions") {
+    val typed = Events.typed(Tables.events(spark, "/root/testdata/sf0.001"))
+      .cache()
+    val batch = graft.streaming.Sessionize.sessionize(typed).collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+        s.n_events)).toSet
+
+    // slice by TIME, not id: a watermark contract assumes arrival is
+    // roughly event-time ordered; id-sliced batches would replay
+    // arbitrarily-late data and legitimately produce different sessions
+    val dir = Files.createTempDirectory("graft-sess-stream").toString
+    val b = typed.agg(min(col("ts")).cast("long"),
+      max(col("ts")).cast("long")).head
+    val width = (b.getLong(1) - b.getLong(0)) / 3 + 1
+    typed.withColumn("slice",
+        least(lit(2), floor((col("ts").cast("long") - b.getLong(0)) / width)))
+      .write.partitionBy("slice").mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(typed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/slice=*")
+    val q = graft.streaming.Sessionize.sessionize(
+        stream.withWatermark("ts", "1 minute"), finalizeOpen = false)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sess_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[java.sql.Timestamp]("session_end").getTime,
+        r.getAs[Long]("n_events"))).toSet
+    // closed-so-far sessions must be exactly a subset of the batch result
+    // (still-open sessions await the event-time timeout)
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+  }
+
   test("session windows: per-user gap sessions are disjoint and ordered") {
     val sessions = Events.sessions(
       Events.typed(Tables.events(spark, "/root/testdata/sf0.001"))).cache()
