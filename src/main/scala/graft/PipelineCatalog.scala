@@ -76,11 +76,12 @@ object PipelineCatalog {
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map(
-    // Token counting (whitespace tokenizer; distinct-token cardinality).
+    // Token counting: whitespace tokenizer + BPE-ish regex runs.
     "q_doc_tokens" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
-        TextOps.distinctTokenCount(col("text")).as("n_distinct_tokens"))),
+        TextOps.distinctTokenCount(col("text")).as("n_distinct_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
 
     // Quality scoring: integer length/diversity/stopword stats + bucket.
     "q_doc_quality" -> ((s, d) =>
@@ -105,11 +106,12 @@ object PipelineCatalog {
           when(col("n_stop") * 100 >= col("n_tokens") * 12, "en")
             .otherwise("und"))),
 
-    // Document fingerprinting: md5 + 60-bit integer fingerprint.
+    // Document fingerprinting: md5, 60-bit integer, and rolling hash.
     "q_doc_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextOps.fingerprintMd5(col("text")).as("fp_md5"),
-        TextOps.fingerprint64(col("text")).as("fp64"))),
+        TextOps.fingerprint64(col("text")).as("fp64"),
+        TextOps.rollingHash(col("text")).as("fp_rolling"))),
 
     // Exact dedup over a corpus with injected exact copies.
     "q_dedup_exact" -> ((s, d) =>
@@ -136,9 +138,10 @@ object PipelineCatalog {
 
   val oracleSql: Map[String, String] = Map(
     "q_doc_tokens" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
         |SELECT doc_id, len(t) AS n_tokens,
-        |  len(list_distinct(t)) AS n_distinct_tokens
+        |  len(list_distinct(t)) AS n_distinct_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_bpe_tokens
         |FROM toks""".stripMargin,
 
     "q_doc_quality" ->
@@ -170,7 +173,11 @@ object PipelineCatalog {
 
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,
-        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp64
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp64,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+        |    (h, c) -> (h * 131 + c) % 1000000007) AS fp_rolling
         |FROM documents""".stripMargin,
 
     "q_dedup_exact" ->

@@ -41,6 +41,21 @@ object TextOps {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** BPE-ish token count: maximal letter runs and digit runs, the shape a
+    * byte-pair pre-tokenizer produces — counted with a codegen'd regex,
+    * no tokenizer library in the loop.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0)))
+
+  /** Polynomial rolling hash over characters (base 131 mod 1e9+7) — the
+    * classic document-fingerprint primitive, as a pure fold so any engine
+    * with a list-reduce reproduces it (the DuckDB oracle does).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (h, c) => (h * 131L + ascii(c)) % 1000000007L)
+
   /** Exact-dup fingerprint: md5 hex (lowercase in Spark and DuckDB). */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 

@@ -43,6 +43,20 @@ object Load {
     merged.unpersist()
   }
 
+  /** The 100 TB layout for the QUERY side of the fact: partition by month
+    * of invoice_date, so the monthly-summary family's half-open month
+    * range (F2) prunes to one partition directory and the past-due
+    * cutoff scans only months ≤ as-of — the distributed analog of the
+    * reference's `invoice_date` B-tree index
+    * (`schema_template.sql:40-47`). PartitionPruneSpec asserts the scan's
+    * partition filters.
+    */
+  def writePartitionedByMonth(invoices: DataFrame, path: String): Unit =
+    invoices
+      .withColumn("inv_month",
+        date_format(col("invoice_date"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("inv_month").parquet(path)
+
   /** The 100 TB layout for a repeatedly-merged fact: store it BUCKETED on
     * the merge key. The anti-join then reads the existing side already
     * hash-partitioned — no shuffle of the (huge) stored table per
