@@ -17,6 +17,18 @@ class SourcesSpec extends SparkSpec {
     assert(raw.count() == 3107)
   }
 
+  test("S1/T6: malformed CSV lines land in the corrupt-record quarantine") {
+    val p = Files.createTempFile("graft-bad", ".csv")
+    Files.writeString(p,
+      CsvSource.Columns.mkString(",") + "\n" +
+        "Acme,I1,01/02/2024,PO-1,100,50,Open,USD,Bob,555,b@x.com,Net 30,\n" +
+        "\"unterminated,quote,row\n" +
+        "Zeta,I2,01/03/2024,PO-2,200,0,Open,USD,Zoe,556,z@x.com,Net 45,\n")
+    val raw = CsvSource.read(spark, p.toString).cache()
+    assert(raw.count() >= 2)
+    assert(CsvSource.corruptLines(raw).count() >= 1)
+  }
+
   test("S3: init writes empty, correctly-typed tables") {
     val dir = Files.createTempDirectory("graft-ddl").toString
     ArSchemas.initTables(spark, dir)
