@@ -12,12 +12,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline subset — one representative per operator family. */
+  /** Headline subset — representatives across every operator family.
+    * Excluded by design: q_dedup_embedding (deliberate all-pairs exact
+    * anchor — quadratic at bench SF) and the tiny point lookups.
+    */
   val headline: Seq[String] = Seq(
     "q_past_due", "q_past_due_page", "q_past_due_total",
-    "q_monthly_summary", "q_customer_contact", "q_ingest_raw",
-    "q_dim_build", "q_upsert", "q_dedup_minhash", "q_knn_brute",
-    "q_events_tumbling", "q_events_session")
+    "q_monthly_summary", "q_customer_contact", "q_serialize_page",
+    "q_ingest_raw", "q_parse_money", "q_dim_build", "q_fk_resolve",
+    "q_upsert", "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_simhash",
+    "q_knn_brute", "q_knn_topk_agg",
+    "q_events_tumbling", "q_events_sliding", "q_events_session",
+    "q_sessionize_custom", "q_media_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

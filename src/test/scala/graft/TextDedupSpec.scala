@@ -60,6 +60,20 @@ class TextDedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("approx_count_distinct tracks exact distinct within HLL tolerance") {
+    import graft.queries.Tables
+    // the scale form of "how many distinct shingles" — sketch vs exact
+    val sh = Dedup.shingleIndex(
+      Tables.documents(spark, "/root/testdata/sf0.01")
+        .select(col("doc_id"), col("text")))
+    val r = sh.agg(
+      countDistinct(col("shingle")).as("exact"),
+      approx_count_distinct(col("shingle"), 0.02).as("approx")).head
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("fingerprints are cross-engine md5 (known value)") {
     // md5("abc") is a published constant — pins the md5/conv path
     val r = Seq("abc").toDF("text").select(
