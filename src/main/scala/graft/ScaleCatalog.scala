@@ -87,6 +87,15 @@ object ScaleCatalog {
         e.filter(col("vec_id") >= 10), 5)
     }),
 
+    // Learned-quantizer IVF (k-means cells, nProbe=2): rows-only — cell
+    // boundaries are float-aggregation-order sensitive; the brute path
+    // is the exactness anchor and QuantizerSpec pins score validity.
+    "q_knn_ivf_learned" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Quantizer.ivfTopK(e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") >= 10), 5, kCells = 8, nProbe = 2)
+    }),
+
     // Exact top-k via the bounded-heap Aggregator (same contract and
     // oracle as q_knn_brute; partial-agg physical shape — see TopK.scala).
     "q_knn_topk_agg" -> ((s, d) => {

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Coarse quantizer for IVF-style ANN: Lloyd's k-means expressed as
+  * DataFrame operations — no MLlib dependency, no driver-side loops over
+  * data (only over the fixed, small iteration count).
+  *
+  * Determinism: init centroids are the k lowest-id vectors (no RNG), so
+  * retries and re-runs train identical cells up to floating-point
+  * aggregation order. Downstream consumers treat the assignment as a
+  * partitioning hint, not a semantic contract — the correctness anchor
+  * for ANN remains the brute-force path.
+  *
+  * Scale shape per iteration: assignment is a cross join against k
+  * (small) broadcast centroids + a min_by groupBy — one shuffle keyed by
+  * vec_id; re-estimation is posexplode → groupBy(cell, pos) avg — one
+  * shuffle keyed by (cell, dim-position). Both partial-aggregate
+  * map-side. k and dims are bounded; rows stream.
+  */
+object Quantizer {
+
+  private def dbl(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Squared L2 distance between two double-array columns. */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Train k cells over `vecs` (vec_id, embedding). Returns
+    * (cell, centroid: Array[Double]).
+    */
+  def fit(vecs: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    val v = vecs.select(col("vec_id"), dbl(col("embedding")).as("e"))
+    var centroids = v.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cell"), col("e").as("centroid"))
+      .withColumn("cell",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cell"))) - 1).cast("int"))
+    for (_ <- 1 to iters) {
+      val assigned = assign(v.withColumnRenamed("e", "embedding"), centroids)
+      centroids = assigned
+        .select(col("cell"), posexplode(dbl(col("embedding"))))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cell"), transform(col("pm"), _.getField("m"))
+          .as("centroid"))
+    }
+    centroids
+  }
+
+  /** Nearest-cell assignment: adds `cell` to (vec_id, embedding). */
+  def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2(dbl(col("embedding")), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+
+  /** IVF ANN with the LEARNED quantizer: probe the query's `nProbe`
+    * nearest cells only. Same output contract as Similarity.bruteTopK.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              kCells: Int = 8, iters: Int = 3, nProbe: Int = 1): DataFrame = {
+    val cells = fit(corpus, kCells, iters).cache()
+    val c = assign(corpus, cells)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), col("cell"))
+    val qProbes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))
+      .crossJoin(broadcast(cells))
+      .withColumn("d2", dist2(dbl(col("qe")), col("centroid")))
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("cell"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val scored = c.join(broadcast(qProbes), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.score(col("qe"), col("ce")).as("score"))
+    scored.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
+  }
+}
