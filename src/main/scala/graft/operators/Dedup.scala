@@ -158,17 +158,27 @@ object Dedup {
   /** SimHash (Charikar '02): per-token 60-bit md5-derived hash, bit-wise
     * ±1 vote weighted by token multiplicity, sign → signature bit.
     * md5-based (not xxhash64) so the oracle can reproduce it exactly.
+    *
+    * Shape: token occurrences collapse to (doc, token, count) first, and
+    * the md5 is computed once per DISTINCT token via a broadcast-joined
+    * vocabulary table — sum over the multiset equals the count-weighted
+    * sum exactly (integers), but the hash work drops from O(occurrences)
+    * to O(vocabulary). Bench effect at sf0.1: 10.0 s → see BASELINE.md.
     */
   def simhashSignatures(corpus: DataFrame, bits: Int = 60): DataFrame = {
     val tok = corpus
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val weighted = tok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("w"))
+    val vocab = tok.select(col("tok")).distinct()
       .withColumn("h", TextOps.fingerprint64(col("tok")))
+    val joined = weighted.join(broadcast(vocab), Seq("tok"))
     val votes = (0 until bits).map(j =>
-      sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"s$j"))
+      sum((shiftright(col("h"), j) % 2 * 2 - 1) * col("w")).as(s"s$j"))
     val sig = (0 until bits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    joined.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
   }
 }
