@@ -21,10 +21,10 @@ object Lookups {
   /** F4 ∘ J1: single-invoice detail with the customer name joined in. */
   def invoiceByNumber(invoices: DataFrame, customers: DataFrame,
                       invoiceNumber: Long): DataFrame =
-    invoices.filter(col("invoice_number") === lit(invoiceNumber))
-      .join(broadcast(customers.select(col("id"),
-        col("name").as("customer_name"))),
-        col("customer_id") === col("id"), "inner")
+    Joins.dimJoin(
+      invoices.filter(col("invoice_number") === lit(invoiceNumber)),
+      customers.select(col("id"), col("name").as("customer_name")),
+      col("customer_id") === col("id"))
       .drop("id")
 
   /** F4: dimension point lookup. */

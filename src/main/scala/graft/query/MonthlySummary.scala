@@ -50,8 +50,9 @@ object MonthlySummary {
       // also avoids capturing an unrelated fact-side `name` column
       .select(col("customer_id"), col("invoice_date"), col("bill_total"),
         col("currency"))
-      .join(broadcast(customers.select(col("id"), col("name"))),
-        col("customer_id") === col("id"), "inner")
+      .transform(f => Joins.dimJoin(f,
+        customers.select(col("id"), col("name")),
+        col("customer_id") === col("id")))
       .filter(preds.reduce(_ && _))
       // A3 (`invoices.py:212-222`) + Python-side fallbacks (224-226)
       .agg(

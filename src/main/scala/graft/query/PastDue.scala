@@ -49,8 +49,7 @@ object PastDue {
       .filter(rawOutstanding > lit(BigDecimal(0)) && col("due_date") < asOf)
     val dueOrder = if (descending) col("due_date").desc else col("due_date").asc
     val dim = customers.select(col("id"), col("name").as("customer_name"))
-    pastDue
-      .join(broadcast(dim), col("customer_id") === col("id"), "inner")
+    Joins.dimJoin(pastDue, dim, col("customer_id") === col("id"))
       .select(
         col("invoice_number"),
         col("customer_name"),
