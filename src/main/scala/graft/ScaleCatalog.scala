@@ -37,7 +37,7 @@ object ScaleCatalog {
        |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 5""".stripMargin
 
   /** Typed events view twin (ts normalized to µs, value exact decimal). */
-  private val eventsSql =
+  private[graft] val eventsSql =
     """e AS (
       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
       |    CAST(value AS DECIMAL(18,2)) AS v, props

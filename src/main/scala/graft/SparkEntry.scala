@@ -23,9 +23,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalCatalog.queries ++ IngestCatalog.queries ++
-      PipelineCatalog.queries ++ ScaleCatalog.queries
+      PipelineCatalog.queries ++ ScaleCatalog.queries ++
+      AnalyticsCatalog.queries
 
   def oracleSql: Map[String, String] =
     RelationalCatalog.oracleSql ++ IngestCatalog.oracleSql ++
-      PipelineCatalog.oracleSql ++ ScaleCatalog.oracleSql
+      PipelineCatalog.oracleSql ++ ScaleCatalog.oracleSql ++
+      AnalyticsCatalog.oracleSql
 }

@@ -1,0 +1,80 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Tables.Money
+
+/** General analytics operators beyond the reference surface (the
+  * reference has no window functions, set ops, or grouping sets —
+  * SURVEY.md §2.9): top-N per group, running totals, set algebra,
+  * ROLLUP subtotals, pivot. Each is a declarative plan with an exact
+  * DuckDB twin; money stays exact decimal throughout.
+  *
+  * Scale: the windows partition by their group key (event_type /
+  * user_id) — state is bounded per key and shuffles once on that key;
+  * ROLLUP/pivot are single hash aggregates with map-side partials.
+  */
+object Analytics {
+
+  /** Top-N contributors per group: rank users by exact total within each
+    * event_type (deterministic id tie-break).
+    */
+  def topNPerGroup(events: DataFrame, n: Int = 3): DataFrame = {
+    val totals = events.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("v")).cast(Money).as("total"), count(lit(1)).as("n_events"))
+    totals.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("total").desc, col("user_id").asc)))
+      .filter(col("rnk") <= n)
+      .select(col("event_type"), col("user_id"), col("total"),
+        col("n_events"), col("rnk"))
+  }
+
+  /** Running cumulative total per user over event time (ROWS frame,
+    * event_id tie-break so equal timestamps accumulate identically in
+    * any engine).
+    */
+  def runningTotals(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_id"), col("ts"),
+      sum(col("v")).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast(Money).as("running_total"))
+
+  /** Set algebra over customer ids: customers in `segment` INTERSECT /
+    * EXCEPT customers having invoices in [from, until), tagged rows.
+    */
+  def segmentSetOps(customers: DataFrame, invoices: DataFrame,
+                    segment: String, from: String, until: String): DataFrame = {
+    val inSeg = customers.filter(col("segment") === lit(segment))
+      .select(col("id"))
+    val active = invoices
+      .filter(col("invoice_date") >= lit(from).cast("date") &&
+        col("invoice_date") < lit(until).cast("date"))
+      .select(col("customer_id").as("id"))
+    inSeg.intersect(active).withColumn("op", lit("both"))
+      .unionByName(inSeg.except(active).withColumn("op", lit("seg_only")))
+  }
+
+  /** ROLLUP subtotals: (currency, status) → (currency) → grand total. */
+  def revenueRollup(invoices: DataFrame): DataFrame =
+    invoices.rollup(col("currency"), col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bill_total")).cast(Money).as("revenue"))
+
+  /** Pivot: segment rows × fixed status columns (explicit value list —
+    * an open-ended pivot would need a pre-scan; fixed keeps one pass),
+    * missing combinations as 0.
+    */
+  def statusPivot(invoices: DataFrame, customers: DataFrame): DataFrame =
+    Joins.dimJoin(
+      invoices.select(col("customer_id"), col("status")),
+      customers.select(col("id"), col("segment")),
+      col("customer_id") === col("id"))
+      .groupBy(col("segment"))
+      .pivot("status", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+}
