@@ -35,7 +35,34 @@ object AnalyticsCatalog {
 
     // Pivot: segment rows × fixed status columns.
     "q_status_pivot" -> ((s, d) =>
-      Analytics.statusPivot(Tables.invoices(s, d), Tables.customers(s, d)))
+      Analytics.statusPivot(Tables.invoices(s, d), Tables.customers(s, d))),
+
+    // As-of join (union-and-carry composition): each click gets the
+    // user's latest purchase value at-or-before it. Oracle uses DuckDB's
+    // NATIVE ASOF LEFT JOIN — independent algorithm, same answer.
+    "q_asof_join" -> ((s, d) => {
+      val e = Events.typed(Tables.events(s, d))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("v")).cast(Tables.Money).as("purchase_value"))
+      graft.operators.TemporalJoin.asofJoin(clicks, purchases,
+        "user_id", "ts", Seq("purchase_value"))
+    }),
+
+    // Range join (time-bucketed equi-prejoin): events × their session
+    // intervals; oracle is the plain inequality join over gap islands.
+    "q_range_join" -> ((s, d) => {
+      val e = Events.typed(Tables.events(s, d))
+      val sessions = Events.sessions(e)
+        .select(col("user_id"), col("session_start"), col("session_end"))
+      graft.operators.TemporalJoin.bucketedRangeJoin(
+        e.select(col("event_id"), col("user_id"), col("ts")), sessions,
+        "user_id", "ts", "session_start", "session_end")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("session_start"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -87,6 +114,36 @@ object AnalyticsCatalog {
          |  COUNT(*) FILTER (WHERE status = 'O') AS O,
          |  COUNT(*) FILTER (WHERE status = 'P') AS P
          |FROM inv JOIN customer c ON inv.customer_id = c.c_custkey
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    "q_asof_join" ->
+      s"""WITH $eventsSql,
+         |l AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+         |r AS (
+         |  SELECT user_id, ts, CAST(MAX(v) AS DECIMAL(18,2)) AS purchase_value
+         |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT l.event_id, l.user_id, l.ts, r.purchase_value
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_range_join" ->
+      s"""WITH $eventsSql,
+         |m AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |g AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m),
+         |s AS (
+         |  SELECT user_id, MIN(ts) AS session_start,
+         |    MAX(ts) + INTERVAL '30 minutes' AS session_end
+         |  FROM g GROUP BY user_id, sid)
+         |SELECT e.event_id, e.user_id, e.ts, s.session_start
+         |FROM e JOIN s ON e.user_id = s.user_id
+         |  AND e.ts >= s.session_start AND e.ts < s.session_end""".stripMargin
   )
 }
