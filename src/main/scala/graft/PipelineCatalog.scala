@@ -41,23 +41,46 @@ object PipelineCatalog {
       |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
       |       FROM ex)""".stripMargin
 
-  /** Exact-Jaccard near-dup pairs at J ≥ 7/10 — the shared oracle for both
-    * the inverted-index exact path and the MinHash-LSH path.
+  /** CTE chain ending in `pairs` — exact-Jaccard near-dup pairs at
+    * J ≥ 7/10, shared by the pair queries and the clustering oracle.
     */
-  private val jaccardPairsSql =
-    s"""WITH $corpusNearSql,
+  private val pairsCteSql =
+    s"""$corpusNearSql,
        |$shinglesSql,
        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersect_n
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, intersect_n,
-       |  sa.sz + sb.sz - intersect_n AS union_n
-       |FROM inter
-       |JOIN sz sa ON inter.doc_a = sa.doc_id
-       |JOIN sz sb ON inter.doc_b = sb.doc_id
-       |WHERE intersect_n * 10 >= (sa.sz + sb.sz - intersect_n) * 7""".stripMargin
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, intersect_n,
+       |    sa.sz + sb.sz - intersect_n AS union_n
+       |  FROM inter
+       |  JOIN sz sa ON inter.doc_a = sa.doc_id
+       |  JOIN sz sb ON inter.doc_b = sb.doc_id
+       |  WHERE intersect_n * 10 >= (sa.sz + sb.sz - intersect_n) * 7)""".stripMargin
+
+  /** The shared oracle for both the inverted-index exact path and the
+    * MinHash-LSH path.
+    */
+  private val jaccardPairsSql =
+    s"""WITH $pairsCteSql
+       |SELECT doc_a, doc_b, intersect_n, union_n FROM pairs""".stripMargin
+
+  /** Clustering oracle: recursive transitive closure over the pair
+    * graph; canonical = min reachable id (incl. self).
+    */
+  private val clustersSql =
+    s"""WITH RECURSIVE $pairsCteSql,
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+       |FROM reach GROUP BY a""".stripMargin
 
   /** SimHash twin: generated 60-bit vote/assemble SQL. */
   private val simhashSql = {
@@ -131,7 +154,14 @@ object PipelineCatalog {
 
     // SimHash 60-bit signatures (md5-derived, oracle-reproducible).
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashSignatures(Tables.documents(s, d)))
+      Dedup.simhashSignatures(Tables.documents(s, d))),
+
+    // Pairs → clusters: connected components by iterative min-label
+    // propagation; oracle is a recursive transitive closure.
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashVerifiedPairs(
+          Dedup.withNearDuplicates(Tables.documents(s, d)))))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -190,6 +220,8 @@ object PipelineCatalog {
 
     "q_dedup_minhash" -> jaccardPairsSql,
 
-    "q_dedup_simhash" -> simhashSql
+    "q_dedup_simhash" -> simhashSql,
+
+    "q_dedup_clusters" -> clustersSql
   )
 }

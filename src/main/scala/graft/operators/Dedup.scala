@@ -155,6 +155,42 @@ object Dedup {
     jaccardSelect(inter, sh, num, den)
   }
 
+  /** Near-dup pairs → duplicate CLUSTERS: connected components over the
+    * pair graph, canonical member = the component's min doc_id. This is
+    * the step that turns pairwise similarity into an actual dedup
+    * decision (keep one per cluster).
+    *
+    * Iterative min-label propagation to the fixpoint: each node adopts
+    * the smallest label among itself and its neighbors, repeated until
+    * no label changes. Rounds = graph diameter (near-dup components are
+    * shallow in practice); each round is one join + one groupBy —
+    * shuffle-partitionable, no driver-side data, only a driver-side
+    * convergence check per round.
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("doc_id"))
+      .distinct().withColumn("label", col("doc_id")).cache()
+    var converged = false
+    while (!converged) {
+      val next = edges
+        .join(labels, edges("b") === labels("doc_id"))
+        .select(col("a").as("doc_id"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .cache()
+      next.count()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** SimHash (Charikar '02): per-token 60-bit md5-derived hash, bit-wise
     * ±1 vote weighted by token multiplicity, sign → signature bit.
     * md5-based (not xxhash64) so the oracle can reproduce it exactly.

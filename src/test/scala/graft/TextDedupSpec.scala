@@ -51,6 +51,15 @@ class TextDedupSpec extends SparkSpec {
     assert(groups.head.getAs[Long]("n") == 2L)
   }
 
+  test("duplicate clusters: chained pairs collapse to min-id components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L))
+  }
+
   test("simhash: equal texts equal signatures; disjoint texts differ") {
     val sigs = Dedup.simhashSignatures(
       Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t"))
