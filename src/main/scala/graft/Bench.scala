@@ -23,7 +23,8 @@ object Bench {
     "q_upsert", "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_simhash",
     "q_knn_brute", "q_knn_topk_agg",
     "q_events_tumbling", "q_events_sliding", "q_events_session",
-    "q_sessionize_custom", "q_media_meta")
+    "q_sessionize_custom", "q_media_meta",
+    "q_asof_join", "q_range_join", "q_topn_per_group", "q_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
