@@ -51,6 +51,20 @@ object AnalyticsCatalog {
         "user_id", "ts", Seq("purchase_value"))
     }),
 
+    // The spark.sql TEXT surface over registered views — same semantics
+    // as the DataFrame monthly summary, expressed as SQL.
+    "q_sql_monthly" -> ((s, d) => {
+      graft.queries.Views.register(s, d)
+      s.sql("""
+        SELECT '1997-03' AS month,
+          COALESCE(MIN(currency), 'USD') AS currency,
+          CAST(COALESCE(SUM(bill_total), 0) AS DECIMAL(18,2)) AS sum_bill_total,
+          COUNT(*) AS count_invoices
+        FROM invoices i JOIN customers c ON i.customer_id = c.id
+        WHERE invoice_date >= DATE'1997-03-01'
+          AND invoice_date < DATE'1997-04-01'""")
+    }),
+
     // Range join (time-bucketed equi-prejoin): events × their session
     // intervals; oracle is the plain inequality join over gap islands.
     "q_range_join" -> ((s, d) => {
@@ -115,6 +129,16 @@ object AnalyticsCatalog {
          |  COUNT(*) FILTER (WHERE status = 'P') AS P
          |FROM inv JOIN customer c ON inv.customer_id = c.c_custkey
          |GROUP BY 1""".stripMargin,
+
+    "q_sql_monthly" ->
+      s"""WITH inv AS ($invSql)
+         |SELECT '1997-03' AS month,
+         |  COALESCE(MIN(currency), 'USD') AS currency,
+         |  CAST(ROUND(COALESCE(SUM(bill_total), 0), 2) AS DECIMAL(18,2)) AS sum_bill_total,
+         |  COUNT(*) AS count_invoices
+         |FROM inv JOIN customer c ON inv.customer_id = c.c_custkey
+         |WHERE invoice_date >= DATE '1997-03-01'
+         |  AND invoice_date < DATE '1997-04-01'""".stripMargin,
 
     "q_asof_join" ->
       s"""WITH $eventsSql,

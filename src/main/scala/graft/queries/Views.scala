@@ -1,0 +1,18 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import graft.streaming.Events
+
+/** The SQL surface: register the engine's logical tables as temp views so
+  * `spark.sql(...)` text queries run against the same semantics the
+  * DataFrame API exposes (same casts, same derived columns).
+  */
+object Views {
+  def register(s: SparkSession, dir: String): Unit = {
+    Tables.invoices(s, dir).createOrReplaceTempView("invoices")
+    Tables.customers(s, dir).createOrReplaceTempView("customers")
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+    Events.typed(Tables.events(s, dir)).createOrReplaceTempView("events_typed")
+  }
+}
