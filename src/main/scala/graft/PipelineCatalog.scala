@@ -161,7 +161,32 @@ object PipelineCatalog {
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(
         Dedup.minhashVerifiedPairs(
-          Dedup.withNearDuplicates(Tables.documents(s, d)))))
+          Dedup.withNearDuplicates(Tables.documents(s, d))))),
+
+    // Deterministic sampling flag + stable train/val/test split — two
+    // INDEPENDENT hash draws (split key salted), reproducible across
+    // runs, retries and engines.
+    "q_sample_split" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("sampled",
+          graft.operators.Sampling.hashBucket(col("doc_id")) < 20)
+        .withColumn("split", graft.operators.Sampling.splitAssign(
+          concat(col("doc_id").cast("string"), lit(":split"))))),
+
+    // Corpus vocabulary: term frequency + document frequency per token.
+    "q_vocab" -> ((s, d) => {
+      val tok = Tables.documents(s, d).select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+    }),
+
+    // Length-bucketed batching prep: docs per 32-token bucket.
+    "q_length_buckets" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(floor(TextOps.tokenCount(col("text")) / 32)
+          .cast("int").as("len_bucket"))
+        .groupBy(col("len_bucket")).agg(count(lit(1)).as("n_docs")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -222,6 +247,32 @@ object PipelineCatalog {
 
     "q_dedup_simhash" -> simhashSql,
 
-    "q_dedup_clusters" -> clustersSql
+    "q_dedup_clusters" -> clustersSql,
+
+    "q_sample_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        |      % 100 AS b,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15))::BIGINT)
+        |      % 100 AS sb
+        |  FROM documents)
+        |SELECT doc_id, lang, b < 20 AS sampled,
+        |  CASE WHEN sb < 80 THEN 'train'
+        |       WHEN sb < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h""".stripMargin,
+
+    "q_vocab" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks)
+        |SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |FROM tok GROUP BY 1""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT CAST(floor(len(t) / 32) AS INT) AS len_bucket,
+        |  COUNT(*) AS n_docs
+        |FROM toks GROUP BY 1""".stripMargin
   )
 }

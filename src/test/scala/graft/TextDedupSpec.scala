@@ -69,6 +69,22 @@ class TextDedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("deterministic sampling: stable membership, sane rates, full split") {
+    import graft.operators.Sampling
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"))
+    val once = Sampling.deterministicSample(docs, "doc_id", 20)
+      .collect().map(_.getLong(0)).toSet
+    val twice = Sampling.deterministicSample(docs, "doc_id", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(once == twice) // membership is a property of the row
+    val rate = once.size.toDouble / docs.count()
+    assert(rate > 0.10 && rate < 0.30, s"rate=$rate") // ~20%
+    val splits = docs.select(Sampling.splitAssign(col("doc_id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0)).toSet
+    assert(splits == Set("train", "val", "test"))
+  }
+
   test("approx_count_distinct tracks exact distinct within HLL tolerance") {
     import graft.queries.Tables
     // the scale form of "how many distinct shingles" — sketch vs exact
