@@ -143,6 +143,17 @@ object IngestCatalog {
     // T6: quarantine of unparseable money rows.
     "q_quarantine" -> ((s, d) => Normalize.quarantine(Raw.raw(s, d))),
 
+    // Text hygiene / PII redaction over a note assembled from the raw
+    // substrate (emails, phone-like and account-like digit runs).
+    "q_redact" -> ((s, d) => {
+      val note = concat_ws(" ", col("CustomerName"), col("ContactEmail"),
+        col("ContactPhone"), col("CustomerPoNumber"),
+        concat(lit("tel 555-"), lpad(col("row_id").cast("string"), 7, "0")),
+        concat(lit("acct "), (col("row_id") + 1000000L).cast("string")))
+      Raw.raw(s, d).select(col("row_id"), note.as("note"))
+        .withColumn("redacted", graft.functions.Clean.hygiene(col("note")))
+    }),
+
     // S5: MERGE emulation — existing ⟂ incoming ∪ incoming.
     "q_upsert" -> ((s, d) => {
       val p = parsed(s, d).select(col("row_id"), col("invoice_number"),
@@ -209,6 +220,27 @@ object IngestCatalog {
          |FROM raw
          |WHERE trim(BillTotal) <> ''
          |  AND TRY_CAST(trim(BillTotal) AS DECIMAL(18,2)) IS NULL""".stripMargin,
+
+    "q_redact" ->
+      s"""WITH raw AS ($rawSql),
+         |n AS (
+         |  SELECT row_id,
+         |    concat_ws(' ', CustomerName, ContactEmail, ContactPhone,
+         |      CustomerPoNumber,
+         |      'tel 555-' || lpad(CAST(row_id AS VARCHAR), 7, '0'),
+         |      'acct ' || CAST(row_id + 1000000 AS VARCHAR)) AS note
+         |  FROM raw)
+         |SELECT row_id, note,
+         |  trim(regexp_replace(lower(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(note, '[\\x00-\\x1f\\x7f]', '', 'g'),
+         |          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         |        '[0-9]{3}[ .()-]{1,2}[0-9]{3,4}[ .()-]{0,2}[0-9]{3,4}', '<PHONE>', 'g'),
+         |      '[0-9]{6,}', '<NUM>', 'g')),
+         |    '\\s+', ' ', 'g')) AS redacted
+         |FROM n""".stripMargin,
 
     "q_upsert" ->
       s"""WITH $parsedSql,

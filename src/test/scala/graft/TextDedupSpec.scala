@@ -69,6 +69,13 @@ class TextDedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("hygiene chain: emails, phones, long numbers masked; text normalized") {
+    import graft.functions.Clean
+    val out = Seq("Call  Bob at 555-123-4567 or bob.smith@corp.example.COM, acct 12345678")
+      .toDF("t").select(Clean.hygiene(col("t")).as("r")).head.getString(0)
+    assert(out == "call bob at <phone> or <email>, acct <num>")
+  }
+
   test("deterministic sampling: stable membership, sane rates, full split") {
     import graft.operators.Sampling
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.01")
