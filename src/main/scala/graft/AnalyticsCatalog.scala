@@ -65,6 +65,12 @@ object AnalyticsCatalog {
           AND invoice_date < DATE'1997-04-01'""")
     }),
 
+    // Time-series resample: hourly forward-fill grid per user (as-of
+    // composition; NULL before the first event).
+    "q_resample_ffill" -> ((s, d) =>
+      graft.operators.Resample.hourlyCarryForward(
+        Events.typed(Tables.events(s, d)))),
+
     // Range join (time-bucketed equi-prejoin): events × their session
     // intervals; oracle is the plain inequality join over gap islands.
     "q_range_join" -> ((s, d) => {
@@ -149,6 +155,23 @@ object AnalyticsCatalog {
          |SELECT l.event_id, l.user_id, l.ts, r.purchase_value
          |FROM l ASOF LEFT JOIN r
          |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_resample_ffill" ->
+      s"""WITH $eventsSql,
+         |spans AS (
+         |  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+         |    date_trunc('hour', MAX(ts)) AS t1
+         |  FROM e GROUP BY 1),
+         |grid AS (
+         |  SELECT user_id,
+         |    unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS ts
+         |  FROM spans),
+         |r AS (
+         |  SELECT user_id, ts, CAST(MAX(v) AS DECIMAL(18,2)) AS state_v
+         |  FROM e GROUP BY 1, 2)
+         |SELECT g.user_id, g.ts, r.state_v
+         |FROM grid g ASOF LEFT JOIN r
+         |  ON g.user_id = r.user_id AND g.ts >= r.ts""".stripMargin,
 
     "q_range_join" ->
       s"""WITH $eventsSql,
