@@ -17,12 +17,9 @@ object Joins {
     * itself plans with.
     */
   def maybeBroadcast(df: DataFrame): DataFrame = {
-    val threshold = df.sparkSession.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760") match {
-      case s if s.endsWith("b") || s.forall(c => c.isDigit || c == '-') =>
-        s.replaceAll("[^0-9-]", "").toLong
-      case _ => 10485760L
-    }
+    // SQLConf parses size strings ("10MB") to bytes; -1 disables.
+    val threshold = df.sparkSession.sessionState.conf
+      .autoBroadcastJoinThreshold
     val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (threshold > 0 && estimated <= threshold) broadcast(df) else df
   }
