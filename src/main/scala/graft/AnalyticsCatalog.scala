@@ -29,6 +29,14 @@ object AnalyticsCatalog {
       Analytics.segmentSetOps(Tables.customers(s, d), Tables.invoices(s, d),
         "BUILDING", "1997-03-01", "1997-04-01")),
 
+    // ntile quantile bucketing over a total order.
+    "q_quartiles" -> ((s, d) =>
+      Analytics.quartiles(Tables.invoices(s, d))),
+
+    // lag: per-user inter-event gaps in seconds.
+    "q_event_deltas" -> ((s, d) =>
+      Analytics.eventDeltas(Events.typed(Tables.events(s, d)))),
+
     // ROLLUP subtotals over (currency, status).
     "q_rollup" -> ((s, d) =>
       Analytics.revenueRollup(Tables.invoices(s, d))),
@@ -120,6 +128,22 @@ object AnalyticsCatalog {
          |UNION ALL
          |SELECT id, 'seg_only' AS op
          |FROM (SELECT id FROM seg EXCEPT SELECT id FROM act)""".stripMargin,
+
+    "q_quartiles" ->
+      s"""WITH inv AS ($invSql)
+         |SELECT invoice_number, bill_total,
+         |  CAST(ntile(4) OVER (ORDER BY bill_total, invoice_number) AS INT)
+         |    AS quartile
+         |FROM inv""".stripMargin,
+
+    "q_event_deltas" ->
+      s"""WITH $eventsSql
+         |SELECT user_id, event_id, ts,
+         |  CAST(floor(date_part('epoch', ts)) AS BIGINT)
+         |    - CAST(floor(date_part('epoch',
+         |        lag(ts, 1) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id))) AS BIGINT) AS gap_seconds
+         |FROM e""".stripMargin,
 
     "q_rollup" ->
       s"""WITH inv AS ($invSql)

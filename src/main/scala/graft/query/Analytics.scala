@@ -58,6 +58,26 @@ object Analytics {
       .unionByName(inSeg.except(active).withColumn("op", lit("seg_only")))
   }
 
+  /** Quantile bucketing: ntile(4) over the totally-ordered bill_total
+    * (invoice_number tie-break — bare ntile over a non-unique order is
+    * planner-dependent).
+    */
+  def quartiles(invoices: DataFrame): DataFrame =
+    invoices.select(col("invoice_number"), col("bill_total"),
+      ntile(4).over(Window.orderBy(col("bill_total"), col("invoice_number")))
+        .as("quartile"))
+
+  /** Per-user inter-event gaps in seconds (lag over event time;
+    * event_id tie-break; NULL for each user's first event).
+    */
+  def eventDeltas(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("ts"),
+      (col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+        .as("gap_seconds"))
+  }
+
   /** ROLLUP subtotals: (currency, status) → (currency) → grand total. */
   def revenueRollup(invoices: DataFrame): DataFrame =
     invoices.rollup(col("currency"), col("status"))
