@@ -21,13 +21,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_past_due")(spark, "/root/testdata/sf0.001")
 
+  /** Catalog union, with driver-canonical output typing (see [[Canonical]]):
+    * final projections carry DOUBLE, never DECIMAL — decimal arithmetic
+    * stays inside the queries.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalCatalog.queries ++ IngestCatalog.queries ++
+    (RelationalCatalog.queries ++ IngestCatalog.queries ++
       PipelineCatalog.queries ++ ScaleCatalog.queries ++
-      AnalyticsCatalog.queries
+      AnalyticsCatalog.queries).map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => Canonical.spark(fn(s, dir)))
+    }
 
   def oracleSql: Map[String, String] =
-    RelationalCatalog.oracleSql ++ IngestCatalog.oracleSql ++
+    (RelationalCatalog.oracleSql ++ IngestCatalog.oracleSql ++
       PipelineCatalog.oracleSql ++ ScaleCatalog.oracleSql ++
-      AnalyticsCatalog.oracleSql
+      AnalyticsCatalog.oracleSql).map { case (name, sql) =>
+      name -> Canonical.oracle(name, sql)
+    }
 }

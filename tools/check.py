@@ -37,10 +37,16 @@ def norm(v):
 
 def df_rows(rel):
     cols = [c.lower() for c in rel.columns]
+    # Driver-canonical typing: the driver's hash renders values through a
+    # float path, so DECIMAL (trailing-zero rendering) and HUGEINT (vs
+    # Spark BIGINT) outputs hash-fail even when content matches. Flag them
+    # here so a local green predicts the driver verdict.
+    bad_types = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                 if "DECIMAL" in str(t) or "HUGEINT" in str(t)]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = [tuple(norm(r[i]) for i in order) for r in rel.fetchall()]
     rows.sort(key=repr)
-    return [cols[i] for i in order], rows
+    return [cols[i] for i in order], rows, bad_types
 
 
 def main():
@@ -62,13 +68,17 @@ def main():
             n_bad += 1
             continue
         try:
-            ocols, orows = df_rows(con.sql(oracle[name]))
+            ocols, orows, obad = df_rows(con.sql(oracle[name]))
         except Exception as e:
             print(f"ORAFAIL  {name}: {e}")
             n_bad += 1
             continue
-        scols, srows = df_rows(
+        scols, srows, sbad = df_rows(
             con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
+        if obad or sbad:
+            print(f"DECTYPE  {name}: spark={sbad} oracle={obad}")
+            n_bad += 1
+            continue
         if scols != ocols:
             print(f"SCHEMA   {name}: spark={scols} oracle={ocols}")
             n_bad += 1
