@@ -71,12 +71,17 @@ object ScaleCatalog {
 
     // Embedding-cosine near-dup pairs (exact copies injected at
     // vec_id % 25 = 0 → cosine 1.0; random pairs sit far below τ=0.9).
+    // Primary is the LSH-BUCKETED path — signature equi-join, never the
+    // all-pairs nested loop; the oracle mirrors the md5-seeded bucketing
+    // so both engines compute the identical candidate set. The exact
+    // all-pairs form stays as the test-only recall anchor
+    // (SimilaritySpec pins bucketed == exact on this corpus).
     "q_dedup_embedding" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
         e.filter(col("vec_id") % 25 === 0)
           .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      Similarity.embeddingNearDupPairs(corpus,
+      Similarity.embeddingNearDupPairsBucketed(corpus,
         new java.math.BigDecimal("0.900000"))
     }),
 
@@ -145,19 +150,34 @@ object ScaleCatalog {
 
     "q_knn_ivf" -> knnSql("JOIN c ON q.label = c.label"),
 
+    // Mirrors the Spark-side LSH bucketing exactly: the same md5("p:i")
+    // plane weights (Similarity.planeWeights), the same sign-signature
+    // bucket, candidates only within a bucket, exact rounded cosine on
+    // the survivors.
     "q_dedup_embedding" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings WHERE vec_id % 25 = 0),
+        |pl AS (
+        |  SELECT p, list(w ORDER BY i) AS w FROM (
+        |    SELECT p, i,
+        |      ((('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 15))
+        |          ::BIGINT % 2001) - 1000) / 1000.0 AS w
+        |    FROM range(8) t(p) CROSS JOIN range(64) u(i)) GROUP BY p),
+        |bk AS (
+        |  SELECT vec_id, e,
+        |    SUM(CASE WHEN list_inner_product(e, pl.w) >= 0
+        |        THEN 1 << p ELSE 0 END) AS bucket
+        |  FROM base CROSS JOIN pl GROUP BY vec_id, e),
         |s AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    CAST(round(list_inner_product(a.e, b.e)
         |      / (sqrt(list_inner_product(a.e, a.e))
         |         * sqrt(list_inner_product(b.e, b.e))), 6)
         |      AS DECIMAL(10,6)) AS score
-        |  FROM base a JOIN base b ON a.vec_id < b.vec_id)
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT * FROM s WHERE score >= 0.9""".stripMargin,
 
     // q_knn_lsh: deliberately no oracle — approximate path, rows-only.

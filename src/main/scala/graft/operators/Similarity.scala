@@ -121,6 +121,36 @@ object Similarity {
       .filter(col("score") >= lit(tau))
   }
 
+  /** Scale path for embedding near-dup: same contract as
+    * [[embeddingNearDupPairs]], but candidate pairs are restricted to
+    * vectors whose md5-seeded hyperplane sign-signature matches, with the
+    * exact rounded-cosine verify running within buckets only.
+    *
+    * Identical copies share every hyperplane sign, so exact-duplicate
+    * recall is 1.0; near-dup recall degrades gracefully with angular
+    * distance (a pair straddling a hyperplane is missed — the standard
+    * LSH trade). The plan is an equi-join shuffled on the signature —
+    * never an all-pairs nested loop — so cost is Σ bucket² instead of
+    * N²; size `planes` ≈ log2(N / target-bucket-rows) at scale.
+    */
+  def embeddingNearDupPairsBucketed(vecs: DataFrame,
+                                    tau: java.math.BigDecimal,
+                                    planes: Int = 8,
+                                    dim: Int = 64): DataFrame = {
+    val w = planeWeights(planes, dim)
+    val bucketed = vecs.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), w).as("bucket"))
+    val a = bucketed.select(col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        score(col("ea"), col("eb")).as("score"))
+      .filter(col("score") >= lit(tau))
+  }
+
   /** ANN top-k probing only the query's LSH bucket. Recall < 1 by design
     * (a near neighbor across a hyperplane is missed) — the scale path;
     * brute-force is the exactness anchor.

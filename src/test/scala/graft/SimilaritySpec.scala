@@ -80,6 +80,31 @@ class SimilaritySpec extends SparkSpec {
     assert(sqlVal == 1.0)
   }
 
+  test("bucketed near-dup == exact all-pairs on the planted-dup corpus") {
+    import graft.queries.Tables
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
+      e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val tau = new java.math.BigDecimal("0.900000")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[java.math.BigDecimal]("score").toPlainString)
+    val exact = Similarity.embeddingNearDupPairs(corpus, tau)
+      .collect().map(key).toSet
+    val bucketed = Similarity.embeddingNearDupPairsBucketed(corpus, tau)
+      .collect().map(key).toSet
+    // LSH candidates are a subset by construction; on this corpus the
+    // qualifying pairs are exact copies (identical sign-signatures), so
+    // recall is exactly 1.0 and the two forms coincide.
+    assert(bucketed == exact)
+    assert(exact.nonEmpty)
+    // and the plan really is the bucketed equi-join, not a nested loop
+    val plan = Similarity.embeddingNearDupPairsBucketed(corpus, tau)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("deterministic hyperplanes: same seed, same weights") {
     val a = Similarity.planeWeights(4, 8)
     val b = Similarity.planeWeights(4, 8)
