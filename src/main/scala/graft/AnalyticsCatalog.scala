@@ -29,7 +29,7 @@ object AnalyticsCatalog {
       Analytics.segmentSetOps(Tables.customers(s, d), Tables.invoices(s, d),
         "BUILDING", "1997-03-01", "1997-04-01")),
 
-    // ntile quantile bucketing over a total order.
+    // Value-quartile bucketing (percentile boundaries, no global window).
     "q_quartiles" -> ((s, d) =>
       Analytics.quartiles(Tables.invoices(s, d))),
 
@@ -129,12 +129,20 @@ object AnalyticsCatalog {
          |SELECT id, 'seg_only' AS op
          |FROM (SELECT id FROM seg EXCEPT SELECT id FROM act)""".stripMargin,
 
+    // Value quartiles via discrete percentile boundaries — mirrors the
+    // engine's boundary-broadcast plan (DuckDB quantile_disc picks the
+    // same order statistic as SQL percentile_disc for quarter fractions).
     "q_quartiles" ->
-      s"""WITH inv AS ($invSql)
+      s"""WITH inv AS ($invSql),
+         |c AS (
+         |  SELECT quantile_disc(bill_total, 0.25) AS c1,
+         |         quantile_disc(bill_total, 0.50) AS c2,
+         |         quantile_disc(bill_total, 0.75) AS c3
+         |  FROM inv)
          |SELECT invoice_number, bill_total,
-         |  CAST(ntile(4) OVER (ORDER BY bill_total, invoice_number) AS INT)
-         |    AS quartile
-         |FROM inv""".stripMargin,
+         |  CAST(1 + (bill_total > c1)::INT + (bill_total > c2)::INT
+         |         + (bill_total > c3)::INT AS INT) AS quartile
+         |FROM inv CROSS JOIN c""".stripMargin,
 
     "q_event_deltas" ->
       s"""WITH $eventsSql

@@ -58,14 +58,29 @@ object Analytics {
       .unionByName(inSeg.except(active).withColumn("op", lit("seg_only")))
   }
 
-  /** Quantile bucketing: ntile(4) over the totally-ordered bill_total
-    * (invoice_number tie-break — bare ntile over a non-unique order is
-    * planner-dependent).
+  /** Quantile bucketing by value: exact quartile boundaries
+    * (percentile_disc — the SQL-standard "smallest value with cumulative
+    * distribution ≥ p") computed in ONE aggregate, broadcast as a 1-row
+    * frame, buckets assigned with indicator sums in the same scan.
+    *
+    * Deliberately NOT `ntile(4) OVER (ORDER BY …)`: an unpartitioned
+    * window moves the whole fact table to a single partition — the r2
+    * plan audit flagged it as the catalog's one scale-killer. Value
+    * quartiles keep equal values in the same bucket (rank-splitting ties
+    * is planner luck anyway) and cost one tiny agg + one scan, no global
+    * sort, no single-partition stage.
     */
-  def quartiles(invoices: DataFrame): DataFrame =
-    invoices.select(col("invoice_number"), col("bill_total"),
-      ntile(4).over(Window.orderBy(col("bill_total"), col("invoice_number")))
-        .as("quartile"))
+  def quartiles(invoices: DataFrame): DataFrame = {
+    val cuts = invoices.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY bill_total)").as("c1"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY bill_total)").as("c2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY bill_total)").as("c3"))
+    invoices.crossJoin(broadcast(cuts))
+      .select(col("invoice_number"), col("bill_total"),
+        (lit(1) + (col("bill_total") > col("c1")).cast("int")
+                + (col("bill_total") > col("c2")).cast("int")
+                + (col("bill_total") > col("c3")).cast("int")).as("quartile"))
+  }
 
   /** Per-user inter-event gaps in seconds (lag over event time;
     * event_id tie-break; NULL for each user's first event).
