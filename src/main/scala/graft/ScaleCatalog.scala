@@ -36,6 +36,53 @@ object ScaleCatalog {
        |  FROM s)
        |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 5""".stripMargin
 
+  /** Hyperplane-weight twin of Similarity.planeWeights: the same
+    * md5("p:i") → 15 hex digits → signed-unit mapping, as a per-plane
+    * DOUBLE[] list. Shared by the LSH dedup and LSH knn oracles.
+    */
+  private val planesSql =
+    """pl AS (
+      |  SELECT p, list(w ORDER BY i) AS w FROM (
+      |    SELECT p, i,
+      |      ((('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 15))
+      |          ::BIGINT % 2001) - 1000) / 1000.0 AS w
+      |    FROM range(8) t(p) CROSS JOIN range(64) u(i)) GROUP BY p)""".stripMargin
+
+  /** Squared-L2 fold twin of Quantizer.dist2 — same element op, same
+    * left-to-right accumulation (list_reduce starts at the first element;
+    * Spark's fold starts at 0.0 + first, identical in IEEE).
+    */
+  private def d2Sql(a: String, b: String) =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |          s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)""".stripMargin
+
+  /** Nearest-centroid assignment twin of Quantizer.assign: rank cells by
+    * (d2, cell) per vector, keep `topn` (1 = assignment, nProbe = probes).
+    */
+  private def assignSql(name: String, src: String, idCol: String,
+                        cents: String, topn: Int) =
+    s"""$name AS (
+       |  SELECT $idCol, e, cell FROM (
+       |    SELECT $src.vec_id AS $idCol, $src.e, i.cell,
+       |      row_number() OVER (PARTITION BY $src.vec_id ORDER BY
+       |        ${d2Sql(s"$src.e", "i.centroid")}, i.cell) AS rn
+       |    FROM $src CROSS JOIN $cents i) WHERE rn <= $topn)""".stripMargin
+
+  /** One Lloyd's iteration twin of Quantizer.fit's loop body: assign to
+    * `prev`, then per-(cell, dim) sorted-fold mean — list_sort +
+    * list_reduce replicate Spark's sort_array + aggregate bit-for-bit.
+    */
+  private def lloydSql(n: Int, prev: String) =
+    s"""${assignSql(s"a$n", "v", "vec_id", prev, 1)},
+       |m$n AS (
+       |  SELECT cell, i AS pos,
+       |    list_reduce(list_sort(list(e[i + 1])), (x, y) -> x + y)
+       |      / count(*) AS m
+       |  FROM a$n CROSS JOIN range(64) r(i) GROUP BY cell, i),
+       |c$n AS (
+       |  SELECT cell, list(m ORDER BY pos) AS centroid FROM m$n
+       |  GROUP BY cell)""".stripMargin
+
   /** Typed events view twin (ts normalized to µs, value exact decimal). */
   private[graft] val eventsSql =
     """e AS (
@@ -85,16 +132,19 @@ object ScaleCatalog {
         new java.math.BigDecimal("0.900000"))
     }),
 
-    // Hyperplane-LSH ANN: approximate by design → rows-only check.
+    // Hyperplane-LSH ANN. Approximate vs brute force, but DETERMINISTIC:
+    // the md5-seeded buckets are part of the contract, so the oracle
+    // mirrors the whole path row-for-row (buckets, scores, ranks).
     "q_knn_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e.filter(col("vec_id") < 10),
         e.filter(col("vec_id") >= 10), 5)
     }),
 
-    // Learned-quantizer IVF (k-means cells, nProbe=2): rows-only — cell
-    // boundaries are float-aggregation-order sensitive; the brute path
-    // is the exactness anchor and QuantizerSpec pins score validity.
+    // Learned-quantizer IVF (k-means cells, nProbe=2). The trainer is
+    // deterministic (sorted-fold means, lowest-id init — Quantizer.fit),
+    // so the oracle replicates the whole Lloyd's loop and the check is a
+    // full row-level differential, approximation and all.
     "q_knn_ivf_learned" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       graft.operators.Quantizer.ivfTopK(e.filter(col("vec_id") < 10),
@@ -150,22 +200,52 @@ object ScaleCatalog {
 
     "q_knn_ivf" -> knnSql("JOIN c ON q.label = c.label"),
 
+    // Full replication of the LEARNED index: the deterministic k-means
+    // trainer (3 unrolled Lloyd's iterations, k = 8, lowest-id init,
+    // sorted-fold means), nProbe = 2 probing, exact rounded cosine, same
+    // ranking — both engines run the identical pure function of the
+    // corpus, so even this learned ANN path has a row-level differential.
+    "q_knn_ivf_learned" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id >= 10),
+         |q AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id < 10),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |      AS cell, e AS centroid
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+         |${lloydSql(1, "c0")},
+         |${lloydSql(2, "c1")},
+         |${lloydSql(3, "c2")},
+         |${assignSql("corp", "v", "neighbor_id", "c3", 1)},
+         |${assignSql("probes", "q", "query_id", "c3", 2)},
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(round(list_inner_product(a.e, b.e)
+         |      / (sqrt(list_inner_product(a.e, a.e))
+         |         * sqrt(list_inner_product(b.e, b.e))), 6)
+         |      AS DECIMAL(10,6)) AS score
+         |  FROM probes a JOIN corp b ON a.cell = b.cell),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT)
+         |      AS rnk
+         |  FROM s)
+         |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 5""".stripMargin,
+
     // Mirrors the Spark-side LSH bucketing exactly: the same md5("p:i")
     // plane weights (Similarity.planeWeights), the same sign-signature
     // bucket, candidates only within a bucket, exact rounded cosine on
     // the survivors.
     "q_dedup_embedding" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings WHERE vec_id % 25 = 0),
-        |pl AS (
-        |  SELECT p, list(w ORDER BY i) AS w FROM (
-        |    SELECT p, i,
-        |      ((('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 15))
-        |          ::BIGINT % 2001) - 1000) / 1000.0 AS w
-        |    FROM range(8) t(p) CROSS JOIN range(64) u(i)) GROUP BY p),
+        |$planesSql,
         |bk AS (
         |  SELECT vec_id, e,
         |    SUM(CASE WHEN list_inner_product(e, pl.w) >= 0
@@ -180,7 +260,41 @@ object ScaleCatalog {
         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT * FROM s WHERE score >= 0.9""".stripMargin,
 
-    // q_knn_lsh: deliberately no oracle — approximate path, rows-only.
+    // Full row-level mirror of the LSH ANN path: identical md5-seeded
+    // buckets, candidates only within the query's bucket, exact rounded
+    // cosine, same (score DESC, neighbor_id) ranking. The approximation
+    // (a near neighbor across a hyperplane is missed) is part of the
+    // CONTRACT both engines implement, so the differential is exact.
+    "q_knn_lsh" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id >= 10),
+        |$planesSql,
+        |qb AS (
+        |  SELECT query_id, e,
+        |    SUM(CASE WHEN list_inner_product(e, pl.w) >= 0
+        |        THEN 1 << p ELSE 0 END) AS bucket
+        |  FROM q CROSS JOIN pl GROUP BY query_id, e),
+        |cb AS (
+        |  SELECT neighbor_id, e,
+        |    SUM(CASE WHEN list_inner_product(e, pl.w) >= 0
+        |        THEN 1 << p ELSE 0 END) AS bucket
+        |  FROM c CROSS JOIN pl GROUP BY neighbor_id, e),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(round(list_inner_product(a.e, b.e)
+        |      / (sqrt(list_inner_product(a.e, a.e))
+        |         * sqrt(list_inner_product(b.e, b.e))), 6)
+        |      AS DECIMAL(10,6)) AS score
+        |  FROM qb a JOIN cb b ON a.bucket = b.bucket),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rnk
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 5""".stripMargin,
 
     "q_events_tumbling" ->
       s"""WITH $eventsSql

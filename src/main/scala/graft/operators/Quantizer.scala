@@ -7,17 +7,22 @@ import org.apache.spark.sql.functions._
   * DataFrame operations — no MLlib dependency, no driver-side loops over
   * data (only over the fixed, small iteration count).
   *
-  * Determinism: init centroids are the k lowest-id vectors (no RNG), so
-  * retries and re-runs train identical cells up to floating-point
-  * aggregation order. Downstream consumers treat the assignment as a
-  * partitioning hint, not a semantic contract — the correctness anchor
-  * for ANN remains the brute-force path.
+  * Determinism: init centroids are the k lowest-id vectors (no RNG), and
+  * centroid re-estimation sums each (cell, dim) slice in SORTED order via
+  * an explicit fold — not `avg`, whose partial-merge order varies with
+  * shuffle arrival and would make the trained cells run-to-run
+  * fp-unstable. With sorted folds the whole trainer is a pure function
+  * of the corpus, which is what lets the DuckDB oracle replicate the
+  * full 3-iteration Lloyd's loop bit-for-bit (list_sort + list_reduce
+  * mirror sort_array + aggregate exactly).
   *
   * Scale shape per iteration: assignment is a cross join against k
   * (small) broadcast centroids + a min_by groupBy — one shuffle keyed by
-  * vec_id; re-estimation is posexplode → groupBy(cell, pos) avg — one
-  * shuffle keyed by (cell, dim-position). Both partial-aggregate
-  * map-side. k and dims are bounded; rows stream.
+  * vec_id; re-estimation is posexplode → groupBy(cell, pos) sorted-fold
+  * mean — one shuffle keyed by (cell, dim-position), holding one
+  * (cell, dim) slice (corpus/k doubles) per group. Train on a bounded
+  * sample at real scale, as any coarse quantizer does — assignment
+  * itself streams the full corpus regardless.
   */
 object Quantizer {
 
@@ -42,7 +47,12 @@ object Quantizer {
       centroids = assigned
         .select(col("cell"), posexplode(dbl(col("embedding"))))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        // deterministic mean: fold the sorted slice, then divide — see
+        // the object doc (avg's merge order is shuffle-arrival-dependent)
+        .agg(sort_array(collect_list(col("col"))).as("vals"))
+        .select(col("cell"), col("pos"),
+          (aggregate(col("vals"), lit(0.0), _ + _) / size(col("vals")))
+            .as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("pm"))
