@@ -4,24 +4,31 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line of steady-state per-query seconds.
   *
-  * Methodology (VERDICT r1 "bench hygiene"): a full warm-up pass first —
-  * JVM/JIT, Spark session, parquet footer caches — then a timed pass; the
-  * timed number is plan cost, not startup. Materialization uses the noop
-  * sink so the whole plan executes (count() would let Catalyst elide
-  * sorts and column work).
+  * Methodology (VERDICT r1 "bench hygiene", r2 "bench robustness"): a
+  * full warm-up pass first — JVM/JIT, Spark session, parquet footer
+  * caches — then THREE timed passes, reporting the per-query MEDIAN, so
+  * one GC pause or co-tenant burst can't distort a round's number (the
+  * r2 driver run measured 2.4× the builder anchor purely from
+  * environment load). Materialization uses the noop sink so the whole
+  * plan executes (count() would let Catalyst elide sorts and column
+  * work).
   */
 object Bench {
 
   /** Headline subset — representatives across every operator family.
-    * Excluded by design: q_dedup_embedding (deliberate all-pairs exact
-    * anchor — quadratic at bench SF) and the tiny point lookups.
+    * r3 additions: q_dedup_embedding (now the LSH-bucketed plan — the
+    * all-pairs form it replaced was quadratic and benchable only as a
+    * test anchor), q_quartiles (now boundary-broadcast, no global
+    * window), and both approximate ANN paths (now fully oracled).
+    * Still excluded: the tiny point lookups.
     */
   val headline: Seq[String] = Seq(
     "q_past_due", "q_past_due_page", "q_past_due_total",
     "q_monthly_summary", "q_customer_contact", "q_serialize_page",
     "q_ingest_raw", "q_parse_money", "q_dim_build", "q_fk_resolve",
     "q_upsert", "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_simhash",
-    "q_knn_brute", "q_knn_topk_agg",
+    "q_dedup_embedding", "q_quartiles",
+    "q_knn_brute", "q_knn_topk_agg", "q_knn_lsh", "q_knn_ivf_learned",
     "q_events_tumbling", "q_events_sliding", "q_events_session",
     "q_sessionize_custom", "q_media_meta",
     "q_asof_join", "q_range_join", "q_topn_per_group", "q_rollup")
@@ -48,7 +55,11 @@ object Bench {
     }
 
     headline.foreach(exec) // warm-up pass (discarded)
-    val results = headline.map(n => n -> exec(n))
+    val passes = Seq.fill(3)(headline.map(n => n -> exec(n)).toMap)
+    val results = headline.map { n =>
+      val ok = passes.map(_(n)).filter(_ >= 0).sorted
+      n -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
+    }
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
