@@ -127,6 +127,17 @@ object IngestCatalog {
     // D1+D2+D3: first-seen dedup, first-non-null backfill, surrogate keys.
     "q_dim_build" -> ((s, d) => Normalize.dimension(parsed(s, d))),
 
+    // S4 sink ROUND-TRIP: overwrite the dimension to parquet (the
+    // full-rebuild contract — reference ingest.py:221-236 DELETE+INSERT)
+    // and return the RE-READ table, so the oracle gates what's on disk,
+    // not just the in-plan dim build.
+    "q_dim_overwrite" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_dim_overwrite").resolve("dim").toString
+      Load.overwriteDim(Normalize.dimension(parsed(s, d)), path)
+      s.read.parquet(path)
+    }),
+
     // D4: broadcast FK resolution of every fact row.
     "q_fk_resolve" -> ((s, d) => {
       val p = parsed(s, d)
@@ -195,6 +206,13 @@ object IngestCatalog {
          |SELECT row_id, due_date FROM final""".stripMargin,
 
     "q_dim_build" ->
+      s"""$dimSql
+         |SELECT name, first_row_id, contact_name, contact_phone,
+         |  contact_email, customer_id
+         |FROM dim""".stripMargin,
+
+    // Same truth as q_dim_build: the parquet round-trip must be lossless.
+    "q_dim_overwrite" ->
       s"""$dimSql
          |SELECT name, first_row_id, contact_name, contact_phone,
          |  contact_email, customer_id
