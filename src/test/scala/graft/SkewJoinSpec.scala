@@ -27,4 +27,25 @@ class SkewJoinSpec extends SparkSpec {
     assert(rows(SkewJoin.saltedInnerJoin(large, small, "k",
       Seq("line"))) == salted)
   }
+
+  test("salting spreads a hot key's rows across shuffle partitions") {
+    import org.apache.spark.sql.functions._
+    // every row carries the SAME key: the worst case — one task gets
+    // the whole key under a plain hash partitioning
+    val large = (1 to 5000).map(i => (1L, i)).toDF("k", "line")
+    def maxPartRows(df: org.apache.spark.sql.DataFrame): Long = df
+      .groupBy(spark_partition_id().as("p")).count()
+      .agg(max("count")).head.getLong(0)
+    val unsalted = maxPartRows(large.repartition(16, col("k")))
+    val salted = maxPartRows(large
+      .withColumn("__salt", pmod(xxhash64(col("line")), lit(16)))
+      .repartition(16, col("k"), col("__salt")))
+    assert(unsalted == 5000L) // the hot key lands in ONE partition
+    assert(salted <= 5000L / 4) // salt spreads it at least 4 ways
+  }
+
+  test("AQE skew-join handling is live in the session (first line of defense)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+  }
 }
