@@ -65,6 +65,7 @@ object Canonical {
       "q_rollup"                      -> d("revenue"),
       "q_running_totals"              -> d("running_total"),
       "q_sql_monthly"                 -> d("sum_bill_total"),
+      "q_tfidf"                       -> d("score"),
       "q_topn_per_group"              -> d("total"),
       "q_upsert"                      -> d("bill_total")
     )

@@ -173,6 +173,39 @@ object PipelineCatalog {
         .withColumn("split", graft.operators.Sampling.splitAssign(
           concat(col("doc_id").cast("string"), lit(":split"))))),
 
+    // Benchmark decontamination: training docs sharing any 8-token
+    // shingle with the (derived) eval suite, with shared-shingle counts.
+    // The eval set is a tail-substring of every 50th doc — guaranteed
+    // long-n-gram overlap with its source, the planted contamination.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val eval = docs.filter(col("doc_id") % 50 === 0)
+        .select(expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      graft.operators.Curation.contaminationStats(docs, eval)
+    }),
+
+    // Repetition-based quality filter (Gopher-style), integer-exact.
+    "q_repetition" -> ((s, d) =>
+      graft.operators.Curation.repetitionStats(Tables.documents(s, d))),
+
+    // Top-3 tf-idf terms per doc (real ln idf — probed bit-identical
+    // between JVM Math.log and DuckDB ln, incl. the HotSpot intrinsic).
+    "q_tfidf" -> ((s, d) =>
+      graft.operators.Curation.tfidfTopK(Tables.documents(s, d))),
+
+    // JSONL sink/source ROUND-TRIP: write the corpus as JSON lines,
+    // re-read with a declared schema, return the re-read rows — the
+    // oracle (plain parquet read) gates that the text survives JSON
+    // encoding byte-exactly.
+    "q_docs_jsonl" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_jsonl").resolve("docs").toString
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .write.json(path)
+      s.read.schema("doc_id BIGINT, text STRING").json(path)
+        .select(col("doc_id"), col("text"))
+    }),
+
     // Corpus vocabulary: term frequency + document frequency per token.
     "q_vocab" -> ((s, d) => {
       val tok = Tables.documents(s, d).select(col("doc_id"),
@@ -262,6 +295,74 @@ object PipelineCatalog {
         |       WHEN sb < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM h""".stripMargin,
+
+    // 8-token shingles: i runs 1 ‥ len-7 (range bound is exclusive).
+    "q_decontaminate" ->
+      """WITH ev AS (
+        |  SELECT substr(text, strpos(text, ' ') + 1) AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |evx AS (
+        |  SELECT string_split(text, ' ') AS t FROM ev),
+        |esh AS (
+        |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |    t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] ||
+        |    ' ' || t[i+7] AS shingle
+        |  FROM (SELECT t, unnest(range(1, len(t) - 6)) AS i FROM evx)),
+        |trx AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+        |      AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM trx))
+        |SELECT doc_id, COUNT(*) AS n_shared
+        |FROM tsh JOIN esh USING (shingle) GROUP BY 1""".stripMargin,
+
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |mx AS (
+        |  SELECT doc_id, MAX(c) AS max_token_n FROM (
+        |    SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |bsh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS bg
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |bn AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_distinct_bigrams
+        |  FROM bsh GROUP BY 1)
+        |SELECT toks.doc_id, CAST(len(t) AS INT) AS n_tokens, max_token_n,
+        |  CAST(len(t) - 1 AS INT) AS n_bigrams, n_distinct_bigrams,
+        |  (max_token_n * 5 <= len(t)
+        |    AND n_distinct_bigrams * 10 >= (len(t) - 1) * 6) AS keep
+        |FROM toks
+        |JOIN mx ON toks.doc_id = mx.doc_id
+        |JOIN bn ON toks.doc_id = bn.doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (
+        |  SELECT token, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, token, tf, df,
+        |    CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6)
+        |      AS DECIMAL(18,6)) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, df, token) AS INT) AS rnk
+        |  FROM s)
+        |SELECT doc_id, token, tf, df, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q_docs_jsonl" -> "SELECT doc_id, text FROM documents",
 
     "q_vocab" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and tokenization (builder brief; no reference
+  * counterpart): benchmark decontamination, repetition-based quality
+  * filtering, and tf-idf term extraction. Everything is a composition of
+  * codegen'd built-ins — no UDFs — with integer or exactly-mirrorable
+  * arithmetic so each operator carries a DuckDB differential.
+  */
+object Curation {
+
+  /** Benchmark decontamination stats: for every training doc, the number
+    * of DISTINCT n-token shingles it shares with the evaluation corpus.
+    * A training doc overlapping an eval doc on even one long-enough
+    * shingle is contaminated (the n-gram-overlap rule used by LLM data
+    * pipelines; n≈8–13 tokens in practice).
+    *
+    * Plan: both sides explode to distinct shingles; the join is an
+    * equi-join ON THE SHINGLE — the eval side is a benchmark suite
+    * (thousands of docs), so its shingle set broadcasts, and the
+    * training corpus streams map-side with no shuffle of the big side.
+    * The aggregation shuffles only (doc_id, count) partials.
+    */
+  def contaminationStats(train: DataFrame, eval: DataFrame,
+                         n: Int = 8): DataFrame = {
+    val trainSh = train.select(col("doc_id"),
+      explode(TextOps.shingles(col("text"), n)).as("shingle"))
+    val evalSh = eval
+      .select(explode(TextOps.shingles(col("text"), n)).as("shingle"))
+      .distinct()
+    trainSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The clean corpus: training docs with NO shingle overlap with the
+    * eval set (left_anti against the contaminated ids — one broadcast
+    * join, the corpus never shuffles).
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+                    n: Int = 8): DataFrame =
+    train.join(broadcast(contaminationStats(train, eval, n)
+      .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+
+  /** Repetition-based quality stats (the Gopher-style filter family),
+    * integer-exact: per doc, total/max-frequency token counts and
+    * total/distinct bigram counts, plus the keep verdict —
+    * keep iff the top token is ≤ 20% of all tokens
+    * (5·max_token_n ≤ n_tokens) AND ≥ 60% of bigrams are distinct
+    * (10·n_distinct_bigrams ≥ 6·n_bigrams). Fractions stay as integer
+    * cross-multiplications so both engines agree exactly.
+    *
+    * Plan: one explode + (doc, token) count + per-doc max — shuffles
+    * keyed by doc_id with map-side partials; the bigram stats are a pure
+    * projection (array ops in codegen).
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val maxTok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_token_n"))
+    val bigrams = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      (TextOps.tokenCount(col("text")) - 1).as("n_bigrams"),
+      size(TextOps.shingles(col("text"), 2)).as("n_distinct_bigrams"))
+    bigrams.join(maxTok, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("max_token_n"),
+        col("n_bigrams"), col("n_distinct_bigrams"),
+        (col("max_token_n") * 5 <= col("n_tokens") &&
+          col("n_distinct_bigrams") * 10 >= col("n_bigrams") * 6)
+          .as("keep"))
+  }
+
+  /** Top-k tf-idf terms per document: tf = in-doc term count, df =
+    * corpus document frequency, score = tf · ln(N / df) rounded to 6 dp
+    * (probed: JVM Math.log and DuckDB ln are bit-identical on this
+    * platform, including under the HotSpot intrinsic — see the oracle).
+    * Ties rank by (score DESC, df ASC, token ASC), fully deterministic.
+    *
+    * Plan: one explode → (doc, token) counts; df is a token-keyed
+    * aggregate of the same exploded frame — both shuffle once on their
+    * key with map-side partials; N is a 1-row broadcast; the per-doc
+    * top-k window partitions by doc_id (bounded state per key).
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("token")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("score"))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("df").asc, col("token").asc)))
+      .filter(col("rnk") <= k)
+  }
+}
