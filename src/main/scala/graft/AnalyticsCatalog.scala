@@ -41,6 +41,10 @@ object AnalyticsCatalog {
     "q_rollup" -> ((s, d) =>
       Analytics.revenueRollup(Tables.invoices(s, d))),
 
+    // CUBE: all four grouping sets in one pass.
+    "q_cube" -> ((s, d) =>
+      Analytics.revenueCube(Tables.invoices(s, d))),
+
     // Pivot: segment rows × fixed status columns.
     "q_status_pivot" -> ((s, d) =>
       Analytics.statusPivot(Tables.invoices(s, d), Tables.customers(s, d))),
@@ -158,6 +162,12 @@ object AnalyticsCatalog {
          |SELECT currency, status, COUNT(*) AS n,
          |  CAST(ROUND(SUM(bill_total), 2) AS DECIMAL(18,2)) AS revenue
          |FROM inv GROUP BY ROLLUP (currency, status)""".stripMargin,
+
+    "q_cube" ->
+      s"""WITH inv AS ($invSql)
+         |SELECT currency, status, COUNT(*) AS n,
+         |  CAST(ROUND(SUM(bill_total), 2) AS DECIMAL(18,2)) AS revenue
+         |FROM inv GROUP BY CUBE (currency, status)""".stripMargin,
 
     "q_status_pivot" ->
       s"""WITH inv AS ($invSql)

@@ -206,6 +206,23 @@ object PipelineCatalog {
         .select(col("doc_id"), col("text"))
     }),
 
+    // Concat-and-chunk sequence packing: per-shard cumulative offsets
+    // and fixed-length sequence assignment (the LLM batching step).
+    "q_pack_sequences" -> ((s, d) =>
+      graft.operators.Curation.packSequences(Tables.documents(s, d))),
+
+    // CSV sink/source ROUND-TRIP (the S1 family's on-disk gate): write
+    // the corpus as headered CSV, re-read with the declared schema.
+    "q_docs_csv" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_csv").resolve("docs").toString
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .write.option("header", "true").csv(path)
+      s.read.schema("doc_id BIGINT, text STRING")
+        .option("header", "true").csv(path)
+        .select(col("doc_id"), col("text"))
+    }),
+
     // Corpus vocabulary: term frequency + document frequency per token.
     "q_vocab" -> ((s, d) => {
       val tok = Tables.documents(s, d).select(col("doc_id"),
@@ -363,6 +380,24 @@ object PipelineCatalog {
         |SELECT doc_id, token, tf, df, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
 
     "q_docs_jsonl" -> "SELECT doc_id, text FROM documents",
+
+    "q_docs_csv" -> "SELECT doc_id, text FROM documents",
+
+    // Mirrors the per-shard cumulative window exactly; DuckDB SUM(INT)
+    // OVER is HUGEINT, hence the BIGINT casts; // is floor division.
+    "q_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+        |    AS BIGINT) AS start_offset
+        |  FROM toks)
+        |SELECT doc_id, shard, n_tokens, start_offset,
+        |  CAST(floor(start_offset / 512) AS BIGINT) AS seq_idx
+        |FROM c""".stripMargin,
 
     "q_vocab" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

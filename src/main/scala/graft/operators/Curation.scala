@@ -75,6 +75,31 @@ object Curation {
           .as("keep"))
   }
 
+  /** Concat-and-chunk sequence packing — the standard LLM-training
+    * batching step: per shard, documents are concatenated in doc_id
+    * order and the stream is cut into fixed `seqLen`-token sequences;
+    * each doc is tagged with its start offset and the sequence index it
+    * begins in.
+    *
+    * The shard key (doc_id % shards) makes this scale-safe: the
+    * cumulative-sum window partitions BY SHARD — bounded state, one
+    * shuffle on the shard key, no global ordering anywhere. Shards pack
+    * independently, which is also what a multi-worker data loader wants.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int = 512,
+                    shards: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("start_offset",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      .withColumn("seq_idx", floor(col("start_offset") / seqLen).cast("long"))
+  }
+
   /** Top-k tf-idf terms per document: tf = in-doc term count, df =
     * corpus document frequency, score = tf · ln(N / df) rounded to 6 dp
     * (probed: JVM Math.log and DuckDB ln are bit-identical on this

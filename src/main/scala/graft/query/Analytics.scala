@@ -99,6 +99,16 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         sum(col("bill_total")).cast(Money).as("revenue"))
 
+  /** CUBE: all four grouping sets over (currency, status) — subtotals by
+    * each dim alone, the cross, and the grand total, in ONE pass (Spark
+    * expands the grouping sets before the partial aggregate, so the
+    * shuffle carries per-set partials, not four scans).
+    */
+  def revenueCube(invoices: DataFrame): DataFrame =
+    invoices.cube(col("currency"), col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bill_total")).cast(Money).as("revenue"))
+
   /** Pivot: segment rows × fixed status columns (explicit value list —
     * an open-ended pivot would need a pre-scan; fixed keeps one pass),
     * missing combinations as 0.
