@@ -31,7 +31,8 @@ object Bench {
     "q_knn_brute", "q_knn_topk_agg", "q_knn_lsh", "q_knn_ivf_learned",
     "q_events_tumbling", "q_events_sliding", "q_events_session",
     "q_sessionize_custom", "q_media_meta",
-    "q_asof_join", "q_range_join", "q_topn_per_group", "q_rollup")
+    "q_asof_join", "q_range_join", "q_topn_per_group", "q_rollup",
+    "q_decontaminate", "q_repetition", "q_tfidf", "q_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -71,11 +71,19 @@ object Analytics {
     * sort, no single-partition stage.
     */
   def quartiles(invoices: DataFrame): DataFrame = {
-    val cuts = invoices.agg(
+    // both passes (boundary agg, assignment scan) read this 2-column
+    // frame; cache shares the upstream parse instead of re-deriving it.
+    // Spark caching is best-effort (evicts under pressure), so at a
+    // scale where the projection doesn't fit, this degrades to the
+    // two-scan plan rather than failing — or swap percentile_approx in
+    // when approximate boundaries are acceptable.
+    val proj = invoices.select(col("invoice_number"), col("bill_total"))
+      .cache()
+    val cuts = proj.agg(
       expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY bill_total)").as("c1"),
       expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY bill_total)").as("c2"),
       expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY bill_total)").as("c3"))
-    invoices.crossJoin(broadcast(cuts))
+    proj.crossJoin(broadcast(cuts))
       .select(col("invoice_number"), col("bill_total"),
         (lit(1) + (col("bill_total") > col("c1")).cast("int")
                 + (col("bill_total") > col("c2")).cast("int")
