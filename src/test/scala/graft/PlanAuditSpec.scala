@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Catalog-wide plan-invariant gate: walks the static physical plan of
+  * EVERY SparkEntry query and enforces the scale rules from PLANS.md, so
+  * a future edit that regresses a plan (all-pairs join, global window,
+  * cartesian) fails CI instead of surfacing at 100 TB.
+  *
+  * The audited plan is `queryExecution.sparkPlan` — the static choice
+  * before AQE re-planning; AQE can only improve on what is asserted
+  * here.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose BroadcastNestedLoopJoin is a deliberate
+    * tiny-broadcast-side design, not an accident:
+    *  - knn brute/topk: the QUERY SET is broadcast, the corpus streams
+    *    once (the right asymmetry for few-queries × huge-corpus);
+    *  - quartiles / tfidf: a literal 1-row aggregate (cut points /
+    *    corpus count) is cross-joined onto the scan;
+    *  - knn_ivf_learned: assignment/probing cross-join against the
+    *    k = 8 broadcast centroids (Lloyd's assignment is by definition
+    *    every-vector × every-centroid; k is a small constant).
+    */
+  private val bnlJAllowed = Set(
+    "q_knn_brute", "q_knn_topk_agg", "q_quartiles", "q_tfidf",
+    "q_knn_ivf_learned")
+
+  /** Queries allowed an unpartitioned window:
+    *  - the dimension surrogate-key row_number, bounded by post-dedup
+    *    dimension cardinality (Normalize.scala — documented trade);
+    *  - the learned quantizer's init, a row_number over k = 8 rows.
+    */
+  private val globalWindowAllowed = Set(
+    "q_dim_build", "q_fk_resolve", "q_dim_overwrite", "q_knn_ivf_learned")
+
+  test("no catalog plan regresses to cartesian / stray BNLJ / global window") {
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan: SparkPlan = fn(spark, sf).queryExecution.sparkPlan
+      val cartesian = plan.collect { case c: CartesianProductExec => c }
+      val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      val globalWin = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (cartesian.nonEmpty) violations += s"$name: CartesianProduct"
+      if (bnlj.nonEmpty && !bnlJAllowed(name))
+        violations += s"$name: BroadcastNestedLoopJoin (${bnlj.size})"
+      if (globalWin.nonEmpty && !globalWindowAllowed(name))
+        violations += s"$name: unpartitioned WindowExec (${globalWin.size})"
+    }
+    assert(violations.isEmpty, s"\nplan violations:\n${violations.mkString("\n")}")
+  }
+}
