@@ -45,6 +45,14 @@ object AnalyticsCatalog {
     "q_cube" -> ((s, d) =>
       Analytics.revenueCube(Tables.invoices(s, d))),
 
+    // RANGE frame: trailing 7-day spend per customer.
+    "q_trailing_7d" -> ((s, d) =>
+      Analytics.trailing7d(Tables.invoices(s, d))),
+
+    // FULL OUTER join: month-over-month customer activity.
+    "q_full_outer" -> ((s, d) =>
+      Analytics.monthOverMonth(Tables.invoices(s, d))),
+
     // Pivot: segment rows × fixed status columns.
     "q_status_pivot" -> ((s, d) =>
       Analytics.statusPivot(Tables.invoices(s, d), Tables.customers(s, d))),
@@ -168,6 +176,32 @@ object AnalyticsCatalog {
          |SELECT currency, status, COUNT(*) AS n,
          |  CAST(ROUND(SUM(bill_total), 2) AS DECIMAL(18,2)) AS revenue
          |FROM inv GROUP BY CUBE (currency, status)""".stripMargin,
+
+    // Same integer-days order key as the engine (DuckDB RANGE over an
+    // INTERVAL on dates would also work; the shared key keeps the two
+    // frames definitionally identical).
+    "q_trailing_7d" ->
+      s"""WITH inv AS ($invSql)
+         |SELECT customer_id, invoice_number, invoice_date,
+         |  CAST(ROUND(SUM(bill_total) OVER (PARTITION BY customer_id
+         |    ORDER BY invoice_date - DATE '1992-01-01'
+         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+         |    AS DECIMAL(18,2)) AS trailing_7d
+         |FROM inv""".stripMargin,
+
+    "q_full_outer" ->
+      s"""WITH inv AS ($invSql),
+         |a AS (
+         |  SELECT customer_id, COUNT(*) AS n_mar FROM inv
+         |  WHERE invoice_date >= DATE '1997-03-01'
+         |    AND invoice_date < DATE '1997-04-01' GROUP BY 1),
+         |b AS (
+         |  SELECT customer_id, COUNT(*) AS n_apr FROM inv
+         |  WHERE invoice_date >= DATE '1997-04-01'
+         |    AND invoice_date < DATE '1997-05-01' GROUP BY 1)
+         |SELECT COALESCE(a.customer_id, b.customer_id) AS customer_id,
+         |  a.n_mar, b.n_apr
+         |FROM a FULL OUTER JOIN b ON a.customer_id = b.customer_id""".stripMargin,
 
     "q_status_pivot" ->
       s"""WITH inv AS ($invSql)

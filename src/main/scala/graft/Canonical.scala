@@ -68,6 +68,7 @@ object Canonical {
       "q_sql_monthly"                 -> d("sum_bill_total"),
       "q_tfidf"                       -> d("score"),
       "q_topn_per_group"              -> d("total"),
+      "q_trailing_7d"                 -> d("trailing_7d"),
       "q_upsert"                      -> d("bill_total")
     )
   }

@@ -90,6 +90,38 @@ object Analytics {
                 + (col("bill_total") > col("c3")).cast("int")).as("quartile"))
   }
 
+  /** Trailing 7-day spend per customer — a RANGE frame over the DATE
+    * value (every invoice within [date-6d, date] joins the frame,
+    * including same-date ties, so the result is order-independent and
+    * deterministic without a tie-break). Partitioned by customer:
+    * bounded state, one shuffle on the key.
+    */
+  def trailing7d(invoices: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("customer_id"))
+      .orderBy(col("days"))
+      .rangeBetween(-6, 0)
+    invoices
+      .withColumn("days",
+        datediff(col("invoice_date"), lit("1992-01-01").cast("date")))
+      .select(col("customer_id"), col("invoice_number"), col("invoice_date"),
+        sum(col("bill_total")).over(w).cast(Money).as("trailing_7d"))
+  }
+
+  /** FULL OUTER join surface: per-customer activity in two adjacent
+    * months, customers present in either side, NULL counts on the
+    * missing side (sort-merge FullOuter — the one join type the
+    * reference never exercises).
+    */
+  def monthOverMonth(invoices: DataFrame): DataFrame = {
+    def monthCounts(from: String, until: String, as: String) = invoices
+      .filter(col("invoice_date") >= lit(from).cast("date") &&
+        col("invoice_date") < lit(until).cast("date"))
+      .groupBy(col("customer_id")).agg(count(lit(1)).as(as))
+    monthCounts("1997-03-01", "1997-04-01", "n_mar")
+      .join(monthCounts("1997-04-01", "1997-05-01", "n_apr"),
+        Seq("customer_id"), "full_outer")
+  }
+
   /** Per-user inter-event gaps in seconds (lag over event time;
     * event_id tie-break; NULL for each user's first event).
     */
