@@ -48,4 +48,35 @@ class SkewJoinSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
   }
+
+  test("AQE actually splits a skewed sort-merge partition at runtime") {
+    import org.apache.spark.sql.functions._
+    // thresholds lowered so the 5000-row hot key trips detection in-test;
+    // at production sizes the defaults (5x median AND 256 MB) fire the
+    // same mechanism
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force sort-merge
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = (1 to 5000).map(i => (1L, i)) ++
+        (1 to 64).map(i => (i.toLong + 1, i))
+      val large = hot.toDF("k", "line")
+      val small = (1 to 65).map(i => (i.toLong, s"d$i")).toDF("k", "label")
+      val joined = large.join(small, Seq("k"))
+      // collect() executes THIS df's own queryExecution — count() would
+      // plan a separate query and leave this one un-finalized
+      assert(joined.collect().length == 5000 + 64)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew-split SMJ in:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
