@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, LshBucket}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the native expressions so they are callable from SQL and via
@@ -18,5 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) =>
         CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
+      (children: Seq[Expression]) =>
+        LshBucket(children.head, children(1))))
   }
 }

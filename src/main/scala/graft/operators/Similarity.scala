@@ -99,8 +99,19 @@ object Similarity {
     }
   }
 
-  /** Sign-pattern bucket id of an embedding against the hyperplanes. */
+  /** Sign-pattern bucket id of an embedding against the hyperplanes —
+    * native fused expression (graft.expressions.LshBucket; one loop, no
+    * per-plane intermediate arrays). Requires GraftExtensions.
+    */
   def lshBucket(e: Column, w: Array[Array[Double]]): Column =
+    call_function("graft_lsh_bucket", e,
+      typedlit(w.map(_.toSeq).toSeq))
+
+  /** Declarative fallback (zip_with → aggregate per plane); kept as the
+    * no-extensions path and as the bit-identity cross-check the spec
+    * enforces against the native form.
+    */
+  def lshBucketDeclarative(e: Column, w: Array[Array[Double]]): Column =
     w.zipWithIndex.map { case (plane, p) =>
       when(dot(dbl(e), typedlit(plane.toSeq)) >= 0, 1 << p).otherwise(0)
     }.reduce(_ + _)

@@ -105,6 +105,17 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("native lsh bucket == declarative per-plane fold, incl. from SQL") {
+    import graft.queries.Tables
+    val w = Similarity.planeWeights(8, 64)
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val diff = e.select(
+      Similarity.lshBucket(col("embedding"), w).as("native"),
+      Similarity.lshBucketDeclarative(col("embedding"), w).as("decl"))
+      .filter(col("native") =!= col("decl"))
+    assert(diff.count() == 0)
+  }
+
   test("deterministic hyperplanes: same seed, same weights") {
     val a = Similarity.planeWeights(4, 8)
     val b = Similarity.planeWeights(4, 8)
