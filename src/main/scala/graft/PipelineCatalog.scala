@@ -152,6 +152,12 @@ object PipelineCatalog {
       Dedup.minhashVerifiedPairs(
         Dedup.withNearDuplicates(Tables.documents(s, d)))),
 
+    // Edit-distance near-dup pairs: 8-shingle candidates + exact
+    // Levenshtein (the injected near-dups differ by one leading token).
+    "q_dedup_edit" -> ((s, d) =>
+      Dedup.editDistancePairs(
+        Dedup.withNearDuplicates(Tables.documents(s, d)))),
+
     // SimHash 60-bit signatures (md5-derived, oracle-reproducible).
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashSignatures(Tables.documents(s, d))),
@@ -296,6 +302,26 @@ object PipelineCatalog {
     "q_dedup_minhash" -> jaccardPairsSql,
 
     "q_dedup_simhash" -> simhashSql,
+
+    "q_dedup_edit" ->
+      s"""WITH $corpusNearSql,
+         |trx AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+         |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+         |      AS shingle
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM trx)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(ca.text, cb.text) AS INT) AS edit_dist
+         |FROM cand
+         |JOIN corpus ca ON cand.doc_a = ca.doc_id
+         |JOIN corpus cb ON cand.doc_b = cb.doc_id
+         |WHERE levenshtein(ca.text, cb.text) <= 40""".stripMargin,
 
     "q_dedup_clusters" -> clustersSql,
 

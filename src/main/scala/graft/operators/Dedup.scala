@@ -98,6 +98,36 @@ object Dedup {
     jaccardSelect(inter, shAll, num, den)
   }
 
+  /** Edit-distance near-dup pairs: candidates = doc pairs sharing at
+    * least one n-token shingle (n = 8 keeps the candidate set tight —
+    * same generation as benchmark decontamination), verified with exact
+    * Levenshtein ≤ `maxDist`. A third dedup modality besides set overlap
+    * (Jaccard/MinHash) and bit signatures (SimHash): catches small
+    * EDITS — dropped words, typos — that set measures under-weigh.
+    *
+    * Plan: shingle equi-join for candidates (never all-pairs), then the
+    * DP Levenshtein only on the few survivors. Both engines implement
+    * the classic DP, so the oracle is exact.
+    */
+  def editDistancePairs(corpus: DataFrame, maxDist: Int = 40,
+                        n: Int = 8): DataFrame = {
+    val sh = corpus.select(col("doc_id"),
+      explode(graft.functions.TextOps.shingles(col("text"), n)).as("shingle"))
+    val cands = sh.join(
+        sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    val texts = corpus.select(col("doc_id"), col("text"))
+    cands
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** MinHash signatures: `numHashes` independent hash functions simulated
     * by salting xxhash64; one groupBy produces the whole signature row.
     */
