@@ -37,6 +37,25 @@ class CurationSpec extends SparkSpec {
     assert(rows(1L) && !rows(2L))
   }
 
+  test("sequence packing: offsets are contiguous per shard, chunks respect seqLen") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Curation.packSequences(docs, seqLen = 512, shards = 32)
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("start_offset"),
+        r.getAs[Long]("seq_idx")))
+    rows.groupBy(_._1).foreach { case (_, docsInShard) =>
+      val sorted = docsInShard.sortBy(_._2)
+      // each doc starts exactly where the previous one ended
+      sorted.foldLeft(0L) { case (expected, (_, _, n, start, seqIdx)) =>
+        assert(start == expected)
+        assert(seqIdx == start / 512)
+        expected + n
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("tf-idf: a corpus-unique term outranks ubiquitous terms") {
     val docs = Seq(
       (1L, "common common rare"),
