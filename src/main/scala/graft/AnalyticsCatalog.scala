@@ -53,6 +53,10 @@ object AnalyticsCatalog {
     "q_full_outer" -> ((s, d) =>
       Analytics.monthOverMonth(Tables.invoices(s, d))),
 
+    // Exact COUNT(DISTINCT) per day (Expand-based distinct aggregation).
+    "q_daily_active" -> ((s, d) =>
+      Analytics.dailyActive(Events.typed(Tables.events(s, d)))),
+
     // Pivot: segment rows × fixed status columns.
     "q_status_pivot" -> ((s, d) =>
       Analytics.statusPivot(Tables.invoices(s, d), Tables.customers(s, d))),
@@ -188,6 +192,13 @@ object AnalyticsCatalog {
          |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
          |    AS DECIMAL(18,2)) AS trailing_7d
          |FROM inv""".stripMargin,
+
+    "q_daily_active" ->
+      s"""WITH $eventsSql
+         |SELECT CAST(ts AS DATE) AS day,
+         |  COUNT(DISTINCT user_id) AS active_users,
+         |  COUNT(*) AS n_events
+         |FROM e GROUP BY 1""".stripMargin,
 
     "q_full_outer" ->
       s"""WITH inv AS ($invSql),

@@ -133,6 +133,20 @@ object Analytics {
         .as("gap_seconds"))
   }
 
+  /** Daily active users: exact COUNT(DISTINCT) per day plus event
+    * volume. Spark plans mixed distinct/non-distinct aggregates through
+    * an Expand (one row replica per aggregate family) and two keyed
+    * exchanges with partial aggregation — the distinct pattern scales as
+    * long as (day, user) cardinality does, which is the operator's
+    * honest floor.
+    */
+  def dailyActive(events: DataFrame): DataFrame =
+    events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("n_events"))
+
   /** ROLLUP subtotals: (currency, status) → (currency) → grand total. */
   def revenueRollup(invoices: DataFrame): DataFrame =
     invoices.rollup(col("currency"), col("status"))
