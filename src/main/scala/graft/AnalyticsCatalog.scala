@@ -57,6 +57,14 @@ object AnalyticsCatalog {
     "q_daily_active" -> ((s, d) =>
       Analytics.dailyActive(Events.typed(Tables.events(s, d)))),
 
+    // Grouped value quartiles: per-currency boundaries, keyed join-back.
+    "q_quartiles_by_currency" -> ((s, d) =>
+      Analytics.quartilesByGroup(Tables.invoices(s, d))),
+
+    // arg-max family: latest invoice per customer via struct-ordered max.
+    "q_latest_per_customer" -> ((s, d) =>
+      Analytics.latestInvoicePerCustomer(Tables.invoices(s, d))),
+
     // Pivot: segment rows × fixed status columns.
     "q_status_pivot" -> ((s, d) =>
       Analytics.statusPivot(Tables.invoices(s, d), Tables.customers(s, d))),
@@ -199,6 +207,31 @@ object AnalyticsCatalog {
          |  COUNT(DISTINCT user_id) AS active_users,
          |  COUNT(*) AS n_events
          |FROM e GROUP BY 1""".stripMargin,
+
+    "q_quartiles_by_currency" ->
+      s"""WITH inv AS ($invSql),
+         |c AS (
+         |  SELECT currency,
+         |         quantile_disc(bill_total, 0.25) AS c1,
+         |         quantile_disc(bill_total, 0.50) AS c2,
+         |         quantile_disc(bill_total, 0.75) AS c3
+         |  FROM inv GROUP BY 1)
+         |SELECT invoice_number, inv.currency, bill_total,
+         |  CAST(1 + (bill_total > c1)::INT + (bill_total > c2)::INT
+         |         + (bill_total > c3)::INT AS INT) AS quartile
+         |FROM inv JOIN c ON inv.currency = c.currency""".stripMargin,
+
+    // Unnamed-struct max: row() compares lexicographically; numeric
+    // field access (m[1], m[2]) because DuckDB zip/row structs are
+    // unnamed.
+    "q_latest_per_customer" ->
+      s"""WITH inv AS ($invSql),
+         |m AS (
+         |  SELECT customer_id,
+         |    max(row(invoice_date, invoice_number)) AS m
+         |  FROM inv GROUP BY 1)
+         |SELECT customer_id, m[1] AS last_date, m[2] AS last_invoice
+         |FROM m""".stripMargin,
 
     "q_full_outer" ->
       s"""WITH inv AS ($invSql),

@@ -62,6 +62,7 @@ object Canonical {
       "q_past_due_desc"               -> d("bill_total", "applied", "outstanding"),
       "q_past_due_page"               -> d("bill_total", "applied", "outstanding"),
       "q_quartiles"                   -> d("bill_total"),
+      "q_quartiles_by_currency"       -> d("bill_total"),
       "q_resample_ffill"              -> d("state_v"),
       "q_rollup"                      -> d("revenue"),
       "q_running_totals"              -> d("running_total"),

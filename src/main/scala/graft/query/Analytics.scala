@@ -122,6 +122,38 @@ object Analytics {
         Seq("customer_id"), "full_outer")
   }
 
+  /** Grouped value quartiles: boundaries per currency (keyed exact
+    * percentile aggregate — tiny output), joined back on the group key,
+    * buckets assigned in the same scan. The keyed variant is the MORE
+    * scale-natural shape: boundary state is per-group and the join back
+    * is a broadcast of #groups rows.
+    */
+  def quartilesByGroup(invoices: DataFrame): DataFrame = {
+    val cuts = invoices.groupBy(col("currency")).agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY bill_total)").as("c1"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY bill_total)").as("c2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY bill_total)").as("c3"))
+    invoices.join(broadcast(cuts), Seq("currency"))
+      .select(col("invoice_number"), col("currency"), col("bill_total"),
+        (lit(1) + (col("bill_total") > col("c1")).cast("int")
+                + (col("bill_total") > col("c2")).cast("int")
+                + (col("bill_total") > col("c3")).cast("int")).as("quartile"))
+  }
+
+  /** Latest invoice per customer — the arg-max family, via a
+    * struct-ordered max: (invoice_date, invoice_number) compares
+    * lexicographically in both engines, so the unique invoice_number
+    * tie-break makes the winner deterministic. One keyed aggregate with
+    * map-side partials; no window, no sort.
+    */
+  def latestInvoicePerCustomer(invoices: DataFrame): DataFrame =
+    invoices
+      .groupBy(col("customer_id"))
+      .agg(max(struct(col("invoice_date"), col("invoice_number"))).as("m"))
+      .select(col("customer_id"),
+        col("m.invoice_date").as("last_date"),
+        col("m.invoice_number").as("last_invoice"))
+
   /** Per-user inter-event gaps in seconds (lag over event time;
     * event_id tie-break; NULL for each user's first event).
     */
