@@ -39,6 +39,7 @@ object Canonical {
     def d(cols: String*): Seq[(String, String)] = cols.map(_ -> "DOUBLE")
     Map(
       "q_asof_join"                   -> d("purchase_value"),
+      "q_click_attribution"           -> d("purchase_value"),
       "q_cube"                        -> d("revenue"),
       "q_customer_contact"            -> d("acctbal"),
       "q_customer_list"               -> d("acctbal"),

@@ -181,6 +181,16 @@ object ScaleCatalog {
     "q_events_json" -> ((s, d) =>
       Events.jsonRollup(Events.typed(Tables.events(s, d)))),
 
+    // Stream-stream-joinable click→purchase attribution, batch-oracled.
+    "q_click_attribution" -> ((s, d) => {
+      val e = Events.typed(Tables.events(s, d))
+      Events.clickAttribution(
+        e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("v")))
+    }),
+
     // Multimodal metadata — codegen expression path.
     "q_media_meta" -> ((s, d) =>
       Multimodal.metaExpressions(
@@ -354,6 +364,15 @@ object ScaleCatalog {
          |SELECT event_type, COUNT(*) AS n,
          |  SUM(CAST(props->>'$$.k' AS INT)) AS sum_k
          |FROM e GROUP BY 1""".stripMargin,
+
+    "q_click_attribution" ->
+      s"""WITH $eventsSql,
+         |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, ts, v FROM e WHERE event_type = 'purchase')
+         |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+         |  p.ts AS purchase_ts, p.v AS purchase_value
+         |FROM c JOIN p ON c.user_id = p.user_id
+         |  AND p.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts""".stripMargin,
 
     "q_media_meta" -> mediaMetaSql,
 

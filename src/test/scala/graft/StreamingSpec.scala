@@ -39,6 +39,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val typed = Events.typed(Tables.events(spark, "/root/testdata/sf0.001"))
+      .cache()
+    val clicks = typed.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = typed.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("v"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("click_id"), r.getAs[java.sql.Timestamp]("purchase_ts"),
+        r.getAs[java.math.BigDecimal]("purchase_value").toPlainString)
+    val batch = Events.clickAttribution(clicks, purchases)
+      .collect().map(key).toSet
+
+    // stage both sides as sliced parquet → micro-batched file streams
+    def staged(df: org.apache.spark.sql.DataFrame, name: String) = {
+      val dir = Files.createTempDirectory(s"graft-ss-$name").toString
+      df.withColumn("slice", pmod(col("ts").cast("long"), lit(3)))
+        .write.partitionBy("slice").mode("overwrite").parquet(dir)
+      // the slices are NOT event-time-ordered (ts-parity split), so the
+      // test watermark must exceed the data span or the join state drops
+      // later files' rows as late; production sets the real disorder
+      // bound and the join state stays bounded by it + the interval
+      spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir + "/slice=*")
+        .withWatermark("ts", "60 days")
+    }
+    val q = Events.clickAttribution(
+        staged(clicks, "clicks"), staged(purchases, "purchases"))
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("attr_stream").collect().map(key).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization == session_window (batch)") {
     val typed = Events.typed(Tables.events(spark, "/root/testdata/sf0.001"))
     val builtin = Events.sessions(typed).collect()
