@@ -132,8 +132,7 @@ object IngestCatalog {
     // and return the RE-READ table, so the oracle gates what's on disk,
     // not just the in-plan dim build.
     "q_dim_overwrite" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_dim_overwrite").resolve("dim").toString
+      val path = Tables.roundTripPath("dim_overwrite", d)
       Load.overwriteDim(Normalize.dimension(parsed(s, d)), path)
       s.read.parquet(path)
     }),

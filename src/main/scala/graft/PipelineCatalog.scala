@@ -204,10 +204,9 @@ object PipelineCatalog {
     // oracle (plain parquet read) gates that the text survives JSON
     // encoding byte-exactly.
     "q_docs_jsonl" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_jsonl").resolve("docs").toString
+      val path = Tables.roundTripPath("jsonl", d)
       Tables.documents(s, d).select(col("doc_id"), col("text"))
-        .write.json(path)
+        .write.mode("overwrite").json(path)
       s.read.schema("doc_id BIGINT, text STRING").json(path)
         .select(col("doc_id"), col("text"))
     }),
@@ -220,10 +219,9 @@ object PipelineCatalog {
     // CSV sink/source ROUND-TRIP (the S1 family's on-disk gate): write
     // the corpus as headered CSV, re-read with the declared schema.
     "q_docs_csv" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_csv").resolve("docs").toString
+      val path = Tables.roundTripPath("csv", d)
       Tables.documents(s, d).select(col("doc_id"), col("text"))
-        .write.option("header", "true").csv(path)
+        .write.mode("overwrite").option("header", "true").csv(path)
       s.read.schema("doc_id BIGINT, text STRING")
         .option("header", "true").csv(path)
         .select(col("doc_id"), col("text"))
@@ -377,12 +375,14 @@ object PipelineCatalog {
         |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_distinct_bigrams
         |  FROM bsh GROUP BY 1)
         |SELECT toks.doc_id, CAST(len(t) AS INT) AS n_tokens, max_token_n,
-        |  CAST(len(t) - 1 AS INT) AS n_bigrams, n_distinct_bigrams,
+        |  CAST(len(t) - 1 AS INT) AS n_bigrams,
+        |  COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
         |  (max_token_n * 5 <= len(t)
-        |    AND n_distinct_bigrams * 10 >= (len(t) - 1) * 6) AS keep
+        |    AND COALESCE(n_distinct_bigrams, 0) * 10 >= (len(t) - 1) * 6)
+        |    AS keep
         |FROM toks
         |JOIN mx ON toks.doc_id = mx.doc_id
-        |JOIN bn ON toks.doc_id = bn.doc_id""".stripMargin,
+        |LEFT JOIN bn ON toks.doc_id = bn.doc_id""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (

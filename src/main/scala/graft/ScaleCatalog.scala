@@ -372,7 +372,7 @@ object ScaleCatalog {
          |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
          |  p.ts AS purchase_ts, p.v AS purchase_value
          |FROM c JOIN p ON c.user_id = p.user_id
-         |  AND p.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts""".stripMargin,
+         |  AND p.ts BETWEEN c.ts AND c.ts + INTERVAL '1 hour'""".stripMargin,
 
     "q_media_meta" -> mediaMetaSql,
 

@@ -25,6 +25,19 @@ object Tables {
   /** DECIMAL(18,2) — reference money type (`app/db/schema.py:29-30`). */
   val Money: DecimalType = DecimalType(18, 2)
 
+  /** Stable scratch dir for sink round-trip queries: one fixed path per
+    * (kind, source dir), overwritten on each run — repeated Verify /
+    * bench / plan-audit invocations reuse the directory instead of
+    * leaking a fresh temp dir per call.
+    */
+  def roundTripPath(kind: String, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_roundtrip", s"${kind}_$sf")
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -71,14 +71,14 @@ object Analytics {
     * sort, no single-partition stage.
     */
   def quartiles(invoices: DataFrame): DataFrame = {
-    // both passes (boundary agg, assignment scan) read this 2-column
-    // frame; cache shares the upstream parse instead of re-deriving it.
-    // Spark caching is best-effort (evicts under pressure), so at a
-    // scale where the projection doesn't fit, this degrades to the
-    // two-scan plan rather than failing — or swap percentile_approx in
-    // when approximate boundaries are acceptable.
+    // two passes (boundary agg, assignment scan) over a pruned 2-column
+    // projection. Deliberately NOT cached: a lazily-returned frame has
+    // no post-action unpersist point, and a persistent cache leaks into
+    // every later plan that matches (CacheManager keys on the plan), so
+    // benchmarks under-report the scan. Two pruned columnar scans are
+    // the honest 100 TB cost; swap percentile_approx in when
+    // approximate boundaries are acceptable and one pass matters.
     val proj = invoices.select(col("invoice_number"), col("bill_total"))
-      .cache()
     val cuts = proj.agg(
       expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY bill_total)").as("c1"),
       expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY bill_total)").as("c2"),

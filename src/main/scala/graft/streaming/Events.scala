@@ -59,7 +59,8 @@ object Events {
         col("user_id"), col("n_events"), col("total"))
 
   /** Click→purchase attribution: each click joined to the same user's
-    * purchases in the trailing `within` interval — expressed once, runs
+    * purchases in the FOLLOWING `within` interval (click happens first,
+    * purchase within the window after it) — expressed once, runs
     * as a BATCH interval join (sort-merge on user_id with the range
     * residual; the DuckDB oracle reproduces it exactly) and as a
     * STREAM-STREAM inner join (watermark both sides upstream; the time
@@ -70,7 +71,7 @@ object Events {
                        within: String = "1 hour"): DataFrame =
     clicks.alias("c").join(purchases.alias("p"),
       expr(s"""c.user_id = p.user_id AND
-              |p.ts BETWEEN c.ts - INTERVAL $within AND c.ts""".stripMargin))
+              |p.ts BETWEEN c.ts AND c.ts + INTERVAL $within""".stripMargin))
       .select(col("c.event_id").as("click_id"),
         col("c.user_id").as("user_id"), col("c.ts").as("click_ts"),
         col("p.ts").as("purchase_ts"), col("p.v").as("purchase_value"))

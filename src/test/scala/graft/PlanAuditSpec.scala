@@ -39,10 +39,32 @@ class PlanAuditSpec extends SparkSpec {
   private val globalWindowAllowed = Set(
     "q_dim_build", "q_fk_resolve", "q_dim_overwrite", "q_knn_ivf_learned")
 
+  /** Sink round-trip queries EXECUTE a write inside the closure and
+    * return the trivial re-read scan — calling fn here would side-effect
+    * real files and audit nothing useful. Their pre-write plans are
+    * audited explicitly below instead: q_dim_overwrite writes exactly
+    * the q_dim_build frame (already in the loop), and the jsonl/csv
+    * round-trips write a bare 2-column projection.
+    */
+  private val writeExecuting = Set("q_dim_overwrite", "q_docs_jsonl",
+    "q_docs_csv")
+
   test("no catalog plan regresses to cartesian / stray BNLJ / global window") {
     val violations = scala.collection.mutable.ArrayBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan: SparkPlan = fn(spark, sf).queryExecution.sparkPlan
+    val preWrite: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "q_dim_overwrite(pre-write)" ->
+        graft.ingest.Normalize.dimension(
+          graft.ingest.Parse.parsed(graft.ingest.Raw.raw(spark, sf))),
+      "q_docs_jsonl(pre-write)" ->
+        graft.queries.Tables.documents(spark, sf)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")))
+    val audited = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => writeExecuting(q._1))
+      .map { case (name, fn) => (name, fn(spark, sf)) } ++ preWrite
+    audited.foreach { case (name0, df) =>
+      val name = name0.stripSuffix("(pre-write)")
+      val plan: SparkPlan = df.queryExecution.sparkPlan
       val cartesian = plan.collect { case c: CartesianProductExec => c }
       val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
       val globalWin = plan.collect {
