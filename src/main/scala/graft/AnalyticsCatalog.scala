@@ -115,6 +115,42 @@ object AnalyticsCatalog {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("session_start"))
     })
+,
+
+    // LEFT ANTI: customers with NO invoice in the month window.
+    "q_anti_join" -> ((s, d) =>
+      Analytics.inactiveCustomers(Tables.customers(s, d),
+        Tables.invoices(s, d), "1997-03-01", "1997-04-01")),
+
+    // LEFT SEMI: customers with at least one invoice in the window.
+    "q_semi_join" -> ((s, d) =>
+      Analytics.activeCustomers(Tables.customers(s, d),
+        Tables.invoices(s, d), "1997-03-01", "1997-04-01")),
+
+    // lag/lead: per-customer invoice cadence (days between invoices).
+    "q_invoice_cadence" -> ((s, d) =>
+      Analytics.invoiceCadence(Tables.invoices(s, d))),
+
+    // Explicit GROUPING SETS: (currency) and (status) subtotals only.
+    "q_grouping_sets" -> ((s, d) =>
+      Analytics.revenueGroupingSets(Tables.invoices(s, d))),
+
+    // percent_rank / cume_dist within currency.
+    "q_percent_rank" -> ((s, d) =>
+      Analytics.percentRanks(Tables.invoices(s, d))),
+
+    // Correlation / covariance / regression slope from exact sums.
+    "q_corr_by_currency" -> ((s, d) =>
+      Analytics.corrByGroup(Tables.invoices(s, d))),
+
+    // Cohort retention triangle (first-invoice month x month offset).
+    "q_retention_cohort" -> ((s, d) =>
+      Analytics.retentionCohorts(Tables.invoices(s, d))),
+
+    // Unpivot: melt the status pivot back to long form.
+    "q_unpivot" -> ((s, d) =>
+      Analytics.statusUnpivot(Tables.invoices(s, d),
+        Tables.customers(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -311,6 +347,106 @@ object AnalyticsCatalog {
          |  FROM g GROUP BY user_id, sid)
          |SELECT e.event_id, e.user_id, e.ts, s.session_start
          |FROM e JOIN s ON e.user_id = s.user_id
-         |  AND e.ts >= s.session_start AND e.ts < s.session_end""".stripMargin
+         |  AND e.ts >= s.session_start AND e.ts < s.session_end""".stripMargin,
+
+    "q_anti_join" ->
+      s"""WITH cust AS ($custSql), inv AS ($invSql)
+         |SELECT id, name, segment FROM cust c
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM inv i WHERE i.customer_id = c.id
+         |    AND i.invoice_date >= DATE '1997-03-01'
+         |    AND i.invoice_date < DATE '1997-04-01')""".stripMargin,
+
+    "q_semi_join" ->
+      s"""WITH cust AS ($custSql), inv AS ($invSql)
+         |SELECT id, name, segment FROM cust c
+         |WHERE EXISTS (
+         |  SELECT 1 FROM inv i WHERE i.customer_id = c.id
+         |    AND i.invoice_date >= DATE '1997-03-01'
+         |    AND i.invoice_date < DATE '1997-04-01')""".stripMargin,
+
+    "q_invoice_cadence" ->
+      s"""WITH inv AS ($invSql)
+         |SELECT customer_id, invoice_number, invoice_date,
+         |  CAST(date_diff('day', lag(invoice_date) OVER w, invoice_date)
+         |    AS INT) AS days_since_prev,
+         |  CAST(date_diff('day', invoice_date, lead(invoice_date) OVER w)
+         |    AS INT) AS days_to_next
+         |FROM inv WINDOW w AS (
+         |  PARTITION BY customer_id
+         |  ORDER BY invoice_date, invoice_number)""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""WITH inv AS ($invSql)
+         |SELECT currency, status, COUNT(*) AS n,
+         |  CAST(ROUND(SUM(bill_total), 2) AS DECIMAL(18,2)) AS revenue
+         |FROM inv
+         |GROUP BY GROUPING SETS ((currency), (status))""".stripMargin,
+
+    "q_percent_rank" ->
+      s"""WITH inv AS ($invSql)
+         |SELECT invoice_number, currency, bill_total,
+         |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+         |FROM inv
+         |WINDOW w AS (PARTITION BY currency ORDER BY bill_total)""".stripMargin,
+
+    // Statistics from EXACT sums, double formula mirrored verbatim from
+    // Analytics.corrByGroup (same operation order => same doubles);
+    // round(.,6) absorbs the one divergence point, the >2^53-unscaled
+    // decimal->double cast of the squared sums.
+    "q_corr_by_currency" ->
+      s"""WITH inv AS ($invSql),
+         |sums AS (
+         |  SELECT currency, COUNT(*) AS n,
+         |    SUM(terms_days) AS sx, SUM(bill_total) AS sy,
+         |    SUM(bill_total * terms_days) AS sxy,
+         |    SUM(terms_days * terms_days) AS sx2,
+         |    SUM(bill_total * bill_total) AS sy2
+         |  FROM inv GROUP BY 1),
+         |d AS (
+         |  SELECT currency, n, CAST(n AS DOUBLE) AS nd,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sx2 AS DOUBLE) AS sx2d,
+         |    CAST(sy2 AS DOUBLE) AS sy2d
+         |  FROM sums)
+         |SELECT currency, n,
+         |  ROUND((nd * sxyd - sxd * syd) /
+         |    (sqrt(nd * sx2d - sxd * sxd) * sqrt(nd * sy2d - syd * syd)), 6)
+         |    AS corr,
+         |  ROUND((nd * sxyd - sxd * syd) / (nd * (nd - 1.0)), 6)
+         |    AS covar_samp,
+         |  ROUND((nd * sxyd - sxd * syd) / (nd * sx2d - sxd * sxd), 6)
+         |    AS beta
+         |FROM d""".stripMargin,
+
+    "q_retention_cohort" ->
+      s"""WITH inv AS ($invSql),
+         |f AS (
+         |  SELECT customer_id,
+         |    date_trunc('month', MIN(invoice_date)) AS cohort_month
+         |  FROM inv GROUP BY 1),
+         |a AS (
+         |  SELECT DISTINCT customer_id,
+         |    date_trunc('month', invoice_date) AS act_month
+         |  FROM inv)
+         |SELECT strftime(cohort_month, '%Y-%m') AS cohort,
+         |  CAST(date_diff('month', cohort_month, act_month) AS INT)
+         |    AS month_offset,
+         |  COUNT(*) AS n_customers
+         |FROM a JOIN f USING (customer_id)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_unpivot" ->
+      s"""WITH inv AS ($invSql),
+         |p AS (
+         |  SELECT c.c_mktsegment AS segment,
+         |    COUNT(*) FILTER (WHERE status = 'F') AS f,
+         |    COUNT(*) FILTER (WHERE status = 'O') AS o,
+         |    COUNT(*) FILTER (WHERE status = 'P') AS p
+         |  FROM inv JOIN customer c ON inv.customer_id = c.c_custkey
+         |  GROUP BY 1)
+         |SELECT segment, 'F' AS status, f AS n FROM p
+         |UNION ALL SELECT segment, 'O', o FROM p
+         |UNION ALL SELECT segment, 'P', p.p FROM p""".stripMargin
   )
 }

@@ -62,6 +62,8 @@ object Canonical {
       "q_past_due"                    -> d("bill_total", "applied", "outstanding"),
       "q_past_due_desc"               -> d("bill_total", "applied", "outstanding"),
       "q_past_due_page"               -> d("bill_total", "applied", "outstanding"),
+      "q_grouping_sets"               -> d("revenue"),
+      "q_percent_rank"                -> d("bill_total"),
       "q_quartiles"                   -> d("bill_total"),
       "q_quartiles_by_currency"       -> d("bill_total"),
       "q_resample_ffill"              -> d("state_v"),

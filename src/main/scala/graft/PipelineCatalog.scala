@@ -240,7 +240,40 @@ object PipelineCatalog {
       Tables.documents(s, d)
         .select(floor(TextOps.tokenCount(col("text")) / 32)
           .cast("int").as("len_bucket"))
-        .groupBy(col("len_bucket")).agg(count(lit(1)).as("n_docs")))
+        .groupBy(col("len_bucket")).agg(count(lit(1)).as("n_docs"))),
+
+    // Text normalization for dedup preprocessing: a deterministically
+    // mutated raw corpus (upper-cased head + punctuation tail, built
+    // identically in the oracle) pushed through case-fold / punct-strip /
+    // whitespace-collapse.
+    "q_text_normalize" -> ((s, d) => {
+      val raw = concat(upper(expr("substring(text, 1, 20)")),
+        expr("substring(text, 21, 1000000)"), lit(" -- EOF!!"))
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.normalize(raw).as("norm_text"))
+        .withColumn("n_tokens_norm",
+          TextOps.tokenCount(col("norm_text")))
+    }),
+
+    // Token-budget truncation: cap every doc at 64 tokens.
+    "q_truncate_tokens" -> ((s, d) =>
+      graft.operators.Curation.truncateTokens(Tables.documents(s, d))),
+
+    // Corpus top bigrams by TOTAL occurrences, deterministic cutoff.
+    "q_top_ngrams" -> ((s, d) =>
+      graft.operators.Curation.topNgrams(Tables.documents(s, d))),
+
+    // Duplicate-passage scan: 8-token windows shared by >1 doc (the
+    // near-dup-injected corpus guarantees cross-doc repeats).
+    "q_dedup_passages" -> ((s, d) =>
+      Dedup.duplicatePassages(
+        Dedup.withNearDuplicates(Tables.documents(s, d)), 8)),
+
+    // Stratified sampling: 50 docs per language by salted-hash lottery.
+    "q_stratified_sample" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", 50))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -435,6 +468,66 @@ object PipelineCatalog {
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
         |SELECT CAST(floor(len(t) / 32) AS INT) AS len_bucket,
         |  COUNT(*) AS n_docs
-        |FROM toks GROUP BY 1""".stripMargin
+        |FROM toks GROUP BY 1""".stripMargin,
+
+    "q_text_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    upper(substr(text, 1, 20)) || substr(text, 21, 1000000)
+        |      || ' -- EOF!!' AS raw
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(raw),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM raw)
+        |SELECT doc_id, norm_text,
+        |  CAST(len(string_split(norm_text, ' ')) AS INT) AS n_tokens_norm
+        |FROM n""".stripMargin,
+
+    // Text ALWAYS rebuilt from the token slice on both sides (list
+    // slicing is inclusive in DuckDB, so [1:64] is 64 elements).
+    "q_truncate_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+        |  array_to_string(t[1:64], ' ') AS text_trunc,
+        |  len(t) > 64 AS truncated
+        |FROM toks""".stripMargin,
+
+    // Non-distinct bigrams (repeats counted), total order cutoff.
+    "q_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS ngram
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks))
+        |SELECT ngram, COUNT(*) AS n FROM bg GROUP BY 1
+        |ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    // Distinct-per-doc 8-token windows shared by more than one doc.
+    "q_dedup_passages" ->
+      s"""WITH $corpusNearSql,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+        |      AS passage
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |        FROM toks))
+        |SELECT passage, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+        |FROM sh GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    md5(CAST(doc_id AS VARCHAR) || ':strat') AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY hk, doc_id) AS INT) AS rk
+        |  FROM h)
+        |SELECT doc_id, lang, rk FROM r WHERE rk <= 50""".stripMargin
   )
 }

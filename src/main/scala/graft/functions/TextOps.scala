@@ -50,6 +50,32 @@ object TextOps {
                 (0 until n).map(k => element_at(t, i + k)): _*)))
             .otherwise(array().cast("array<string>")))), 1)
 
+  /** ALL n-token windows (stride 1, repeats kept — unlike [[shingles]],
+    * which is distinct-per-doc). The non-distinct variant is what corpus
+    * n-gram frequency counting needs: a phrase repeated inside one doc
+    * counts every occurrence. Same single-element `transform` let
+    * binding as [[shingles]] (CSE does not reach lambda bodies).
+    */
+  def ngramsAll(text: Column, n: Int): Column =
+    element_at(
+      transform(array(tokens(text)), t =>
+        when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(k => element_at(t, i + k)): _*)))
+          .otherwise(array().cast("array<string>"))), 1)
+
+  /** Text normalization for dedup preprocessing: case-fold, strip
+    * non-alphanumerics to spaces, collapse whitespace runs, trim — the
+    * standard canonicalization applied before exact/near dedup so that
+    * punctuation and casing variants collapse to one key. Pure codegen'd
+    * regex chain; the DuckDB twin is the same two regexp_replace calls
+    * with the 'g' flag.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** BPE-ish token count: maximal letter runs and digit runs, the shape a
     * byte-pair pre-tokenizer produces — counted with a codegen'd regex,
     * no tokenizer library in the loop.

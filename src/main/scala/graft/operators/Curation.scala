@@ -129,4 +129,34 @@ object Curation {
           .orderBy(col("score").desc, col("df").asc, col("token").asc)))
       .filter(col("rnk") <= k)
   }
+
+  /** Token-budget truncation: cap every document at `maxTokens`
+    * whitespace tokens (the context-length guard applied before
+    * packing). The text is ALWAYS rebuilt from the token slice — never
+    * "original text if short" — so both engines canonicalize whitespace
+    * identically and the output is a pure function of the token array.
+    * Plan: a pure projection in whole-stage codegen, no shuffle.
+    */
+  def truncateTokens(docs: DataFrame, maxTokens: Int = 64): DataFrame =
+    docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      array_join(slice(TextOps.tokens(col("text")), 1, maxTokens), " ")
+        .as("text_trunc"))
+      .withColumn("truncated", col("n_tokens") > maxTokens)
+
+  /** Cohort-style corpus top n-grams: total occurrences (repeats
+    * COUNTED — ngramsAll, not the distinct shingles) of every `n`-token
+    * window, keeping the top `k` under the total order
+    * (count DESC, ngram ASC) — the deterministic tie-break makes the
+    * cutoff set engine-independent.
+    *
+    * Plan: explode → keyed hash agg with map-side partials → global
+    * top-k via TakeOrderedAndProject (each partition forwards only its
+    * k best rows; no global sort, no single-partition window).
+    */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame =
+    docs.select(explode(TextOps.ngramsAll(col("text"), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(k)
 }

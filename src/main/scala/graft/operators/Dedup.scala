@@ -247,4 +247,25 @@ object Dedup {
     joined.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
   }
+
+  /** Duplicate-passage detection: every `n`-token window (distinct per
+    * doc) that appears in MORE THAN ONE document, with how many docs
+    * share it and the smallest carrying doc_id — the corpus-level
+    * "repeated boilerplate passage" scan (C4/RefinedWeb-style line dedup
+    * generalized to token windows, since the substrate docs are
+    * single-line). Long windows (default 16 tokens) make cross-doc
+    * repeats meaningful duplication rather than common phrases.
+    *
+    * Plan: explode distinct windows per doc → ONE keyed hash aggregate
+    * on the window text (map-side partials; never all-pairs). At 100 TB
+    * the aggregate is the classic inverted-index build; a hot window
+    * (site-wide boilerplate) is one hot key — cap it with the same
+    * maxDocFreq pre-filter exactJaccardPairs uses if skew shows.
+    */
+  def duplicatePassages(corpus: DataFrame, n: Int = 16): DataFrame =
+    corpus.select(col("doc_id"),
+      explode(TextOps.shingles(col("text"), n)).as("passage"))
+      .groupBy(col("passage"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") > 1)
 }

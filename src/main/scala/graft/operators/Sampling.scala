@@ -32,4 +32,28 @@ object Sampling {
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Stratified sample: exactly `quota` rows per stratum (fewer if the
+    * stratum is smaller), chosen by ranking a salted content hash within
+    * each stratum — a deterministic per-stratum lottery, reproducible
+    * across runs and engines.
+    *
+    * Scale: the window partitions BY STRATUM, so state is bounded by
+    * stratum size and the plan shuffles once on the stratum key. For a
+    * quota ≪ stratum size at extreme scale, swap the window for the
+    * bounded-heap TopK aggregator (operators/TopK.scala) keyed by
+    * stratum — same contract, shuffle carries only quota rows per
+    * stratum.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       quota: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("strat_hk"), col(keyCol))
+    df.withColumn("strat_hk",
+        md5(concat(col(keyCol).cast("string"), lit(":strat"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .drop("strat_hk")
+  }
 }

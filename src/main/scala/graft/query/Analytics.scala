@@ -208,4 +208,143 @@ object Analytics {
       .pivot("status", Seq("F", "O", "P"))
       .count()
       .na.fill(0L, Seq("F", "O", "P"))
+
+  /** Anti join: customers with NO invoice in [from, until) — the
+    * "inactive segment" list. LEFT ANTI is the right physical shape: the
+    * fact side is reduced to its key column before the join, the
+    * dimension streams through, and no row widens. At 100 TB the fact
+    * key projection shuffles once on customer_id (or broadcasts, if the
+    * window is selective enough for AQE to see a small build side).
+    */
+  def inactiveCustomers(customers: DataFrame, invoices: DataFrame,
+                        from: String, until: String): DataFrame =
+    customers.join(
+      invoices.filter(col("invoice_date") >= lit(from).cast("date") &&
+          col("invoice_date") < lit(until).cast("date"))
+        .select(col("customer_id")),
+      col("id") === col("customer_id"), "left_anti")
+      .select(col("id"), col("name"), col("segment"))
+
+  /** Semi join: customers with AT LEAST one invoice in [from, until) —
+    * existence without multiplication (a plain inner join would
+    * duplicate each customer per matching invoice and need a distinct;
+    * LEFT SEMI short-circuits on first match and keeps dimension
+    * cardinality).
+    */
+  def activeCustomers(customers: DataFrame, invoices: DataFrame,
+                      from: String, until: String): DataFrame =
+    customers.join(
+      invoices.filter(col("invoice_date") >= lit(from).cast("date") &&
+          col("invoice_date") < lit(until).cast("date"))
+        .select(col("customer_id")),
+      col("id") === col("customer_id"), "left_semi")
+      .select(col("id"), col("name"), col("segment"))
+
+  /** Invoice cadence per customer: days since the previous and until the
+    * next invoice (lag/lead over a per-customer window; invoice_number
+    * tie-break makes same-day sequences deterministic). Partitioned
+    * window — bounded state, one shuffle on customer_id.
+    */
+  def invoiceCadence(invoices: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("customer_id"))
+      .orderBy(col("invoice_date"), col("invoice_number"))
+    invoices.select(col("customer_id"), col("invoice_number"),
+      col("invoice_date"),
+      datediff(col("invoice_date"), lag(col("invoice_date"), 1).over(w))
+        .as("days_since_prev"),
+      datediff(lead(col("invoice_date"), 1).over(w), col("invoice_date"))
+        .as("days_to_next"))
+  }
+
+  /** Explicit GROUPING SETS — (currency) and (status) subtotals in ONE
+    * pass, without the cross or grand total CUBE would add (Spark
+    * expands per-set replicas before the partial aggregate, so the
+    * shuffle carries per-set partials; a UNION of two groupBys would
+    * scan twice).
+    */
+  def revenueGroupingSets(invoices: DataFrame): DataFrame =
+    invoices
+      .groupingSets(Seq(Seq(col("currency")), Seq(col("status"))),
+        col("currency"), col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bill_total")).cast(Money).as("revenue"))
+
+  /** Relative standing within a group: percent_rank and cume_dist of
+    * each invoice's value within its currency. Both are exact ratios of
+    * integers ((rank-1)/(n-1), peers/n) evaluated in double — bit-equal
+    * across engines, no rounding dance needed. Partitioned window.
+    */
+  def percentRanks(invoices: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("currency")).orderBy(col("bill_total"))
+    invoices.select(col("invoice_number"), col("currency"),
+      col("bill_total"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+  }
+
+  /** Per-currency correlation / covariance / regression slope of
+    * (terms_days, bill_total) — computed FROM EXACT SUMS: the aggregate
+    * collects integer/decimal sums (exact in both engines), and the
+    * statistics are a final double formula over those sums. Because the
+    * inputs to the double math are exact and the expression tree is
+    * mirrored verbatim in the oracle, the doubles are bit-identical —
+    * unlike built-in streaming corr/stddev, whose accumulation order is
+    * engine-private. One keyed aggregate with map-side partials.
+    */
+  def corrByGroup(invoices: DataFrame): DataFrame = {
+    val sums = invoices.groupBy(col("currency")).agg(
+      count(lit(1)).as("n"),
+      sum(col("terms_days")).as("sx"),
+      sum(col("bill_total")).as("sy"),
+      sum(col("bill_total") * col("terms_days")).as("sxy"),
+      sum(col("terms_days") * col("terms_days")).as("sx2"),
+      sum(col("bill_total") * col("bill_total")).as("sy2"))
+    val n = col("n").cast("double"); val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double"); val sxy = col("sxy").cast("double")
+    val sx2 = col("sx2").cast("double"); val sy2 = col("sy2").cast("double")
+    // round(…,6): sy2's unscaled value exceeds 2^53, where decimal→double
+    // conversion may differ by an ulp between engines (Spark rounds the
+    // full value once; DuckDB converts the unscaled int then divides) —
+    // 6dp absorbs the ulp while keeping the statistics exact enough to
+    // gate on.
+    sums.select(col("currency"), col("n"),
+      round((n * sxy - sx * sy) /
+        (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6).as("corr"),
+      round((n * sxy - sx * sy) / (n * (n - lit(1.0))), 6).as("covar_samp"),
+      round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6).as("beta"))
+  }
+
+  /** Cohort retention: customers grouped by their first-invoice month,
+    * counted per months-elapsed offset — the classic retention triangle.
+    * Two keyed aggregates (first-seen, then cohort×offset counts) and
+    * one join of the per-customer cohort (dimension-sized) back onto
+    * distinct activity months; everything shuffles on customer_id or the
+    * tiny (cohort, offset) key.
+    */
+  def retentionCohorts(invoices: DataFrame): DataFrame = {
+    val first = invoices.groupBy(col("customer_id"))
+      .agg(min(col("invoice_date")).as("first_date"))
+      .select(col("customer_id"),
+        date_trunc("month", col("first_date")).as("cohort_month"))
+    invoices
+      .select(col("customer_id"),
+        date_trunc("month", col("invoice_date")).as("act_month"))
+      .distinct()
+      .join(first, Seq("customer_id"))
+      .select(date_format(col("cohort_month"), "yyyy-MM").as("cohort"),
+        months_between(col("act_month"), col("cohort_month")).cast("int")
+          .as("month_offset"))
+      .groupBy(col("cohort"), col("month_offset"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Unpivot: melt the fixed status columns of [[statusPivot]] back to
+    * (segment, status, n) long form — Spark's Unpivot plan node (an
+    * Expand: one replica per value column, no shuffle beyond the
+    * pivot's own aggregate).
+    */
+  def statusUnpivot(invoices: DataFrame, customers: DataFrame): DataFrame =
+    statusPivot(invoices, customers)
+      .unpivot(Array(col("segment")),
+        Array(col("F"), col("O"), col("P")), "status", "n")
 }
