@@ -123,6 +123,17 @@ object ScaleCatalog {
     // so both engines compute the identical candidate set. The exact
     // all-pairs form stays as the test-only recall anchor
     // (SimilaritySpec pins bucketed == exact on this corpus).
+    // SEMANTIC dedup (SemDeDup shape): deterministic k-means cells +
+    // within-cell cosine pairs — the oracle replicates the full trainer.
+    "q_semantic_dedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
+        e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Similarity.semanticDedupPairs(corpus,
+        new java.math.BigDecimal("0.900000"))
+    }),
+
     "q_dedup_embedding" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
@@ -373,6 +384,35 @@ object ScaleCatalog {
          |  p.ts AS purchase_ts, p.v AS purchase_value
          |FROM c JOIN p ON c.user_id = p.user_id
          |  AND p.ts BETWEEN c.ts AND c.ts + INTERVAL '1 hour'""".stripMargin,
+
+    // Full replication of the SEMANTIC dedup pipeline: the same
+    // dup-injected corpus, the same deterministic 3-iteration Lloyd's
+    // trainer as q_knn_ivf_learned (sorted-fold means), nearest-cell
+    // assignment, then within-cell rounded-cosine pairs.
+    "q_semantic_dedup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |      AS cell, e AS centroid
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+         |${lloydSql(1, "c0")},
+         |${lloydSql(2, "c1")},
+         |${lloydSql(3, "c2")},
+         |${assignSql("asg", "v", "vec_id", "c3", 1)},
+         |p AS (
+         |  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CAST(round(list_inner_product(a.e, b.e)
+         |      / (sqrt(list_inner_product(a.e, a.e))
+         |         * sqrt(list_inner_product(b.e, b.e))), 6)
+         |      AS DECIMAL(10,6)) AS score
+         |  FROM asg a JOIN asg b ON a.cell = b.cell
+         |    AND a.vec_id < b.vec_id)
+         |SELECT cell, vec_a, vec_b, score FROM p
+         |WHERE score >= 0.9""".stripMargin,
 
     "q_media_meta" -> mediaMetaSql,
 

@@ -177,4 +177,35 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         score(col("qe"), col("ce")).as("score")), k)
   }
+
+  /** SemDeDup-style SEMANTIC dedup: cluster the corpus with the
+    * deterministic coarse quantizer (Quantizer.fit — lowest-id init,
+    * sorted-fold means, a pure function of the corpus), then compare
+    * pairs ONLY within a cell and keep those with rounded cosine ≥
+    * `tau`. This is the shape of embedding-level dedup at 100 TB:
+    * k-means cells bound the candidate set (Σ cell² instead of N²), and
+    * because the trainer is deterministic the WHOLE pipeline — training
+    * included — carries a row-level DuckDB differential, unlike
+    * RNG-seeded clustering.
+    *
+    * vs [[embeddingNearDupPairsBucketed]]: LSH buckets are
+    * data-independent (fixed hyperplanes); k-means cells adapt to the
+    * corpus density, which is why SemDeDup-family pipelines prefer them
+    * — near-dups concentrate in one cell rather than straddling sign
+    * boundaries.
+    */
+  def semanticDedupPairs(vecs: DataFrame, tau: java.math.BigDecimal,
+                         kCells: Int = 8, iters: Int = 3): DataFrame = {
+    val assigned = Quantizer.assign(vecs,
+      Quantizer.fit(vecs, kCells, iters))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("cell"), col("vec_a"), col("vec_b"),
+        score(col("ea"), col("eb")).as("score"))
+      .filter(col("score") >= lit(tau))
+  }
 }

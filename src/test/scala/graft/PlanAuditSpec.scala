@@ -29,7 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val bnlJAllowed = Set(
     "q_knn_brute", "q_knn_topk_agg", "q_quartiles", "q_tfidf",
-    "q_knn_ivf_learned")
+    "q_knn_ivf_learned", "q_semantic_dedup")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     *  - the learned quantizer's init, a row_number over k = 8 rows.
     */
   private val globalWindowAllowed = Set(
-    "q_dim_build", "q_fk_resolve", "q_dim_overwrite", "q_knn_ivf_learned")
+    "q_dim_build", "q_fk_resolve", "q_dim_overwrite", "q_knn_ivf_learned",
+    "q_semantic_dedup")
 
   /** Sink round-trip queries EXECUTE a write inside the closure and
     * return the trivial re-read scan — calling fn here would side-effect
