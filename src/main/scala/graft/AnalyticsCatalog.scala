@@ -410,13 +410,17 @@ object AnalyticsCatalog {
          |    CAST(sy2 AS DOUBLE) AS sy2d
          |  FROM sums)
          |SELECT currency, n,
-         |  ROUND((nd * sxyd - sxd * syd) /
-         |    (sqrt(nd * sx2d - sxd * sxd) * sqrt(nd * sy2d - syd * syd)), 6)
-         |    AS corr,
-         |  ROUND((nd * sxyd - sxd * syd) / (nd * (nd - 1.0)), 6)
-         |    AS covar_samp,
-         |  ROUND((nd * sxyd - sxd * syd) / (nd * sx2d - sxd * sxd), 6)
-         |    AS beta
+         |  CASE WHEN nd * sx2d - sxd * sxd > 0
+         |        AND nd * sy2d - syd * syd > 0 THEN
+         |    ROUND((nd * sxyd - sxd * syd) /
+         |      (sqrt(nd * sx2d - sxd * sxd) * sqrt(nd * sy2d - syd * syd)), 6)
+         |  END AS corr,
+         |  CASE WHEN nd > 1 THEN
+         |    ROUND((nd * sxyd - sxd * syd) / (nd * (nd - 1.0)), 6)
+         |  END AS covar_samp,
+         |  CASE WHEN nd * sx2d - sxd * sxd > 0 THEN
+         |    ROUND((nd * sxyd - sxd * syd) / (nd * sx2d - sxd * sxd), 6)
+         |  END AS beta
          |FROM d""".stripMargin,
 
     "q_retention_cohort" ->

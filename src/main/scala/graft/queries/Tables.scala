@@ -28,12 +28,20 @@ object Tables {
   /** Stable scratch dir for sink round-trip queries: one fixed path per
     * (kind, source dir), overwritten on each run — repeated Verify /
     * bench / plan-audit invocations reuse the directory instead of
-    * leaking a fresh temp dir per call.
+    * leaking a fresh temp dir per call. The path keys on the FULL source
+    * dir (leaf name for readability + an 8-hex digest of the absolute
+    * path) so two substrate dirs with the same leaf can't collide.
+    * Single-process assumption: concurrent JVMs pointed at the same
+    * sfDir would share (and race on) one scratch dir — the harness runs
+    * Verify/Bench serially.
     */
   def roundTripPath(kind: String, sfDir: String): String = {
-    val sf = new java.io.File(sfDir).getName
+    val abs = new java.io.File(sfDir).getAbsolutePath
+    val sf = new java.io.File(abs).getName
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_roundtrip", s"${kind}_$sf")
+      sys.props("java.io.tmpdir"), "graft_roundtrip", s"${kind}_${sf}_$digest")
     java.nio.file.Files.createDirectories(p.getParent)
     p.toString
   }

@@ -307,11 +307,24 @@ object Analytics {
     // full value once; DuckDB converts the unscaled int then divides) —
     // 6dp absorbs the ulp while keeping the statistics exact enough to
     // gate on.
+    // Degenerate-group guard (ADVICE r4): a group with n=1 or zero
+    // variance has a 0 denominator; Spark doubles would yield
+    // NaN/Infinity while DuckDB's behavior depends on a session flag, so
+    // the statistics are NULLed instead. The guard expressions are
+    // doubles mirrored verbatim in the oracle — same inputs (exact sums),
+    // same IEEE ops, same branch taken.
+    val varX = n * sx2 - sx * sx
+    val varY = n * sy2 - sy * sy
     sums.select(col("currency"), col("n"),
-      round((n * sxy - sx * sy) /
-        (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6).as("corr"),
-      round((n * sxy - sx * sy) / (n * (n - lit(1.0))), 6).as("covar_samp"),
-      round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6).as("beta"))
+      when(varX > 0d && varY > 0d,
+        round((n * sxy - sx * sy) / (sqrt(varX) * sqrt(varY)), 6))
+        .as("corr"),
+      when(n > 1d,
+        round((n * sxy - sx * sy) / (n * (n - lit(1.0))), 6))
+        .as("covar_samp"),
+      when(varX > 0d,
+        round((n * sxy - sx * sy) / varX, 6))
+        .as("beta"))
   }
 
   /** Cohort retention: customers grouped by their first-invoice month,

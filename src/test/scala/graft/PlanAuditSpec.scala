@@ -59,6 +59,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_docs_jsonl(pre-write)" ->
         graft.queries.Tables.documents(spark, sf)
           .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")),
+      "q_docs_csv(pre-write)" ->
+        graft.queries.Tables.documents(spark, sf)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text")))
     val audited = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => writeExecuting(q._1))

@@ -74,7 +74,7 @@ class Round4OpsSpec extends SparkSpec {
     assert(inactive.join(active, Seq("id"), "inner").count() == 0)
   }
 
-  test("corrByGroup matches Spark's built-in corr to 1e-6") {
+  test("corrByGroup matches Spark's built-in corr to 2e-6") {
     val ours = Analytics.corrByGroup(invoices)
       .select(col("currency"), col("corr")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -84,8 +84,12 @@ class Round4OpsSpec extends SparkSpec {
         col("bill_total").cast("double")).as("c"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(ours.keySet == builtin.keySet)
+    // 2e-6, not 1e-6: round(...,6) alone contributes up to 5e-7, and the
+    // built-in streaming corr adds its own accumulation error — 1e-6 sat
+    // exactly at the boundary and could flake near a rounding edge
+    // (ADVICE r4).
     ours.foreach { case (k, v) =>
-      assert(math.abs(v - builtin(k)) < 1e-6, s"$k: $v vs ${builtin(k)}")
+      assert(math.abs(v - builtin(k)) < 2e-6, s"$k: $v vs ${builtin(k)}")
     }
   }
 
