@@ -20,6 +20,11 @@ object Bench {
     * all-pairs form it replaced was quadratic and benchable only as a
     * test anchor), q_quartiles (now boundary-broadcast, no global
     * window), and both approximate ANN paths (now fully oracled).
+    * r5 additions (VERDICT r4 #1): every operator family added in r4 —
+    * semantic dedup, duplicate passages, top n-grams, token truncation,
+    * text normalization, stratified sampling, retention cohorts,
+    * exact-sum statistics, anti/semi joins, grouping sets, cadence,
+    * percent_rank, unpivot — so no shipped family escapes the perf gate.
     * Still excluded: the tiny point lookups.
     */
   val headline: Seq[String] = Seq(
@@ -32,7 +37,12 @@ object Bench {
     "q_events_tumbling", "q_events_sliding", "q_events_session",
     "q_sessionize_custom", "q_media_meta",
     "q_asof_join", "q_range_join", "q_topn_per_group", "q_rollup",
-    "q_decontaminate", "q_repetition", "q_tfidf", "q_pack_sequences")
+    "q_decontaminate", "q_repetition", "q_tfidf", "q_pack_sequences",
+    "q_semantic_dedup", "q_dedup_passages", "q_top_ngrams",
+    "q_truncate_tokens", "q_text_normalize", "q_stratified_sample",
+    "q_retention_cohort", "q_corr_by_currency", "q_anti_join",
+    "q_semi_join", "q_grouping_sets", "q_invoice_cadence",
+    "q_percent_rank", "q_unpivot")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,6 +56,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The only global windows in the catalog are the audited allowlist
+    // (PlanAuditSpec.globalWindowAllowed: dimension surrogate key over
+    // post-dedup cardinality, k=8 centroid frames). Their repeated
+    // WindowExec warning is known-benign noise that could mask a REAL
+    // global-window regression in the bench tail — the plan audit, not
+    // this log line, is the regression gate, so silence the logger here.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     def exec(name: String): Double = {
       val t0 = System.nanoTime()

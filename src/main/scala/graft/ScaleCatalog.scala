@@ -90,14 +90,29 @@ object ScaleCatalog {
       |    CAST(value AS DECIMAL(18,2)) AS v, props
       |  FROM events)""".stripMargin
 
+  // Mirrors Multimodal.mediaTable's PNG synthesis BYTE FOR BYTE (same
+  // signature/IHDR hex, zeroed CRC, UTF-8 text as data) so n_bytes and
+  // sha are computed over the identical blob DuckDB-side, and the
+  // dims/channels mirror the header arithmetic the Spark side PARSES
+  // back out of those bytes.
   private val mediaMetaSql =
-    """SELECT doc_id,
-      |  octet_length(encode(text)) AS n_bytes,
-      |  sha256(text) AS sha,
-      |  16 + length(text) % 240 AS width,
-      |  16 + (length(text) * 7) % 240 AS height,
-      |  3 AS channels
-      |FROM documents""".stripMargin
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
+      |      || lpad(to_hex(16 + length(text) % 240), 8, '0')
+      |      || lpad(to_hex(16 + (length(text) * 7) % 240), 8, '0')
+      |      || '08'
+      |      || CASE WHEN length(text) % 2 = 0 THEN '00' ELSE '02' END
+      |      || '000000' || '00000000')
+      |    || encode(text) AS payload,
+      |    CAST(16 + length(text) % 240 AS INT) AS width,
+      |    CAST(16 + (length(text) * 7) % 240 AS INT) AS height,
+      |    CAST(CASE WHEN length(text) % 2 = 0 THEN 1 ELSE 3 END AS INT)
+      |      AS channels
+      |  FROM documents)
+      |SELECT doc_id, octet_length(payload) AS n_bytes,
+      |  sha256(hex(payload)) AS sha, width, height, channels
+      |FROM m""".stripMargin
 
   // ---------------------------------------------------------------- queries
 
