@@ -195,17 +195,61 @@ object Similarity {
     * boundaries.
     */
   def semanticDedupPairs(vecs: DataFrame, tau: java.math.BigDecimal,
-                         kCells: Int = 8, iters: Int = 3): DataFrame = {
+                         kCells: Int = 8, iters: Int = 3,
+                         maxCellSize: Int = Int.MaxValue): DataFrame = {
     val assigned = Quantizer.assign(vecs,
       Quantizer.fit(vecs, kCells, iters))
-    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+    // Hot-cell guard (the semantic analog of exactJaccardPairs.maxDocFreq):
+    // within-cell compare is |cell|² — one degenerate cell (a dense mode
+    // of the embedding distribution) can dominate the whole job. Cells
+    // over the cap are EXCLUDED from pairing (documented recall trade;
+    // at scale, re-cluster oversized cells with a second-level quantizer
+    // instead of dropping — PLANS.md "Semantic dedup at scale").
+    // The per-cell count table is kCells rows — broadcast, no extra
+    // shuffle on the fact side beyond the join it already does.
+    val guarded =
+      if (maxCellSize == Int.MaxValue) assigned
+      else assigned.join(
+        broadcast(assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("cell_n"))
+          .filter(col("cell_n") <= maxCellSize)
+          .select(col("cell"))),
+        Seq("cell"))
+    val a = guarded.select(col("cell"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+    val b = guarded.select(col("cell"), col("vec_id").as("vec_b"),
       col("embedding").as("eb"))
     a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("cell"), col("vec_a"), col("vec_b"),
         score(col("ea"), col("eb")).as("score"))
       .filter(col("score") >= lit(tau))
+  }
+
+  /** [[semanticDedupPairs]] with kCells SIZED FROM THE CORPUS — the
+    * scale contract VERDICT r4 asked to make explicit. A constant k at
+    * growing N means cell size ∝ N and within-cell cost Σ|cell|² ∝ N²/k
+    * — quadratic again. Holding the TARGET CELL SIZE constant instead
+    * (k = ⌈n / targetCellSize⌉, floor 8) keeps expected within-cell cost
+    * ≈ N · targetCellSize — linear in N.
+    *
+    * Costs at k ∝ N: assignment is N·k centroid distances — fine
+    * distributed (embarrassingly parallel flops) up to k ~ 10⁴-ish with
+    * a broadcast centroid table; past that, train on a bounded sample
+    * (Quantizer.fit doc) and go two-level (coarse cell → sub-cell), the
+    * standard IVF hierarchy. The one `count()` here is a driver action
+    * but O(1) output — a metadata-only columnar count at parquet scale.
+    *
+    * `maxCellSize` defaults to 8× the target: Lloyd's on real data is
+    * imbalanced but not 8× at the cap unless the distribution has a
+    * degenerate mode — exactly the case the guard exists for.
+    */
+  def semanticDedupPairsAuto(vecs: DataFrame, tau: java.math.BigDecimal,
+                             targetCellSize: Int = 1024, iters: Int = 3,
+                             maxCellFactor: Int = 8): DataFrame = {
+    val n = vecs.count()
+    val k = math.max(8, ((n + targetCellSize - 1) / targetCellSize).toInt)
+    semanticDedupPairs(vecs, tau, k, iters,
+      maxCellSize = targetCellSize * maxCellFactor)
   }
 }
