@@ -269,9 +269,25 @@ object PipelineCatalog {
       Dedup.duplicatePassages(
         Dedup.withNearDuplicates(Tables.documents(s, d)), 8)),
 
+    // C4-style cleaner composed from the passage scan: drop docs that
+    // carry a duplicated 8-token window without being its canonical
+    // (min doc_id) carrier — one copy of each repeated passage survives.
+    "q_dedup_passages_clean" -> ((s, d) =>
+      Dedup.dropDuplicatePassageDocs(
+        Dedup.withNearDuplicates(Tables.documents(s, d)), 8)
+        .select(col("doc_id"), length(col("text")).as("n_chars"))),
+
     // Stratified sampling: 50 docs per language by salted-hash lottery.
     "q_stratified_sample" -> ((s, d) =>
       graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", 50)),
+
+    // Same lottery via the bounded-heap aggregator (the scale shape:
+    // shuffle carries ~quota rows per stratum, no window sort) — one
+    // oracle gates both variants.
+    "q_stratified_sample_heap" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSampleHeap(
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         "lang", "doc_id", 50))
   )
@@ -519,7 +535,41 @@ object PipelineCatalog {
         |SELECT passage, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
         |FROM sh GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
 
+    // Same window build as q_dedup_passages, then the keep rule: a doc
+    // survives unless it shares a window it isn't the min-id carrier of.
+    "q_dedup_passages_clean" ->
+      s"""WITH $corpusNearSql,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+        |      AS passage
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |        FROM toks)),
+        |dup AS (
+        |  SELECT passage, MIN(doc_id) AS min_doc_id
+        |  FROM sh GROUP BY 1 HAVING COUNT(*) > 1),
+        |off AS (
+        |  SELECT DISTINCT s.doc_id FROM sh s
+        |  JOIN dup d ON s.passage = d.passage AND s.doc_id <> d.min_doc_id)
+        |SELECT doc_id, length(text) AS n_chars FROM corpus
+        |WHERE doc_id NOT IN (SELECT doc_id FROM off)""".stripMargin,
+
     "q_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    md5(CAST(doc_id AS VARCHAR) || ':strat') AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY hk, doc_id) AS INT) AS rk
+        |  FROM h)
+        |SELECT doc_id, lang, rk FROM r WHERE rk <= 50""".stripMargin,
+
+    // Identical contract to the window form — the heap is a physical
+    // rewrite, not a semantic one, so the same SQL gates it.
+    "q_stratified_sample_heap" ->
       """WITH h AS (
         |  SELECT doc_id, lang,
         |    md5(CAST(doc_id AS VARCHAR) || ':strat') AS hk

@@ -136,6 +136,25 @@ class Round4OpsSpec extends SparkSpec {
     assert(a == b, "re-run picks the identical sample")
   }
 
+  test("stratifiedSampleHeap == window form, with a bounded-shuffle plan") {
+    val base = docs.select(col("doc_id"), col("lang"))
+    val win = Sampling.stratifiedSample(base, "lang", "doc_id", 5)
+    val heap = Sampling.stratifiedSampleHeap(base, "lang", "doc_id", 5)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Int]("rk"))
+    assert(win.collect().map(key).sortBy(_._1).toSeq ==
+      heap.collect().map(key).sortBy(_._1).toSeq)
+    // physical shape: the heap variant must not window-sort the corpus —
+    // partial typed aggregation + a broadcast join back instead
+    val plan = heap.queryExecution.sparkPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "no WindowExec in the heap variant")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, "winners re-attach via broadcast hash join")
+  }
+
   test("invoiceCadence: gaps are non-negative and null only at ends") {
     val c = Analytics.invoiceCadence(invoices)
     assert(c.filter(col("days_since_prev") < 0).count() == 0)
