@@ -268,4 +268,33 @@ object Dedup {
       .groupBy(col("passage"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
       .filter(col("n_docs") > 1)
+
+  /** The C4-style CLEANER composed from [[duplicatePassages]] (VERDICT
+    * r4 #5): drop every document that carries a corpus-duplicated
+    * `n`-token window WITHOUT being that window's canonical (smallest
+    * doc_id) carrier. Exactly one copy of each repeated passage
+    * survives; docs whose every window is unique are untouched. Doc
+    * granularity, not span excision — the substrate docs are single
+    * passages, and dropping (like `Curation.decontaminate`) keeps the
+    * output a subset of the input, which is what a filter stage in a
+    * training pipeline wants.
+    *
+    * Plan: re-explode windows, equi-join them to the duplicated-passage
+    * index (shuffle on the passage key — the inverted-index probe, never
+    * all-pairs), distinct the offender ids, LEFT ANTI join back. At
+    * 100 TB both shuffles key on passage/doc_id with map-side partials;
+    * a boilerplate-hot passage is one hot key, capped the same way as
+    * exactJaccardPairs.maxDocFreq if skew shows.
+    */
+  def dropDuplicatePassageDocs(corpus: DataFrame, n: Int = 16): DataFrame = {
+    val dup = duplicatePassages(corpus, n)
+      .select(col("passage"), col("min_doc_id"))
+    val offenders = corpus
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), n))
+        .as("passage"))
+      .join(dup, Seq("passage"))
+      .filter(col("doc_id") =!= col("min_doc_id"))
+      .select(col("doc_id")).distinct()
+    corpus.join(offenders, Seq("doc_id"), "left_anti")
+  }
 }

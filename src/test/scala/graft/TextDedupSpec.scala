@@ -106,6 +106,20 @@ class TextDedupSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("passage cleaner: cleaned corpus has ZERO duplicated windows") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = Dedup.withNearDuplicates(docs)
+    val cleaned = Dedup.dropDuplicatePassageDocs(corpus, 8).cache()
+    // keep-one-copy invariant: any window shared by two survivors would
+    // mean neither was dropped, yet only the min carrier may survive
+    assert(Dedup.duplicatePassages(cleaned, 8).count() == 0)
+    // the injected near-dups (windows ⊂ their original's) must all go
+    assert(cleaned.filter(col("doc_id") >= 1000000L).count() == 0)
+    // subset of input, and the untouched docs still present
+    assert(cleaned.count() > 0 && cleaned.count() < corpus.count())
+    cleaned.unpersist()
+  }
+
   test("fingerprints are cross-engine md5 (known value)") {
     // md5("abc") is a published constant — pins the md5/conv path
     val r = Seq("abc").toDF("text").select(
