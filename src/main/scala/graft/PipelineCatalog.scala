@@ -269,6 +269,19 @@ object PipelineCatalog {
       Dedup.duplicatePassages(
         Dedup.withNearDuplicates(Tables.documents(s, d)), 8)),
 
+    // Bloom-filter membership, fully deterministic (md5-derived bits):
+    // build over the "previous snapshot" (even doc_ids), probe the whole
+    // corpus. m=1024/k=3 is deliberately undersized so the oracle also
+    // pins the FALSE POSITIVE pattern, not just the no-false-negative
+    // guarantee.
+    "q_bloom_probe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val words = graft.operators.Bloom.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", 1024, 3)
+      graft.operators.Bloom.probe(docs, "doc_id", words, 1024, 3)
+        .select(col("key").as("doc_id"), col("maybe_present"))
+    }),
+
     // C4-style cleaner composed from the passage scan: drop docs that
     // carry a duplicated 8-token window without being its canonical
     // (min doc_id) carrier — one copy of each repeated passage survives.
@@ -534,6 +547,28 @@ object PipelineCatalog {
         |        FROM toks))
         |SELECT passage, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
         |FROM sh GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+
+    // Mirrors Bloom.build/probe exactly: same md5-salted positions, same
+    // 64-bit word packing, same AND-of-k test — FPs and all.
+    "q_bloom_probe" ->
+      """WITH pos AS (
+        |  SELECT doc_id, u.i,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':bloom'
+        |       || CAST(u.i AS VARCHAR)), 1, 15))::BIGINT % 1024 AS p
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) u),
+        |words AS (
+        |  SELECT p // 32 AS word_idx,
+        |    bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+        |  FROM pos WHERE doc_id % 2 = 0 GROUP BY 1),
+        |chk AS (
+        |  SELECT pos.doc_id,
+        |    CASE WHEN w.bits IS NOT NULL
+        |          AND (w.bits & (1::BIGINT << CAST(pos.p % 32 AS INT))) <> 0
+        |      THEN 0 ELSE 1 END AS miss
+        |  FROM pos LEFT JOIN words w ON pos.p // 32 = w.word_idx)
+        |SELECT doc_id, SUM(miss) = 0 AS maybe_present
+        |FROM chk GROUP BY 1""".stripMargin,
 
     // Same window build as q_dedup_passages, then the keep rule: a doc
     // survives unless it shares a window it isn't the min-id carrier of.

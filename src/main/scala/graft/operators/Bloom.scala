@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Deterministic Bloom-filter membership — the incremental-ingest dedup
+  * primitive: "which of today's crawl keys might already be in the
+  * trillion-row index?" answered WITHOUT joining the index, by building
+  * a fixed-size bit array over the index keys once and broadcasting it.
+  *
+  * Everything is md5-derived (TextOps.fingerprint64 idiom), no RNG and
+  * no engine-private hash, so the filter's exact bit pattern — and
+  * therefore every probe verdict, false positives included — is
+  * reproducible in any engine with md5: the whole build+probe pipeline
+  * carries a row-level DuckDB differential.
+  *
+  * Representation: the m-bit array lives as a DataFrame of 32-bit words
+  * `(word_idx, bits)` — only non-zero words are materialized. Build is
+  * one explode + keyed `bit_or` aggregate (map-side partials OR
+  * per-partition sub-filters — the classic distributed Bloom build);
+  * probe explodes each key's k positions, broadcast-joins the word
+  * table, and AND-reduces the bit tests. At m = 2²⁶ the dense word
+  * table is 16 MB — broadcastable; the index itself never shuffles.
+  * 32 bits per word, not 64: the oracle engine's left shift is
+  * range-checked, and 1 << 63 (the sign bit) overflows there — five
+  * shift bits keep every mask positive in both engines.
+  *
+  * Sizing (standard formulas): fpp ≈ (1 − e^(−k·n/m))^k; for a target
+  * fpp use m ≈ −n·ln(fpp)/ln²2 and k ≈ (m/n)·ln 2.
+  *
+  * No false negatives ever (a present key's bits are all set by
+  * construction); false positives at the designed rate — the caller
+  * treats "maybe" as "verify exactly", e.g. via [[Dedup.exactGroups]]
+  * on the maybe-set only.
+  */
+object Bloom {
+
+  /** The k md5-derived bit positions of a key (salted per hash fn). */
+  def bitPositions(key: Column, mBits: Int, kHashes: Int): Column =
+    array((0 until kHashes).map(i =>
+      pmod(TextOps.fingerprint64(
+        concat(key.cast("string"), lit(s":bloom$i"))), lit(mBits.toLong))): _*)
+
+  /** Build the filter over `keys(keyCol)` → (word_idx: long, bits: long),
+    * non-zero words only.
+    */
+  def build(keys: DataFrame, keyCol: String, mBits: Int = 1 << 20,
+            kHashes: Int = 4): DataFrame =
+    keys
+      .select(explode(bitPositions(col(keyCol), mBits, kHashes)).as("p"))
+      .select(shiftright(col("p"), 5).as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("m"))
+      .groupBy(col("word_idx"))
+      .agg(bit_or(col("m")).as("bits"))
+
+  /** Probe: (key, maybe_present) for every row of `keys(keyCol)`.
+    * `words` must come from [[build]] with the SAME mBits/kHashes.
+    */
+  def probe(keys: DataFrame, keyCol: String, words: DataFrame,
+            mBits: Int = 1 << 20, kHashes: Int = 4): DataFrame =
+    keys
+      .select(col(keyCol).as("key"),
+        explode(bitPositions(col(keyCol), mBits, kHashes)).as("p"))
+      .select(col("key"), shiftright(col("p"), 5).as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("m"))
+      .join(broadcast(words), Seq("word_idx"), "left")
+      .groupBy(col("key"))
+      .agg((sum(when(coalesce(col("bits"), lit(0L))
+          .bitwiseAND(col("m")) =!= 0, 0).otherwise(1)) === 0)
+        .as("maybe_present"))
+}

@@ -197,6 +197,10 @@ object Similarity {
   def semanticDedupPairs(vecs: DataFrame, tau: java.math.BigDecimal,
                          kCells: Int = 8, iters: Int = 3,
                          maxCellSize: Int = Int.MaxValue): DataFrame = {
+    // NOT cached: both join sides shuffle `assigned` identically, so
+    // ReuseExchange already evaluates the trainer DAG once; an explicit
+    // cache() measured ~5s SLOWER at sf0.1 (array-column serialization
+    // into the memory store buys nothing the reused exchange didn't).
     val assigned = Quantizer.assign(vecs,
       Quantizer.fit(vecs, kCells, iters))
     // Hot-cell guard (the semantic analog of exactJaccardPairs.maxDocFreq):
