@@ -269,6 +269,24 @@ object PipelineCatalog {
       Dedup.duplicatePassages(
         Dedup.withNearDuplicates(Tables.documents(s, d)), 8)),
 
+    // Corpus mixing: skewed target shares (src K → (K+1)/210), keep
+    // verdicts by salted-hash lottery — the data-recipe step, with the
+    // per-source plan (counts → probabilities) inside the plan.
+    "q_corpus_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val targets = docs.select(col("source")).distinct()
+        .withColumn("share",
+          (expr("CAST(substring(source, 4) AS INT)") + 1) / lit(210.0))
+      graft.operators.Mixing.mixPlan(docs, "source", "doc_id", targets)
+        .select(col("doc_id"), col("source"), col("p"), col("keep"))
+    }),
+
+    // Winnowing fingerprints: min-hash-per-window over the ordered
+    // 3-gram hash stream (w=4), exploded to (doc_id, fp) rows.
+    "q_winnow" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        explode(TextOps.winnow(col("text"), 3, 4)).as("fp"))),
+
     // Bloom-filter membership, fully deterministic (md5-derived bits):
     // build over the "previous snapshot" (even doc_ids), probe the whole
     // corpus. m=1024/k=3 is deliberately undersized so the oracle also
@@ -547,6 +565,50 @@ object PipelineCatalog {
         |        FROM toks))
         |SELECT passage, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
         |FROM sh GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+
+    // Mirrors Mixing.mixPlan: same count/total/least arithmetic in the
+    // same op order (share·total/n_s as doubles), same salted lottery.
+    "q_corpus_mix" ->
+      """WITH t AS (
+        |  SELECT DISTINCT source,
+        |    (CAST(substr(source, 4) AS INT) + 1) / 210.0 AS share
+        |  FROM documents),
+        |c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(n_s) AS n_total FROM c),
+        |pl AS (
+        |  SELECT c.source,
+        |    least(1.0, t.share * CAST(n_total AS DOUBLE)
+        |      / CAST(n_s AS DOUBLE)) AS p
+        |  FROM c CROSS JOIN tot JOIN t ON c.source = t.source)
+        |SELECT d.doc_id, d.source, pl.p,
+        |  (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15))
+        |     ::BIGINT % 1000000)
+        |    < CAST(floor(pl.p * 1000000.0) AS BIGINT) AS keep
+        |FROM documents d JOIN pl ON d.source = pl.source""".stripMargin,
+
+    // Winnowing twin: ordered 3-gram hash stream, min per 4-window,
+    // distinct, unnest. Short streams keep their single min; <3 tokens
+    // vanish — both matching TextOps.winnow's guards.
+    "q_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS grams
+        |  FROM toks),
+        |h AS (
+        |  SELECT doc_id, list_transform(grams,
+        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+        |  FROM g),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) >= 4 THEN
+        |      list_distinct(list_transform(range(1, len(hs) - 2),
+        |        i -> list_min(hs[i:i+3])))
+        |    WHEN len(hs) > 0 THEN [list_min(hs)]
+        |    ELSE [] END AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin,
 
     // Mirrors Bloom.build/probe exactly: same md5-salted positions, same
     // 64-bit word packing, same AND-of-k test — FPs and all.

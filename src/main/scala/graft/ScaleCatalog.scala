@@ -124,6 +124,15 @@ object ScaleCatalog {
         e.filter(col("vec_id") >= 10), 5)
     }),
 
+    // SQ8 top-5: int8-quantized corpus, dequantized scoring — the 4×
+    // memory/IO lever; the full train+encode+search pipeline is
+    // oracle-replicated, recall vs exact is ScalarQuantSpec-gated.
+    "q_knn_quantized" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.ScalarQuant.bruteTopKQuantized(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+    }),
+
     // IVF-style: probe only the query's cell (label = coarse quantizer).
     "q_knn_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -428,6 +437,46 @@ object ScaleCatalog {
          |    AND a.vec_id < b.vec_id)
          |SELECT cell, vec_a, vec_b, score FROM p
          |WHERE score >= 0.9""".stripMargin,
+
+    // SQ8 twin: per-dim MIN/MAX codebook, ⌊(x−lo)/(hi−lo)·255+0.5⌋
+    // encode, lo+(code/255)·(hi−lo) decode — every arithmetic step in
+    // ScalarQuant's exact op order, then the shared cosine/rank skeleton.
+    "q_knn_quantized" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 10),
+        |c0 AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id >= 10),
+        |st AS (
+        |  SELECT i AS pos, MIN(e[i + 1]) AS lo, MAX(e[i + 1]) AS hi
+        |  FROM c0 CROSS JOIN range(64) r(i) GROUP BY i),
+        |stats AS (
+        |  SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
+        |  FROM st),
+        |dq AS (
+        |  SELECT neighbor_id,
+        |    list_transform(range(64), i ->
+        |      s.lo[i + 1] +
+        |      CAST(CASE WHEN s.hi[i + 1] - s.lo[i + 1] = 0 THEN 0
+        |        ELSE CAST(floor((c0.e[i + 1] - s.lo[i + 1])
+        |          / (s.hi[i + 1] - s.lo[i + 1]) * 255.0 + 0.5) AS INT)
+        |        END AS DOUBLE) / 255.0 * (s.hi[i + 1] - s.lo[i + 1]))
+        |      AS ce
+        |  FROM c0 CROSS JOIN stats s),
+        |sc AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(round(list_inner_product(q.e, dq.ce)
+        |      / (sqrt(list_inner_product(q.e, q.e))
+        |         * sqrt(list_inner_product(dq.ce, dq.ce))), 6)
+        |      AS DECIMAL(10,6)) AS score
+        |  FROM q CROSS JOIN dq),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT)
+        |    AS rnk
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 5""".stripMargin,
 
     "q_media_meta" -> mediaMetaSql,
 

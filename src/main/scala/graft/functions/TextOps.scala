@@ -100,4 +100,31 @@ object TextOps {
     */
   def fingerprint64(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Winnowing fingerprints (the MOSS local-fingerprinting scheme,
+    * simplified to min-per-window): hash every k-gram IN ORDER
+    * (non-distinct — position matters), slide a w-hash window over the
+    * stream, keep each window's minimum hash, distinct the kept set.
+    * Guarantees: any shared run of ≥ k+w−1 tokens between two docs
+    * yields at least one SHARED fingerprint, while each doc keeps only
+    * ~1/w of its hashes — the sub-quadratic robust alternative to
+    * comparing full shingle sets, and the standard plagiarism/near-dup
+    * index key. Shorter-than-w hash streams keep their single minimum
+    * (the scheme's at-least-one-fingerprint guarantee); <k tokens →
+    * empty.
+    *
+    * Same md5-derived hashes and pure array expressions as everything
+    * else in this file: no shuffle, fully codegen'd, DuckDB-replicable.
+    * The single-element `transform`s are let bindings (see [[shingles]]
+    * — CSE does not reach lambda bodies).
+    */
+  def winnow(text: Column, k: Int = 3, w: Int = 4): Column =
+    element_at(
+      transform(array(transform(ngramsAll(text, k), g => fingerprint64(g))),
+        hs =>
+          when(size(hs) >= w,
+            array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+              i => array_min(slice(hs, i, lit(w))))))
+            .when(size(hs) > 0, array(array_min(hs)))
+            .otherwise(array().cast("array<long>"))), 1)
 }

@@ -56,7 +56,7 @@ object Similarity {
   def score(a: Column, b: Column): Column =
     round(cosineNative(a, b), 6).cast(DecimalType(10, 6))
 
-  private def rank(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def rank(scored: DataFrame, k: Int): DataFrame =
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))

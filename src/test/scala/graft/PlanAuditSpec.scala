@@ -27,9 +27,17 @@ class PlanAuditSpec extends SparkSpec {
     *    k = 8 broadcast centroids (Lloyd's assignment is by definition
     *    every-vector × every-centroid; k is a small constant).
     */
+  /**  - knn_quantized: the 1-row SQ8 codebook (two 64-double arrays)
+    *    rides two broadcast cross joins + the broadcast query set —
+    *    all k/1-row-bounded, same family as the cases above.
+    */
+  /**  - corpus_mix: the 1-row corpus total cross-joined onto the
+    *    |sources|-row count table while building the tiny mix plan.
+    */
   private val bnlJAllowed = Set(
     "q_knn_brute", "q_knn_topk_agg", "q_quartiles", "q_tfidf",
-    "q_knn_ivf_learned", "q_semantic_dedup")
+    "q_knn_ivf_learned", "q_semantic_dedup", "q_knn_quantized",
+    "q_corpus_mix")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
