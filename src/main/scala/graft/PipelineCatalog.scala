@@ -269,6 +269,19 @@ object PipelineCatalog {
       Dedup.duplicatePassages(
         Dedup.withNearDuplicates(Tables.documents(s, d)), 8)),
 
+    // Winnowing-based near-dup candidates: ≥2 shared winnow fingerprints
+    // over the near-dup-injected corpus (1/w-compressed inverted index).
+    "q_dedup_winnow" -> ((s, d) =>
+      Dedup.winnowCandidatePairs(
+        Dedup.withNearDuplicates(Tables.documents(s, d)))),
+
+    // KMV distinct sketch: per-lang distinct-doc estimate at k=64 (langs
+    // hold >64 docs, so the ESTIMATION path fires, not the exact one).
+    "q_kmv_distinct" -> ((s, d) =>
+      graft.operators.Sketch.kmvDistinctByGroup(
+        Tables.documents(s, d).select(col("lang"), col("doc_id")),
+        "lang", "doc_id", 64)),
+
     // Corpus mixing: skewed target shares (src K → (K+1)/210), keep
     // verdicts by salted-hash lottery — the data-recipe step, with the
     // per-source plan (counts → probabilities) inside the plan.
@@ -565,6 +578,58 @@ object PipelineCatalog {
         |        FROM toks))
         |SELECT passage, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
         |FROM sh GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+
+    // Winnow pairs twin: q_winnow's fingerprint build over the injected
+    // corpus, df-capped postings, self-join, ≥2 shared.
+    "q_dedup_winnow" ->
+      s"""WITH $corpusNearSql,
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS grams
+        |  FROM toks),
+        |hh AS (
+        |  SELECT doc_id, list_transform(grams,
+        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+        |  FROM g),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) >= 4 THEN
+        |      list_distinct(list_transform(range(1, len(hs) - 2),
+        |        i -> list_min(hs[i:i+3])))
+        |    WHEN len(hs) > 0 THEN [list_min(hs)]
+        |    ELSE [] END AS fps
+        |  FROM hh),
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |rare AS (
+        |  SELECT fp FROM fp GROUP BY 1 HAVING COUNT(*) <= 50),
+        |pr AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  COUNT(*) AS shared_fps
+        |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
+    // KMV twin: distinct md5-hashes per lang, bottom-64 by rank, same
+    // (k−1)·2⁶⁰/h_k estimator arithmetic.
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |  FROM h),
+        |agg AS (
+        |  SELECT lang, CAST(COUNT(*) AS INT) AS k_actual, MAX(h) AS hk
+        |  FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT lang, k_actual, hk,
+        |  CASE WHEN k_actual < 64 THEN CAST(k_actual AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END
+        |    AS estimate
+        |FROM agg""".stripMargin,
 
     // Mirrors Mixing.mixPlan: same count/total/least arithmetic in the
     // same op order (share·total/n_s as doubles), same salted lottery.

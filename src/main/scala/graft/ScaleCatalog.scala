@@ -158,6 +158,18 @@ object ScaleCatalog {
         new java.math.BigDecimal("0.900000"))
     }),
 
+    // Two-level semantic dedup: cells over 50 vectors split by
+    // hyperplane signature (520 vectors / 8 cells guarantees ≥ 1 split
+    // by pigeonhole) — the hot-cell answer that drops nothing.
+    "q_semantic_dedup_2level" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
+        e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Similarity.semanticDedupPairsTwoLevel(corpus,
+        new java.math.BigDecimal("0.900000"), maxCellSize = 50)
+    }),
+
     "q_dedup_embedding" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
@@ -435,6 +447,45 @@ object ScaleCatalog {
          |      AS DECIMAL(10,6)) AS score
          |  FROM asg a JOIN asg b ON a.cell = b.cell
          |    AND a.vec_id < b.vec_id)
+         |SELECT cell, vec_a, vec_b, score FROM p
+         |WHERE score >= 0.9""".stripMargin,
+
+    // Two-level twin: same trainer + assignment, then per-cell counts,
+    // the q_dedup_embedding hyperplane-signature build for vectors in
+    // oversized cells, and pairs keyed (cell, subcell).
+    "q_semantic_dedup_2level" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |      AS cell, e AS centroid
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+         |${lloydSql(1, "c0")},
+         |${lloydSql(2, "c1")},
+         |${lloydSql(3, "c2")},
+         |${assignSql("asg", "v", "vec_id", "c3", 1)},
+         |sz AS (SELECT cell, COUNT(*) AS cell_n FROM asg GROUP BY 1),
+         |$planesSql,
+         |bk AS (
+         |  SELECT vec_id,
+         |    SUM(CASE WHEN list_inner_product(e, pl.w) >= 0
+         |        THEN 1 << p ELSE 0 END) AS bucket
+         |  FROM asg CROSS JOIN pl GROUP BY vec_id),
+         |sub AS (
+         |  SELECT asg.vec_id, asg.e, asg.cell,
+         |    CASE WHEN sz.cell_n > 50 THEN bk.bucket ELSE 0 END AS subcell
+         |  FROM asg JOIN sz USING (cell) JOIN bk USING (vec_id)),
+         |p AS (
+         |  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CAST(round(list_inner_product(a.e, b.e)
+         |      / (sqrt(list_inner_product(a.e, a.e))
+         |         * sqrt(list_inner_product(b.e, b.e))), 6)
+         |      AS DECIMAL(10,6)) AS score
+         |  FROM sub a JOIN sub b ON a.cell = b.cell
+         |    AND a.subcell = b.subcell AND a.vec_id < b.vec_id)
          |SELECT cell, vec_a, vec_b, score FROM p
          |WHERE score >= 0.9""".stripMargin,
 

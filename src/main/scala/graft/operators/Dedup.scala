@@ -269,6 +269,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
       .filter(col("n_docs") > 1)
 
+  /** Winnowing-based near-dup candidate pairs: docs sharing ≥ `minShared`
+    * winnow fingerprints ([[graft.functions.TextOps.winnow]]). The
+    * inverted-index probe shape of [[exactJaccardPairs]], but the index
+    * holds only ~1/w of the k-gram postings (each fingerprint is a
+    * window MINIMUM) — the cheaper first-pass candidate generator at
+    * corpus scale, with the same `maxDocFreq` hot-key cap. Winnowing
+    * guarantees any shared ≥ k+w−1-token run still collides, so recall
+    * on meaningful overlaps survives the 1/w compression; pairs are
+    * CANDIDATES — the caller verifies with exact Jaccard/Levenshtein on
+    * this bounded set, as the MinHash path does.
+    */
+  def winnowCandidatePairs(corpus: DataFrame, k: Int = 3, w: Int = 4,
+                           minShared: Int = 2,
+                           maxDocFreq: Int = 50): DataFrame = {
+    val fps = corpus.select(col("doc_id"),
+      explode(TextOps.winnow(col("text"), k, w)).as("fp"))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select(col("fp"))
+    val pruned = fps.join(rare, Seq("fp"))
+    val a = pruned.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = pruned.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** The C4-style CLEANER composed from [[duplicatePassages]] (VERDICT
     * r4 #5): drop every document that carries a corpus-duplicated
     * `n`-token window WITHOUT being that window's canonical (smallest

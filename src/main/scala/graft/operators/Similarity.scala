@@ -230,6 +230,43 @@ object Similarity {
       .filter(col("score") >= lit(tau))
   }
 
+  /** Two-level semantic dedup: the production answer to the hot-cell
+    * problem that [[semanticDedupPairs]]'s `maxCellSize` guard only
+    * truncates. Oversized cells are SPLIT by hyperplane sign-signature
+    * (the deterministic [[lshBucket]]) and pairs compared within
+    * (cell, subcell) — so a degenerate embedding mode costs
+    * Σ|subcell|² ≈ |cell|²/2^planes instead of |cell|², and nothing is
+    * dropped. Exact copies share every hyperplane sign, so
+    * exact-duplicate recall through a split stays 1.0; near-dups
+    * straddling a hyperplane inside an oversized cell are the priced
+    * recall trade (vs the guard's trade of losing the whole cell).
+    * Normal-sized cells are untouched (subcell 0). Plan: the same
+    * cell-bounded equi-join, now keyed (cell, subcell), plus one
+    * broadcast of the k-row size table.
+    */
+  def semanticDedupPairsTwoLevel(vecs: DataFrame, tau: java.math.BigDecimal,
+                                 kCells: Int = 8, iters: Int = 3,
+                                 maxCellSize: Int = 1 << 20,
+                                 planes: Int = 8, dim: Int = 64): DataFrame = {
+    val w = planeWeights(planes, dim)
+    val assigned = Quantizer.assign(vecs, Quantizer.fit(vecs, kCells, iters))
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_n"))
+    val sub = assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("subcell",
+        when(col("cell_n") > maxCellSize, lshBucket(col("embedding"), w))
+          .otherwise(lit(0)))
+    val a = sub.select(col("cell"), col("subcell"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = sub.select(col("cell"), col("subcell"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("cell", "subcell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("cell"), col("vec_a"), col("vec_b"),
+        score(col("ea"), col("eb")).as("score"))
+      .filter(col("score") >= lit(tau))
+  }
+
   /** [[semanticDedupPairs]] with kCells SIZED FROM THE CORPUS — the
     * scale contract VERDICT r4 asked to make explicit. A constant k at
     * growing N means cell size ∝ N and within-cell cost Σ|cell|² ∝ N²/k

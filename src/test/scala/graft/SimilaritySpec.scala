@@ -165,6 +165,32 @@ class SimilaritySpec extends SparkSpec {
     assert(guarded.intersect(oversized).isEmpty)
   }
 
+  test("two-level split: subset of unsplit pairs, exact dups survive splits") {
+    val tau = bd("0.900000")
+    // dup-injected corpus: every vec_id % 25 == 0 has an exact copy
+    val corpus = realVecs.unionByName(
+      realVecs.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val plain = Similarity.semanticDedupPairs(corpus, tau)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val twoLevel = Similarity
+      .semanticDedupPairsTwoLevel(corpus, tau, maxCellSize = 50)
+    val got = twoLevel.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // splitting only removes straddlers — never invents pairs
+    assert(got.subsetOf(plain))
+    // exact copies share every hyperplane sign → all survive the split
+    val injected = realVecs.filter(col("vec_id") % 25 === 0)
+      .collect().map(_.getAs[Long]("vec_id"))
+      .map(id => (id, id + 10000L)).toSet
+    injected.foreach(p => assert(got.contains(p), s"lost exact dup $p"))
+    // and with 520 vecs in 8 cells, pigeonhole says a split really fired
+    assert(got != plain || injected == plain,
+      "cap=50 must actually split at least one cell")
+    assert(twoLevel.queryExecution.sparkPlan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty)
+  }
+
   test("auto-sized kCells: linear-cost contract holds and pairs stay exact") {
     val tau = bd("0.850000")
     // n=500, target 32 → k=16 cells, cap 256 — every surviving pair must
