@@ -42,7 +42,12 @@ object Bench {
     "q_truncate_tokens", "q_text_normalize", "q_stratified_sample",
     "q_retention_cohort", "q_corr_by_currency", "q_anti_join",
     "q_semi_join", "q_grouping_sets", "q_invoice_cadence",
-    "q_percent_rank", "q_unpivot")
+    "q_percent_rank", "q_unpivot",
+    // r5 additions: every operator shipped this round.
+    "q_media_decode", "q_bloom_probe", "q_knn_quantized", "q_corpus_mix",
+    "q_winnow", "q_kmv_distinct", "q_dedup_winnow",
+    "q_stratified_sample_heap", "q_dedup_passages_clean",
+    "q_semantic_dedup_2level", "q_scd2", "q_quality_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

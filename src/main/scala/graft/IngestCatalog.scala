@@ -175,6 +175,26 @@ object IngestCatalog {
           (col("bill_total") + lit(BigDecimal("1.00")))
             .cast(Tables.Money).as("bill_total"))
       Load.merge(existing, incoming, "invoice_number")
+    }),
+
+    // SCD2 snapshot apply: segment changes (id%7, minus the ids the
+    // snapshot omits entirely at id%13) close + reopen; id%100 shifted
+    // copies are born. Output = the full versioned history.
+    "q_scd2" -> ((s, d) => {
+      val dim = Tables.customers(s, d)
+        .select(col("id"), col("name"), col("segment"))
+      val history = dim
+        .withColumn("valid_from", lit("1995-01-01").cast("date"))
+        .withColumn("valid_to", lit(null).cast("date"))
+      val snapshot = dim.filter(col("id") % 13 =!= 0)
+        .withColumn("segment",
+          when(col("id") % 7 === 0, concat(col("segment"), lit("-MOVED")))
+            .otherwise(col("segment")))
+        .unionByName(dim.filter(col("id") % 100 === 0)
+          .select((col("id") + 1000000).as("id"),
+            concat(lit("NEW "), col("name")).as("name"), col("segment")))
+      graft.ingest.Scd2.apply(history, snapshot,
+        Seq("name", "segment"), "1997-06-01")
     })
   )
 
@@ -271,6 +291,43 @@ object IngestCatalog {
          |WHERE NOT EXISTS (SELECT 1 FROM incoming i
          |                  WHERE i.invoice_number = e.invoice_number)
          |UNION ALL
-         |SELECT * FROM incoming""".stripMargin
+         |SELECT * FROM incoming""".stripMargin,
+
+    // Mirrors Scd2.apply's four output classes; IS DISTINCT FROM is the
+    // twin of Spark's !(a <=> b) null-safe change test. The initial
+    // history has no closed rows, so the pass-through class is empty.
+    "q_scd2" ->
+      s"""WITH cust AS (${RelationalCatalog.custSql}),
+         |dim AS (SELECT id, name, segment FROM cust),
+         |snap AS (
+         |  SELECT id, name,
+         |    CASE WHEN id % 7 = 0 THEN segment || '-MOVED'
+         |         ELSE segment END AS segment
+         |  FROM dim WHERE id % 13 <> 0
+         |  UNION ALL
+         |  SELECT id + 1000000, 'NEW ' || name, segment
+         |  FROM dim WHERE id % 100 = 0),
+         |j AS (
+         |  SELECT h.id AS hid, h.name AS hname, h.segment AS hseg,
+         |    s.id AS sid, s.name AS sname, s.segment AS sseg
+         |  FROM dim h FULL OUTER JOIN snap s ON h.id = s.id),
+         |chg AS (
+         |  SELECT * FROM j WHERE hid IS NOT NULL AND sid IS NOT NULL
+         |    AND (hname IS DISTINCT FROM sname
+         |      OR hseg IS DISTINCT FROM sseg))
+         |SELECT hid AS id, hname AS name, hseg AS segment,
+         |  DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+         |FROM j WHERE hid IS NOT NULL AND (sid IS NULL
+         |  OR (hname IS NOT DISTINCT FROM sname
+         |      AND hseg IS NOT DISTINCT FROM sseg))
+         |UNION ALL
+         |SELECT hid, hname, hseg, DATE '1995-01-01', DATE '1997-06-01'
+         |FROM chg
+         |UNION ALL
+         |SELECT sid, sname, sseg, DATE '1997-06-01', CAST(NULL AS DATE)
+         |FROM chg
+         |UNION ALL
+         |SELECT sid, sname, sseg, DATE '1997-06-01', CAST(NULL AS DATE)
+         |FROM j WHERE hid IS NULL""".stripMargin
   )
 }

@@ -269,6 +269,11 @@ object PipelineCatalog {
       Dedup.duplicatePassages(
         Dedup.withNearDuplicates(Tables.documents(s, d)), 8)),
 
+    // Classifier-style quality score: linear model over extracted
+    // features (fixed stand-in weights), thresholded keep verdict.
+    "q_quality_score" -> ((s, d) =>
+      graft.operators.Curation.qualityScore(Tables.documents(s, d))),
+
     // Winnowing-based near-dup candidates: ≥2 shared winnow fingerprints
     // over the near-dup-injected corpus (1/w-compressed inverted index).
     "q_dedup_winnow" -> ((s, d) =>
@@ -578,6 +583,23 @@ object PipelineCatalog {
         |        FROM toks))
         |SELECT passage, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
         |FROM sh GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+
+    // Same features, same double op order, same ln, same 6-dp round.
+    "q_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      AS nd,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a'))) AS DOUBLE) AS ns
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    round(0.3 * ln(nt) + 2.0 * (nd / nt) - 1.5 * (ns / nt), 6)
+        |      AS q_score
+        |  FROM f)
+        |SELECT doc_id, q_score, q_score >= 1.4 AS keep FROM s""".stripMargin,
 
     // Winnow pairs twin: q_winnow's fingerprint build over the injected
     // corpus, df-capped postings, self-join, ≥2 shared.

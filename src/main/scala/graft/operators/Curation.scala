@@ -137,6 +137,32 @@ object Curation {
     * identically and the output is a pure function of the token array.
     * Plan: a pure projection in whole-stage codegen, no shuffle.
     */
+  /** Classifier-style quality score — the model-based filtering shape
+    * (fastText/logreg quality classifiers in web-corpus pipelines):
+    * a linear model over extracted features, thresholded into a keep
+    * verdict. The coefficients here are FIXED STAND-INS for trained
+    * weights (the container trains nothing), chosen to reward length
+    * and lexical diversity and penalize stopword stuffing — the real
+    * pipeline swaps the constants for its model, the plumbing (feature
+    * extraction → dense dot → threshold, all codegen'd per-row, no
+    * shuffle) is the shipped part.
+    *
+    * Cross-engine exact: integer features, double ratios with mirrored
+    * op order, and ln (probed bit-identical JVM↔DuckDB on the tfidf
+    * path); score rounded to 6 dp like every float surface here.
+    */
+  def qualityScore(docs: DataFrame, threshold: Double = 1.4): DataFrame = {
+    val nTok = TextOps.tokenCount(col("text")).cast("double")
+    val nDis = TextOps.distinctTokenCount(col("text")).cast("double")
+    val nStop = TextOps.stopwordCount(col("text")).cast("double")
+    val score = round(
+      lit(0.3) * log(nTok) +
+        lit(2.0) * (nDis / nTok) -
+        lit(1.5) * (nStop / nTok), 6)
+    docs.select(col("doc_id"), score.as("q_score"),
+      (score >= threshold).as("keep"))
+  }
+
   def truncateTokens(docs: DataFrame, maxTokens: Int = 64): DataFrame =
     docs.select(col("doc_id"),
       TextOps.tokenCount(col("text")).as("n_tokens"),
