@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, LshBucket}
+import graft.expressions.{CosineSimilarity, LshBucket, WinnowFingerprints}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the native expressions so they are callable from SQL and via
@@ -23,5 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (children: Seq[Expression]) =>
         LshBucket(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (children: Seq[Expression]) =>
+        WinnowFingerprints(children.head, children(1), children(2))))
   }
 }

@@ -211,6 +211,17 @@ object PipelineCatalog {
         .select(col("doc_id"), col("text"))
     }),
 
+    // ORC sink/source ROUND-TRIP: the third on-disk format family
+    // (columnar like parquet, distinct reader/writer path) under the
+    // same parquet-truth oracle.
+    "q_docs_orc" -> ((s, d) => {
+      val path = Tables.roundTripPath("orc", d)
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").orc(path)
+      s.read.schema("doc_id BIGINT, text STRING").orc(path)
+        .select(col("doc_id"), col("text"))
+    }),
+
     // Concat-and-chunk sequence packing: per-shard cumulative offsets
     // and fixed-length sequence assignment (the LLM batching step).
     "q_pack_sequences" -> ((s, d) =>
@@ -300,10 +311,11 @@ object PipelineCatalog {
     }),
 
     // Winnowing fingerprints: min-hash-per-window over the ordered
-    // 3-gram hash stream (w=4), exploded to (doc_id, fp) rows.
+    // 3-gram hash stream (w=4), exploded to (doc_id, fp) rows. Native
+    // fused expression; the declarative twin is the spec'd cross-check.
     "q_winnow" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
-        explode(TextOps.winnow(col("text"), 3, 4)).as("fp"))),
+        explode(TextOps.winnowNative(col("text"), 3, 4)).as("fp"))),
 
     // Bloom-filter membership, fully deterministic (md5-derived bits):
     // build over the "previous snapshot" (even doc_ids), probe the whole
@@ -506,6 +518,8 @@ object PipelineCatalog {
     "q_docs_jsonl" -> "SELECT doc_id, text FROM documents",
 
     "q_docs_csv" -> "SELECT doc_id, text FROM documents",
+
+    "q_docs_orc" -> "SELECT doc_id, text FROM documents",
 
     // Mirrors the per-shard cumulative window exactly; DuckDB SUM(INT)
     // OVER is HUGEINT, hence the BIGINT casts; // is floor division.

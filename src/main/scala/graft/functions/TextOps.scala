@@ -127,4 +127,13 @@ object TextOps {
               i => array_min(slice(hs, i, lit(w))))))
             .when(size(hs) > 0, array(array_min(hs)))
             .otherwise(array().cast("array<long>"))), 1)
+
+  /** Native fused form of [[winnow]] (graft.expressions
+    * .WinnowFingerprints): one loop, one reused MessageDigest, no
+    * intermediate Catalyst arrays — bit-identical output, spec-gated.
+    * Requires GraftExtensions on the session; [[winnow]] stays as the
+    * no-extensions fallback and cross-check anchor.
+    */
+  def winnowNative(text: Column, k: Int = 3, w: Int = 4): Column =
+    call_function("graft_winnow", text, lit(k), lit(w))
 }

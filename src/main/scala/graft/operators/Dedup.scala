@@ -284,7 +284,7 @@ object Dedup {
                            minShared: Int = 2,
                            maxDocFreq: Int = 50): DataFrame = {
     val fps = corpus.select(col("doc_id"),
-      explode(TextOps.winnow(col("text"), k, w)).as("fp"))
+      explode(TextOps.winnowNative(col("text"), k, w)).as("fp"))
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select(col("fp"))
     val pruned = fps.join(rare, Seq("fp"))

@@ -47,6 +47,25 @@ class MixingSpec extends SparkSpec {
     assert(a == b && a.nonEmpty && a.size < docs.count())
   }
 
+  test("native winnow == declarative winnow, array-exact, incl. edge docs") {
+    val real = graft.queries.Tables.documents(spark, sf)
+      .select(col("text"))
+      .unionByName(Seq("a b c", "x y", "", "one two three four five six")
+        .toDF("text"))
+    val diff = real.select(
+        TextOps.winnow(col("text"), 3, 4).as("decl"),
+        TextOps.winnowNative(col("text"), 3, 4).as("nat"))
+      .filter(not(col("decl") <=> col("nat")))
+    assert(diff.count() == 0)
+    // and from SQL via the registered function name
+    real.createOrReplaceTempView("winnow_probe")
+    val sqlDiff = spark.sql(
+      """SELECT * FROM winnow_probe
+        |WHERE NOT (graft_winnow(text, 3, 4) <=>
+        |  graft_winnow(text, 3, 4))""".stripMargin)
+    assert(sqlDiff.count() == 0)
+  }
+
   test("winnow: shared long runs share a fingerprint; short docs covered") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -56,7 +56,7 @@ class PlanAuditSpec extends SparkSpec {
     * round-trips write a bare 2-column projection.
     */
   private val writeExecuting = Set("q_dim_overwrite", "q_docs_jsonl",
-    "q_docs_csv")
+    "q_docs_csv", "q_docs_orc")
 
   test("no catalog plan regresses to cartesian / stray BNLJ / global window") {
     val violations = scala.collection.mutable.ArrayBuffer[String]()
@@ -69,6 +69,10 @@ class PlanAuditSpec extends SparkSpec {
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text")),
       "q_docs_csv(pre-write)" ->
+        graft.queries.Tables.documents(spark, sf)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")),
+      "q_docs_orc(pre-write)" ->
         graft.queries.Tables.documents(spark, sf)
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text")))
