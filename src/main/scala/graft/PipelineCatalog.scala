@@ -152,6 +152,12 @@ object PipelineCatalog {
       Dedup.minhashVerifiedPairs(
         Dedup.withNearDuplicates(Tables.documents(s, d)))),
 
+    // Winnow-seeded verified pairs — third candidate generator under the
+    // SAME oracle as the exact and MinHash paths (pair-identical).
+    "q_dedup_winnow_verified" -> ((s, d) =>
+      Dedup.winnowVerifiedPairs(
+        Dedup.withNearDuplicates(Tables.documents(s, d)))),
+
     // Edit-distance near-dup pairs: 8-shingle candidates + exact
     // Levenshtein (the injected near-dups differ by one leading token).
     "q_dedup_edit" -> ((s, d) =>
@@ -514,6 +520,8 @@ object PipelineCatalog {
         |    ORDER BY score DESC, df, token) AS INT) AS rnk
         |  FROM s)
         |SELECT doc_id, token, tf, df, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q_dedup_winnow_verified" -> jaccardPairsSql,
 
     "q_docs_jsonl" -> "SELECT doc_id, text FROM documents",
 

@@ -185,6 +185,34 @@ object Dedup {
     jaccardSelect(inter, sh, num, den)
   }
 
+  /** Winnow-seeded VERIFIED pairs: winnow-fingerprint collisions
+    * generate candidates ([[winnowCandidatePairs]], minShared=1 for
+    * recall), exact Jaccard verifies them through the shingle index —
+    * the third candidate generator under the exactJaccardPairs output
+    * contract, next to the exact index and MinHash-LSH. Its edge over
+    * MinHash: no signature computation at all — the winnow set IS the
+    * index, ~1/w the postings of the exact index (r5 bench: the winnow
+    * index builds in half the exact path's time). The winnowing
+    * guarantee (any shared ≥ k+w−1-token run collides) makes recall 1.0
+    * on meaningful overlaps; a J ≥ num/den pair with NO shared 6-token
+    * run cannot exist for near-dup-length docs, which is why the same
+    * DuckDB oracle gates all three paths pair-identically.
+    */
+  def winnowVerifiedPairs(corpus: DataFrame, num: Int = 7, den: Int = 10,
+                          k: Int = 3, w: Int = 4): DataFrame = {
+    val sh = shingleIndex(corpus).cache()
+    val cand = winnowCandidatePairs(corpus, k, w, minShared = 1)
+      .select(col("doc_a"), col("doc_b"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("intersect_n"))
+    jaccardSelect(inter, sh, num, den)
+  }
+
   /** Near-dup pairs → duplicate CLUSTERS: connected components over the
     * pair graph, canonical member = the component's min doc_id. This is
     * the step that turns pairwise similarity into an actual dedup

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+import graft.operators.Sketch
+
+/** Incremental KMV distinct-count over a stream — the sketch's
+  * mergeability ([[Sketch.KmvAggregator]]'s fold/merge algebra,
+  * property-gated in R5AggregatorProps) carried into Structured
+  * Streaming: state per group is the SAME bounded distinct bottom-k the
+  * batch aggregator holds (≤ k longs), updated per micro-batch via
+  * `mapGroupsWithState`, so after ANY prefix of micro-batches the
+  * emitted estimate equals the batch estimate over the rows seen so far
+  * — the live-cardinality dashboard primitive (distinct users/tokens so
+  * far, per key) with O(k) state per group and no re-scan.
+  *
+  * Batch execution of the same function (Spark runs mapGroupsWithState
+  * per-group once, state discarded) degenerates to exactly
+  * [[Sketch.kmvDistinctByGroup]] — StreamingSketchSpec pins streaming
+  * == batch through sliced micro-batches.
+  */
+object StreamingSketch {
+
+  case class GroupHash(g: String, h: Long)
+  case class KmvEstimate(g: String, k_actual: Int, hk: Long,
+                         estimate: Double)
+
+  def kmvStream(hashed: Dataset[GroupHash], k: Int = 64,
+                outputMode: OutputMode = OutputMode.Update())
+      : Dataset[KmvEstimate] = {
+    val agg = new Sketch.KmvAggregator(k)
+    hashed
+      .groupByKey(_.g)(Encoders.STRING)
+      .mapGroupsWithState[Seq[Long], KmvEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[GroupHash],
+         state: GroupState[Seq[Long]]) =>
+          val buf = rows.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            (b, r) => agg.reduce(b, r.h)
+          }
+          state.update(buf)
+          val s = agg.finish(buf)
+          val est =
+            if (s.k_actual < k) s.k_actual.toDouble
+            else (k - 1).toDouble * math.pow(2, 60) / s.hk.toDouble
+          KmvEstimate(g, s.k_actual, s.hk, est)
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
+        Encoders.product[KmvEstimate])
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.Sketch
+import graft.streaming.StreamingSketch
+import graft.streaming.StreamingSketch.GroupHash
+
+/** Streaming KMV == batch KMV after the last micro-batch, for every
+  * group — the sketch-mergeability contract live in the state store.
+  */
+class StreamingSketchSpec extends SparkSpec {
+
+  test("incremental KMV over micro-batches == batch kmvDistinctByGroup") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("lang"), col("doc_id"))
+    val batch = Sketch.kmvDistinctByGroup(docs, "lang", "doc_id", 16)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Int]("k_actual"), r.getAs[Long]("hk"),
+          r.getAs[Double]("estimate"))).toMap
+
+    val hashed = docs.select(col("lang").as("g"),
+      TextOps.fingerprint64(col("doc_id").cast("string")).as("h"))
+    val dir = Files.createTempDirectory("graft-kmv-stream").toString
+    hashed.withColumn("slice", pmod(col("h"), lit(4)))
+      .write.partitionBy("slice").mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("g STRING, h BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/slice=*")
+      .as[GroupHash](Encoders.product[GroupHash])
+    val q = StreamingSketch.kmvStream(stream, 16)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // the LAST update per group is the final estimate
+    val streamed = spark.table("kmv_stream").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val last = streamed.zipWithIndex.groupBy(_._1._1)
+      .map { case (g, rows) => g -> rows.maxBy(_._2)._1 }
+    assert(last.keySet == batch.keySet)
+    last.foreach { case (g, (_, kAct, hk, est)) =>
+      val (bk, bhk, best) = batch(g)
+      assert(kAct == bk && hk == bhk && est == best, s"group $g")
+    }
+    // and intermediate updates exist (really incremental, not one batch)
+    assert(streamed.length > batch.size)
+  }
+}

@@ -41,6 +41,16 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("winnow-seeded path finds the same verified pairs as the exact path") {
+    val real = Dedup.withNearDuplicates(
+      graft.queries.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val exact = Dedup.exactJaccardPairs(real).collect()
+      .map(_.toSeq).toSet
+    val win = Dedup.winnowVerifiedPairs(real).collect()
+      .map(_.toSeq).toSet
+    assert(win == exact && exact.nonEmpty)
+  }
+
   test("exact dedup groups: copies collapse to min-id keeper") {
     val withCopy = corpus.unionByName(
       corpus.filter(col("doc_id") === 1)
