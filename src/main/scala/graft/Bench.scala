@@ -47,7 +47,8 @@ object Bench {
     "q_media_decode", "q_bloom_probe", "q_knn_quantized", "q_corpus_mix",
     "q_winnow", "q_kmv_distinct", "q_dedup_winnow",
     "q_stratified_sample_heap", "q_dedup_passages_clean",
-    "q_semantic_dedup_2level", "q_scd2", "q_quality_score")
+    "q_semantic_dedup_2level", "q_scd2", "q_quality_score",
+    "q_dedup_winnow_verified")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -510,8 +510,9 @@ object ScaleCatalog {
         |    list_transform(range(64), i ->
         |      s.lo[i + 1] +
         |      CAST(CASE WHEN s.hi[i + 1] - s.lo[i + 1] = 0 THEN 0
-        |        ELSE CAST(floor((c0.e[i + 1] - s.lo[i + 1])
-        |          / (s.hi[i + 1] - s.lo[i + 1]) * 255.0 + 0.5) AS INT)
+        |        ELSE GREATEST(0, LEAST(255,
+        |          CAST(floor((c0.e[i + 1] - s.lo[i + 1])
+        |            / (s.hi[i + 1] - s.lo[i + 1]) * 255.0 + 0.5) AS INT)))
         |        END AS DOUBLE) / 255.0 * (s.hi[i + 1] - s.lo[i + 1]))
         |      AS ce
         |  FROM c0 CROSS JOIN stats s),

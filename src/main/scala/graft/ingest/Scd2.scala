@@ -35,6 +35,8 @@ object Scd2 {
     */
   def apply(history: DataFrame, snapshot: DataFrame, attrs: Seq[String],
             asOf: String): DataFrame = {
+    require(attrs.nonEmpty,
+      "Scd2.apply needs at least one tracked attribute column")
     val asOfD = lit(asOf).cast("date")
     val closed = history.filter(col("valid_to").isNotNull)
     val cur = history.filter(col("valid_to").isNull)

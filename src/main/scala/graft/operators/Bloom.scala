@@ -54,7 +54,10 @@ object Bloom {
       .groupBy(col("word_idx"))
       .agg(bit_or(col("m")).as("bits"))
 
-  /** Probe: (key, maybe_present) for every row of `keys(keyCol)`.
+  /** Probe: (key, maybe_present) — one row per DISTINCT key of
+    * `keys(keyCol)` (the groupBy that AND-reduces the bit tests also
+    * dedups; a duplicate-keyed probe batch collapses to one verdict,
+    * which downstream joins re-attach by key, not position).
     * `words` must come from [[build]] with the SAME mBits/kHashes.
     */
   def probe(keys: DataFrame, keyCol: String, words: DataFrame,

@@ -25,9 +25,12 @@ import graft.functions.TextOps
   */
 object Mixing {
 
-  /** Annotate every row with its source's keep probability and the
+  /** Annotate EVERY row with its source's keep probability and the
     * deterministic keep verdict. `targets` is (sourceCol, share) with
-    * shares summing to ≤ 1 over the sources present.
+    * shares summing to ≤ 1 over the sources present. A source the
+    * recipe does not mention PASSES THROUGH at p = 1 (left join +
+    * default) — an incomplete recipe must not silently delete a source;
+    * mixing only removes what the recipe names.
     */
   def mixPlan(docs: DataFrame, sourceCol: String, keyCol: String,
               targets: DataFrame): DataFrame = {
@@ -35,10 +38,12 @@ object Mixing {
     val total = counts.agg(sum(col("n_s")).as("n_total"))
     val plan = counts
       .crossJoin(broadcast(total))
-      .join(targets, Seq(sourceCol))
+      .join(targets, Seq(sourceCol), "left")
       .select(col(sourceCol),
-        least(lit(1.0), col("share") * col("n_total").cast("double")
-          / col("n_s").cast("double")).as("p"))
+        when(col("share").isNull, lit(1.0))
+          .otherwise(least(lit(1.0),
+            col("share") * col("n_total").cast("double")
+              / col("n_s").cast("double"))).as("p"))
     docs.join(broadcast(plan), Seq(sourceCol))
       .withColumn("keep",
         pmod(TextOps.fingerprint64(

@@ -98,7 +98,11 @@ object Multimodal {
     * (signature mismatch) yield NULL dims — the sniffer contract.
     */
   def metaExpressions(media: DataFrame): DataFrame = {
-    val isPng = hex(substring(col("payload"), 1, 8)) === PngSigHex
+    // length >= 33 matches decodePartitions' guard exactly: a TRUNCATED
+    // signature-valid payload (real-world torn file) must yield NULL
+    // dims on BOTH paths, not garbage ints from a short header here.
+    val isPng = length(col("payload")) >= 33 &&
+      hex(substring(col("payload"), 1, 8)) === PngSigHex
     media.select(col("doc_id"),
       length(col("payload")).as("n_bytes"),
       // sha over the UPPERCASE HEX rendering, not the raw bytes: the

@@ -96,7 +96,11 @@ object Sampling {
     *     TakeOrderedAndProject trade.
     *
     * `keyCol` must be integral (the heap orders (md5 asc, key asc) with
-    * a native long compare — a stringly key would rank "10" < "9").
+    * a native long compare — a stringly key would rank "10" < "9") and
+    * must UNIQUELY identify rows within a stratum — the precondition of
+    * any hash-lottery sample (both variants: duplicate keys make the
+    * window's tie-break arbitrary and would multiply this form's
+    * join-back).
     */
   def stratifiedSampleHeap(df: DataFrame, stratumCol: String,
                            keyCol: String, quota: Int): DataFrame = {

@@ -40,7 +40,12 @@ object ScalarQuant {
       .select(transform(col("s"), _.getField("lo")).as("lo"),
         transform(col("s"), _.getField("hi")).as("hi"))
 
-  /** Adds `codes: array<int>` (0..255; a constant dim encodes 0). */
+  /** Adds `codes: array<int>` (0..255; a constant dim encodes 0).
+    * Clamped to the uint8 range: a vector OUTSIDE the trained [lo, hi]
+    * (stats fit on an older corpus snapshot — the standard SQ8
+    * situation) saturates at 0/255 like FAISS, instead of silently
+    * escaping the int8 envelope the 4× memory story depends on.
+    */
   def encode(vecs: DataFrame, stats: DataFrame): DataFrame = {
     val rng = zip_with(col("hi"), col("lo"), _ - _)
     val shifted = zip_with(dbl(col("embedding")), col("lo"), _ - _)
@@ -48,7 +53,8 @@ object ScalarQuant {
       .withColumn("codes",
         zip_with(shifted, rng, (d, r) =>
           when(r === 0d, lit(0))
-            .otherwise(floor(d / r * lit(255.0) + lit(0.5)).cast("int"))))
+            .otherwise(greatest(lit(0), least(lit(255),
+              floor(d / r * lit(255.0) + lit(0.5)).cast("int"))))))
       .drop("lo", "hi")
   }
 

@@ -47,6 +47,15 @@ object Sketch {
     def outputEncoder: Encoder[KmvSketch] = Encoders.product[KmvSketch]
   }
 
+  /** The (k−1)·2⁶⁰/h₍ₖ₎ estimator over a finished sketch — ONE home for
+    * the arithmetic so the batch column expression and the streaming
+    * path (StreamingSketch) cannot drift. Below-k sketches saw every
+    * distinct hash: exact count.
+    */
+  def estimate(k: Int, s: KmvSketch): Double =
+    if (s.k_actual < k) s.k_actual.toDouble
+    else (k - 1).toDouble * math.pow(2, 60) / s.hk.toDouble
+
   /** Per-group distinct estimate of `valueCol` (string-castable), keyed
     * by `groupCol`: (group, k_actual, hk, estimate). k_actual < k means
     * the group's distinct count was observed exactly.
@@ -62,6 +71,9 @@ object Sketch {
       .toDF(groupCol, "s")
       .select(col(groupCol), col("s.k_actual").as("k_actual"),
         col("s.hk").as("hk"),
+        // column twin of [[estimate]] — same branches, same double ops
+        // (the oracle SQL mirrors this expression; keep all three
+        // in sync)
         when(col("s.k_actual") < k, col("s.k_actual").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60))
             / col("s.hk").cast("double"))

@@ -1,8 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import graft.operators.Sketch
 
 /** Incremental KMV distinct-count over a stream — the sketch's
@@ -26,8 +25,7 @@ object StreamingSketch {
   case class KmvEstimate(g: String, k_actual: Int, hk: Long,
                          estimate: Double)
 
-  def kmvStream(hashed: Dataset[GroupHash], k: Int = 64,
-                outputMode: OutputMode = OutputMode.Update())
+  def kmvStream(hashed: Dataset[GroupHash], k: Int = 64)
       : Dataset[KmvEstimate] = {
     val agg = new Sketch.KmvAggregator(k)
     hashed
@@ -41,10 +39,7 @@ object StreamingSketch {
           }
           state.update(buf)
           val s = agg.finish(buf)
-          val est =
-            if (s.k_actual < k) s.k_actual.toDouble
-            else (k - 1).toDouble * math.pow(2, 60) / s.hk.toDouble
-          KmvEstimate(g, s.k_actual, s.hk, est)
+          KmvEstimate(g, s.k_actual, s.hk, Sketch.estimate(k, s))
       }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
         Encoders.product[KmvEstimate])
   }

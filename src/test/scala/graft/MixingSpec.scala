@@ -39,6 +39,14 @@ class MixingSpec extends SparkSpec {
     plan.unpersist()
   }
 
+  test("sources absent from the recipe pass through at p = 1") {
+    val partial = targets.filter(col("source") =!= "src0")
+    val plan = Mixing.mixPlan(docs, "source", "doc_id", partial)
+    val src0 = plan.filter(col("source") === "src0")
+    assert(src0.count() == docs.filter(col("source") === "src0").count())
+    assert(src0.filter(!col("keep") || col("p") =!= 1.0).count() == 0)
+  }
+
   test("mix is deterministic and mix() output composition is a subset") {
     val a = Mixing.mix(docs, "source", "doc_id", targets)
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq

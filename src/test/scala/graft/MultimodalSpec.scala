@@ -71,4 +71,19 @@ class MultimodalSpec extends SparkSpec {
     val p = Multimodal.decodePartitions(media).collect().head
     assert(p.width.isEmpty && p.height.isEmpty && p.channels.isEmpty)
   }
+
+  test("TRUNCATED signature-valid payload: NULL dims on BOTH paths") {
+    // 8-byte PNG signature + 12 bytes — a torn file; the expression path
+    // must not parse garbage ints from the short header (review r5)
+    val torn = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte) ++ Array.fill[Byte](12)(1)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(8L, torn, 0, "image"))),
+      org.apache.spark.sql.Encoders.product[MediaRecord].schema)
+    val r = Multimodal.metaExpressions(media).collect().head
+    assert(r.isNullAt(r.fieldIndex("width")) &&
+      r.isNullAt(r.fieldIndex("height")) && r.isNullAt(r.fieldIndex("channels")))
+    val p = Multimodal.decodePartitions(media).collect().head
+    assert(p.width.isEmpty && p.height.isEmpty && p.channels.isEmpty)
+  }
 }
