@@ -199,9 +199,10 @@ object Dedup {
     * DuckDB oracle gates all three paths pair-identically.
     */
   def winnowVerifiedPairs(corpus: DataFrame, num: Int = 7, den: Int = 10,
-                          k: Int = 3, w: Int = 4): DataFrame = {
+                          k: Int = 3, w: Int = 4,
+                          minShared: Int = 2): DataFrame = {
     val sh = shingleIndex(corpus).cache()
-    val cand = winnowCandidatePairs(corpus, k, w, minShared = 1)
+    val cand = winnowCandidatePairs(corpus, k, w, minShared)
       .select(col("doc_a"), col("doc_b"))
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
