@@ -55,6 +55,7 @@ object Canonical {
       "q_knn_ivf_learned"             -> d("score"),
       "q_knn_lsh"                     -> d("score"),
       "q_knn_quantized"               -> d("score"),
+      "q_knn_quantized_rerank"        -> d("score"),
       "q_knn_topk_agg"                -> d("score"),
       "q_monthly_summary"             -> d("sum_bill_total"),
       "q_monthly_summary_by_customer" -> d("sum_bill_total"),

@@ -83,6 +83,47 @@ object ScaleCatalog {
        |  SELECT cell, list(m ORDER BY pos) AS centroid FROM m$n
        |  GROUP BY cell)""".stripMargin
 
+  /** SQ8 CTE chain shared by the single- and two-stage quantized-knn
+    * oracles: codebook (per-dim min/max), dequantized corpus, quantized
+    * cosine scores, quantized rank `r`.
+    */
+  private val sq8CtesSql =
+    """q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE vec_id < 10),
+      |c0 AS (
+      |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE vec_id >= 10),
+      |st AS (
+      |  SELECT i AS pos, MIN(e[i + 1]) AS lo, MAX(e[i + 1]) AS hi
+      |  FROM c0 CROSS JOIN range(64) r(i) GROUP BY i),
+      |stats AS (
+      |  SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
+      |  FROM st),
+      |dq AS (
+      |  SELECT neighbor_id,
+      |    list_transform(range(64), i ->
+      |      s.lo[i + 1] +
+      |      CAST(CASE WHEN s.hi[i + 1] - s.lo[i + 1] = 0 THEN 0
+      |        ELSE GREATEST(0, LEAST(255,
+      |          CAST(floor((c0.e[i + 1] - s.lo[i + 1])
+      |            / (s.hi[i + 1] - s.lo[i + 1]) * 255.0 + 0.5) AS INT)))
+      |        END AS DOUBLE) / 255.0 * (s.hi[i + 1] - s.lo[i + 1]))
+      |      AS ce
+      |  FROM c0 CROSS JOIN stats s),
+      |sc AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(round(list_inner_product(q.e, dq.ce)
+      |      / (sqrt(list_inner_product(q.e, q.e))
+      |         * sqrt(list_inner_product(dq.ce, dq.ce))), 6)
+      |      AS DECIMAL(10,6)) AS score
+      |  FROM q CROSS JOIN dq),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT)
+      |    AS rnk
+      |  FROM sc)""".stripMargin
+
   /** Typed events view twin (ts normalized to µs, value exact decimal). */
   private[graft] val eventsSql =
     """e AS (
@@ -130,6 +171,14 @@ object ScaleCatalog {
     "q_knn_quantized" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       graft.operators.ScalarQuant.bruteTopKQuantized(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+    }),
+
+    // Two-stage SQ8: quantized 4k-shortlist, exact re-rank — recall
+    // strictly >= single-stage quantized (spec), exact final scores.
+    "q_knn_quantized_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.ScalarQuant.rerankedTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
     }),
 
@@ -493,42 +542,32 @@ object ScaleCatalog {
     // encode, lo+(code/255)·(hi−lo) decode — every arithmetic step in
     // ScalarQuant's exact op order, then the shared cosine/rank skeleton.
     "q_knn_quantized" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
-        |  FROM embeddings WHERE vec_id < 10),
-        |c0 AS (
-        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
-        |  FROM embeddings WHERE vec_id >= 10),
-        |st AS (
-        |  SELECT i AS pos, MIN(e[i + 1]) AS lo, MAX(e[i + 1]) AS hi
-        |  FROM c0 CROSS JOIN range(64) r(i) GROUP BY i),
-        |stats AS (
-        |  SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
-        |  FROM st),
-        |dq AS (
-        |  SELECT neighbor_id,
-        |    list_transform(range(64), i ->
-        |      s.lo[i + 1] +
-        |      CAST(CASE WHEN s.hi[i + 1] - s.lo[i + 1] = 0 THEN 0
-        |        ELSE GREATEST(0, LEAST(255,
-        |          CAST(floor((c0.e[i + 1] - s.lo[i + 1])
-        |            / (s.hi[i + 1] - s.lo[i + 1]) * 255.0 + 0.5) AS INT)))
-        |        END AS DOUBLE) / 255.0 * (s.hi[i + 1] - s.lo[i + 1]))
-        |      AS ce
-        |  FROM c0 CROSS JOIN stats s),
-        |sc AS (
-        |  SELECT query_id, neighbor_id,
-        |    CAST(round(list_inner_product(q.e, dq.ce)
+      s"""WITH $sq8CtesSql
+        |SELECT query_id, neighbor_id, rnk, score FROM r
+        |WHERE rnk <= 5""".stripMargin,
+
+    // Two-stage twin: quantized rank to a 20-deep shortlist, then the
+    // EXACT cosine (full-precision c0 vectors) re-ranked to 5.
+    "q_knn_quantized_rerank" ->
+      s"""WITH $sq8CtesSql,
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM r WHERE rnk <= 20),
+        |ex AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    CAST(round(list_inner_product(q.e, c0.e)
         |      / (sqrt(list_inner_product(q.e, q.e))
-        |         * sqrt(list_inner_product(dq.ce, dq.ce))), 6)
+        |         * sqrt(list_inner_product(c0.e, c0.e))), 6)
         |      AS DECIMAL(10,6)) AS score
-        |  FROM q CROSS JOIN dq),
-        |r AS (
+        |  FROM short s
+        |  JOIN q ON q.query_id = s.query_id
+        |  JOIN c0 ON c0.neighbor_id = s.neighbor_id),
+        |r2 AS (
         |  SELECT *, CAST(row_number() OVER (
         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT)
         |    AS rnk
-        |  FROM sc)
-        |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 5""".stripMargin,
+        |  FROM ex)
+        |SELECT query_id, neighbor_id, rnk, score FROM r2
+        |WHERE rnk <= 5""".stripMargin,
 
     "q_media_meta" -> mediaMetaSql,
 

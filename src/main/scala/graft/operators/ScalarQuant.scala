@@ -88,4 +88,33 @@ object ScalarQuant {
         round(Similarity.cosine(col("qe"), col("ce")), 6)
           .cast(DecimalType(10, 6)).as("score")), k)
   }
+
+  /** TWO-STAGE SQ8 search — the complete production pattern: the
+    * quantized scan produces a `shortlistFactor`·k candidate shortlist
+    * per query (cheap: int8-width corpus), then ONLY those candidates
+    * are re-scored against full-precision vectors and re-ranked. Final
+    * scores are exact cosines, so ranking errors from quantization
+    * survive only when the true neighbor fell out of the shortlist —
+    * recall strictly ≥ the single-stage quantized search (spec-gated).
+    *
+    * Plan shape: the shortlist (|queries|·4k ids — tiny) is BROADCAST
+    * onto the full-precision corpus scan, so stage two streams the
+    * corpus once with a hash join and nothing shuffles; the expensive
+    * float vectors are touched only for shortlist members.
+    */
+  def rerankedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   shortlistFactor: Int = 4): DataFrame = {
+    val shortlist = bruteTopKQuantized(queries, corpus, k * shortlistFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val candidates = c.join(
+      broadcast(shortlist.join(broadcast(q), Seq("query_id"))),
+      Seq("neighbor_id"))
+    Similarity.rank(candidates
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.score(col("qe"), col("ce")).as("score")), k)
+  }
 }

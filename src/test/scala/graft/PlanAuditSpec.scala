@@ -37,7 +37,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnlJAllowed = Set(
     "q_knn_brute", "q_knn_topk_agg", "q_quartiles", "q_tfidf",
     "q_knn_ivf_learned", "q_semantic_dedup", "q_semantic_dedup_2level",
-    "q_knn_quantized", "q_corpus_mix")
+    "q_knn_quantized", "q_knn_quantized_rerank", "q_corpus_mix")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

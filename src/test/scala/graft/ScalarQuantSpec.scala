@@ -48,6 +48,34 @@ class ScalarQuantSpec extends SparkSpec {
     assert(mean >= 0.8, s"mean recall@5 $mean")
   }
 
+  test("re-ranked recall >= single-stage quantized recall; exact scores") {
+    val q = emb.filter(col("vec_id") < 10)
+    val c = emb.filter(col("vec_id") >= 10)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.bruteTopK(q, c, 5).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+      val got = df.collect().groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+      val rs = exact.keys.toSeq
+        .map(k => exact(k).intersect(got(k)).size.toDouble / exact(k).size)
+      rs.sum / rs.size
+    }
+    val single = recallOf(ScalarQuant.bruteTopKQuantized(q, c, 5))
+    val reranked = recallOf(ScalarQuant.rerankedTopK(q, c, 5))
+    assert(reranked >= single, s"reranked $reranked < single $single")
+    // re-ranked scores are EXACT cosines: every (query, neighbor) score
+    // matches the brute-force score for that pair
+    val exactScores = Similarity.bruteTopK(q, c, 500).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[java.math.BigDecimal]("score")).toMap
+    ScalarQuant.rerankedTopK(q, c, 5).collect().foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(exactScores(key).compareTo(
+        r.getAs[java.math.BigDecimal]("score")) == 0, s"$key")
+    }
+  }
+
   test("codebook is order-independent (pure function of the corpus)") {
     val a = ScalarQuant.fit(emb).collect().head
     val b = ScalarQuant.fit(emb.orderBy(col("vec_id").desc)).collect().head
