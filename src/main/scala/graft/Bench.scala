@@ -48,7 +48,7 @@ object Bench {
     "q_winnow", "q_kmv_distinct", "q_dedup_winnow",
     "q_stratified_sample_heap", "q_dedup_passages_clean",
     "q_semantic_dedup_2level", "q_scd2", "q_quality_score",
-    "q_dedup_winnow_verified", "q_knn_quantized_rerank")
+    "q_dedup_winnow_verified", "q_knn_quantized_rerank", "q_knn_ivf_sq8")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

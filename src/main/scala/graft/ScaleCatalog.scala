@@ -174,6 +174,14 @@ object ScaleCatalog {
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
     }),
 
+    // IVF-SQ8: learned cells route the probe, int8 codes shrink the
+    // in-cell scan — both trainers deterministic, fully oracled.
+    "q_knn_ivf_sq8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.ScalarQuant.ivfSq8TopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+    }),
+
     // Two-stage SQ8: quantized 4k-shortlist, exact re-rank — recall
     // strictly >= single-stage quantized (spec), exact final scores.
     "q_knn_quantized_rerank" -> ((s, d) => {
@@ -545,6 +553,57 @@ object ScaleCatalog {
       s"""WITH $sq8CtesSql
         |SELECT query_id, neighbor_id, rnk, score FROM r
         |WHERE rnk <= 5""".stripMargin,
+
+    // IVF-SQ8 twin: the q_knn_ivf_learned trainer chain (c0..c3,
+    // nearest-cell corp/probes) composed with the SQ8 codebook over the
+    // same corpus v — probes score against DEQUANTIZED cell members.
+    "q_knn_ivf_sq8" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id >= 10),
+         |q AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id < 10),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |      AS cell, e AS centroid
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+         |${lloydSql(1, "c0")},
+         |${lloydSql(2, "c1")},
+         |${lloydSql(3, "c2")},
+         |${assignSql("corp", "v", "neighbor_id", "c3", 1)},
+         |${assignSql("probes", "q", "query_id", "c3", 1)},
+         |st2 AS (
+         |  SELECT i AS pos, MIN(e[i + 1]) AS lo, MAX(e[i + 1]) AS hi
+         |  FROM v CROSS JOIN range(64) r2(i) GROUP BY i),
+         |qstats AS (
+         |  SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
+         |  FROM st2),
+         |dqc AS (
+         |  SELECT corp.neighbor_id, corp.cell,
+         |    list_transform(range(64), i ->
+         |      s.lo[i + 1] +
+         |      CAST(CASE WHEN s.hi[i + 1] - s.lo[i + 1] = 0 THEN 0
+         |        ELSE GREATEST(0, LEAST(255,
+         |          CAST(floor((corp.e[i + 1] - s.lo[i + 1])
+         |            / (s.hi[i + 1] - s.lo[i + 1]) * 255.0 + 0.5) AS INT)))
+         |        END AS DOUBLE) / 255.0 * (s.hi[i + 1] - s.lo[i + 1]))
+         |      AS ce
+         |  FROM corp CROSS JOIN qstats s),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(round(list_inner_product(a.e, b.ce)
+         |      / (sqrt(list_inner_product(a.e, a.e))
+         |         * sqrt(list_inner_product(b.ce, b.ce))), 6)
+         |      AS DECIMAL(10,6)) AS score
+         |  FROM probes a JOIN dqc b ON a.cell = b.cell),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT)
+         |      AS rnk
+         |  FROM s)
+         |SELECT query_id, neighbor_id, rnk, score FROM r
+         |WHERE rnk <= 5""".stripMargin,
 
     // Two-stage twin: quantized rank to a 20-deep shortlist, then the
     // EXACT cosine (full-precision c0 vectors) re-ranked to 5.

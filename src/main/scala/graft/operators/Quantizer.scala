@@ -70,6 +70,22 @@ object Quantizer {
       .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"),
         first(col("embedding")).as("embedding"))
 
+  /** Query → cell probes: each query tagged with its `nProbe` nearest
+    * cells — (query_id, qe, cell), one row per probed cell. Shared by
+    * the plain learned IVF and the IVF-SQ8 composition.
+    */
+  def probeCells(queries: DataFrame, cells: DataFrame,
+                 nProbe: Int): DataFrame =
+    queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))
+      .crossJoin(broadcast(cells))
+      .withColumn("d2", dist2(dbl(col("qe")), col("centroid")))
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("cell"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cell"))
+
   /** IVF ANN with the LEARNED quantizer: probe the query's `nProbe`
     * nearest cells only. Same output contract as Similarity.bruteTopK.
     */
@@ -79,15 +95,7 @@ object Quantizer {
     val c = assign(corpus, cells)
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ce"), col("cell"))
-    val qProbes = queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qe"))
-      .crossJoin(broadcast(cells))
-      .withColumn("d2", dist2(dbl(col("qe")), col("centroid")))
-      .withColumn("pr", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("d2"), col("cell"))))
-      .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("qe"), col("cell"))
+    val qProbes = probeCells(queries, cells, nProbe)
     val scored = c.join(broadcast(qProbes), Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
         Similarity.score(col("qe"), col("ce")).as("score"))

@@ -102,6 +102,33 @@ object ScalarQuant {
     * corpus once with a hash join and nothing shuffles; the expensive
     * float vectors are touched only for shortlist members.
     */
+  /** IVF-SQ8 — the production vector-index composition (FAISS's
+    * IndexIVFScalarQuantizer shape): a LEARNED coarse quantizer routes
+    * each query to its `nProbe` nearest cells, and within those cells
+    * the corpus is scanned in its int8-encoded form (global SQ8
+    * codebook; per-cell residual coding is the next refinement). The
+    * two levers compose multiplicatively: IVF cuts the scanned FRACTION
+    * to ~nProbe/kCells, SQ8 cuts the BYTES per scanned vector 4× —
+    * which is the whole 100 TB story in one plan. Determinism carries
+    * through both trainers, so the full pipeline (Lloyd's + codebook +
+    * encode + probe + rank) is oracle-replicated.
+    */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 kCells: Int = 8, iters: Int = 3,
+                 nProbe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = Quantizer.fit(corpus, kCells, iters).cache()
+    val stats = fit(corpus)
+    val c = decode(encode(Quantizer.assign(corpus, cells), stats), stats)
+      .select(col("vec_id").as("neighbor_id"), col("dq").as("ce"),
+        col("cell"))
+    val probes = Quantizer.probeCells(queries, cells, nProbe)
+    Similarity.rank(c.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("qe"), col("ce")), 6)
+          .cast(DecimalType(10, 6)).as("score")), k)
+  }
+
   def rerankedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                    shortlistFactor: Int = 4): DataFrame = {
     val shortlist = bruteTopKQuantized(queries, corpus, k * shortlistFactor)

@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
   private val bnlJAllowed = Set(
     "q_knn_brute", "q_knn_topk_agg", "q_quartiles", "q_tfidf",
     "q_knn_ivf_learned", "q_semantic_dedup", "q_semantic_dedup_2level",
-    "q_knn_quantized", "q_knn_quantized_rerank", "q_corpus_mix")
+    "q_knn_quantized", "q_knn_quantized_rerank", "q_knn_ivf_sq8",
+    "q_corpus_mix")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
@@ -46,7 +47,7 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val globalWindowAllowed = Set(
     "q_dim_build", "q_fk_resolve", "q_dim_overwrite", "q_knn_ivf_learned",
-    "q_semantic_dedup", "q_semantic_dedup_2level")
+    "q_semantic_dedup", "q_semantic_dedup_2level", "q_knn_ivf_sq8")
 
   /** Sink round-trip queries EXECUTE a write inside the closure and
     * return the trivial re-read scan — calling fn here would side-effect

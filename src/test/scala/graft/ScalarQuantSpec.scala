@@ -76,6 +76,25 @@ class ScalarQuantSpec extends SparkSpec {
     }
   }
 
+  test("IVF-SQ8 tracks plain learned IVF closely (same cells, int8 scan)") {
+    import graft.operators.Quantizer
+    val q = emb.filter(col("vec_id") < 10)
+    val c = emb.filter(col("vec_id") >= 10)
+    val plain = Quantizer.ivfTopK(q, c, 5, nProbe = 1).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val sq8 = ScalarQuant.ivfSq8TopK(q, c, 5, nProbe = 1).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(sq8.keySet == plain.keySet)
+    // both scan the SAME probed cell; only quantization error can flip
+    // ranks near the k-boundary — overlap must stay high
+    val overlaps = plain.keys.toSeq
+      .map(k => plain(k).intersect(sq8(k)).size)
+    assert(overlaps.sum.toDouble / (overlaps.size * 5) >= 0.8,
+      s"mean overlap ${overlaps.sum.toDouble / (overlaps.size * 5)}")
+  }
+
   test("codebook is order-independent (pure function of the corpus)") {
     val a = ScalarQuant.fit(emb).collect().head
     val b = ScalarQuant.fit(emb.orderBy(col("vec_id").desc)).collect().head
