@@ -356,7 +356,25 @@ object PipelineCatalog {
     "q_stratified_sample_heap" -> ((s, d) =>
       graft.operators.Sampling.stratifiedSampleHeap(
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
-        "lang", "doc_id", 50))
+        "lang", "doc_id", 50)),
+
+    // Weighted sample (A-ES): 100 docs, inclusion ∝ n_chars — longer
+    // docs oversampled, the quality/length-weighted curation draw.
+    "q_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), 100)),
+
+    // Gopher-style rule filter: integer-exact per-rule verdicts + AND.
+    "q_quality_rules" -> ((s, d) =>
+      graft.operators.Curation.gopherRules(Tables.documents(s, d))),
+
+    // Unigram Shannon entropy (nats) — repetitive-text detector; the
+    // sorted-fold double is bit-identical cross-engine (no rounding).
+    "q_token_entropy" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.tokenEntropy(col("text")).as("entropy")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -784,6 +802,57 @@ object PipelineCatalog {
         |  SELECT doc_id, lang, CAST(row_number() OVER (
         |    PARTITION BY lang ORDER BY hk, doc_id) AS INT) AS rk
         |  FROM h)
-        |SELECT doc_id, lang, rk FROM r WHERE rk <= 50""".stripMargin
+        |SELECT doc_id, lang, rk FROM r WHERE rk <= 50""".stripMargin,
+
+    // A-ES twin: same 52-bit md5 draw → dyadic-rational u, same top-k
+    // total order (raw key DESC, id); emitted key rounded to 6 dp (ln
+    // is StrictMath vs libm — last-ULP divergence on ~2% of args).
+    "q_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'),
+        |            1, 13))::BIGINT) + 1) / 4503599627370496.0)
+        |      / CAST(n_chars AS DOUBLE) AS wkey_raw
+        |  FROM documents)
+        |SELECT doc_id, n_chars, round(wkey_raw, 6) AS wkey FROM h
+        |ORDER BY wkey_raw DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Integer-exact rule twins; same thresholds, same cross-multiplied
+    // comparisons — no division on either side.
+    "q_quality_rules" ->
+      """WITH st AS (
+        |  SELECT doc_id, len(t) AS n_tokens,
+        |    CAST(list_reduce(list_transform(t, x -> length(x)),
+        |      (a, b) -> a + b) AS INT) AS sum_len,
+        |    len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+        |      AS n_alpha,
+        |    len(list_filter(t, x -> x IN ('the', 'a'))) AS n_stop
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents))
+        |SELECT doc_id, n_tokens, sum_len, n_alpha, n_stop,
+        |  n_tokens BETWEEN 30 AND 100000 AS r_len,
+        |  sum_len BETWEEN n_tokens * 3 AND n_tokens * 10 AS r_meanw,
+        |  n_alpha * 5 >= n_tokens * 4 AS r_alpha,
+        |  n_stop >= 2 AS r_stop,
+        |  (n_tokens BETWEEN 30 AND 100000)
+        |    AND (sum_len BETWEEN n_tokens * 3 AND n_tokens * 10)
+        |    AND (n_alpha * 5 >= n_tokens * 4)
+        |    AND (n_stop >= 2) AS pass
+        |FROM st""".stripMargin,
+
+    // Entropy twin: list_sort(list_distinct) + list_reduce replicate the
+    // sorted fold (list_reduce's first-element seed equals Spark's
+    // 0.0 + x0 in IEEE); 6-dp round absorbs StrictMath-vs-libm ln ULPs.
+    "q_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id, len(t) AS n_tokens,
+        |  round(ln(CAST(len(t) AS DOUBLE)) -
+        |    list_reduce(
+        |      list_transform(list_sort(list_distinct(t)),
+        |        d -> CAST(len(list_filter(t, x -> x = d)) AS DOUBLE)
+        |          * ln(CAST(len(list_filter(t, x -> x = d)) AS DOUBLE))),
+        |      (a, b) -> a + b) / CAST(len(t) AS DOUBLE), 6) AS entropy
+        |FROM toks""".stripMargin
   )
 }

@@ -65,6 +65,36 @@ object TextOps {
               (0 until n).map(k => element_at(t, i + k)): _*)))
           .otherwise(array().cast("array<string>"))), 1)
 
+  /** Shannon entropy of the doc's unigram distribution, in nats:
+    * H = ln(n) − (Σ_t tf·ln(tf))/n over term frequencies tf. Low entropy
+    * flags repetitive/templated text (the information-theoretic
+    * complement of [[graft.operators.Curation.repetitionStats]]'s n-gram
+    * ratios); high entropy ≈ diverse vocabulary.
+    *
+    * Determinism: the Σ folds term contributions in SORTED distinct-token
+    * order via an explicit `aggregate` — the same sorted-fold idiom as
+    * the k-means trainer. The result is rounded to 6 dp: Spark's log()
+    * is StrictMath.log (fdlibm), which differs from DuckDB's libm ln in
+    * the last ULP on ~2% of arguments (probed — Math.log happens to
+    * MATCH libm here, but Spark doesn't call it), so raw ln surfaces
+    * need the same 6-dp rounding as every other float surface.
+    * The outer single-element `transform` is the usual
+    * let binding (CSE does not reach lambda bodies). Per-row cost is
+    * O(distinct · n) array scans — still a pure map over the scan, no
+    * shuffle; the explode+groupBy alternative trades that for a corpus
+    * shuffle keyed by (doc, token).
+    */
+  def tokenEntropy(text: Column): Column =
+    element_at(
+      transform(array(tokens(text)), t => {
+        val n = size(t).cast("double")
+        val s = aggregate(
+          transform(array_sort(array_distinct(t)),
+            d => size(filter(t, x => x === d)).cast("double")),
+          lit(0.0), (a, f) => a + f * log(f))
+        round(log(n) - s / n, 6)
+      }), 1)
+
   /** Text normalization for dedup preprocessing: case-fold, strip
     * non-alphanumerics to spaces, collapse whitespace runs, trim — the
     * standard canonicalization applied before exact/near dedup so that

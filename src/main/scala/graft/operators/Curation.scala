@@ -185,4 +185,42 @@ object Curation {
       .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram").asc)
       .limit(k)
+
+  /** Gopher-style RULE-BASED quality filter (Rae et al. 2021 §A1.1
+    * shape): hard per-document heuristics, each an integer-exact
+    * predicate so the verdict carries a float-free differential —
+    *
+    *   r_len:   word count within [minTokens, maxTokens];
+    *   r_meanw: mean word length within [3, 10] chars, compared as
+    *            3·n ≤ Σlen ≤ 10·n (no division);
+    *   r_alpha: ≥ 80% of words contain an alphabetic character
+    *            (5·n_alpha ≥ 4·n);
+    *   r_stop:  at least `minStopHits` stopword occurrences (Gopher's
+    *            required-word rule).
+    *
+    * `pass` is the conjunction. Emitting each rule's verdict (not just
+    * the AND) is deliberate: corpus curation wants per-rule rejection
+    * rates to tune thresholds. Pure per-row codegen'd expressions — the
+    * filter is a map over the scan, no shuffle at any scale.
+    */
+  def gopherRules(docs: DataFrame, minTokens: Int = 30,
+                  maxTokens: Int = 100000,
+                  minStopHits: Int = 2): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val stats = docs.select(col("doc_id"),
+      size(t).as("n_tokens"),
+      aggregate(transform(t, length(_)), lit(0), _ + _).as("sum_len"),
+      size(filter(t, x => x.rlike("[a-z]"))).as("n_alpha"),
+      TextOps.stopwordCount(col("text")).as("n_stop"))
+    stats
+      .withColumn("r_len",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("r_meanw",
+        col("sum_len") >= col("n_tokens") * 3 &&
+          col("sum_len") <= col("n_tokens") * 10)
+      .withColumn("r_alpha", col("n_alpha") * 5 >= col("n_tokens") * 4)
+      .withColumn("r_stop", col("n_stop") >= minStopHits)
+      .withColumn("pass",
+        col("r_len") && col("r_meanw") && col("r_alpha") && col("r_stop"))
+  }
 }

@@ -102,6 +102,42 @@ object Sampling {
     * window's tie-break arbitrary and would multiply this form's
     * join-back).
     */
+  /** Weighted sample WITHOUT replacement, k rows, inclusion probability
+    * proportional to `weight` — the Efraimidis–Spirakis A-ES scheme: each
+    * row draws a uniform u ∈ (0, 1] and keeps key u^(1/w); the k largest
+    * keys are the sample. Ranking by ln(u)/w is order-equivalent (ln is
+    * monotone) and avoids pow(); everything around the ln is exact IEEE
+    * arithmetic (u = (h52 + 1) / 2^52 is a dyadic rational; the division
+    * by w is one correctly-rounded op). The ln itself is Spark's
+    * StrictMath.log, which can differ from DuckDB's libm ln in the last
+    * ULP (~2% of args, probed), so the EMITTED key is rounded to 6 dp;
+    * the top-k cut still ranks on the raw key — a cross-engine rank flip
+    * needs two draws within ~1 ULP of each other AND adjacent at the
+    * cut, vanishingly unlikely and absorbed by the id tie-break.
+    *
+    * u comes from a content hash (md5 of the key, salted), not rand():
+    * a row's sample membership is a stable property of the row, so
+    * re-runs, retries and the DuckDB oracle all agree — same rationale
+    * as [[deterministicSample]]. `weight` must be strictly positive.
+    *
+    * Scale: the key is a pure per-row expression; selection is a global
+    * top-k, which Spark executes as TakeOrderedAndProject (per-partition
+    * bounded heaps + a k-row driver merge) — no global sort, no shuffle
+    * of the corpus.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    val h52 = conv(substring(
+      md5(concat(col(keyCol).cast("string"), lit(":ws"))), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h52 + 1).cast("double") / lit(4503599627370496.0) // 2^52
+    df.withColumn("wkey_raw", log(u) / weight.cast("double"))
+      .orderBy(col("wkey_raw").desc, col(keyCol))
+      .limit(k)
+      .withColumn("wkey", round(col("wkey_raw"), 6))
+      .drop("wkey_raw")
+  }
+
   def stratifiedSampleHeap(df: DataFrame, stratumCol: String,
                            keyCol: String, quota: Int): DataFrame = {
     import org.apache.spark.sql.Encoders
