@@ -43,12 +43,16 @@ object Bench {
     "q_retention_cohort", "q_corr_by_currency", "q_anti_join",
     "q_semi_join", "q_grouping_sets", "q_invoice_cadence",
     "q_percent_rank", "q_unpivot",
-    // r5 additions: every operator shipped this round.
+    // r5 additions: every operator shipped that round, plus the four
+    // the r5 advisor found missing from this list (weighted sample,
+    // rule-based quality, token entropy, ORC round-trip).
     "q_media_decode", "q_bloom_probe", "q_knn_quantized", "q_corpus_mix",
     "q_winnow", "q_kmv_distinct", "q_dedup_winnow",
     "q_stratified_sample_heap", "q_dedup_passages_clean",
     "q_semantic_dedup_2level", "q_scd2", "q_quality_score",
-    "q_dedup_winnow_verified", "q_knn_quantized_rerank", "q_knn_ivf_sq8")
+    "q_dedup_winnow_verified", "q_knn_quantized_rerank", "q_knn_ivf_sq8",
+    "q_weighted_sample", "q_quality_rules", "q_token_entropy",
+    "q_docs_orc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

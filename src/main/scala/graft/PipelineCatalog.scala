@@ -738,7 +738,9 @@ object PipelineCatalog {
         |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin,
 
     // Mirrors Bloom.build/probe exactly: same md5-salted positions, same
-    // 64-bit word packing, same AND-of-k test — FPs and all.
+    // 32-bit word packing (deliberate — DuckDB's range-checked `<<`
+    // rejects shifts into bit 63, so Bloom packs 32-bit words), same
+    // AND-of-k test — FPs and all.
     "q_bloom_probe" ->
       """WITH pos AS (
         |  SELECT doc_id, u.i,

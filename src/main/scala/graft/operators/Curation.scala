@@ -130,13 +130,6 @@ object Curation {
       .filter(col("rnk") <= k)
   }
 
-  /** Token-budget truncation: cap every document at `maxTokens`
-    * whitespace tokens (the context-length guard applied before
-    * packing). The text is ALWAYS rebuilt from the token slice — never
-    * "original text if short" — so both engines canonicalize whitespace
-    * identically and the output is a pure function of the token array.
-    * Plan: a pure projection in whole-stage codegen, no shuffle.
-    */
   /** Classifier-style quality score — the model-based filtering shape
     * (fastText/logreg quality classifiers in web-corpus pipelines):
     * a linear model over extracted features, thresholded into a keep
@@ -163,6 +156,13 @@ object Curation {
       (score >= threshold).as("keep"))
   }
 
+  /** Token-budget truncation: cap every document at `maxTokens`
+    * whitespace tokens (the context-length guard applied before
+    * packing). The text is ALWAYS rebuilt from the token slice — never
+    * "original text if short" — so both engines canonicalize whitespace
+    * identically and the output is a pure function of the token array.
+    * Plan: a pure projection in whole-stage codegen, no shuffle.
+    */
   def truncateTokens(docs: DataFrame, maxTokens: Int = 64): DataFrame =
     docs.select(col("doc_id"),
       TextOps.tokenCount(col("text")).as("n_tokens"),

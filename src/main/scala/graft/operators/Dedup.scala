@@ -200,7 +200,7 @@ object Dedup {
     */
   def winnowVerifiedPairs(corpus: DataFrame, num: Int = 7, den: Int = 10,
                           k: Int = 3, w: Int = 4,
-                          minShared: Int = 2): DataFrame = {
+                          minShared: Int = 1): DataFrame = {
     val sh = shingleIndex(corpus).cache()
     val cand = winnowCandidatePairs(corpus, k, w, minShared)
       .select(col("doc_a"), col("doc_b"))

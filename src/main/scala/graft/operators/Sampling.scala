@@ -81,27 +81,6 @@ object Sampling {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
-  /** Same contract as [[stratifiedSample]] (same rows, same `rk`),
-    * different physical shape — the scale path promised in r4's
-    * Scaladoc, now shipped (VERDICT r4 #4):
-    *
-    *  1. a typed bottom-k Aggregator keyed by stratum keeps at most
-    *     `quota` (hk, key) pairs per stratum PER MAP PARTITION, so the
-    *     shuffle carries ~quota·partitions tiny pairs per stratum —
-    *     never the stratum's full row set, and nothing is sorted
-    *     globally (the window form shuffles and sorts EVERY row);
-    *  2. the winner set (quota × strata rows, tiny by construction) is
-    *     broadcast back and inner-joined to re-attach the full original
-    *     row — a second columnar scan instead of a corpus shuffle, the
-    *     TakeOrderedAndProject trade.
-    *
-    * `keyCol` must be integral (the heap orders (md5 asc, key asc) with
-    * a native long compare — a stringly key would rank "10" < "9") and
-    * must UNIQUELY identify rows within a stratum — the precondition of
-    * any hash-lottery sample (both variants: duplicate keys make the
-    * window's tie-break arbitrary and would multiply this form's
-    * join-back).
-    */
   /** Weighted sample WITHOUT replacement, k rows, inclusion probability
     * proportional to `weight` — the Efraimidis–Spirakis A-ES scheme: each
     * row draws a uniform u ∈ (0, 1] and keeps key u^(1/w); the k largest
@@ -138,6 +117,27 @@ object Sampling {
       .drop("wkey_raw")
   }
 
+  /** Same contract as [[stratifiedSample]] (same rows, same `rk`),
+    * different physical shape — the scale path promised in r4's
+    * Scaladoc, now shipped (VERDICT r4 #4):
+    *
+    *  1. a typed bottom-k Aggregator keyed by stratum keeps at most
+    *     `quota` (hk, key) pairs per stratum PER MAP PARTITION, so the
+    *     shuffle carries ~quota·partitions tiny pairs per stratum —
+    *     never the stratum's full row set, and nothing is sorted
+    *     globally (the window form shuffles and sorts EVERY row);
+    *  2. the winner set (quota × strata rows, tiny by construction) is
+    *     broadcast back and inner-joined to re-attach the full original
+    *     row — a second columnar scan instead of a corpus shuffle, the
+    *     TakeOrderedAndProject trade.
+    *
+    * `keyCol` must be integral (the heap orders (md5 asc, key asc) with
+    * a native long compare — a stringly key would rank "10" < "9") and
+    * must UNIQUELY identify rows within a stratum — the precondition of
+    * any hash-lottery sample (both variants: duplicate keys make the
+    * window's tie-break arbitrary and would multiply this form's
+    * join-back).
+    */
   def stratifiedSampleHeap(df: DataFrame, stratumCol: String,
                            keyCol: String, quota: Int): DataFrame = {
     import org.apache.spark.sql.Encoders

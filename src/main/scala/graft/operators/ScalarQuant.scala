@@ -89,19 +89,6 @@ object ScalarQuant {
           .cast(DecimalType(10, 6)).as("score")), k)
   }
 
-  /** TWO-STAGE SQ8 search — the complete production pattern: the
-    * quantized scan produces a `shortlistFactor`·k candidate shortlist
-    * per query (cheap: int8-width corpus), then ONLY those candidates
-    * are re-scored against full-precision vectors and re-ranked. Final
-    * scores are exact cosines, so ranking errors from quantization
-    * survive only when the true neighbor fell out of the shortlist —
-    * recall strictly ≥ the single-stage quantized search (spec-gated).
-    *
-    * Plan shape: the shortlist (|queries|·4k ids — tiny) is BROADCAST
-    * onto the full-precision corpus scan, so stage two streams the
-    * corpus once with a hash join and nothing shuffles; the expensive
-    * float vectors are touched only for shortlist members.
-    */
   /** IVF-SQ8 — the production vector-index composition (FAISS's
     * IndexIVFScalarQuantizer shape): a LEARNED coarse quantizer routes
     * each query to its `nProbe` nearest cells, and within those cells
@@ -129,6 +116,19 @@ object ScalarQuant {
           .cast(DecimalType(10, 6)).as("score")), k)
   }
 
+  /** TWO-STAGE SQ8 search — the complete production pattern: the
+    * quantized scan produces a `shortlistFactor`·k candidate shortlist
+    * per query (cheap: int8-width corpus), then ONLY those candidates
+    * are re-scored against full-precision vectors and re-ranked. Final
+    * scores are exact cosines, so ranking errors from quantization
+    * survive only when the true neighbor fell out of the shortlist —
+    * recall strictly ≥ the single-stage quantized search (spec-gated).
+    *
+    * Plan shape: the shortlist (|queries|·4k ids — tiny) is BROADCAST
+    * onto the full-precision corpus scan, so stage two streams the
+    * corpus once with a hash join and nothing shuffles; the expensive
+    * float vectors are touched only for shortlist members.
+    */
   def rerankedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                    shortlistFactor: Int = 4): DataFrame = {
     val shortlist = bruteTopKQuantized(queries, corpus, k * shortlistFactor)
