@@ -150,7 +150,32 @@ object AnalyticsCatalog {
     // Unpivot: melt the status pivot back to long form.
     "q_unpivot" -> ((s, d) =>
       Analytics.statusUnpivot(Tables.invoices(s, d),
-        Tables.customers(s, d)))
+        Tables.customers(s, d))),
+
+    // Ordered conversion funnel: view → click → purchase, strict
+    // event-time ordering per user; n_users per stage.
+    "q_funnel" -> ((s, d) =>
+      Analytics.funnel(Events.typed(Tables.events(s, d)))),
+
+    // k-anonymity suppression on the customer dimension's
+    // (nationkey, segment) quasi-identifiers, k = 10.
+    "q_k_anonymity" -> ((s, d) =>
+      Analytics.kAnonymize(Tables.customer(s, d))),
+
+    // Salted skew join: orders fact spread over 16 salt buckets,
+    // customer dim replicated per bucket — same result as the plain
+    // join (the oracle IS the plain join), different physical shape.
+    "q_skew_join" -> ((s, d) => {
+      val orders = Tables.orders(s, d).select(
+        col("o_custkey").as("custkey"), col("o_orderkey"),
+        col("o_totalprice").cast(Tables.Money).as("price"))
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"))
+      graft.operators.SkewJoin
+        .saltedInnerJoin(orders, cust, "custkey", Seq("o_orderkey"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("revenue"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -451,6 +476,43 @@ object AnalyticsCatalog {
          |  GROUP BY 1)
          |SELECT segment, 'F' AS status, f AS n FROM p
          |UNION ALL SELECT segment, 'O', o FROM p
-         |UNION ALL SELECT segment, 'P', p.p FROM p""".stripMargin
+         |UNION ALL SELECT segment, 'P', p.p FROM p""".stripMargin,
+
+    // Stagewise frontiers: MIN per user filtered by strict event-time
+    // order against the previous stage — the funnel contract exactly.
+    "q_funnel" ->
+      s"""WITH $eventsSql,
+         |s1 AS (
+         |  SELECT user_id, MIN(ts) AS ts FROM e
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.user_id, MIN(e.ts) AS ts
+         |  FROM e JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > s1.ts GROUP BY 1),
+         |s3 AS (
+         |  SELECT e.user_id, MIN(e.ts) AS ts
+         |  FROM e JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > s2.ts GROUP BY 1)
+         |SELECT 1 AS stage, 'view' AS step,
+         |  (SELECT COUNT(*) FROM s1) AS n_users
+         |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+         |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS qi_n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c.c_custkey,
+        |  CASE WHEN g.qi_n >= 10 THEN c.c_nationkey END AS nation_qi,
+        |  CASE WHEN g.qi_n >= 10 THEN c.c_mktsegment END AS segment_qi,
+        |  g.qi_n < 10 AS suppressed
+        |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+
+    // The PLAIN join — the salted plan must be result-identical.
+    "q_skew_join" ->
+      """SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+        |  SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -71,6 +71,7 @@ object Canonical {
       "q_quartiles_by_currency"       -> d("bill_total"),
       "q_resample_ffill"              -> d("state_v"),
       "q_semantic_dedup"              -> d("score"),
+      "q_skew_join"                   -> d("revenue"),
       "q_semantic_dedup_2level"       -> d("score"),
       "q_rollup"                      -> d("revenue"),
       "q_running_totals"              -> d("running_total"),

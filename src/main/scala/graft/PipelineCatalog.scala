@@ -304,6 +304,34 @@ object PipelineCatalog {
         Tables.documents(s, d).select(col("lang"), col("doc_id")),
         "lang", "doc_id", 64)),
 
+    // HyperLogLog (m=64 registers): distinct users per event type, the
+    // register-based sketch next to KMV's order-statistics one; exact
+    // countDistinct rides along so the differential also gates accuracy.
+    "q_hll_distinct" -> ((s, d) =>
+      graft.operators.Sketch.hllDistinctByGroup(
+        Tables.events(s, d).select(col("event_type"), col("user_id")),
+        "event_type", "user_id")),
+
+    // Count-min heavy hitters: top-20 exact token counts next to their
+    // CMS estimates (3×256 cells) — overestimates and all are part of
+    // the differential contract.
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.operators.Sketch.cmsHeavyHitters(Tables.documents(s, d))),
+
+    // Jaccard CONTAINMENT pairs (asymmetric near-dup): doc_sub's shingle
+    // set ≥ 9/10 inside doc_sup's — catches short-inside-long quoting
+    // that symmetric Jaccard misses. Near-dup injected corpus: the
+    // trimmed copy is fully contained in its source.
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(
+        Dedup.withNearDuplicates(Tables.documents(s, d)))),
+
+    // C4-style passage EXCISION: cut corpus-duplicated 8-token windows
+    // out of each doc (every doc survives; n_removed counts cut tokens).
+    "q_dedup_passages_excise" -> ((s, d) =>
+      Dedup.excisePassages(
+        Dedup.withNearDuplicates(Tables.documents(s, d)), 8)),
+
     // Corpus mixing: skewed target shares (src K → (K+1)/210), keep
     // verdicts by salted-hash lottery — the data-recipe step, with the
     // per-source plan (counts → probabilities) inside the plan.
@@ -855,6 +883,126 @@ object PipelineCatalog {
         |        d -> CAST(len(list_filter(t, x -> x = d)) AS DOUBLE)
         |          * ln(CAST(len(list_filter(t, x -> x = d)) AS DOUBLE))),
         |      (a, b) -> a + b) / CAST(len(t) AS DOUBLE), 6) AS entropy
-        |FROM toks""".stripMargin
+        |FROM toks""".stripMargin,
+
+    // HLL twin: same 60-bit md5 hash, idx = h % 64, ρ from bit-tests on
+    // the 54-bit remainder, dense 64-register fold in index order
+    // (list_reduce's first-element seed == Spark's 0.0 + x0 in IEEE),
+    // same α·m²/Σ2^−Mⱼ estimator with the linear-counting branch.
+    "q_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM events),
+        |hr AS (SELECT event_type, h % 64 AS idx, h >> 6 AS rest FROM h),
+        |rho AS (
+        |  SELECT event_type, idx,
+        |    COALESCE(list_min(list_filter(list_transform(range(1, 55),
+        |      r -> CASE WHEN (rest >> (54 - r)) & 1 = 1 THEN r END),
+        |      x -> x IS NOT NULL)), 55) AS rho
+        |  FROM hr),
+        |regs AS (
+        |  SELECT event_type, idx, MAX(rho) AS mj FROM rho GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT g.event_type, r.idx, COALESCE(regs.mj, 0) AS mj
+        |  FROM (SELECT DISTINCT event_type FROM events) g
+        |  CROSS JOIN range(64) r(idx)
+        |  LEFT JOIN regs ON regs.event_type = g.event_type
+        |    AND regs.idx = r.idx),
+        |agg AS (
+        |  SELECT event_type,
+        |    list_reduce(list_transform(list(mj ORDER BY idx),
+        |      v -> 1.0 / (1::BIGINT << v)), (x, y) -> x + y) AS sum_inv,
+        |    COUNT(*) FILTER (WHERE mj = 0) AS zeros
+        |  FROM dense GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_n
+        |  FROM events GROUP BY 1)
+        |SELECT agg.event_type, zeros,
+        |  round(CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0
+        |        / sum_inv <= 160.0 AND zeros > 0
+        |      THEN 64.0 * ln(64.0 / zeros)
+        |      ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / sum_inv
+        |    END, 6) AS estimate,
+        |  ex.exact_n
+        |FROM agg JOIN ex ON agg.event_type = ex.event_type""".stripMargin,
+
+    // CMS twin: same md5-salted (row, bucket) hashing, 3×256 summed
+    // cells (cast back to BIGINT — DuckDB SUM(BIGINT) widens to
+    // HUGEINT), min-over-rows estimate for the same top-20 cut.
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS exact_n FROM tok GROUP BY 1),
+        |rb AS (
+        |  SELECT token, exact_n, r,
+        |    ('0x' || substr(md5(token || ':cms:' || r), 1, 15))::BIGINT
+        |      % 256 AS b
+        |  FROM cnt CROSS JOIN range(3) t(r)),
+        |cells AS (
+        |  SELECT r, b, CAST(SUM(exact_n) AS BIGINT) AS cell
+        |  FROM rb GROUP BY 1, 2),
+        |top AS (
+        |  SELECT token, exact_n FROM cnt
+        |  ORDER BY exact_n DESC, token LIMIT 20)
+        |SELECT top.token, top.exact_n, MIN(cells.cell) AS cms_est
+        |FROM top
+        |JOIN rb ON rb.token = top.token
+        |JOIN cells ON rb.r = cells.r AND rb.b = cells.b
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Containment twin: the jaccard CTE chain's index with BOTH-direction
+    // pairs and the per-sub-doc integer threshold.
+    "q_dedup_containment" ->
+      s"""WITH $corpusNearSql,
+         |$shinglesSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+         |    COUNT(*) AS intersect_n
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_sub, doc_sup, intersect_n, sa.sz AS sub_sz
+         |FROM inter JOIN sz sa ON inter.doc_sub = sa.doc_id
+         |WHERE intersect_n * 10 >= sa.sz * 9""".stripMargin,
+
+    // Excision twin: positional (non-distinct) 8-token windows, the
+    // duplicated-window set from the DISTINCT view, covered positions
+    // via a bounded range explode, anti-joined token rebuild in
+    // position order. Spark's posexplode is 0-based → i − 1.
+    "q_dedup_passages_excise" ->
+      s"""WITH $corpusNearSql,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |win AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+         |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+         |      AS passage
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+         |        FROM toks)),
+         |dup AS (
+         |  SELECT passage FROM (SELECT DISTINCT doc_id, passage FROM win)
+         |  GROUP BY 1 HAVING COUNT(*) > 1),
+         |cov AS (
+         |  SELECT DISTINCT w.doc_id, w.pos + r.j AS tpos
+         |  FROM win w JOIN dup USING (passage) CROSS JOIN range(8) r(j)),
+         |tk AS (
+         |  SELECT doc_id, tpos, t[tpos + 1] AS tok
+         |  FROM (SELECT doc_id, t, unnest(range(len(t))) AS tpos
+         |        FROM toks)),
+         |kept AS (
+         |  SELECT tk.doc_id, tk.tpos, tk.tok FROM tk
+         |  ANTI JOIN cov ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos),
+         |reb AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS kept
+         |  FROM kept GROUP BY 1),
+         |rem AS (SELECT doc_id, COUNT(*) AS nrm FROM cov GROUP BY 1)
+         |SELECT c.doc_id, COALESCE(reb.kept, '') AS text_clean,
+         |  COALESCE(rem.nrm, 0) AS n_removed
+         |FROM corpus c
+         |LEFT JOIN reb ON c.doc_id = reb.doc_id
+         |LEFT JOIN rem ON c.doc_id = rem.doc_id""".stripMargin
   )
 }

@@ -72,6 +72,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("intersect_n"), col("union_n"))
   }
 
+  /** Jaccard CONTAINMENT pairs — the asymmetric near-dup relation
+    * (Broder's containment c(A,B) = |A∩B| / |A|): doc_sub's shingle set
+    * is ≥ num/den inside doc_sup's. Catches what symmetric Jaccard
+    * misses — a short doc quoted wholesale inside a long one (quote
+    * farms, scraped snippets, boilerplate wrappers) has J ≈ |A|/|B| ≈ 0
+    * but containment ≈ 1. Ordered pairs: (a contained-in b) and
+    * (b contained-in a) are independent verdicts, both emitted when true.
+    *
+    * Same inverted-index shape as [[exactJaccardPairs]] (equi-join on
+    * the shingle key, never corpus×corpus) with the same `maxDocFreq`
+    * hot-shingle cap; the threshold compare is pure integer
+    * (den·inter ≥ num·|A|) so the differential is float-free.
+    */
+  def containmentPairs(corpus: DataFrame, num: Int = 9, den: Int = 10,
+                       maxDocFreq: Option[Int] = None): DataFrame = {
+    val shAll = shingleIndex(corpus).cache()
+    val sh = maxDocFreq.fold(shAll) { m =>
+      val rare = shAll.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= m)
+        .select(col("shingle"))
+      shAll.join(rare, Seq("shingle"))
+    }
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_sub"), col("b.doc_id").as("doc_sup"))
+      .agg(count(lit(1)).as("intersect_n"))
+    inter
+      .join(sizes(shAll).withColumnRenamed("doc_id", "doc_sub"), Seq("doc_sub"))
+      .filter(col("intersect_n") * den >= col("sz") * num)
+      .select(col("doc_sub"), col("doc_sup"), col("intersect_n"),
+        col("sz").as("sub_sz"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via the inverted index.
     * `maxDocFreq`: at scale, drop shingles appearing in more than this
     * many docs before pairing — bounds the quadratic blowup of hot
@@ -353,5 +388,52 @@ object Dedup {
       .filter(col("doc_id") =!= col("min_doc_id"))
       .select(col("doc_id")).distinct()
     corpus.join(offenders, Seq("doc_id"), "left_anti")
+  }
+
+  /** C4-style SPAN EXCISION — the surgical alternative to
+    * [[dropDuplicatePassageDocs]]: instead of discarding a whole
+    * document that carries a corpus-duplicated `n`-token window, cut
+    * ONLY the tokens covered by such windows and keep the rest. This is
+    * what production pipelines do to long documents where one repeated
+    * boilerplate block (a license header, a nav bar) would otherwise
+    * cost the entire doc. Every doc survives with its row; `n_removed`
+    * counts excised tokens (0 for untouched docs); the rebuilt text
+    * joins the surviving tokens with single spaces in original order.
+    *
+    * Plan: positional windows (posexplode over the token array) equi-join
+    * the duplicated-passage index on the window text; covered token
+    * positions come from a bounded `sequence(pos, pos+n−1)` explode and
+    * one distinct; surviving tokens anti-join (doc_id, pos) and fold back
+    * with a per-doc sorted collect — every shuffle keys on doc_id or the
+    * passage string with map-side partials, never all-pairs. A
+    * boilerplate-hot passage is one hot key, same cap story as
+    * [[exactJaccardPairs]] `maxDocFreq`.
+    */
+  def excisePassages(corpus: DataFrame, n: Int = 16): DataFrame = {
+    val dup = duplicatePassages(corpus, n).select(col("passage"))
+    // 0-based window start positions, repeats kept (position matters).
+    val wins = corpus.select(col("doc_id"),
+        posexplode(TextOps.ngramsAll(col("text"), n)))
+      .select(col("doc_id"), col("pos"), col("col").as("passage"))
+    val covered = wins.join(dup, Seq("passage"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos"))
+      .distinct()
+    val toks = corpus.select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), col("pos").as("tpos"), col("col").as("tok"))
+    val rebuilt = toks.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("tpos"), col("tok")))),
+        _.getField("tok")), " ").as("kept"))
+    val removed = covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nrm"))
+    corpus.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept"), lit("")).as("text_clean"),
+        coalesce(col("nrm"), lit(0L)).as("n_removed"))
   }
 }

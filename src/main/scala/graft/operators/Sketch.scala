@@ -79,6 +79,125 @@ object Sketch {
             / col("s.hk").cast("double"))
           .as("estimate"))
   }
+  /** Count–min sketch (Cormode–Muthukrishnan '05) heavy hitters:
+    * `depth` hash rows × `width` buckets of summed counts; a token's
+    * estimate is the MIN over its `depth` cells — always ≥ the true
+    * count (collisions only ever inflate), with overestimate bounded by
+    * ~2·N/width w.p. 1 − (1/2)^depth. Emitted next to the exact counts
+    * for the corpus's top-`k` tokens, so the differential gates sketch
+    * arithmetic, collisions and all.
+    *
+    * Hashing is md5-salted per row (not xxhash64) so DuckDB reproduces
+    * every bucket — the same cross-engine rationale as the whole sketch
+    * family. Scale shape: the sketch build is ONE keyed aggregate over
+    * (row, bucket) — depth·width cells total regardless of corpus size
+    * (the entire point of a sketch); the top-k probe is a
+    * TakeOrderedAndProject plus a broadcast-sized join against the
+    * depth·width cell table. Exact counts ride the same token aggregate
+    * that feeds the sketch, so the corpus is tokenized once.
+    */
+  def cmsHeavyHitters(docs: DataFrame, depth: Int = 3, width: Int = 256,
+                      k: Int = 20): DataFrame = {
+    val counts = docs
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .cache()
+    def rb(r: Int) = struct(lit(r).as("r"),
+      pmod(TextOps.fingerprint64(concat(col("token"), lit(s":cms:$r"))),
+        lit(width.toLong)).as("b"))
+    val hashed = (c: DataFrame) => c.select(col("token"), col("exact_n"),
+        explode(array((0 until depth).map(rb): _*)).as("rb"))
+      .select(col("token"), col("exact_n"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+    val cells = hashed(counts)
+      .groupBy(col("r"), col("b")).agg(sum(col("exact_n")).as("cell"))
+    val top = counts.orderBy(col("exact_n").desc, col("token")).limit(k)
+    hashed(top).join(cells, Seq("r", "b"))
+      .groupBy(col("token"), col("exact_n"))
+      .agg(min(col("cell")).as("cms_est"))
+  }
+
+  /** HyperLogLog distinct estimate (Flajolet et al. '07), m = 64
+    * registers — the industry-standard cardinality sketch, here in its
+    * deterministic md5-derived form so the full register state and the
+    * estimator arithmetic are oracle-replicable (Spark's own
+    * `approx_count_distinct` is HLL++ with an engine-private sketch —
+    * no differential possible; [[kmvDistinctByGroup]] is the
+    * order-statistics alternative, this is the register one).
+    *
+    * Per value: a 60-bit hash splits into a 6-bit register index and a
+    * 54-bit remainder whose leading-zero run sets ρ (1‥55); registers
+    * keep max ρ. Estimate = α·m²/Σ2^−Mⱼ with the linear-counting
+    * small-range correction (m·ln(m/zeros) when E ≤ 2.5m and empty
+    * registers exist). The Σ folds registers in index order — the
+    * sorted-fold idiom every float surface here uses — and 2^−Mⱼ terms
+    * are exact dyadic doubles, so both engines compute bit-identical
+    * sums; ln is probed bit-identical; the emitted estimate is rounded
+    * to 6 dp like every float surface.
+    *
+    * Scale shape: one aggregate keyed (group, register) with map-side
+    * MAX partials — 64 longs per group cross the shuffle, never the
+    * distinct values. `exact_n` (a real countDistinct, which DOES
+    * shuffle distinct values) rides along only to make the differential
+    * also gate the estimate against truth at test scale.
+    */
+  def hllDistinctByGroup(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val m = 64
+    // 2^0‥2^55 as a literal lookup (1-based element_at) — the Scala DSL's
+    // shiftleft/shiftright only take constant shift amounts, so variable
+    // shifts become bit-tests against these single-bit masks.
+    val pow2 = typedlit((0 to 55).map(1L << _))
+    val h = TextOps.fingerprint64(col(valueCol).cast("string"))
+    val rest = shiftright(h, 6) // 54-bit remainder
+    // ρ = position (1-based) of the highest set bit's leading-zero run
+    // end: smallest r with bit (54 − r) set; all-zero remainder → 55.
+    val rho = coalesce(
+      array_min(filter(
+        transform(sequence(lit(1), lit(54)),
+          r => when(rest.bitwiseAND(element_at(pow2, lit(55) - r)) > 0, r)),
+        x => x.isNotNull)),
+      lit(55))
+    val regs = df
+      .select(col(groupCol).cast("string").as("g"),
+        pmod(h, lit(m.toLong)).as("idx"), rho.as("rho"))
+      .groupBy(col("g"), col("idx")).agg(max(col("rho")).as("mj"))
+    // Dense 64-register state per group (unseen register → Mⱼ = 0).
+    val dense = df.select(col(groupCol).cast("string").as("g")).distinct()
+      .crossJoin(spark_range_64)
+      .join(regs, Seq("g", "idx"), "left")
+      .select(col("g"), col("idx"),
+        coalesce(col("mj"), lit(0)).as("mj"))
+    val folded = dense.groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("mj"))))
+        .as("rs"),
+        sum(when(col("mj") === 0, 1).otherwise(0)).as("zeros"))
+      .withColumn("sum_inv",
+        aggregate(transform(col("rs"),
+            s => lit(1.0) / element_at(typedlit((0 to 55).map(1L << _)),
+              s.getField("mj") + 1).cast("double")),
+          lit(0.0), _ + _))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
+    val raw = alpha * lit(64.0) * lit(64.0) / col("sum_inv")
+    val est = when(raw <= lit(2.5 * 64) && col("zeros") > 0,
+      lit(64.0) * log(lit(64.0) / col("zeros").cast("double")))
+      .otherwise(raw)
+    val exact = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(countDistinct(col(valueCol)).as("exact_n"))
+    folded
+      .select(col("g"), col("zeros"), round(est, 6).as("estimate"))
+      .join(exact, Seq("g"))
+      .select(col("g").as(groupCol), col("zeros"), col("estimate"),
+        col("exact_n"))
+  }
+
+  /** The 64 register indices as a one-column frame — a constant-range
+    * helper (the `crossJoin` side is 64 rows; Catalyst folds it).
+    */
+  private def spark_range_64: DataFrame = {
+    val s = org.apache.spark.sql.SparkSession.active
+    s.range(64).select(col("id").cast("int").as("idx"))
+  }
 }
 
 /** Sketch summary: how many mins were kept and the k-th smallest. */

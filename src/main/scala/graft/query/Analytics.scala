@@ -360,4 +360,60 @@ object Analytics {
     statusPivot(invoices, customers)
       .unpivot(Array(col("segment")),
         Array(col("F"), col("O"), col("P")), "status", "n")
+
+  /** Ordered conversion funnel over typed events: per user, the first
+    * step-1 event, then the first step-2 event STRICTLY after it, then
+    * the first step-3 event strictly after that — the standard product
+    * funnel where step order matters (a purchase before the click does
+    * not convert the click). Output: one row per stage with how many
+    * users reached it, monotone non-increasing by construction.
+    *
+    * Shape: each stage is one groupBy(user) MIN over a filtered scan,
+    * joined to the previous stage's frontier — three aggregates keyed on
+    * user_id (map-side partials, no window, no ordering shuffle). At
+    * 100 TB the per-stage frontier is |users| rows, and every join is an
+    * equi-join on user_id that AQE can broadcast once the funnel
+    * narrows.
+    */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("view", "click", "purchase"))
+      : DataFrame = {
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
+    val frontiers = steps.tail.scanLeft(first) { (prev, step) =>
+      events.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("ts").as("prev_ts")),
+          Seq("user_id"))
+        .filter(col("ts") > col("prev_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
+    }
+    steps.zip(frontiers).zipWithIndex.map { case ((step, f), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(step).as("step"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** k-anonymity suppression over a dimension's quasi-identifier
+    * columns: any (nationkey, segment) combination carried by fewer
+    * than `k` customers has BOTH quasi-identifiers nulled — the
+    * generalize-or-suppress privacy gate a pipeline applies before
+    * customer attributes may ride along with training data. Identifiers
+    * (the key) survive; `suppressed` flags the affected rows so
+    * downstream can count information loss.
+    *
+    * Shape: one groupBy over the QI columns (tiny result — at most
+    * |QI-value combinations| rows) broadcast-joined back onto the scan;
+    * no window, no second pass over the fact.
+    */
+  def kAnonymize(customers: DataFrame, k: Int = 10): DataFrame = {
+    val groups = customers
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("qi_n"))
+    customers.join(broadcast(groups), Seq("c_nationkey", "c_mktsegment"))
+      .select(col("c_custkey"),
+        when(col("qi_n") >= k, col("c_nationkey")).as("nation_qi"),
+        when(col("qi_n") >= k, col("c_mktsegment")).as("segment_qi"),
+        (col("qi_n") < k).as("suppressed"))
+  }
 }

@@ -34,11 +34,15 @@ class PlanAuditSpec extends SparkSpec {
   /**  - corpus_mix: the 1-row corpus total cross-joined onto the
     *    |sources|-row count table while building the tiny mix plan.
     */
+  /**  - hll_distinct: the constant 64-row register-index frame is
+    *    cross-joined onto the (tiny) distinct-group set to densify
+    *    registers — bounded by 64·|groups|, never the data.
+    */
   private val bnlJAllowed = Set(
     "q_knn_brute", "q_knn_topk_agg", "q_quartiles", "q_tfidf",
     "q_knn_ivf_learned", "q_semantic_dedup", "q_semantic_dedup_2level",
     "q_knn_quantized", "q_knn_quantized_rerank", "q_knn_ivf_sq8",
-    "q_corpus_mix")
+    "q_corpus_mix", "q_hll_distinct")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
