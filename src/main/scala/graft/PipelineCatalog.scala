@@ -332,6 +332,20 @@ object PipelineCatalog {
       Dedup.excisePassages(
         Dedup.withNearDuplicates(Tables.documents(s, d)), 8)),
 
+    // Bigram-LM quality score (perplexity-filter shape): add-one
+    // smoothed bigram model trained ON the corpus, docs scored by mean
+    // ln P — trainer AND scorer inside one oracle-replicated plan.
+    "q_lm_score" -> ((s, d) =>
+      graft.operators.LangModel.bigramScore(Tables.documents(s, d))),
+
+    // Feature-hashing vectorizer (hashing trick, dim=32): text → dense
+    // signed-count vector, exploded to (doc_id, j, v) rows — integer
+    // exact, no vocabulary table.
+    "q_hash_vectorize" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        posexplode(TextOps.hashVector(col("text"))))
+        .select(col("doc_id"), col("pos").as("j"), col("col").as("v"))),
+
     // Corpus mixing: skewed target shares (src K → (K+1)/210), keep
     // verdicts by salted-hash lottery — the data-recipe step, with the
     // per-source plan (counts → probabilities) inside the plan.
@@ -1003,6 +1017,59 @@ object PipelineCatalog {
          |  COALESCE(rem.nrm, 0) AS n_removed
          |FROM corpus c
          |LEFT JOIN reb ON c.doc_id = reb.doc_id
-         |LEFT JOIN rem ON c.doc_id = rem.doc_id""".stripMargin
+         |LEFT JOIN rem ON c.doc_id = rem.doc_id""".stripMargin,
+
+    // Bigram-LM twin: same positional bigram build, same smoothed
+    // probability arithmetic ((n2+1)/(n1+V) as doubles, ln probed
+    // bit-identical), same position-ordered sum fold, 6-dp mean.
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] AS bigram,
+        |    t[i] AS w1
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks)),
+        |c2 AS (SELECT bigram, COUNT(*) AS n2 FROM bg GROUP BY 1),
+        |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+        |v AS (
+        |  SELECT COUNT(DISTINCT tok) AS vsz
+        |  FROM (SELECT unnest(t) AS tok FROM toks)),
+        |lp AS (
+        |  SELECT bg.doc_id, bg.pos,
+        |    ln(CAST(c2.n2 + 1 AS DOUBLE) / CAST(c1.n1 + v.vsz AS DOUBLE))
+        |      AS logp
+        |  FROM bg JOIN c2 USING (bigram) JOIN c1 ON bg.w1 = c1.w1
+        |  CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
+        |  FROM lp GROUP BY 1)
+        |SELECT doc_id, n_bigrams, round(s / n_bigrams, 6) AS avg_logp
+        |FROM agg""".stripMargin,
+
+    // Hashing-trick twin: same md5-salted bucket/sign per token
+    // occurrence, grouped signed sums densified over all 32 positions.
+    "q_hash_vectorize" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |hs AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok || ':fh'), 1, 15))::BIGINT % 32 AS i,
+        |    CASE WHEN ('0x' || substr(md5(tok || ':fs'), 1, 15))::BIGINT
+        |        % 2 = 1 THEN 1 ELSE -1 END AS s
+        |  FROM tok),
+        |sums AS (
+        |  SELECT doc_id, i, CAST(SUM(s) AS BIGINT) AS v
+        |  FROM hs GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT d.doc_id, r.j
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  CROSS JOIN range(32) r(j))
+        |SELECT dense.doc_id, CAST(dense.j AS INT) AS j,
+        |  COALESCE(sums.v, 0) AS v
+        |FROM dense LEFT JOIN sums
+        |  ON dense.doc_id = sums.doc_id AND dense.j = sums.i""".stripMargin
   )
 }

@@ -83,6 +83,26 @@ object ScaleCatalog {
        |  SELECT cell, list(m ORDER BY pos) AS centroid FROM m$n
        |  GROUP BY cell)""".stripMargin
 
+  /** One PQ Lloyd's iteration twin of ProductQuant.fit's loop body:
+    * the [[lloydSql]] arithmetic with the subspace id `m` riding every
+    * key — assignment ranks per (vec_id, m), means group (m, cell, pos).
+    */
+  private def pqLloydSql(n: Int, prev: String) =
+    s"""pa$n AS (
+       |  SELECT vec_id, m, sv, cell FROM (
+       |    SELECT sub.vec_id, sub.m, sub.sv, i.cell,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+       |        ${d2Sql("sub.sv", "i.centroid")}, i.cell) AS rn
+       |    FROM sub JOIN $prev i ON sub.m = i.m) WHERE rn = 1),
+       |pm$n AS (
+       |  SELECT m, cell, i AS pos,
+       |    list_reduce(list_sort(list(sv[i + 1])), (x, y) -> x + y)
+       |      / COUNT(*) AS mu
+       |  FROM pa$n CROSS JOIN range(8) r2(i) GROUP BY m, cell, i),
+       |pc$n AS (
+       |  SELECT m, cell, list(mu ORDER BY pos) AS centroid FROM pm$n
+       |  GROUP BY m, cell)""".stripMargin
+
   /** SQ8 CTE chain shared by the single- and two-stage quantized-knn
     * oracles: codebook (per-dim min/max), dequantized corpus, quantized
     * cosine scores, quantized rank `r`.
@@ -179,6 +199,15 @@ object ScaleCatalog {
     "q_knn_ivf_sq8" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       graft.operators.ScalarQuant.ivfSq8TopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+    }),
+
+    // Product quantization ADC top-5: m=8 subspace codebooks (ksub=16),
+    // codes-only scan + query-side lookup table — the 32× compression
+    // leg of the quantization family; all 8 trainers oracle-replicated.
+    "q_knn_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.ProductQuant.adcTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
     }),
 
@@ -602,6 +631,59 @@ object ScaleCatalog {
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT)
          |      AS rnk
          |  FROM s)
+         |SELECT query_id, neighbor_id, rnk, score FROM r
+         |WHERE rnk <= 5""".stripMargin,
+
+    // PQ twin: 8 independent subspace trainers (the pqLloyd chain keyed
+    // by m), 4th-pass encoding, query LUT via list_inner_product, ADC
+    // sum folded in subspace order, shared rank skeleton.
+    "q_knn_pq" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id >= 10),
+         |q AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id < 10),
+         |sub AS (
+         |  SELECT vec_id, r.m, list_slice(e, r.m * 8 + 1, r.m * 8 + 8)
+         |    AS sv
+         |  FROM v CROSS JOIN range(8) r(m)),
+         |pc0 AS (
+         |  SELECT sub.m, i.cell, sub.sv AS centroid
+         |  FROM sub JOIN (
+         |    SELECT vec_id,
+         |      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+         |    FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)) i
+         |    USING (vec_id)),
+         |${pqLloydSql(1, "pc0")},
+         |${pqLloydSql(2, "pc1")},
+         |${pqLloydSql(3, "pc2")},
+         |codes AS (
+         |  SELECT vec_id AS neighbor_id, m, cell FROM (
+         |    SELECT sub.vec_id, sub.m, i.cell,
+         |      row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+         |        ${d2Sql("sub.sv", "i.centroid")}, i.cell) AS rn
+         |    FROM sub JOIN pc3 i ON sub.m = i.m) WHERE rn = 1),
+         |qsub AS (
+         |  SELECT vec_id AS query_id, r.m,
+         |    list_slice(e, r.m * 8 + 1, r.m * 8 + 8) AS sv
+         |  FROM q CROSS JOIN range(8) r(m)),
+         |lut AS (
+         |  SELECT query_id, cb.m, cb.cell,
+         |    list_inner_product(qsub.sv, cb.centroid) AS ip
+         |  FROM qsub JOIN pc3 cb ON qsub.m = cb.m),
+         |sc AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(round(list_reduce(list(ip ORDER BY lut.m),
+         |      (a, b) -> a + b), 6) AS DECIMAL(10,6)) AS score
+         |  FROM codes JOIN lut
+         |    ON codes.m = lut.m AND codes.cell = lut.cell
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT)
+         |      AS rnk
+         |  FROM sc)
          |SELECT query_id, neighbor_id, rnk, score FROM r
          |WHERE rnk <= 5""".stripMargin,
 

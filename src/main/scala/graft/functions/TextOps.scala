@@ -158,6 +158,34 @@ object TextOps {
             .when(size(hs) > 0, array(array_min(hs)))
             .otherwise(array().cast("array<long>"))), 1)
 
+  /** Feature-hashing ("hashing trick") vectorizer: text → a dense
+    * `dim`-wide signed-count vector, v[j] = Σ over token occurrences
+    * with bucket(t) = j of sign(t) — the Weinberger et al. '09 scheme
+    * that turns raw text into a fixed-width feature vector with NO
+    * vocabulary table (the bridge from the text surface to the
+    * knn/quantizer family without an embedding model in the loop).
+    * Bucket and sign come from independent md5 salts, so the vector is
+    * a pure integer function of the text — exactly reproducible in the
+    * oracle, no float anywhere.
+    *
+    * The inner single-element `transform` is the usual let binding: the
+    * per-token (bucket, sign) pairs are hashed ONCE and reused across
+    * all `dim` output positions (CSE does not reach lambda bodies);
+    * per-row cost is O(tokens) hashes + O(dim·tokens) integer adds —
+    * a pure map over the scan, no shuffle.
+    */
+  def hashVector(text: Column, dim: Int = 32): Column =
+    element_at(
+      transform(array(transform(tokens(text), tok => struct(
+          pmod(fingerprint64(concat(tok, lit(":fh"))), lit(dim.toLong))
+            .as("i"),
+          when(pmod(fingerprint64(concat(tok, lit(":fs"))), lit(2L)) === 1,
+            lit(1L)).otherwise(lit(-1L)).as("s")))),
+        hs => transform(sequence(lit(0), lit(dim - 1)),
+          j => aggregate(hs, lit(0L),
+            (a, h) => a + when(h.getField("i") === j, h.getField("s"))
+              .otherwise(lit(0L))))), 1)
+
   /** Native fused form of [[winnow]] (graft.expressions
     * .WinnowFingerprints): one loop, one reused MessageDigest, no
     * intermediate Catalyst arrays — bit-identical output, spec-gated.

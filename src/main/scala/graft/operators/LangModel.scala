@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Statistical language-model quality scoring — the perplexity-filter
+  * shape (CCNet/KenLM-style: score each document under an n-gram LM;
+  * low average log-probability flags incoherent or boilerplate text).
+  * The container trains nothing external, so the model IS the corpus:
+  * an add-one-smoothed bigram LM trained on the same documents it
+  * scores — which makes the whole trainer+scorer pipeline a pure
+  * function of the corpus that the DuckDB oracle replicates end to end
+  * (the same differential-over-the-trainer story as the k-means ANN
+  * family).
+  *
+  * Model: P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V) with c(w₁·) the
+  * count of w₁ as a bigram history and V the corpus vocabulary size.
+  * Score = mean over the doc's bigram positions of ln P — position
+  * order matters for the float fold, so the per-doc sum folds
+  * (pos, ln P) pairs sorted by position (the sorted-fold idiom every
+  * float surface here uses); ln is probed bit-identical JVM↔DuckDB;
+  * the emitted mean is rounded to 6 dp.
+  *
+  * Scale shape: trainer = two keyed aggregates (bigram, history) over
+  * one tokenization pass — classic map-side-partial counts; scoring =
+  * two equi-joins back on (bigram, history) + one groupBy(doc_id).
+  * The 1-row vocabulary count broadcasts onto the scorer. A 100 TB
+  * corpus trains in one shuffle keyed by bigram; a hot bigram is one
+  * hot counter cell, not a hot join key (counts, not pairs).
+  */
+object LangModel {
+
+  /** (doc_id, n_bigrams, avg_logp) for every doc with ≥ 1 bigram. */
+  def bigramScore(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"),
+        posexplode(TextOps.ngramsAll(col("text"), 2)))
+      .select(col("doc_id"), col("pos"), col("col").as("bigram"),
+        substring_index(col("col"), " ", 1).as("w1"))
+    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val v = docs
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("vsz"))
+    val lp = bg
+      .join(c2, Seq("bigram"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("pos"),
+        log((col("n2") + 1).cast("double") /
+          (col("n1") + col("vsz")).cast("double")).as("logp"))
+    lp.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        array_sort(collect_list(struct(col("pos"), col("logp"))))
+          .as("parts"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(aggregate(transform(col("parts"), _.getField("logp")),
+          lit(0.0), _ + _) / col("n_bigrams"), 6).as("avg_logp"))
+  }
+}

@@ -37,12 +37,14 @@ class PlanAuditSpec extends SparkSpec {
   /**  - hll_distinct: the constant 64-row register-index frame is
     *    cross-joined onto the (tiny) distinct-group set to densify
     *    registers — bounded by 64·|groups|, never the data.
+    *  - lm_score: the 1-row vocabulary-size aggregate broadcast onto
+    *    the scorer (same family as quartiles/tfidf).
     */
   private val bnlJAllowed = Set(
     "q_knn_brute", "q_knn_topk_agg", "q_quartiles", "q_tfidf",
     "q_knn_ivf_learned", "q_semantic_dedup", "q_semantic_dedup_2level",
     "q_knn_quantized", "q_knn_quantized_rerank", "q_knn_ivf_sq8",
-    "q_corpus_mix", "q_hll_distinct")
+    "q_corpus_mix", "q_hll_distinct", "q_lm_score")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
@@ -51,7 +53,8 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val globalWindowAllowed = Set(
     "q_dim_build", "q_fk_resolve", "q_dim_overwrite", "q_knn_ivf_learned",
-    "q_semantic_dedup", "q_semantic_dedup_2level", "q_knn_ivf_sq8")
+    "q_semantic_dedup", "q_semantic_dedup_2level", "q_knn_ivf_sq8",
+    "q_knn_pq") // PQ codebook init: row_number over ksub = 16 rows
 
   /** Sink round-trip queries EXECUTE a write inside the closure and
     * return the trivial re-read scan — calling fn here would side-effect
