@@ -56,6 +56,8 @@ object Canonical {
       "q_knn_lsh"                     -> d("score"),
       "q_knn_ivf_sq8"                 -> d("score"),
       "q_knn_pq"                      -> d("score"),
+      "q_knn_ivf_pq"                  -> d("score"),
+      "q_knn_text"                    -> d("score"),
       "q_knn_quantized"               -> d("score"),
       "q_knn_quantized_rerank"        -> d("score"),
       "q_knn_topk_agg"                -> d("score"),

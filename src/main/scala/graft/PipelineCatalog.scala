@@ -338,6 +338,33 @@ object PipelineCatalog {
     "q_lm_score" -> ((s, d) =>
       graft.operators.LangModel.bigramScore(Tables.documents(s, d))),
 
+    // Incremental snapshot dedup: a batch (odd docs + re-crawled copies
+    // of every 20th even doc) flagged against the previous snapshot's
+    // fingerprint set — the daily-ingest dedup stage.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(prev.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      Dedup.snapshotDupFlags(batch, prev)
+    }),
+
+    // Trained language-ID: per-lang top-20 token profiles learned from
+    // the labeled corpus, docs scored by profile hits, argmax predict.
+    "q_langid_trained" -> ((s, d) =>
+      graft.operators.LangModel.trainedLangId(Tables.documents(s, d))),
+
+    // Temperature-derived mixing recipe (α = ½): shares ∝ √n_s, then
+    // the same broadcast plan + salted lottery as q_corpus_mix.
+    "q_mix_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      graft.operators.Mixing.mixPlan(docs, "source", "doc_id",
+        graft.operators.Mixing.temperatureTargets(docs, "source"))
+        .select(col("doc_id"), col("source"), col("p"), col("keep"))
+    }),
+
     // Feature-hashing vectorizer (hashing trick, dim=32): text → dense
     // signed-count vector, exploded to (doc_id, j, v) rows — integer
     // exact, no vocabulary table.
@@ -1070,6 +1097,68 @@ object PipelineCatalog {
         |SELECT dense.doc_id, CAST(dense.j AS INT) AS j,
         |  COALESCE(sums.v, 0) AS v
         |FROM dense LEFT JOIN sums
-        |  ON dense.doc_id = sums.doc_id AND dense.j = sums.i""".stripMargin
+        |  ON dense.doc_id = sums.doc_id AND dense.j = sums.i""".stripMargin,
+
+    // Same md5 content fingerprints, same batch construction, LEFT
+    // JOIN against the snapshot's distinct fingerprint set.
+    "q_dedup_incremental" ->
+      """WITH prev AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM prev WHERE doc_id % 20 = 0),
+        |seen AS (SELECT DISTINCT md5(text) AS fp FROM prev)
+        |SELECT b.doc_id, (seen.fp IS NOT NULL) AS dup_of_prev
+        |FROM batch b LEFT JOIN seen ON md5(b.text) = seen.fp""".stripMargin,
+
+    // Trained-profile twin: same counts, same (n DESC, token) rank cut,
+    // same profile-hit scores, same (score DESC, lang) argmax.
+    "q_langid_trained" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT lang AS cand, token FROM (
+        |    SELECT lang, token, row_number() OVER (
+        |      PARTITION BY lang ORDER BY n DESC, token) AS rk
+        |    FROM cnt) WHERE rk <= 20),
+        |sc AS (
+        |  SELECT t.doc_id, p.cand, COUNT(*) AS score
+        |  FROM tok t JOIN prof p ON t.token = p.token GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, cand AS predicted,
+        |    row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        |  FROM sc),
+        |mx AS (SELECT doc_id, MAX(score) AS best_score FROM sc GROUP BY 1)
+        |SELECT b.doc_id, b.predicted, mx.best_score
+        |FROM best b JOIN mx ON b.doc_id = mx.doc_id
+        |WHERE b.rn = 1""".stripMargin,
+
+    // Temperature twin: √n_s weights, source-ordered normalizer fold,
+    // then the q_corpus_mix plan/lottery arithmetic verbatim.
+    "q_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+        |w AS (SELECT source, sqrt(CAST(n_s AS DOUBLE)) AS w FROM c),
+        |z AS (
+        |  SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b)
+        |    AS z
+        |  FROM w),
+        |t AS (SELECT source, w / z AS share FROM w CROSS JOIN z),
+        |tot AS (SELECT SUM(n_s) AS n_total FROM c),
+        |pl AS (
+        |  SELECT c.source,
+        |    least(1.0, t.share * CAST(n_total AS DOUBLE)
+        |      / CAST(n_s AS DOUBLE)) AS p
+        |  FROM c CROSS JOIN tot JOIN t ON c.source = t.source)
+        |SELECT d.doc_id, d.source, pl.p,
+        |  (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15))
+        |     ::BIGINT % 1000000)
+        |    < CAST(floor(pl.p * 1000000.0) AS BIGINT) AS keep
+        |FROM documents d JOIN pl ON d.source = pl.source""".stripMargin
   )
 }

@@ -211,6 +211,23 @@ object ScaleCatalog {
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
     }),
 
+    // IVF-PQ: learned coarse cells route the probe, PQ codes (32×
+    // compression) carry the in-cell ADC scan — both trainers
+    // deterministic, the full composition oracle-replicated.
+    "q_knn_ivf_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.ProductQuant.ivfPqTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+    }),
+
+    // Text-to-text knn WITHOUT an embedding model: hashing-trick
+    // vectors on both sides, exact cosine top-5 — the text→ANN bridge.
+    "q_knn_text" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Similarity.hashedTextTopK(docs.filter(col("doc_id") < 10),
+        docs.filter(col("doc_id") >= 10), 5)
+    }),
+
     // Two-stage SQ8: quantized 4k-shortlist, exact re-rank — recall
     // strictly >= single-stage quantized (spec), exact final scores.
     "q_knn_quantized_rerank" -> ((s, d) => {
@@ -633,6 +650,118 @@ object ScaleCatalog {
          |  FROM s)
          |SELECT query_id, neighbor_id, rnk, score FROM r
          |WHERE rnk <= 5""".stripMargin,
+
+    // IVF-PQ twin: the coarse Lloyd's chain (c0..c3 + corp/probes) AND
+    // the PQ subspace chain (pc0..pc3 + codes) composed — candidates
+    // restricted to the probed coarse cell, scored by the ADC fold.
+    "q_knn_ivf_pq" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id >= 10),
+         |q AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id < 10),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |      AS cell, e AS centroid
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+         |${lloydSql(1, "c0")},
+         |${lloydSql(2, "c1")},
+         |${lloydSql(3, "c2")},
+         |${assignSql("corp", "v", "neighbor_id", "c3", 1)},
+         |${assignSql("probes", "q", "query_id", "c3", 1)},
+         |sub AS (
+         |  SELECT vec_id, r.m, list_slice(e, r.m * 8 + 1, r.m * 8 + 8)
+         |    AS sv
+         |  FROM v CROSS JOIN range(8) r(m)),
+         |pc0 AS (
+         |  SELECT sub.m, i.cell, sub.sv AS centroid
+         |  FROM sub JOIN (
+         |    SELECT vec_id,
+         |      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+         |    FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)) i
+         |    USING (vec_id)),
+         |${pqLloydSql(1, "pc0")},
+         |${pqLloydSql(2, "pc1")},
+         |${pqLloydSql(3, "pc2")},
+         |codes AS (
+         |  SELECT vec_id AS neighbor_id, m, cell FROM (
+         |    SELECT sub.vec_id, sub.m, i.cell,
+         |      row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+         |        ${d2Sql("sub.sv", "i.centroid")}, i.cell) AS rn
+         |    FROM sub JOIN pc3 i ON sub.m = i.m) WHERE rn = 1),
+         |qsub AS (
+         |  SELECT vec_id AS query_id, r.m,
+         |    list_slice(e, r.m * 8 + 1, r.m * 8 + 8) AS sv
+         |  FROM q CROSS JOIN range(8) r(m)),
+         |lut AS (
+         |  SELECT query_id, cb.m, cb.cell,
+         |    list_inner_product(qsub.sv, cb.centroid) AS ip
+         |  FROM qsub JOIN pc3 cb ON qsub.m = cb.m),
+         |sc AS (
+         |  SELECT probes.query_id, codes.neighbor_id,
+         |    CAST(round(list_reduce(list(ip ORDER BY lut.m),
+         |      (a, b) -> a + b), 6) AS DECIMAL(10,6)) AS score
+         |  FROM codes
+         |  JOIN corp ON codes.neighbor_id = corp.neighbor_id
+         |  JOIN probes ON corp.cell = probes.cell
+         |  JOIN lut ON lut.query_id = probes.query_id
+         |    AND codes.m = lut.m AND codes.cell = lut.cell
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT)
+         |      AS rnk
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, rnk, score FROM r
+         |WHERE rnk <= 5""".stripMargin,
+
+    // Hashing-trick knn twin: the q_hash_vectorize vector build
+    // assembled into per-doc DOUBLE[] lists, zero-norm excluded, shared
+    // cosine/rank skeleton.
+    "q_knn_text" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |hs AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok || ':fh'), 1, 15))::BIGINT % 32 AS i,
+        |    CASE WHEN ('0x' || substr(md5(tok || ':fs'), 1, 15))::BIGINT
+        |        % 2 = 1 THEN 1 ELSE -1 END AS s
+        |  FROM tok),
+        |sums AS (
+        |  SELECT doc_id, i, SUM(s) AS v FROM hs GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT d.doc_id, r.j
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  CROSS JOIN range(32) r(j)),
+        |vecs AS (
+        |  SELECT dense.doc_id,
+        |    list(CAST(COALESCE(sums.v, 0) AS DOUBLE) ORDER BY dense.j)
+        |      AS e
+        |  FROM dense LEFT JOIN sums
+        |    ON dense.doc_id = sums.doc_id AND dense.j = sums.i
+        |  GROUP BY 1),
+        |q AS (
+        |  SELECT doc_id AS query_id, e FROM vecs
+        |  WHERE doc_id < 10 AND list_inner_product(e, e) > 0),
+        |c AS (
+        |  SELECT doc_id AS neighbor_id, e FROM vecs
+        |  WHERE doc_id >= 10 AND list_inner_product(e, e) > 0),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(round(list_inner_product(q.e, c.e)
+        |      / (sqrt(list_inner_product(q.e, q.e))
+        |         * sqrt(list_inner_product(c.e, c.e))), 6)
+        |      AS DECIMAL(10,6)) AS score
+        |  FROM q CROSS JOIN c),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT)
+        |      AS rnk
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rnk, score FROM r
+        |WHERE rnk <= 5""".stripMargin,
 
     // PQ twin: 8 independent subspace trainers (the pqLloyd chain keyed
     // by m), 4th-pass encoding, query LUT via list_inner_product, ADC

@@ -390,6 +390,25 @@ object Dedup {
     corpus.join(offenders, Seq("doc_id"), "left_anti")
   }
 
+  /** INCREMENTAL snapshot dedup — the daily-ingest stage: flag each row
+    * of a new batch whose exact content fingerprint already exists in
+    * the previous snapshot (so the pipeline appends only genuinely new
+    * documents). One distinct on the snapshot's fingerprints + one
+    * equi-join keyed by fingerprint — the streaming-ingest analog of
+    * [[exactDuplicateGroups]], composable day over day because the
+    * fingerprint set is itself mergeable state.
+    */
+  def snapshotDupFlags(batch: DataFrame, snapshot: DataFrame): DataFrame = {
+    val seen = snapshot
+      .select(TextOps.fingerprintMd5(col("text")).as("fp")).distinct()
+      .withColumn("dup_of_prev", lit(true))
+    batch
+      .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
+      .join(seen, Seq("fp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_of_prev"), lit(false)).as("dup_of_prev"))
+  }
+
   /** C4-style SPAN EXCISION — the surgical alternative to
     * [[dropDuplicatePassageDocs]]: instead of discarding a whole
     * document that carries a corpus-duplicated `n`-token window, cut

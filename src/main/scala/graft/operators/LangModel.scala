@@ -58,4 +58,40 @@ object LangModel {
         round(aggregate(transform(col("parts"), _.getField("logp")),
           lit(0.0), _ + _) / col("n_bigrams"), 6).as("avg_logp"))
   }
+
+  /** TRAINED language-ID — the profile-based classifier (Cavnar &
+    * Trenkle '94 shape, token-level): per language, the top-`profileK`
+    * tokens by labeled-corpus frequency form the profile; a document's
+    * score against a language counts its token occurrences that hit
+    * that profile; predicted = argmax by (score, then language asc).
+    * Replaces a hand-tuned stopword heuristic with supervised state
+    * learned FROM the labeled corpus — and because the trainer is two
+    * keyed aggregates + a rank, the train→profile→score→argmax
+    * pipeline is integer-exact end to end under one differential.
+    *
+    * Scale: training shuffles (lang, token) counts with map-side
+    * partials; profiles are |langs|·profileK rows — broadcast; scoring
+    * joins the tokenized corpus once on the token key and aggregates
+    * by (doc, lang). Docs hitting no profile at all drop out (inner
+    * semantics — mirrored by the oracle).
+    */
+  def trainedLangId(docs: DataFrame, profileK: Int = 20): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val profiles = tok.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("token"))))
+      .filter(col("rk") <= profileK)
+      .select(col("lang").as("cand"), col("token"))
+    val scores = tok.select(col("doc_id"), col("token"))
+      .join(broadcast(profiles), Seq("token"))
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(count(lit(1)).as("score"))
+    scores.groupBy(col("doc_id"))
+      .agg(min_by(col("cand"), struct((-col("score")).as("ns"),
+          col("cand"))).as("predicted"),
+        max(col("score")).as("best_score"))
+  }
 }

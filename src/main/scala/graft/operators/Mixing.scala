@@ -57,4 +57,30 @@ object Mixing {
           targets: DataFrame): DataFrame =
     mixPlan(docs, sourceCol, keyCol, targets)
       .filter(col("keep")).drop("p", "keep")
+
+  /** TEMPERATURE-derived recipe (the multilingual-sampling rule,
+    * α = 1/2): target share_s ∝ n_s^α — flattens the source
+    * distribution toward uniform, upweighting tail sources relative to
+    * their raw frequency (α=1 is proportional, α=0 uniform). α is
+    * fixed at ½ so the power is `sqrt`, which is correctly-rounded
+    * IEEE in both engines (a general `pow` can differ in the last
+    * ULP); the normalizer folds the per-source weights in source order
+    * — the sorted-fold idiom — so the derived shares are bit-identical
+    * cross-engine and the whole recipe+lottery pipeline stays under
+    * one differential. Feed the result to [[mixPlan]]/[[mix]].
+    *
+    * Scale: |sources| rows throughout — counts aggregate + a 1-row
+    * normalizer broadcast; nothing touches the corpus until mixPlan.
+    */
+  def temperatureTargets(docs: DataFrame, sourceCol: String): DataFrame = {
+    val w = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+      .select(col(sourceCol), sqrt(col("n_s").cast("double")).as("w"))
+    val z = w
+      .agg(array_sort(collect_list(struct(col(sourceCol), col("w"))))
+        .as("ws"))
+      .select(aggregate(transform(col("ws"), _.getField("w")),
+        lit(0.0), _ + _).as("z"))
+    w.crossJoin(broadcast(z))
+      .select(col(sourceCol), (col("w") / col("z")).as("share"))
+  }
 }

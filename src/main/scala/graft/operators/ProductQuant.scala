@@ -123,4 +123,42 @@ object ProductQuant {
           lit(0.0), _ + _), 6).cast(DecimalType(10, 6)).as("score"))
     Similarity.rank(scored, k)
   }
+
+  /** IVF-PQ — the full FAISS IndexIVFPQ composition (minus residual
+    * coding, the next refinement): a LEARNED coarse quantizer
+    * ([[Quantizer.fit]]) routes each query to its `nProbe` nearest
+    * cells, and within those cells the corpus is scanned in PQ-code
+    * form via the ADC lookup table. The levers multiply: IVF cuts the
+    * scanned FRACTION to ~nProbe/kCells, PQ cuts the BYTES per scanned
+    * vector 32× (m codes vs 64 floats) — beyond [[ScalarQuant
+    * .ivfSq8TopK]]'s 4×. Both trainers are the deterministic Lloyd's
+    * loop, so the whole pipeline carries a row-level differential.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                kCells: Int = 8, iters: Int = 3, nProbe: Int = 1,
+                m: Int = 8, ksub: Int = 16): DataFrame = {
+    val cells = Quantizer.fit(corpus, kCells, iters).cache()
+    val coarse = Quantizer.assign(corpus, cells)
+      .select(col("vec_id").as("neighbor_id"), col("cell").as("ccell"))
+    val cb = fit(corpus, m, ksub, iters).cache()
+    val codes = encode(corpus, cb, m)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("cell"))
+    val probes = Quantizer.probeCells(queries, cells, nProbe)
+      .select(col("query_id"), col("cell").as("ccell"))
+    val lut = subvectors(queries, m, 64 / m)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("cell"),
+        dot(col("sv"), col("centroid")).as("ip"))
+    val scored = codes.join(coarse, Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("ccell"))
+      .join(broadcast(lut), Seq("query_id", "m", "cell"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("ip"))))
+        .as("parts"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(aggregate(transform(col("parts"), _.getField("ip")),
+          lit(0.0), _ + _), 6).cast(DecimalType(10, 6)).as("score"))
+    Similarity.rank(scored, k)
+  }
 }

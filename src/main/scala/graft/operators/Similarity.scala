@@ -64,6 +64,35 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
 
+  /** Text-to-text similarity search WITHOUT an embedding model: both
+    * sides are vectorized by the hashing trick
+    * ([[graft.functions.TextOps.hashVector]] — integer, vocabulary-free)
+    * and ranked by exact cosine over the hashed vectors. The end-to-end
+    * bridge from the text surface to the ANN family: at scale the
+    * hashed corpus is a 32-long column (256 B/doc) scanned once per
+    * query batch, and every ANN index in this file (LSH buckets, IVF
+    * cells, PQ codes) composes on top of it unchanged since it is just
+    * an embedding column. Zero-norm vectors (all token signs cancel)
+    * are excluded on both sides — cosine is undefined for them.
+    *
+    * Dot products over the integer vectors are EXACT in double (|v| ≤
+    * tokens per doc), so the only rounding is the final 6-dp score —
+    * bit-stable cross-engine without the sorted-fold machinery.
+    */
+  def hashedTextTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     dim: Int = 32): DataFrame = {
+    def vecs(df: DataFrame, idAs: String, vecAs: String) = df
+      .select(col("doc_id").as(idAs),
+        dbl(graft.functions.TextOps.hashVector(col("text"), dim)).as(vecAs))
+      .filter(dot(col(vecAs), col(vecAs)) > 0)
+    val q = vecs(queries, "query_id", "qe")
+    val c = vecs(corpus, "neighbor_id", "ce")
+    rank(c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ce")), 6)
+          .cast(DecimalType(10, 6)).as("score")), k)
+  }
+
   /** Exact top-k: broadcast query set × streamed corpus. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),

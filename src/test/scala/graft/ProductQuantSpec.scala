@@ -66,6 +66,70 @@ class ProductQuantSpec extends SparkSpec {
     assert(math.abs(out(2L)._2 - d2) < 1e-6)
   }
 
+  test("IVF-PQ candidates respect the probed coarse cell") {
+    val out = ProductQuant.ivfPqTopK(queries, corpus, 5).collect()
+    assert(out.nonEmpty && out.forall(_.getInt(2) <= 5))
+    // Each query's neighbors must all sit in that query's probed cell.
+    val cells = graft.operators.Quantizer.fit(corpus, 8)
+    val coarse = graft.operators.Quantizer.assign(corpus, cells)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probes = graft.operators.Quantizer.probeCells(queries, cells, 1)
+      .select(col("query_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(coarse(r.getLong(1)) == probes(r.getLong(0)),
+        s"neighbor ${r.getLong(1)} outside query ${r.getLong(0)}'s cell")
+    }
+  }
+
+  test("snapshot dedup flags exactly the re-crawled copies") {
+    val docs = Tables.documents(spark, sf)
+    val prev = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(prev.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+    val flags = graft.operators.Dedup.snapshotDupFlags(batch, prev)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    flags.foreach { case (id, dup) =>
+      // Copies (id >= 3000000) are dups; odd originals are not (the
+      // substrate has no cross-parity exact duplicates).
+      assert(dup == (id >= 3000000L), s"doc $id flagged $dup")
+    }
+    assert(flags.count(_._2) > 0)
+  }
+
+  test("temperature targets: shares sum to 1 and flatten the skew") {
+    val docs = Tables.documents(spark, sf)
+    val t = graft.operators.Mixing.temperatureTargets(docs, "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(t.values.sum - 1.0) < 1e-9)
+    val n = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α = ½ share ratios are the sqrt of the count ratios — strictly
+    // flatter than proportional for any skewed pair.
+    val (big, small) = (n.maxBy(_._2), n.minBy(_._2))
+    if (big._2 > small._2) {
+      val shareRatio = t(big._1) / t(small._1)
+      val countRatio = big._2.toDouble / small._2
+      assert(shareRatio < countRatio && shareRatio > 1.0)
+    }
+  }
+
+  test("trained lang-id: predictions are argmax over profile hits") {
+    val docs = Tables.documents(spark, sf)
+    val out = graft.operators.LangModel.trainedLangId(docs)
+    val langs = docs.select(col("lang")).distinct().collect()
+      .map(_.getString(0)).toSet
+    val rows = out.collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(langs.contains(r.getString(1)))
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
   test("hashVector: one ±1 contribution per token, parity preserved") {
     val docs = Tables.documents(spark, sf).limit(50)
     val rows = docs.select(col("doc_id"),
