@@ -58,6 +58,7 @@ object Canonical {
       "q_knn_pq"                      -> d("score"),
       "q_knn_ivf_pq"                  -> d("score"),
       "q_knn_text"                    -> d("score"),
+      "q_hard_negatives"              -> d("score"),
       "q_knn_quantized"               -> d("score"),
       "q_knn_quantized_rerank"        -> d("score"),
       "q_knn_topk_agg"                -> d("score"),

@@ -356,6 +356,16 @@ object PipelineCatalog {
     "q_langid_trained" -> ((s, d) =>
       graft.operators.LangModel.trainedLangId(Tables.documents(s, d))),
 
+    // Overlapping-window chunking (size 32, stride 24): the
+    // retrieval/embedding prep step; explode is the output size itself.
+    "q_chunk_overlap" -> ((s, d) =>
+      graft.operators.Curation.chunkOverlap(Tables.documents(s, d))),
+
+    // T5-style span corruption (period 15, span 3): deterministic
+    // masked-input/target pair build for pretraining data.
+    "q_span_mask" -> ((s, d) =>
+      graft.operators.Curation.spanMask(Tables.documents(s, d))),
+
     // Temperature-derived mixing recipe (α = ½): shares ∝ √n_s, then
     // the same broadcast plan + salted lottery as q_corpus_mix.
     "q_mix_temperature" -> ((s, d) => {
@@ -1137,6 +1147,44 @@ object PipelineCatalog {
         |SELECT b.doc_id, b.predicted, mx.best_score
         |FROM best b JOIN mx ON b.doc_id = mx.doc_id
         |WHERE b.rn = 1""".stripMargin,
+
+    // Chunking twin: same stride-range starts (DuckDB range excludes
+    // len; Spark sequence stops at len−1 — identical start sets),
+    // inclusive-end list_slice == Spark's length-bounded slice.
+    "q_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS start
+        |  FROM toks)
+        |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
+        |  array_to_string(
+        |    list_slice(t, start + 1, least(start + 32, len(t))), ' ')
+        |    AS chunk_text,
+        |  CAST(least(start + 32, len(t)) - start AS INT) AS n_tokens
+        |FROM st""".stripMargin,
+
+    // Span-corruption twin: DuckDB lambda indexes are 1-BASED → i − 1
+    // mirrors Spark's 0-based transform index everywhere.
+    "q_span_mask" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(list_transform(t, (tok, i) ->
+        |    CASE WHEN (i - 1) % 15 = 0
+        |        THEN '<extra_id_' || CAST((i - 1) // 15 AS INT) || '>'
+        |      WHEN (i - 1) % 15 < 3 THEN NULL
+        |      ELSE tok END), x -> x IS NOT NULL), ' ') AS masked_text,
+        |  array_to_string(list_filter(list_transform(t, (tok, i) ->
+        |    CASE WHEN (i - 1) % 15 = 0
+        |        THEN '<extra_id_' || CAST((i - 1) // 15 AS INT) || '>'
+        |          || ' ' || tok
+        |      WHEN (i - 1) % 15 < 3 THEN tok
+        |      ELSE NULL END), x -> x IS NOT NULL), ' ') AS target_text,
+        |  CAST(len(list_filter(list_transform(t, (tok, i) ->
+        |    CASE WHEN (i - 1) % 15 < 3 THEN 1 END), x -> x IS NOT NULL))
+        |    AS INT) AS n_masked
+        |FROM toks""".stripMargin,
 
     // Temperature twin: √n_s weights, source-ordered normalizer fold,
     // then the q_corpus_mix plan/lottery arithmetic verbatim.

@@ -236,6 +236,14 @@ object ScaleCatalog {
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
     }),
 
+    // Hard-negative mining: top-5 most similar DIFFERENT-label corpus
+    // vectors per query — the contrastive-training negatives op.
+    "q_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegatives(e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") >= 10), 5)
+    }),
+
     // IVF-style: probe only the query's cell (label = coarse quantizer).
     "q_knn_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -359,6 +367,9 @@ object ScaleCatalog {
     "q_knn_brute" -> knnSql("CROSS JOIN c"),
 
     "q_knn_ivf" -> knnSql("JOIN c ON q.label = c.label"),
+
+    // Same skeleton, negated class predicate.
+    "q_hard_negatives" -> knnSql("JOIN c ON q.label <> c.label"),
 
     // Full replication of the LEARNED index: the deterministic k-means
     // trainer (3 unrolled Lloyd's iterations, k = 8, lowest-id init,

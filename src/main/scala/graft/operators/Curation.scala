@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 
@@ -222,5 +222,62 @@ object Curation {
       .withColumn("r_stop", col("n_stop") >= minStopHits)
       .withColumn("pass",
         col("r_len") && col("r_meanw") && col("r_alpha") && col("r_stop"))
+  }
+
+  /** Overlapping-window CHUNKING — the retrieval/embedding prep step:
+    * split each doc into `size`-token chunks starting every `stride`
+    * tokens (stride < size ⇒ overlap = size − stride, so no boundary
+    * sentence is ever cut from both sides). Chunk k covers tokens
+    * [k·stride, k·stride + size); the final chunk truncates at the doc
+    * end. Pure per-row array expressions over the token split — a map
+    * over the scan, no shuffle; the explode multiplies rows by
+    * ~n/stride, which is the output's actual size, not overhead.
+    */
+  def chunkOverlap(docs: DataFrame, size: Int = 32,
+                   stride: Int = 24): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), org.apache.spark.sql.functions.size(col("t")) - 1,
+          lit(stride))).as("start"))
+      .select(col("doc_id"), (col("start") / stride).cast("int").as("chunk_id"),
+        array_join(slice(col("t"), col("start") + 1, lit(size)), " ")
+          .as("chunk_text"),
+        least(col("start") + size,
+          org.apache.spark.sql.functions.size(col("t")))
+          .minus(col("start")).as("n_tokens"))
+
+  /** T5-style SPAN-CORRUPTION masking — deterministic pretraining prep:
+    * every `period`-th position starts a `span`-token masked run; the
+    * input side replaces each run with one `<extra_id_k>` sentinel
+    * (k = span index within the doc), the target side is the
+    * complementary sentinel+tokens sequence the model must produce.
+    * Position-rule masking (p mod period < span) instead of RNG keeps
+    * the pair a pure function of the text — reproducible across
+    * engines, runs and retries, which is what a training-data BUILD
+    * step (as opposed to a training-time augmentation) needs. Pure
+    * array expressions; no shuffle.
+    */
+  def spanMask(docs: DataFrame, period: Int = 15, span: Int = 3)
+      : DataFrame = {
+    val masked = (p: Column) => p % period < span
+    val sentinel = (p: Column) =>
+      concat(lit("<extra_id_"), (p / period).cast("int"), lit(">"))
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        array_join(filter(transform(col("t"),
+          (tok, p) => when(p % period === 0, sentinel(p))
+            .when(masked(p), lit(null).cast("string"))
+            .otherwise(tok)), _.isNotNull), " ").as("masked_text"),
+        array_join(filter(transform(col("t"),
+          (tok, p) => when(p % period === 0,
+              concat(sentinel(p), lit(" "), tok))
+            .when(masked(p), tok)
+            .otherwise(lit(null).cast("string"))), _.isNotNull), " ")
+          .as("target_text"),
+        org.apache.spark.sql.functions.size(
+          filter(transform(col("t"), (_, p) => masked(p)), x => x))
+          .as("n_masked"))
   }
 }

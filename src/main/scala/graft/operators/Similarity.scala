@@ -93,6 +93,28 @@ object Similarity {
           .cast(DecimalType(10, 6)).as("score")), k)
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training data op: for each
+    * query, the top-k most similar corpus vectors whose `label` DIFFERS
+    * from the query's. High-similarity different-class neighbors are
+    * exactly the negatives an embedding model learns most from
+    * (easy negatives are uninformative; same-class neighbors are
+    * positives, excluded here). Same broadcast-queries × streamed-corpus
+    * shape as [[bruteTopK]] with the class predicate fused into the
+    * scan filter; any ANN index in this file swaps in as the candidate
+    * generator when the corpus outgrows brute force.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("label").as("qlabel"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("label").as("clabel"))
+    rank(c.crossJoin(broadcast(q))
+      .filter(col("qlabel") =!= col("clabel"))
+      .select(col("query_id"), col("neighbor_id"),
+        score(col("qe"), col("ce")).as("score")), k)
+  }
+
   /** Exact top-k: broadcast query set × streamed corpus. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),

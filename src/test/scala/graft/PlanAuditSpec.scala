@@ -50,7 +50,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_ivf_learned", "q_semantic_dedup", "q_semantic_dedup_2level",
     "q_knn_quantized", "q_knn_quantized_rerank", "q_knn_ivf_sq8",
     "q_corpus_mix", "q_hll_distinct", "q_lm_score",
-    "q_knn_ivf_pq", "q_knn_text", "q_mix_temperature")
+    "q_knn_ivf_pq", "q_knn_text", "q_mix_temperature",
+    "q_hard_negatives")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

@@ -94,6 +94,58 @@ class Round6OpsSpec extends SparkSpec {
     assert(leaked.isEmpty, "suppressed row leaked a quasi-identifier")
   }
 
+  test("chunking: full coverage, correct overlap, bounded chunk size") {
+    val chunks = graft.operators.Curation.chunkOverlap(docs, 32, 24)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3)))
+    val nTokens = docs.select(col("doc_id"),
+        graft.functions.TextOps.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = nTokens(doc)
+      // chunk_ids are 0..ceil; token counts bounded by size; coverage:
+      // last chunk reaches the doc end.
+      assert(cs.map(_._2).sorted.toSeq == (0 until cs.length))
+      assert(cs.forall(c => c._4 >= 1 && c._4 <= 32))
+      assert(cs.map(_._2).max * 24 < n)
+      assert(cs.maxBy(_._2)._4 + cs.maxBy(_._2)._2 * 24 == n)
+      // every chunk's token count matches its text
+      cs.foreach(c => assert(c._3.split(" ").length == c._4))
+    }
+  }
+
+  test("span mask: sentinels count matches n_masked span starts") {
+    val out = graft.operators.Curation.spanMask(docs).collect()
+    out.foreach { r =>
+      val masked = r.getString(1)
+      val target = r.getString(2)
+      val sentinels = "<extra_id_\\d+>".r.findAllIn(masked).length
+      assert("<extra_id_\\d+>".r.findAllIn(target).length == sentinels)
+      // every span contributes >= 1 masked token and one sentinel
+      assert(r.getInt(3) >= sentinels && sentinels > 0)
+      // masked + target together preserve all tokens exactly once
+      val n = masked.split(" ").length - sentinels +
+        target.split(" ").length - sentinels
+      assert(n == docs.filter(col("doc_id") === r.getLong(0))
+        .select(graft.functions.TextOps.tokenCount(col("text")))
+        .head().getInt(0))
+    }
+  }
+
+  test("hard negatives never share the query's label") {
+    val e = Tables.embeddings(spark, sf)
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = graft.operators.Similarity.hardNegatives(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(1)),
+        s"${r.getLong(1)} shares label with query ${r.getLong(0)}")
+    }
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, sf).select(
       col("o_custkey").as("custkey"), col("o_orderkey"))
