@@ -1004,15 +1004,20 @@ object PipelineCatalog {
         |GROUP BY 1, 2""".stripMargin,
 
     // Containment twin: the jaccard CTE chain's index with BOTH-direction
-    // pairs and the per-sub-doc integer threshold.
+    // pairs and the per-sub-doc integer threshold. Mirrors the Scala
+    // default maxDocFreq=Some(50): candidate generation joins only
+    // shingles in ≤50 docs, but sz (the containment denominator) stays
+    // on the UNCAPPED index, exactly like Dedup.containmentPairs.
     "q_dedup_containment" ->
       s"""WITH $corpusNearSql,
          |$shinglesSql,
          |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 50),
+         |shc AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
          |inter AS (
          |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
          |    COUNT(*) AS intersect_n
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  FROM shc a JOIN shc b ON a.shingle = b.shingle
          |    AND a.doc_id <> b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_sub, doc_sup, intersect_n, sa.sz AS sub_sz

@@ -84,9 +84,17 @@ object Dedup {
     * the shingle key, never corpus×corpus) with the same `maxDocFreq`
     * hot-shingle cap; the threshold compare is pure integer
     * (den·inter ≥ num·|A|) so the differential is float-free.
+    *
+    * Unlike [[exactJaccardPairs]], the cap defaults ON
+    * (`Some(50)`, matching [[winnowCandidatePairs]]): the containment
+    * self-join is the one place a boilerplate-hot shingle degrades
+    * quadratically at corpus scale, because the asymmetric relation
+    * can't even rely on the `doc_a < doc_b` halving (VERDICT r6 #4).
+    * Sizes (`|A|`, the containment denominator) always come from the
+    * UNCAPPED index, so the cap only thins candidate generation.
     */
   def containmentPairs(corpus: DataFrame, num: Int = 9, den: Int = 10,
-                       maxDocFreq: Option[Int] = None): DataFrame = {
+                       maxDocFreq: Option[Int] = Some(50)): DataFrame = {
     val shAll = shingleIndex(corpus).cache()
     val sh = maxDocFreq.fold(shAll) { m =>
       val rare = shAll.groupBy(col("shingle"))
@@ -232,12 +240,31 @@ object Dedup {
     * on meaningful overlaps; a J ≥ num/den pair with NO shared 6-token
     * run cannot exist for near-dup-length docs, which is why the same
     * DuckDB oracle gates all three paths pair-identically.
+    *
+    * Cost control under minShared=1 (VERDICT r6 #2): single-collision
+    * candidates are ~3× the minShared=2 volume and most are junk pairs
+    * between very differently-sized docs. Before the expensive
+    * shingle-intersect join, prune with the exact size bound
+    * J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|): any pair with
+    * den·min(szA,szB) < num·max(szA,szB) CANNOT reach the threshold, so
+    * dropping it cannot change the output. The prune costs two joins
+    * against the tiny per-doc size frame (one row per doc — broadcast
+    * scale), and kills the spurious candidates before they fan out into
+    * per-shingle intersection rows.
     */
   def winnowVerifiedPairs(corpus: DataFrame, num: Int = 7, den: Int = 10,
                           k: Int = 3, w: Int = 4,
                           minShared: Int = 1): DataFrame = {
     val sh = shingleIndex(corpus).cache()
+    val sz = sizes(sh)
     val cand = winnowCandidatePairs(corpus, k, w, minShared)
+      .select(col("doc_a"), col("doc_b"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        Seq("doc_b"))
+      .filter(least(col("sz_a"), col("sz_b")) * den >=
+        greatest(col("sz_a"), col("sz_b")) * num)
       .select(col("doc_a"), col("doc_b"))
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
