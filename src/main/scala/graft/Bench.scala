@@ -62,7 +62,9 @@ object Bench {
     "q_k_anonymity", "q_skew_join", "q_knn_pq", "q_knn_ivf_pq",
     "q_knn_text", "q_hash_vectorize", "q_lm_score", "q_langid_trained",
     "q_mix_temperature", "q_chunk_overlap", "q_span_mask",
-    "q_hard_negatives")
+    "q_hard_negatives",
+    // r7 additions, benched at birth.
+    "q_knn_ivf_pq_residual")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -57,6 +57,7 @@ object Canonical {
       "q_knn_ivf_sq8"                 -> d("score"),
       "q_knn_pq"                      -> d("score"),
       "q_knn_ivf_pq"                  -> d("score"),
+      "q_knn_ivf_pq_residual"         -> d("score"),
       "q_knn_text"                    -> d("score"),
       "q_hard_negatives"              -> d("score"),
       "q_knn_quantized"               -> d("score"),

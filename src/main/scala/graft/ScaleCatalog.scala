@@ -220,6 +220,16 @@ object ScaleCatalog {
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
     }),
 
+    // IVF-PQ with residual coding (the FAISS default): the PQ codebook
+    // trains on x − c(x); score = ⟨q,c⟩ + ADC over residual codes.
+    // Three deterministic trainers (coarse Lloyd's + 8 residual
+    // subspace Lloyd's), all inside the differential.
+    "q_knn_ivf_pq_residual" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.ProductQuant.ivfPqResidualTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+    }),
+
     // Text-to-text knn WITHOUT an embedding model: hashing-trick
     // vectors on both sides, exact cosine top-5 — the text→ANN bridge.
     "q_knn_text" -> ((s, d) => {
@@ -719,6 +729,82 @@ object ScaleCatalog {
          |  JOIN lut ON lut.query_id = probes.query_id
          |    AND codes.m = lut.m AND codes.cell = lut.cell
          |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT)
+         |      AS rnk
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, rnk, score FROM r
+         |WHERE rnk <= 5""".stripMargin,
+
+    // Residual IVF-PQ twin: the coarse chain (c0..c3 + corp/probes)
+    // unchanged, but `sub`/pc0..pc3/codes run over vres = e − centroid
+    // (the residual frame), probes carry qc_ip = ⟨q, centroid⟩, and the
+    // score is qc_ip + the residual ADC fold — mirroring
+    // ProductQuant.ivfPqResidualTopK's ⟨q,c⟩ + ⟨q,r̂⟩ decomposition.
+    "q_knn_ivf_pq_residual" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id >= 10),
+         |q AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id < 10),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |      AS cell, e AS centroid
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+         |${lloydSql(1, "c0")},
+         |${lloydSql(2, "c1")},
+         |${lloydSql(3, "c2")},
+         |${assignSql("corp", "v", "neighbor_id", "c3", 1)},
+         |${assignSql("probes0", "q", "query_id", "c3", 1)},
+         |probes AS (
+         |  SELECT probes0.query_id, probes0.cell,
+         |    list_inner_product(probes0.e, i.centroid) AS qc_ip
+         |  FROM probes0 JOIN c3 i USING (cell)),
+         |vres AS (
+         |  SELECT corp.neighbor_id AS vec_id,
+         |    list_transform(list_zip(corp.e, i.centroid),
+         |      s -> s[1] - s[2]) AS e
+         |  FROM corp JOIN c3 i USING (cell)),
+         |sub AS (
+         |  SELECT vec_id, r.m, list_slice(e, r.m * 8 + 1, r.m * 8 + 8)
+         |    AS sv
+         |  FROM vres CROSS JOIN range(8) r(m)),
+         |pc0 AS (
+         |  SELECT sub.m, i.cell, sub.sv AS centroid
+         |  FROM sub JOIN (
+         |    SELECT vec_id,
+         |      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+         |    FROM (SELECT vec_id FROM vres ORDER BY vec_id LIMIT 16)) i
+         |    USING (vec_id)),
+         |${pqLloydSql(1, "pc0")},
+         |${pqLloydSql(2, "pc1")},
+         |${pqLloydSql(3, "pc2")},
+         |codes AS (
+         |  SELECT vec_id AS neighbor_id, m, cell FROM (
+         |    SELECT sub.vec_id, sub.m, i.cell,
+         |      row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+         |        ${d2Sql("sub.sv", "i.centroid")}, i.cell) AS rn
+         |    FROM sub JOIN pc3 i ON sub.m = i.m) WHERE rn = 1),
+         |qsub AS (
+         |  SELECT vec_id AS query_id, r.m,
+         |    list_slice(e, r.m * 8 + 1, r.m * 8 + 8) AS sv
+         |  FROM q CROSS JOIN range(8) r(m)),
+         |lut AS (
+         |  SELECT query_id, cb.m, cb.cell,
+         |    list_inner_product(qsub.sv, cb.centroid) AS ip
+         |  FROM qsub JOIN pc3 cb ON qsub.m = cb.m),
+         |sc AS (
+         |  SELECT probes.query_id, codes.neighbor_id,
+         |    CAST(round(probes.qc_ip + list_reduce(list(ip ORDER BY lut.m),
+         |      (a, b) -> a + b), 6) AS DECIMAL(10,6)) AS score
+         |  FROM codes
+         |  JOIN corp ON codes.neighbor_id = corp.neighbor_id
+         |  JOIN probes ON corp.cell = probes.cell
+         |  JOIN lut ON lut.query_id = probes.query_id
+         |    AND codes.m = lut.m AND codes.cell = lut.cell
+         |  GROUP BY probes.query_id, codes.neighbor_id, probes.qc_ip),
          |r AS (
          |  SELECT *, CAST(row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT)

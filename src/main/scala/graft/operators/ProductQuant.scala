@@ -124,8 +124,9 @@ object ProductQuant {
     Similarity.rank(scored, k)
   }
 
-  /** IVF-PQ — the full FAISS IndexIVFPQ composition (minus residual
-    * coding, the next refinement): a LEARNED coarse quantizer
+  /** IVF-PQ — the FAISS IndexIVFPQ composition with RAW-vector codes
+    * (see [[ivfPqResidualTopK]] for the residual-coded default): a
+    * LEARNED coarse quantizer
     * ([[Quantizer.fit]]) routes each query to its `nProbe` nearest
     * cells, and within those cells the corpus is scanned in PQ-code
     * form via the ADC lookup table. The levers multiply: IVF cuts the
@@ -159,6 +160,62 @@ object ProductQuant {
       .select(col("query_id"), col("neighbor_id"),
         round(aggregate(transform(col("parts"), _.getField("ip")),
           lit(0.0), _ + _), 6).cast(DecimalType(10, 6)).as("score"))
+    Similarity.rank(scored, k)
+  }
+
+  /** IVF-PQ with RESIDUAL coding — the refinement [[ivfPqTopK]]'s doc
+    * names as next (and the FAISS IndexIVFPQ default): the PQ codebook
+    * is trained on r = x − c(x), each vector's offset from its coarse
+    * centroid, instead of on x itself. Residuals live in a ball of
+    * cell-radius around the origin — a far tighter distribution than
+    * the raw corpus — so the same m·ksub code budget spends its
+    * quantization resolution where the vectors actually are; the
+    * reconstruction error drops from ~cell diameter to ~cell-local
+    * spread, which is what a real recall budget at 100 TB feels first.
+    *
+    * Scoring decomposes exactly: ⟨q, x⟩ ≈ ⟨q, c(x)⟩ + ⟨q, r̂⟩. The first
+    * term is one inner product per (query, probed cell) — computed on
+    * the tiny probe frame; the second is the standard ADC table sum
+    * over the SHARED residual codebook (cell-independent, so the LUT
+    * stays |queries|·m·ksub and broadcast). Plan shape is identical to
+    * [[ivfPqTopK]] — codes-only scan, broadcast probes and LUT — plus
+    * one broadcast join of the k-cell centroid frame at encode time;
+    * both trainers remain the deterministic Lloyd's loop, so the whole
+    * composition carries the row-level DuckDB differential.
+    */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        kCells: Int = 8, iters: Int = 3, nProbe: Int = 1,
+                        m: Int = 8, ksub: Int = 16): DataFrame = {
+    val cells = Quantizer.fit(corpus, kCells, iters).cache()
+    val assigned = Quantizer.assign(corpus, cells)
+    val coarse = assigned
+      .select(col("vec_id").as("neighbor_id"), col("cell").as("ccell"))
+    val residuals = assigned.join(broadcast(cells), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(dbl(col("embedding")), col("centroid"), _ - _)
+          .as("embedding"))
+    val cb = fit(residuals, m, ksub, iters).cache()
+    val codes = encode(residuals, cb, m)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("cell"))
+    val probes = Quantizer.probeCells(queries, cells, nProbe)
+      .join(broadcast(cells), Seq("cell"))
+      .select(col("query_id"), col("cell").as("ccell"),
+        dot(dbl(col("qe")), col("centroid")).as("qc_ip"))
+    val lut = subvectors(queries, m, 64 / m)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("cell"),
+        dot(col("sv"), col("centroid")).as("ip"))
+    val scored = codes.join(coarse, Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("ccell"))
+      .join(broadcast(lut), Seq("query_id", "m", "cell"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("qc_ip"))
+      .agg(array_sort(collect_list(struct(col("m"), col("ip"))))
+        .as("parts"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("qc_ip") +
+          aggregate(transform(col("parts"), _.getField("ip")),
+            lit(0.0), _ + _), 6).cast(DecimalType(10, 6)).as("score"))
     Similarity.rank(scored, k)
   }
 }

@@ -198,6 +198,46 @@ object Sketch {
     val s = org.apache.spark.sql.SparkSession.active
     s.range(64).select(col("id").cast("int").as("idx"))
   }
+
+  /** Scala home of the HLL register update for the streaming twin
+    * ([[graft.streaming.StreamingSketch.hllStream]]) — same role as
+    * [[estimate]] plays for KMV: [[hllDistinctByGroup]]'s column
+    * expressions are the oracle-replicable batch twin of this
+    * arithmetic, and StreamingSketchSpec pins the two bit-for-bit
+    * (zeros AND the 6-dp estimate) through sliced micro-batches.
+    *
+    * `h` is [[TextOps.fingerprint64]] output — non-negative, 60 bits —
+    * so idx = h mod 64 matches the batch pmod and the 54-bit remainder
+    * sets ρ = (leading-zero count within 54 bits) + 1, i.e. the
+    * smallest r with bit (54 − r) set; all-zero remainder → 55.
+    */
+  def hllUpdate(regs: Vector[Int], h: Long): Vector[Int] = {
+    val idx = (h % 64).toInt
+    val rest = h >> 6
+    val rho =
+      if (rest == 0L) 55
+      else java.lang.Long.numberOfLeadingZeros(rest) - 9
+    if (rho > regs(idx)) regs.updated(idx, rho) else regs
+  }
+
+  /** Scala home of the HLL estimator: fold 2^−Mⱼ in register-index
+    * order (the batch twin folds its struct-sorted register list the
+    * same way, term-for-term — exact dyadic doubles, bit-identical
+    * sums), α·m²/Σ with the linear-counting small-range correction,
+    * rounded exactly as Spark's `round(_, 6)` (BigDecimal.valueOf +
+    * HALF_UP — the Round expression's own arithmetic).
+    */
+  def hllEstimate(regs: Vector[Int]): Double = {
+    val sumInv = regs.foldLeft(0.0)((a, mj) => a + 1.0 / (1L << mj).toDouble)
+    val zeros = regs.count(_ == 0)
+    val alpha = 0.7213 / (1.0 + 1.079 / 64.0)
+    val raw = alpha * 64.0 * 64.0 / sumInv
+    val est =
+      if (raw <= 2.5 * 64 && zeros > 0) 64.0 * math.log(64.0 / zeros)
+      else raw
+    java.math.BigDecimal.valueOf(est)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
 }
 
 /** Sketch summary: how many mins were kept and the k-th smallest. */

@@ -43,4 +43,32 @@ object StreamingSketch {
       }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
         Encoders.product[KmvEstimate])
   }
+
+  case class HllEstimate(g: String, zeros: Int, estimate: Double)
+
+  /** Incremental HLL over a stream — the register sketch (the mergeable
+    * artifact warehouses actually exchange) next to [[kmvStream]]'s
+    * order-statistics one: state per group is the dense 64-register
+    * vector (the SAME ≤64-small-ints state the batch aggregate shuffles),
+    * updated per micro-batch via [[Sketch.hllUpdate]] and estimated via
+    * [[Sketch.hllEstimate]] — so after ANY prefix of micro-batches the
+    * emitted (zeros, estimate) equals [[Sketch.hllDistinctByGroup]] over
+    * the rows seen so far. O(64) state per group, no re-scan, and the
+    * state vector itself merges by per-register max across shards/days.
+    */
+  def hllStream(hashed: Dataset[GroupHash]): Dataset[HllEstimate] =
+    hashed
+      .groupByKey(_.g)(Encoders.STRING)
+      .mapGroupsWithState[Vector[Int], HllEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[GroupHash],
+         state: GroupState[Vector[Int]]) =>
+          val regs = rows.foldLeft(
+            state.getOption.getOrElse(Vector.fill(64)(0))) {
+            (r, row) => Sketch.hllUpdate(r, row.h)
+          }
+          state.update(regs)
+          HllEstimate(g, regs.count(_ == 0), Sketch.hllEstimate(regs))
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
+        Encoders.product[HllEstimate])
 }

@@ -83,6 +83,33 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
+  test("residual IVF-PQ: same probed-cell routing, recall >= raw IVF-PQ") {
+    val exact = Similarity.bruteTopK(queries, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val raw = recall(ProductQuant.ivfPqTopK(queries, corpus, 5))
+    val res = recall(ProductQuant.ivfPqResidualTopK(queries, corpus, 5))
+    assert(res >= raw,
+      s"residual coding lost recall: $res < $raw")
+    // Residual candidates still respect the coarse routing: every
+    // emitted neighbor sits in its query's probed cell.
+    val out = ProductQuant.ivfPqResidualTopK(queries, corpus, 5).collect()
+    assert(out.nonEmpty && out.forall(_.getInt(2) <= 5))
+    val cells = graft.operators.Quantizer.fit(corpus, 8)
+    val coarse = graft.operators.Quantizer.assign(corpus, cells)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probes = graft.operators.Quantizer.probeCells(queries, cells, 1)
+      .select(col("query_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(coarse(r.getLong(1)) == probes(r.getLong(0)))
+    }
+  }
+
   test("snapshot dedup flags exactly the re-crawled copies") {
     val docs = Tables.documents(spark, sf)
     val prev = docs.filter(col("doc_id") % 2 === 0)

@@ -51,4 +51,41 @@ class StreamingSketchSpec extends SparkSpec {
     // and intermediate updates exist (really incremental, not one batch)
     assert(streamed.length > batch.size)
   }
+
+  test("incremental HLL over micro-batches == batch hllDistinctByGroup") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("lang"), col("doc_id"))
+    val batch = Sketch.hllDistinctByGroup(docs, "lang", "doc_id")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("zeros"), r.getAs[Double]("estimate"))).toMap
+
+    val hashed = docs.select(col("lang").as("g"),
+      TextOps.fingerprint64(col("doc_id").cast("string")).as("h"))
+    val dir = Files.createTempDirectory("graft-hll-stream").toString
+    hashed.withColumn("slice", pmod(col("h"), lit(4)))
+      .write.partitionBy("slice").mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("g STRING, h BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/slice=*")
+      .as[GroupHash](Encoders.product[GroupHash])
+    val q = StreamingSketch.hllStream(stream)
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hll_stream").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val last = streamed.zipWithIndex.groupBy(_._1._1)
+      .map { case (g, rows) => g -> rows.maxBy(_._2)._1 }
+    assert(last.keySet == batch.keySet)
+    last.foreach { case (g, (_, zeros, est)) =>
+      val (bz, best) = batch(g)
+      assert(zeros.toLong == bz && est == best,
+        s"group $g: stream ($zeros, $est) vs batch ($bz, $best)")
+    }
+    assert(streamed.length > batch.size)
+  }
 }
