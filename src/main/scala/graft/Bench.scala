@@ -64,7 +64,8 @@ object Bench {
     "q_mix_temperature", "q_chunk_overlap", "q_span_mask",
     "q_hard_negatives",
     // r7 additions, benched at birth.
-    "q_knn_ivf_pq_residual")
+    "q_knn_ivf_pq_residual", "q_knn_matryoshka", "q_dedup_prefix",
+    "q_novelty", "q_zorder", "q_agg_merge")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -58,6 +58,8 @@ object Canonical {
       "q_knn_pq"                      -> d("score"),
       "q_knn_ivf_pq"                  -> d("score"),
       "q_knn_ivf_pq_residual"         -> d("score"),
+      "q_knn_matryoshka"              -> d("score"),
+      "q_agg_merge"                   -> d("psum"),
       "q_knn_text"                    -> d("score"),
       "q_hard_negatives"              -> d("score"),
       "q_knn_quantized"               -> d("score"),

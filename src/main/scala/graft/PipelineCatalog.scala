@@ -158,6 +158,19 @@ object PipelineCatalog {
       Dedup.winnowVerifiedPairs(
         Dedup.withNearDuplicates(Tables.documents(s, d)))),
 
+    // Prefix-filtered pairs (PPJoin prefix principle) — fourth candidate
+    // generator under the same oracle: only each doc's rarest
+    // |d|−⌈t·|d|⌉+1 shingles feed the candidate join, recall exactly 1.
+    "q_dedup_prefix" -> ((s, d) =>
+      Dedup.prefixFilteredPairs(
+        Dedup.withNearDuplicates(Tables.documents(s, d)))),
+
+    // Per-doc n-gram novelty: fraction of a doc's shingles occurring in
+    // no other doc — the inverse-boilerplate / memorization signal.
+    "q_novelty" -> ((s, d) =>
+      Dedup.noveltyScores(
+        Dedup.withNearDuplicates(Tables.documents(s, d)))),
+
     // Edit-distance near-dup pairs: 8-shingle candidates + exact
     // Levenshtein (the injected near-dups differ by one leading token).
     "q_dedup_edit" -> ((s, d) =>
@@ -511,6 +524,25 @@ object PipelineCatalog {
     "q_dedup_jaccard" -> jaccardPairsSql,
 
     "q_dedup_minhash" -> jaccardPairsSql,
+
+    // Prefix filtering only changes candidate GENERATION (provable
+    // superset of true pairs, exact verify unchanged) — same oracle.
+    "q_dedup_prefix" -> jaccardPairsSql,
+
+    // Novelty twin: the shingle index's document-frequency aggregate
+    // joined back per doc; SUM cast to BIGINT (DuckDB widens SUM(int)
+    // to HUGEINT), ratio mirrored as CAST-double / count.
+    "q_novelty" ->
+      s"""WITH $corpusNearSql,
+         |$shinglesSql,
+         |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  ROUND(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS novelty
+         |FROM sh JOIN df USING (shingle)
+         |GROUP BY 1""".stripMargin,
 
     "q_dedup_simhash" -> simhashSql,
 

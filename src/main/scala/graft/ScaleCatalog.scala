@@ -103,6 +103,31 @@ object ScaleCatalog {
        |  SELECT m, cell, list(mu ORDER BY pos) AS centroid FROM pm$n
        |  GROUP BY m, cell)""".stripMargin
 
+  /** Z-order oracle: one CTE per spread step, generated from the same
+    * (shift, mask) table Layout.spread hard-codes — a transcription
+    * error in either engine breaks the differential on every row.
+    */
+  private val zorderSql = {
+    val steps = Seq((16, 281470681808895L), (8, 71777214294589695L),
+      (4, 1085102592571150095L), (2, 3689348814741910323L),
+      (1, 6148914691236517205L))
+    val ctes = steps.zipWithIndex.map { case ((sh, m), i) =>
+      s"""s${i + 1} AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    (a$i | (a$i << $sh)) & $m AS a${i + 1},
+         |    (b$i | (b$i << $sh)) & $m AS b${i + 1}
+         |  FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s0 AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    l_partkey & 4294967295 AS a0, l_suppkey & 4294967295 AS b0
+       |  FROM lineitem),
+       |$ctes
+       |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  a5 | (b5 << 1) AS zval
+       |FROM s5""".stripMargin
+  }
+
   /** SQ8 CTE chain shared by the single- and two-stage quantized-knn
     * oracles: codebook (per-dim min/max), dequantized corpus, quantized
     * cosine scores, quantized rank `r`.
@@ -228,6 +253,42 @@ object ScaleCatalog {
       val e = Tables.embeddings(s, d)
       graft.operators.ProductQuant.ivfPqResidualTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+    }),
+
+    // Matryoshka two-stage retrieval: coarse rank over the first 16
+    // dims (4× fewer float bytes through the scan, no codebook to
+    // train), exact full-dim re-rank of the 4k shortlist.
+    "q_knn_matryoshka" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.matryoshkaTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+    }),
+
+    // Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    // the writer-side layout primitive behind multi-dimensional
+    // row-group pruning (Delta/Iceberg OPTIMIZE ZORDER BY).
+    "q_zorder" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.operators.Layout.zorder2(col("l_partkey"), col("l_suppkey"))
+          .as("zval"))),
+
+    // Incremental aggregate maintenance: per-customer (sum, count)
+    // partial state over the pre-1997 history merged with the 1997+
+    // delta slice — the decimal monoid makes ANY slicing bit-identical
+    // to the oracle's direct one-shot aggregate over the whole table.
+    "q_agg_merge" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          col("o_totalprice").cast(Tables.Money).as("price"),
+          col("o_orderdate").cast("date").as("dt"))
+      val cut = "1997-01-01"
+      val hist = graft.operators.AggState.partialState(
+        o.filter(col("dt") < lit(cut)), Seq("o_custkey"), "price")
+      val delta = graft.operators.AggState.partialState(
+        o.filter(col("dt") >= lit(cut)), Seq("o_custkey"), "price")
+      graft.operators.AggState.mergeStates(Seq("o_custkey"), hist, delta)
     }),
 
     // Text-to-text knn WITHOUT an embedding model: hashing-trick
@@ -812,6 +873,59 @@ object ScaleCatalog {
          |  FROM sc)
          |SELECT query_id, neighbor_id, rnk, score FROM r
          |WHERE rnk <= 5""".stripMargin,
+
+    // Matryoshka twin: stage one is the brute cosine skeleton over
+    // list_slice(e, 1, 16) with a rank-20 cut; stage two re-scores the
+    // shortlist with the full-dim cosine and re-ranks to 5.
+    "q_knn_matryoshka" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS p
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS p
+        |  FROM embeddings WHERE vec_id >= 10),
+        |cs AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(round(list_inner_product(q.p, c.p)
+        |      / (sqrt(list_inner_product(q.p, q.p))
+        |         * sqrt(list_inner_product(c.p, c.p))), 6)
+        |      AS DECIMAL(10,6)) AS score
+        |  FROM q CROSS JOIN c),
+        |sl AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        |    FROM cs) WHERE rn <= 20),
+        |s AS (
+        |  SELECT sl.query_id, sl.neighbor_id,
+        |    CAST(round(list_inner_product(q.e, c.e)
+        |      / (sqrt(list_inner_product(q.e, q.e))
+        |         * sqrt(list_inner_product(c.e, c.e))), 6)
+        |      AS DECIMAL(10,6)) AS score
+        |  FROM sl JOIN q ON sl.query_id = q.query_id
+        |    JOIN c ON sl.neighbor_id = c.neighbor_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT)
+        |      AS rnk
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rnk, score FROM r
+        |WHERE rnk <= 5""".stripMargin,
+
+    // Z-order twin: the same six constant-shift/mask spread steps as
+    // Layout.spread, one CTE per step — 64-bit two's-complement &/|/<<
+    // agree between the engines for these (never-overflowing) shifts.
+    "q_zorder" -> zorderSql,
+
+    // Incremental-merge twin: the decimal monoid makes merged partial
+    // state bit-identical to the direct one-shot aggregate.
+    "q_agg_merge" ->
+      """SELECT o_custkey,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS psum,
+        |  COUNT(*) AS pn
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // Hashing-trick knn twin: the q_hash_vectorize vector build
     // assembled into per-doc DOUBLE[] lists, zero-norm excluded, shared

@@ -126,6 +126,46 @@ object Similarity {
         score(col("qe"), col("ce")).as("score")), k)
   }
 
+  /** Matryoshka two-stage retrieval (Kusupati et al. '22's
+    * coarse-to-fine use of nested representations): stage one ranks by
+    * cosine over only the FIRST `prefixDims` dimensions — for
+    * MRL-trained embeddings the prefix IS a valid low-d embedding — and
+    * keeps a `shortlistFactor`·k shortlist; stage two re-scores only
+    * the shortlist with exact full-dimension cosine. The dimension-cut
+    * complement of [[graft.operators.ScalarQuant.rerankedTopK]]'s
+    * precision cut: the coarse scan reads prefixDims/d of the float
+    * bytes (16/64 = 4×, same bandwidth win as SQ8) with NO codebook to
+    * train or apply, and the two compose — a production stack runs
+    * prefix-dim SQ8 coarse + full-dim rerank.
+    *
+    * Plan shape: coarse = broadcast-queries × streamed corpus over the
+    * sliced column, per-query top-4k via the rank window; the shortlist
+    * (|q|·4k ids — tiny) broadcasts back onto the full corpus scan, so
+    * stage two is one hash join streaming the corpus once. Final scores
+    * are exact cosines — ranking error survives only when the true
+    * neighbor fell out of the 4k shortlist (spec-gated recall ≥ the
+    * prefix-only search).
+    */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     prefixDims: Int = 16,
+                     shortlistFactor: Int = 4): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val shortlist = rank(
+      c.select(col("neighbor_id"), slice(col("ce"), 1, prefixDims).as("cp"))
+        .crossJoin(broadcast(
+          q.select(col("query_id"), slice(col("qe"), 1, prefixDims).as("qp"))))
+        .select(col("query_id"), col("neighbor_id"),
+          score(col("qp"), col("cp")).as("score")), k * shortlistFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    rank(c.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        score(col("qe"), col("ce")).as("score")), k)
+  }
+
   /** IVF-style top-k: probe only the query's cell (`cellCol`). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               cellCol: String = "label"): DataFrame = {

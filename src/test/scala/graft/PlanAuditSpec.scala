@@ -45,13 +45,17 @@ class PlanAuditSpec extends SparkSpec {
     *    query set (same asymmetry as knn_brute); mix_temperature: the
     *    1-row normalizer + 1-row total (same as corpus_mix).
     */
+  /**  - knn_ivf_pq_residual: same trainer frames as knn_ivf_pq;
+    *    knn_matryoshka: the broadcast query set on both stages (same
+    *    asymmetry as knn_brute — coarse slice scan + shortlist rerank).
+    */
   private val bnlJAllowed = Set(
     "q_knn_brute", "q_knn_topk_agg", "q_quartiles", "q_tfidf",
     "q_knn_ivf_learned", "q_semantic_dedup", "q_semantic_dedup_2level",
     "q_knn_quantized", "q_knn_quantized_rerank", "q_knn_ivf_sq8",
     "q_corpus_mix", "q_hll_distinct", "q_lm_score",
     "q_knn_ivf_pq", "q_knn_text", "q_mix_temperature",
-    "q_hard_negatives")
+    "q_hard_negatives", "q_knn_ivf_pq_residual", "q_knn_matryoshka")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
@@ -62,7 +66,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_dim_build", "q_fk_resolve", "q_dim_overwrite", "q_knn_ivf_learned",
     "q_semantic_dedup", "q_semantic_dedup_2level", "q_knn_ivf_sq8",
     "q_knn_pq", // PQ codebook init: row_number over ksub = 16 rows
-    "q_knn_ivf_pq") // coarse k=8 + PQ ksub=16 init windows
+    "q_knn_ivf_pq", // coarse k=8 + PQ ksub=16 init windows
+    "q_knn_ivf_pq_residual") // same trainer init windows as q_knn_ivf_pq
 
   /** Sink round-trip queries EXECUTE a write inside the closure and
     * return the trivial re-read scan — calling fn here would side-effect
