@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, LshBucket, WinnowFingerprints}
+import graft.expressions.{CosineSimilarity, HashVector, HllRho, LshBucket, WinnowFingerprints}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the native expressions so they are callable from SQL and via
@@ -28,5 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
       (children: Seq[Expression]) =>
         WinnowFingerprints(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash_vector"),
+      new ExpressionInfo(classOf[HashVector].getName, "graft_hash_vector"),
+      (children: Seq[Expression]) =>
+        HashVector(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_rho"),
+      new ExpressionInfo(classOf[HllRho].getName, "graft_hll_rho"),
+      (children: Seq[Expression]) => HllRho(children.head)))
   }
 }

@@ -393,7 +393,7 @@ object PipelineCatalog {
     // exact, no vocabulary table.
     "q_hash_vectorize" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
-        posexplode(TextOps.hashVector(col("text"))))
+        posexplode(TextOps.hashVectorNative(col("text"))))
         .select(col("doc_id"), col("pos").as("j"), col("col").as("v"))),
 
     // Corpus mixing: skewed target shares (src K → (K+1)/210), keep

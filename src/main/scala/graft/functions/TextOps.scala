@@ -194,4 +194,12 @@ object TextOps {
     */
   def winnowNative(text: Column, k: Int = 3, w: Int = 4): Column =
     call_function("graft_winnow", text, lit(k), lit(w))
+
+  /** Native fused form of [[hashVector]] (graft.expressions.HashVector):
+    * one O(tokens) pass instead of O(dim·tokens) lambda folds —
+    * bit-identical output, spec-gated, same fallback story as
+    * [[winnowNative]].
+    */
+  def hashVectorNative(text: Column, dim: Int = 32): Column =
+    call_function("graft_hash_vector", text, lit(dim))
 }

@@ -83,7 +83,8 @@ object Similarity {
                      dim: Int = 32): DataFrame = {
     def vecs(df: DataFrame, idAs: String, vecAs: String) = df
       .select(col("doc_id").as(idAs),
-        dbl(graft.functions.TextOps.hashVector(col("text"), dim)).as(vecAs))
+        dbl(graft.functions.TextOps.hashVectorNative(col("text"), dim))
+          .as(vecAs))
       .filter(dot(col(vecAs), col(vecAs)) > 0)
     val q = vecs(queries, "query_id", "qe")
     val c = vecs(corpus, "neighbor_id", "ce")

@@ -144,20 +144,15 @@ object Sketch {
   def hllDistinctByGroup(df: DataFrame, groupCol: String,
                          valueCol: String): DataFrame = {
     val m = 64
-    // 2^0‥2^55 as a literal lookup (1-based element_at) — the Scala DSL's
-    // shiftleft/shiftright only take constant shift amounts, so variable
-    // shifts become bit-tests against these single-bit masks.
-    val pow2 = typedlit((0 to 55).map(1L << _))
     val h = TextOps.fingerprint64(col(valueCol).cast("string"))
     val rest = shiftright(h, 6) // 54-bit remainder
     // ρ = position (1-based) of the highest set bit's leading-zero run
     // end: smallest r with bit (54 − r) set; all-zero remainder → 55.
-    val rho = coalesce(
-      array_min(filter(
-        transform(sequence(lit(1), lit(54)),
-          r => when(rest.bitwiseAND(element_at(pow2, lit(55) - r)) > 0, r)),
-        x => x.isNotNull)),
-      lit(55))
+    // Native expression (graft.expressions.HllRho, one nlz instruction);
+    // the declarative 54-element transform→filter→array_min chain it
+    // replaced is kept as `rhoDeclarative` below for the bit-identity
+    // spec — per-row it WAS the whole of this operator's bench cost.
+    val rho = call_function("graft_hll_rho", rest)
     val regs = df
       .select(col(groupCol).cast("string").as("g"),
         pmod(h, lit(m.toLong)).as("idx"), rho.as("rho"))
@@ -197,6 +192,24 @@ object Sketch {
   private def spark_range_64: DataFrame = {
     val s = org.apache.spark.sql.SparkSession.active
     s.range(64).select(col("id").cast("int").as("idx"))
+  }
+
+  /** The declarative ρ (pre-r7 form): 2^0‥2^55 single-bit masks as a
+    * literal lookup (the Scala DSL's shiftleft/shiftright only take
+    * constant shifts, so variable bit-tests go through element_at).
+    * Kept ONLY as the bit-identity anchor for
+    * [[graft.expressions.HllRho]] — SketchSpec compares the two over
+    * the full events substrate.
+    */
+  private[graft] def rhoDeclarative(rest: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val pow2 = typedlit((0 to 55).map(1L << _))
+    coalesce(
+      array_min(filter(
+        transform(sequence(lit(1), lit(54)),
+          r => when(rest.bitwiseAND(element_at(pow2, lit(55) - r)) > 0, r)),
+        x => x.isNotNull)),
+      lit(55))
   }
 
   /** Scala home of the HLL register update for the streaming twin

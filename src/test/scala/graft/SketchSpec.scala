@@ -39,6 +39,36 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("native HLL rho == declarative rho over the full events substrate") {
+    val ev = graft.queries.Tables.events(spark, sf)
+    val rest = shiftright(
+      graft.functions.TextOps.fingerprint64(col("user_id").cast("string")),
+      6)
+    val diff = ev.select(
+        call_function("graft_hll_rho", rest).as("n"),
+        Sketch.rhoDeclarative(rest).as("d"))
+      .filter(col("n") =!= col("d")).count()
+    assert(diff == 0, s"$diff rows drifted between native and declarative rho")
+    // boundary values: rest = 0 → 55, top bit (53) set → 1, bit 0 → 54
+    val edge = spark.range(1).select(
+      call_function("graft_hll_rho", lit(0L)).as("z"),
+      call_function("graft_hll_rho", lit(1L << 53)).as("t"),
+      call_function("graft_hll_rho", lit(1L)).as("o")).collect().head
+    assert(edge.getInt(0) == 55 && edge.getInt(1) == 1 && edge.getInt(2) == 54)
+  }
+
+  test("native hashVector == declarative hashVector, token for token") {
+    val diff = docs.select(
+        graft.functions.TextOps.hashVector(col("text")).as("d"),
+        graft.functions.TextOps.hashVectorNative(col("text")).as("n"))
+      .filter(col("n") =!= col("d")).count()
+    assert(diff == 0, s"$diff docs drifted between native and declarative")
+    // empty text still hashes its one empty token, in both forms
+    val e = spark.sql("SELECT graft_hash_vector('', 32) AS v")
+      .collect().head.getSeq[Long](0)
+    assert(e.length == 32 && e.map(math.abs).sum == 1)
+  }
+
   test("winnow candidate pairs recover every injected near-dup pair") {
     val corpus = Dedup.withNearDuplicates(docs)
     val pairs = Dedup.winnowCandidatePairs(corpus)
