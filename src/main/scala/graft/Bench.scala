@@ -65,7 +65,8 @@ object Bench {
     "q_hard_negatives",
     // r7 additions, benched at birth.
     "q_knn_ivf_pq_residual", "q_knn_matryoshka", "q_dedup_prefix",
-    "q_novelty", "q_zorder", "q_agg_merge")
+    "q_novelty", "q_zorder", "q_agg_merge", "q_lm_buckets",
+    "q_bigram_pmi", "q_outlier_docs")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -60,6 +60,37 @@ object PipelineCatalog {
        |  JOIN sz sb ON inter.doc_b = sb.doc_id
        |  WHERE intersect_n * 10 >= (sa.sz + sb.sz - intersect_n) * 7)""".stripMargin
 
+  /** Shared bigram-LM CTE chain ending in
+    * `lm(doc_id, n_bigrams, avg_logp)` — the trainer+scorer twin of
+    * LangModel.bigramScore, used by both q_lm_score and q_lm_buckets.
+    */
+  private val lmCtesSql =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] AS bigram,
+      |    t[i] AS w1
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |        FROM toks)),
+      |c2 AS (SELECT bigram, COUNT(*) AS n2 FROM bg GROUP BY 1),
+      |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+      |v AS (
+      |  SELECT COUNT(DISTINCT tok) AS vsz
+      |  FROM (SELECT unnest(t) AS tok FROM toks)),
+      |lp AS (
+      |  SELECT bg.doc_id, bg.pos,
+      |    ln(CAST(c2.n2 + 1 AS DOUBLE) / CAST(c1.n1 + v.vsz AS DOUBLE))
+      |      AS logp
+      |  FROM bg JOIN c2 USING (bigram) JOIN c1 ON bg.w1 = c1.w1
+      |  CROSS JOIN v),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
+      |  FROM lp GROUP BY 1),
+      |lm AS (
+      |  SELECT doc_id, n_bigrams, round(s / n_bigrams, 6) AS avg_logp
+      |  FROM agg)""".stripMargin
+
   /** The shared oracle for both the inverted-index exact path and the
     * MinHash-LSH path.
     */
@@ -350,6 +381,20 @@ object PipelineCatalog {
     // ln P — trainer AND scorer inside one oracle-replicated plan.
     "q_lm_score" -> ((s, d) =>
       graft.operators.LangModel.bigramScore(Tables.documents(s, d))),
+
+    // LM-score quartile buckets (boundary-broadcast, never ntile) —
+    // the quality-based mixing prep over the bigram-LM scores.
+    "q_lm_buckets" -> ((s, d) =>
+      graft.operators.LangModel.lmQualityBuckets(Tables.documents(s, d))),
+
+    // Top-50 bigram collocations by PMI with a count>=5 support floor.
+    "q_bigram_pmi" -> ((s, d) =>
+      graft.operators.LangModel.bigramPmi(Tables.documents(s, d))),
+
+    // Robust per-source outlier flags: median/MAD on token counts,
+    // all-integer statistics (exact differential, no float tolerance).
+    "q_outlier_docs" -> ((s, d) =>
+      graft.operators.Curation.outlierDocs(Tables.documents(s, d))),
 
     // Incremental snapshot dedup: a batch (odd docs + re-crawled copies
     // of every 20th even doc) flagged against the previous snapshot's
@@ -1097,30 +1142,66 @@ object PipelineCatalog {
     // probability arithmetic ((n2+1)/(n1+V) as doubles, ln probed
     // bit-identical), same position-ordered sum fold, 6-dp mean.
     "q_lm_score" ->
+      s"""WITH $lmCtesSql
+         |SELECT doc_id, n_bigrams, avg_logp FROM lm""".stripMargin,
+
+    // LM-bucket twin: the shared lm chain + the q_quartiles
+    // quantile_disc boundary/indicator-sum skeleton over avg_logp.
+    "q_lm_buckets" ->
+      s"""WITH $lmCtesSql,
+         |c AS (
+         |  SELECT quantile_disc(avg_logp, 0.25) AS c1,
+         |         quantile_disc(avg_logp, 0.50) AS c2,
+         |         quantile_disc(avg_logp, 0.75) AS c3
+         |  FROM lm)
+         |SELECT doc_id, avg_logp,
+         |  CAST(1 + (avg_logp > c1)::INT + (avg_logp > c2)::INT
+         |         + (avg_logp > c3)::INT AS INT) AS bucket
+         |FROM lm CROSS JOIN c""".stripMargin,
+
+    // PMI twin: three count aggregates over the same positional bigram
+    // build, exact double products (counts < 2^26), 6-dp ln, (pmi desc,
+    // bigram) tie-broken top-50 with the n2 >= 5 support floor.
+    "q_bigram_pmi" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bg AS (
-        |  SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] AS bigram,
-        |    t[i] AS w1
+        |  SELECT t[i] || ' ' || t[i+1] AS bigram, t[i] AS w1,
+        |    t[i+1] AS w2
         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
         |        FROM toks)),
-        |c2 AS (SELECT bigram, COUNT(*) AS n2 FROM bg GROUP BY 1),
-        |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
-        |v AS (
-        |  SELECT COUNT(DISTINCT tok) AS vsz
-        |  FROM (SELECT unnest(t) AS tok FROM toks)),
-        |lp AS (
-        |  SELECT bg.doc_id, bg.pos,
-        |    ln(CAST(c2.n2 + 1 AS DOUBLE) / CAST(c1.n1 + v.vsz AS DOUBLE))
-        |      AS logp
-        |  FROM bg JOIN c2 USING (bigram) JOIN c1 ON bg.w1 = c1.w1
-        |  CROSS JOIN v),
-        |agg AS (
-        |  SELECT doc_id, COUNT(*) AS n_bigrams,
-        |    list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
-        |  FROM lp GROUP BY 1)
-        |SELECT doc_id, n_bigrams, round(s / n_bigrams, 6) AS avg_logp
-        |FROM agg""".stripMargin,
+        |n2 AS (
+        |  SELECT bigram, w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2, 3),
+        |tot AS (SELECT COUNT(*) AS n FROM bg),
+        |m1 AS (SELECT w1, COUNT(*) AS m1 FROM bg GROUP BY 1),
+        |m2 AS (SELECT w2, COUNT(*) AS m2 FROM bg GROUP BY 1)
+        |SELECT bigram, n2,
+        |  round(ln(CAST(n2 AS DOUBLE) * CAST(n AS DOUBLE)
+        |    / (CAST(m1 AS DOUBLE) * CAST(m2 AS DOUBLE))), 6) AS pmi
+        |FROM n2 JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+        |WHERE n2 >= 5
+        |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+
+    // Robust-outlier twin: per-source quantile_disc median and MAD —
+    // all-integer statistics, exact compare, no float tolerance.
+    "q_outlier_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents),
+        |med AS (
+        |  SELECT source, quantile_disc(n_tokens, 0.5) AS med
+        |  FROM t GROUP BY 1),
+        |dev AS (
+        |  SELECT t.doc_id, t.source, t.n_tokens, med.med,
+        |    abs(t.n_tokens - med.med) AS adev
+        |  FROM t JOIN med USING (source)),
+        |mad AS (
+        |  SELECT source, quantile_disc(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT doc_id, dev.source, n_tokens, med, mad,
+        |  adev > 5 * mad AS is_outlier
+        |FROM dev JOIN mad USING (source)""".stripMargin,
 
     // Hashing-trick twin: same md5-salted bucket/sign per token
     // occurrence, grouped signed sums densified over all 32 positions.

@@ -280,4 +280,37 @@ object Curation {
           filter(transform(col("t"), (_, p) => masked(p)), x => x))
           .as("n_masked"))
   }
+
+  /** ROBUST outlier flagging per source — corpus-quality monitoring
+    * with median/MAD instead of mean/stddev (one truncation-bug batch
+    * of near-empty docs would drag a mean-based gate toward itself;
+    * the median ignores it): a doc is an outlier when its token count
+    * deviates from its source's median by more than `k`×MAD
+    * (MAD = median absolute deviation). Every statistic is an INTEGER
+    * (percentile_disc picks an existing count; |x − med| is integer
+    * arithmetic), so the whole gate is exact cross-engine — no float
+    * tolerance anywhere.
+    *
+    * Plan: two tiny per-source aggregates (|sources| rows each)
+    * broadcast back onto the scan — the group-wise twin of the
+    * quartiles boundary-broadcast idiom; no window, no corpus shuffle.
+    */
+  def outlierDocs(docs: DataFrame, k: Int = 5): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      TextOps.tokenCount(col("text")).as("n_tokens"))
+    // percentile_disc returns DOUBLE; it PICKS an existing count, so
+    // the int cast is exact and keeps the whole gate integer-typed.
+    val med = t.groupBy(col("source"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)")
+        .cast("int").as("med"))
+    val dev = t.join(broadcast(med), Seq("source"))
+      .withColumn("adev", abs(col("n_tokens") - col("med")))
+    val mad = dev.groupBy(col("source"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+        .cast("int").as("mad"))
+    dev.join(broadcast(mad), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("med"), col("mad"),
+        (col("adev") > lit(k) * col("mad")).as("is_outlier"))
+  }
 }

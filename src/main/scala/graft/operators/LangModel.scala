@@ -59,6 +59,73 @@ object LangModel {
           lit(0.0), _ + _) / col("n_bigrams"), 6).as("avg_logp"))
   }
 
+  /** LM-score QUALITY BUCKETS — the quality-based mixing prep
+    * (DoReMi/quality-bucket reweighting shape): every doc tagged with
+    * its [[bigramScore]] quartile, so a downstream mixing recipe can
+    * up/down-weight buckets instead of hard-thresholding. Boundaries
+    * are exact value quartiles (percentile_disc) computed in ONE tiny
+    * aggregate and BROADCAST back — the q_quartiles idiom, never an
+    * unpartitioned ntile window; equal scores land in equal buckets
+    * deterministically. The LM chain is recomputed for the boundary
+    * pass and the assignment pass (same two-pass honesty note as
+    * `Analytics.quartiles` — no hidden cache inflating the bench).
+    */
+  def lmQualityBuckets(docs: DataFrame): DataFrame = {
+    val scores = bigramScore(docs).select(col("doc_id"), col("avg_logp"))
+    val cuts = scores.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY avg_logp)")
+        .as("c1"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY avg_logp)")
+        .as("c2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY avg_logp)")
+        .as("c3"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_logp"),
+        (lit(1) + (col("avg_logp") > col("c1")).cast("int")
+                + (col("avg_logp") > col("c2")).cast("int")
+                + (col("avg_logp") > col("c3")).cast("int")).as("bucket"))
+  }
+
+  /** Top-k bigram collocations by PMI — association mining over the
+    * corpus (the "new york"/"machine learning" detector): PMI =
+    * ln(c₂·N / (c₁(w₁)·c₁'(w₂))) over positional bigram counts, with a
+    * `minCount` support floor so rare-pair noise (PMI's classic
+    * failure mode) never ranks. Counts stay < 2²⁶ on any realistic
+    * shard, so both double products are exact and the only rounding is
+    * the emitted 6-dp PMI — cross-engine stable with a (pmi desc,
+    * bigram) tie-break.
+    *
+    * Scale: three keyed count aggregates over one tokenization pass
+    * (map-side partials), two broadcast-sized joins (w1/w2 marginals at
+    * vocabulary cardinality), one TakeOrderedAndProject for the top-k —
+    * no corpus shuffle, no window.
+    */
+  def bigramPmi(docs: DataFrame, minCount: Int = 5,
+                topK: Int = 50): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), explode(TextOps.ngramsAll(col("text"), 2))
+        .as("bigram"))
+      .select(col("bigram"),
+        substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+    val n2 = bg.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n2"), first(col("w1")).as("w1"),
+        first(col("w2")).as("w2"))
+    val totals = bg.agg(count(lit(1)).as("n")) // 1-row broadcast
+    val m1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("m1"))
+    val m2 = bg.groupBy(col("w2")).agg(count(lit(1)).as("m2"))
+    n2.filter(col("n2") >= minCount)
+      .join(m1, Seq("w1"))
+      .join(m2, Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("n2"),
+        round(log(col("n2").cast("double") * col("n").cast("double") /
+          (col("m1").cast("double") * col("m2").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** TRAINED language-ID — the profile-based classifier (Cavnar &
     * Trenkle '94 shape, token-level): per language, the top-`profileK`
     * tokens by labeled-corpus frequency form the profile; a document's

@@ -55,7 +55,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_quantized", "q_knn_quantized_rerank", "q_knn_ivf_sq8",
     "q_corpus_mix", "q_hll_distinct", "q_lm_score",
     "q_knn_ivf_pq", "q_knn_text", "q_mix_temperature",
-    "q_hard_negatives", "q_knn_ivf_pq_residual", "q_knn_matryoshka")
+    "q_hard_negatives", "q_knn_ivf_pq_residual", "q_knn_matryoshka",
+    // lm_buckets: the 1-row quantile-cut frame (q_quartiles family) on
+    // the 1-row-vocab lm chain; bigram_pmi: the 1-row total-count frame.
+    "q_lm_buckets", "q_bigram_pmi")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
