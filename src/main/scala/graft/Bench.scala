@@ -66,7 +66,8 @@ object Bench {
     // r7 additions, benched at birth.
     "q_knn_ivf_pq_residual", "q_knn_matryoshka", "q_dedup_prefix",
     "q_novelty", "q_zorder", "q_agg_merge", "q_lm_buckets",
-    "q_bigram_pmi", "q_outlier_docs")
+    "q_bigram_pmi", "q_outlier_docs", "q_shard_assign",
+    "q_kmv_intersect")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

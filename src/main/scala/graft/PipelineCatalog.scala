@@ -396,6 +396,23 @@ object PipelineCatalog {
     "q_outlier_docs" -> ((s, d) =>
       graft.operators.Curation.outlierDocs(Tables.documents(s, d))),
 
+    // Rendezvous (HRW) shard router: argmax salted hash over 16 shards
+    // — the stable assignment that moves only 1/(n+1) of keys on
+    // reshard (spec gates the movement property exactly).
+    "q_shard_assign" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.operators.Shard.rendezvousShard(col("doc_id"), 16)
+          .as("shard"))),
+
+    // KMV/theta-sketch set intersection: distinct click∩purchase users
+    // estimated from two 64-hash sketches; exact count rides along.
+    "q_kmv_intersect" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.Sketch.kmvIntersectEstimate(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), "user_id")
+    }),
+
     // Incremental snapshot dedup: a batch (odd docs + re-crawled copies
     // of every 20th even doc) flagged against the previous snapshot's
     // fingerprint set — the daily-ingest dedup stage.
@@ -1181,6 +1198,52 @@ object PipelineCatalog {
         |FROM n2 JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
         |WHERE n2 >= 5
         |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+
+    // Rendezvous twin: per-(doc, shard) salted md5 weights, winner by
+    // (w DESC, s DESC) — array_max's lexicographic struct tie-break.
+    "q_shard_assign" ->
+      """SELECT doc_id, CAST(shard AS INT) AS shard FROM (
+        |  SELECT doc_id, s AS shard,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY w DESC, s DESC) AS rn
+        |  FROM (
+        |    SELECT doc_id, r.s,
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || r.s),
+        |        1, 15))::BIGINT AS w
+        |    FROM documents CROSS JOIN range(16) r(s)))
+        |WHERE rn = 1""".stripMargin,
+
+    // Theta-intersection twin: union-sketch threshold (64th smallest
+    // distinct union hash), common hashes <= theta, the n·2^60/theta
+    // estimator, exact distinct intersection alongside.
+    "q_kmv_intersect" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |    1, 15))::BIGINT AS h
+        |  FROM events WHERE event_type = 'click'),
+        |hb AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |    1, 15))::BIGINT AS h
+        |  FROM events WHERE event_type = 'purchase'),
+        |th AS (
+        |  SELECT MAX(h) AS theta FROM (
+        |    SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+        |    ORDER BY h LIMIT 64)),
+        |cm AS (
+        |  SELECT theta, COUNT(*) AS n_common
+        |  FROM ha JOIN hb USING (h) CROSS JOIN th
+        |  WHERE h <= theta GROUP BY theta),
+        |ex AS (
+        |  SELECT COUNT(*) AS exact_n
+        |  FROM (SELECT DISTINCT user_id FROM events
+        |        WHERE event_type = 'click') a
+        |  JOIN (SELECT DISTINCT user_id FROM events
+        |        WHERE event_type = 'purchase') b USING (user_id))
+        |SELECT theta, n_common,
+        |  round(CAST(n_common AS DOUBLE) * 1152921504606846976.0
+        |    / CAST(theta AS DOUBLE), 6) AS est_intersection,
+        |  exact_n
+        |FROM cm CROSS JOIN ex""".stripMargin,
 
     // Robust-outlier twin: per-source quantile_disc median and MAD —
     // all-integer statistics, exact compare, no float tolerance.

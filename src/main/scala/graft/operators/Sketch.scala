@@ -194,6 +194,47 @@ object Sketch {
     s.range(64).select(col("id").cast("int").as("idx"))
   }
 
+  /** KMV set-INTERSECTION estimate (the theta-sketch composition,
+    * Dasgupta et al.): two KMV sketches answer |A ∩ B| without either
+    * side shipping its value set. θ = the k-th smallest distinct hash
+    * of the UNION (the union sketch's threshold); every common hash
+    * below θ is a uniform sample point of A ∩ B at sampling rate
+    * θ/2⁶⁰, so est = n_common · 2⁶⁰ / θ — the same estimator algebra
+    * as [[estimate]] with the threshold imported from the union. The
+    * exact intersection count rides along so the differential gates
+    * accuracy, not just arithmetic.
+    *
+    * Scale shape: each side reduces to ≤ k longs (the KMV bound);
+    * θ is a 1-row broadcast; the common-hash join is sketch-sized.
+    * Nothing value-shaped crosses the shuffle — the property that lets
+    * warehouses intersect per-day audience sketches without re-reading
+    * days.
+    */
+  def kmvIntersectEstimate(a: DataFrame, b: DataFrame, valueCol: String,
+                           k: Int = 64): DataFrame = {
+    def hashes(df: DataFrame) = df
+      .select(TextOps.fingerprint64(col(valueCol).cast("string")).as("h"))
+      .distinct()
+    val ha = hashes(a).cache()
+    val hb = hashes(b).cache()
+    val theta = ha.union(hb).distinct()
+      .orderBy(col("h")).limit(k)
+      .agg(max(col("h")).as("theta"))
+    val common = ha.join(hb, Seq("h"))
+      .crossJoin(broadcast(theta))
+      .filter(col("h") <= col("theta"))
+      .groupBy(col("theta"))
+      .agg(count(lit(1)).as("n_common"))
+    val exact = a.select(col(valueCol).as("v")).distinct()
+      .join(b.select(col(valueCol).as("v")).distinct(), Seq("v"))
+      .agg(count(lit(1)).as("exact_n"))
+    common.crossJoin(exact)
+      .select(col("theta"), col("n_common"),
+        round(col("n_common").cast("double") * lit(math.pow(2, 60))
+          / col("theta").cast("double"), 6).as("est_intersection"),
+        col("exact_n"))
+  }
+
   /** The declarative ρ (pre-r7 form): 2^0‥2^55 single-bit masks as a
     * literal lookup (the Scala DSL's shiftleft/shiftright only take
     * constant shifts, so variable bit-tests go through element_at).

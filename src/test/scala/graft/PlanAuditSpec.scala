@@ -57,8 +57,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_ivf_pq", "q_knn_text", "q_mix_temperature",
     "q_hard_negatives", "q_knn_ivf_pq_residual", "q_knn_matryoshka",
     // lm_buckets: the 1-row quantile-cut frame (q_quartiles family) on
-    // the 1-row-vocab lm chain; bigram_pmi: the 1-row total-count frame.
-    "q_lm_buckets", "q_bigram_pmi")
+    // the 1-row-vocab lm chain; bigram_pmi: the 1-row total-count
+    // frame; kmv_intersect: two 1-row frames (theta + exact count).
+    "q_lm_buckets", "q_bigram_pmi", "q_kmv_intersect")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

@@ -99,6 +99,34 @@ class Round7OpsSpec extends SparkSpec {
     assert(chained.columns.toSeq == Seq("o_custkey", "psum", "pn"))
   }
 
+  test("rendezvous: adding a shard moves keys ONLY to the new shard") {
+    val docs = Tables.documents(spark, sf)
+    val a16 = docs.select(col("doc_id"),
+        graft.operators.Shard.rendezvousShard(col("doc_id"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a17 = docs.select(col("doc_id"),
+        graft.operators.Shard.rendezvousShard(col("doc_id"), 17).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a16.values.toSet.subsetOf((0 until 16).toSet))
+    val moved = a16.keys.filter(k => a16(k) != a17(k)).toSeq
+    moved.foreach { k =>
+      assert(a17(k) == 16, s"doc $k moved to ${a17(k)}, not the new shard")
+    }
+    // expectation ~n/17; allow wide slack but forbid mod-style remaps
+    assert(moved.size < a16.size / 4,
+      s"${moved.size}/${a16.size} moved — not minimal-movement")
+  }
+
+  test("kmv intersection estimate lands within 35% of the exact overlap") {
+    val ev = graft.queries.Tables.events(spark, sf)
+    val row = graft.operators.Sketch.kmvIntersectEstimate(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "view"), "user_id").collect().head
+    val (est, exact) = (row.getDouble(2), row.getLong(3))
+    assert(exact > 0)
+    assert(math.abs(est - exact) <= 0.35 * exact, s"est $est vs exact $exact")
+  }
+
   test("novelty: hand-computed on a tiny corpus with one shared shingle") {
     import scala.jdk.CollectionConverters._
     val rows = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
