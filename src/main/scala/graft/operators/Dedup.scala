@@ -95,21 +95,53 @@ object Dedup {
     */
   def containmentPairs(corpus: DataFrame, num: Int = 9, den: Int = 10,
                        maxDocFreq: Option[Int] = Some(50)): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val shAll = shingleIndex(corpus).cache()
-    val sh = maxDocFreq.fold(shAll) { m =>
+    val sh = (maxDocFreq.fold(shAll) { m =>
       val rare = shAll.groupBy(col("shingle"))
         .agg(count(lit(1)).as("df")).filter(col("df") <= m)
         .select(col("shingle"))
       shAll.join(rare, Seq("shingle"))
-    }
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_sub"), col("b.doc_id").as("doc_sup"))
+    }).cache()
+    // Prefix filter on the SUB side (r7, the [[prefixFilteredPairs]]
+    // principle adapted to the asymmetric relation): c(A,B) ≥ t needs
+    // |A∩B| ≥ ⌈t·|A|⌉ ≥ ⌈t·|A_capped|⌉, so a qualifying pair must
+    // collide within A's first p = |A_c| − ⌈t·|A_c|⌉ + 1 rarest capped
+    // shingles. Only the SUB side prunes to its prefix — the SUP side
+    // keeps its full capped postings (B is unconstrained below t·|A|) —
+    // which still cuts the candidate join from Σ df² to Σ df_pref·df.
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val szc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szc"))
+    val pref = sh.join(dfreq, Seq("shingle"))
+      .withColumn("r", row_number().over(
+        W.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .join(szc, Seq("doc_id"))
+      .filter(col("r") <=
+        col("szc") - floor((col("szc") * num + (den - 1)) / den) + 1)
+      .select(col("shingle"), col("doc_id"))
+    val szu = sizes(shAll)
+    val cand = pref.as("pa")
+      .join(sh.as("pb"),
+        col("pa.shingle") === col("pb.shingle") &&
+          col("pa.doc_id") =!= col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_sub"), col("pb.doc_id").as("doc_sup"))
+      .distinct()
+      // size prune: |A∩B| ≤ |B_capped|, so den·|B_c| ≥ num·|A_uncapped|
+      .join(szu.select(col("doc_id").as("doc_sub"), col("sz").as("sz_sub")),
+        Seq("doc_sub"))
+      .join(szc.select(col("doc_id").as("doc_sup"), col("szc").as("szc_sup")),
+        Seq("doc_sup"))
+      .filter(col("szc_sup") * den >= col("sz_sub") * num)
+      .select(col("doc_sub"), col("doc_sup"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_sub") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_sup") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_sub"), col("doc_sup"))
       .agg(count(lit(1)).as("intersect_n"))
     inter
-      .join(sizes(shAll).withColumnRenamed("doc_id", "doc_sub"), Seq("doc_sub"))
+      .join(szu.withColumnRenamed("doc_id", "doc_sub"), Seq("doc_sub"))
       .filter(col("intersect_n") * den >= col("sz") * num)
       .select(col("doc_sub"), col("doc_sup"), col("intersect_n"),
         col("sz").as("sub_sz"))
@@ -297,6 +329,16 @@ object Dedup {
     * coldest ~30% of postings — the published result, with recall
     * exactly 1 by construction. The per-doc prefix ranking is one
     * window partitioned by doc_id (never global).
+    *
+    * Honest small-scale note (same story as TopK.bruteTopKAgg): at
+    * sf0.1 this benches 3.2 s vs the exact path's 2.7 s — the
+    * substrate's shingles are near-unique (df ≈ 1), so Σ df² is tiny
+    * and the prefix machinery (document-frequency aggregate + per-doc
+    * rank window) costs more than it saves. Its win is asymptotic:
+    * candidate work scales with Σ df² over prefix postings, which is
+    * what dominates on real corpora with boilerplate-hot shingles.
+    * Both paths stay under one oracle so the cheap one anchors the
+    * scalable one.
     */
   def prefixFilteredPairs(corpus: DataFrame, num: Int = 7,
                           den: Int = 10): DataFrame = {
