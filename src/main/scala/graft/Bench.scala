@@ -67,7 +67,10 @@ object Bench {
     "q_knn_ivf_pq_residual", "q_knn_matryoshka", "q_dedup_prefix",
     "q_novelty", "q_zorder", "q_agg_merge", "q_lm_buckets",
     "q_bigram_pmi", "q_outlier_docs", "q_shard_assign",
-    "q_kmv_intersect")
+    "q_kmv_intersect",
+    // r7 second wave, benched at birth.
+    "q_knn_binary", "q_knn_binary_rerank", "q_bm25", "q_dsir_weights",
+    "q_entity_match")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -396,6 +396,28 @@ object PipelineCatalog {
     "q_outlier_docs" -> ((s, d) =>
       graft.operators.Curation.outlierDocs(Tables.documents(s, d))),
 
+    // BM25 top-5 retrieval for corpus-derived queries: the sparse
+    // lexical complement of the dense ANN family; corpus tokens are
+    // broadcast-semi-joined to query terms before the tf shuffle.
+    "q_bm25" -> ((s, d) =>
+      graft.operators.Retrieval.bm25TopK(Tables.documents(s, d))),
+
+    // DSIR importance weights: hashed-bigram log-likelihood-ratio vs
+    // the target slice (every 50th doc) — the importance-resampling
+    // data-selection score, trainer inside the differential.
+    "q_dsir_weights" -> ((s, d) =>
+      graft.operators.Curation.dsirWeights(Tables.documents(s, d))),
+
+    // Fuzzy entity resolution: a deterministic char-drop dirty feed
+    // matched to the part catalog via two-key blocking + Levenshtein
+    // verify + best-match resolve; all integer/string-exact.
+    "q_entity_match" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+      graft.operators.EntityMatch.resolve(
+        graft.operators.EntityMatch.dirtyFeed(parts, "p_partkey", "p_name"),
+        parts, "p_partkey", "p_name")
+    }),
+
     // Rendezvous (HRW) shard router: argmax salted hash over 16 shards
     // — the stable assignment that moves only 1/(n+1) of keys on
     // reshard (spec gates the movement property exactly).
@@ -1198,6 +1220,127 @@ object PipelineCatalog {
         |FROM n2 JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
         |WHERE n2 >= 5
         |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+
+    // BM25 twin: same derived query set (first-3-distinct tokens of
+    // every 100th doc, document order via MIN(position)), same Lucene
+    // idf and saturation arithmetic in the same operation tree (ln
+    // probed bit-identical), value-sorted per-(query, doc) sum fold,
+    // 6-dp DECIMAL edge.
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_dl FROM toks),
+        |qi AS (
+        |  SELECT doc_id AS query_id, t, unnest(range(1, len(t) + 1)) AS i
+        |  FROM toks WHERE doc_id % 100 = 0),
+        |qf AS (
+        |  SELECT query_id, t[i] AS token, MIN(i) AS fp
+        |  FROM qi GROUP BY 1, 2),
+        |q AS (
+        |  SELECT query_id, token FROM (
+        |    SELECT query_id, token, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY fp) AS rn FROM qf)
+        |  WHERE rn <= 3),
+        |tok AS (
+        |  SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM toks),
+        |mt AS (
+        |  SELECT doc_id, token, dl FROM tok
+        |  WHERE token IN (SELECT DISTINCT token FROM q)),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf, MAX(dl) AS dl
+        |  FROM mt GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |ts AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+        |          / (CAST(total_dl AS DOUBLE) / n_docs))) AS ts
+        |  FROM tf JOIN df USING (token) JOIN q USING (token)
+        |  CROSS JOIN st),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(round(list_reduce(list_sort(list(ts)), (x, y) -> x + y),
+        |      6) AS DECIMAL(18,6)) AS score
+        |  FROM ts GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS INT) AS rnk FROM sc)
+        |SELECT query_id, doc_id, rnk, score FROM r WHERE rnk <= 5"""
+        .stripMargin,
+
+    // DSIR twin: same md5-bucketed bigrams (the fingerprint64 idiom),
+    // same add-one smoothed log-ratio in the same four-ln operation
+    // tree, value-sorted per-doc sum fold, 6-dp round.
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 15))::BIGINT
+        |      % 1024 AS bucket
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks)),
+        |cnt AS (
+        |  SELECT bucket,
+        |    SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 1 END) AS cr
+        |  FROM bg GROUP BY 1),
+        |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS rt FROM cnt),
+        |lam AS (
+        |  SELECT bucket,
+        |    (ln(ct + 1.0) - ln(CAST(tt + 1024 AS DOUBLE)))
+        |      - (ln(cr + 1.0) - ln(CAST(rt + 1024 AS DOUBLE))) AS lam
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_features,
+        |  round(list_reduce(list_sort(list(lam)), (x, y) -> x + y), 6)
+        |    AS weight
+        |FROM bg JOIN lam USING (bucket)
+        |GROUP BY 1""".stripMargin,
+
+    // Entity-resolution twin: same deterministic interior char-drop,
+    // same two-key blocking union, same Levenshtein (identical DP in
+    // both engines) and (lev, key) best-match window.
+    "q_entity_match" ->
+      """WITH cat AS (
+        |  SELECT p_partkey AS matched_key, p_name AS matched_name,
+        |    substr(lower(p_name), 1, 2) AS ck1,
+        |    right(lower(p_name), 2) AS ck2
+        |  FROM part),
+        |d0 AS (
+        |  SELECT p_partkey AS dirty_id, p_name,
+        |    (p_partkey % (length(p_name) - 2)) + 2 AS pos
+        |  FROM part WHERE p_partkey % 7 = 0),
+        |d AS (
+        |  SELECT dirty_id,
+        |    concat(substr(p_name, 1, CAST(pos - 1 AS INT)),
+        |      substr(p_name, CAST(pos + 1 AS INT))) AS dirty_name
+        |  FROM d0),
+        |dk AS (
+        |  SELECT dirty_id, dirty_name,
+        |    substr(lower(dirty_name), 1, 2) AS dk1,
+        |    right(lower(dirty_name), 2) AS dk2
+        |  FROM d),
+        |cand AS (
+        |  SELECT DISTINCT dirty_id, dirty_name, matched_key, matched_name
+        |  FROM (
+        |    SELECT dk.dirty_id, dk.dirty_name, cat.matched_key,
+        |      cat.matched_name
+        |    FROM dk JOIN cat ON dk.dk1 = cat.ck1
+        |    UNION ALL
+        |    SELECT dk.dirty_id, dk.dirty_name, cat.matched_key,
+        |      cat.matched_name
+        |    FROM dk JOIN cat ON dk.dk2 = cat.ck2)),
+        |v AS (
+        |  SELECT *, CAST(levenshtein(dirty_name, matched_name) AS INT)
+        |    AS lev
+        |  FROM cand WHERE levenshtein(dirty_name, matched_name) <= 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY dirty_id
+        |    ORDER BY lev, matched_key) AS rn FROM v)
+        |SELECT dirty_id, dirty_name, matched_key, matched_name, lev
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // Rendezvous twin: per-(doc, shard) salted md5 weights, winner by
     // (w DESC, s DESC) — array_max's lexicographic struct tie-break.

@@ -48,6 +48,33 @@ object ScaleCatalog {
       |          ::BIGINT % 2001) - 1000) / 1000.0 AS w
       |    FROM range(8) t(p) CROSS JOIN range(64) u(i)) GROUP BY p)""".stripMargin
 
+  /** Sign-lane packing + Hamming twin of BinaryQuant.signPack/hamming:
+    * lane w holds dims [32w, 32w+32) as bits 0..31 of a BIGINT (32-bit
+    * lanes — the range-checked `1::BIGINT << 63` is why, same as
+    * Bloom); query/corpus split per the knnSql vec_id convention.
+    */
+  private val binPackSql =
+    """v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |b AS (
+      |  SELECT vec_id,
+      |    [list_reduce(list_transform(range(32),
+      |        i -> CASE WHEN e[i + 1] > 0
+      |          THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+      |        (x, y) -> x | y),
+      |     list_reduce(list_transform(range(32),
+      |        i -> CASE WHEN e[i + 33] > 0
+      |          THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+      |        (x, y) -> x | y)] AS w
+      |  FROM v),
+      |q AS (SELECT vec_id AS query_id, w FROM b WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, w FROM b WHERE vec_id >= 10),
+      |h AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(bit_count(xor(q.w[1], c.w[1]))
+      |       + bit_count(xor(q.w[2], c.w[2])) AS INT) AS hamming
+      |  FROM q CROSS JOIN c)""".stripMargin
+
   /** Squared-L2 fold twin of Quantizer.dist2 — same element op, same
     * left-to-right accumulation (list_reduce starts at the first element;
     * Spark's fold starts at 0.0 + first, identical in IEEE).
@@ -261,6 +288,24 @@ object ScaleCatalog {
     "q_knn_matryoshka" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.matryoshkaTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+    }),
+
+    // 1-bit sign quantization + Hamming search: 32× compression over
+    // the float column with NO codebook to train; two 32-bit lanes per
+    // vector (Bloom's packing rationale — the oracle's 1<<63 is
+    // range-checked). The only fully integer-scored ANN path.
+    "q_knn_binary" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.BinaryQuant.hammingTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+    }),
+
+    // Binary coarse stage (16 B/vector scan) + exact full-precision
+    // cosine re-rank of the 4k-per-query shortlist.
+    "q_knn_binary_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.BinaryQuant.hammingRerankTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
     }),
 
@@ -913,6 +958,42 @@ object ScaleCatalog {
         |  FROM s)
         |SELECT query_id, neighbor_id, rnk, score FROM r
         |WHERE rnk <= 5""".stripMargin,
+
+    // Binary-quantization twin: same 32-bit sign-lane packing (e > 0,
+    // bit i of lane w for dim 32w+i), per-lane bit_count(xor), integer
+    // sum — no float surface at all, so no rounding anywhere.
+    "q_knn_binary" ->
+      s"""WITH $binPackSql,
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY hamming, neighbor_id) AS INT) AS rnk
+         |  FROM h)
+         |SELECT query_id, neighbor_id, rnk, hamming FROM r
+         |WHERE rnk <= 5""".stripMargin,
+
+    // Binary-rerank twin: the Hamming skeleton cut at rank 20, exact
+    // full-dim cosine re-score of the shortlist, re-rank to 5.
+    "q_knn_binary_rerank" ->
+      s"""WITH $binPackSql,
+         |hr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY hamming, neighbor_id) AS rn
+         |  FROM h),
+         |sl AS (SELECT query_id, neighbor_id FROM hr WHERE rn <= 20),
+         |s AS (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    CAST(round(list_inner_product(qv.e, cv.e)
+         |      / (sqrt(list_inner_product(qv.e, qv.e))
+         |         * sqrt(list_inner_product(cv.e, cv.e))), 6)
+         |      AS DECIMAL(10,6)) AS score
+         |  FROM sl JOIN v qv ON sl.query_id = qv.vec_id
+         |    JOIN v cv ON sl.neighbor_id = cv.vec_id),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INT) AS rnk
+         |  FROM s)
+         |SELECT query_id, neighbor_id, rnk, score FROM r
+         |WHERE rnk <= 5""".stripMargin,
 
     // Z-order twin: the same six constant-shift/mask spread steps as
     // Layout.spread, one CTE per step — 64-bit two's-complement &/|/<<

@@ -313,4 +313,59 @@ object Curation {
         col("med"), col("mad"),
         (col("adev") > lit(k) * col("mad")).as("is_outlier"))
   }
+
+  /** DSIR-style importance weights (Xie et al. '23, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much its hashed-n-gram feature distribution looks
+    * like a TARGET distribution vs the RAW corpus distribution —
+    *
+    *   weight(d) = Σ_{g ∈ bigrams(d)} [ ln p̂_target(bucket(g))
+    *                                   − ln p̂_raw(bucket(g)) ]
+    *
+    * with p̂ the add-one-smoothed bucket frequencies over `buckets`
+    * hashed-bigram buckets (the hashing trick bounds model size to
+    * `buckets` counters regardless of corpus vocabulary — the same
+    * device as [[graft.functions.TextOps.hashVector]]). High-weight
+    * documents are the ones importance resampling keeps. The target
+    * here is every `targetEvery`-th document (standing in for the
+    * high-quality exemplar set), so the whole trainer+scorer is a pure
+    * function of the corpus the DuckDB oracle replicates.
+    *
+    * Float surface: λ(bucket) is four ln calls in a fixed
+    * parenthesization (probed bit-identical JVM↔DuckDB); the per-doc
+    * sum folds λ values VALUE-sorted (sorted-fold idiom; equal values
+    * are interchangeable under +), rounded to 6 dp at the edge.
+    *
+    * Scale shape: one tokenization pass → bucket counts are two
+    * `buckets`-row aggregates (map-side partial; a hot bigram is a hot
+    * counter, never a hot join key); the λ table (≤ `buckets` rows)
+    * broadcasts onto the per-doc bucket stream; one groupBy(doc_id)
+    * closes the sum. No corpus self-join anywhere — at 100 TB this is
+    * two scans and one keyed shuffle.
+    */
+  def dsirWeights(docs: DataFrame, targetEvery: Int = 50,
+                  buckets: Int = 1024): DataFrame = {
+    val bg = docs.select(col("doc_id"),
+        explode(TextOps.ngramsAll(col("text"), 2)).as("bigram"))
+      .select(col("doc_id"),
+        pmod(TextOps.fingerprint64(col("bigram")), lit(buckets.toLong))
+          .as("bucket"))
+    val isTarget = col("doc_id") % targetEvery === 0
+    val counts = bg
+      .groupBy(col("bucket"))
+      .agg(sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("rt"))
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        ((log(col("ct") + 1.0) - log((col("tt") + buckets).cast("double"))) -
+          (log(col("cr") + 1.0) - log((col("rt") + buckets).cast("double"))))
+          .as("lam"))
+    bg.join(broadcast(lam), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"),
+        round(aggregate(sort_array(collect_list(col("lam"))),
+          lit(0.0), _ + _), 6).as("weight"))
+      .select(col("doc_id"), col("n_features"), col("weight"))
+  }
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Lexical retrieval scoring — BM25 (Robertson–Spärck Jones), the
+  * sparse complement of the dense-ANN family in [[Similarity]]: rank
+  * documents for a query set by term-frequency × inverse-document-
+  * frequency with the BM25 saturation and length normalization:
+  *
+  *   score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  *   idf(t)      = ln((N − df + 0.5)/(df + 0.5) + 1)        (Lucene form)
+  *
+  * Here the query set is derived from the corpus itself (the first
+  * `queryTerms` distinct tokens of every `queryEvery`-th document), so
+  * the whole trainer-free pipeline is a pure function of the corpus the
+  * DuckDB oracle replicates end to end.
+  *
+  * Float surface: idf and the per-term score are scalar double
+  * arithmetic (ln probed bit-identical JVM↔DuckDB, same
+  * parenthesization both sides); the per-(query, doc) sum folds the
+  * term scores VALUE-sorted (sorted-fold idiom — same multiset → same
+  * fold, ties are exact duplicates so order within ties is immaterial);
+  * the emitted score is rounded to 6 dp.
+  *
+  * Scale shape: the corpus token stream is semi-joined against the
+  * BROADCAST distinct-query-term set before anything shuffles — at
+  * 100 TB the tf aggregate sees only tokens that can ever score, a
+  * |terms|-selective filter pushed to the scan side. df falls out of
+  * tf (one more tiny aggregate over matched terms only); N/total_dl is
+  * a 1-row broadcast; the final ranking is a per-query top-k window
+  * (rows ≤ matched docs per query), never a global sort. A hot term is
+  * a hot counter cell in the partial aggregate, not a hot join row.
+  */
+object Retrieval {
+
+  /** (query_id, doc_id, rnk, score): BM25 top-k documents per derived
+    * query. Documents with no query term overlap never appear.
+    */
+  def bm25TopK(docs: DataFrame, k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75,
+               queryEvery: Int = 100, queryTerms: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    // 1-row corpus stats: N and total token count (integer-exact).
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("t")).cast("long")).as("total_dl"))
+    // Query terms: first `queryTerms` DISTINCT tokens, document order
+    // (array_distinct preserves first occurrence).
+    val qterms = toks.filter(col("doc_id") % queryEvery === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(array_distinct(col("t")), 1, queryTerms)).as("token"))
+    // Corpus token stream, pre-filtered to query terms BEFORE the tf
+    // shuffle; dl rides along to avoid a second corpus-sized join.
+    val tok = toks
+      .select(col("doc_id"), size(col("t")).as("dl"),
+        explode(col("t")).as("token"))
+      .join(broadcast(qterms.select("token").distinct()), Seq("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // All scalar arithmetic happens ENGINE-side (lit() + Column ops, the
+    // same operation tree as the oracle SQL) so both engines round each
+    // intermediate identically — no Scala-compile-time constant folding
+    // that the SQL twin can't reproduce.
+    val avgdl = col("total_dl").cast("double") / col("n_docs")
+    val idf =
+      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val termScore = tf
+      .join(broadcast(df_), Seq("token"))
+      .join(broadcast(qterms), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (idf * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl)))
+          .as("ts"))
+    termScore.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(aggregate(sort_array(collect_list(col("ts"))),
+        lit(0.0), _ + _), 6).cast(DecimalType(18, 6)).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("score"))
+  }
+}

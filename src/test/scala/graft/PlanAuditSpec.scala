@@ -59,7 +59,11 @@ class PlanAuditSpec extends SparkSpec {
     // lm_buckets: the 1-row quantile-cut frame (q_quartiles family) on
     // the 1-row-vocab lm chain; bigram_pmi: the 1-row total-count
     // frame; kmv_intersect: two 1-row frames (theta + exact count).
-    "q_lm_buckets", "q_bigram_pmi", "q_kmv_intersect")
+    "q_lm_buckets", "q_bigram_pmi", "q_kmv_intersect",
+    // knn_binary(_rerank): the broadcast packed query set (knn_brute
+    // asymmetry — 16 B/vector); bm25: the 1-row N/total_dl stats
+    // frame; dsir_weights: the 1-row smoothing-totals frame.
+    "q_knn_binary", "q_knn_binary_rerank", "q_bm25", "q_dsir_weights")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
