@@ -1305,8 +1305,8 @@ object PipelineCatalog {
     "q_entity_match" ->
       """WITH cat AS (
         |  SELECT p_partkey AS matched_key, p_name AS matched_name,
-        |    substr(lower(p_name), 1, 2) AS ck1,
-        |    right(lower(p_name), 2) AS ck2
+        |    substr(lower(p_name), 1, 3) AS ck1,
+        |    right(lower(p_name), 3) AS ck2
         |  FROM part),
         |d0 AS (
         |  SELECT p_partkey AS dirty_id, p_name,
@@ -1319,8 +1319,8 @@ object PipelineCatalog {
         |  FROM d0),
         |dk AS (
         |  SELECT dirty_id, dirty_name,
-        |    substr(lower(dirty_name), 1, 2) AS dk1,
-        |    right(lower(dirty_name), 2) AS dk2
+        |    substr(lower(dirty_name), 1, 3) AS dk1,
+        |    right(lower(dirty_name), 3) AS dk2
         |  FROM d),
         |cand AS (
         |  SELECT DISTINCT dirty_id, dirty_name, matched_key, matched_name
@@ -1328,10 +1328,12 @@ object PipelineCatalog {
         |    SELECT dk.dirty_id, dk.dirty_name, cat.matched_key,
         |      cat.matched_name
         |    FROM dk JOIN cat ON dk.dk1 = cat.ck1
+        |      AND abs(length(dk.dirty_name) - length(cat.matched_name)) <= 2
         |    UNION ALL
         |    SELECT dk.dirty_id, dk.dirty_name, cat.matched_key,
         |      cat.matched_name
-        |    FROM dk JOIN cat ON dk.dk2 = cat.ck2)),
+        |    FROM dk JOIN cat ON dk.dk2 = cat.ck2
+        |      AND abs(length(dk.dirty_name) - length(cat.matched_name)) <= 2)),
         |v AS (
         |  SELECT *, CAST(levenshtein(dirty_name, matched_name) AS INT)
         |    AS lev
