@@ -175,7 +175,15 @@ object AnalyticsCatalog {
         .saltedInnerJoin(orders, cust, "custkey", Seq("o_orderkey"))
         .groupBy(col("segment"))
         .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("revenue"))
-    })
+    }),
+
+    // 5-iteration PageRank over the symmetrized customer↔supplier
+    // purchase graph. Fixed-point (1e-12 long) contribution
+    // accumulation — order-free integer sums, hot-node-safe — with
+    // every iteration of the trainer inside the differential.
+    "q_pagerank" -> ((s, d) =>
+      graft.operators.Graph.pageRank(graft.operators.Graph.purchaseEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d))))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -513,6 +521,43 @@ object AnalyticsCatalog {
       """SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
         |  SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // PageRank twin: same symmetrized edge build, same fixed-point
+    // round→BIGINT contribution (SUM over integers is order-free in
+    // both engines), same damping arithmetic tree per iteration.
+    "q_pagerank" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM pairs
+         |      UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |o AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e
+         |  UNION ALL SELECT dst AS node FROM e)),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |p0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+         |${(1 to 5).map(prIterSql).mkString(",\n")}
+         |SELECT node, round(pr, 6) AS pr FROM p5""".stripMargin
   )
+
+  /** One PageRank iteration twin of Graph.pageRank's loop body:
+    * fixed-point contributions from p{k-1}, integer per-node sum,
+    * damped recombination over the full node frame.
+    */
+  private def prIterSql(k: Int): String = {
+    val prev = s"p${k - 1}"
+    s"""c$k AS (
+       |  SELECT e.dst AS node,
+       |    CAST(round($prev.pr / o.outdeg * 1e12) AS BIGINT) AS c
+       |  FROM e JOIN o ON e.src = o.src
+       |    JOIN $prev ON e.src = $prev.node),
+       |s$k AS (SELECT node, SUM(c) AS s FROM c$k GROUP BY 1),
+       |p$k AS (
+       |  SELECT nodes.node,
+       |    (1.0 - 0.85) / n
+       |      + 0.85 * (CAST(COALESCE(s, 0) AS DOUBLE) / 1e12) AS pr
+       |  FROM nodes LEFT JOIN s$k USING (node) CROSS JOIN nn)""".stripMargin
+  }
 }

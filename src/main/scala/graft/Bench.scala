@@ -70,7 +70,7 @@ object Bench {
     "q_kmv_intersect",
     // r7 second wave, benched at birth.
     "q_knn_binary", "q_knn_binary_rerank", "q_bm25", "q_dsir_weights",
-    "q_entity_match")
+    "q_entity_match", "q_pagerank")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on edge DataFrames — PageRank with a
+  * FIXED-POINT deterministic accumulation.
+  *
+  * The float hazard in distributed PageRank is the per-node
+  * contribution sum: double addition is order-dependent, and shuffle
+  * arrival order is not. Instead of the sorted-fold idiom (which
+  * materializes a per-node list — hostile to hot nodes at scale), each
+  * contribution is rounded ONCE to a 1e-12 fixed-point long
+  * (`round(c · 1e12) → BIGINT`); the per-node sum is then plain
+  * integer addition — associative, commutative, map-side combinable,
+  * and bit-identical in any execution order and any engine. Total
+  * scaled mass per node is bounded by Σ pr = 1 → ≤ ~1e12, so overflow
+  * is impossible by construction regardless of in-degree. This is the
+  * deterministic-distributed-sum device that SCALES: a hot node is a
+  * hot integer counter, not a giant collected list.
+  *
+  * Iteration (damping d, N nodes, out-degree per source):
+  *   pr⁰(v)   = 1/N
+  *   prᵏ⁺¹(v) = (1−d)/N + d · (Σ_{u→v} fix(prᵏ(u)/outdeg(u))) / 1e12
+  *
+  * The caller supplies a DIRECTED edge list; dangling nodes (no
+  * out-edges) leak rank mass by design here — pass a symmetrized edge
+  * list (as the catalog's bipartite customer↔supplier graph does) when
+  * conservation matters. All arithmetic is the same operation tree the
+  * DuckDB oracle replicates, so the differential covers every
+  * iteration of the trainer, not just the final ranking.
+  *
+  * Scale shape per iteration: one equi-join of the pr frame onto the
+  * edge list (both keyed by src — co-partitioned across iterations
+  * under the same key), one integer-keyed aggregate, one left join
+  * back to the node frame. Nodes/edges/out-degrees are computed once
+  * and cached; the N-row count is a 1-row broadcast.
+  */
+object Graph {
+
+  private val Scale = 1e12
+
+  /** (node, pr): PageRank after `iters` rounds on edges (src, dst).
+    *
+    * Iterative-lineage discipline: without truncation the k-th
+    * iteration's logical plan NESTS all previous ones — by iteration 5
+    * the tree holds ~70 joins and ~300 aggregates, and analysis/codegen
+    * dominate runtime (measured at sf0.1: 10.0 s unbounded-lineage →
+    * 5.9 s with truncation → 4.6 s with the pinned edge partitioning
+    * below). Each iteration therefore ends in `localCheckpoint()`,
+    * materializing the (|nodes|-row) pr frame and restarting lineage —
+    * the same per-superstep persistence cadence GraphX/Pregel uses.
+    * The out-degreed edge list is joined once and cached; every
+    * iteration reuses it.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    // Cache the out-degreed edges PRE-PARTITIONED AND PRE-SORTED on the
+    // join key: InMemoryRelation preserves both properties, so each
+    // iteration's sort-merge join exchanges and sorts only the tiny pr
+    // side — the big side never moves again (the "reuse a partitioning
+    // across stages" rule applied across checkpoint boundaries, where
+    // plan-level exchange reuse cannot see).
+    val eOut = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val nrow = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(nrow))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = eOut
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("pr") / col("outdeg") * Scale).cast("long").as("c"))
+      val sums = contrib.groupBy(col("node"))
+        .agg(sum(col("c")).as("s"))
+      pr = nodes.join(sums, Seq("node"), "left")
+        .crossJoin(broadcast(nrow))
+        .select(col("node"),
+          ((lit(1.0) - damping) / col("n") +
+            lit(damping) * (coalesce(col("s"), lit(0L)).cast("double") /
+              Scale)).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("node"), round(col("pr"), 6).as("pr"))
+  }
+
+  /** Symmetrized bipartite purchase graph: customer c ↔ supplier s for
+    * every distinct (o_custkey, l_suppkey) pair — node ids namespaced
+    * as 2·custkey / 2·suppkey+1.
+    */
+  def purchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("c"),
+        (col("l_suppkey") * 2L + 1L).as("s"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+  }
+}

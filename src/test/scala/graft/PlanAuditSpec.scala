@@ -62,8 +62,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_lm_buckets", "q_bigram_pmi", "q_kmv_intersect",
     // knn_binary(_rerank): the broadcast packed query set (knn_brute
     // asymmetry — 16 B/vector); bm25: the 1-row N/total_dl stats
-    // frame; dsir_weights: the 1-row smoothing-totals frame.
-    "q_knn_binary", "q_knn_binary_rerank", "q_bm25", "q_dsir_weights")
+    // frame; dsir_weights: the 1-row smoothing-totals frame;
+    // pagerank: the 1-row node-count frame per iteration.
+    "q_knn_binary", "q_knn_binary_rerank", "q_bm25", "q_dsir_weights",
+    "q_pagerank")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

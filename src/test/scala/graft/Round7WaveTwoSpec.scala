@@ -110,6 +110,25 @@ class Round7WaveTwoSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: mass conservation and hand-checked two-node chain") {
+    import spark.implicits._
+    // a <-> b symmetric pair: stationary at uniform; pr stays 0.5 each
+    val pair = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr2 = graft.operators.Graph.pageRank(pair, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr2(1L) == 0.5 && pr2(2L) == 0.5)
+    // real graph: total mass ~ 1 (symmetrized graph has no dangling
+    // leak; only the 1e-12 fixed-point round and the 6-dp edge round)
+    val pr = graft.operators.Graph.pageRank(
+      graft.operators.Graph.purchaseEdges(
+        Tables.orders(spark, sf), Tables.lineitem(spark, sf)))
+    val mass = pr.agg(sum(col("pr"))).collect().head.getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-3, s"rank mass drifted: $mass")
+    // suppliers aggregate far more rank than any single customer
+    val top = pr.orderBy(col("pr").desc).limit(1).collect().head
+    assert(top.getLong(0) % 2 == 1, "top node should be a supplier")
+  }
+
   test("dsir: target-slice docs score higher on average than raw docs") {
     val w = Curation.dsirWeights(Tables.documents(spark, sf))
       .withColumn("is_target", col("doc_id") % 50 === 0)
