@@ -70,7 +70,9 @@ object Bench {
     "q_kmv_intersect",
     // r7 second wave, benched at birth.
     "q_knn_binary", "q_knn_binary_rerank", "q_bm25", "q_dsir_weights",
-    "q_entity_match", "q_pagerank")
+    "q_entity_match", "q_pagerank",
+    // r7 third wave, benched at birth.
+    "q_snapshot_diff", "q_compaction_bins", "q_corpus_profile")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -472,6 +472,33 @@ object PipelineCatalog {
         .select(col("doc_id"), col("source"), col("p"), col("keep"))
     }),
 
+    // Snapshot CDC diff: yesterday (doc_id %3≠0) vs today (%5≠0, every
+    // 7th doc revised) compared by text fingerprint — the change feed
+    // that lets every downstream stage touch only the delta.
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") % 3 =!= 0)
+      val curr = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      graft.operators.Cdc.snapshotDiff(prev, curr, "doc_id", "text")
+    }),
+
+    // Compaction planner: per-(source,lang) pseudo-file stats bin-packed
+    // to ~50k-char output groups, partition-local (OPTIMIZE bin-pack).
+    "q_compaction_bins" -> ((s, d) => {
+      val files = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      graft.operators.Layout.compactionBins(
+        files, Seq("source"), "lang", "bytes", 50000L)
+    }),
+
+    // Dataset-card profile: per-source docs / token volume / language
+    // spread / exact-dup count — all-integer, two keyed shuffles.
+    "q_corpus_profile" -> ((s, d) =>
+      graft.operators.Curation.corpusProfile(Tables.documents(s, d))),
+
     // Feature-hashing vectorizer (hashing trick, dim=32): text → dense
     // signed-count vector, exploded to (doc_id, j, v) rows — integer
     // exact, no vocabulary table.
@@ -1434,6 +1461,54 @@ object PipelineCatalog {
         |  COALESCE(sums.v, 0) AS v
         |FROM dense LEFT JOIN sums
         |  ON dense.doc_id = sums.doc_id AND dense.j = sums.i""".stripMargin,
+
+    // CDC twin: same %3/%5 snapshot carve, same ' rev2' revision, same
+    // 60-bit md5 fingerprint compare, FULL JOIN classify.
+    "q_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS p_fp
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |curr AS (
+        |  SELECT doc_id, ('0x' || substr(md5(CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' rev2' ELSE text END), 1, 15))::BIGINT AS c_fp
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(prev.doc_id, curr.doc_id) AS doc_id,
+        |  CASE WHEN prev.doc_id IS NULL THEN 'added'
+        |       WHEN curr.doc_id IS NULL THEN 'removed'
+        |       WHEN p_fp <> c_fp THEN 'changed' END AS change
+        |FROM prev FULL JOIN curr ON prev.doc_id = curr.doc_id
+        |WHERE prev.doc_id IS NULL OR curr.doc_id IS NULL
+        |   OR p_fp <> c_fp""".stripMargin,
+
+    // Bin-pack twin: same (source, lang) pseudo-file stats, same
+    // exclusive running sum, floor-divide by the 50k target.
+    "q_compaction_bins" ->
+      """WITH f AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, bytes,
+        |  CAST(floor(COALESCE(SUM(bytes) OVER (
+        |    PARTITION BY source ORDER BY lang
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 50000) AS INT) AS bin
+        |FROM f""".stripMargin,
+
+    // Dataset-card twin: fingerprint window marks global exact-dups,
+    // one GROUP BY source closes every metric.
+    "q_corpus_profile" ->
+      """WITH d AS (
+        |  SELECT source, lang,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+        |  FROM documents),
+        |f AS (SELECT *, COUNT(*) OVER (PARTITION BY fp) AS fpn FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs
+        |FROM f GROUP BY 1""".stripMargin,
 
     // Same md5 content fingerprints, same batch construction, LEFT
     // JOIN against the snapshot's distinct fingerprint set.

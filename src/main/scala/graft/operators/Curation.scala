@@ -368,4 +368,33 @@ object Curation {
           lit(0.0), _ + _), 6).as("weight"))
       .select(col("doc_id"), col("n_features"), col("weight"))
   }
+
+  /** Dataset-card profile — the per-source summary block every released
+    * corpus publishes (docs, token volume, language spread, exact-dup
+    * rate): one row per source, all-integer so the differential is
+    * exact.
+    *
+    * Plan: a window count over the text fingerprint marks global
+    * exact-dups (the [[Dedup]] fingerprint shuffle, reused as a flag
+    * instead of a drop), then ONE groupBy(source) closes every metric —
+    * two keyed shuffles total, output |sources| rows. n_langs is an
+    * exact COUNT(DISTINCT lang): the per-source language set is
+    * dozens, so the expansion Spark plans for it is bounded; a
+    * high-cardinality dimension would swap in [[Sketch]]'s KMV/HLL
+    * estimate on the same plan.
+    */
+  def corpusProfile(docs: DataFrame): DataFrame = {
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+    docs
+      .select(col("source"), col("lang"),
+        TextOps.tokenCount(col("text")).as("n_toks"),
+        TextOps.fingerprint64(col("text")).as("fp"))
+      .withColumn("is_dup", (count(lit(1)).over(wFp) > 1).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("is_dup")).as("n_dup_docs"))
+  }
 }

@@ -47,4 +47,33 @@ object Layout {
     */
   def zorder2(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
+
+  /** Small-file COMPACTION planner (the lakehouse `OPTIMIZE` bin-pack
+    * step): assign contiguously-ordered file stats to target-sized
+    * output groups, `bin = floor(cum_bytes_before / target)`. Every
+    * bin's total lands in [target·bin, target·(bin+1) + max_file), so
+    * output files approximate `targetBytes` without ever moving a file
+    * across its partition — rewrites stay partition-local, exactly how
+    * Delta/Iceberg compaction schedules rewrite groups.
+    *
+    * Scale shape: this is a planner over file METADATA (one row per
+    * file — a 100 TB table is ~10⁵ rows of stats, not data), so the
+    * per-partition window is trivially cheap; the expensive part, the
+    * rewrite itself, reads only the files whose bin has >1 member. The
+    * window is partitioned by `partCols` — never a global sort.
+    *
+    * `orderCol` must be a deterministic total order within each
+    * partition (file path, commit sequence); cumulative sums over ties
+    * would otherwise be plan-dependent.
+    */
+  def compactionBins(files: DataFrame, partCols: Seq[String],
+                     orderCol: String, sizeCol: String,
+                     targetBytes: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files.withColumn("bin",
+      floor(coalesce(sum(col(sizeCol)).over(w), lit(0L))
+        / lit(targetBytes)).cast("int"))
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Cdc, Curation, Layout}
+import graft.queries.Tables
+
+/** Round-7 third-wave invariants: CDC diff classification and delta
+  * minimality, compaction bin-pack bounds and partition locality,
+  * dataset-card profile arithmetic.
+  */
+class Round7WaveThreeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("snapshotDiff: classifies added/removed/changed, drops unchanged") {
+    import spark.implicits._
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val curr = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Cdc.snapshotDiff(prev, curr, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff: identical snapshots emit an empty delta") {
+    val docs = Tables.documents(spark, sf)
+    assert(Cdc.snapshotDiff(docs, docs, "doc_id", "text").count() == 0)
+  }
+
+  test("compactionBins: bins are contiguous from 0 and partition-local; " +
+    "every bin except the last exceeds the target once closed") {
+    val target = 50000L
+    val files = Tables.documents(spark, sf)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+    val got = Layout.compactionBins(files, Seq("source"), "lang", "bytes",
+      target)
+    val perSource = got.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3),
+        r.getInt(4)))
+      .groupBy(_._1)
+    assert(perSource.nonEmpty)
+    perSource.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // bins start at 0 and never decrease along the file order
+      assert(ordered.head._4 == 0)
+      assert(ordered.sliding(2).forall {
+        case Array(a, b) => b._4 >= a._4; case _ => true
+      })
+      // a bin closes only once the running total has crossed its
+      // threshold: cum_before of a bin-b file is >= b * target
+      ordered.zipWithIndex.foreach { case ((_, _, _, bin), i) =>
+        val cumBefore = ordered.take(i).map(_._3).sum
+        assert(bin == (cumBefore / target).toInt)
+      }
+    }
+  }
+
+  test("corpusProfile: metrics match a hand-computed frame") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z", "en", "src0"), // dup of doc 3 (cross-source)
+      (2L, "x y", "de", "src0"),
+      (3L, "x y z", "en", "src1"),
+      (4L, "unique text", "en", "src1")
+    ).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.corpusProfile(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("src0") == ((2L, 5L, 2L, 1L))) // 3+2 tokens, en+de, doc1 dup
+    assert(got("src1") == ((2L, 5L, 1L, 1L))) // 3+2 tokens, en, doc3 dup
+  }
+}
