@@ -183,7 +183,27 @@ object AnalyticsCatalog {
     // every iteration of the trainer inside the differential.
     "q_pagerank" -> ((s, d) =>
       graft.operators.Graph.pageRank(graft.operators.Graph.purchaseEdges(
-        Tables.orders(s, d), Tables.lineitem(s, d))))
+        Tables.orders(s, d), Tables.lineitem(s, d)))),
+
+    // Exact distinct suppliers per returnflag via dense-bitmap
+    // aggregation: the shuffle carries one 8 KB bitmap per group per
+    // partition, never the (group, key) pair stream countDistinct
+    // plans.
+    "q_bitmap_distinct" -> ((s, d) =>
+      graft.operators.Sketch.bitmapDistinctByGroup(
+        Tables.lineitem(s, d), "l_returnflag", "l_suppkey", 65535)),
+
+    // Bloom runtime-filtered fact⋈dim join: high-balance customers'
+    // key set compressed to a 64 Kbit filter that drops non-joining
+    // orders BEFORE the shuffle-hash join; output provably the plain
+    // inner join (the differential gates exactly that).
+    "q_bloom_join" -> ((s, d) => {
+      val dim = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"))
+      graft.operators.Bloom.filteredJoin(
+        Tables.orders(s, d), "o_custkey", dim, "c_custkey", 1 << 16, 4)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -539,7 +559,19 @@ object AnalyticsCatalog {
          |nn AS (SELECT COUNT(*) AS n FROM nodes),
          |p0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
          |${(1 to 5).map(prIterSql).mkString(",\n")}
-         |SELECT node, round(pr, 6) AS pr FROM p5""".stripMargin
+         |SELECT node, round(pr, 6) AS pr FROM p5""".stripMargin,
+
+    // The bitmap is exact, so the oracle is the plain COUNT(DISTINCT).
+    "q_bitmap_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_distinct
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // The bloom prefilter is output-transparent (no false negatives;
+    // false positives die in the join) — the oracle is the plain join.
+    "q_bloom_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000""".stripMargin
   )
 
   /** One PageRank iteration twin of Graph.pageRank's loop body:

@@ -72,7 +72,8 @@ object Bench {
     "q_knn_binary", "q_knn_binary_rerank", "q_bm25", "q_dsir_weights",
     "q_entity_match", "q_pagerank",
     // r7 third wave, benched at birth.
-    "q_snapshot_diff", "q_compaction_bins", "q_corpus_profile")
+    "q_snapshot_diff", "q_compaction_bins", "q_corpus_profile",
+    "q_bitmap_distinct", "q_bloom_join")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -72,4 +72,51 @@ object Bloom {
       .agg((sum(when(coalesce(col("bits"), lit(0L))
           .bitwiseAND(col("m")) =!= 0, 0).otherwise(1)) === 0)
         .as("maybe_present"))
+
+  /** The sparse (word_idx, bits) filter as ONE dense word-array row —
+    * the broadcastable artifact [[filteredJoin]] probes per fact row
+    * without exploding or re-grouping the fact side.
+    */
+  def denseWords(words: DataFrame, mBits: Int): DataFrame =
+    words
+      .groupBy()
+      .agg(map_from_arrays(collect_list(col("word_idx")),
+        collect_list(col("bits"))).as("wm"))
+      .select(transform(sequence(lit(0L), lit((mBits >> 5) - 1L)),
+        i => coalesce(element_at(col("wm"), i), lit(0L))).as("bloom_words"))
+
+  /** RUNTIME-FILTER join — Spark's own bloom runtime filter
+    * (spark.sql.optimizer.runtime.bloomFilter), made explicit and
+    * deterministic: build the filter over the dim join keys, broadcast
+    * it as one dense word array, and drop fact rows that cannot join
+    * BEFORE the join's shuffle. Output is provably the plain inner
+    * join: a true-joining fact row passes (no false negatives, by
+    * construction), and a false-positive survivor is eliminated by the
+    * join itself — the filter changes shuffle VOLUME only, which is
+    * the entire point at 100 TB when the fact side is huge, the dim
+    * side is too big to broadcast whole (so the join must shuffle
+    * both sides), but the dim KEY SET compresses into an m-bit filter.
+    * With a selective dim predicate, the fact shuffle shrinks by the
+    * filter's pass rate; the m-bit probe costs k md5s per row,
+    * map-side, in whole-stage codegen.
+    *
+    * The join is hinted shuffle-hash on the dim side — the
+    * not-broadcastable scenario this operator exists for; at real
+    * scale AQE may still pick better strategies per partition.
+    */
+  def filteredJoin(fact: DataFrame, factKey: String,
+                   dim: DataFrame, dimKey: String,
+                   mBits: Int = 1 << 20, kHashes: Int = 4): DataFrame = {
+    val dense = denseWords(build(dim, dimKey, mBits, kHashes), mBits)
+    val passes = forall(bitPositions(col(factKey), mBits, kHashes),
+      p => element_at(col("bloom_words"),
+          (shiftright(p, 5) + 1).cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(p, lit(32L)).cast("int")))
+        =!= 0)
+    fact.crossJoin(broadcast(dense))
+      .filter(passes)
+      .drop("bloom_words")
+      .join(dim.hint("shuffle_hash"), col(factKey) === col(dimKey))
+  }
 }

@@ -292,6 +292,65 @@ object Sketch {
     java.math.BigDecimal.valueOf(est)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
+
+  /** EXACT per-group distinct count over a bounded integer key domain,
+    * via dense-bitmap aggregation — the non-approximate sibling of KMV
+    * and HLL, and the dense-array form of the roaring-bitmap distinct
+    * that Druid/ClickHouse/Kylin ship for dictionary-encoded keys.
+    *
+    * Why not `countDistinct`: Spark plans that as a two-phase
+    * expand+re-aggregate whose shuffle carries every (group, key) pair
+    * — at 100 TB with hot groups, that is the distinct VALUE SET on the
+    * wire. The bitmap buffer is a fixed `(maxKey+1)/64` longs per group
+    * per map partition (8 KB at maxKey=65535) regardless of row count:
+    * map-side partials absorb any key frequency, the shuffle carries
+    * |groups|·partitions bitmaps, and merge is a word-wise OR. Bitmaps
+    * also make the artifact REUSABLE: ORed across days for rollups,
+    * ANDed across groups for exact set intersections — the same
+    * mergeability contract as the sketches above, but exact.
+    *
+    * Domain contract: keys must lie in [0, maxKey] (dictionary-encoded
+    * or surrogate ids — [[graft.ingest.Normalize]]'s surrogate keys are
+    * exactly this shape); an out-of-range key fails fast rather than
+    * silently aliasing. For unbounded domains use KMV/HLL instead.
+    */
+  class BitmapAggregator(maxKey: Int)
+      extends Aggregator[Long, Array[Long], Long] {
+    def zero: Array[Long] = new Array[Long]((maxKey >>> 6) + 1)
+    def reduce(b: Array[Long], k: Long): Array[Long] = {
+      require(k >= 0 && k <= maxKey,
+        s"key $k outside bitmap domain [0, $maxKey]")
+      b((k >>> 6).toInt) |= 1L << (k & 63)
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Long = {
+      var i = 0; var n = 0L
+      while (i < b.length) { n += java.lang.Long.bitCount(b(i)); i += 1 }
+      n
+    }
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** (group, n_distinct): exact distinct `keyCol` per `groupCol` via
+    * [[BitmapAggregator]].
+    */
+  def bitmapDistinctByGroup(df: DataFrame, groupCol: String,
+                            keyCol: String, maxKey: Int): DataFrame = {
+    val typed = df.select(col(groupCol).cast("string").as("g"),
+      col(keyCol).cast("long").as("k"))
+      .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    typed.groupByKey(_._1)(Encoders.STRING)
+      .mapValues(_._2)(Encoders.scalaLong)
+      .agg(new BitmapAggregator(maxKey).toColumn.name("n_distinct"))
+      .toDF(groupCol, "n_distinct")
+  }
 }
 
 /** Sketch summary: how many mins were kept and the k-th smallest. */

@@ -65,7 +65,10 @@ class PlanAuditSpec extends SparkSpec {
     // frame; dsir_weights: the 1-row smoothing-totals frame;
     // pagerank: the 1-row node-count frame per iteration.
     "q_knn_binary", "q_knn_binary_rerank", "q_bm25", "q_dsir_weights",
-    "q_pagerank")
+    "q_pagerank",
+    // bloom_join: the 1-row dense-word-array filter frame (256 KB at
+    // m=2²⁰) broadcast onto the fact scan — the runtime-filter probe.
+    "q_bloom_join")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

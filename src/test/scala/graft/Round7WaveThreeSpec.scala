@@ -55,6 +55,39 @@ class Round7WaveThreeSpec extends SparkSpec {
     }
   }
 
+  test("bitmapDistinct: exact vs countDistinct; out-of-domain key fails") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val got = graft.operators.Sketch.bitmapDistinctByGroup(
+      li, "l_returnflag", "l_suppkey", 65535)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+    val ex = intercept[Exception] {
+      graft.operators.Sketch.bitmapDistinctByGroup(
+        Seq(("g", 70000L)).toDF("g", "k"), "g", "k", 65535).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("bloom filteredJoin: bit-identical to the plain join, even with " +
+    "an undersized (high-FP) filter") {
+    val orders = Tables.orders(spark, sf)
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+    val plain = orders.join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    for (mBits <- Seq(1 << 16, 256)) { // 256 bits → dense FP regime
+      val got = graft.operators.Bloom.filteredJoin(
+        orders, "o_custkey", dim, "c_custkey", mBits, 3)
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(plain), s"mBits=$mBits diverged")
+    }
+    assert(plain.nonEmpty)
+  }
+
   test("corpusProfile: metrics match a hand-computed frame") {
     import spark.implicits._
     val docs = Seq(
