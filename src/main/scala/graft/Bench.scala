@@ -73,7 +73,7 @@ object Bench {
     "q_entity_match", "q_pagerank",
     // r7 third wave, benched at birth.
     "q_snapshot_diff", "q_compaction_bins", "q_corpus_profile",
-    "q_bitmap_distinct", "q_bloom_join")
+    "q_bitmap_distinct", "q_bloom_join", "q_hybrid_rrf", "q_cluster_rep")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -91,6 +91,53 @@ object PipelineCatalog {
       |  SELECT doc_id, n_bigrams, round(s / n_bigrams, 6) AS avg_logp
       |  FROM agg)""".stripMargin
 
+  /** BM25 CTE chain (Retrieval.bm25TopK twin) ending in the ranked list
+    * `bmr(query_id, doc_id, rnk, score)` — shared by q_bm25 (top-5 cut)
+    * and q_hybrid_rrf (top-10 lexical leg). Also defines `toks`, which
+    * the RRF dense leg reuses.
+    */
+  private val bm25CtesSql =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |st AS (
+      |  SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_dl FROM toks),
+      |qi AS (
+      |  SELECT doc_id AS query_id, t, unnest(range(1, len(t) + 1)) AS i
+      |  FROM toks WHERE doc_id % 100 = 0),
+      |qf AS (
+      |  SELECT query_id, t[i] AS token, MIN(i) AS fp
+      |  FROM qi GROUP BY 1, 2),
+      |q AS (
+      |  SELECT query_id, token FROM (
+      |    SELECT query_id, token, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY fp) AS rn FROM qf)
+      |  WHERE rn <= 3),
+      |tok AS (
+      |  SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM toks),
+      |mt AS (
+      |  SELECT doc_id, token, dl FROM tok
+      |  WHERE token IN (SELECT DISTINCT token FROM q)),
+      |tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf, MAX(dl) AS dl
+      |  FROM mt GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |ts AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * (1.2 + 1.0))
+      |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+      |          / (CAST(total_dl AS DOUBLE) / n_docs))) AS ts
+      |  FROM tf JOIN df USING (token) JOIN q USING (token)
+      |  CROSS JOIN st),
+      |sc AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(round(list_reduce(list_sort(list(ts)), (x, y) -> x + y),
+      |      6) AS DECIMAL(18,6)) AS score
+      |  FROM ts GROUP BY 1, 2),
+      |bmr AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS INT) AS rnk FROM sc)""".stripMargin
+
   /** The shared oracle for both the inverted-index exact path and the
     * MinHash-LSH path.
     */
@@ -401,6 +448,21 @@ object PipelineCatalog {
     // broadcast-semi-joined to query terms before the tf shuffle.
     "q_bm25" -> ((s, d) =>
       graft.operators.Retrieval.bm25TopK(Tables.documents(s, d))),
+
+    // Hybrid retrieval: BM25 (lexical) + hashed-vector cosine (dense)
+    // top-10 lists fused by reciprocal-rank 1/(60+rank), re-ranked —
+    // the production hybrid-search shape, no score calibration needed.
+    "q_hybrid_rrf" -> ((s, d) =>
+      graft.operators.Retrieval.rrfFusion(Tables.documents(s, d))),
+
+    // Cluster → representative: keep the best (distinct-token count,
+    // tie min doc_id) member per near-dup cluster; filter(is_rep) IS
+    // the deduplicated corpus. Quality-aware keep, not min-id keep.
+    "q_cluster_rep" -> ((s, d) => {
+      val corpus = Dedup.withNearDuplicates(Tables.documents(s, d))
+      Dedup.clusterRepresentatives(
+        corpus, Dedup.minhashVerifiedPairs(corpus))
+    }),
 
     // DSIR importance weights: hashed-bigram log-likelihood-ratio vs
     // the target slice (every 50th doc) — the importance-resampling
@@ -1254,48 +1316,96 @@ object PipelineCatalog {
     // probed bit-identical), value-sorted per-(query, doc) sum fold,
     // 6-dp DECIMAL edge.
     "q_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |st AS (
-        |  SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_dl FROM toks),
-        |qi AS (
-        |  SELECT doc_id AS query_id, t, unnest(range(1, len(t) + 1)) AS i
-        |  FROM toks WHERE doc_id % 100 = 0),
-        |qf AS (
-        |  SELECT query_id, t[i] AS token, MIN(i) AS fp
-        |  FROM qi GROUP BY 1, 2),
-        |q AS (
-        |  SELECT query_id, token FROM (
-        |    SELECT query_id, token, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY fp) AS rn FROM qf)
-        |  WHERE rn <= 3),
-        |tok AS (
-        |  SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM toks),
-        |mt AS (
-        |  SELECT doc_id, token, dl FROM tok
-        |  WHERE token IN (SELECT DISTINCT token FROM q)),
-        |tf AS (
-        |  SELECT doc_id, token, COUNT(*) AS tf, MAX(dl) AS dl
-        |  FROM mt GROUP BY 1, 2),
-        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-        |ts AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-        |      * (tf * (1.2 + 1.0))
-        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
-        |          / (CAST(total_dl AS DOUBLE) / n_docs))) AS ts
-        |  FROM tf JOIN df USING (token) JOIN q USING (token)
-        |  CROSS JOIN st),
-        |sc AS (
-        |  SELECT query_id, doc_id,
-        |    CAST(round(list_reduce(list_sort(list(ts)), (x, y) -> x + y),
-        |      6) AS DECIMAL(18,6)) AS score
-        |  FROM ts GROUP BY 1, 2),
-        |r AS (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, doc_id) AS INT) AS rnk FROM sc)
-        |SELECT query_id, doc_id, rnk, score FROM r WHERE rnk <= 5"""
-        .stripMargin,
+      s"""WITH $bm25CtesSql
+         |SELECT query_id, doc_id, rnk, score FROM bmr
+         |WHERE rnk <= 5""".stripMargin,
+
+    // Hybrid RRF twin: the shared BM25 chain + the hashed-vector dense
+    // chain (q_knn_text's vectorizer, query set %100), both cut to
+    // top-10, fused by 1/(60+rank) in fixed (lexical, dense) term
+    // order, re-ranked.
+    "q_hybrid_rrf" ->
+      s"""WITH $bm25CtesSql,
+         |hv AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(tok || ':fh'), 1, 15))::BIGINT % 32 AS i,
+         |    CASE WHEN ('0x' || substr(md5(tok || ':fs'), 1, 15))::BIGINT
+         |        % 2 = 1 THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+         |hsums AS (SELECT doc_id, i, SUM(s) AS v FROM hv GROUP BY 1, 2),
+         |hdense AS (
+         |  SELECT d.doc_id, r.j
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  CROSS JOIN range(32) r(j)),
+         |hvecs AS (
+         |  SELECT hdense.doc_id,
+         |    list(CAST(COALESCE(hsums.v, 0) AS DOUBLE) ORDER BY hdense.j)
+         |      AS e
+         |  FROM hdense LEFT JOIN hsums
+         |    ON hdense.doc_id = hsums.doc_id AND hdense.j = hsums.i
+         |  GROUP BY 1),
+         |hq AS (SELECT doc_id AS query_id, e FROM hvecs
+         |       WHERE doc_id % 100 = 0 AND list_inner_product(e, e) > 0),
+         |hc AS (SELECT doc_id AS neighbor_id, e FROM hvecs
+         |       WHERE list_inner_product(e, e) > 0),
+         |hs AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(round(list_inner_product(hq.e, hc.e)
+         |      / (sqrt(list_inner_product(hq.e, hq.e))
+         |         * sqrt(list_inner_product(hc.e, hc.e))), 6)
+         |      AS DECIMAL(10,6)) AS score
+         |  FROM hq CROSS JOIN hc),
+         |hr AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+         |      AS rnk
+         |  FROM hs),
+         |fz AS (
+         |  SELECT COALESCE(b.query_id, h.query_id) AS query_id,
+         |    COALESCE(b.doc_id, h.neighbor_id) AS doc_id,
+         |    round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.rnk), 0)
+         |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + h.rnk), 0), 6)
+         |      AS rrf
+         |  FROM (SELECT query_id, doc_id, rnk FROM bmr WHERE rnk <= 10) b
+         |  FULL JOIN (SELECT query_id, neighbor_id, rnk FROM hr
+         |             WHERE rnk <= 10) h
+         |    ON b.query_id = h.query_id AND b.doc_id = h.neighbor_id),
+         |fr AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT)
+         |      AS rnk
+         |  FROM fz)
+         |SELECT query_id, doc_id, rnk, rrf FROM fr
+         |WHERE rnk <= 5""".stripMargin,
+
+    // Rep-selection twin: the recursive component closure (clustersSql
+    // shape) + distinct-token scores, best-(score, doc_id) window per
+    // component; singletons are their own canonical.
+    "q_cluster_rep" ->
+      s"""WITH RECURSIVE $pairsCteSql,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (
+         |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+         |  FROM reach GROUP BY a),
+         |scq AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+         |      AS score
+         |  FROM corpus),
+         |lab AS (
+         |  SELECT scq.doc_id, COALESCE(comp.canonical_id, scq.doc_id)
+         |      AS canonical_id, score
+         |  FROM scq LEFT JOIN comp USING (doc_id))
+         |SELECT doc_id, canonical_id, score,
+         |  (row_number() OVER (PARTITION BY canonical_id
+         |    ORDER BY score DESC, doc_id)) = 1 AS is_rep
+         |FROM lab""".stripMargin,
 
     // DSIR twin: same md5-bucketed bigrams (the fingerprint64 idiom),
     // same add-one smoothed log-ratio in the same four-ln operation

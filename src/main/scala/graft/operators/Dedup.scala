@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 
@@ -436,6 +437,38 @@ object Dedup {
     }
     edges.unpersist()
     labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
+  /** Cluster → REPRESENTATIVE selection — the decision step after
+    * clustering: keep exactly one document per near-dup cluster, the
+    * highest-quality member (here: distinct-token count, the repo's
+    * integer quality proxy; ties break to the smaller doc_id).
+    * CCNet/RefinedWeb-style pipelines keep the best-scored member, not
+    * the arbitrary min-id one — dedup should never delete the clean
+    * copy and keep the boilerplate-ridden one.
+    *
+    * Docs in no cluster are their own canonical and their own rep, so
+    * `filter(is_rep)` IS the deduplicated corpus.
+    *
+    * Scale shape: [[duplicateClusters]]'s label propagation plus one
+    * left join of the (small) cluster map onto the corpus and one
+    * window partitioned by canonical_id — cluster-sized groups, never
+    * a global sort.
+    */
+  def clusterRepresentatives(corpus: DataFrame,
+                             pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    corpus
+      .select(col("doc_id"),
+        TextOps.distinctTokenCount(col("text")).as("score"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("canonical_id",
+        coalesce(col("canonical_id"), col("doc_id")))
+      .withColumn("is_rep", row_number().over(
+        Window.partitionBy(col("canonical_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)) === 1)
+      .select(col("doc_id"), col("canonical_id"), col("score"),
+        col("is_rep"))
   }
 
   /** SimHash (Charikar '02): per-token 60-bit md5-derived hash, bit-wise

@@ -84,4 +84,44 @@ object Retrieval {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("doc_id"), col("rnk"), col("score"))
   }
+
+  /** HYBRID retrieval by reciprocal-rank fusion (Cormack et al. '09):
+    * fuse the [[bm25TopK]] lexical ranking with a dense ranking
+    * ([[Similarity.hashedTextTopK]]'s hashing-trick cosine) over the
+    * SAME derived query set, score(d) = Σ_lists 1/(kRrf + rank_list(d)).
+    * RRF is the standard production hybrid because it needs no score
+    * calibration between lists — only ranks — and a document strong in
+    * either modality surfaces. kRrf = 60 per the original paper.
+    *
+    * Scale shape: each list is already a per-query top-`depth` (never
+    * the full scored corpus), so the fusion's full-outer join touches
+    * ≤ 2·depth rows per query — |queries|·2·depth total, metadata-sized
+    * regardless of corpus size. The expensive parts are the two
+    * retrievals themselves, each with its own documented 100 TB shape;
+    * either side swaps for a real ANN index / inverted index without
+    * touching the fusion.
+    *
+    * Float surface: each RRF term is one double division on small
+    * integers, summed in fixed (lexical, dense) order, rounded to 6 dp
+    * — bit-stable cross-engine without sorted folds.
+    */
+  def rrfFusion(docs: DataFrame, k: Int = 5, depth: Int = 10,
+                kRrf: Int = 60, queryEvery: Int = 100): DataFrame = {
+    val lex = bm25TopK(docs, depth, queryEvery = queryEvery)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rb"))
+    val dense = Similarity.hashedTextTopK(
+        docs.filter(col("doc_id") % queryEvery === 0), docs, depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("rd"))
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(kRrf) + col("rb")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rd")), lit(0.0)), 6)
+          .as("rrf"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("rrf"))
+  }
 }

@@ -68,7 +68,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_pagerank",
     // bloom_join: the 1-row dense-word-array filter frame (256 KB at
     // m=2²⁰) broadcast onto the fact scan — the runtime-filter probe.
-    "q_bloom_join")
+    "q_bloom_join",
+    // hybrid_rrf: inherits bm25's 1-row stats frame and knn_text's
+    // broadcast hashed query set — both legs individually allowlisted.
+    "q_hybrid_rrf")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

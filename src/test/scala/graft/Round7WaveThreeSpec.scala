@@ -88,6 +88,47 @@ class Round7WaveThreeSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("rrfFusion: fused score is the exact sum of the two rank terms; " +
+    "docs in both lists outrank equal single-list ranks") {
+    val docs = Tables.documents(spark, sf)
+    val lex = graft.operators.Retrieval.bm25TopK(docs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val dense = graft.operators.Similarity.hashedTextTopK(
+      docs.filter(col("doc_id") % 100 === 0), docs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val fused = graft.operators.Retrieval.rrfFusion(docs).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val want = lex.get(key).map(rb => 1.0 / (60 + rb)).getOrElse(0.0) +
+        dense.get(key).map(rd => 1.0 / (60 + rd)).getOrElse(0.0)
+      val got = r.getDouble(3)
+      assert(math.abs(got - BigDecimal(want)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"$key: $got vs $want")
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 5)
+    }
+  }
+
+  test("clusterRepresentatives: exactly one rep per canonical, and the " +
+    "rep carries the cluster-max score") {
+    val corpus = graft.operators.Dedup.withNearDuplicates(
+      Tables.documents(spark, sf))
+    val got = graft.operators.Dedup.clusterRepresentatives(
+      corpus, graft.operators.Dedup.minhashVerifiedPairs(corpus))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(got.length == corpus.count())
+    val byCluster = got.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.count(_._4) == 1, s"cluster $c rep count")
+      val rep = members.find(_._4).get
+      assert(rep._3 == members.map(_._3).max, s"cluster $c rep not best")
+    }
+    // the injected near-dup pairs must actually cluster (non-trivial)
+    assert(byCluster.exists(_._2.length > 1))
+  }
+
   test("corpusProfile: metrics match a hand-computed frame") {
     import spark.implicits._
     val docs = Seq(
