@@ -71,4 +71,61 @@ object StreamingSketch {
           HllEstimate(g, regs.count(_ == 0), Sketch.hllEstimate(regs))
       }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
         Encoders.product[HllEstimate])
+
+  case class GroupToken(g: String, token: String)
+  case class CmsCells(g: String, cells: Seq[Long])
+
+  /** Incremental count-min over a stream — the third sketch twin
+    * (KMV: order statistics; HLL: registers; CMS: counters): state per
+    * group is the flattened depth×width counter matrix, each incoming
+    * token bumps its `depth` md5-salted cells with EXACTLY the bucket
+    * arithmetic of the batch sketch ([[Sketch.cmsHeavyHitters]]'s
+    * `fingerprint64(token || ":cms:" || r) % width`), so after any
+    * prefix of micro-batches a token's min-over-depth estimate equals
+    * the batch sketch built over the rows seen so far — the live
+    * heavy-hitters dashboard primitive. O(depth·width) state per group
+    * regardless of stream length; cell matrices merge by element-wise
+    * SUM across shards/days (the CMS linearity the batch build's
+    * map-side partials already exploit).
+    */
+  def cmsStream(tokens: Dataset[GroupToken], depth: Int = 3,
+                width: Int = 256): Dataset[CmsCells] =
+    tokens
+      .groupByKey(_.g)(Encoders.STRING)
+      .mapGroupsWithState[Array[Long], CmsCells](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[GroupToken],
+         state: GroupState[Array[Long]]) =>
+          val cells = state.getOption
+            .getOrElse(new Array[Long](depth * width))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.foreach { row =>
+            var r = 0
+            while (r < depth) {
+              val b = (fp60(md, row.token + ":cms:" + r)
+                % width.toLong).toInt
+              cells(r * width + b) += 1
+              r += 1
+            }
+          }
+          state.update(cells)
+          CmsCells(g, cells.toSeq)
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
+        Encoders.product[CmsCells])
+
+  /** JVM twin of TextOps.fingerprint64 (md5 hex → first 15 digits →
+    * long): non-negative (< 2⁶⁰), so plain `%` is pmod.
+    */
+  private def fp60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { // 15 hex digits = 7.5 bytes
+      val b = d(i) & 0xff
+      h = if (i == 7) (h << 4) | (b >> 4) else (h << 8) | b
+      i += 1
+    }
+    h
+  }
 }

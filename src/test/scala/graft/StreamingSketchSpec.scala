@@ -88,4 +88,51 @@ class StreamingSketchSpec extends SparkSpec {
     }
     assert(streamed.length > batch.size)
   }
+
+  test("incremental CMS over micro-batches == batch cmsHeavyHitters " +
+    "estimates") {
+    val (depth, width) = (3, 256)
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = Sketch.cmsHeavyHitters(docs, depth, width, 20).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val toks = docs.select(lit("all").as("g"),
+      explode(split(col("text"), " ")).as("token"))
+    val dir = Files.createTempDirectory("graft-cms-stream").toString
+    toks.withColumn("slice",
+        pmod(TextOps.fingerprint64(col("token")), lit(4)))
+      .write.partitionBy("slice").mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("g STRING, token STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/slice=*")
+      .as[StreamingSketch.GroupToken](
+        Encoders.product[StreamingSketch.GroupToken])
+    val q = StreamingSketch.cmsStream(stream, depth, width)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val updates = spark.table("cms_stream").collect()
+    val cells = updates.last.getSeq[Long](1)
+    assert(updates.length > 1) // really incremental
+
+    // buckets for the probed tokens via the same Spark-side arithmetic
+    // the batch sketch uses
+    import spark.implicits._
+    val buckets = batch.keySet.toSeq.toDF("token")
+      .select(col("token") +: (0 until depth).map(r =>
+        pmod(TextOps.fingerprint64(concat(col("token"), lit(s":cms:$r"))),
+          lit(width.toLong)).as(s"b$r")): _*)
+      .collect()
+      .map(r => r.getString(0) -> (0 until depth).map(i => r.getLong(i + 1)))
+      .toMap
+    batch.foreach { case (token, (_, cmsEst)) =>
+      val streamEst = (0 until depth)
+        .map(r => cells(r * width + buckets(token)(r).toInt)).min
+      assert(streamEst == cmsEst,
+        s"token $token: stream $streamEst vs batch $cmsEst")
+    }
+  }
 }
