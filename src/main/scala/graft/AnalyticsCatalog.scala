@@ -203,6 +203,24 @@ object AnalyticsCatalog {
       graft.operators.Bloom.filteredJoin(
         Tables.orders(s, d), "o_custkey", dim, "c_custkey", 1 << 16, 4)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // First-order Markov transitions over per-user event sequences:
+    // counts + row-normalized probabilities, one lead window + one
+    // |types|² aggregate.
+    "q_transition_matrix" -> ((s, d) =>
+      Analytics.transitionMatrix(Events.typed(Tables.events(s, d)))),
+
+    // Interval union per user: deterministic value-derived durations,
+    // running-max island detection, integer epoch-micros throughout.
+    "q_interval_merge" -> ((s, d) => {
+      val e = Events.typed(Tables.events(s, d))
+      val iv = e.select(col("user_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) +
+          (pmod((col("v") * 100).cast("long"), lit(3600L)) + 60L)
+            * 1000000L).as("end_us"))
+      Analytics.mergeIntervals(iv, "user_id", "start_us", "end_us")
     })
   )
 
@@ -571,7 +589,51 @@ object AnalyticsCatalog {
     "q_bloom_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |WHERE c_acctbal > 9000""".stripMargin
+        |WHERE c_acctbal > 9000""".stripMargin,
+
+    // Transition twin: same lead window / (ts, event_id) order, same
+    // long/long double division rounded 6 dp.
+    "q_transition_matrix" ->
+      s"""WITH $eventsSql,
+         |s AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM e),
+         |c AS (
+         |  SELECT from_type, to_type, COUNT(*) AS n FROM s
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+         |      FROM c GROUP BY 1)
+         |SELECT from_type, to_type, n,
+         |  round(CAST(n AS DOUBLE) / tot, 6) AS p
+         |FROM c JOIN t USING (from_type)""".stripMargin,
+
+    // Interval twin: same value-derived duration (explicit positive
+    // mod, matching Spark's pmod), same running-max island windows.
+    "q_interval_merge" ->
+      s"""WITH $eventsSql,
+         |iv AS (
+         |  SELECT user_id, epoch_us(ts) AS start_us,
+         |    epoch_us(ts)
+         |      + (((CAST(v * 100 AS BIGINT) % 3600) + 3600) % 3600 + 60)
+         |        * 1000000 AS end_us
+         |  FROM e),
+         |fl AS (
+         |  SELECT *, CASE WHEN start_us > COALESCE(MAX(end_us) OVER (
+         |      PARTITION BY user_id ORDER BY start_us, end_us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      -9223372036854775808) THEN 1 ELSE 0 END AS new_island
+         |  FROM iv),
+         |isl AS (
+         |  SELECT *, CAST(SUM(new_island) OVER (
+         |      PARTITION BY user_id ORDER BY start_us, end_us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS island
+         |  FROM fl)
+         |SELECT user_id, island, MIN(start_us) AS island_start,
+         |  MAX(end_us) AS island_end, COUNT(*) AS n_intervals
+         |FROM isl GROUP BY 1, 2""".stripMargin
   )
 
   /** One PageRank iteration twin of Graph.pageRank's loop body:

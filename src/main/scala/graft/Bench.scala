@@ -73,7 +73,8 @@ object Bench {
     "q_entity_match", "q_pagerank",
     // r7 third wave, benched at birth.
     "q_snapshot_diff", "q_compaction_bins", "q_corpus_profile",
-    "q_bitmap_distinct", "q_bloom_join", "q_hybrid_rrf", "q_cluster_rep")
+    "q_bitmap_distinct", "q_bloom_join", "q_hybrid_rrf", "q_cluster_rep",
+    "q_transition_matrix", "q_interval_merge")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -416,4 +416,63 @@ object Analytics {
         when(col("qi_n") >= k, col("c_mktsegment")).as("segment_qi"),
         (col("qi_n") < k).as("suppressed"))
   }
+
+  /** First-order Markov TRANSITION MATRIX over per-user event
+    * sequences: for every ordered (from_type → to_type) step, the count
+    * and the row-normalized probability — the behavioral-model /
+    * next-event-prediction primitive (and, on token streams, exactly a
+    * bigram LM's count stage — see [[graft.operators.LangModel]]).
+    *
+    * Scale shape: one `lead` window partitioned by user (the event log
+    * shuffles once, on user_id — groups are per-user, never global),
+    * one |types|² aggregate, and a |types|-row totals broadcast for the
+    * normalization. The probability is a single long/long double
+    * division rounded to 6 dp — bit-stable cross-engine.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = steps
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("tot"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("p"))
+  }
+
+  /** Merge OVERLAPPING (or touching) intervals per partition key into
+    * coverage islands — the span-union primitive under coverage
+    * reporting, excision windows, and outage/uptime math. Classic
+    * running-max island detection: an interval opens a new island iff
+    * its start exceeds the max end seen so far in its partition.
+    *
+    * Scale shape: two windows over the SAME (partition, start, end)
+    * sort — Spark plans one shuffle + one sort, the flag and the
+    * running flag-sum reuse it — then one keyed groupBy. Partitioned
+    * by `partCol` throughout; never a global sort. Columns are plain
+    * longs (epoch micros here) so every compare is integer-exact.
+    */
+  def mergeIntervals(df: DataFrame, partCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val before = Window.partitionBy(col(partCol))
+      .orderBy(col(startCol), col(endCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.partitionBy(col(partCol))
+      .orderBy(col(startCol), col(endCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df
+      .withColumn("new_island",
+        (col(startCol) > coalesce(max(col(endCol)).over(before),
+          lit(Long.MinValue))).cast("long"))
+      .withColumn("island", sum(col("new_island")).over(upto))
+      .groupBy(col(partCol), col("island"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+  }
 }

@@ -129,6 +129,39 @@ class Round7WaveThreeSpec extends SparkSpec {
     assert(byCluster.exists(_._2.length > 1))
   }
 
+  test("transitionMatrix: per-row probabilities sum to 1 and counts " +
+    "match total steps") {
+    val e = graft.streaming.Events.typed(Tables.events(spark, sf))
+    val got = graft.query.Analytics.transitionMatrix(e).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val pSum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$from p-sum $pSum")
+    }
+    val totalSteps = got.map(_.getLong(2)).sum
+    val nUsers = e.select(col("user_id")).distinct().count()
+    assert(totalSteps == e.count() - nUsers) // each user: n-1 steps
+  }
+
+  test("mergeIntervals: islands are disjoint, ordered, and cover every " +
+    "input interval") {
+    import spark.implicits._
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 21L, 30L), // [0,20], [21,30]
+      (1L, 30L, 40L),                               // touching → merges
+      (2L, 0L, 1L), (2L, 100L, 101L)
+    ).toDF("user_id", "start_us", "end_us")
+    val got = graft.query.Analytics
+      .mergeIntervals(iv, "user_id", "start_us", "end_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 20L, 2L), (1L, 2L, 21L, 40L, 2L),
+      (2L, 1L, 0L, 1L, 1L), (2L, 2L, 100L, 101L, 1L)))
+  }
+
   test("corpusProfile: metrics match a hand-computed frame") {
     import spark.implicits._
     val docs = Seq(
