@@ -423,17 +423,22 @@ object Dedup {
       .distinct().withColumn("label", col("doc_id")).cache()
     var converged = false
     while (!converged) {
+      // The convergence flag rides the SAME cached frame the next round
+      // consumes, so each round is ONE action (the count below), not a
+      // materialize + a separate convergence probe — at bench scale the
+      // loop is round-count × job-latency bound, and this halves it.
       val next = edges
         .join(labels, edges("b") === labels("doc_id"))
         .select(col("a").as("doc_id"), col("label"))
         .unionByName(labels)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .withColumn("changed", col("label") =!= col("old"))
+        .drop("old")
         .cache()
-      next.count()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).isEmpty
+      converged = next.filter(col("changed")).count() == 0
       labels.unpersist()
-      labels = next
+      labels = next.drop("changed")
     }
     edges.unpersist()
     labels.select(col("doc_id"), col("label").as("canonical_id"))
