@@ -74,7 +74,9 @@ object Bench {
     // r7 third wave, benched at birth.
     "q_snapshot_diff", "q_compaction_bins", "q_corpus_profile",
     "q_bitmap_distinct", "q_bloom_join", "q_hybrid_rrf", "q_cluster_rep",
-    "q_transition_matrix", "q_interval_merge")
+    "q_transition_matrix", "q_interval_merge",
+    // r7 fourth wave, benched at birth.
+    "q_hll_merge", "q_quantile_sketch")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -497,6 +497,31 @@ object PipelineCatalog {
         ev.filter(col("event_type") === "purchase"), "user_id")
     }),
 
+    // Mergeable HLL rollup: per-(type, day) register shards merged by
+    // register-wise MAX into the whole-period estimate. max∘max = max
+    // makes the merge bit-identical to the direct sketch — the rollup
+    // property warehouses exchange sketch columns for — and exactly
+    // that is what the differential gates (the oracle computes shards
+    // then merges, like the plan does).
+    "q_hll_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        to_date(col("ts")).as("day"), col("user_id"))
+      graft.operators.Sketch.hllMergeEstimate(
+          graft.operators.Sketch.hllRegisterShards(
+            ev, "event_type", "day", "user_id"))
+        .join(ev.groupBy(col("event_type").cast("string").as("g"))
+          .agg(countDistinct(col("user_id")).as("exact_n")), Seq("g"))
+        .select(col("g").as("event_type"), col("zeros"),
+          col("estimate"), col("exact_n"))
+    }),
+
+    // HDR-histogram quantile sketch: p50/p95/p99 of extended price per
+    // return flag from integer log₂+4-bit bin counts — ≤3% relative
+    // error, bin-count state, float-free surface end to end.
+    "q_quantile_sketch" -> ((s, d) =>
+      graft.operators.Sketch.hdrQuantiles(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
+
     // Incremental snapshot dedup: a batch (odd docs + re-crawled copies
     // of every 20th even doc) flagged against the previous snapshot's
     // fingerprint set — the daily-ingest dedup stage.
@@ -1183,6 +1208,89 @@ object PipelineCatalog {
         |    END, 6) AS estimate,
         |  ex.exact_n
         |FROM agg JOIN ex ON agg.event_type = ex.event_type""".stripMargin,
+
+    // HLL-merge twin: the q_hll_distinct register chain with one extra
+    // shard level — per-(type, day) MAX(rho), then register-wise
+    // MAX(mj) across days — before the identical densify/fold/correct
+    // tail. Proves merge ≡ direct on the same substrate.
+    "q_hll_merge" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM events),
+        |hr AS (SELECT event_type, day, h % 64 AS idx, h >> 6 AS rest
+        |  FROM h),
+        |rho AS (
+        |  SELECT event_type, day, idx,
+        |    COALESCE(list_min(list_filter(list_transform(range(1, 55),
+        |      r -> CASE WHEN (rest >> (54 - r)) & 1 = 1 THEN r END),
+        |      x -> x IS NOT NULL)), 55) AS rho
+        |  FROM hr),
+        |shard AS (
+        |  SELECT event_type, day, idx, MAX(rho) AS mj
+        |  FROM rho GROUP BY 1, 2, 3),
+        |regs AS (
+        |  SELECT event_type, idx, MAX(mj) AS mj FROM shard GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT g.event_type, r.idx, COALESCE(regs.mj, 0) AS mj
+        |  FROM (SELECT DISTINCT event_type FROM events) g
+        |  CROSS JOIN range(64) r(idx)
+        |  LEFT JOIN regs ON regs.event_type = g.event_type
+        |    AND regs.idx = r.idx),
+        |agg AS (
+        |  SELECT event_type,
+        |    list_reduce(list_transform(list(mj ORDER BY idx),
+        |      v -> 1.0 / (1::BIGINT << v)), (x, y) -> x + y) AS sum_inv,
+        |    COUNT(*) FILTER (WHERE mj = 0) AS zeros
+        |  FROM dense GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_n
+        |  FROM events GROUP BY 1)
+        |SELECT agg.event_type, zeros,
+        |  round(CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0
+        |        / sum_inv <= 160.0 AND zeros > 0
+        |      THEN 64.0 * ln(64.0 / zeros)
+        |      ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / sum_inv
+        |    END, 6) AS estimate,
+        |  ex.exact_n
+        |FROM agg JOIN ex ON agg.event_type = ex.event_type""".stripMargin,
+
+    // HDR-quantile twin: identical integer bin (length(bin(v))−1
+    // octave + 4 mantissa bits), cumulative counts, ⌈p·n⌉ rank, and
+    // exact-decimal midpoint; SUMs cast back to BIGINT (DuckDB widens
+    // to HUGEINT).
+    "q_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice * 100 AS BIGINT) AS vc
+        |  FROM lineitem WHERE CAST(l_extendedprice * 100 AS BIGINT) >= 1),
+        |b AS (
+        |  SELECT g, CASE WHEN vc < 16 THEN vc
+        |    ELSE (length(bin(vc)) - 4) * 16
+        |      + ((vc >> greatest(length(bin(vc)) - 5, 0)) & 15) END AS bin
+        |  FROM v),
+        |c AS (SELECT g, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, bin,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM c),
+        |pq AS (
+        |  SELECT g, bin, cum, n, CAST(p AS DECIMAL(4,2)) AS p,
+        |    CAST(ceil(CAST(p AS DECIMAL(4,2)) * n) AS BIGINT) AS rank
+        |  FROM cum CROSS JOIN (VALUES (0.50), (0.95), (0.99)) ps(p)),
+        |sel AS (
+        |  SELECT g, p, n, rank, bin,
+        |    ROW_NUMBER() OVER (PARTITION BY g, p ORDER BY bin) AS rn
+        |  FROM pq WHERE cum >= rank)
+        |SELECT g AS l_returnflag, p, n, rank, bin,
+        |  CAST(CAST(CASE WHEN bin < 16 THEN bin * 2
+        |      ELSE ((bin % 16 + 16) << (bin // 16 - 1)) * 2
+        |        + (1 << (bin // 16 - 1)) END AS DECIMAL(18,3))
+        |    * CAST(0.005 AS DECIMAL(4,3)) AS DECIMAL(18,3)) AS est
+        |FROM sel WHERE rn = 1""".stripMargin,
 
     // CMS twin: same md5-salted (row, bucket) hashing, 3×256 summed
     // cells (cast back to BIGINT — DuckDB SUM(BIGINT) widens to

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 
@@ -157,8 +157,26 @@ object Sketch {
       .select(col(groupCol).cast("string").as("g"),
         pmod(h, lit(m.toLong)).as("idx"), rho.as("rho"))
       .groupBy(col("g"), col("idx")).agg(max(col("rho")).as("mj"))
+    val exact = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(countDistinct(col(valueCol)).as("exact_n"))
+    hllEstimateFromRegs(regs,
+        df.select(col(groupCol).cast("string").as("g")).distinct())
+      .join(exact, Seq("g"))
+      .select(col("g").as(groupCol), col("zeros"), col("estimate"),
+        col("exact_n"))
+  }
+
+  /** The ONE home of the HLL estimator fold (densify → Σ2^−Mⱼ → α
+    * correction → round 6): both the direct path above and the
+    * shard-merge path below end here, so the arithmetic cannot drift
+    * between them — the same single-home discipline as [[estimate]]
+    * for KMV. `regs` is the sparse (g, idx, mj) state; `groups` the
+    * distinct-g frame to densify over.
+    */
+  private def hllEstimateFromRegs(regs: DataFrame,
+                                  groups: DataFrame): DataFrame = {
     // Dense 64-register state per group (unseen register → Mⱼ = 0).
-    val dense = df.select(col(groupCol).cast("string").as("g")).distinct()
+    val dense = groups
       .crossJoin(spark_range_64)
       .join(regs, Seq("g", "idx"), "left")
       .select(col("g"), col("idx"),
@@ -177,13 +195,38 @@ object Sketch {
     val est = when(raw <= lit(2.5 * 64) && col("zeros") > 0,
       lit(64.0) * log(lit(64.0) / col("zeros").cast("double")))
       .otherwise(raw)
-    val exact = df.groupBy(col(groupCol).cast("string").as("g"))
-      .agg(countDistinct(col(valueCol)).as("exact_n"))
-    folded
-      .select(col("g"), col("zeros"), round(est, 6).as("estimate"))
-      .join(exact, Seq("g"))
-      .select(col("g").as(groupCol), col("zeros"), col("estimate"),
-        col("exact_n"))
+    folded.select(col("g"), col("zeros"), round(est, 6).as("estimate"))
+  }
+
+  /** Sparse per-(group, epoch) HLL register SHARDS — the mergeable
+    * artifact a warehouse materializes per day/partition so period
+    * rollups never re-read raw data. Each shard is ≤ 64 (idx, mj)
+    * rows; register state is the same max-ρ as [[hllDistinctByGroup]].
+    */
+  def hllRegisterShards(df: DataFrame, groupCol: String, epochCol: String,
+                        valueCol: String): DataFrame = {
+    val h = TextOps.fingerprint64(col(valueCol).cast("string"))
+    df.select(col(groupCol).cast("string").as("g"),
+        col(epochCol).as("epoch"),
+        pmod(h, lit(64L)).as("idx"),
+        call_function("graft_hll_rho", shiftright(h, 6)).as("rho"))
+      .groupBy(col("g"), col("epoch"), col("idx"))
+      .agg(max(col("rho")).as("mj"))
+  }
+
+  /** Register-wise MAX merge of [[hllRegisterShards]] into one
+    * per-group estimate: because max∘max = max, the merged estimate is
+    * BIT-IDENTICAL to running [[hllDistinctByGroup]] directly over the
+    * union — the algebraic property that makes HLL the rollup sketch
+    * warehouses exchange (Druid/BigQuery sketch columns). The shuffle
+    * carries ≤ 64 longs per (group, epoch), never values; the merge
+    * aggregate sees |groups|·|epochs|·64 rows of state regardless of
+    * corpus size.
+    */
+  def hllMergeEstimate(shards: DataFrame): DataFrame = {
+    val regs = shards.groupBy(col("g"), col("idx"))
+      .agg(max(col("mj")).as("mj"))
+    hllEstimateFromRegs(regs, shards.select(col("g")).distinct())
   }
 
   /** The 64 register indices as a one-column frame — a constant-range
@@ -350,6 +393,77 @@ object Sketch {
       .mapValues(_._2)(Encoders.scalaLong)
       .agg(new BitmapAggregator(maxKey).toColumn.name("n_distinct"))
       .toDF(groupCol, "n_distinct")
+  }
+
+  /** HDR-histogram quantile sketch (integer log₂ bins + 4-bit
+    * sub-bucket — the HdrHistogram/DDSketch design point): per-group
+    * approximate quantiles whose state is BIN COUNTS, not values.
+    * Values are fixed-point cents; a value's bin is its octave
+    * (⌊log₂⌋, computed as length(bin(v)) − 1 — an integer path, no
+    * floating log anywhere) refined by the next 4 mantissa bits, so
+    * relative error ≤ 1/32 ≈ 3%; values < 16 cents get exact unit
+    * bins. The p-quantile is the first bin whose cumulative count
+    * reaches ⌈p·n⌉ (rank semantics shared with the oracle), estimated
+    * at the bin midpoint — every column integer or exact decimal, the
+    * only sketch in the family with a float-free surface end to end.
+    *
+    * Scale shape: one projection pass (whole-stage codegen: bin() /
+    * shifts / masks), ONE keyed aggregate to (group, bin) counts —
+    * ≤ ~16·64 cells per group regardless of row count, map-side
+    * combined — then windows over those cell frames (partitioned by
+    * group; bin-count-sized, never data-sized). `explode` over the
+    * 3-element p array replaces any quantile×bins join. Bin counts
+    * merge by SUM, so per-day shards roll up like
+    * [[hllRegisterShards]] — and unlike percentile_approx's private
+    * KLL state, the artifact is plain (bin, count) rows any engine can
+    * merge. A global exact percentile at 100 TB would instead sort the
+    * full column — this never moves anything value-shaped.
+    */
+  def hdrQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                   ps: Seq[String] = Seq("0.50", "0.95", "0.99"))
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vc = (col(valueCol) * 100).cast("long")
+    // msb = ⌊log₂ v⌋ via binary-string length: integer-exact in both
+    // engines (Spark bin() and DuckDB bin() both emit the bare binary
+    // digits, probed identical).
+    val msb = (length(bin(col("vc"))) - 1).cast("int")
+    val binned = df.filter(vc >= 1)
+      .select(col(groupCol).cast("string").as("g"), vc.as("vc"))
+      .select(col("g"),
+        when(col("vc") < 16, col("vc"))
+          .otherwise((msb - 3).cast("long") * 16 +
+            call_function("shiftright", col("vc"), msb - 4)
+              .bitwiseAND(lit(15L)))
+          .as("bin"))
+    val counts = binned.groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wRun = Window.partitionBy(col("g")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("g"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(wRun))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("p", explode(array(ps.map(p =>
+        lit(new java.math.BigDecimal(p)).cast(DecimalType(4, 2))): _*)))
+      .withColumn("rank", ceil(col("p") * col("n")).cast("long"))
+      .filter(col("cum") >= col("rank"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g"), col("p")).orderBy(col("bin"))))
+      .filter(col("rn") === 1)
+    // Bin midpoint in double-cents (all integer): bins < 16 are exact
+    // cent values; bin b ≥ 16 covers [(16+b%16)·2^s, +2^s) with
+    // s = b÷16 − 1.
+    val shift = (col("bin") / 16).cast("int") - 1
+    val lower = call_function("shiftleft",
+      (col("bin") % 16) + 16, shift)
+    val width = call_function("shiftleft", lit(1L), shift)
+    val x2 = when(col("bin") < 16, col("bin") * 2)
+      .otherwise(lower * 2 + width)
+    cum.select(col("g").as(groupCol), col("p"), col("n"), col("rank"),
+      col("bin"),
+      (x2.cast(DecimalType(18, 3)) *
+        lit(new java.math.BigDecimal("0.005")).cast(DecimalType(4, 3)))
+        .cast(DecimalType(18, 3)).as("est"))
   }
 }
 

@@ -71,7 +71,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_bloom_join",
     // hybrid_rrf: inherits bm25's 1-row stats frame and knn_text's
     // broadcast hashed query set — both legs individually allowlisted.
-    "q_hybrid_rrf")
+    "q_hybrid_rrf",
+    // hll_merge: the same 64-row constant register frame as
+    // q_hll_distinct (shared hllEstimateFromRegs tail).
+    "q_hll_merge")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

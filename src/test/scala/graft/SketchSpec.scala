@@ -81,4 +81,58 @@ class SketchSpec extends SparkSpec {
     val n = corpus.count()
     assert(pairs.size < n * (n - 1) / 20)
   }
+
+  test("HLL shard merge is bit-identical to the direct sketch") {
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+    val direct = Sketch.hllDistinctByGroup(
+        ev.select(col("event_type"), col("user_id")),
+        "event_type", "user_id")
+      .select(col("event_type").as("g"), col("zeros"), col("estimate"))
+    val merged = Sketch.hllMergeEstimate(
+      Sketch.hllRegisterShards(ev, "event_type", "day", "user_id"))
+    // max∘max = max: zeros AND the 6-dp estimate must agree exactly
+    assert(direct.exceptAll(merged).isEmpty &&
+      merged.exceptAll(direct).isEmpty)
+    // and the shards really are sketch-sized: ≤ 64 rows per (g, day)
+    val maxShard = Sketch.hllRegisterShards(ev, "event_type", "day",
+        "user_id")
+      .groupBy(col("g"), col("epoch")).count()
+      .agg(max(col("count"))).collect().head.getLong(0)
+    assert(maxShard <= 64)
+  }
+
+  test("HDR quantile sketch lands within its 1/32 relative-error bound") {
+    val li = graft.queries.Tables.lineitem(spark, sf)
+    val out = Sketch.hdrQuantiles(li, "l_returnflag", "l_extendedprice")
+      .collect().map(r => (r.getString(0),
+        r.getDecimal(1).doubleValue()) -> r.getDecimal(5).doubleValue())
+      .toMap
+    assert(out.size == 9) // 3 flags × 3 quantiles
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.50, 0.95, 0.99))")
+        .as("q"))
+      .collect().flatMap(r => r.getSeq[Double](1).zip(Seq(0.50, 0.95, 0.99))
+        .map { case (v, p) => (r.getString(0), p) -> v }).toMap
+    exact.foreach { case (k, v) =>
+      val est = out(k)
+      // bin midpoint vs exact interpolated percentile: half a bin width
+      // (1/32) plus interpolation slack
+      assert(math.abs(est - v) / v <= 0.04, s"$k: est $est exact $v")
+    }
+  }
+
+  test("HDR bins are exact unit bins below 16 cents") {
+    import spark.implicits._
+    val df = Seq(("a", new java.math.BigDecimal("0.01")),
+      ("a", new java.math.BigDecimal("0.01")),
+      ("a", new java.math.BigDecimal("0.15")))
+      .toDF("g", "v")
+    val q = Sketch.hdrQuantiles(df, "g", "v", Seq("0.50"))
+      .collect().head
+    // p50 of (1¢, 1¢, 15¢) = the 1-cent exact bin, midpoint 0.010
+    assert(q.getLong(4) == 1L &&
+      q.getDecimal(5).compareTo(new java.math.BigDecimal("0.010")) == 0)
+  }
 }
