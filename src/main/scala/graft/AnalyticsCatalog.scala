@@ -221,7 +221,26 @@ object AnalyticsCatalog {
           (pmod((col("v") * 100).cast("long"), lit(3600L)) + 60L)
             * 1000000L).as("end_us"))
       Analytics.mergeIntervals(iv, "user_id", "start_us", "end_us")
-    })
+    }),
+
+    // Frequent part pairs across orders: a-priori item prune (≥5
+    // orders), within-basket pair join, top-20 by support with lift.
+    "q_cooccurrence" -> ((s, d) =>
+      graft.operators.Itemsets.frequentPairs(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
+
+    // ε-DP Laplace-noised counts over the customer QI groups — the
+    // additive-noise release next to q_k_anonymity's suppression one;
+    // seeded inverse-CDF noise keeps the mechanism differential-gated.
+    "q_dp_counts" -> ((s, d) =>
+      Analytics.dpNoisyCounts(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"))),
+
+    // Watermark late-data accounting: arrival-order replay against the
+    // per-user high-water mark, 10-min allowance — the sizing input
+    // for a streaming withWatermark budget.
+    "q_late_data" -> ((s, d) =>
+      Events.lateDataStats(Events.typed(Tables.events(s, d))))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -633,7 +652,72 @@ object AnalyticsCatalog {
          |  FROM fl)
          |SELECT user_id, island, MIN(start_us) AS island_start,
          |  MAX(end_us) AS island_end, COUNT(*) AS n_intervals
-         |FROM isl GROUP BY 1, 2""".stripMargin
+         |FROM isl GROUP BY 1, 2""".stripMargin,
+
+    // Co-occurrence twin: same a-priori prune / within-basket pair
+    // join / 1-row basket total; lift is the identical single double
+    // division.
+    "q_cooccurrence" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |freq AS (
+        |  SELECT it, COUNT(*) AS n_item FROM items
+        |  GROUP BY 1 HAVING COUNT(*) >= 5),
+        |fi AS (
+        |  SELECT items.bk, items.it, freq.n_item
+        |  FROM items JOIN freq USING (it)),
+        |pairs AS (
+        |  SELECT a.it AS a, b.it AS b, a.n_item AS n_a, b.n_item AS n_b
+        |  FROM fi a JOIN fi b ON a.bk = b.bk AND a.it < b.it),
+        |tot AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM items),
+        |agg AS (
+        |  SELECT a, b, n_a, n_b, COUNT(*) AS n_ab
+        |  FROM pairs GROUP BY 1, 2, 3, 4)
+        |SELECT a, b, n_ab, n_a, n_b,
+        |  round(CAST(n_ab * n_baskets AS DOUBLE) / (n_a * n_b), 6)
+        |    AS lift
+        |FROM agg CROSS JOIN tot
+        |ORDER BY n_ab DESC, a, b LIMIT 20""".stripMargin,
+
+    // DP-counts twin: same md5-seeded u ∈ (−½, ½) and inverse-CDF
+    // Laplace term, identical parenthesization.
+    "q_dp_counts" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |u AS (
+        |  SELECT *,
+        |    (('0x' || substr(md5(CAST(c_nationkey AS VARCHAR) || '|'
+        |        || c_mktsegment), 1, 15))::BIGINT + 0.5)
+        |      / 1152921504606846976.0 - 0.5 AS u
+        |  FROM c)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  round(n - (1.0 / 1.0) * sign(u) * ln(1.0 - 2.0 * abs(u)), 6)
+        |    AS noisy_n
+        |FROM u""".stripMargin,
+
+    // Late-data twin: same arrival-order high-water-mark window and
+    // 10-min allowance, integer epoch-micros.
+    "q_late_data" ->
+      s"""WITH $eventsSql,
+         |hw AS (
+         |  SELECT event_type,
+         |    COALESCE(MAX(epoch_us(ts)) OVER (
+         |      PARTITION BY user_id ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      -4611686018427387904) AS hwm_us,
+         |    epoch_us(ts) AS ts_us
+         |  FROM e),
+         |l AS (
+         |  SELECT event_type,
+         |    greatest(hwm_us - 600000000 - ts_us, 0) AS late_us
+         |  FROM hw)
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_late,
+         |  MAX(late_us) AS max_late_us
+         |FROM l GROUP BY 1""".stripMargin
   )
 
   /** One PageRank iteration twin of Graph.pageRank's loop body:

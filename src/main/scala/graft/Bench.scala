@@ -76,7 +76,8 @@ object Bench {
     "q_bitmap_distinct", "q_bloom_join", "q_hybrid_rrf", "q_cluster_rep",
     "q_transition_matrix", "q_interval_merge",
     // r7 fourth wave, benched at birth.
-    "q_hll_merge", "q_quantile_sketch")
+    "q_hll_merge", "q_quantile_sketch", "q_cooccurrence", "q_dp_counts",
+    "q_late_data")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

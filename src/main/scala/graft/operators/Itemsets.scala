@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequent-pair (2-itemset) co-occurrence mining with a-priori
+  * pruning — the market-basket primitive (Agrawal–Srikant '94) over
+  * whatever "appears together" means for the table at hand: parts per
+  * order here, tokens per document, attributes per entity. Emits the
+  * top-k pairs by basket co-occurrence count with their lift
+  * n_ab·N/(n_a·n_b), the standard independence-normalized strength.
+  *
+  * Scale shape — the pair explosion is tamed twice before it exists:
+  *   1. A-PRIORI PRUNE: an item in < `minItemSupport` baskets cannot be
+  *      in a pair with support ≥ that bound, so infrequent items are
+  *      dropped BEFORE pair generation (one tiny item-count aggregate,
+  *      joined back — at 100 TB this is the difference between pairing
+  *      a power-law head and pairing the whole long tail).
+  *   2. WITHIN-BASKET JOIN: pairs come from a self equi-join keyed on
+  *      the basket id — fan-out bounded by (pruned) basket size², never
+  *      cross-basket, never all-pairs.
+  * Pair counts are map-side-combined partials; the top-k is
+  * orderBy+limit = TakeOrderedAndProject (per-partition heaps, never a
+  * global sort). The basket total N is a 1-row broadcast (allowlisted).
+  * Lift is ONE double division of exact integers, rounded to 6 dp —
+  * bit-stable cross-engine.
+  */
+object Itemsets {
+
+  /** (a, b, n_ab, n_a, n_b, lift): top-`k` co-occurring item pairs
+    * (a < b) among items in ≥ `minItemSupport` distinct baskets.
+    * Deterministic order: n_ab desc, then (a, b).
+    */
+  def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
+                    minItemSupport: Int = 5, k: Int = 20): DataFrame = {
+    val items = baskets
+      .select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+    val freq = items.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= minItemSupport)
+    val fi = items.join(freq, Seq("it"))
+    val pairs = fi.select(col("bk"), col("it").as("a"),
+        col("n_item").as("n_a"))
+      .join(fi.select(col("bk"), col("it").as("b"),
+        col("n_item").as("n_b")), Seq("bk"))
+      .filter(col("a") < col("b"))
+    val totals = items.agg(countDistinct(col("bk")).as("n_baskets"))
+    pairs.groupBy(col("a"), col("b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        round((col("n_ab") * col("n_baskets")).cast("double")
+          / (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(k)
+  }
+}

@@ -3,6 +3,7 @@ package graft.query
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TextOps
 import graft.queries.Tables.Money
 
 /** General analytics operators beyond the reference surface (the
@@ -415,6 +416,34 @@ object Analytics {
         when(col("qi_n") >= k, col("c_nationkey")).as("nation_qi"),
         when(col("qi_n") >= k, col("c_mktsegment")).as("segment_qi"),
         (col("qi_n") < k).as("suppressed"))
+  }
+
+  /** Laplace-noised group counts — the ε-differential-privacy RELEASE
+    * shape (Dwork et al. '06): count per quasi-identifier group plus
+    * Laplace(Δ/ε) noise, sensitivity Δ = 1 for a counting query. The
+    * noise is drawn by inverse CDF — noise = −(1/ε)·sgn(u)·ln(1−2|u|)
+    * for u uniform on (−½, ½) — with u derived from the md5 fingerprint
+    * of the group key, NOT a CSPRNG: a seeded draw keeps the release
+    * reproducible and lets the DuckDB differential gate the mechanism's
+    * arithmetic exactly. A production release under a real privacy
+    * budget swaps the hash for calibrated secure randomness; the
+    * mechanism column is unchanged. (The suppression alternative is
+    * [[kAnonymize]]; this is the additive-noise one.)
+    *
+    * Scale shape: ONE groupBy over the QI columns, then a pure per-row
+    * noise projection — nothing else moves. The +½ hash offset keeps
+    * u strictly inside (−½, ½), so ln never sees 0.
+    */
+  def dpNoisyCounts(df: DataFrame, keyCols: Seq[String],
+                    eps: Double = 1.0): DataFrame = {
+    val u = (TextOps.fingerprint64(concat_ws("|",
+        keyCols.map(c => col(c).cast("string")): _*)).cast("double")
+      + lit(0.5)) / lit(1152921504606846976.0) - lit(0.5)
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .select(keyCols.map(col) ++ Seq(col("n"),
+        round(col("n") - (lit(1.0) / lit(eps)) * signum(u) *
+          log(lit(1.0) - lit(2.0) * abs(u)), 6)
+          .as("noisy_n")): _*)
   }
 
   /** First-order Markov TRANSITION MATRIX over per-user event

@@ -82,4 +82,36 @@ object Events {
       get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+
+  /** WATERMARK late-data accounting, batch twin: replay the log in
+    * arrival order (event_id — the monotone ingest sequence) and flag
+    * every event whose event time trails the per-user high-water mark
+    * by more than `delaySec` — exactly the rows a streaming watermark
+    * of that delay would drop from state. Per type: total, late count,
+    * and worst lateness beyond the allowance. The sizing answer to
+    * "what delay keeps loss under x%?" — run over a day's log before
+    * picking the `withWatermark` budget (the allowance
+    * [[watermarked]]'s default encodes).
+    *
+    * Scale shape: one window partitioned by user_id (the same state
+    * key streaming uses — the log shuffles once) over arrival order,
+    * then one tiny per-type aggregate. All integer epoch-micros; the
+    * first event per user coalesces to an effective −∞ mark (never
+    * late).
+    */
+  def lateDataStats(e: DataFrame, delaySec: Long = 600L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    e.withColumn("hwm_us",
+        coalesce(max(unix_micros(col("ts"))).over(w), lit(Long.MinValue / 2)))
+      .withColumn("late_us",
+        greatest(col("hwm_us") - lit(delaySec * 1000000L)
+          - unix_micros(col("ts")), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+  }
 }
+

@@ -74,7 +74,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_hybrid_rrf",
     // hll_merge: the same 64-row constant register frame as
     // q_hll_distinct (shared hllEstimateFromRegs tail).
-    "q_hll_merge")
+    "q_hll_merge",
+    // cooccurrence: the 1-row basket-total frame under the lift.
+    "q_cooccurrence")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Itemsets
+import graft.query.Analytics
+import graft.queries.Tables
+import graft.streaming.Events
+
+/** Round-7 fourth-wave invariants: a-priori co-occurrence mining,
+  * DP-noise mechanism bounds, watermark late-data accounting.
+  */
+class Round7WaveFourSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("frequentPairs: a < b, supports consistent, a-priori prune holds") {
+    val li = Tables.lineitem(spark, sf)
+    val got = Itemsets.frequentPairs(li, "l_orderkey", "l_partkey",
+      minItemSupport = 2, k = 50).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (nAb, nA, nB) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a < b)
+      // pair support can never exceed either item's support, and the
+      // a-priori prune admitted only items at/above the threshold
+      assert(nAb <= nA && nAb <= nB && nA >= 2 && nB >= 2)
+    }
+    // spot-check the top pair's support against a direct recount
+    val top = got.head
+    val recount = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .filter(array_contains(col("ps"), top.getLong(0)) &&
+        array_contains(col("ps"), top.getLong(1)))
+      .count()
+    assert(recount == top.getLong(2))
+  }
+
+  test("frequentPairs: lift is n_ab*N/(n_a*n_b) and order deterministic") {
+    import spark.implicits._
+    // baskets: {1,2} ×3, {1,3} ×1 — with minSupport 1 all pairs emit
+    val b = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L),
+      (12L, 2L), (13L, 1L), (13L, 3L)).toDF("bk", "it")
+    val got = Itemsets.frequentPairs(b, "bk", "it", 1, 10).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 2L, 3L), (1L, 3L, 1L)))
+    // lift(1,2) = 3·4/(4·3) = 1.0; lift(1,3) = 1·4/(4·1) = 1.0
+    assert(got.forall(_.getDouble(5) == 1.0))
+  }
+
+  test("dpNoisyCounts: noise is bounded, deterministic, and nonzero") {
+    val cust = Tables.customer(spark, sf)
+    val keys = Seq("c_nationkey", "c_mktsegment")
+    val a = Analytics.dpNoisyCounts(cust, keys).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val b = Analytics.dpNoisyCounts(cust, keys).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(a == b) // seeded noise: the release is reproducible
+    // |Laplace(1)| via inverse CDF of u ∈ (−½,½) is < ln(2⁶⁰) ≈ 41.6
+    a.values.foreach { case (n, noisy) =>
+      assert(math.abs(noisy - n) < 42.0)
+    }
+    // and it IS noise: not every group lands within 0.01 of its count
+    assert(a.values.count { case (n, noisy) =>
+      math.abs(noisy - n) > 0.01 } > a.size / 2)
+  }
+
+  test("lateDataStats: flags exactly the events beyond the allowance") {
+    import spark.implicits._
+    val base = 1700000000000000L // epoch micros
+    def ts(s: Long) = new java.sql.Timestamp((base + s * 1000000L) / 1000L)
+    // user 1 arrival order: t=0, t=1000, then a straggler at t=100
+    // (900 s behind the mark: late beyond 600 s by 300 s), then t=550
+    // (450 s behind: within allowance)
+    val e = Seq(
+      (1L, ts(0), 1L, "click"), (2L, ts(1000), 1L, "click"),
+      (3L, ts(100), 1L, "click"), (4L, ts(550), 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.lateDataStats(e, 600L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got("click") == ((3L, 1L, 300L * 1000000L)))
+    assert(got("view") == ((1L, 0L, 0L)))
+  }
+}
