@@ -77,7 +77,7 @@ object Bench {
     "q_transition_matrix", "q_interval_merge",
     // r7 fourth wave, benched at birth.
     "q_hll_merge", "q_quantile_sketch", "q_cooccurrence", "q_dp_counts",
-    "q_late_data")
+    "q_late_data", "q_dedup_cc_star", "q_embedding_drift")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

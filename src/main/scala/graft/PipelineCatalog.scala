@@ -266,6 +266,14 @@ object PipelineCatalog {
         Dedup.minhashVerifiedPairs(
           Dedup.withNearDuplicates(Tables.documents(s, d))))),
 
+    // Same components, alternating large-star/small-star (log²-round
+    // MapReduce CC) — same substrate, same transitive-closure oracle,
+    // different round complexity (diameter vs log²).
+    "q_dedup_cc_star" -> ((s, d) =>
+      Dedup.connectedComponentsStar(
+        Dedup.minhashVerifiedPairs(
+          Dedup.withNearDuplicates(Tables.documents(s, d))))),
+
     // Deterministic sampling flag + stable train/val/test split — two
     // INDEPENDENT hash draws (split key salted), reproducible across
     // runs, retries and engines.
@@ -765,6 +773,7 @@ object PipelineCatalog {
          |WHERE levenshtein(ca.text, cb.text) <= 40""".stripMargin,
 
     "q_dedup_clusters" -> clustersSql,
+    "q_dedup_cc_star" -> clustersSql,
 
     "q_sample_split" ->
       """WITH h AS (

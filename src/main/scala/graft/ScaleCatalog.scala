@@ -230,6 +230,21 @@ object ScaleCatalog {
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map(
+    // Embedding drift audit: every 3rd vector "re-embedded" with one
+    // id-keyed dimension shifted +0.5, cosine old↔new, flag < 0.98 —
+    // the freshness check after a model/preprocessing change.
+    "q_embedding_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 3 === 0)
+      val curr = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === pmod(col("vec_id"), lit(64L)).cast("int"),
+            x.cast("double") + lit(0.5))
+            .otherwise(x.cast("double"))).as("embedding"))
+      graft.operators.Similarity.embeddingDrift(emb, curr)
+    }),
+
     // Exact cosine top-5: broadcast queries × streamed corpus.
     "q_knn_brute" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -480,6 +495,27 @@ object ScaleCatalog {
   // ------------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(
+    // Drift twin: same indexed-lambda perturbation (DuckDB i is
+    // 1-based where Spark's transform index is 0-based) and the same
+    // fold-order cosine as the knn oracles.
+    "q_embedding_drift" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pe
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |c AS (
+        |  SELECT vec_id,
+        |    list_transform(pe, (x, i) ->
+        |      CASE WHEN i = vec_id % 64 + 1 THEN x + 0.5 ELSE x END)
+        |      AS ce
+        |  FROM p),
+        |s AS (
+        |  SELECT p.vec_id,
+        |    round(list_inner_product(pe, ce)
+        |      / (sqrt(list_inner_product(pe, pe))
+        |         * sqrt(list_inner_product(ce, ce))), 6) AS cos_sim
+        |  FROM p JOIN c ON p.vec_id = c.vec_id)
+        |SELECT vec_id, cos_sim, cos_sim < 0.98 AS drifted FROM s""".stripMargin,
+
     "q_knn_brute" -> knnSql("CROSS JOIN c"),
 
     "q_knn_ivf" -> knnSql("JOIN c ON q.label = c.label"),

@@ -444,6 +444,62 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al. '14, "Connected Components in MapReduce and
+    * Beyond") — the O(log²·) -round alternative to
+    * [[duplicateClusters]]'s min-label propagation, whose round count
+    * is the component DIAMETER. Near-dup clusters are shallow, so the
+    * propagation version wins there; this is the right primitive when
+    * components can be long chains (citation graphs, web link graphs,
+    * entity-resolution chains), where diameter ≫ log n.
+    *
+    * Each round, every node u relinks neighbors to m = min(N(u)∪{u}):
+    * large-star relinks the strictly larger neighbors, small-star the
+    * strictly smaller ones; both keep (u, m) so connectivity is
+    * preserved, and the edge list re-symmetrizes between rounds. The
+    * fixpoint is a star graph per component centered on its min, read
+    * out as (doc_id, canonical_id) — the same contract as
+    * [[duplicateClusters]], gated by the same transitive-closure
+    * oracle.
+    *
+    * Scale shape per round: one keyed aggregate (neighborhood min,
+    * map-side combined — a hot node is a hot MIN cell) + one equi-join
+    * of that |nodes|-row frame back onto the edges; `localCheckpoint`
+    * truncates the iterative lineage exactly like [[graft.operators.Graph]]'s
+    * PageRank loop. Nothing ever moves but (long, long) edges.
+    */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val m = e.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val relinked = e.join(m, Seq("a"))
+        .filter(if (large) col("b") > col("a") else col("b") < col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+      sym(relinked.unionByName(
+        m.select(col("a"), col("m").as("b"))))
+    }
+    var edges = sym(pairs.select(col("doc_a").as("a"),
+      col("doc_b").as("b"))).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 32) { // log²-bound safety, not a tuning
+      rounds += 1
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint()
+      // set equality: same size + one-sided difference empty
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+    }
+    require(converged, s"cc-star did not converge in $rounds rounds")
+    edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
+      .select(col("a").as("doc_id"),
+        least(col("a"), col("mn")).as("canonical_id"))
+  }
+
   /** Cluster → REPRESENTATIVE selection — the decision step after
     * clustering: keep exactly one document per near-dup cluster, the
     * highest-quality member (here: distinct-token count, the repo's

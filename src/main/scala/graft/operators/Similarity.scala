@@ -385,4 +385,34 @@ object Similarity {
     semanticDedupPairs(vecs, tau, k, iters,
       maxCellSize = targetCellSize * maxCellFactor)
   }
+
+  /** Embedding DRIFT detection across two snapshots of the same id
+    * space — the freshness audit a re-embedding pipeline runs after a
+    * model or preprocessing change: per id, the cosine between the old
+    * and new vector, flagged when it falls under `threshold` (those
+    * ids need downstream indexes rebuilt; the rest can keep their ANN
+    * postings). Pairs with [[graft.operators.Cdc.snapshotDiff]], which
+    * gates WHICH docs re-embed; this audits WHAT the re-embedding
+    * changed.
+    *
+    * Scale shape: one equi-join on vec_id (both snapshots
+    * hash-partition on the id — co-located if the stores are bucketed
+    * the same way) and a pure per-row fold over the two vectors; no
+    * index, no candidate generation, nothing quadratic. Folds run in
+    * element order (the sorted-fold idiom), doubles end to end, rounded
+    * to 6 dp at the edge.
+    */
+  def embeddingDrift(prev: DataFrame, curr: DataFrame,
+                     threshold: Double = 0.98): DataFrame = {
+    def dbl(df: DataFrame, as: String) = df.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as(as))
+    val dot = aggregate(zip_with(col("pe"), col("ce"), _ * _),
+      lit(0.0), _ + _)
+    val np = aggregate(transform(col("pe"), x => x * x), lit(0.0), _ + _)
+    val nc = aggregate(transform(col("ce"), x => x * x), lit(0.0), _ + _)
+    dbl(prev, "pe").join(dbl(curr, "ce"), Seq("vec_id"))
+      .select(col("vec_id"),
+        round(dot / (sqrt(np) * sqrt(nc)), 6).as("cos_sim"))
+      .withColumn("drifted", col("cos_sim") < threshold)
+  }
 }

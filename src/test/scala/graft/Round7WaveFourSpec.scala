@@ -68,6 +68,41 @@ class Round7WaveFourSpec extends SparkSpec {
       math.abs(noisy - n) > 0.01 } > a.size / 2)
   }
 
+  test("cc-star components == min-label propagation components") {
+    import graft.operators.Dedup
+    val pairs = Dedup.minhashVerifiedPairs(
+      Dedup.withNearDuplicates(Tables.documents(spark, sf)))
+    val prop = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
+  test("cc-star resolves a long chain (diameter >> log n) to one root") {
+    import spark.implicits._
+    // path 0—1—2—…—20: worst case for per-round label propagation
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.connectedComponentsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 21 && got.forall(_._2 == 0L))
+  }
+
+  test("embeddingDrift: identical snapshots never drift; a real " +
+    "direction change does") {
+    import spark.implicits._
+    val prev = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val same = graft.operators.Similarity.embeddingDrift(prev, prev)
+      .collect()
+    assert(same.forall(r => r.getDouble(1) == 1.0 && !r.getBoolean(2)))
+    val curr = Seq((1L, Array(0.0f, 1.0f)), (2L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.embeddingDrift(prev, curr)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got(1L) && !got(2L))
+  }
+
   test("lateDataStats: flags exactly the events beyond the allowance") {
     import spark.implicits._
     val base = 1700000000000000L // epoch micros
