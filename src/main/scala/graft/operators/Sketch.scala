@@ -465,6 +465,49 @@ object Sketch {
         lit(new java.math.BigDecimal("0.005")).cast(DecimalType(4, 3)))
         .cast(DecimalType(18, 3)).as("est"))
   }
+
+  /** JVM twin of [[hdrQuantiles]]'s bin arithmetic for the streaming
+    * path (63 − nlz ≡ length(bin(v)) − 1) — the same single-home
+    * discipline as [[hllUpdate]]/[[hllEstimate]]; StreamingSketchSpec
+    * pins stream == batch through sliced micro-batches. All integer.
+    */
+  def hdrBin(vc: Long): Long =
+    if (vc < 16) vc
+    else {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(vc)
+      (msb - 3).toLong * 16 + ((vc >> (msb - 4)) & 15L)
+    }
+
+  /** Bin midpoint in HALF-CENTS (2× cents, integer-exact): the batch
+    * `est` column is exactly x2/200 at scale 3.
+    */
+  def hdrMidpointX2(b: Long): Long =
+    if (b < 16) b * 2
+    else {
+      val shift = (b / 16).toInt - 1
+      ((b % 16 + 16) << shift) * 2 + (1L << shift)
+    }
+
+  /** Quantile read-out over a bin-count state: per p (decimal string),
+    * (p, n, rank = ⌈p·n⌉, chosen bin, midpoint ×2-cents) — the same
+    * rank semantics as the batch column chain. Empty state → empty.
+    */
+  def hdrQuantilesFromBins(bins: Map[Long, Long], ps: Seq[String])
+      : Seq[(String, Long, Long, Long, Long)] =
+    if (bins.isEmpty) Seq.empty
+    else {
+      val sorted = bins.toSeq.sortBy(_._1)
+      val n = sorted.iterator.map(_._2).sum
+      ps.map { p =>
+        val rank = (BigDecimal(p) * n)
+          .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+        var cum = 0L
+        val bin = sorted.collectFirst {
+          case (b, c) if { cum += c; cum >= rank } => b
+        }.getOrElse(sorted.last._1)
+        (p, n, rank, bin, hdrMidpointX2(bin))
+      }
+    }
 }
 
 /** Sketch summary: how many mins were kept and the k-th smallest. */

@@ -113,6 +113,47 @@ object StreamingSketch {
       }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
         Encoders.product[CmsCells])
 
+  case class GroupCents(g: String, vc: Long)
+  case class QuantRow(p: String, rank: Long, bin: Long, est_x2: Long)
+  case class HdrQuantiles(g: String, n: Long, qs: Seq[QuantRow])
+
+  /** Incremental HDR-histogram quantiles over a stream — the fourth
+    * sketch twin (KMV: order statistics; HLL: registers; CMS: counters;
+    * HDR: bin counts): state per group is the (bin → count) map —
+    * ≤ ~16·64 entries regardless of stream length — updated with
+    * EXACTLY the batch bin arithmetic ([[Sketch.hdrBin]]) and read out
+    * with the batch rank semantics ([[Sketch.hdrQuantilesFromBins]]),
+    * so after any prefix of micro-batches the emitted (rank, bin,
+    * midpoint) rows equal [[Sketch.hdrQuantiles]] over the rows seen so
+    * far — the live latency/price-percentile dashboard primitive. Bin
+    * maps merge by per-bin SUM across shards/days, like every state in
+    * this file. Values arrive as integer cents (`vc`); `est_x2` is the
+    * bin midpoint in half-cents (batch `est` = est_x2/200 exactly).
+    */
+  def hdrStream(values: Dataset[GroupCents],
+                ps: Seq[String] = Seq("0.50", "0.95", "0.99"))
+      : Dataset[HdrQuantiles] =
+    values
+      .groupByKey(_.g)(Encoders.STRING)
+      .mapGroupsWithState[Map[Long, Long], HdrQuantiles](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[GroupCents],
+         state: GroupState[Map[Long, Long]]) =>
+          var bins = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { r =>
+            if (r.vc >= 1) {
+              val b = Sketch.hdrBin(r.vc)
+              bins = bins.updated(b, bins.getOrElse(b, 0L) + 1L)
+            }
+          }
+          state.update(bins)
+          val qs = Sketch.hdrQuantilesFromBins(bins, ps)
+            .map { case (p, _, rank, bin, x2) =>
+              QuantRow(p, rank, bin, x2) }
+          HdrQuantiles(g, bins.valuesIterator.sum, qs)
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
+        Encoders.product[HdrQuantiles])
+
   /** JVM twin of TextOps.fingerprint64 (md5 hex → first 15 digits →
     * long): non-negative (< 2⁶⁰), so plain `%` is pmod.
     */

@@ -135,4 +135,50 @@ class StreamingSketchSpec extends SparkSpec {
         s"token $token: stream $streamEst vs batch $cmsEst")
     }
   }
+
+  test("incremental HDR quantiles over micro-batches == batch " +
+    "hdrQuantiles") {
+    val li = graft.queries.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val batch = Sketch.hdrQuantiles(li, "l_returnflag", "l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toPlainString) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          // est (scale 3) ×200 recovers the integer half-cent midpoint
+          r.getDecimal(5).multiply(new java.math.BigDecimal(200))
+            .longValueExact())).toMap
+
+    val cents = li.select(col("l_returnflag").as("g"),
+      (col("l_extendedprice") * 100).cast("long").as("vc"))
+    val dir = Files.createTempDirectory("graft-hdr-stream").toString
+    cents.withColumn("slice", pmod(col("vc"), lit(4)))
+      .write.partitionBy("slice").mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("g STRING, vc BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/slice=*")
+      .as[StreamingSketch.GroupCents](
+        Encoders.product[StreamingSketch.GroupCents])
+    val q = StreamingSketch.hdrStream(stream)
+      .writeStream.format("memory").queryName("hdr_stream")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val updates = spark.table("hdr_stream").collect()
+    assert(updates.length > 3) // really incremental
+    val last = updates.zipWithIndex.groupBy(_._1.getString(0))
+      .map { case (g, rows) => g -> rows.maxBy(_._2)._1 }
+    assert(last.keySet == batch.keySet.map(_._1))
+    last.foreach { case (g, row) =>
+      val n = row.getLong(1)
+      row.getSeq[org.apache.spark.sql.Row](2).foreach { qr =>
+        val (p, rank, bin, x2) = (qr.getString(0), qr.getLong(1),
+          qr.getLong(2), qr.getLong(3))
+        val (bn, brank, bbin, bx2) = batch((g, p))
+        assert(n == bn && rank == brank && bin == bbin && x2 == bx2,
+          s"($g, $p): stream ($n, $rank, $bin, $x2) " +
+            s"vs batch ($bn, $brank, $bbin, $bx2)")
+      }
+    }
+  }
 }
