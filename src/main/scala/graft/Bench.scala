@@ -77,7 +77,8 @@ object Bench {
     "q_transition_matrix", "q_interval_merge",
     // r7 fourth wave, benched at birth.
     "q_hll_merge", "q_quantile_sketch", "q_cooccurrence", "q_dp_counts",
-    "q_late_data", "q_dedup_cc_star", "q_embedding_drift")
+    "q_late_data", "q_dedup_cc_star", "q_embedding_drift",
+    "q_knn_multiprobe")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

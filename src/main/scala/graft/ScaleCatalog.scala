@@ -430,6 +430,15 @@ object ScaleCatalog {
         e.filter(col("vec_id") >= 10), 5)
     }),
 
+    // Multi-probe LSH: the same table probed at the query bucket plus
+    // its 8 single-bit flips — recall back without extra tables; the
+    // probe expansion rides the broadcast side only.
+    "q_knn_multiprobe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshMultiProbeTopK(e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") >= 10), 5)
+    }),
+
     // Learned-quantizer IVF (k-means cells, nProbe=2). The trainer is
     // deterministic (sorted-fold means, lowest-id init — Quantizer.fit),
     // so the oracle replicates the whole Lloyd's loop and the check is a
@@ -613,6 +622,47 @@ object ScaleCatalog {
         |         * sqrt(list_inner_product(b.e, b.e))), 6)
         |      AS DECIMAL(10,6)) AS score
         |  FROM qb a JOIN cb b ON a.bucket = b.bucket),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rnk
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 5""".stripMargin,
+
+    // Multi-probe twin: the q_knn_lsh chain with the query bucket
+    // expanded to itself + its 8 single-bit XOR flips before the
+    // bucket join (no DISTINCT needed: one bucket per corpus vector,
+    // probe set distinct).
+    "q_knn_multiprobe" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id >= 10),
+        |$planesSql,
+        |qb AS (
+        |  SELECT query_id, e,
+        |    SUM(CASE WHEN list_inner_product(e, pl.w) >= 0
+        |        THEN 1 << p ELSE 0 END) AS b0
+        |  FROM q CROSS JOIN pl GROUP BY query_id, e),
+        |qp AS (
+        |  SELECT query_id, e,
+        |    unnest(list_prepend(b0,
+        |      [xor(b0, 1::BIGINT << CAST(p AS INT)) FOR p IN range(0, 8)]))
+        |      AS bucket
+        |  FROM qb),
+        |cb AS (
+        |  SELECT neighbor_id, e,
+        |    SUM(CASE WHEN list_inner_product(e, pl.w) >= 0
+        |        THEN 1 << p ELSE 0 END) AS bucket
+        |  FROM c CROSS JOIN pl GROUP BY neighbor_id, e),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(round(list_inner_product(a.e, b.e)
+        |      / (sqrt(list_inner_product(a.e, a.e))
+        |         * sqrt(list_inner_product(b.e, b.e))), 6)
+        |      AS DECIMAL(10,6)) AS score
+        |  FROM qp a JOIN cb b ON a.bucket = b.bucket),
         |r AS (
         |  SELECT *, CAST(row_number() OVER (
         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rnk

@@ -270,6 +270,37 @@ object Similarity {
         score(col("qe"), col("ce")).as("score")), k)
   }
 
+  /** MULTI-PROBE LSH top-k (Lv et al. '07): probe the query's own
+    * bucket PLUS the `planes` single-bit-flip buckets — the buckets a
+    * true near neighbor lands in when it sits just across one
+    * hyperplane, which is exactly how [[lshTopK]] loses recall. Probing
+    * 1+planes buckets buys most of the recall a (planes−1)-bit coarser
+    * table would, without the table blowup multi-table LSH pays — the
+    * standard recall/cost middle point between one-shot LSH and brute
+    * force.
+    *
+    * Scale shape: identical join to [[lshTopK]] — the probe expansion
+    * multiplies only the BROADCAST query side (×(1+planes) rows of
+    * (id, bucket)); the corpus still streams once with one bucket per
+    * vector, and no pair can repeat (a corpus vector has one bucket,
+    * the probe set is distinct), so no dedup pass is needed.
+    */
+  def lshMultiProbeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        planes: Int = 8, dim: Int = 64): DataFrame = {
+    val w = planeWeights(planes, dim)
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        lshBucket(col("embedding"), w).as("b0"))
+      .select(col("query_id"), col("qe"), explode(array(
+        (col("b0") +: (0 until planes).map(p =>
+          col("b0").bitwiseXOR(lit(1 << p)))): _*)).as("bucket"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), lshBucket(col("embedding"), w).as("bucket"))
+    rank(c.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        score(col("qe"), col("ce")).as("score")), k)
+  }
+
   /** SemDeDup-style SEMANTIC dedup: cluster the corpus with the
     * deterministic coarse quantizer (Quantizer.fit — lowest-id init,
     * sorted-fold means, a pure function of the corpus), then compare

@@ -52,6 +52,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recall >= single-probe recall on real vectors") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val brute = pairs(Similarity.bruteTopK(q, c, 5))
+    val single = pairs(Similarity.lshTopK(q, c, 5))
+    val multi = pairs(Similarity.lshMultiProbeTopK(q, c, 5))
+    val rs = (single intersect brute).size.toDouble / brute.size
+    val rm = (multi intersect brute).size.toDouble / brute.size
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    // and the probe expansion really found more candidates
+    assert(multi.size >= single.size)
+    // multi-probe scores are still true cosines (subset of brute scores
+    // per pair is already covered by the shared score() home)
+  }
+
   test("bounded-heap TopK aggregator == window-rank brute force") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
