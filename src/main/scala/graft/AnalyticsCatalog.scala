@@ -240,7 +240,20 @@ object AnalyticsCatalog {
     // per-user high-water mark, 10-min allowance — the sizing input
     // for a streaming withWatermark budget.
     "q_late_data" -> ((s, d) =>
-      Events.lateDataStats(Events.typed(Tables.events(s, d))))
+      Events.lateDataStats(Events.typed(Tables.events(s, d)))),
+
+    // Grouped OLS trend of extended price over ship date: exact sums
+    // through the shuffle, five doubles of closed-form math at the end.
+    "q_trend_slope" -> ((s, d) =>
+      Analytics.trendSlope(Tables.lineitem(s, d), "l_returnflag",
+        col("l_shipdate"), col("l_extendedprice").cast(Tables.Money))),
+
+    // Join-degree skew profile of lineitem⋈part on partkey: top-10
+    // keys by output contribution + estimated join size — the salted
+    // vs plain join decision input, without running the join.
+    "q_join_degree" -> ((s, d) =>
+      Analytics.joinDegreeProfile(Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -717,7 +730,51 @@ object AnalyticsCatalog {
          |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_late,
          |  MAX(late_us) AS max_late_us
-         |FROM l GROUP BY 1""".stripMargin
+         |FROM l GROUP BY 1""".stripMargin,
+
+    // OLS twin: exact integer/decimal sums, then the identical
+    // double-precision closed form (same parenthesization both sides).
+    "q_trend_slope" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+        |      AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(y * x) AS sxy, SUM(x * x) AS sxx
+        |  FROM t GROUP BY 1)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+        |    AS intercept
+        |FROM s""".stripMargin,
+
+    // Join-degree twin: two degree aggregates, degree-frame join,
+    // 1-row total, same top-10 cut.
+    "q_join_degree" ->
+      """WITH da AS (
+        |  SELECT l_partkey AS key, COUNT(*) AS da
+        |  FROM lineitem GROUP BY 1),
+        |db AS (
+        |  SELECT p_partkey AS key, COUNT(*) AS db FROM part GROUP BY 1),
+        |j AS (
+        |  SELECT da.key, da.da, db.db, da.da * db.db AS contrib
+        |  FROM da JOIN db ON da.key = db.key),
+        |tot AS (SELECT CAST(SUM(contrib) AS BIGINT) AS est_rows FROM j)
+        |SELECT key, da, db, contrib, est_rows,
+        |  round(CAST(contrib AS DOUBLE) / est_rows, 6) AS share
+        |FROM j CROSS JOIN tot
+        |ORDER BY contrib DESC, key LIMIT 10""".stripMargin
   )
 
   /** One PageRank iteration twin of Graph.pageRank's loop body:

@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
@@ -416,6 +416,71 @@ object Analytics {
         when(col("qi_n") >= k, col("c_nationkey")).as("nation_qi"),
         when(col("qi_n") >= k, col("c_mktsegment")).as("segment_qi"),
         (col("qi_n") < k).as("suppressed"))
+  }
+
+  /** Grouped OLS TREND (slope + intercept of y over x per group) via
+    * the closed-form normal equations on EXACT sums: n, Σx, Σy, Σxy,
+    * Σx² accumulate as longs/decimals (order-free, overflow-safe at
+    * warehouse scale via the decimal path), and only the final
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+    *   intercept = (Σy − slope·Σx) / n
+    * happens in doubles — a fixed handful of IEEE ops on identical
+    * inputs, bit-stable cross-engine without any sorted-fold machinery.
+    * This is the one-pass distributed regression shape: a naive
+    * "collect points and fit" pulls n rows to the driver; this ships
+    * five numbers per group through a map-side-combined aggregate.
+    */
+  def trendSlope(df: DataFrame, groupCol: String, xDate: Column,
+                 yCol: Column, epoch: String = "1992-01-01"): DataFrame = {
+    val x = datediff(xDate.cast("date"),
+      lit(java.sql.Date.valueOf(epoch)))
+    val g = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast("long")).as("sx"),
+      sum(yCol).as("sy"),
+      sum(yCol * x).as("sxy"),
+      sum(x.cast("long") * x.cast("long")).as("sxx"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double")
+    val num = nD * col("sxy").cast("double") - sxD * syD
+    val den = nD * col("sxx").cast("double") - sxD * sxD
+    g.select(col(groupCol), col("n"),
+      round(num / den, 6).as("slope"),
+      round((syD - (num / den) * sxD) / nD, 6).as("intercept"))
+  }
+
+  /** JOIN-DEGREE profile — the skew diagnosis to run BEFORE a big
+    * join: per join key the two side degrees dₐ, d_b, the key's output
+    * contribution dₐ·d_b, and its share of the estimated join size
+    * Σdₐ·d_b. The top-k rows by contribution answer "will this join
+    * explode, and on which keys?" — the decision input for the salted
+    * plan ([[graft.operators.SkewJoin]]) vs the plain one, computed
+    * from two degree aggregates instead of running the join.
+    *
+    * Scale shape: one keyed count per side (map-side combined), an
+    * equi-join of the two |keys|-sized degree frames, a 1-row
+    * broadcast total (allowlisted), top-k via TakeOrderedAndProject.
+    * Never touches the fact rows twice, never materializes the join.
+    */
+  def joinDegreeProfile(left: DataFrame, lKey: String,
+                        right: DataFrame, rKey: String,
+                        k: Int = 10): DataFrame = {
+    val da = left.groupBy(col(lKey).as("key"))
+      .agg(count(lit(1)).as("da"))
+    val db = right.groupBy(col(rKey).as("key"))
+      .agg(count(lit(1)).as("db"))
+    val j = da.join(db, Seq("key"))
+      .select(col("key"), col("da"), col("db"),
+        (col("da") * col("db")).as("contrib"))
+    val tot = j.agg(sum(col("contrib")).as("est_rows"))
+    j.crossJoin(broadcast(tot))
+      .select(col("key"), col("da"), col("db"), col("contrib"),
+        col("est_rows"),
+        round(col("contrib").cast("double") / col("est_rows"), 6)
+          .as("share"))
+      .orderBy(col("contrib").desc, col("key"))
+      .limit(k)
   }
 
   /** Laplace-noised group counts — the ε-differential-privacy RELEASE

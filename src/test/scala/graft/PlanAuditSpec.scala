@@ -76,7 +76,9 @@ class PlanAuditSpec extends SparkSpec {
     // q_hll_distinct (shared hllEstimateFromRegs tail).
     "q_hll_merge",
     // cooccurrence: the 1-row basket-total frame under the lift.
-    "q_cooccurrence")
+    "q_cooccurrence",
+    // join_degree: the 1-row estimated-join-size frame under `share`.
+    "q_join_degree")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

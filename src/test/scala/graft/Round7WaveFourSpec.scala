@@ -103,6 +103,31 @@ class Round7WaveFourSpec extends SparkSpec {
     assert(got(1L) && !got(2L))
   }
 
+  test("trendSlope recovers an exact planted line (y = 2x + 3)") {
+    import spark.implicits._
+    val epoch = java.sql.Date.valueOf("1992-01-01")
+    def day(d: Int) = new java.sql.Date(
+      epoch.getTime + d.toLong * 86400000L)
+    val df = Seq(0, 1, 2, 3, 10).map(x =>
+      ("g", day(x), new java.math.BigDecimal(2 * x + 3).setScale(2)))
+      .toDF("g", "d", "y")
+    val r = Analytics.trendSlope(df, "g", col("d"), col("y")).collect().head
+    assert(r.getLong(1) == 5 && r.getDouble(2) == 2.0 &&
+      r.getDouble(3) == 3.0)
+  }
+
+  test("joinDegreeProfile: contributions, total, and ranking are exact") {
+    import spark.implicits._
+    val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")   // degrees 3, 1, 1
+    val right = Seq(1L, 1L, 2L, 4L).toDF("k")      // degrees 2, 1 (+4 unmatched)
+    val got = Analytics.joinDegreeProfile(left, "k", right, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // est = 3·2 + 1·1 = 7; key 4 appears on one side only
+    assert(got.toSeq == Seq((1L, 3L, 2L, 6L, 7L, math.rint(6.0 / 7 * 1e6) / 1e6),
+      (2L, 1L, 1L, 1L, 7L, math.rint(1.0 / 7 * 1e6) / 1e6)))
+  }
+
   test("lateDataStats: flags exactly the events beyond the allowance") {
     import spark.implicits._
     val base = 1700000000000000L // epoch micros
