@@ -78,7 +78,8 @@ object Bench {
     // r7 fourth wave, benched at birth.
     "q_hll_merge", "q_quantile_sketch", "q_cooccurrence", "q_dp_counts",
     "q_late_data", "q_dedup_cc_star", "q_embedding_drift",
-    "q_knn_multiprobe", "q_trend_slope", "q_join_degree")
+    "q_knn_multiprobe", "q_trend_slope", "q_join_degree", "q_kappa",
+    "q_token_budget")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

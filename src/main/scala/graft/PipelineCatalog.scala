@@ -548,6 +548,25 @@ object PipelineCatalog {
     "q_langid_trained" -> ((s, d) =>
       graft.operators.LangModel.trainedLangId(Tables.documents(s, d))),
 
+    // Classifier agreement: Cohen's κ of the trained lang-ID against
+    // the gold labels — chance-corrected accuracy from one confusion
+    // aggregate; generic over any two label frames.
+    "q_kappa" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.query.Analytics.cohenKappa(
+        graft.operators.LangModel.trainedLangId(docs)
+          .select(col("doc_id"), col("predicted")),
+        docs.select(col("doc_id"), col("lang")),
+        "doc_id", "predicted", "lang")
+    }),
+
+    // Token-budget cut: the deterministic hash-ordered document prefix
+    // summing to ≤ 25k tokens, via the two-level prefix sum (bucket
+    // totals → constant-size bucket window → boundary bucket only).
+    "q_token_budget" -> ((s, d) =>
+      graft.operators.Sampling.tokenBudgetSample(
+        Tables.documents(s, d), 25000L)),
+
     // Overlapping-window chunking (size 32, stride 24): the
     // retrieval/embedding prep step; explode is the output size itself.
     "q_chunk_overlap" -> ((s, d) =>
@@ -1775,6 +1794,73 @@ object PipelineCatalog {
         |SELECT b.doc_id, b.predicted, mx.best_score
         |FROM best b JOIN mx ON b.doc_id = mx.doc_id
         |WHERE b.rn = 1""".stripMargin,
+
+    // Kappa twin: the trained-profile chain feeding one confusion
+    // aggregate; p₀/pₑ/κ written with the Spark expressions'
+    // parenthesization.
+    "q_kappa" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT lang AS cand, token FROM (
+        |    SELECT lang, token, row_number() OVER (
+        |      PARTITION BY lang ORDER BY n DESC, token) AS rk
+        |    FROM cnt) WHERE rk <= 20),
+        |sc AS (
+        |  SELECT t.doc_id, p.cand, COUNT(*) AS score
+        |  FROM tok t JOIN prof p ON t.token = p.token GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, cand AS predicted,
+        |    row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        |  FROM sc),
+        |j AS (
+        |  SELECT b.predicted AS la, d.lang AS lb
+        |  FROM best b JOIN documents d ON b.doc_id = d.doc_id
+        |  WHERE b.rn = 1),
+        |conf AS (SELECT la, lb, COUNT(*) AS n FROM j GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(CASE WHEN la = lb THEN n ELSE 0 END) AS BIGINT)
+        |      AS agree
+        |  FROM conf),
+        |ma AS (SELECT la, SUM(n) AS na FROM conf GROUP BY 1),
+        |mb AS (SELECT lb, SUM(n) AS nb FROM conf GROUP BY 1),
+        |pe AS (
+        |  SELECT CAST(SUM(na * nb) AS BIGINT) AS pe_num
+        |  FROM ma JOIN mb ON ma.la = mb.lb)
+        |SELECT nn AS n, agree,
+        |  round(CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS po,
+        |  round(CAST(pe_num AS DOUBLE)
+        |    / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS pe,
+        |  round((CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      - CAST(pe_num AS DOUBLE)
+        |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+        |    / (1.0 - CAST(pe_num AS DOUBLE)
+        |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))), 6)
+        |    AS kappa
+        |FROM tot CROSS JOIN pe""".stripMargin,
+
+    // Token-budget twin: ONE global take-while cumulative sum in
+    // (bucket, hash, id) order — provably the same kept set as the
+    // Spark side's two-level prefix sum.
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY h % 1024, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM d)
+        |SELECT doc_id, n_tokens FROM o
+        |WHERE before + n_tokens <= 25000""".stripMargin,
 
     // Chunking twin: same stride-range starts (DuckDB range excludes
     // len; Spark sequence stops at len−1 — identical start sets),

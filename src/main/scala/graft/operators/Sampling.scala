@@ -159,4 +159,51 @@ object Sampling {
           col(keyCol).cast("long") === col("__key"))
       .drop("__stratum", "__key")
   }
+
+  /** TOKEN-BUDGET corpus sampling: keep a deterministic, hash-ordered
+    * prefix of documents whose token counts sum to ≤ `budget` — the
+    * "give me exactly N training tokens" cut every dataset release
+    * makes. Semantics: take-while over the global (bucket, hash, id)
+    * order — reproducible, content-addressed, and the DuckDB oracle
+    * replays it as one global cumulative sum.
+    *
+    * Scale shape — the naive form is a GLOBAL running sum (one
+    * partition, the classic scale-killer). This is the two-level
+    * prefix-sum instead: (1) per-bucket token totals (one keyed
+    * aggregate, `buckets` rows); (2) a running sum over that
+    * CONSTANT-SIZE bucket frame (the only unpartitioned window,
+    * bounded at `buckets` rows by construction — allowlisted); (3)
+    * whole buckets before the crossing join back by bucket id, and
+    * ONLY the single boundary bucket runs a per-doc running sum,
+    * partitioned by bucket. At 100 TB: full corpus scanned once,
+    * windows touch ≤ buckets + |boundary bucket| rows.
+    */
+  def tokenBudgetSample(docs: DataFrame, budget: Long,
+                        buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.fingerprint64(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
+    val bs = d.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bt"))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bcum = bs.withColumn("before",
+      coalesce(sum(col("bt")).over(wB), lit(0L)))
+    val dj = d.join(broadcast(bcum), Seq("bucket"))
+    // whole buckets strictly before the crossing
+    val full = dj.filter(col("before") + col("bt") <= budget)
+      .select(col("doc_id"), col("n_tokens"))
+    // the one bucket the budget crosses: per-doc running sum inside it
+    val wD = Window.partitionBy(col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = dj
+      .filter(col("before") < budget && col("before") + col("bt") > budget)
+      .withColumn("dbefore",
+        coalesce(sum(col("n_tokens")).over(wD), lit(0L)))
+      .filter(col("before") + col("dbefore") + col("n_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens"))
+    full.unionByName(boundary)
+  }
 }

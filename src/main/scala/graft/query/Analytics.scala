@@ -418,6 +418,41 @@ object Analytics {
         (col("qi_n") < k).as("suppressed"))
   }
 
+  /** COHEN'S KAPPA between two per-id labelings — chance-corrected
+    * agreement (κ = (p₀ − pₑ)/(1 − pₑ)), the standard score for
+    * "does the cheap classifier agree with the expensive one / the
+    * ground truth beyond chance?" — here applied to language-ID
+    * predictions vs gold labels, but generic over any two label
+    * frames (annotator pairs, rule-vs-model quality gates).
+    *
+    * Scale shape: one id equi-join, ONE confusion aggregate
+    * (|labels|² rows — label spaces are small by construction), then
+    * marginal products over that tiny frame. p₀, pₑ, κ are single
+    * double divisions over exact integer sums, identically
+    * parenthesized in the oracle.
+    */
+  def cohenKappa(a: DataFrame, b: DataFrame, idCol: String,
+                 aLabel: String, bLabel: String): DataFrame = {
+    val conf = a.select(col(idCol).as("id"), col(aLabel).as("la"))
+      .join(b.select(col(idCol).as("id"), col(bLabel).as("lb")),
+        Seq("id"))
+      .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("n"))
+    val totals = conf.agg(sum(col("n")).as("nn"),
+      sum(when(col("la") === col("lb"), col("n")).otherwise(0L))
+        .as("agree"))
+    val peNum = conf.groupBy(col("la")).agg(sum(col("n")).as("na"))
+      .join(conf.groupBy(col("lb")).agg(sum(col("n")).as("nb")),
+        col("la") === col("lb"))
+      .agg(sum(col("na") * col("nb")).as("pe_num"))
+    val nD = col("nn").cast("double")
+    val po = col("agree").cast("double") / nD
+    val pe = col("pe_num").cast("double") / (nD * nD)
+    totals.crossJoin(broadcast(peNum))
+      .select(col("nn").as("n"), col("agree"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
   /** Grouped OLS TREND (slope + intercept of y over x per group) via
     * the closed-form normal equations on EXACT sums: n, Σx, Σy, Σxy,
     * Σx² accumulate as longs/decimals (order-free, overflow-safe at

@@ -78,7 +78,9 @@ class PlanAuditSpec extends SparkSpec {
     // cooccurrence: the 1-row basket-total frame under the lift.
     "q_cooccurrence",
     // join_degree: the 1-row estimated-join-size frame under `share`.
-    "q_join_degree")
+    "q_join_degree",
+    // kappa: two 1-row frames (totals × pe marginal product).
+    "q_kappa")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
@@ -90,7 +92,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_semantic_dedup", "q_semantic_dedup_2level", "q_knn_ivf_sq8",
     "q_knn_pq", // PQ codebook init: row_number over ksub = 16 rows
     "q_knn_ivf_pq", // coarse k=8 + PQ ksub=16 init windows
-    "q_knn_ivf_pq_residual") // same trainer init windows as q_knn_ivf_pq
+    "q_knn_ivf_pq_residual", // same trainer init windows as q_knn_ivf_pq
+    // token_budget: the bucket-prefix window over a frame bounded at
+    // 1024 rows BY CONSTRUCTION (the whole point of the two-level
+    // prefix sum — the per-doc window is bucket-partitioned).
+    "q_token_budget")
 
   /** Sink round-trip queries EXECUTE a write inside the closure and
     * return the trivial re-read scan — calling fn here would side-effect

@@ -128,6 +128,51 @@ class Round7WaveFourSpec extends SparkSpec {
       (2L, 1L, 1L, 1L, 7L, math.rint(1.0 / 7 * 1e6) / 1e6)))
   }
 
+  test("cohenKappa: perfect agreement is 1, chance-level is 0") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y"))
+      .toDF("id", "la")
+    val perfect = Analytics.cohenKappa(a, a.withColumnRenamed("la", "lb"),
+      "id", "la", "lb").collect().head
+    assert(perfect.getDouble(4) == 1.0)
+    // a: x,x,y,y vs b: x,y,x,y — po = 0.5, pe = 0.5, kappa = 0
+    val b = Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "y"))
+      .toDF("id", "lb")
+    val chance = Analytics.cohenKappa(a, b, "id", "la", "lb")
+      .collect().head
+    assert(chance.getDouble(2) == 0.5 && chance.getDouble(3) == 0.5 &&
+      chance.getDouble(4) == 0.0)
+  }
+
+  test("tokenBudgetSample: kept prefix is maximal under the budget") {
+    import graft.operators.Sampling
+    import graft.functions.TextOps
+    val budget = 25000L
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val kept = Sampling.tokenBudgetSample(docs, budget).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val total = kept.values.map(_.toLong).sum
+    assert(total <= budget)
+    // replay the global (bucket, h, id) order: the kept set must be
+    // exactly the take-while prefix, and the next doc must overflow
+    val ordered = docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n"),
+        TextOps.fingerprint64(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(2) % 1024, r.getLong(2),
+        r.getLong(0), r.getInt(1)))
+      .sortBy(t => (t._1, t._2, t._3))
+    var cum = 0L
+    var keptCum = 0L
+    ordered.foreach { case (_, _, id, n) =>
+      cum += n // the running sum counts every doc, kept or not
+      if (cum <= budget) {
+        assert(kept.contains(id), s"doc $id missing from prefix")
+        keptCum += n
+      } else assert(!kept.contains(id), s"doc $id beyond the budget")
+    }
+    assert(keptCum == total)
+  }
+
   test("lateDataStats: flags exactly the events beyond the allowance") {
     import spark.implicits._
     val base = 1700000000000000L // epoch micros
