@@ -253,7 +253,20 @@ object AnalyticsCatalog {
     // vs plain join decision input, without running the join.
     "q_join_degree" -> ((s, d) =>
       Analytics.joinDegreeProfile(Tables.lineitem(s, d), "l_partkey",
-        Tables.part(s, d), "p_partkey"))
+        Tables.part(s, d), "p_partkey")),
+
+    // Rolling z-score anomaly on daily event volume per type: trailing
+    // 7-day mean/std from exact window sums, |z| > 2 flag.
+    "q_rolling_anomaly" -> ((s, d) =>
+      Analytics.rollingAnomaly(Events.typed(Tables.events(s, d)))),
+
+    // Triangles of the co-order part graph (pairs sharing ≥2 orders):
+    // compact-forward enumeration over low→high edges — each triangle
+    // exactly once, wedge fan-out bounded by forward degree.
+    "q_triangles" -> ((s, d) =>
+      graft.operators.Graph.triangles(
+        graft.operators.Itemsets.pairEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -774,7 +787,62 @@ object AnalyticsCatalog {
         |SELECT key, da, db, contrib, est_rows,
         |  round(CAST(contrib AS DOUBLE) / est_rows, 6) AS share
         |FROM j CROSS JOIN tot
-        |ORDER BY contrib DESC, key LIMIT 10""".stripMargin
+        |ORDER BY contrib DESC, key LIMIT 10""".stripMargin,
+
+    // Rolling-anomaly twin: same trailing range frame, same one-pass
+    // variance with the 0-clamp, same parenthesization.
+    "q_rolling_anomaly" ->
+      s"""WITH $eventsSql,
+         |daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(SUM(v) AS DECIMAL(18,2)) AS x
+         |  FROM e GROUP BY 1, 2),
+         |dd AS (
+         |  SELECT *, CAST(day - DATE '1992-01-01' AS BIGINT) AS d
+         |  FROM daily),
+         |st AS (
+         |  SELECT event_type, day, x,
+         |    COUNT(x) OVER wt AS n,
+         |    SUM(x) OVER wt AS sx,
+         |    SUM(x * x) OVER wt AS sxx
+         |  FROM dd
+         |  WINDOW wt AS (PARTITION BY event_type ORDER BY d
+         |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         |calc AS (
+         |  SELECT event_type, day, x, CAST(n AS BIGINT) AS n,
+         |    CAST(x AS DOUBLE) AS xd, CAST(sx AS DOUBLE) AS sxd,
+         |    CAST(sxx AS DOUBLE) AS sxxd, CAST(n AS DOUBLE) AS nd
+         |  FROM st),
+         |zc AS (
+         |  SELECT event_type, day, x, n,
+         |    CASE WHEN n >= 2 AND
+         |        greatest((sxxd - (sxd * sxd) / nd) / (nd - 1.0), 0.0) > 0
+         |      THEN round((xd - sxd / nd)
+         |        / sqrt(greatest((sxxd - (sxd * sxd) / nd)
+         |          / (nd - 1.0), 0.0)), 6)
+         |    END AS z
+         |  FROM calc)
+         |SELECT event_type, day, x, n, z,
+         |  COALESCE(abs(z) > 2.0, false) AS anomaly
+         |FROM zc""".stripMargin,
+
+    // Triangle twin: the pairEdges prune chain + the two compact-
+    // forward joins, same (a, b, c) order and cut.
+    "q_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |freq AS (SELECT it FROM items GROUP BY it HAVING COUNT(*) >= 2),
+        |fi AS (SELECT items.bk, items.it FROM items JOIN freq USING (it)),
+        |p AS (
+        |  SELECT a.it AS a, b.it AS b FROM fi a JOIN fi b
+        |  ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |t AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM p e1 JOIN p e2 ON e1.b = e2.a
+        |    JOIN p e3 ON e1.a = e3.a AND e2.b = e3.b)
+        |SELECT a, b, c FROM t ORDER BY a, b, c LIMIT 100""".stripMargin
   )
 
   /** One PageRank iteration twin of Graph.pageRank's loop body:

@@ -104,4 +104,32 @@ object Graph {
     pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
   }
+
+  /** TRIANGLE enumeration over an ordered edge list (a < b): the
+    * compact-forward join — e(a,b) ⋈ e(b,c) extends each edge by its
+    * higher endpoint, e(a,c) closes the wedge. Ordering every edge
+    * low→high means each triangle is produced exactly ONCE (as
+    * a < b < c), no post-dedup, and the wedge fan-out is bounded by
+    * the FORWARD degree — the standard trick that makes distributed
+    * triangle counting survive power-law graphs (a hub's wedges are
+    * split across its lower-id neighbors instead of all landing on
+    * the hub).
+    *
+    * Scale shape: two hash equi-joins on single keys ((b), then
+    * (a, c)), all shuffles keyed — never a cartesian; output rows are
+    * the triangles themselves. Top-`k` via TakeOrderedAndProject for
+    * a deterministic bounded result.
+    */
+  def triangles(edges: DataFrame, k: Int = 100): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct()
+    e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
+        col("e2.b").as("tc"))
+      .join(e.as("e3"),
+        col("ta") === col("e3.a") && col("tc") === col("e3.b"))
+      .select(col("ta").as("a"), col("tb").as("b"), col("tc").as("c"))
+      .orderBy(col("a"), col("b"), col("c"))
+      .limit(k)
+  }
 }

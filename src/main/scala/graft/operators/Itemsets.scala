@@ -27,25 +27,38 @@ import org.apache.spark.sql.functions._
   */
 object Itemsets {
 
+  /** A-priori-pruned within-basket pair counts: (a, b, n_a, n_b, n_ab)
+    * for items in ≥ `minItemSupport` baskets, a < b. The shared core
+    * under [[frequentPairs]] and [[pairEdges]].
+    */
+  private def prunedPairCounts(baskets: DataFrame, basketCol: String,
+                               itemCol: String, minItemSupport: Int)
+      : (DataFrame, DataFrame) = {
+    val items = baskets
+      .select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+    val freq = items.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= minItemSupport)
+    val fi = items.join(freq, Seq("it"))
+    val counts = fi.select(col("bk"), col("it").as("a"),
+        col("n_item").as("n_a"))
+      .join(fi.select(col("bk"), col("it").as("b"),
+        col("n_item").as("n_b")), Seq("bk"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    (items, counts)
+  }
+
   /** (a, b, n_ab, n_a, n_b, lift): top-`k` co-occurring item pairs
     * (a < b) among items in ≥ `minItemSupport` distinct baskets.
     * Deterministic order: n_ab desc, then (a, b).
     */
   def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
                     minItemSupport: Int = 5, k: Int = 20): DataFrame = {
-    val items = baskets
-      .select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
-    val freq = items.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
-      .filter(col("n_item") >= minItemSupport)
-    val fi = items.join(freq, Seq("it"))
-    val pairs = fi.select(col("bk"), col("it").as("a"),
-        col("n_item").as("n_a"))
-      .join(fi.select(col("bk"), col("it").as("b"),
-        col("n_item").as("n_b")), Seq("bk"))
-      .filter(col("a") < col("b"))
+    val (items, counts) =
+      prunedPairCounts(baskets, basketCol, itemCol, minItemSupport)
     val totals = items.agg(countDistinct(col("bk")).as("n_baskets"))
-    pairs.groupBy(col("a"), col("b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_ab"))
+    counts
       .crossJoin(broadcast(totals))
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
         round((col("n_ab") * col("n_baskets")).cast("double")
@@ -53,4 +66,15 @@ object Itemsets {
       .orderBy(col("n_ab").desc, col("a"), col("b"))
       .limit(k)
   }
+
+  /** Co-occurrence GRAPH edges (a < b): pairs co-appearing in ≥
+    * `minPairSupport` baskets — the substrate for triangle counting /
+    * clustering over the co-occurrence structure.
+    */
+  def pairEdges(baskets: DataFrame, basketCol: String, itemCol: String,
+                minItemSupport: Int = 2, minPairSupport: Int = 2)
+      : DataFrame =
+    prunedPairCounts(baskets, basketCol, itemCol, minItemSupport)._2
+      .filter(col("n_ab") >= minPairSupport)
+      .select(col("a"), col("b"))
 }

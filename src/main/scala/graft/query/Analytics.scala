@@ -418,6 +418,48 @@ object Analytics {
         (col("qi_n") < k).as("suppressed"))
   }
 
+  /** Rolling z-score ANOMALY detection on a daily grouped metric — the
+    * operational-monitoring primitive (is today's volume off its
+    * trailing baseline?): per (group, day), the trailing `window`-day
+    * mean/std EXCLUDING the current day, and an anomaly flag when
+    * |z| > `zThresh`. Mean/variance come from exact decimal Σx/Σx²
+    * window sums (the one-pass formula var = (Σx² − (Σx)²/n)/(n−1),
+    * clamped at 0 against float cancellation), so the float surface is
+    * a fixed handful of identically-parenthesized double ops. Days
+    * with n < 2 or zero variance emit NULL z / false flag.
+    *
+    * Scale shape: one (group, day) aggregate, then THREE range-frame
+    * window sums over the SAME (group → day) sort — Spark plans one
+    * shuffle + one sort, partitioned by group throughout; frames are
+    * day-counts, never data-sized.
+    */
+  def rollingAnomaly(events: DataFrame, window: Int = 7,
+                     zThresh: Double = 2.0): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("v"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("v")).cast(Money).as("x"))
+      .withColumn("d",
+        datediff(col("day"), lit("1992-01-01").cast("date")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rangeBetween(-window, -1)
+    val st = daily
+      .withColumn("n", count(col("x")).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val mean = sxD / nD
+    val variance = greatest(
+      (col("sxx").cast("double") - (sxD * sxD) / nD) / (nD - lit(1.0)),
+      lit(0.0))
+    val z = (col("x").cast("double") - mean) / sqrt(variance)
+    st.select(col("event_type"), col("day"), col("x"), col("n"),
+        when(col("n") >= 2 && variance > 0, round(z, 6)).as("z"))
+      .withColumn("anomaly",
+        coalesce(abs(col("z")) > zThresh, lit(false)))
+  }
+
   /** COHEN'S KAPPA between two per-id labelings — chance-corrected
     * agreement (κ = (p₀ − pₑ)/(1 − pₑ)), the standard score for
     * "does the cheap classifier agree with the expensive one / the

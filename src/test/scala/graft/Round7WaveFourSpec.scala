@@ -173,6 +173,35 @@ class Round7WaveFourSpec extends SparkSpec {
     assert(keptCum == total)
   }
 
+  test("triangles: exactly the closed wedges, each once, a < b < c") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} minus edge (3,4): triangles 123, 124 only
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val got = graft.operators.Graph.triangles(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 3L), (1L, 2L, 4L)))
+  }
+
+  test("rollingAnomaly: a planted spike is flagged, steady days are not") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf("2024-01-01").getTime + day * 86400000L)
+    // 10 gently-alternating days (100/110), then a 10x spike
+    val rows = (0 until 10).map(d => (d.toLong, ts(d), 1L, "click",
+      new java.math.BigDecimal(100 + 10 * (d % 2)).setScale(2))) :+
+      (10L, ts(10), 1L, "click", new java.math.BigDecimal("1000.00"))
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type", "v")
+    val got = Analytics.rollingAnomaly(e).collect()
+      .map(r => r.getDate(1).toString -> r.getBoolean(5)).toMap
+    assert(got("2024-01-11"), "spike day must flag")
+    assert(got.count(_._2) == 1, "only the spike flags")
+    // the first day has no trailing window -> null z, not a flag
+    val z = Analytics.rollingAnomaly(e).collect()
+      .map(r => r.getDate(1).toString -> r.get(4)).toMap
+    assert(z("2024-01-01") == null)
+  }
+
   test("lateDataStats: flags exactly the events beyond the allowance") {
     import spark.implicits._
     val base = 1700000000000000L // epoch micros
