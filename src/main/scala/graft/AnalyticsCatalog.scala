@@ -266,7 +266,19 @@ object AnalyticsCatalog {
     "q_triangles" -> ((s, d) =>
       graft.operators.Graph.triangles(
         graft.operators.Itemsets.pairEdges(
-          Tables.lineitem(s, d), "l_orderkey", "l_partkey")))
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
+
+    // Welch's t between two customer segments on account balance —
+    // one conditional-aggregate pass, closed form in doubles.
+    "q_ab_test" -> ((s, d) =>
+      Analytics.welchTTest(Tables.customer(s, d), "c_mktsegment",
+        "BUILDING", "MACHINERY",
+        col("c_acctbal").cast(Tables.Money))),
+
+    // Top event-type trigrams over per-user ordered paths: two leads
+    // on one sort, |types|³-bounded aggregate, top-20.
+    "q_path_trigrams" -> ((s, d) =>
+      Analytics.pathTrigrams(Events.typed(Tables.events(s, d))))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -842,7 +854,63 @@ object AnalyticsCatalog {
         |  SELECT e1.a, e1.b, e2.b AS c
         |  FROM p e1 JOIN p e2 ON e1.b = e2.a
         |    JOIN p e3 ON e1.a = e3.a AND e2.b = e3.b)
-        |SELECT a, b, c FROM t ORDER BY a, b, c LIMIT 100""".stripMargin
+        |SELECT a, b, c FROM t ORDER BY a, b, c LIMIT 100""".stripMargin,
+
+    // Welch twin: same conditional sums and the same closed form.
+    "q_ab_test" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS na,
+        |    SUM(CASE WHEN c_mktsegment = 'BUILDING'
+        |      THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS sa,
+        |    SUM(CASE WHEN c_mktsegment = 'BUILDING'
+        |      THEN CAST(c_acctbal AS DECIMAL(18,2))
+        |        * CAST(c_acctbal AS DECIMAL(18,2)) END) AS qa,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+        |      THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS sb,
+        |    SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+        |      THEN CAST(c_acctbal AS DECIMAL(18,2))
+        |        * CAST(c_acctbal AS DECIMAL(18,2)) END) AS qb
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |c AS (
+        |  SELECT na, nb,
+        |    CAST(sa AS DOUBLE) AS sad, CAST(qa AS DOUBLE) AS qad,
+        |    CAST(sb AS DOUBLE) AS sbd, CAST(qb AS DOUBLE) AS qbd,
+        |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+        |  FROM s),
+        |v AS (
+        |  SELECT na, nb, sad, sbd, nad, nbd,
+        |    greatest((qad - (sad * sad) / nad) / (nad - 1.0), 0.0) / nad
+        |      AS sea,
+        |    greatest((qbd - (sbd * sbd) / nbd) / (nbd - 1.0), 0.0) / nbd
+        |      AS seb
+        |  FROM c)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(sad / nad, 6) AS mean_a,
+        |  round(sbd / nbd, 6) AS mean_b,
+        |  round((sad / nad - sbd / nbd) / sqrt(sea + seb), 6) AS t_stat,
+        |  round(((sea + seb) * (sea + seb))
+        |    / ((sea * sea) / (nad - 1.0) + (seb * seb) / (nbd - 1.0)), 6)
+        |    AS df
+        |FROM v""".stripMargin,
+
+    // Trigram twin: two leads over the same per-user sort.
+    "q_path_trigrams" ->
+      s"""WITH $eventsSql,
+         |t AS (
+         |  SELECT event_type AS t1,
+         |    lead(event_type, 1) OVER wt AS t2,
+         |    lead(event_type, 2) OVER wt AS t3
+         |  FROM e
+         |  WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT t1, t2, t3, COUNT(*) AS n FROM t
+         |WHERE t3 IS NOT NULL
+         |GROUP BY 1, 2, 3
+         |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin
   )
 
   /** One PageRank iteration twin of Graph.pageRank's loop body:

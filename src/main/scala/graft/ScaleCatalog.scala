@@ -439,6 +439,21 @@ object ScaleCatalog {
         e.filter(col("vec_id") >= 10), 5)
     }),
 
+    // Incremental IVF index maintenance: centroids trained on the
+    // indexed half, the NEW batch assigned to existing cells without
+    // retraining — the daily index-update shape (retrain is a weekly
+    // job; assignment is the daily one). Both trainer and assignment
+    // inside the differential.
+    "q_ivf_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val prev = emb.filter(col("vec_id") % 2 === 0)
+      val delta = emb.filter(col("vec_id") % 2 === 1)
+      graft.operators.Quantizer
+        .assign(delta, graft.operators.Quantizer.fit(prev, 8))
+        .select(col("vec_id"), col("cell"))
+    }),
+
     // Learned-quantizer IVF (k-means cells, nProbe=2). The trainer is
     // deterministic (sorted-fold means, lowest-id init — Quantizer.fit),
     // so the oracle replicates the whole Lloyd's loop and the check is a
@@ -531,6 +546,26 @@ object ScaleCatalog {
 
     // Same skeleton, negated class predicate.
     "q_hard_negatives" -> knnSql("JOIN c ON q.label <> c.label"),
+
+    // Incremental-IVF twin: the SAME Lloyd's chain trained over the
+    // indexed half (v = even ids), then one assignment pass over the
+    // new batch.
+    "q_ivf_incremental" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |dnew AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |      AS cell, e AS centroid
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+         |${lloydSql(1, "c0")},
+         |${lloydSql(2, "c1")},
+         |${lloydSql(3, "c2")},
+         |${assignSql("na", "dnew", "vec_id", "c3", 1)}
+         |SELECT vec_id, cell FROM na""".stripMargin,
 
     // Full replication of the LEARNED index: the deterministic k-means
     // trainer (3 unrolled Lloyd's iterations, k = 8, lowest-id init,

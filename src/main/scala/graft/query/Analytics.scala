@@ -418,6 +418,63 @@ object Analytics {
         (col("qi_n") < k).as("suppressed"))
   }
 
+  /** WELCH'S two-sample t — the unequal-variance A/B significance test
+    * (the experiment read-out: is segment A's metric different from
+    * segment B's beyond noise?). Accumulates n/Σx/Σx² for both arms in
+    * ONE conditional aggregate pass (no join, no second scan), then
+    * the closed form — means, clamped one-pass variances, t, and the
+    * Welch–Satterthwaite df — in identically-parenthesized doubles.
+    */
+  def welchTTest(df: DataFrame, groupCol: String, groupA: String,
+                 groupB: String, valueCol: Column): DataFrame = {
+    val agg = df.select(col(groupCol).as("g"), valueCol.as("x"))
+      .filter(col("g").isin(groupA, groupB))
+      .agg(
+        sum(when(col("g") === groupA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === groupA, col("x"))).as("sa"),
+        sum(when(col("g") === groupA, col("x") * col("x"))).as("qa"),
+        sum(when(col("g") === groupB, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("g") === groupB, col("x"))).as("sb"),
+        sum(when(col("g") === groupB, col("x") * col("x"))).as("qb"))
+    def m(s: String, n: String) = col(s).cast("double") / col(n).cast("double")
+    def v(q: String, s: String, n: String) = greatest(
+      (col(q).cast("double")
+        - (col(s).cast("double") * col(s).cast("double"))
+          / col(n).cast("double"))
+        / (col(n).cast("double") - lit(1.0)),
+      lit(0.0))
+    val sea = v("qa", "sa", "na") / col("na").cast("double")
+    val seb = v("qb", "sb", "nb") / col("nb").cast("double")
+    val se2 = sea + seb
+    agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(m("sa", "na"), 6).as("mean_a"),
+      round(m("sb", "nb"), 6).as("mean_b"),
+      round((m("sa", "na") - m("sb", "nb")) / sqrt(se2), 6).as("t_stat"),
+      round((se2 * se2)
+        / ((sea * sea) / (col("na").cast("double") - lit(1.0))
+          + (seb * seb) / (col("nb").cast("double") - lit(1.0))), 6)
+        .as("df"))
+  }
+
+  /** Top event-type TRIGRAMS across per-user ordered paths — the
+    * next-step sequence-mining read on top of [[transitionMatrix]]'s
+    * bigrams: two `lead`s over the SAME per-user sort (one shuffle,
+    * one window pass), a |types|³-bounded aggregate, top-k via
+    * TakeOrderedAndProject.
+    */
+  def pathTrigrams(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
   /** Rolling z-score ANOMALY detection on a daily grouped metric — the
     * operational-monitoring primitive (is today's volume off its
     * trailing baseline?): per (group, day), the trailing `window`-day

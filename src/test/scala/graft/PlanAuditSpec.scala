@@ -80,7 +80,9 @@ class PlanAuditSpec extends SparkSpec {
     // join_degree: the 1-row estimated-join-size frame under `share`.
     "q_join_degree",
     // kappa: two 1-row frames (totals × pe marginal product).
-    "q_kappa")
+    "q_kappa",
+    // ivf_incremental: Quantizer.assign's broadcast k=8 centroid frame.
+    "q_ivf_incremental")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
@@ -96,7 +98,9 @@ class PlanAuditSpec extends SparkSpec {
     // token_budget: the bucket-prefix window over a frame bounded at
     // 1024 rows BY CONSTRUCTION (the whole point of the two-level
     // prefix sum — the per-doc window is bucket-partitioned).
-    "q_token_budget")
+    "q_token_budget",
+    // ivf_incremental: Quantizer.fit's k=8 init row_number.
+    "q_ivf_incremental")
 
   /** Sink round-trip queries EXECUTE a write inside the closure and
     * return the trivial re-read scan — calling fn here would side-effect

@@ -202,6 +202,45 @@ class Round7WaveFourSpec extends SparkSpec {
     assert(z("2024-01-01") == null)
   }
 
+  test("welchTTest: zero-difference arms give t = 0; planted shift " +
+    "gives a large |t|") {
+    import spark.implicits._
+    def bd(v: String) = new java.math.BigDecimal(v)
+    val same = (1 to 20).flatMap(i => Seq(
+      ("A", bd(s"${100 + i % 3}.00")), ("B", bd(s"${100 + i % 3}.00"))))
+      .toDF("g", "x")
+    val t0 = Analytics.welchTTest(same, "g", "A", "B", col("x"))
+      .collect().head
+    assert(t0.getDouble(4) == 0.0)
+    val shifted = ((1 to 20).map(i => ("A", bd(s"${100 + i % 3}.00"))) ++
+      (1 to 20).map(i => ("B", bd(s"${200 + i % 3}.00"))))
+      .toDF("g", "x")
+    val t1 = Analytics.welchTTest(shifted, "g", "A", "B", col("x"))
+      .collect().head
+    assert(math.abs(t1.getDouble(4)) > 100,
+      s"planted 100-unit shift: t = ${t1.getDouble(4)}")
+    assert(t1.getLong(0) == 20 && t1.getLong(1) == 20)
+  }
+
+  test("ivf incremental assignment matches full-index cells for the " +
+    "delta batch") {
+    import graft.operators.Quantizer
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val prev = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 === 1)
+    val cents = Quantizer.fit(prev, 8)
+    val inc = Quantizer.assign(delta, cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // assigning the delta one vector at a time (same centroids) agrees
+    val whole = Quantizer.assign(delta.limit(20), cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    whole.foreach { case (id, c) => assert(inc(id) == c) }
+    assert(inc.nonEmpty && inc.values.toSet.size > 1)
+  }
+
   test("lateDataStats: flags exactly the events beyond the allowance") {
     import spark.implicits._
     val base = 1700000000000000L // epoch micros
