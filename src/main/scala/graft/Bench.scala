@@ -80,7 +80,8 @@ object Bench {
     "q_late_data", "q_dedup_cc_star", "q_embedding_drift",
     "q_knn_multiprobe", "q_trend_slope", "q_join_degree", "q_kappa",
     "q_token_budget", "q_rolling_anomaly", "q_triangles",
-    "q_ivf_incremental", "q_ab_test", "q_path_trigrams")
+    "q_ivf_incremental", "q_ab_test", "q_path_trigrams",
+    "q_mutual_knn", "q_price_deciles")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -530,6 +530,13 @@ object PipelineCatalog {
       graft.operators.Sketch.hdrQuantiles(
         Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
 
+    // Sketch-driven decile bucketing: every order tagged with its
+    // total-price decile from the bin-count sketch — the global-sort-
+    // free ntile (9 boundary bins broadcast, one array fold per row).
+    "q_price_deciles" -> ((s, d) =>
+      graft.operators.Sketch.hdrDecileBuckets(
+        Tables.orders(s, d), "o_orderkey", "o_totalprice")),
+
     // Incremental snapshot dedup: a batch (odd docs + re-crawled copies
     // of every 20th even doc) flagged against the previous snapshot's
     // fingerprint set — the daily-ingest dedup stage.
@@ -1291,8 +1298,11 @@ object PipelineCatalog {
     "q_quantile_sketch" ->
       """WITH v AS (
         |  SELECT l_returnflag AS g,
-        |    CAST(l_extendedprice * 100 AS BIGINT) AS vc
-        |  FROM lineitem WHERE CAST(l_extendedprice * 100 AS BIGINT) >= 1),
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS vc
+        |  FROM lineitem
+        |  WHERE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) >= 1),
         |b AS (
         |  SELECT g, CASE WHEN vc < 16 THEN vc
         |    ELSE (length(bin(vc)) - 4) * 16
@@ -1319,6 +1329,43 @@ object PipelineCatalog {
         |        + (1 << (bin // 16 - 1)) END AS DECIMAL(18,3))
         |    * CAST(0.005 AS DECIMAL(4,3)) AS DECIMAL(18,3)) AS est
         |FROM sel WHERE rn = 1""".stripMargin,
+
+    // Decile twin: the quantile-sketch bin chain at p = 0.1‥0.9, the
+    // 9 boundary bins as one sorted list, per-row strict-compare fold.
+    "q_price_deciles" ->
+      """WITH d AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS vc
+        |  FROM orders
+        |  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) >= 1),
+        |b AS (
+        |  SELECT o_orderkey, vc, CASE WHEN vc < 16 THEN vc
+        |    ELSE (length(bin(vc)) - 4) * 16
+        |      + ((vc >> greatest(length(bin(vc)) - 5, 0)) & 15) END
+        |    AS bin
+        |  FROM d),
+        |c AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY 1),
+        |cum AS (
+        |  SELECT bin,
+        |    CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        |  FROM c),
+        |pq AS (
+        |  SELECT bin, cum, n, CAST(p AS DECIMAL(4,2)) AS p,
+        |    CAST(ceil(CAST(p AS DECIMAL(4,2)) * n) AS BIGINT) AS rank
+        |  FROM cum CROSS JOIN (VALUES (0.10), (0.20), (0.30), (0.40),
+        |    (0.50), (0.60), (0.70), (0.80), (0.90)) ps(p)),
+        |sel AS (
+        |  SELECT p, bin,
+        |    ROW_NUMBER() OVER (PARTITION BY p ORDER BY bin) AS rn
+        |  FROM pq WHERE cum >= rank),
+        |bounds AS (
+        |  SELECT list_sort(list(bin)) AS bs FROM sel WHERE rn = 1)
+        |SELECT o_orderkey, vc, bin,
+        |  len(list_filter(bs, x -> bin > x)) + 1 AS decile
+        |FROM b CROSS JOIN bounds""".stripMargin,
 
     // CMS twin: same md5-salted (row, bucket) hashing, 3×256 summed
     // cells (cast back to BIGINT — DuckDB SUM(BIGINT) widens to

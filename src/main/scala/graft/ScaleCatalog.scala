@@ -439,6 +439,12 @@ object ScaleCatalog {
         e.filter(col("vec_id") >= 10), 5)
     }),
 
+    // Mutual (reciprocal) k-NN over the whole corpus: LSH-bucketed
+    // shuffle self-join, per-vector top-5, keep pairs ranked by BOTH
+    // endpoints — the hub-killing precision filter.
+    "q_mutual_knn" -> ((s, d) =>
+      Similarity.mutualTopK(Tables.embeddings(s, d), 5)),
+
     // Incremental IVF index maintenance: centroids trained on the
     // indexed half, the NEW batch assigned to existing cells without
     // retraining — the daily index-update shape (retrain is a weekly
@@ -539,6 +545,38 @@ object ScaleCatalog {
         |         * sqrt(list_inner_product(ce, ce))), 6) AS cos_sim
         |  FROM p JOIN c ON p.vec_id = c.vec_id)
         |SELECT vec_id, cos_sim, cos_sim < 0.98 AS drifted FROM s""".stripMargin,
+
+    // Mutual-knn twin: the LSH bucket self-join with the same
+    // (score DESC, neighbor) rank, emitted once as a < b with both
+    // direction ranks.
+    "q_mutual_knn" ->
+      s"""WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |$planesSql,
+        |vb AS (
+        |  SELECT vec_id, e,
+        |    SUM(CASE WHEN list_inner_product(e, pl.w) >= 0
+        |        THEN 1 << p ELSE 0 END) AS bucket
+        |  FROM v CROSS JOIN pl GROUP BY vec_id, e),
+        |s AS (
+        |  SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |    CAST(round(list_inner_product(a.e, b.e)
+        |      / (sqrt(list_inner_product(a.e, a.e))
+        |         * sqrt(list_inner_product(b.e, b.e))), 6)
+        |      AS DECIMAL(10,6)) AS score
+        |  FROM vb a JOIN vb b
+        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY qa ORDER BY score DESC, qb) AS INT) AS rnk
+        |  FROM s),
+        |kk AS (SELECT qa, qb, score, rnk FROM r WHERE rnk <= 5),
+        |f AS (SELECT qa AS a, qb AS b, score, rnk FROM kk WHERE qa < qb),
+        |bk AS (SELECT qb AS a, qa AS b, rnk AS rnk_back FROM kk
+        |  WHERE qa > qb)
+        |SELECT f.a, f.b, f.score, f.rnk, bk.rnk_back
+        |FROM f JOIN bk ON f.a = bk.a AND f.b = bk.b""".stripMargin,
 
     "q_knn_brute" -> knnSql("CROSS JOIN c"),
 

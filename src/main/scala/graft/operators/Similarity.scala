@@ -301,6 +301,50 @@ object Similarity {
         score(col("qe"), col("ce")).as("score")), k)
   }
 
+  /** MUTUAL (reciprocal) k-NN pairs — keep (a, b) only when b is in
+    * a's top-k AND a is in b's top-k: the classic precision filter on
+    * top of any ANN candidate stream (one-sided neighbors are how hub
+    * vectors pollute dedup decisions; reciprocity kills hubs, because
+    * a hub is near everyone but almost no one is near the hub's own
+    * top-k). Substrate here is the bucket-joined LSH ranking run
+    * corpus-vs-corpus — the self-join SCALES because it is an
+    * equi-join on bucket, never all-pairs; k+1 absorbs the self-match
+    * before it is dropped.
+    *
+    * Scale shape: one bucket equi-join + per-query top-(k+1) windows
+    * (the lshTopK plan with queries = corpus), then ONE self equi-join
+    * of the (id, id) ranking against its swap, emitted once as a < b.
+    * Cosine is symmetric, so the pair carries one score and both
+    * ranks.
+    */
+  def mutualTopK(vecs: DataFrame, k: Int, planes: Int = 8,
+                 dim: Int = 64): DataFrame = {
+    val w = planeWeights(planes, dim)
+    val v = vecs.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), w).as("bucket"))
+    // corpus-vs-corpus: a plain SHUFFLE hash join on bucket (no
+    // broadcast — both sides are the corpus), self-matches dropped
+    // before ranking.
+    val scored = v
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket"))
+      .join(v.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), col("bucket")), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        score(col("qe"), col("ce")).as("score"))
+    val knn = rank(scored, k)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"),
+        col("score"), col("rnk"))
+    val fwd = knn.filter(col("a") < col("b"))
+    val bwd = knn.filter(col("a") > col("b"))
+      .select(col("b").as("a"), col("a").as("b"),
+        col("rnk").as("rnk_back"))
+    fwd.join(bwd, Seq("a", "b"))
+      .select(col("a"), col("b"), col("score"), col("rnk"),
+        col("rnk_back"))
+  }
+
   /** SemDeDup-style SEMANTIC dedup: cluster the corpus with the
     * deterministic coarse quantizer (Quantizer.fit — lowest-id init,
     * sorted-fold means, a pure function of the corpus), then compare

@@ -419,23 +419,31 @@ object Sketch {
     * merge. A global exact percentile at 100 TB would instead sort the
     * full column — this never moves anything value-shaped.
     */
+  /** The bin of a positive fixed-point value (COLUMN twin of
+    * [[hdrBin]]): msb = ⌊log₂ v⌋ via binary-string length —
+    * integer-exact in both engines (Spark bin() and DuckDB bin() both
+    * emit the bare binary digits, probed identical).
+    */
+  private[operators] def hdrBinCol(vc: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val msb = (length(bin(vc)) - 1).cast("int")
+    when(vc < 16, vc)
+      .otherwise((msb - 3).cast("long") * 16 +
+        call_function("shiftright", vc, msb - 4).bitwiseAND(lit(15L)))
+  }
+
   def hdrQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                    ps: Seq[String] = Seq("0.50", "0.95", "0.99"))
       : DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val vc = (col(valueCol) * 100).cast("long")
-    // msb = ⌊log₂ v⌋ via binary-string length: integer-exact in both
-    // engines (Spark bin() and DuckDB bin() both emit the bare binary
-    // digits, probed identical).
-    val msb = (length(bin(col("vc"))) - 1).cast("int")
+    // Through DECIMAL(18,2) first: double→long truncates in Spark but
+    // rounds in DuckDB (~5% of rows differ on this data); the Money
+    // cast is the repo's proven-identical rounding point, and
+    // decimal·100 → long is then exact in both engines.
+    val vc = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
     val binned = df.filter(vc >= 1)
       .select(col(groupCol).cast("string").as("g"), vc.as("vc"))
-      .select(col("g"),
-        when(col("vc") < 16, col("vc"))
-          .otherwise((msb - 3).cast("long") * 16 +
-            call_function("shiftright", col("vc"), msb - 4)
-              .bitwiseAND(lit(15L)))
-          .as("bin"))
+      .select(col("g"), hdrBinCol(col("vc")).as("bin"))
     val counts = binned.groupBy(col("g"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
     val wRun = Window.partitionBy(col("g")).orderBy(col("bin"))
@@ -487,6 +495,49 @@ object Sketch {
       val shift = (b / 16).toInt - 1
       ((b % 16 + 16) << shift) * 2 + (1L << shift)
     }
+
+  /** DECILE bucketing from the sketch — assign every row its decile
+    * WITHOUT a global sort: the 9 boundary bins come out of the
+    * bin-count sketch (the [[hdrQuantiles]] chain at p = 0.1‥0.9),
+    * collect into ONE 9-element array, broadcast, and each row's
+    * decile is 1 + |{boundaries < its bin}| — a pure array fold per
+    * row. This is how a 100 TB curriculum/price-band bucketing
+    * actually runs: the alternative (ntile over a global window) sorts
+    * the entire fact table on one partition. Ties share the boundary's
+    * decile in both engines (strict `>` compare).
+    *
+    * The cumulative window here is over the BIN frame (≤ ~16·64 rows
+    * by construction), not data — the same bounded-frame argument as
+    * q_token_budget's bucket window (allowlisted).
+    */
+  def hdrDecileBuckets(df: DataFrame, idCol: String,
+                       valueCol: String): DataFrame = {
+    // same Money-decimal rounding point as hdrQuantiles
+    val vcRaw = (col(valueCol)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("long")
+    val d = df.filter(vcRaw >= 1)
+      .select(col(idCol), vcRaw.as("vc"))
+      .withColumn("bin", hdrBinCol(col("vc")))
+    val counts = d.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val wRun = Window.orderBy(col("bin"))
+    val wAll = Window.partitionBy()
+    val bounds = counts
+      .withColumn("cum", sum(col("cnt")).over(wRun))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("p", explode(array((1 to 9).map(k =>
+        lit(new java.math.BigDecimal(s"0.$k"))
+          .cast(org.apache.spark.sql.types.DecimalType(4, 2))): _*)))
+      .withColumn("rank", ceil(col("p") * col("n")).cast("long"))
+      .filter(col("cum") >= col("rank"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("bin"))))
+      .filter(col("rn") === 1)
+      .agg(sort_array(collect_list(col("bin"))).as("bs"))
+    d.crossJoin(broadcast(bounds))
+      .select(col(idCol), col("vc"), col("bin"),
+        (size(filter(col("bs"), b => col("bin") > b)) + 1).as("decile"))
+  }
 
   /** Quantile read-out over a bin-count state: per p (decimal string),
     * (p, n, rank = ⌈p·n⌉, chosen bin, midpoint ×2-cents) — the same

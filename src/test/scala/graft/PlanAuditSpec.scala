@@ -82,7 +82,9 @@ class PlanAuditSpec extends SparkSpec {
     // kappa: two 1-row frames (totals × pe marginal product).
     "q_kappa",
     // ivf_incremental: Quantizer.assign's broadcast k=8 centroid frame.
-    "q_ivf_incremental")
+    "q_ivf_incremental",
+    // price_deciles: the 1-row broadcast 9-element boundary array.
+    "q_price_deciles")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
@@ -100,7 +102,10 @@ class PlanAuditSpec extends SparkSpec {
     // prefix sum — the per-doc window is bucket-partitioned).
     "q_token_budget",
     // ivf_incremental: Quantizer.fit's k=8 init row_number.
-    "q_ivf_incremental")
+    "q_ivf_incremental",
+    // price_deciles: the quantile windows over the ≤ ~16·64-row BIN
+    // frame (same bounded-by-construction argument as q_token_budget).
+    "q_price_deciles")
 
   /** Sink round-trip queries EXECUTE a write inside the closure and
     * return the trivial re-read scan — calling fn here would side-effect

@@ -71,6 +71,28 @@ class SimilaritySpec extends SparkSpec {
     // per pair is already covered by the shared score() home)
   }
 
+  test("mutual knn keeps only reciprocal pairs, once each, a < b") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 5
+    val pairs = Similarity.mutualTopK(e, k).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Int]("rnk"), r.getAs[Int]("rnk_back")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, r1, r2) =>
+      assert(a < b && r1 <= k && r2 <= k)
+    }
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+    // reciprocity is strictly stronger than one-sided membership: the
+    // pair set is a subset of the one-direction ranking's pair set
+    val w = Similarity.planeWeights(8, 64)
+    val oneSided = Similarity.lshTopK(e, e, k + 1).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .filter(p => p._1 != p._2).toSet
+    pairs.foreach { case (a, b, _, _) =>
+      assert(oneSided.contains((a, b)) || oneSided.contains((b, a)))
+    }
+  }
+
   test("bounded-heap TopK aggregator == window-rank brute force") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),

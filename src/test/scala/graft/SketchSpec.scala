@@ -123,6 +123,29 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("HDR deciles: monotone in value, near-balanced mass") {
+    val orders = graft.queries.Tables.orders(spark, sf)
+    val got = Sketch.hdrDecileBuckets(orders, "o_orderkey",
+      "o_totalprice").collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.nonEmpty)
+    // deciles are monotone in the underlying value
+    val byDecile = got.groupBy(_._2).view
+      .mapValues(vs => (vs.map(_._1).min, vs.map(_._1).max)).toMap
+    byDecile.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(lo, hi) => assert(byDecile(lo)._2 <= byDecile(hi)._1 ||
+        // boundary bins may straddle: allow overlap only within one bin
+        Sketch.hdrBin(byDecile(lo)._2) <= Sketch.hdrBin(byDecile(hi)._1))
+      case _ =>
+    }
+    // mass per decile within 2x of ideal (bin granularity slack)
+    val n = got.length.toDouble
+    byDecile.keys.foreach { d =>
+      val share = got.count(_._2 == d) / n
+      assert(share < 0.2, s"decile $d holds ${share * 100}%")
+    }
+  }
+
   test("HDR bins are exact unit bins below 16 cents") {
     import spark.implicits._
     val df = Seq(("a", new java.math.BigDecimal("0.01")),

@@ -148,7 +148,9 @@ class StreamingSketchSpec extends SparkSpec {
             .longValueExact())).toMap
 
     val cents = li.select(col("l_returnflag").as("g"),
-      (col("l_extendedprice") * 100).cast("long").as("vc"))
+      (col("l_extendedprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("vc"))
     val dir = Files.createTempDirectory("graft-hdr-stream").toString
     cents.withColumn("slice", pmod(col("vc"), lit(4)))
       .write.partitionBy("slice").mode("overwrite").parquet(dir)
