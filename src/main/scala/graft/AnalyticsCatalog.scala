@@ -278,7 +278,47 @@ object AnalyticsCatalog {
     // Top event-type trigrams over per-user ordered paths: two leads
     // on one sort, |types|³-bounded aggregate, top-20.
     "q_path_trigrams" -> ((s, d) =>
-      Analytics.pathTrigrams(Events.typed(Tables.events(s, d))))
+      Analytics.pathTrigrams(Events.typed(Tables.events(s, d)))),
+
+    // Right-to-erasure dry run: cascade delete counts (customer →
+    // orders → lineitem) from broadcast-key left joins — every table
+    // scanned once, nothing rewritten.
+    "q_purge_audit" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val ords = Tables.orders(s, d)
+      val delCust = cust.filter(col("c_acctbal") < -900)
+        .select(col("c_custkey").as("key"))
+      val delOrd = ords
+        .join(broadcast(delCust), col("o_custkey") === col("key"))
+        .select(col("o_orderkey").as("key"))
+      Analytics.purgeAudit(Seq(
+        ("customer", cust, "c_custkey", delCust),
+        ("orders", ords, "o_custkey", delCust),
+        ("lineitem", Tables.lineitem(s, d), "l_orderkey", delOrd)))
+    }),
+
+    // Point-in-time feature join: each order sees the customer-segment
+    // VERSION valid at its own order date (v2 from 1995-07-01 for
+    // every third customer) — the leakage-free feature-store join.
+    "q_pit_features" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val v1 = cust.select(col("c_custkey").as("custkey"),
+        col("c_mktsegment").as("segment"),
+        lit("1992-01-01").cast("date").as("valid_from"),
+        when(col("c_custkey") % 3 === 0,
+          lit("1995-07-01").cast("date")).as("valid_to"))
+      val v2 = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("custkey"),
+          concat(col("c_mktsegment"), lit("-V2")).as("segment"),
+          lit("1995-07-01").cast("date").as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+      graft.operators.TemporalJoin.pointInTime(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_orderdate")),
+        "o_custkey", "o_orderdate", v1.unionByName(v2), "custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("segment"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -910,7 +950,62 @@ object AnalyticsCatalog {
          |SELECT t1, t2, t3, COUNT(*) AS n FROM t
          |WHERE t3 IS NOT NULL
          |GROUP BY 1, 2, 3
-         |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin
+         |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+
+    // Purge-audit twin: same cascade derivation and left-join counts.
+    "q_purge_audit" ->
+      """WITH delc AS (
+        |  SELECT DISTINCT c_custkey AS key FROM customer
+        |  WHERE c_acctbal < -900),
+        |delo AS (
+        |  SELECT DISTINCT o_orderkey AS key
+        |  FROM orders JOIN delc ON o_custkey = delc.key),
+        |a AS (
+        |  SELECT 'customer' AS table_name,
+        |    CAST(SUM(CASE WHEN delc.key IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purged,
+        |    CAST(SUM(CASE WHEN delc.key IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_kept
+        |  FROM customer LEFT JOIN delc ON c_custkey = delc.key),
+        |b AS (
+        |  SELECT 'orders' AS table_name,
+        |    CAST(SUM(CASE WHEN delc.key IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purged,
+        |    CAST(SUM(CASE WHEN delc.key IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_kept
+        |  FROM orders LEFT JOIN delc ON o_custkey = delc.key),
+        |c2 AS (
+        |  SELECT 'lineitem' AS table_name,
+        |    CAST(SUM(CASE WHEN delo.key IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purged,
+        |    CAST(SUM(CASE WHEN delo.key IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_kept
+        |  FROM lineitem LEFT JOIN delo ON l_orderkey = delo.key)
+        |SELECT * FROM a UNION ALL SELECT * FROM b
+        |UNION ALL SELECT * FROM c2""".stripMargin,
+
+    // PIT twin: same two-version dimension build and the equi+range
+    // validity predicate.
+    "q_pit_features" ->
+      """WITH v1 AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+        |    DATE '1992-01-01' AS valid_from,
+        |    CASE WHEN c_custkey % 3 = 0 THEN DATE '1995-07-01' END
+        |      AS valid_to
+        |  FROM customer),
+        |v2 AS (
+        |  SELECT c_custkey AS custkey,
+        |    c_mktsegment || '-V2' AS segment,
+        |    DATE '1995-07-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |dim AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, segment
+        |FROM orders JOIN dim ON o_custkey = custkey
+        |  AND CAST(o_orderdate AS DATE) >= valid_from
+        |  AND (valid_to IS NULL OR CAST(o_orderdate AS DATE) < valid_to)"""
+        .stripMargin
   )
 
   /** One PageRank iteration twin of Graph.pageRank's loop body:

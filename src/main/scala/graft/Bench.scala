@@ -81,7 +81,8 @@ object Bench {
     "q_knn_multiprobe", "q_trend_slope", "q_join_degree", "q_kappa",
     "q_token_budget", "q_rolling_anomaly", "q_triangles",
     "q_ivf_incremental", "q_ab_test", "q_path_trigrams",
-    "q_mutual_knn", "q_price_deciles")
+    "q_mutual_knn", "q_price_deciles", "q_purge_audit",
+    "q_pit_features")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

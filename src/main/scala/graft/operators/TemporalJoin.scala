@@ -66,4 +66,27 @@ object TemporalJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** POINT-IN-TIME join against an SCD2-style versioned dimension —
+    * the feature-store primitive (each fact row sees the attribute
+    * version valid AT ITS OWN timestamp, never the current one; the
+    * leakage-free training-data join): equi-join on the entity key
+    * with the validity range as a residual predicate, `valid_to IS
+    * NULL` meaning the open current version.
+    *
+    * Scale shape: the KEY is the join key, so Spark plans a plain
+    * sort-merge/hash join on it — the range is a per-key residual over
+    * the handful of versions an entity carries (SCD2 dims are
+    * versions-per-key-bounded by construction). No interval bucketing
+    * needed — unlike [[bucketedRangeJoin]]'s key-less ranges, the
+    * equi-key already co-locates.
+    */
+  def pointInTime(facts: DataFrame, factKey: String, tsCol: String,
+                  dim: DataFrame, dimKey: String,
+                  fromCol: String = "valid_from",
+                  toCol: String = "valid_to"): DataFrame =
+    facts.join(dim,
+      facts(factKey) === dim(dimKey) &&
+        facts(tsCol) >= dim(fromCol) &&
+        (dim(toCol).isNull || facts(tsCol) < dim(toCol)))
 }

