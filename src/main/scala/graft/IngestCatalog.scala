@@ -164,6 +164,26 @@ object IngestCatalog {
         .withColumn("redacted", graft.functions.Clean.hygiene(col("note")))
     }),
 
+    // Pre-redaction PII audit: per-pattern hit totals over the same
+    // note surface q_redact cleans, counted with the SAME regexes
+    // (Clean.piiPatterns — audit can't drift from redaction).
+    "q_pii_audit" -> ((s, d) => {
+      val note = concat_ws(" ", col("CustomerName"), col("ContactEmail"),
+        col("ContactPhone"), col("CustomerPoNumber"),
+        concat(lit("tel 555-"), lpad(col("row_id").cast("string"), 7, "0")),
+        concat(lit("acct "), (col("row_id") + 1000000L).cast("string")))
+      Raw.raw(s, d).select(col("row_id"), note.as("note"))
+        .select(Seq(col("row_id")) ++
+          graft.functions.Clean.piiCounts(col("note")): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_email")).as("emails"),
+          sum(col("n_phone")).as("phones"),
+          sum(col("n_long_number")).as("long_numbers"),
+          sum(when(col("n_email") + col("n_phone")
+            + col("n_long_number") > 0, 1L).otherwise(0L))
+            .as("rows_with_pii"))
+    }),
+
     // S5: MERGE emulation — existing ⟂ incoming ∪ incoming.
     "q_upsert" -> ((s, d) => {
       val p = parsed(s, d).select(col("row_id"), col("invoice_number"),
@@ -278,6 +298,35 @@ object IngestCatalog {
          |      '[0-9]{6,}', '<NUM>', 'g')),
          |    '\\s+', ' ', 'g')) AS redacted
          |FROM n""".stripMargin,
+
+    // PII-audit twin: the same note build, hits counted with the same
+    // three patterns (len(regexp_extract_all) == Spark regexp_count).
+    "q_pii_audit" ->
+      s"""WITH raw AS ($rawSql),
+         |n AS (
+         |  SELECT row_id,
+         |    concat_ws(' ', CustomerName, ContactEmail, ContactPhone,
+         |      CustomerPoNumber,
+         |      'tel 555-' || lpad(CAST(row_id AS VARCHAR), 7, '0'),
+         |      'acct ' || CAST(row_id + 1000000 AS VARCHAR)) AS note
+         |  FROM raw),
+         |c AS (
+         |  SELECT row_id,
+         |    len(regexp_extract_all(note,
+         |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+         |      AS n_email,
+         |    len(regexp_extract_all(note,
+         |      '[0-9]{3}[ .()-]{1,2}[0-9]{3,4}[ .()-]{0,2}[0-9]{3,4}'))
+         |      AS n_phone,
+         |    len(regexp_extract_all(note, '[0-9]{6,}')) AS n_long_number
+         |  FROM n)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(n_email) AS BIGINT) AS emails,
+         |  CAST(SUM(n_phone) AS BIGINT) AS phones,
+         |  CAST(SUM(n_long_number) AS BIGINT) AS long_numbers,
+         |  CAST(SUM(CASE WHEN n_email + n_phone + n_long_number > 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_pii
+         |FROM c""".stripMargin,
 
     "q_upsert" ->
       s"""WITH $parsedSql,

@@ -584,6 +584,12 @@ object PipelineCatalog {
     "q_span_mask" -> ((s, d) =>
       graft.operators.Curation.spanMask(Tables.documents(s, d))),
 
+    // Contrastive (anchor, positive) pairs: adjacent overlapping
+    // chunks of the same doc + a content-hash shuffle key — the
+    // dual-encoder prep (negatives are in-batch at training time).
+    "q_contrastive_pairs" -> ((s, d) =>
+      graft.operators.Curation.contrastivePairs(Tables.documents(s, d))),
+
     // Temperature-derived mixing recipe (α = ½): shares ∝ √n_s, then
     // the same broadcast plan + salted lottery as q_corpus_mix.
     "q_mix_temperature" -> ((s, d) => {
@@ -1908,6 +1914,28 @@ object PipelineCatalog {
         |  FROM d)
         |SELECT doc_id, n_tokens FROM o
         |WHERE before + n_tokens <= 25000""".stripMargin,
+
+    // Contrastive twin: the chunk CTE self-joined on (doc, next
+    // chunk), the same md5 shuffle key.
+    "q_contrastive_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS start
+        |  FROM toks),
+        |ch AS (
+        |  SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
+        |    array_to_string(
+        |      list_slice(t, start + 1, least(start + 32, len(t))), ' ')
+        |      AS chunk_text
+        |  FROM st)
+        |SELECT a.doc_id, a.chunk_id, a.chunk_text AS anchor,
+        |  p.chunk_text AS positive,
+        |  ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR) || '|'
+        |    || CAST(a.chunk_id AS VARCHAR)), 1, 15))::BIGINT
+        |    AS shuffle_key
+        |FROM ch a JOIN ch p
+        |  ON a.doc_id = p.doc_id AND p.chunk_id = a.chunk_id + 1""".stripMargin,
 
     // Chunking twin: same stride-range starts (DuckDB range excludes
     // len; Spark sequence stops at len−1 — identical start sets),

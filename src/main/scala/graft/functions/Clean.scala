@@ -38,4 +38,23 @@ object Clean {
   /** The standard hygiene chain: control-strip → redact → normalize. */
   def hygiene(c: Column): Column =
     normalizeText(maskLongNumbers(maskPhones(maskEmails(stripControl(c)))))
+
+  /** The redaction patterns as (name, regex) — ONE home shared by the
+    * maskers above and the [[piiCounts]] audit, so the audit can never
+    * drift from what redaction actually removes.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phone" ->
+      "[0-9]{3}[ .()-]{1,2}[0-9]{3,4}[ .()-]{0,2}[0-9]{3,4}",
+    "long_number" -> "[0-9]{6,}")
+
+  /** Per-row PII hit counts, one column per pattern (the pre-redaction
+    * audit: which sources leak what, and how much). regexp_count with
+    * the SAME patterns redaction uses.
+    */
+  def piiCounts(c: Column): Seq[Column] =
+    piiPatterns.map { case (name, p) =>
+      regexp_count(c, lit(p)).as(s"n_$name")
+    }
 }

@@ -247,6 +247,35 @@ object Curation {
           org.apache.spark.sql.functions.size(col("t")))
           .minus(col("start")).as("n_tokens"))
 
+  /** CONTRASTIVE (anchor, positive) pair prep — the dual-encoder
+    * training shape: adjacent overlapping chunks of the SAME document
+    * are positives (they share `size − stride` tokens — the standard
+    * self-supervised positive without any labeler), every other pair
+    * in the batch is an in-batch negative at training time, so the
+    * data op only has to emit positives plus a deterministic
+    * content-hash shuffle key (correlated neighbors must not land in
+    * the same batch — hash order decorrelates without RNG).
+    *
+    * Scale shape: [[chunkOverlap]]'s shuffle-free chunk stream, then
+    * ONE self equi-join on (doc_id, chunk_id+1) — keyed, never
+    * cross-doc. The shuffle key is a pure projection.
+    */
+  def contrastivePairs(docs: DataFrame, size: Int = 32,
+                       stride: Int = 24): DataFrame = {
+    val ch = chunkOverlap(docs, size, stride)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+    ch.select(col("doc_id"), col("chunk_id"),
+        col("chunk_text").as("anchor"))
+      .join(ch.select(col("doc_id"),
+        (col("chunk_id") - 1).as("chunk_id"),
+        col("chunk_text").as("positive")), Seq("doc_id", "chunk_id"))
+      .select(col("doc_id"), col("chunk_id"), col("anchor"),
+        col("positive"),
+        TextOps.fingerprint64(concat_ws("|",
+          col("doc_id").cast("string"), col("chunk_id").cast("string")))
+          .as("shuffle_key"))
+  }
+
   /** T5-style SPAN-CORRUPTION masking — deterministic pretraining prep:
     * every `period`-th position starts a `span`-token masked run; the
     * input side replaces each run with one `<extra_id_k>` sentinel

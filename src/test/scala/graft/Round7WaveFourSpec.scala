@@ -285,6 +285,38 @@ class Round7WaveFourSpec extends SparkSpec {
     assert(audit("customer")._1 == delCust.count())
   }
 
+  test("contrastivePairs: positives are the next chunk and share the " +
+    "overlap tokens") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf)
+    val pairs = Curation.contrastivePairs(docs).collect()
+    assert(pairs.nonEmpty)
+    pairs.take(50).foreach { r =>
+      val anchor = r.getString(2).split(" ")
+      val positive = r.getString(3).split(" ")
+      // stride 24, size 32: anchor tokens [24, 32) == positive [0, 8)
+      val overlap = anchor.drop(24)
+      assert(overlap.sameElements(positive.take(overlap.length)),
+        s"doc ${r.getLong(0)} chunk ${r.getInt(1)}: no overlap")
+    }
+    // shuffle keys are unique per (doc, chunk)
+    val keys = pairs.map(_.getLong(4))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("piiCounts: counts match what the redaction chain removes") {
+    import spark.implicits._
+    val df = Seq("mail a@b.com and b@c.org tel 555-123-4567 acct 1234567",
+      "nothing here").toDF("note")
+    val got = df.select(graft.functions.Clean.piiCounts(col("note")): _*)
+      .collect()
+    assert(got(0).getInt(0) == 2)  // two emails
+    assert(got(0).getInt(1) == 1)  // one phone-shaped run
+    assert(got(0).getInt(2) == 1)  // one long number
+    assert(got(1).getInt(0) == 0 && got(1).getInt(1) == 0 &&
+      got(1).getInt(2) == 0)
+  }
+
   test("lateDataStats: flags exactly the events beyond the allowance") {
     import spark.implicits._
     val base = 1700000000000000L // epoch micros
