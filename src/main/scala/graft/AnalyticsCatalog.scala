@@ -297,6 +297,22 @@ object AnalyticsCatalog {
         ("lineitem", Tables.lineitem(s, d), "l_orderkey", delOrd)))
     }),
 
+    // Degree profile of the purchase graph: log₂-bucket histogram +
+    // per-bucket min/max/ends — the pre-flight read that decides
+    // whether the heavy-tail plan variants are needed.
+    "q_graph_profile" -> ((s, d) =>
+      graft.operators.Graph.degreeProfile(
+        graft.operators.Graph.purchaseEdges(
+          Tables.orders(s, d), Tables.lineitem(s, d)))),
+
+    // Rate-limit sampling: at most 2 events per (user, day) in
+    // arrival order — the hot-key ingest throttle, deterministic
+    // (~43% of (user, day) groups exceed the cap on this substrate).
+    "q_rate_limit" -> ((s, d) =>
+      graft.operators.Sampling.rateLimit(
+        Events.typed(Tables.events(s, d)), "user_id", "ts",
+        "event_id", "1 day", 2)),
+
     // Point-in-time feature join: each order sees the customer-segment
     // VERSION valid at its own order date (v2 from 1995-07-01 for
     // every third customer) — the leakage-free feature-store join.
@@ -983,6 +999,33 @@ object AnalyticsCatalog {
         |  FROM lineitem LEFT JOIN delo ON l_orderkey = delo.key)
         |SELECT * FROM a UNION ALL SELECT * FROM b
         |UNION ALL SELECT * FROM c2""".stripMargin,
+
+    // Degree-profile twin: the pagerank edge CTE + one degree count +
+    // the log₂ bucket (binary-string length, the HDR idiom).
+    "q_graph_profile" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pairs
+        |      UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY 1)
+        |SELECT CAST(length(bin(degree)) - 1 AS INT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  MIN(degree) AS min_degree,
+        |  MAX(degree) AS max_degree,
+        |  CAST(SUM(degree) AS BIGINT) AS n_edge_ends
+        |FROM deg GROUP BY 1""".stripMargin,
+
+    // Rate-limit twin: day bucket + arrival-order row_number cap.
+    "q_rate_limit" ->
+      s"""WITH $eventsSql,
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id, time_bucket(INTERVAL '1 day', ts)
+         |    ORDER BY event_id) AS rn
+         |  FROM e)
+         |SELECT event_id, ts, user_id, event_type, v, props
+         |FROM r WHERE rn <= 2""".stripMargin,
 
     // PIT twin: same two-version dimension build and the equi+range
     // validity predicate.

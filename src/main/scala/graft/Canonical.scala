@@ -79,6 +79,7 @@ object Canonical {
       "q_grouping_sets"               -> d("revenue"),
       "q_percent_rank"                -> d("bill_total"),
       "q_quantile_sketch"             -> d("p", "est"),
+      "q_rate_limit"                  -> d("v"),
       "q_rolling_anomaly"             -> d("x"),
       "q_quartiles"                   -> d("bill_total"),
       "q_quartiles_by_currency"       -> d("bill_total"),

@@ -105,6 +105,31 @@ object Graph {
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
   }
 
+  /** GRAPH degree profile — the one-pass structural summary (degree
+    * histogram in log₂ buckets + node/edge totals) that decides which
+    * graph algorithm variant to run before running it: a heavy tail
+    * (high max bucket) means salting/forward-degree tricks matter; a
+    * flat profile means the plain keyed plans win. Buckets are
+    * ⌊log₂ degree⌋ — integer-exact via the same binary-string-length
+    * idiom as the HDR sketch.
+    *
+    * Scale shape: one keyed degree count over the (symmetrized) edge
+    * list, one ~60-row bucket aggregate — the histogram is
+    * bucket-count-sized regardless of graph size.
+    */
+  def degreeProfile(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    deg
+      .withColumn("bucket",
+        (length(bin(col("degree"))) - 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"),
+        sum(col("degree")).as("n_edge_ends"))
+  }
+
   /** TRIANGLE enumeration over an ordered edge list (a < b): the
     * compact-forward join — e(a,b) ⋈ e(b,c) extends each edge by its
     * higher endpoint, e(a,c) closes the wedge. Ordering every edge

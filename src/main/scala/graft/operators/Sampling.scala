@@ -160,6 +160,32 @@ object Sampling {
       .drop("__stratum", "__key")
   }
 
+  /** RATE-LIMIT sampling — keep at most `maxPerWindow` rows per
+    * (key, time-window), arrival-ordered: the ingest throttle that
+    * stops one hot key (a runaway logger, a bot user) from dominating
+    * a training window while leaving normal keys untouched. Arrival
+    * order = the monotone `ordCol` (ingest sequence), so the kept set
+    * is deterministic and re-runnable — never `rand()`.
+    *
+    * Scale shape: one window partitioned by (key, window) over the
+    * arrival order — a row_number cap, the same shuffle the downstream
+    * per-key aggregation needs anyway (streaming twin: the count lives
+    * in per-key state; dropping is a state compare).
+    */
+  def rateLimit(events: DataFrame, keyCol: String, tsCol: String,
+                ordCol: String, windowExpr: String = "1 hour",
+                maxPerWindow: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("__w"))
+      .orderBy(col(ordCol))
+    events
+      .withColumn("__w", window(col(tsCol), windowExpr)
+        .getField("start"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerWindow)
+      .drop("__w", "__rn")
+  }
+
   /** TOKEN-BUDGET corpus sampling: keep a deterministic, hash-ordered
     * prefix of documents whose token counts sum to ≤ `budget` — the
     * "give me exactly N training tokens" cut every dataset release

@@ -317,6 +317,42 @@ class Round7WaveFourSpec extends SparkSpec {
       got(1).getInt(2) == 0)
   }
 
+  test("degreeProfile: buckets bound their degrees and ends sum to |E|") {
+    import graft.operators.Graph
+    val edges = Graph.purchaseEdges(Tables.orders(spark, sf),
+      Tables.lineitem(spark, sf))
+    val prof = Graph.degreeProfile(edges).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(prof.nonEmpty)
+    prof.foreach { case (bucket, _, minD, maxD, _) =>
+      assert(minD >= (1L << bucket) && maxD < (1L << (bucket + 1)))
+    }
+    assert(prof.map(_._5).sum == edges.count())
+  }
+
+  test("rateLimit: caps every (key, window) at the arrival-first rows") {
+    import graft.operators.Sampling
+    val e = Events.typed(Tables.events(spark, sf))
+    val kept = Sampling.rateLimit(e, "user_id", "ts", "event_id",
+      "1 day", 2)
+    val over = kept
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 2).count()
+    assert(over == 0)
+    // kept rows are the smallest event_ids of their group
+    val perGroup = e.select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_id")).collect()
+      .groupBy(r => (r.getLong(0), r.getDate(1).toString))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sorted.take(2).toSet }
+    val keptSet = kept.select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_id")).collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toString), r.getLong(2)))
+    keptSet.foreach { case (k, id) =>
+      assert(perGroup(k).contains(id), s"$k kept non-first $id")
+    }
+  }
+
   test("lateDataStats: flags exactly the events beyond the allowance") {
     import spark.implicits._
     val base = 1700000000000000L // epoch micros
