@@ -266,6 +266,17 @@ object PipelineCatalog {
         Dedup.minhashVerifiedPairs(
           Dedup.withNearDuplicates(Tables.documents(s, d))))),
 
+    // Three-stage dedup funnel audit (raw → exact → near-dup reps)
+    // over a substrate carrying BOTH injected exact and near dups —
+    // the release-note "removed X% exact, Y% near" line.
+    "q_dedup_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = Dedup.withNearDuplicates(docs).unionByName(
+        docs.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Dedup.dedupPipelineAudit(corpus)
+    }),
+
     // Same components, alternating large-star/small-star (log²-round
     // MapReduce CC) — same substrate, same transitive-closure oracle,
     // different round complexity (diameter vs log²).
@@ -806,6 +817,62 @@ object PipelineCatalog {
 
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_cc_star" -> clustersSql,
+
+    // Pipeline twin: the combined exact+near substrate, min-per-md5
+    // keep, the shingle-pair chain over the KEPT docs only, the
+    // recursive closure, and the three funnel counts.
+    "q_dedup_pipeline" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         substr(text, strpos(text, ' ') + 1) AS text
+        |  FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |keptid AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        |kc AS (
+        |  SELECT c.doc_id, c.text FROM corpus c
+        |  JOIN keptid k USING (doc_id)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kc),
+        |ex AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |  FROM toks),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |       FROM ex),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS intersect_n
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sz sa ON inter.doc_a = sa.doc_id
+        |  JOIN sz sb ON inter.doc_b = sb.doc_id
+        |  WHERE intersect_n * 10 >= (sa.sz + sb.sz - intersect_n) * 7),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical
+        |  FROM reach GROUP BY a)
+        |SELECT 1 AS stage_id, 'raw' AS stage,
+        |  CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS n_docs
+        |UNION ALL
+        |SELECT 2, 'exact', CAST((SELECT COUNT(*) FROM kc) AS BIGINT)
+        |UNION ALL
+        |SELECT 3, 'near_dup', CAST((SELECT COUNT(*) FROM kc)
+        |  - ((SELECT COUNT(*) FROM comp)
+        |     - (SELECT COUNT(DISTINCT canonical) FROM comp))
+        |  AS BIGINT)""".stripMargin,
 
     "q_sample_split" ->
       """WITH h AS (

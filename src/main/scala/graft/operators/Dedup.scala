@@ -444,6 +444,39 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** END-TO-END dedup PIPELINE audit — the three-stage funnel a corpus
+    * release actually runs (exact → near-dup → keep one per cluster),
+    * composed from this file's primitives and reported as
+    * (stage_id, stage, n_docs) so the release note's "removed X% exact,
+    * Y% near" line falls straight out. Stage 2 keeps the min doc_id
+    * per text fingerprint; stage 3 keeps [[clusterRepresentatives]]'
+    * quality-picked representative per exact-Jaccard cluster (the
+    * REP CHOICE doesn't change the count — only which doc survives).
+    *
+    * Scale shape: the composition inherits each stage's documented
+    * plan — one fingerprint shuffle, the bounded shingle-pair index,
+    * label propagation + one window. Nothing new moves; the audit rows
+    * are three 1-row aggregates.
+    */
+  def dedupPipelineAudit(corpus: DataFrame): DataFrame = {
+    val c = corpus.select(col("doc_id"), col("text"))
+    val kept = c.groupBy(TextOps.fingerprintMd5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(c, Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val reps = clusterRepresentatives(kept, exactJaccardPairs(kept))
+    c.agg(count(lit(1)).as("n_docs"))
+      .select(lit(1).as("stage_id"), lit("raw").as("stage"),
+        col("n_docs"))
+      .unionByName(kept.agg(count(lit(1)).as("n_docs"))
+        .select(lit(2).as("stage_id"), lit("exact").as("stage"),
+          col("n_docs")))
+      .unionByName(reps
+        .agg(sum(when(col("is_rep"), 1L).otherwise(0L)).as("n_docs"))
+        .select(lit(3).as("stage_id"), lit("near_dup").as("stage"),
+          col("n_docs")))
+  }
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     * (Kiveris et al. '14, "Connected Components in MapReduce and
     * Beyond") — the O(log²·) -round alternative to

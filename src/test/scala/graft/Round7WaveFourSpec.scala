@@ -353,6 +353,24 @@ class Round7WaveFourSpec extends SparkSpec {
     }
   }
 
+  test("dedupPipelineAudit: funnel counts are monotone and consistent " +
+    "with the component ops") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val corpus = Dedup.withNearDuplicates(docs).unionByName(
+      docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val audit = Dedup.dedupPipelineAudit(corpus).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(audit("raw") == corpus.count())
+    assert(audit("raw") > audit("exact") &&
+      audit("exact") > audit("near_dup"))
+    // the exact stage removes at least the injected exact copies
+    val injectedExact = docs.filter(col("doc_id") % 40 === 0).count()
+    assert(audit("raw") - audit("exact") >= injectedExact)
+  }
+
   test("lateDataStats: flags exactly the events beyond the allowance") {
     import spark.implicits._
     val base = 1700000000000000L // epoch micros
