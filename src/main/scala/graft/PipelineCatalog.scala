@@ -266,6 +266,13 @@ object PipelineCatalog {
         Dedup.minhashVerifiedPairs(
           Dedup.withNearDuplicates(Tables.documents(s, d))))),
 
+    // SimHash pairs by band probing: 4×15-bit slice joins (pigeonhole:
+    // hamming ≤ 3 < 4 bands ⇒ ≥1 identical slice) + exact popcount
+    // verify — the pairing step on top of q_dedup_simhash's signature.
+    "q_dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashBandPairs(
+        Dedup.withNearDuplicates(Tables.documents(s, d)))),
+
     // Three-stage dedup funnel audit (raw → exact → near-dup reps)
     // over a substrate carrying BOTH injected exact and near dups —
     // the release-note "removed X% exact, Y% near" line.
@@ -817,6 +824,36 @@ object PipelineCatalog {
 
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_cc_star" -> clustersSql,
+
+    // SimHash-pairs twin: the weighted-vote signature chain over the
+    // near substrate, then a DIRECT all-pairs radius filter — the
+    // pigeonhole bound makes the banded plan equal the radius ball,
+    // and that equality IS what this differential proves.
+    "q_dedup_simhash_pairs" -> {
+      val votes = (0 until 60)
+        .map(j => s"SUM((((h >> $j) & 1) * 2 - 1) * w) AS s$j")
+        .mkString(", ")
+      val sig = (0 until 60)
+        .map(j =>
+          s"CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END")
+        .mkString(" + ")
+      s"""WITH $corpusNearSql,
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM corpus),
+         |w AS (SELECT doc_id, tok, COUNT(*) AS w FROM tok GROUP BY 1, 2),
+         |vcb AS (
+         |  SELECT DISTINCT tok,
+         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+         |  FROM tok),
+         |hh AS (SELECT w.doc_id, vcb.h, w.w FROM w JOIN vcb USING (tok)),
+         |vt AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
+         |sg AS (SELECT doc_id, $sig AS simhash FROM vt)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+    },
 
     // Pipeline twin: the combined exact+near substrate, min-per-md5
     // keep, the shingle-pair chain over the KEPT docs only, the

@@ -592,6 +592,47 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** SimHash near-dup PAIRS by BAND PROBING — the pairing step the
+    * signature alone doesn't give: split the 60-bit signature into
+    * `bands` equal slices; by pigeonhole, two signatures within
+    * Hamming distance `radius` < bands share at least one identical
+    * band, so candidates come from `bands` slice equi-joins (never
+    * all-pairs) and exact popcount-of-XOR verifies. Recall within the
+    * radius is STRUCTURAL (the pigeonhole bound), precision is the
+    * exact verify — the same candidates-then-verify contract as the
+    * MinHash path, on the signature that costs O(vocabulary) to build.
+    *
+    * Scale shape: signatures are one long per doc; the band join keys
+    * on (band_index, slice) — a hot slice means near-identical
+    * boilerplate, the same data-quality signal as a hot shingle — and
+    * the verify is one integer instruction per candidate.
+    */
+  def simhashBandPairs(corpus: DataFrame, radius: Int = 3,
+                       bands: Int = 4, bits: Int = 60): DataFrame = {
+    require(radius < bands, "pigeonhole needs radius < bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sig = simhashSignatures(corpus, bits)
+    val sliced = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(k =>
+        struct(lit(k).as("k"),
+          shiftright(col("simhash"), k * width).bitwiseAND(lit(mask))
+            .as("slice"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.k").as("k"), col("b.slice").as("slice"))
+    val cand = sliced.select(col("doc_id").as("doc_a"),
+        col("simhash").as("sa"), col("k"), col("slice"))
+      .join(sliced.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sb"), col("k"), col("slice")),
+        Seq("k", "slice"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .distinct()
+    cand.select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= radius)
+  }
+
   /** Duplicate-passage detection: every `n`-token window (distinct per
     * doc) that appears in MORE THAN ONE document, with how many docs
     * share it and the smallest carrying doc_id — the corpus-level

@@ -139,4 +139,20 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getLong(1) ==
       java.lang.Long.parseLong("900150983cd24fb", 16))
   }
+
+  test("simhash band pairs == brute-force radius ball (pigeonhole " +
+    "recall is exact)") {
+    import graft.operators.Dedup
+    val corpus = Dedup.withNearDuplicates(
+      graft.queries.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val banded = Dedup.simhashBandPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val sigs = Dedup.simhashSignatures(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(banded == brute)
+  }
 }
