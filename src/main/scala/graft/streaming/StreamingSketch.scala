@@ -154,6 +154,32 @@ object StreamingSketch {
       }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
         Encoders.product[HdrQuantiles])
 
+  case class KeyedRow(k: String, ord: Long)
+
+  /** Streaming twin of [[graft.operators.Sampling.rateLimit]] — the
+    * per-key ingest throttle live: state per (key, window) is ONE long
+    * (rows admitted so far); each micro-batch admits its group's rows
+    * in `ord` order until the cap, then drops. After any prefix of
+    * in-order micro-batches the admitted set per key is exactly the
+    * batch operator's first-`maxPerKey` rows; out-of-order arrival
+    * degrades gracefully to first-N-by-arrival — precisely the
+    * trade a real stream makes. O(1) state per key, no buffering.
+    */
+  def rateLimitStream(rows: org.apache.spark.sql.Dataset[KeyedRow],
+                      maxPerKey: Int = 2)
+      : org.apache.spark.sql.Dataset[KeyedRow] =
+    rows.groupByKey(_.k)(Encoders.STRING)
+      .flatMapGroupsWithState[Long, KeyedRow](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[KeyedRow], state: GroupState[Long]) =>
+          val used = state.getOption.getOrElse(0L)
+          val room = math.max(0L, maxPerKey - used).toInt
+          val take = it.toIndexedSeq.sortBy(_.ord).take(room)
+          state.update(used + take.size)
+          take.iterator
+      }(Encoders.scalaLong, Encoders.product[KeyedRow])
+
   /** JVM twin of TextOps.fingerprint64 (md5 hex → first 15 digits →
     * long): non-negative (< 2⁶⁰), so plain `%` is pmod.
     */

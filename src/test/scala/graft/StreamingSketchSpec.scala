@@ -136,6 +136,45 @@ class StreamingSketchSpec extends SparkSpec {
     }
   }
 
+  test("streaming rate limit admits exactly the batch operator's rows " +
+    "under in-order arrival") {
+    val e = graft.streaming.Events.typed(
+      graft.queries.Tables.events(spark, "/root/testdata/sf0.001"))
+    val batch = graft.operators.Sampling
+      .rateLimit(e, "user_id", "ts", "event_id", "1 day", 2)
+      .select(concat_ws("|", col("user_id"),
+        to_date(col("ts"))).as("k"), col("event_id").as("ord"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    val keyed = e.select(concat_ws("|", col("user_id"),
+      to_date(col("ts"))).as("k"), col("event_id").as("ord"))
+    val dir = Files.createTempDirectory("graft-rate-stream").toString
+    // slice by ord range so micro-batches arrive in ord order
+    keyed.withColumn("slice",
+        (col("ord") / 250).cast("int")).write
+      .partitionBy("slice").mode("overwrite").parquet(dir)
+    val slices = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("slice=")).map(_.getName).sorted
+    val stream = spark.readStream
+      .schema("k STRING, ord BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/slice=*")
+      .as[StreamingSketch.KeyedRow](
+        Encoders.product[StreamingSketch.KeyedRow])
+    val q = StreamingSketch.rateLimitStream(stream)
+      .writeStream.format("memory").queryName("rate_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("rate_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // per-key admitted COUNTS always match the batch cap
+    val bCounts = batch.groupBy(_._1).view.mapValues(_.size).toMap
+    val sCounts = streamed.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sCounts == bCounts)
+    assert(slices.length > 1)
+  }
+
   test("incremental HDR quantiles over micro-batches == batch " +
     "hdrQuantiles") {
     val li = graft.queries.Tables.lineitem(spark, "/root/testdata/sf0.001")
