@@ -435,6 +435,13 @@ object PipelineCatalog {
     "q_heavy_hitters" -> ((s, d) =>
       graft.operators.Sketch.cmsHeavyHitters(Tables.documents(s, d))),
 
+    // Per-language CMS heavy hitters: each lang gets its own counter
+    // matrix and top-5 — the multi-tenant sketch (one hot tenant
+    // can't evict the others' hitters).
+    "q_heavy_hitters_by_lang" -> ((s, d) =>
+      graft.operators.Sketch.cmsHeavyHittersByGroup(
+        Tables.documents(s, d), "lang")),
+
     // Jaccard CONTAINMENT pairs (asymmetric near-dup): doc_sub's shingle
     // set ≥ 9/10 inside doc_sup's — catches short-inside-long quoting
     // that symmetric Jaccard misses. Near-dup injected corpus: the
@@ -1500,6 +1507,35 @@ object PipelineCatalog {
         |JOIN rb ON rb.token = top.token
         |JOIN cells ON rb.r = cells.r AND rb.b = cells.b
         |GROUP BY 1, 2""".stripMargin,
+
+    // Grouped-CMS twin: the q_heavy_hitters chain with the group
+    // dimension threaded through cells and a per-group top-5 window.
+    "q_heavy_hitters_by_lang" ->
+      """WITH tok AS (
+        |  SELECT lang AS g, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT g, token, COUNT(*) AS exact_n
+        |  FROM tok GROUP BY 1, 2),
+        |rb AS (
+        |  SELECT g, token, exact_n, r,
+        |    ('0x' || substr(md5(token || ':cms:' || r), 1, 15))::BIGINT
+        |      % 256 AS b
+        |  FROM cnt CROSS JOIN range(3) t(r)),
+        |cells AS (
+        |  SELECT g, r, b, CAST(SUM(exact_n) AS BIGINT) AS cell
+        |  FROM rb GROUP BY 1, 2, 3),
+        |top AS (
+        |  SELECT g, token, exact_n FROM (
+        |    SELECT g, token, exact_n, row_number() OVER (
+        |      PARTITION BY g ORDER BY exact_n DESC, token) AS rk
+        |    FROM cnt) WHERE rk <= 5)
+        |SELECT top.g AS lang, top.token, top.exact_n,
+        |  MIN(cells.cell) AS cms_est
+        |FROM top
+        |JOIN rb ON rb.g = top.g AND rb.token = top.token
+        |JOIN cells ON rb.g = cells.g AND rb.r = cells.r
+        |  AND rb.b = cells.b
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // Containment twin: the jaccard CTE chain's index with BOTH-direction
     // pairs and the per-sub-doc integer threshold. Mirrors the Scala

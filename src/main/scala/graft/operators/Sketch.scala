@@ -117,6 +117,46 @@ object Sketch {
       .agg(min(col("cell")).as("cms_est"))
   }
 
+  /** Per-GROUP count-min heavy hitters — the multi-tenant variant of
+    * [[cmsHeavyHitters]]: every group (language, source, tenant) gets
+    * its own depth×width counter matrix and top-`k`, so one dominant
+    * tenant can't evict everyone else's hitters from a shared sketch.
+    * Same md5-salted bucket arithmetic; the shuffle carries
+    * |groups|·depth·width cells, still corpus-size-independent. Exact
+    * counts ride the same token aggregate so the corpus tokenizes
+    * once; the top-k is a per-group window over the (group, token)
+    * count frame, never global.
+    */
+  def cmsHeavyHittersByGroup(docs: DataFrame, groupCol: String,
+                             depth: Int = 3, width: Int = 256,
+                             k: Int = 5): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("g"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("g"), col("token")).agg(count(lit(1)).as("exact_n"))
+      .cache()
+    def rb(r: Int) = struct(lit(r).as("r"),
+      pmod(TextOps.fingerprint64(concat(col("token"), lit(s":cms:$r"))),
+        lit(width.toLong)).as("b"))
+    val hashed = (c: DataFrame) => c
+      .select(col("g"), col("token"), col("exact_n"),
+        explode(array((0 until depth).map(rb): _*)).as("rb"))
+      .select(col("g"), col("token"), col("exact_n"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+    val cells = hashed(counts)
+      .groupBy(col("g"), col("r"), col("b"))
+      .agg(sum(col("exact_n")).as("cell"))
+    val top = counts.withColumn("rk", row_number().over(
+        Window.partitionBy(col("g"))
+          .orderBy(col("exact_n").desc, col("token"))))
+      .filter(col("rk") <= k).drop("rk")
+    hashed(top).join(cells, Seq("g", "r", "b"))
+      .groupBy(col("g"), col("token"), col("exact_n"))
+      .agg(min(col("cell")).as("cms_est"))
+      .select(col("g").as(groupCol), col("token"), col("exact_n"),
+        col("cms_est"))
+  }
+
   /** HyperLogLog distinct estimate (Flajolet et al. '07), m = 64
     * registers — the industry-standard cardinality sketch, here in its
     * deterministic md5-derived form so the full register state and the

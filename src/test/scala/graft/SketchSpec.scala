@@ -146,6 +146,20 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("grouped CMS: per-group estimates are one-sided and isolated") {
+    val got = Sketch.cmsHeavyHittersByGroup(docs, "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.nonEmpty)
+    // CMS never underestimates, per group
+    got.foreach { case (g, tok, exact, est) =>
+      assert(est >= exact, s"($g, $tok): est $est < exact $exact")
+    }
+    // every language got its own top-5 (tenant isolation)
+    val perLang = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ == 5), perLang.toString)
+  }
+
   test("HDR bins are exact unit bins below 16 cents") {
     import spark.implicits._
     val df = Seq(("a", new java.math.BigDecimal("0.01")),
