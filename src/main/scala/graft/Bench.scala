@@ -84,7 +84,7 @@ object Bench {
     "q_mutual_knn", "q_price_deciles", "q_purge_audit",
     "q_pit_features", "q_pii_audit", "q_contrastive_pairs",
     "q_graph_profile", "q_rate_limit", "q_dedup_pipeline",
-    "q_dedup_simhash_pairs", "q_heavy_hitters_by_lang")
+    "q_dedup_simhash_pairs", "q_heavy_hitters_by_lang", "q_apportion")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -615,6 +615,13 @@ object PipelineCatalog {
     "q_contrastive_pairs" -> ((s, d) =>
       graft.operators.Curation.contrastivePairs(Tables.documents(s, d))),
 
+    // Largest-remainder apportionment of an exact 1000-doc budget
+    // across sources — Hamilton's method, Σ alloc == budget always,
+    // all-integer arithmetic.
+    "q_apportion" -> ((s, d) =>
+      graft.operators.Mixing.apportion(
+        Tables.documents(s, d), "source", 1000L)),
+
     // Temperature-derived mixing recipe (α = ½): shares ∝ √n_s, then
     // the same broadcast plan + salted lottery as q_corpus_mix.
     "q_mix_temperature" -> ((s, d) => {
@@ -2114,6 +2121,28 @@ object PipelineCatalog {
         |    CASE WHEN (i - 1) % 15 < 3 THEN 1 END), x -> x IS NOT NULL))
         |    AS INT) AS n_masked
         |FROM toks""".stripMargin,
+
+    // Apportionment twin: same all-integer base/remainder split and
+    // the same (rem DESC, source) leftover ranking.
+    "q_apportion" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+        |e AS (
+        |  SELECT source, n_docs,
+        |    (1000 * n_docs - (1000 * n_docs) % n_total) // n_total
+        |      AS base,
+        |    (1000 * n_docs) % n_total AS rem
+        |  FROM c CROSS JOIN t),
+        |l AS (
+        |  SELECT CAST(1000 - SUM(base) AS BIGINT) AS leftover FROM e),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM e)
+        |SELECT source, n_docs,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM r CROSS JOIN l""".stripMargin,
 
     // Temperature twin: √n_s weights, source-ordered normalizer fold,
     // then the q_corpus_mix plan/lottery arithmetic verbatim.

@@ -83,4 +83,43 @@ object Mixing {
     w.crossJoin(broadcast(z))
       .select(col(sourceCol), (col("w") / col("z")).as("share"))
   }
+
+  /** LARGEST-REMAINDER apportionment (Hamilton's method) of an exact
+    * sample `budget` across sources — the integer-exact complement to
+    * [[mix]]'s hash-lottery: when the release contract says "exactly
+    * 100k documents, proportional to source size", rounding quotas
+    * naively over- or under-shoots; Hamilton floors every quota and
+    * hands the leftover seats to the largest fractional remainders
+    * (ties to the smaller source name — fully deterministic).
+    * Σ alloc == budget ALWAYS, each alloc within 1 of its real quota.
+    *
+    * Scale shape: one |sources|-row aggregate, 1-row totals broadcast,
+    * and a ranking window over the |sources|-row frame (bounded by the
+    * source dimension, not data — same argument as the bucket frames).
+    * Entirely integer arithmetic: quota = budget·n_s, base = ⌊·/N⌋,
+    * remainder = mod — no floats to disagree on.
+    */
+  def apportion(docs: DataFrame, sourceCol: String,
+                budget: Long): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(sum(col("n_docs")).as("n_total"))
+    // base via subtract-remainder-then-divide: the numerator is exactly
+    // divisible, so the double division is exact (quotient << 2^53)
+    val exact = counts.crossJoin(broadcast(totals))
+      .select(col(sourceCol), col("n_docs"), col("n_total"),
+        ((lit(budget) * col("n_docs")) - ((lit(budget) * col("n_docs"))
+          % col("n_total"))).divide(col("n_total")).cast("long")
+          .as("base"),
+        ((lit(budget) * col("n_docs")) % col("n_total")).as("rem"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col(sourceCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    exact
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(w))
+      .select(col(sourceCol), col("n_docs"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
 }

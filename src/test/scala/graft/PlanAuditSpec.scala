@@ -79,6 +79,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_cooccurrence",
     // join_degree: the 1-row estimated-join-size frame under `share`.
     "q_join_degree",
+    // apportion: the 1-row source-total frame.
+    "q_apportion",
     // kappa: two 1-row frames (totals × pe marginal product).
     "q_kappa",
     // ivf_incremental: Quantizer.assign's broadcast k=8 centroid frame.
@@ -105,7 +107,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_ivf_incremental",
     // price_deciles: the quantile windows over the ≤ ~16·64-row BIN
     // frame (same bounded-by-construction argument as q_token_budget).
-    "q_price_deciles")
+    "q_price_deciles",
+    // apportion: the leftover ranking over the |sources|-row frame.
+    "q_apportion")
 
   /** Sink round-trip queries EXECUTE a write inside the closure and
     * return the trivial re-read scan — calling fn here would side-effect

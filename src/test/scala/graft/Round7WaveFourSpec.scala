@@ -371,6 +371,22 @@ class Round7WaveFourSpec extends SparkSpec {
     assert(audit("raw") - audit("exact") >= injectedExact)
   }
 
+  test("apportion: allocations sum exactly to the budget, each within " +
+    "1 of its real quota") {
+    import graft.operators.Mixing
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val budget = 1000L
+    val got = Mixing.apportion(docs, "source", budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val n = got.map(_._2).sum
+    assert(got.map(_._3).sum == budget)
+    got.foreach { case (s, ns, alloc) =>
+      val quota = budget.toDouble * ns / n
+      assert(math.abs(alloc - quota) < 1.0,
+        s"$s: alloc $alloc vs quota $quota")
+    }
+  }
+
   test("lateDataStats: flags exactly the events beyond the allowance") {
     import spark.implicits._
     val base = 1700000000000000L // epoch micros
