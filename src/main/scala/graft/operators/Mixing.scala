@@ -104,14 +104,16 @@ object Mixing {
     val counts = docs.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"))
     val totals = counts.agg(sum(col("n_docs")).as("n_total"))
-    // base via subtract-remainder-then-divide: the numerator is exactly
-    // divisible, so the double division is exact (quotient << 2^53)
+    // base via true INTEGER division (`div`, long→long) — Column.divide
+    // is double-typed and exact only while budget·n_docs < 2^53; `div`
+    // matches the oracle's `//` for all long inputs (ADVICE r7). Both
+    // operands are non-negative, so truncating and floor division agree.
     val exact = counts.crossJoin(broadcast(totals))
       .select(col(sourceCol), col("n_docs"), col("n_total"),
-        ((lit(budget) * col("n_docs")) - ((lit(budget) * col("n_docs"))
-          % col("n_total"))).divide(col("n_total")).cast("long")
-          .as("base"),
-        ((lit(budget) * col("n_docs")) % col("n_total")).as("rem"))
+        (lit(budget) * col("n_docs")).as("q_num"))
+      .withColumn("base", expr("q_num div n_total"))
+      .withColumn("rem", col("q_num") % col("n_total"))
+      .drop("q_num")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rem").desc, col(sourceCol))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()

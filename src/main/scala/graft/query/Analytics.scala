@@ -469,13 +469,19 @@ object Analytics {
     val sea = v("qa", "sa", "na") / col("na").cast("double")
     val seb = v("qb", "sb", "nb") / col("nb").cast("double")
     val se2 = sea + seb
+    // Degenerate-arm guard (ADVICE r7): a missing/singleton arm
+    // (n ≤ 1 → the n−1 divisor) or two constant arms (se2 = 0 → the
+    // √se2 divisor) yields an EXPLICIT null t/df instead of a silent
+    // NaN riding into downstream comparisons.
+    val ok = col("na") > 1 && col("nb") > 1 && se2 =!= lit(0.0)
     agg.select(col("na").as("n_a"), col("nb").as("n_b"),
       round(m("sa", "na"), 6).as("mean_a"),
       round(m("sb", "nb"), 6).as("mean_b"),
-      round((m("sa", "na") - m("sb", "nb")) / sqrt(se2), 6).as("t_stat"),
-      round((se2 * se2)
+      round(when(ok,
+        (m("sa", "na") - m("sb", "nb")) / sqrt(se2)), 6).as("t_stat"),
+      round(when(ok, (se2 * se2)
         / ((sea * sea) / (col("na").cast("double") - lit(1.0))
-          + (seb * seb) / (col("nb").cast("double") - lit(1.0))), 6)
+          + (seb * seb) / (col("nb").cast("double") - lit(1.0)))), 6)
         .as("df"))
   }
 
@@ -602,9 +608,13 @@ object Analytics {
     val syD = col("sy").cast("double")
     val num = nD * col("sxy").cast("double") - sxD * syD
     val den = nD * col("sxx").cast("double") - sxD * sxD
+    // den = 0 ⇔ constant x (a single distinct day in the group): emit
+    // explicit nulls rather than NaN — a vertical "trend" has no slope
+    // (ADVICE r7).
     g.select(col(groupCol), col("n"),
-      round(num / den, 6).as("slope"),
-      round((syD - (num / den) * sxD) / nD, 6).as("intercept"))
+      round(when(den =!= lit(0.0), num / den), 6).as("slope"),
+      round(when(den =!= lit(0.0), (syD - (num / den) * sxD) / nD), 6)
+        .as("intercept"))
   }
 
   /** JOIN-DEGREE profile — the skew diagnosis to run BEFORE a big

@@ -164,21 +164,51 @@ object StreamingSketch {
     * batch operator's first-`maxPerKey` rows; out-of-order arrival
     * degrades gracefully to first-N-by-arrival — precisely the
     * trade a real stream makes. O(1) state per key, no buffering.
+    *
+    * WINDOWING CONTRACT (ADVICE r7): time windows must be pre-folded
+    * into `k` by the caller (e.g. `user × hour-bucket`), which mints a
+    * new state entry per window — so a LONG-RUNNING deployment must
+    * pass `stateTtl = Some(...)`: expired window keys are then evicted
+    * by a processing-time timeout (TTL of idleness, re-armed on every
+    * update) and live state is bounded by the keys active inside one
+    * TTL span. Without it state grows by one long per (key, window)
+    * for the stream's lifetime. The default stays `None` (NoTimeout)
+    * because a processing-time timeout makes the stateful operator
+    * request a batch per trigger forever, so `processAllAvailable()`
+    * never sees a no-new-data round — finite replays (tests, backfills)
+    * want NoTimeout; 24/7 streams want the TTL and a real trigger.
     */
   def rateLimitStream(rows: org.apache.spark.sql.Dataset[KeyedRow],
-                      maxPerKey: Int = 2)
+                      maxPerKey: Int = 2,
+                      stateTtl: Option[String] = None)
       : org.apache.spark.sql.Dataset[KeyedRow] =
     rows.groupByKey(_.k)(Encoders.STRING)
       .flatMapGroupsWithState[Long, KeyedRow](
         org.apache.spark.sql.streaming.OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (k: String, it: Iterator[KeyedRow], state: GroupState[Long]) =>
-          val used = state.getOption.getOrElse(0L)
-          val room = math.max(0L, maxPerKey - used).toInt
-          val take = it.toIndexedSeq.sortBy(_.ord).take(room)
-          state.update(used + take.size)
-          take.iterator
-      }(Encoders.scalaLong, Encoders.product[KeyedRow])
+        stateTtl.fold(GroupStateTimeout.NoTimeout)(_ =>
+          GroupStateTimeout.ProcessingTimeTimeout))(
+        rateLimitFn(maxPerKey, stateTtl))(
+        Encoders.scalaLong, Encoders.product[KeyedRow])
+
+  /** The [[rateLimitStream]] state-update function, exposed so the TTL
+    * eviction branch is unit-testable with `TestGroupState` (a timeout
+    * firing inside a live query is timing-dependent; the function's
+    * contract is not).
+    */
+  def rateLimitFn(maxPerKey: Int, stateTtl: Option[String])
+      : (String, Iterator[KeyedRow], GroupState[Long]) => Iterator[KeyedRow] =
+    (_: String, it: Iterator[KeyedRow], state: GroupState[Long]) =>
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val used = state.getOption.getOrElse(0L)
+        val room = math.max(0L, maxPerKey - used).toInt
+        val take = it.toIndexedSeq.sortBy(_.ord).take(room)
+        state.update(used + take.size)
+        stateTtl.foreach(state.setTimeoutDuration)
+        take.iterator
+      }
 
   /** JVM twin of TextOps.fingerprint64 (md5 hex → first 15 digits →
     * long): non-negative (< 2⁶⁰), so plain `%` is pmod.

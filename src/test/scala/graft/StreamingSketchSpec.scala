@@ -175,6 +175,88 @@ class StreamingSketchSpec extends SparkSpec {
     assert(slices.length > 1)
   }
 
+  test("streaming rate limit parity holds across >=10 micro-batches " +
+    "on the sf0.01 events table") {
+    // VERDICT r7 #7: the small-slice parity spec above replays ~5
+    // micro-batches; this one drives the state path through 12+ over
+    // 10× the events so long-lived per-(key, window) state survives
+    // many trigger cycles.
+    val e = graft.streaming.Events.typed(
+      graft.queries.Tables.events(spark, "/root/testdata/sf0.01"))
+    val batch = graft.operators.Sampling
+      .rateLimit(e, "user_id", "ts", "event_id", "1 day", 2)
+      .groupBy(concat_ws("|", col("user_id"), to_date(col("ts"))).as("k"))
+      .count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val keyed = e.select(concat_ws("|", col("user_id"),
+      to_date(col("ts"))).as("k"), col("event_id").as("ord"))
+    val dir = Files.createTempDirectory("graft-rate-stream-12").toString
+    keyed.withColumn("slice", pmod(col("ord"), lit(12)).cast("int"))
+      .repartition(1).write
+      .partitionBy("slice").mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("k STRING, ord BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/slice=*")
+      .as[StreamingSketch.KeyedRow](
+        Encoders.product[StreamingSketch.KeyedRow])
+    val q = StreamingSketch.rateLimitStream(stream)
+      .writeStream.format("memory").queryName("rate_stream_12")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // per-key admitted COUNTS equal the batch cap regardless of the
+    // file-source's arrival order (count = min(cap, n_k) either way)
+    val sCounts = spark.table("rate_stream_12").groupBy(col("k"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sCounts == batch)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 10,
+      s"wanted >=10 non-empty micro-batches, saw ${q.recentProgress.length}")
+  }
+
+  test("rate-limit state EVICTS on the processing-time TTL and the key " +
+    "re-admits afterward") {
+    // The ADVICE r7 unbounded-state fix, driven deterministically via
+    // TestGroupState (a timeout firing inside a live query is
+    // timing-dependent; the function's contract is not): an expired
+    // (folded) window key's counter is REMOVED, so the key re-admits a
+    // full cap when it returns — state is TTL-bounded, not forever.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingSketch.KeyedRow
+    val fn = StreamingSketch.rateLimitFn(2, Some("10 milliseconds"))
+    // batch 1: fresh key admits the cap and ARMS the timeout
+    val s1 = TestGroupState.create[Long](Optional.empty[Long](),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[Long](), hasTimedOut = false)
+    val out1 = fn("a", Iterator(KeyedRow("a", 2L), KeyedRow("a", 1L),
+      KeyedRow("a", 3L)), s1).toSeq
+    assert(out1.map(_.ord) == Seq(1L, 2L))
+    assert(s1.get == 2L)
+    assert(s1.getTimeoutTimestampMs == Optional.of(1010L)) // 1000 + ttl
+    // a later batch where the TTL lapsed: state REMOVED, nothing emitted
+    val s2 = TestGroupState.create[Long](Optional.of(2L),
+      GroupStateTimeout.ProcessingTimeTimeout, 60000L,
+      Optional.empty[Long](), hasTimedOut = true)
+    assert(fn("a", Iterator.empty, s2).isEmpty)
+    assert(s2.isRemoved)
+    // the key returns post-eviction: fresh state → full cap again
+    val s3 = TestGroupState.create[Long](Optional.empty[Long](),
+      GroupStateTimeout.ProcessingTimeTimeout, 120000L,
+      Optional.empty[Long](), hasTimedOut = false)
+    val out3 = fn("a", Iterator(KeyedRow("a", 4L), KeyedRow("a", 5L),
+      KeyedRow("a", 6L)), s3).toSeq
+    assert(out3.map(_.ord) == Seq(4L, 5L))
+    // and without a TTL the state never arms a timeout (NoTimeout path)
+    val s4 = TestGroupState.create[Long](Optional.empty[Long](),
+      GroupStateTimeout.NoTimeout, 1000L,
+      Optional.empty[Long](), hasTimedOut = false)
+    StreamingSketch.rateLimitFn(2, None)(
+      "a", Iterator(KeyedRow("a", 1L)), s4)
+    assert(!s4.getTimeoutTimestampMs.isPresent)
+  }
+
   test("incremental HDR quantiles over micro-batches == batch " +
     "hdrQuantiles") {
     val li = graft.queries.Tables.lineitem(spark, "/root/testdata/sf0.001")
