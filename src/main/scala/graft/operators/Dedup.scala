@@ -424,29 +424,28 @@ object Dedup {
       .distinct().withColumn("label", col("doc_id")).cache()
     var converged = false
     while (!converged) {
-      // TWO propagation rounds per action (VERDICT r7 #6): per-node
-      // labels are monotone non-increasing, so "no change across two
-      // rounds" ⇔ fixpoint, and probing the CHANGED flag every second
-      // round halves the job-launch latency the loop is bound by. The
-      // mid-round frame is cached so its two references inside the one
-      // probe job (join leg + union leg) share a single materialization;
-      // the convergence flag still rides the SAME cached frame the next
-      // iteration consumes — one action per two rounds, no separate
-      // probe job.
-      def round(l: DataFrame): DataFrame = edges
-        .join(l, edges("b") === l("doc_id"))
+      // The convergence flag rides the SAME cached frame the next round
+      // consumes, so each round is ONE action (the count below), not a
+      // materialize + a separate convergence probe — at bench scale the
+      // loop is round-count × job-latency bound, and this halves it.
+      // MEASURED DEAD END (r8, VERDICT r7 #6): chaining TWO rounds per
+      // probe — with the mid-round frame cache()d for its two references
+      // — benched 2.5-5× SLOWER (q_cluster_rep 7.5→23.7 s, pipeline
+      // 17→91 s): the lazily-cached mid frame feeds two INDEPENDENT
+      // stages that run in parallel, race the cache population, and
+      // each recompute the full round. One round per action is the
+      // empirical optimum here; see PLANS.md "Probe-batching probe".
+      val next = edges
+        .join(labels, edges("b") === labels("doc_id"))
         .select(col("a").as("doc_id"), col("label"))
-        .unionByName(l)
+        .unionByName(labels)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-      val mid = round(labels).cache()
-      val next = round(mid)
         .join(labels.withColumnRenamed("label", "old"), "doc_id")
         .withColumn("changed", col("label") =!= col("old"))
         .drop("old")
         .cache()
       converged = next.filter(col("changed")).count() == 0
       labels.unpersist()
-      mid.unpersist()
       labels = next.drop("changed")
     }
     edges.unpersist()
@@ -536,20 +535,17 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) { // log²-bound safety, not a tuning
-      rounds += 2
-      // TWO large/small double-rounds per convergence probe (VERDICT
-      // r7 #6): the star transforms are deterministic and strictly
-      // shrink the Kiveris potential until the fixpoint, so
-      // set-equality two double-rounds apart ⇔ fixpoint — halving the
-      // exceptAll probes the loop's latency is bound by. Each star
-      // output is LAZILY localCheckpoint'ed: its two references inside
-      // the next star (the groupBy leg and the join leg) then share
-      // one materialization instead of recomputing the whole prefix,
-      // and lineage still truncates.
+      rounds += 1
+      // The inner star's output is LAZILY localCheckpoint'ed: its two
+      // references inside the outer star (the neighborhood-min groupBy
+      // leg and the relink join leg) then share one materialization
+      // instead of each recomputing the inner star — the checkpoint
+      // write happens inside the probe job, lineage still truncates.
+      // (Batching TWO double-rounds per exceptAll probe was tried in
+      // r8 and benched flat-to-worse — see PLANS.md "Probe-batching
+      // probe"; one double-round per probe stays.)
       val s1 = star(edges, large = true).localCheckpoint(false)
-      val s2 = star(s1, large = false).localCheckpoint(false)
-      val s3 = star(s2, large = true).localCheckpoint(false)
-      val next = star(s3, large = false).localCheckpoint()
+      val next = star(s1, large = false).localCheckpoint()
       // set equality: same size + one-sided difference empty
       converged = next.count() == edges.count() &&
         next.exceptAll(edges).isEmpty

@@ -72,7 +72,7 @@ object Graph {
     var pr = nodes.crossJoin(broadcast(nrow))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
       .localCheckpoint()
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
       val contrib = eOut
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
@@ -85,12 +85,10 @@ object Graph {
           ((lit(1.0) - damping) / col("n") +
             lit(damping) * (coalesce(col("s"), lit(0L)).cast("double") /
               Scale)).as("pr"))
-      // Truncate every SECOND iteration (VERDICT r7 #6): the pr frame
-      // is referenced exactly once per iteration, so two lazily-chained
-      // supersteps per eager checkpoint halve the job launches while
-      // lineage depth stays ≤ 2 joins + 1 aggregate — far below the
-      // ~5-deep nesting the 10.0→5.9 s truncation measurement fixed.
-      if (i % 2 == 0 || i == iters) pr = pr.localCheckpoint()
+        .localCheckpoint()
+      // (Checkpointing every SECOND superstep instead was tried in r8
+      // and benched 1.12× — the 2-deep plans cost more than the saved
+      // job launches; see PLANS.md "Probe-batching probe".)
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }
