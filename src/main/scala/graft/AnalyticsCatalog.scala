@@ -186,22 +186,27 @@ object AnalyticsCatalog {
         Tables.orders(s, d), Tables.lineitem(s, d)))),
 
     // Exact distinct suppliers per returnflag via dense-bitmap
-    // aggregation: the shuffle carries one 8 KB bitmap per group per
-    // partition, never the (group, key) pair stream countDistinct
-    // plans.
+    // aggregation: the shuffle carries one |dict|/8-byte bitmap per
+    // group per partition, never the (group, key) pair stream
+    // countDistinct plans. Dictionary-encoded (r8): the bitmap is
+    // sized by distinct-key CARDINALITY, so re-strided/sparse key
+    // domains (the sf1 probe's 10x key shift) cost bits per distinct
+    // key, not per unit of key span.
     "q_bitmap_distinct" -> ((s, d) =>
-      graft.operators.Sketch.bitmapDistinctByGroup(
-        Tables.lineitem(s, d), "l_returnflag", "l_suppkey", 65535)),
+      graft.operators.Sketch.bitmapDistinctDict(
+        Tables.lineitem(s, d), "l_returnflag", "l_suppkey")),
 
     // Bloom runtime-filtered fact⋈dim join: high-balance customers'
-    // key set compressed to a 64 Kbit filter that drops non-joining
-    // orders BEFORE the shuffle-hash join; output provably the plain
-    // inner join (the differential gates exactly that).
+    // key set compressed to a ~10-bits-per-key filter that drops
+    // non-joining orders BEFORE the shuffle-hash join; output provably
+    // the plain inner join (the differential gates exactly that).
+    // Auto-sized (r8): a FIXED m decays to a pass-everything no-op as
+    // the key set grows — the sf1 probe measured exactly that.
     "q_bloom_join" -> ((s, d) => {
       val dim = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
         .select(col("c_custkey"))
-      graft.operators.Bloom.filteredJoin(
-        Tables.orders(s, d), "o_custkey", dim, "c_custkey", 1 << 16, 4)
+      graft.operators.Bloom.filteredJoinAuto(
+        Tables.orders(s, d), "o_custkey", dim, "c_custkey")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
 

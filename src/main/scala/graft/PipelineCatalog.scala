@@ -103,7 +103,7 @@ object PipelineCatalog {
       |  SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_dl FROM toks),
       |qi AS (
       |  SELECT doc_id AS query_id, t, unnest(range(1, len(t) + 1)) AS i
-      |  FROM toks WHERE doc_id % 100 = 0),
+      |  FROM toks WHERE doc_id % 100 = 0 AND doc_id < 1000000),
       |qf AS (
       |  SELECT query_id, t[i] AS token, MIN(i) AS fp
       |  FROM qi GROUP BY 1, 2),
@@ -306,9 +306,14 @@ object PipelineCatalog {
     // shingle with the (derived) eval suite, with shared-shingle counts.
     // The eval set is a tail-substring of every 50th doc — guaranteed
     // long-n-gram overlap with its source, the planted contamination.
+    // doc_id < 1e6 pins the eval PANEL to the base key universe: an
+    // eval suite is fixed-size, it does not grow with the training
+    // corpus (no-op at oracle scales; fixes the panel×corpus coupling
+    // the r8 sf1 probe flagged on the retrieval family).
     "q_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val eval = docs.filter(col("doc_id") % 50 === 0)
+      val eval = docs
+        .filter(col("doc_id") % 50 === 0 && col("doc_id") < 1000000L)
         .select(expr("substring(text, instr(text, ' ') + 1)").as("text"))
       graft.operators.Curation.contaminationStats(docs, eval)
     }),
@@ -943,7 +948,7 @@ object PipelineCatalog {
     "q_decontaminate" ->
       """WITH ev AS (
         |  SELECT substr(text, strpos(text, ' ') + 1) AS text
-        |  FROM documents WHERE doc_id % 50 = 0),
+        |  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 1000000),
         |evx AS (
         |  SELECT string_split(text, ' ') AS t FROM ev),
         |esh AS (
@@ -1681,7 +1686,8 @@ object PipelineCatalog {
          |    ON hdense.doc_id = hsums.doc_id AND hdense.j = hsums.i
          |  GROUP BY 1),
          |hq AS (SELECT doc_id AS query_id, e FROM hvecs
-         |       WHERE doc_id % 100 = 0 AND list_inner_product(e, e) > 0),
+         |       WHERE doc_id % 100 = 0 AND doc_id < 1000000
+         |         AND list_inner_product(e, e) > 0),
          |hc AS (SELECT doc_id AS neighbor_id, e FROM hvecs
          |       WHERE list_inner_product(e, e) > 0),
          |hs AS (

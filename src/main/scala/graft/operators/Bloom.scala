@@ -104,6 +104,30 @@ object Bloom {
     * not-broadcastable scenario this operator exists for; at real
     * scale AQE may still pick better strategies per partition.
     */
+  /** [[filteredJoin]] with the filter SIZED FROM THE KEY SET — the
+    * scale-robust catalog form (r8: the sf1 probe measured the fixed
+    * 64 Kbit filter's pass rate collapsing as the key count grew 10×;
+    * a bloom filter's false-positive rate is a function of BITS PER
+    * KEY, so m must scale with |keys| or the prefilter silently decays
+    * into a no-op that still costs k md5s per fact row). One
+    * dim-side count sizes m at ~`bitsPerKey` bits/key (10 bits/key ≈
+    * 1% FP at k=4), rounded up to a power of two, floored at 64 Kbit
+    * and capped at 2²⁷ bits = 16 MB — past the cap the right move is
+    * the next bitsPerKey budget down, never a bigger broadcast. The
+    * count is dim-bounded by this operator's own premise (the dim KEY
+    * SET compresses; the dim itself may not broadcast). Output is the
+    * plain inner join either way — sizing changes shuffle volume only.
+    */
+  def filteredJoinAuto(fact: DataFrame, factKey: String,
+                       dim: DataFrame, dimKey: String,
+                       bitsPerKey: Int = 10, kHashes: Int = 4): DataFrame = {
+    val n = dim.count()
+    val wanted = java.lang.Long.highestOneBit(
+      math.max(1L, n * bitsPerKey) * 2 - 1)
+    val mBits = math.min(math.max(wanted, 1L << 16), 1L << 27).toInt
+    filteredJoin(fact, factKey, dim, dimKey, mBits, kHashes)
+  }
+
   def filteredJoin(fact: DataFrame, factKey: String,
                    dim: DataFrame, dimKey: String,
                    mBits: Int = 1 << 20, kHashes: Int = 4): DataFrame = {

@@ -38,17 +38,29 @@ object Retrieval {
 
   /** (query_id, doc_id, rnk, score): BM25 top-k documents per derived
     * query. Documents with no query term overlap never appear.
+    *
+    * `queryCap` pins the derived panel to the base key universe
+    * (doc_id < cap) so the QUERY COUNT stays fixed as the corpus
+    * grows — the IR-benchmark contract (a TREC topic set does not grow
+    * with the collection). Without it the r8 sf1 probe measured the
+    * %-derived panel scaling WITH the corpus: both retrieval legs then
+    * do |queries|×|corpus| work — quadratic in data by benchmark
+    * construction, not plan shape (q_hybrid_rrf: 176× on 10× data).
+    * At the oracle scales every doc_id is below the cap, so the clause
+    * is a no-op the DuckDB twin mirrors verbatim.
     */
   def bm25TopK(docs: DataFrame, k: Int = 5,
                k1: Double = 1.2, b: Double = 0.75,
-               queryEvery: Int = 100, queryTerms: Int = 3): DataFrame = {
+               queryEvery: Int = 100, queryTerms: Int = 3,
+               queryCap: Long = 1000000L): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
     // 1-row corpus stats: N and total token count (integer-exact).
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       sum(size(col("t")).cast("long")).as("total_dl"))
     // Query terms: first `queryTerms` DISTINCT tokens, document order
     // (array_distinct preserves first occurrence).
-    val qterms = toks.filter(col("doc_id") % queryEvery === 0)
+    val qterms = toks
+      .filter(col("doc_id") % queryEvery === 0 && col("doc_id") < queryCap)
       .select(col("doc_id").as("query_id"),
         explode(slice(array_distinct(col("t")), 1, queryTerms)).as("token"))
     // Corpus token stream, pre-filtered to query terms BEFORE the tf
@@ -106,11 +118,14 @@ object Retrieval {
     * — bit-stable cross-engine without sorted folds.
     */
   def rrfFusion(docs: DataFrame, k: Int = 5, depth: Int = 10,
-                kRrf: Int = 60, queryEvery: Int = 100): DataFrame = {
-    val lex = bm25TopK(docs, depth, queryEvery = queryEvery)
+                kRrf: Int = 60, queryEvery: Int = 100,
+                queryCap: Long = 1000000L): DataFrame = {
+    val lex = bm25TopK(docs, depth, queryEvery = queryEvery,
+        queryCap = queryCap)
       .select(col("query_id"), col("doc_id"), col("rnk").as("rb"))
     val dense = Similarity.hashedTextTopK(
-        docs.filter(col("doc_id") % queryEvery === 0), docs, depth)
+        docs.filter(col("doc_id") % queryEvery === 0 &&
+          col("doc_id") < queryCap), docs, depth)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rnk").as("rd"))
     lex.join(dense, Seq("query_id", "doc_id"), "full_outer")

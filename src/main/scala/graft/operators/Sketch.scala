@@ -421,6 +421,41 @@ object Sketch {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** [[bitmapDistinctByGroup]] over an AUTO-BUILT key dictionary — the
+    * scale-robust catalog form (the r8 sf1 probe caught the raw form's
+    * failure mode: a fixed maxKey=65535 fails fast the moment keys are
+    * re-strided, and widening maxKey to the raw key SPAN would pay
+    * span/8 bytes per buffer for a sparse domain — 11 MB at a 90 M-key
+    * span holding only 20 k distinct keys).
+    *
+    * This is the dictionary-encode-then-bitmap shape the scaladoc above
+    * already assumes ("dictionary-encoded or surrogate ids") and the
+    * one columnar stores ship: distinct keys → dense ids [0, |dict|) →
+    * bitmap sized by dictionary CARDINALITY, never key span. The
+    * dictionary build is one distinct over the key column (dimension-
+    * bounded by definition — a key set too big to dictionary-encode is
+    * the documented KMV/HLL cutover) with the same bounded global
+    * row_number idiom as the dimension surrogate key
+    * ([[graft.ingest.Normalize]]); the broadcast join back is
+    * |dict|-sized. The `dict.count()` action sizes the buffer exactly —
+    * a metadata-cheap dim aggregate, same contract as
+    * `semanticDedupPairsAuto`'s count. Bitmap semantics (exactness,
+    * OR/AND mergeability) are unchanged: any key↔id bijection preserves
+    * per-group bit counts.
+    */
+  def bitmapDistinctDict(df: DataFrame, groupCol: String,
+                         keyCol: String): DataFrame = {
+    val dict = df.select(col(keyCol).cast("long").as("k")).distinct()
+      .withColumn("dict_id",
+        (row_number().over(Window.orderBy("k")) - 1).cast("long"))
+    val n = dict.count() // dimension-bounded; sizes the bitmap exactly
+    val encoded = df
+      .join(broadcast(dict), df(keyCol).cast("long") === col("k"))
+      .select(col(groupCol), col("dict_id"))
+    bitmapDistinctByGroup(encoded, groupCol, "dict_id",
+      math.max(n - 1, 0).toInt)
+  }
+
   /** (group, n_distinct): exact distinct `keyCol` per `groupCol` via
     * [[BitmapAggregator]].
     */

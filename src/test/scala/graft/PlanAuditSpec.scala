@@ -109,7 +109,12 @@ class PlanAuditSpec extends SparkSpec {
     // frame (same bounded-by-construction argument as q_token_budget).
     "q_price_deciles",
     // apportion: the leftover ranking over the |sources|-row frame.
-    "q_apportion")
+    "q_apportion",
+    // bitmap_distinct: the key-dictionary row_number over the DISTINCT
+    // key set — dimension-bounded by the operator's own contract (a key
+    // set too big to dictionary-encode is the documented KMV/HLL
+    // cutover); same idiom as the dimension surrogate key.
+    "q_bitmap_distinct")
 
   /** Sink round-trip queries EXECUTE a write inside the closure and
     * return the trivial re-read scan — calling fn here would side-effect

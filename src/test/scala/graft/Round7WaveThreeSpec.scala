@@ -72,6 +72,41 @@ class Round7WaveThreeSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("bitmapDistinctDict: exact on a sparse re-strided key domain " +
+    "that overflows the raw form") {
+    import spark.implicits._
+    // The r8 sf1 failure mode: keys shifted by 10M strides span ~90M
+    // but hold few distinct values — the raw fixed-domain form throws,
+    // the dictionary form sizes the bitmap by cardinality and stays
+    // exact.
+    val li = Tables.lineitem(spark, sf)
+      .withColumn("k_shift",
+        col("l_suppkey") + (col("l_orderkey") % 10) * 10000000L)
+    val got = graft.operators.Sketch.bitmapDistinctDict(
+      li, "l_returnflag", "k_shift")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("k_shift")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+    assertThrows[Exception] {
+      graft.operators.Sketch.bitmapDistinctByGroup(
+        li, "l_returnflag", "k_shift", 65535).collect()
+    }
+  }
+
+  test("bloom filteredJoinAuto: key-count-sized m, same rows as plain") {
+    val orders = Tables.orders(spark, sf)
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+    val plain = orders.join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    val auto = graft.operators.Bloom.filteredJoinAuto(
+      orders, "o_custkey", dim, "c_custkey")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    assert(auto.sameElements(plain) && plain.nonEmpty)
+  }
+
   test("bloom filteredJoin: bit-identical to the plain join, even with " +
     "an undersized (high-FP) filter") {
     val orders = Tables.orders(spark, sf)

@@ -16,6 +16,17 @@ Design choices that keep the probe HONEST (documented in PLANS.md):
   corpus instead of a pathological one where every doc has 9 exact
   clones (which would quadratically blow up every inverted index and
   fake a super-linear scaling verdict).
+- MEASURED r8 caveat: shuffling alone SATURATES the trigram vocabulary
+  (27k -> 29k distinct shingles on 10x docs), so shingle df grows ~10x
+  and candidate-PAIR density ~100-140x -- an adversarial boilerplate-
+  heavy substrate, useful as a hot-key stress point but unlike a
+  natural corpus, where n-gram vocabulary grows near-linearly (phrases
+  are mostly novel). `--salt` additionally replaces every 7th word of
+  copies > 0 with a copy-tagged variant: ~86% of unigram mass is
+  preserved while most trigram windows become copy-unique, restoring
+  the natural df regime. The r8 probe records BOTH substrates
+  (PLANS.md): caps/prefix behavior under saturation, exponents under
+  salt.
 - Embeddings are per-copy cyclically ROLLED (preserves norm and value
   distribution, decorrelates cosine) for the same reason.
 """
@@ -28,7 +39,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+SALT = "--salt" in sys.argv
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+DST = _pos[0] if _pos else "/root/repo/testdata_sf1"
 COPIES = 10
 K = 10_000_000          # key stride for dimension-ish keys
 KB = 100_000_000        # key stride for fact keys (orderkey, event_id)
@@ -63,6 +76,9 @@ def shifted_copy(table, name, i):
         for doc_id, text in zip(ids, texts):
             words = text.split(" ")
             random.Random(i * 1_000_003 + doc_id).shuffle(words)
+            if SALT:
+                words = [w if j % 7 else f"{w}x{i}"
+                         for j, w in enumerate(words)]
             out.append(" ".join(words))
         t = t.set_column(t.schema.get_field_index("text"), "text",
                          pa.array(out, type=pa.string()))
