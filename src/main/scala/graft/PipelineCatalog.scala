@@ -220,9 +220,15 @@ object PipelineCatalog {
         Dedup.withExactDuplicates(Tables.documents(s, d)))),
 
     // Exact n-gram Jaccard near-dup pairs (shingle inverted index).
+    // maxDocFreq=50 (r8): a strict no-op at oracle scales (max
+    // word-trigram df measured 7 at sf0.01, 26 at sf0.1) that bounds
+    // the Σ df² pair stream on boilerplate-saturated corpora — the
+    // sf1 probe's saturated substrate ran this entry UNCAPPED at
+    // 27.8-203 s (cache-state-dependent) vs ~10 s capped.
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.exactJaccardPairs(
-        Dedup.withNearDuplicates(Tables.documents(s, d)))),
+        Dedup.withNearDuplicates(Tables.documents(s, d)),
+        maxDocFreq = Some(50))),
 
     // MinHash-LSH near-dup pairs (banded buckets + exact verify) — same
     // contract, same oracle as q_dedup_jaccard.
@@ -238,10 +244,15 @@ object PipelineCatalog {
 
     // Prefix-filtered pairs (PPJoin prefix principle) — fourth candidate
     // generator under the same oracle: only each doc's rarest
-    // |d|−⌈t·|d|⌉+1 shingles feed the candidate join, recall exactly 1.
+    // |d|−⌈t·|d|⌉+1 shingles feed the candidate join. maxDocFreq=50
+    // (r8, matching the exact-index entry): on a vocabulary-saturated
+    // corpus even the rarest prefix shingles go hot and candidates grew
+    // 142× on 10× docs in the sf1 probe — the cap bounds that, a no-op
+    // at oracle scales.
     "q_dedup_prefix" -> ((s, d) =>
       Dedup.prefixFilteredPairs(
-        Dedup.withNearDuplicates(Tables.documents(s, d)))),
+        Dedup.withNearDuplicates(Tables.documents(s, d)),
+        maxDocFreq = Some(50))),
 
     // Per-doc n-gram novelty: fraction of a doc's shingles occurring in
     // no other doc — the inverse-boilerplate / memorization signal.

@@ -341,20 +341,42 @@ object Dedup {
     * what dominates on real corpora with boilerplate-hot shingles.
     * Both paths stay under one oracle so the cheap one anchors the
     * scalable one.
+    *
+    * `maxDocFreq` (r8): the same hot-shingle cap as
+    * [[exactJaccardPairs]] / [[containmentPairs]], and for the same
+    * measured reason — the r8 sf1 probe's vocabulary-SATURATED
+    * substrate (every doc shares n-grams with thousands) grew prefix
+    * candidate pairs 142× on 10× docs, and prefix ordering alone
+    * cannot save a corpus whose RAREST shingles are still hot. When
+    * set, the prefix rank runs over the capped postings (capped sizes
+    * for p — the prefix guarantee transfers to the capped projection
+    * of each set) while the size-band prune, exact verification, and
+    * Jaccard sizes all stay on the UNCAPPED index, so reported pairs
+    * are exact; the documented recall trade is pairs discoverable ONLY
+    * through boilerplate-hot shingles — exactly [[exactJaccardPairs]]'
+    * contract, which shares this oracle.
     */
   def prefixFilteredPairs(corpus: DataFrame, num: Int = 7,
-                          den: Int = 10): DataFrame = {
+                          den: Int = 10,
+                          maxDocFreq: Option[Int] = None): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val sh = shingleIndex(corpus).cache()
-    val sz = sizes(sh)
+    val shAll = shingleIndex(corpus).cache()
+    val sh = (maxDocFreq.fold(shAll) { m =>
+      val rare = shAll.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= m)
+        .select(col("shingle"))
+      shAll.join(rare, Seq("shingle"))
+    }).cache()
+    val sz = sizes(shAll)
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val szc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szc"))
     val pref = sh.join(dfreq, Seq("shingle"))
       .withColumn("r", row_number().over(
         W.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
-      .join(sz, Seq("doc_id"))
-      // p = sz − ⌈sz·num/den⌉ + 1; integer ceil as (sz·num + den−1) div den
+      .join(szc, Seq("doc_id"))
+      // p = szc − ⌈szc·num/den⌉ + 1; integer ceil as (szc·num + den−1) div den
       .filter(col("r") <=
-        col("sz") - floor((col("sz") * num + (den - 1)) / den) + 1)
+        col("szc") - floor((col("szc") * num + (den - 1)) / den) + 1)
       .select(col("shingle"), col("doc_id"))
     val cand = pref.as("pa")
       .join(pref.as("pb"),
@@ -370,13 +392,13 @@ object Dedup {
         greatest(col("sz_a"), col("sz_b")) * num)
       .select(col("doc_a"), col("doc_b"))
     val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
+      .join(shAll.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shAll.as("sb"),
         col("doc_b") === col("sb.doc_id") &&
           col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("intersect_n"))
-    jaccardSelect(inter, sh, num, den)
+    jaccardSelect(inter, shAll, num, den)
   }
 
   /** Per-document n-gram NOVELTY: the fraction of a doc's shingles that

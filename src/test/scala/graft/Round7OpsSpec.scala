@@ -22,6 +22,39 @@ class Round7OpsSpec extends SparkSpec {
     assert(prefix == exact,
       s"prefix filter changed the pair set: ${prefix.size} vs ${exact.size}")
     assert(exact.nonEmpty)
+    // The catalog's maxDocFreq=50 cap is a measured no-op at every
+    // oracle scale (max word-trigram df: 7 at sf0.01, 26 at sf0.1) —
+    // pair-identical here too, so the uncapped oracle stays exact.
+    val capped = pairs(Dedup.prefixFilteredPairs(corpus,
+      maxDocFreq = Some(50)))
+    assert(capped == exact,
+      s"df<=50 cap changed pairs at test scale: ${capped.size} vs ${exact.size}")
+  }
+
+  test("prefix-filter hot-shingle cap: exact values, recall loss only " +
+    "for pairs sharing nothing rarer than the cap") {
+    import spark.implicits._
+    // 12 clones of one boilerplate text (every shingle df=12) + 2
+    // near-dup docs with unique vocabulary (df<=2). With cap=10 the
+    // clone pairs are only discoverable through hot shingles and drop
+    // out; the rare pair survives with bit-identical counts.
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val rareA = "red orange yellow green blue indigo violet ultraviolet"
+    val rareB = "orange yellow green blue indigo violet ultraviolet"
+    val corpus = ((1L to 12L).map(i => (i, boiler)) ++
+      Seq((100L, rareA), (101L, rareB))).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val uncapped = pairs(Dedup.prefixFilteredPairs(corpus))
+    val capped = pairs(Dedup.prefixFilteredPairs(corpus,
+      maxDocFreq = Some(10)))
+    assert(capped.subsetOf(uncapped), "cap invented pairs")
+    val rarePair = uncapped.filter(p => p._1 == 100L && p._2 == 101L)
+    assert(rarePair.size == 1 && capped == rarePair,
+      s"cap should keep exactly the rare-vocabulary pair: $capped")
+    assert(uncapped.exists(p => p._1 < 100L),
+      "test premise: uncapped must see the boilerplate clone pairs")
   }
 
   test("matryoshka rerank: exact final scores, recall >= prefix-only search") {
