@@ -160,11 +160,20 @@ object Dedup {
     // The index feeds pairing AND sizes — cache it or every consumer
     // re-runs scan+explode+distinct (plan-audit finding, PLANS.md).
     val shAll = shingleIndex(corpus).cache()
+    // The cap is an ANTI join against the HOT set (df > m), not an
+    // inner join against the rare set (r8): hot is tiny (empty below
+    // saturation), so it broadcasts, and the explicit broadcast lets
+    // ReuseExchange serve BOTH self-join sides from one df aggregate —
+    // caching the capped postings instead gets the cache population
+    // RACED by the two sides inside one job (the PLANS.md
+    // probe-batching lesson; measured 17.4→25.9 s on q_dedup_pipeline
+    // at sf0.1), and an uncached inner-join form re-runs the aggregate
+    // per side (+5.4 s).
     val sh = maxDocFreq.fold(shAll) { m =>
-      val rare = shAll.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df")).filter(col("df") <= m)
+      val hot = shAll.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > m)
         .select(col("shingle"))
-      shAll.join(rare, Seq("shingle"))
+      shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -504,7 +513,13 @@ object Dedup {
       .select(col("doc_id"), col("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nRaw = c.count()
-    val reps = clusterRepresentatives(kept, exactJaccardPairs(kept))
+    // Same maxDocFreq=50 hot-shingle cap as the standalone catalog
+    // entries (r8): a no-op at oracle scales, bounds the Σ df² pair
+    // stream when the post-exact-dedup corpus is still boilerplate-
+    // saturated — the audit's near-dup stage is this pipeline's only
+    // unbanded pair generator.
+    val reps = clusterRepresentatives(kept,
+      exactJaccardPairs(kept, maxDocFreq = Some(50)))
     val nExact = kept.count()
     val nNear = reps.filter(col("is_rep")).count()
     kept.unpersist()
