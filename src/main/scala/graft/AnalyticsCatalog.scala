@@ -260,6 +260,15 @@ object AnalyticsCatalog {
       Analytics.joinDegreeProfile(Tables.lineitem(s, d), "l_partkey",
         Tables.part(s, d), "p_partkey")),
 
+    // AMS F₂ self-join size of lineitem on partkey from count-min
+    // state: the planner statistic q_join_degree reads exactly, here
+    // answered from 3×256 mergeable counters (what survives when the
+    // per-key count table is itself too big to keep) — exact F₂ rides
+    // along so the differential gates the one-sided estimator.
+    "q_selfjoin_size" -> ((s, d) =>
+      graft.operators.Sketch.cmsSelfJoinSize(
+        Tables.lineitem(s, d), "l_partkey")),
+
     // Rolling z-score anomaly on daily event volume per type: trailing
     // 7-day mean/std from exact window sums, |z| > 2 flag.
     "q_rolling_anomaly" -> ((s, d) =>
@@ -272,6 +281,20 @@ object AnalyticsCatalog {
       graft.operators.Graph.triangles(
         graft.operators.Itemsets.pairEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
+
+    // 3-core of the same co-order part graph by 12-round peeling
+    // (converges in 10 at oracle scales — Round8OpsSpec): the
+    // graph-cleaning cut that drops the sparse fringe before the
+    // expensive passes. Per round one degree aggregate + two
+    // left-semi joins, localCheckpoint lineage truncation.
+    "q_kcore" -> ((s, d) => {
+      val p = graft.operators.Itemsets.pairEdges(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+      graft.operators.Graph.kCore(
+        p.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(p.select(col("b").as("src"), col("a").as("dst"))),
+        3)
+    }),
 
     // Welch's t between two customer segments on account balance —
     // one conditional-aggregate pass, closed form in doubles.
@@ -862,6 +885,34 @@ object AnalyticsCatalog {
         |FROM j CROSS JOIN tot
         |ORDER BY contrib DESC, key LIMIT 10""".stripMargin,
 
+    // F₂ twin: the same md5-salted (key, row) bucketing as the CMS
+    // oracles, squared-cell inner product min'd over rows, exact F₂
+    // from the same per-key count frame.
+    "q_selfjoin_size" ->
+      """WITH cnt AS (
+        |  SELECT l_partkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |rb AS (
+        |  SELECT k, n, r,
+        |    ('0x' || substr(md5(k::VARCHAR || ':cms:' || r), 1, 15))::BIGINT
+        |      % 256 AS b
+        |  FROM cnt CROSS JOIN range(3) t(r)),
+        |cells AS (
+        |  SELECT r, b, CAST(SUM(n) AS BIGINT) AS cell
+        |  FROM rb GROUP BY 1, 2),
+        |est AS (
+        |  SELECT MIN(ip) AS cms_f2_est FROM (
+        |    SELECT r, CAST(SUM(cell * cell) AS BIGINT) AS ip
+        |    FROM cells GROUP BY 1)),
+        |exact AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    COUNT(*) AS n_distinct,
+        |    CAST(SUM(n * n) AS BIGINT) AS exact_f2
+        |  FROM cnt)
+        |SELECT n_rows, n_distinct, exact_f2, cms_f2_est,
+        |  round(CAST(cms_f2_est - exact_f2 AS DOUBLE)
+        |    / CAST(exact_f2 AS DOUBLE), 6) AS rel_err
+        |FROM exact CROSS JOIN est""".stripMargin,
+
     // Rolling-anomaly twin: same trailing range frame, same one-pass
     // variance with the 0-clamp, same parenthesization.
     "q_rolling_anomaly" ->
@@ -916,6 +967,35 @@ object AnalyticsCatalog {
         |  FROM p e1 JOIN p e2 ON e1.b = e2.a
         |    JOIN p e3 ON e1.a = e3.a AND e2.b = e3.b)
         |SELECT a, b, c FROM t ORDER BY a, b, c LIMIT 100""".stripMargin,
+
+    // K-core twin: the triangles pair CTEs symmetrized, then the same
+    // 12 peel rounds unrolled (MATERIALIZED — DuckDB inlines CTEs, and
+    // each round references the previous twice; without it the chain
+    // re-evaluates exponentially).
+    "q_kcore" -> {
+      val peel = (0 until 12).map(i =>
+        s"""k$i AS MATERIALIZED (
+           |  SELECT src FROM e$i GROUP BY 1 HAVING COUNT(*) >= 3),
+           |e${i + 1} AS MATERIALIZED (
+           |  SELECT src, dst FROM e$i
+           |  WHERE src IN (SELECT src FROM k$i)
+           |    AND dst IN (SELECT src FROM k$i))""".stripMargin)
+        .mkString(",\n")
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |  FROM lineitem),
+         |freq AS (SELECT it FROM items GROUP BY it HAVING COUNT(*) >= 2),
+         |fi AS (SELECT items.bk, items.it FROM items JOIN freq USING (it)),
+         |p AS (
+         |  SELECT a.it AS a, b.it AS b FROM fi a JOIN fi b
+         |  ON a.bk = b.bk AND a.it < b.it
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e0 AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM p
+         |  UNION ALL SELECT b AS src, a AS dst FROM p),
+         |$peel
+         |SELECT src AS node, COUNT(*) AS degree FROM e12 GROUP BY 1""".stripMargin
+    },
 
     // Welch twin: same conditional sums and the same closed form.
     "q_ab_test" ->

@@ -90,7 +90,9 @@ object Bench {
     // label propagation (vs the benched cc-star sibling), window
     // frames, regex redaction, set ops, deterministic split.
     "q_resample_ffill", "q_dedup_clusters", "q_running_totals",
-    "q_redact", "q_set_ops", "q_sample_split")
+    "q_redact", "q_set_ops", "q_sample_split",
+    // r8 second wave, benched at birth.
+    "q_zone_stats", "q_zone_prune", "q_selfjoin_size", "q_kcore")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -134,7 +134,7 @@ object ScaleCatalog {
     * (shift, mask) table Layout.spread hard-codes — a transcription
     * error in either engine breaks the differential on every row.
     */
-  private val zorderSql = {
+  private val zorderCtes = {
     val steps = Seq((16, 281470681808895L), (8, 71777214294589695L),
       (4, 1085102592571150095L), (2, 3689348814741910323L),
       (1, 6148914691236517205L))
@@ -145,15 +145,30 @@ object ScaleCatalog {
          |    (b$i | (b$i << $sh)) & $m AS b${i + 1}
          |  FROM s$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH s0 AS (
+    s"""s0 AS (
        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
        |    l_partkey & 4294967295 AS a0, l_suppkey & 4294967295 AS b0
        |  FROM lineitem),
-       |$ctes
+       |$ctes""".stripMargin
+  }
+
+  private val zorderSql =
+    s"""WITH $zorderCtes
        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
        |  a5 | (b5 << 1) AS zval
        |FROM s5""".stripMargin
-  }
+
+  /** Zone-id twin of Layout.zoned over an arbitrary key expression:
+    * the same broadcast-MAX-derived top-bits shift, `//` integer
+    * division against `1::BIGINT << shift`.
+    */
+  private def zonedSql(srcCte: String, keyExpr: String, topBits: Int) =
+    s"""zk AS (SELECT *, $keyExpr AS zm_key FROM $srcCte),
+       |zmx AS (SELECT MAX(zm_key) AS zm_max FROM zk),
+       |zb AS (
+       |  SELECT zk.*, zm_key // (1::BIGINT <<
+       |    GREATEST(0, length(bin(zm_max)) - $topBits)) AS bucket
+       |  FROM zk CROSS JOIN zmx)""".stripMargin
 
   /** SQ8 CTE chain shared by the single- and two-stage quantized-knn
     * oracles: codebook (per-dim min/max), dequantized corpus, quantized
@@ -333,6 +348,41 @@ object ScaleCatalog {
         col("l_partkey"), col("l_suppkey"),
         graft.operators.Layout.zorder2(col("l_partkey"), col("l_suppkey"))
           .as("zval"))),
+
+    // Zone map over the z-ordered layout: per-zone row count +
+    // (partkey, suppkey) min/max — the writer-side skipping index
+    // behind parquet row-group / Delta file pruning. Zones are the top
+    // 8 bits of the observed zval range (broadcast-MAX shift), so the
+    // stats table stays ~2^8 rows at any scale.
+    "q_zone_stats" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(
+        col("l_partkey"), col("l_suppkey"),
+        graft.operators.Layout.zorder2(col("l_partkey"), col("l_suppkey"))
+          .as("zval"))
+      graft.operators.Layout.zoneMap(l, col("zval"),
+        Seq("l_partkey", "l_suppkey"))
+        .select(col("bucket"), col("n_rows"),
+          col("min_l_partkey"), col("max_l_partkey"),
+          col("min_l_suppkey"), col("max_l_suppkey"))
+    }),
+
+    // Data-skipping effectiveness, natural vs z-order layout, for a
+    // 2-d box predicate: zones whose min/max boxes can't intersect the
+    // box are pruned; rows_matched (from data) proves pruning is
+    // output-transparent. The natural (orderkey) layout scatters both
+    // predicate columns across every zone — the z-curve is what makes
+    // rows_scanned collapse, the number that justifies an OPTIMIZE
+    // ZORDER rewrite before paying for one.
+    "q_zone_prune" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val z = l.withColumn("zval",
+        graft.operators.Layout.zorder2(col("l_partkey"), col("l_suppkey")))
+      graft.operators.Layout.zonePruneSummary(l, "natural",
+          col("l_orderkey"), "l_partkey", 500, 599, "l_suppkey", 40, 59)
+        .unionByName(graft.operators.Layout.zonePruneSummary(z, "zorder",
+          col("zval"), "l_partkey", 500, 599, "l_suppkey", 40, 59))
+    }),
 
     // Incremental aggregate maintenance: per-customer (sum, count)
     // partial state over the pre-1997 history merged with the 1997+
@@ -1158,6 +1208,57 @@ object ScaleCatalog {
     // Layout.spread, one CTE per step — 64-bit two's-complement &/|/<<
     // agree between the engines for these (never-overflowing) shifts.
     "q_zorder" -> zorderSql,
+
+    // Zone-map twin: the zorder CTE chain feeding the shared zone-id
+    // arithmetic (broadcast MAX → top-8-bits shift → `//` divide),
+    // then the per-zone min/max aggregate.
+    "q_zone_stats" ->
+      s"""WITH $zorderCtes,
+         |zsrc AS (
+         |  SELECT l_partkey, l_suppkey, a5 | (b5 << 1) AS zval FROM s5),
+         |${zonedSql("zsrc", "zval", 8)}
+         |SELECT bucket, COUNT(*) AS n_rows,
+         |  MIN(l_partkey) AS min_l_partkey, MAX(l_partkey) AS max_l_partkey,
+         |  MIN(l_suppkey) AS min_l_suppkey, MAX(l_suppkey) AS max_l_suppkey
+         |FROM zb GROUP BY 1""".stripMargin,
+
+    // Skipping twin: one zone-map + box-overlap prune per layout
+    // (macro-expanded), exact match count riding along via CROSS JOIN
+    // of 1-row frames.
+    "q_zone_prune" -> {
+      def leg(name: String, srcCte: String, key: String) =
+        s"""SELECT '$name' AS layout, n_buckets, n_candidates,
+           |  rows_total, rows_scanned, rows_matched
+           |FROM (
+           |  WITH ${zonedSql(srcCte, key, 8)},
+           |  zm AS (
+           |    SELECT bucket, COUNT(*) AS n_rows,
+           |      MIN(l_partkey) AS min_a, MAX(l_partkey) AS max_a,
+           |      MIN(l_suppkey) AS min_b, MAX(l_suppkey) AS max_b
+           |    FROM zb GROUP BY 1),
+           |  s AS (
+           |    SELECT COUNT(*) AS n_buckets,
+           |      CAST(SUM(CASE WHEN NOT (max_a < 500 OR min_a > 599
+           |        OR max_b < 40 OR min_b > 59) THEN 1 ELSE 0 END)
+           |        AS BIGINT) AS n_candidates,
+           |      CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           |      CAST(SUM(CASE WHEN NOT (max_a < 500 OR min_a > 599
+           |        OR max_b < 40 OR min_b > 59) THEN n_rows ELSE 0 END)
+           |        AS BIGINT) AS rows_scanned
+           |    FROM zm),
+           |  m AS (
+           |    SELECT COUNT(*) AS rows_matched FROM $srcCte
+           |    WHERE l_partkey BETWEEN 500 AND 599
+           |      AND l_suppkey BETWEEN 40 AND 59)
+           |  SELECT * FROM s CROSS JOIN m)""".stripMargin
+      s"""WITH $zorderCtes,
+         |zsrc AS (
+         |  SELECT l_orderkey, l_partkey, l_suppkey, a5 | (b5 << 1) AS zval
+         |  FROM s5)
+         |${leg("natural", "zsrc", "l_orderkey")}
+         |UNION ALL
+         |${leg("zorder", "zsrc", "zval")}""".stripMargin
+    },
 
     // Incremental-merge twin: the decimal monoid makes merged partial
     // state bit-identical to the direct one-shot aggregate.

@@ -76,4 +76,79 @@ object Layout {
       floor(coalesce(sum(col(sizeCol)).over(w), lit(0L))
         / lit(targetBytes)).cast("int"))
   }
+
+  /** Append a scale-adaptive zone id: rows are zoned by the TOP
+    * `topBits` bits of `layoutKey`'s observed value range (zone =
+    * key >> (bitlen(max_key) − topBits)), emulating the row-group /
+    * file boundaries a `repartitionByRange(layoutKey)` write would
+    * produce. The shift derives from a 1-row broadcast MAX — zone
+    * count stays ≈ 2^topBits at ANY data scale, with no global sort
+    * and no row_number (the bucket is a pure value function, so two
+    * engines agree bit-for-bit). All-integer arithmetic: the divisor
+    * is `shiftleft(1L, shift)`, never a double `pow`.
+    */
+  private def zoned(df: DataFrame, layoutKey: Column,
+                    topBits: Int): DataFrame = {
+    val keyed = df.withColumn("zm_key", layoutKey.cast("long"))
+    val mx = keyed.agg(max(col("zm_key")).as("zm_max"))
+    keyed.crossJoin(broadcast(mx)).withColumn("bucket",
+      expr(s"zm_key div shiftleft(CAST(1 AS BIGINT), " +
+        s"greatest(0, length(bin(zm_max)) - $topBits))"))
+  }
+
+  /** ZONE MAP (min/max statistics index) over a layout key — the
+    * writer-side stats table behind parquet row-group / Delta file
+    * skipping: one row per zone with row count and per-column min/max.
+    * A reader prunes a zone when its [min, max] box cannot intersect
+    * the predicate — which only WORKS if the layout key clusters the
+    * stat columns (the point of [[zorder2]]).
+    *
+    * Scale shape: one keyed aggregate over the scan; the output is
+    * zone-count-sized (≈ 2^topBits rows) — metadata, not data. At
+    * 100 TB this frame IS the skipping index a planner broadcasts.
+    */
+  def zoneMap(df: DataFrame, layoutKey: Column, statCols: Seq[String],
+              topBits: Int = 8): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    zoned(df, layoutKey, topBits)
+      .groupBy(col("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Data-skipping EFFECTIVENESS summary for a 2-d box predicate
+    * (`aLo ≤ a ≤ aHi AND bLo ≤ b ≤ bHi`) under a given layout: builds
+    * the [[zoneMap]], keeps the zones whose min/max boxes intersect
+    * the predicate box, and reports one row —
+    * (layout, n_buckets, n_candidates, rows_total, rows_scanned,
+    * rows_matched). `rows_scanned` is what a pruning reader pays;
+    * `rows_matched` (computed from the data, not the stats) proves
+    * skipped zones held no matches — pruning is output-transparent by
+    * construction, and the differential gates exactly that.
+    *
+    * Run once with the natural layout key and once with [[zorder2]] to
+    * measure the z-curve's pruning win — the number that justifies an
+    * OPTIMIZE ZORDER rewrite before paying for one.
+    */
+  def zonePruneSummary(df: DataFrame, layoutName: String,
+                       layoutKey: Column,
+                       a: String, aLo: Long, aHi: Long,
+                       b: String, bLo: Long, bHi: Long,
+                       topBits: Int = 8): DataFrame = {
+    val zm = zoneMap(df, layoutKey, Seq(a, b), topBits)
+    val cand = !(col(s"max_$a") < aLo || col(s"min_$a") > aHi ||
+      col(s"max_$b") < bLo || col(s"min_$b") > bHi)
+    val summary = zm.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(when(cand, 1L).otherwise(0L)).as("n_candidates"),
+      sum(col("n_rows")).as("rows_total"),
+      sum(when(cand, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+    val matched = df
+      .filter(col(a).between(aLo, aHi) && col(b).between(bLo, bHi))
+      .agg(count(lit(1)).as("rows_matched"))
+    summary.crossJoin(broadcast(matched))
+      .select(lit(layoutName).as("layout"), col("n_buckets"),
+        col("n_candidates"), col("rows_total"), col("rows_scanned"),
+        col("rows_matched"))
+  }
 }

@@ -157,6 +157,50 @@ object Sketch {
         col("cms_est"))
   }
 
+  /** SELF-JOIN SIZE estimation from count-min state (Alon-Matias-
+    * Szegedy F₂ via the CMS inner product, Cormode & Muthukrishnan
+    * §4.2): exact F₂ = Σₖ cnt(k)² is what a join planner needs to
+    * price a self-equi-join (and its skew) on `keyCol`; the sketch
+    * answers it from depth×width counters — min over rows r of
+    * Σ_b cell[r][b]² — a one-sided OVER-estimate, like every CMS
+    * read. At 100 TB the per-key count table this query's exact leg
+    * builds is itself a giant frame; the sketch is mergeable
+    * fixed-size state a planner can keep per partition/day and sum,
+    * which is the whole point — the exact leg rides along here so the
+    * differential gates the estimator against truth at test scale.
+    *
+    * Same md5-salted bucket arithmetic as [[cmsHeavyHitters]] (the
+    * oracle replicates every cell). Scale shape: ONE keyed aggregate
+    * over the scan builds per-key counts; everything after is
+    * depth·width-sized. Output one row:
+    * (n_rows, n_distinct, exact_f2, cms_f2_est, rel_err).
+    */
+  def cmsSelfJoinSize(df: DataFrame, keyCol: String, depth: Int = 3,
+                      width: Int = 256): DataFrame = {
+    val counts = df.select(col(keyCol).cast("long").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .cache()
+    def rb(r: Int) = struct(lit(r).as("r"),
+      pmod(TextOps.fingerprint64(
+          concat(col("k").cast("string"), lit(s":cms:$r"))),
+        lit(width.toLong)).as("b"))
+    val cells = counts
+      .select(col("n"), explode(array((0 until depth).map(rb): _*)).as("rb"))
+      .select(col("n"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy(col("r"), col("b")).agg(sum(col("n")).as("cell"))
+    val est = cells
+      .groupBy(col("r")).agg(sum(col("cell") * col("cell")).as("ip"))
+      .agg(min(col("ip")).as("cms_f2_est"))
+    val exact = counts.agg(
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("n") * col("n")).as("exact_f2"))
+    exact.crossJoin(broadcast(est))
+      .withColumn("rel_err",
+        round((col("cms_f2_est") - col("exact_f2")).cast("double") /
+          col("exact_f2").cast("double"), 6))
+  }
+
   /** HyperLogLog distinct estimate (Flajolet et al. '07), m = 64
     * registers — the industry-standard cardinality sketch, here in its
     * deterministic md5-derived form so the full register state and the

@@ -86,7 +86,14 @@ class PlanAuditSpec extends SparkSpec {
     // ivf_incremental: Quantizer.assign's broadcast k=8 centroid frame.
     "q_ivf_incremental",
     // price_deciles: the 1-row broadcast 9-element boundary array.
-    "q_price_deciles")
+    "q_price_deciles",
+    // zone_stats / zone_prune: the 1-row broadcast MAX(key) frame that
+    // derives the scale-adaptive zone shift (and, for prune, the 1-row
+    // exact-match count riding along the 2-row summary).
+    "q_zone_stats", "q_zone_prune",
+    // selfjoin_size: the 1-row broadcast CMS-estimate frame beside the
+    // 1-row exact-F2 frame.
+    "q_selfjoin_size")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Itemsets, Layout, Sketch}
+import graft.queries.Tables
+
+/** Round-8 second-wave invariants: zone-map partition/bounding and
+  * pruning transparency, CMS F₂ one-sidedness, k-core convergence and
+  * minimum-degree contract.
+  */
+class Round8OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def zonedLineitem = Tables.lineitem(spark, sf).select(
+    col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+    Layout.zorder2(col("l_partkey"), col("l_suppkey")).as("zval"))
+
+  test("zoneMap: zones partition the rows and min/max actually bound") {
+    val l = zonedLineitem
+    val total = l.count()
+    val zm = Layout.zoneMap(l, col("zval"), Seq("l_partkey", "l_suppkey"))
+      .collect()
+    assert(zm.map(_.getLong(1)).sum == total)
+    assert(zm.forall(r => r.getLong(2) <= r.getLong(3) &&
+      r.getLong(4) <= r.getLong(5)))
+    // rows really fall in their zone's box: re-derive each row's zone
+    // and check it against the map's bounds for its partkey.
+    val byZone = zm.map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val mx = l.agg(max(col("zval"))).collect()(0).getLong(0)
+    val shift = math.max(0, (64 - java.lang.Long.numberOfLeadingZeros(mx)) - 8)
+    l.select(col("zval"), col("l_partkey")).collect().foreach { r =>
+      val (lo, hi) = byZone(r.getLong(0) >> shift)
+      assert(r.getLong(1) >= lo && r.getLong(1) <= hi)
+    }
+  }
+
+  test("zonePruneSummary: pruning is output-transparent and zorder " +
+    "scans no more than natural for a 2-d box") {
+    val l = zonedLineitem
+    val nat = Layout.zonePruneSummary(l, "natural", col("l_orderkey"),
+      "l_partkey", 500, 599, "l_suppkey", 4, 5).collect()(0)
+    val zo = Layout.zonePruneSummary(l, "zorder", col("zval"),
+      "l_partkey", 500, 599, "l_suppkey", 4, 5).collect()(0)
+    // same exact matches regardless of layout; scanned always covers them
+    assert(nat.getLong(5) == zo.getLong(5))
+    assert(nat.getLong(4) >= nat.getLong(5) && zo.getLong(4) >= zo.getLong(5))
+    // candidates never exceed zones; totals equal the table
+    assert(nat.getLong(2) <= nat.getLong(1) && zo.getLong(2) <= zo.getLong(1))
+    assert(nat.getLong(3) == zo.getLong(3))
+    // the z-curve is the layout that prunes for a 2-d predicate
+    assert(zo.getLong(4) <= nat.getLong(4))
+  }
+
+  test("cmsSelfJoinSize: estimate is one-sided above exact F2 and the " +
+    "exact leg matches a direct computation") {
+    val r = Sketch.cmsSelfJoinSize(Tables.lineitem(spark, sf), "l_partkey")
+      .collect()(0)
+    val (nRows, nDistinct, exact, est) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nRows == Tables.lineitem(spark, sf).count())
+    val direct = Tables.lineitem(spark, sf).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n")).agg(sum(col("n") * col("n")))
+      .collect()(0).getLong(0)
+    assert(exact == direct)
+    assert(est >= exact, s"CMS F2 $est below exact $exact")
+    assert(nDistinct <= nRows)
+  }
+
+  test("kCore: every surviving node has degree >= k and the peel has " +
+    "converged (one extra round is a no-op)") {
+    val p = Itemsets.pairEdges(Tables.lineitem(spark, sf),
+      "l_orderkey", "l_partkey")
+    val e = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+    val core = Graph.kCore(e, 3).collect()
+    assert(core.forall(_.getLong(1) >= 3))
+    val more = Graph.kCore(e, 3, rounds = 13).collect()
+    assert(core.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      more.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  test("kCore: a planted clique survives peeling that removes a chain") {
+    import spark.implicits._
+    // 4-clique (1..4) plus a pendant chain 5-6-7: k=3 keeps exactly
+    // the clique, every clique node at degree 3.
+    val cl = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val chain = Seq((4L, 5L), (5L, 4L), (5L, 6L), (6L, 5L),
+      (6L, 7L), (7L, 6L))
+    val e = (cl ++ chain).toDF("src", "dst")
+    val got = Graph.kCore(e, 3, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+}
