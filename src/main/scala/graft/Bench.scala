@@ -92,7 +92,8 @@ object Bench {
     "q_resample_ffill", "q_dedup_clusters", "q_running_totals",
     "q_redact", "q_set_ops", "q_sample_split",
     // r8 second wave, benched at birth.
-    "q_zone_stats", "q_zone_prune", "q_selfjoin_size", "q_kcore")
+    "q_zone_stats", "q_zone_prune", "q_selfjoin_size", "q_kcore",
+    "q_bpe_merges", "q_bpe_segment")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -16,6 +16,39 @@ object PipelineCatalog {
 
   // ------------------------------------------------------------ SQL twins
 
+  /** BPE trainer chain: word-frequency base, then 8 unrolled merge
+    * rounds — p_i (weighted adjacent-pair counts), b_i (the 1-row
+    * argmax winner), w_i (the vocabulary re-segmented by the
+    * leftmost-greedy fold, a list_reduce over a '|'-delimited
+    * accumulator so a merged symbol rejoins the stream immediately).
+    */
+  private val bpeCtes = {
+    def round(i: Int) =
+      s"""p$i AS MATERIALIZED (
+         |  SELECT l, r, CAST(SUM(n) AS BIGINT) AS pair_n FROM (
+         |    SELECT n, syms[i] AS l, syms[i + 1] AS r FROM (
+         |      SELECT n, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+         |      FROM w${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (
+         |  SELECT $i AS round, l, r, pair_n FROM p$i
+         |  ORDER BY pair_n DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w, n, string_split(list_reduce(syms, (acc, x) ->
+         |    CASE WHEN x = b.r AND (acc = b.l OR ends_with(acc, '|' || b.l))
+         |      THEN CASE WHEN acc = b.l THEN b.l || b.r
+         |        ELSE left(acc, length(acc) - length(b.l)) || b.l || b.r END
+         |      ELSE acc || '|' || x END), '|') AS syms
+         |  FROM w${i - 1} CROSS JOIN b$i b)""".stripMargin
+    s"""tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wc AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS n FROM tok WHERE w <> '' GROUP BY 1),
+       |w0 AS MATERIALIZED (
+       |  SELECT w, n, list_filter(string_split(w, ''), x -> x <> '') AS syms
+       |  FROM wc),
+       |${(1 to 8).map(round).mkString(",\n")}""".stripMargin
+  }
+
   /** Corpus with injected NEAR-duplicates (Dedup.withNearDuplicates). */
   private val corpusNearSql =
     """corpus AS (
@@ -383,6 +416,24 @@ object PipelineCatalog {
         explode(TextOps.tokens(col("text"))).as("tok"))
       tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"),
         countDistinct(col("doc_id")).as("df"))
+    }),
+
+    // BPE tokenizer training: 8 greedy pair merges over the corpus's
+    // character sequences — corpus touched once (word-frequency agg),
+    // every round runs on the weighted vocabulary; the 1-row argmax
+    // winner broadcasts onto the merge fold. Every round is inside
+    // the differential.
+    "q_bpe_merges" -> ((s, d) =>
+      graft.operators.Bpe.trainMerges(Tables.documents(s, d))),
+
+    // BPE apply-side: segment the corpus with the just-trained merge
+    // table (collected — it is 8 rows of trained parameters, a
+    // codebook) and count the resulting subword units.
+    "q_bpe_segment" -> ((s, d) => {
+      val m = graft.operators.Bpe.trainMerges(Tables.documents(s, d))
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.applyMerges(Tables.documents(s, d), m)
     }),
 
     // Length-bucketed batching prep: docs per 32-token bucket.
@@ -1052,6 +1103,22 @@ object PipelineCatalog {
         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks)
         |SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM tok GROUP BY 1""".stripMargin,
+
+    // BPE twins: the same word-frequency base, then 8 unrolled rounds
+    // of (pair count → argmax with the (count DESC, l, r) tie-break →
+    // leftmost-greedy fold), the fold as a list_reduce over a
+    // '|'-delimited string (same semantics as Spark's array
+    // aggregate). MATERIALIZED throughout — each round reads the
+    // previous twice and DuckDB inlines CTEs.
+    "q_bpe_merges" ->
+      s"""WITH $bpeCtes
+         |${(1 to 8).map(i => s"SELECT * FROM b$i").mkString("\nUNION ALL\n")}""".stripMargin,
+
+    "q_bpe_segment" ->
+      s"""WITH $bpeCtes
+         |SELECT sym, CAST(SUM(wn) AS BIGINT) AS n FROM (
+         |  SELECT n AS wn, unnest(syms) AS sym FROM w8)
+         |GROUP BY 1""".stripMargin,
 
     "q_length_buckets" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Byte-pair-encoding TOKENIZER TRAINING (Sennrich et al. '16, the
+  * subword scheme behind every modern LM vocabulary): `rounds`
+  * greedy pair merges over the corpus's character sequences, emitting
+  * the learned merge table — the trained artifact a tokenizer ships.
+  *
+  * The distributed shape is the one that scales: the CORPUS is
+  * touched exactly once (a word-frequency aggregate); every training
+  * round then runs on the WEIGHTED VOCABULARY (|V| rows — thousands,
+  * while the corpus is billions), which is how reference BPE trainers
+  * work (count words first, merge over (word, freq) pairs). Per
+  * round: one pair-explode + keyed aggregate over |V| rows, one
+  * TakeOrderedAndProject argmax (count DESC, then (left, right)
+  * lexicographic — the deterministic tie-break both engines share),
+  * one broadcast of the 1-row winner onto the vocab for the merge
+  * fold. Each round ends in `localCheckpoint()` — the iterative-
+  * lineage discipline (Graph.pageRank) — which also materializes the
+  * 1-row winner ONCE before its two consumers (merge + output union)
+  * read it, so no frame races a cache (PLANS.md r8 self-join rule).
+  *
+  * Merge semantics are the exact leftmost-greedy fold: scanning left
+  * to right, an adjacent (l, r) merges to `lr`, and the merged symbol
+  * immediately rejoins the stream (so `x x x x` under (x, x) →
+  * `xx xx`, not `xx x x`). Both engines implement the SAME fold — a
+  * Spark `aggregate` over the symbol array, a DuckDB `list_reduce`
+  * over a delimited string — so every round of the trainer sits
+  * inside the differential, not just the final table. No end-of-word
+  * marker: merges never cross word boundaries by construction, and
+  * the testdata vocabulary carries no markers to separate.
+  */
+object Bpe {
+
+  /** (round, l, r, pair_n): the first `rounds` BPE merges learned from
+    * `docs.text`, in training order. Rounds past pair exhaustion emit
+    * nothing (the argmax frame is empty and every later round stays
+    * empty) — the merge table is simply shorter than `rounds`, in both
+    * engines.
+    */
+  def trainMerges(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val wc = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    var words = wc
+      .withColumn("syms", filter(split(col("w"), ""), x => x =!= ""))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to rounds) {
+      // sequence(1, size-1) needs size >= 2: Spark's sequence DESCENDS
+      // when start > stop, so 1-symbol words must be filtered, not
+      // sliced (DuckDB's generate_series is empty there — equivalent).
+      val pairs = words.filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("pair_n"))
+      val best = pairs
+        .orderBy(col("pair_n").desc, col("l"), col("r")).limit(1)
+        .select(lit(r).as("round"), col("l"), col("r"), col("pair_n"))
+        .localCheckpoint()
+      merges += best
+      words = words.crossJoin(broadcast(best))
+        .withColumn("syms", expr(
+          """aggregate(slice(syms, 2, size(syms) - 1),
+            |  array(element_at(syms, 1)),
+            |  (acc, s) -> CASE WHEN element_at(acc, -1) = l AND s = r
+            |    THEN concat(slice(acc, 1, size(acc) - 1),
+            |      array(concat(l, r)))
+            |    ELSE concat(acc, array(s)) END)""".stripMargin))
+        .select(col("w"), col("n"), col("syms"))
+        .localCheckpoint()
+    }
+    merges.reduce(_.unionByName(_))
+  }
+
+  /** Segment `docs.text` with a learned merge table: re-run the same
+    * leftmost-greedy fold per word for each merge IN TRAINING ORDER,
+    * then count the resulting subword units over the corpus — the
+    * apply-side of [[trainMerges]] (output: (sym, n) subword
+    * frequencies). `mergesLocal` is the collected merge table (it is
+    * `rounds` rows — driver-sized by definition, like a broadcast
+    * codebook).
+    */
+  def applyMerges(docs: DataFrame,
+                  mergesLocal: Seq[(String, String)]): DataFrame = {
+    val base = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("syms", filter(split(col("w"), ""), x => x =!= ""))
+    // One fold per merge, with a lineage cut per round: each fold
+    // references `syms` three times, so chaining them as one nested
+    // expression grows the tree 3^rounds-fold — codegen/serialization
+    // death, not a data problem (the frame is |V| rows). Same
+    // discipline as the trainer loop.
+    val folded = mergesLocal.foldLeft(base.localCheckpoint()) {
+      case (df, (l, r)) =>
+        df.withColumn("syms", expr(
+          s"""aggregate(slice(syms, 2, size(syms) - 1),
+             |  array(element_at(syms, 1)),
+             |  (acc, s) -> CASE WHEN element_at(acc, -1) = '$l' AND s = '$r'
+             |    THEN concat(slice(acc, 1, size(acc) - 1),
+             |      array(concat('$l', '$r')))
+             |    ELSE concat(acc, array(s)) END)""".stripMargin))
+          .localCheckpoint()
+    }
+    folded.select(col("n"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("n")).as("n"))
+  }
+}

@@ -81,6 +81,37 @@ class Round8OpsSpec extends SparkSpec {
       more.map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("bpe trainMerges: learns the expected table and the greedy fold " +
+    "re-merges overlapping runs (xxxx -> xx xx -> xxxx)") {
+    import spark.implicits._
+    val docs = Seq((1L, "xxxx xxxx ab")).toDF("doc_id", "text")
+    val got = graft.operators.Bpe.trainMerges(docs, rounds = 3)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "x", "x", 6L), (2, "xx", "xx", 2L),
+      (3, "a", "b", 1L)))
+  }
+
+  test("bpe trainMerges: rounds past pair exhaustion emit nothing " +
+    "instead of failing") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val got = graft.operators.Bpe.trainMerges(docs, rounds = 4).collect()
+    assert(got.map(r => (r.getString(1), r.getString(2))).toSeq ==
+      Seq(("a", "b")))
+  }
+
+  test("bpe applyMerges: segments with the learned table (odd run keeps " +
+    "its tail symbol)") {
+    import spark.implicits._
+    val docs = Seq((1L, "xxx ab xxx")).toDF("doc_id", "text")
+    val merges = Seq(("x", "x"), ("a", "b"))
+    val got = graft.operators.Bpe.applyMerges(docs, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "xxx" folds to [xx, x] under (x,x); "ab" to [ab]
+    assert(got == Map("xx" -> 2L, "x" -> 2L, "ab" -> 1L))
+  }
+
   test("kCore: a planted clique survives peeling that removes a chain") {
     import spark.implicits._
     // 4-clique (1..4) plus a pendant chain 5-6-7: k=3 keeps exactly
