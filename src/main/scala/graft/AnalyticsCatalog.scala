@@ -185,6 +185,18 @@ object AnalyticsCatalog {
       graft.operators.Graph.pageRank(graft.operators.Graph.purchaseEdges(
         Tables.orders(s, d), Tables.lineitem(s, d)))),
 
+    // Personalized PageRank seeded at nation-0 suppliers: random walk
+    // with restart over the purchase graph ranks every customer by
+    // proximity to the seed slice — the graph-side curation selector.
+    // Same fixed-point integer sums as q_pagerank; every iteration
+    // inside the differential.
+    "q_ppr" -> ((s, d) =>
+      graft.operators.Graph.personalizedPageRank(
+        graft.operators.Graph.purchaseEdges(
+          Tables.orders(s, d), Tables.lineitem(s, d)),
+        Tables.supplier(s, d).filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey") * 2L + 1L).as("node")))),
+
     // Exact distinct suppliers per returnflag via dense-bitmap
     // aggregation: the shuffle carries one |dict|/8-byte bitmap per
     // group per partition, never the (group, key) pair stream
@@ -720,6 +732,31 @@ object AnalyticsCatalog {
          |${(1 to 5).map(prIterSql).mkString(",\n")}
          |SELECT node, round(pr, 6) AS pr FROM p5""".stripMargin,
 
+    // PPR twin: the pagerank CTE scaffold with a seed-indicator node
+    // frame and seed-restricted teleport; same fixed-point iteration
+    // arithmetic, parenthesization-identical.
+    "q_ppr" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM pairs
+         |      UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |o AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |sd AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node FROM supplier
+         |       WHERE s_nationkey = 0),
+         |nodes AS (
+         |  SELECT n.node,
+         |    CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+         |  FROM (SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM e
+         |    UNION ALL SELECT dst AS node FROM e)) n
+         |  LEFT JOIN sd ON n.node = sd.node),
+         |nn AS (SELECT COUNT(*) AS ns FROM sd),
+         |p0 AS (SELECT node, CAST(is_seed AS DOUBLE) / ns AS pr
+         |       FROM nodes CROSS JOIN nn),
+         |${(1 to 5).map(pprIterSql).mkString(",\n")}
+         |SELECT node, round(pr, 6) AS pr FROM p5""".stripMargin,
+
     // The bitmap is exact, so the oracle is the plain COUNT(DISTINCT).
     "q_bitmap_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_distinct
@@ -1151,6 +1188,26 @@ object AnalyticsCatalog {
        |p$k AS (
        |  SELECT nodes.node,
        |    (1.0 - 0.85) / n
+       |      + 0.85 * (CAST(COALESCE(s, 0) AS DOUBLE) / 1e12) AS pr
+       |  FROM nodes LEFT JOIN s$k USING (node) CROSS JOIN nn)""".stripMargin
+  }
+
+  /** One PERSONALIZED PageRank iteration twin (Graph
+    * .personalizedPageRank): seed-restricted teleport, same
+    * fixed-point contribution arithmetic and left-associative
+    * recombination as [[prIterSql]].
+    */
+  private def pprIterSql(k: Int): String = {
+    val prev = s"p${k - 1}"
+    s"""c$k AS (
+       |  SELECT e.dst AS node,
+       |    CAST(round($prev.pr / o.outdeg * 1e12) AS BIGINT) AS c
+       |  FROM e JOIN o ON e.src = o.src
+       |    JOIN $prev ON e.src = $prev.node),
+       |s$k AS (SELECT node, SUM(c) AS s FROM c$k GROUP BY 1),
+       |p$k AS (
+       |  SELECT nodes.node,
+       |    (1.0 - 0.85) * CAST(is_seed AS DOUBLE) / ns
        |      + 0.85 * (CAST(COALESCE(s, 0) AS DOUBLE) / 1e12) AS pr
        |  FROM nodes LEFT JOIN s$k USING (node) CROSS JOIN nn)""".stripMargin
   }

@@ -93,7 +93,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_zone_stats", "q_zone_prune",
     // selfjoin_size: the 1-row broadcast CMS-estimate frame beside the
     // 1-row exact-F2 frame.
-    "q_selfjoin_size")
+    "q_selfjoin_size",
+    // ppr: the 1-row seed-count frame per iteration (q_pagerank family).
+    "q_ppr")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

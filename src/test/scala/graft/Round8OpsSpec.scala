@@ -112,6 +112,18 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == Map("xx" -> 2L, "x" -> 2L, "ab" -> 1L))
   }
 
+  test("personalizedPageRank: matches the hand-simulated fixed point on " +
+    "a planted chain; a component unreachable from the seeds holds " +
+    "exactly zero mass") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (5L, 6L), (6L, 5L)).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(e, Seq(1L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.23355, 2L -> 0.501636, 3L -> 0.103126,
+      4L -> 0.161688, 5L -> 0.0, 6L -> 0.0))
+  }
+
   test("kCore: a planted clique survives peeling that removes a chain") {
     import spark.implicits._
     // 4-clique (1..4) plus a pendant chain 5-6-7: k=3 keeps exactly
