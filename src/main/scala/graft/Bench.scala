@@ -93,7 +93,8 @@ object Bench {
     "q_redact", "q_set_ops", "q_sample_split",
     // r8 second wave, benched at birth.
     "q_zone_stats", "q_zone_prune", "q_selfjoin_size", "q_kcore",
-    "q_bpe_merges", "q_bpe_segment", "q_ppr")
+    "q_bpe_merges", "q_bpe_segment", "q_ppr", "q_kmv_diff",
+    "q_media_entropy")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

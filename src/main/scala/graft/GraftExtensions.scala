@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, HashVector, HllRho, LshBucket, WinnowFingerprints}
+import graft.expressions.{ByteEntropy, CosineSimilarity, HashVector, HllRho, LshBucket, WinnowFingerprints}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the native expressions so they are callable from SQL and via
@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hll_rho"),
       new ExpressionInfo(classOf[HllRho].getName, "graft_hll_rho"),
       (children: Seq[Expression]) => HllRho(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_byte_entropy"),
+      new ExpressionInfo(classOf[ByteEntropy].getName, "graft_byte_entropy"),
+      (children: Seq[Expression]) => ByteEntropy(children.head)))
   }
 }

@@ -597,6 +597,19 @@ object PipelineCatalog {
         ev.filter(col("event_type") === "purchase"), "user_id")
     }),
 
+    // KMV/theta A-NOT-B: distinct clickers who never made a >99
+    // purchase, from two sketches — the set-algebra completion (union
+    // = merge, intersect, difference); exact count rides along. (The
+    // unthresholded pair is degenerate on this substrate: every user
+    // has every event type, so A\B = ∅.)
+    "q_kmv_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.Sketch.kmvDifferenceEstimate(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase" && col("value") > 99),
+        "user_id")
+    }),
+
     // Mergeable HLL rollup: per-(type, day) register shards merged by
     // register-wise MAX into the whole-period estimate. max∘max = max
     // makes the merge bit-identical to the direct sketch — the rollup
@@ -1944,6 +1957,38 @@ object PipelineCatalog {
         |SELECT theta, n_common,
         |  round(CAST(n_common AS DOUBLE) * 1152921504606846976.0
         |    / CAST(theta AS DOUBLE), 6) AS est_intersection,
+        |  exact_n
+        |FROM cm CROSS JOIN ex""".stripMargin,
+
+    // Theta-difference twin: same threshold chain with an ANTI join
+    // (NOT IN) for A-only hashes and the n·2^60/theta estimator.
+    "q_kmv_diff" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |    1, 15))::BIGINT AS h
+        |  FROM events WHERE event_type = 'click'),
+        |hb AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |    1, 15))::BIGINT AS h
+        |  FROM events WHERE event_type = 'purchase' AND value > 99),
+        |th AS (
+        |  SELECT MAX(h) AS theta FROM (
+        |    SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+        |    ORDER BY h LIMIT 64)),
+        |cm AS (
+        |  SELECT theta, COUNT(*) AS n_only
+        |  FROM ha CROSS JOIN th
+        |  WHERE h <= theta AND h NOT IN (SELECT h FROM hb)
+        |  GROUP BY theta),
+        |ex AS (
+        |  SELECT COUNT(*) AS exact_n FROM (
+        |    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |    AND user_id NOT IN (
+        |      SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'purchase' AND value > 99)))
+        |SELECT theta, n_only,
+        |  round(CAST(n_only AS DOUBLE) * 1152921504606846976.0
+        |    / CAST(theta AS DOUBLE), 6) AS est_difference,
         |  exact_n
         |FROM cm CROSS JOIN ex""".stripMargin,
 

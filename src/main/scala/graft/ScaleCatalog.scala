@@ -223,24 +223,30 @@ object ScaleCatalog {
   // sha are computed over the identical blob DuckDB-side, and the
   // dims/channels mirror the header arithmetic the Spark side PARSES
   // back out of those bytes.
-  private val mediaMetaSql =
-    """WITH m AS (
+  // NOTE: no line in this fragment may START with "||" — it is
+  // interpolated into outer stripMargin templates, and a second
+  // stripMargin would eat the first pipe of a leading "||".
+  private val mediaPayloadCte =
+    """m AS (
       |  SELECT doc_id,
-      |    unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
-      |      || lpad(to_hex(16 + length(text) % 240), 8, '0')
-      |      || lpad(to_hex(16 + (length(text) * 7) % 240), 8, '0')
-      |      || '08'
-      |      || CASE WHEN length(text) % 2 = 0 THEN '00' ELSE '02' END
-      |      || '000000' || '00000000')
-      |    || encode(text) AS payload,
+      |    unhex('89504E470D0A1A0A' || '0000000D' || '49484452' ||
+      |      lpad(to_hex(16 + length(text) % 240), 8, '0') ||
+      |      lpad(to_hex(16 + (length(text) * 7) % 240), 8, '0') ||
+      |      '08' ||
+      |      CASE WHEN length(text) % 2 = 0 THEN '00' ELSE '02' END ||
+      |      '000000' || '00000000') ||
+      |    encode(text) AS payload,
       |    CAST(16 + length(text) % 240 AS INT) AS width,
       |    CAST(16 + (length(text) * 7) % 240 AS INT) AS height,
       |    CAST(CASE WHEN length(text) % 2 = 0 THEN 1 ELSE 3 END AS INT)
       |      AS channels
-      |  FROM documents)
-      |SELECT doc_id, octet_length(payload) AS n_bytes,
-      |  sha256(hex(payload)) AS sha, width, height, channels
-      |FROM m""".stripMargin
+      |  FROM documents)""".stripMargin
+
+  private val mediaMetaSql =
+    s"""WITH $mediaPayloadCte
+       |SELECT doc_id, octet_length(payload) AS n_bytes,
+       |  sha256(hex(payload)) AS sha, width, height, channels
+       |FROM m""".stripMargin
 
   // ---------------------------------------------------------------- queries
 
@@ -569,7 +575,16 @@ object ScaleCatalog {
     // same oracle: both paths must agree).
     "q_media_decode" -> ((s, d) =>
       Multimodal.decodePartitions(
-        Multimodal.mediaTable(Tables.documents(s, d))).toDF())
+        Multimodal.mediaTable(Tables.documents(s, d))).toDF()),
+
+    // Media byte-entropy probe: Shannon bits/byte of each payload from
+    // a native one-pass histogram expression — the no-decode media
+    // quality filter (compressed streams ≈ 8, text ≈ 4.3, padding ≈ 0).
+    "q_media_entropy" -> ((s, d) =>
+      Multimodal.mediaTable(Tables.documents(s, d))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          round(expr("graft_byte_entropy(payload)"), 6).as("entropy")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1392,6 +1407,31 @@ object ScaleCatalog {
         |WHERE rnk <= 5""".stripMargin,
 
     "q_media_meta" -> mediaMetaSql,
+
+    // Entropy twin: byte values read from the hex rendering of the
+    // same synthesized payload, −p·ln p terms folded in ascending
+    // byte-value order (list_reduce — the sorted-fold idiom), /ln 2.
+    "q_media_entropy" ->
+      s"""WITH $mediaPayloadCte,
+         |hx AS (
+         |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS nb
+         |  FROM m),
+         |ex AS (
+         |  SELECT doc_id, nb, h, unnest(generate_series(0, nb - 1)) AS i
+         |  FROM hx),
+         |byv AS (
+         |  SELECT doc_id, nb, ('0x' || substr(h, 2 * i + 1, 2))::INT AS bv
+         |  FROM ex),
+         |cnt AS (
+         |  SELECT doc_id, nb, bv, COUNT(*) AS c FROM byv GROUP BY 1, 2, 3),
+         |terms AS (
+         |  SELECT doc_id, nb,
+         |    list(-(CAST(c AS DOUBLE) / nb * ln(CAST(c AS DOUBLE) / nb))
+         |      ORDER BY bv) AS ts
+         |  FROM cnt GROUP BY 1, 2)
+         |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+         |  round(list_reduce(ts, (a, x) -> a + x) / ln(2.0), 6) AS entropy
+         |FROM terms""".stripMargin,
 
     "q_media_decode" -> mediaMetaSql
   )

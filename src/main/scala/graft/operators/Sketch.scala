@@ -362,6 +362,44 @@ object Sketch {
         col("exact_n"))
   }
 
+  /** KMV/theta A-NOT-B: distinct-count estimate of the set DIFFERENCE
+    * |A \ B| from the same two ≤ k-hash sketches as
+    * [[kmvIntersectEstimate]] (completing the sketch set algebra:
+    * union = merge, intersection, difference — the theta-sketch
+    * trio warehouses ship). Same union-derived threshold θ; the
+    * retained sample is A's hashes ≤ θ with B's removed by an
+    * anti-join; estimate = n_only · 2⁶⁰/θ. Exact difference rides
+    * along to gate accuracy.
+    *
+    * Scale shape: identical to the intersection — each side reduces
+    * to ≤ k longs before anything joins; nothing value-shaped crosses
+    * the shuffle.
+    */
+  def kmvDifferenceEstimate(a: DataFrame, b: DataFrame, valueCol: String,
+                            k: Int = 64): DataFrame = {
+    def hashes(df: DataFrame) = df
+      .select(TextOps.fingerprint64(col(valueCol).cast("string")).as("h"))
+      .distinct()
+    val ha = hashes(a).cache()
+    val hb = hashes(b).cache()
+    val theta = ha.union(hb).distinct()
+      .orderBy(col("h")).limit(k)
+      .agg(max(col("h")).as("theta"))
+    val only = ha.join(hb, Seq("h"), "left_anti")
+      .crossJoin(broadcast(theta))
+      .filter(col("h") <= col("theta"))
+      .groupBy(col("theta"))
+      .agg(count(lit(1)).as("n_only"))
+    val exact = a.select(col(valueCol).as("v")).distinct()
+      .join(b.select(col(valueCol).as("v")).distinct(), Seq("v"), "left_anti")
+      .agg(count(lit(1)).as("exact_n"))
+    only.crossJoin(exact)
+      .select(col("theta"), col("n_only"),
+        round(col("n_only").cast("double") * lit(math.pow(2, 60))
+          / col("theta").cast("double"), 6).as("est_difference"),
+        col("exact_n"))
+  }
+
   /** The declarative ρ (pre-r7 form): 2^0‥2^55 single-bit masks as a
     * literal lookup (the Scala DSL's shiftleft/shiftright only take
     * constant shifts, so variable bit-tests go through element_at).

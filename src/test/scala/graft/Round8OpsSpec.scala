@@ -124,6 +124,42 @@ class Round8OpsSpec extends SparkSpec {
       4L -> 0.161688, 5L -> 0.0, 6L -> 0.0))
   }
 
+  test("kmvDifferenceEstimate: below-k the retained sample counts the " +
+    "exact difference; the exact leg matches a direct anti-join") {
+    import spark.implicits._
+    val a = (1L to 40L).map(i => Tuple1(i)).toDF("v")
+    val b = (31L to 50L).map(i => Tuple1(i)).toDF("v")
+    val r = Sketch.kmvDifferenceEstimate(a, b, "v").collect()(0)
+    // |A ∪ B| = 50 ≤ k = 64 → theta is the union max, the sample is
+    // everything, so n_only = |A \ B| = 30 and exact agrees.
+    assert(r.getLong(1) == 30L)
+    assert(r.getLong(3) == 30L)
+  }
+
+  test("byteEntropy: pinned values — constant payload 0, two equiprobable" +
+    " bytes 1, all 256 values 8; empty payload 0") {
+    import graft.expressions.ByteEntropy
+    assert(ByteEntropy.compute(Array.fill[Byte](100)(7)) == 0.0)
+    assert(ByteEntropy.compute(Array[Byte](1, 2)) == 1.0)
+    // 256 summed float terms carry ~1e-14 accumulation drift — the
+    // contract is cross-engine bit-identity, not algebraic exactness.
+    assert(math.abs(ByteEntropy.compute(
+      (0 until 256).map(_.toByte).toArray) - 8.0) < 1e-12)
+    assert(ByteEntropy.compute(Array.emptyByteArray) == 0.0)
+  }
+
+  test("byteEntropy: SQL expression path equals the static helper over " +
+    "real payloads") {
+    val media = graft.operators.Multimodal.mediaTable(
+      Tables.documents(spark, sf))
+    val rows = media.select(col("payload"),
+      expr("graft_byte_entropy(payload)")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) ==
+        graft.expressions.ByteEntropy.compute(r.getAs[Array[Byte]](0)))
+    }
+  }
+
   test("kCore: a planted clique survives peeling that removes a chain") {
     import spark.implicits._
     // 4-clique (1..4) plus a pendant chain 5-6-7: k=3 keeps exactly
