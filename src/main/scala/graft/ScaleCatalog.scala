@@ -577,6 +577,13 @@ object ScaleCatalog {
       Multimodal.decodePartitions(
         Multimodal.mediaTable(Tables.documents(s, d))).toDF()),
 
+    // Top principal component by 5 power steps — the ABTT/whitening
+    // input — without materializing the gram matrix: one corpus scan
+    // per step, d integer sums across the shuffle (the PageRank
+    // fixed-point device at scale 1e9), v itself driver-sized.
+    "q_pca_power" -> ((s, d) =>
+      graft.operators.Pca.topComponentPower(Tables.embeddings(s, d))),
+
     // Media byte-entropy probe: Shannon bits/byte of each payload from
     // a native one-pass histogram expression — the no-decode media
     // quality filter (compressed streams ≈ 8, text ≈ 4.3, padding ≈ 0).
@@ -1407,6 +1414,37 @@ object ScaleCatalog {
         |WHERE rnk <= 5""".stripMargin,
 
     "q_media_meta" -> mediaMetaSql,
+
+    // Power-iteration twin: 5 unrolled steps, each a MATERIALIZED
+    // (dot fold → fixed-point per-dim integer sums → /1e9 →
+    // ascending-dim norm fold → scale) chain — term-for-term the
+    // plan's arithmetic.
+    "q_pca_power" -> {
+      def step(k: Int) =
+        s"""d$k AS MATERIALIZED (
+           |  SELECT x, list_reduce(
+           |    list_transform(range(64), j -> x[j + 1] * v[j + 1]),
+           |    (a, b) -> a + b) AS d
+           |  FROM x CROSS JOIN v${k - 1}),
+           |c$k AS MATERIALIZED (
+           |  SELECT j, CAST(SUM(CAST(round(x[j + 1] * d * 1e9) AS BIGINT))
+           |    AS BIGINT) AS s
+           |  FROM d$k CROSS JOIN range(64) t(j) GROUP BY 1),
+           |s$k AS (SELECT list(CAST(s AS DOUBLE) / 1e9 ORDER BY j) AS sv
+           |        FROM c$k),
+           |n$k AS (SELECT sv, sqrt(list_reduce(
+           |  list_transform(sv, e -> e * e), (a, b) -> a + b)) AS nrm
+           |  FROM s$k),
+           |v$k AS (SELECT list_transform(sv, e -> e / nrm) AS v FROM n$k)"""
+          .stripMargin
+      s"""WITH x AS MATERIALIZED (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |v0 AS (SELECT list_transform(range(64),
+         |  j -> 1.0 / sqrt(64.0)) AS v),
+         |${(1 to 5).map(step).mkString(",\n")}
+         |SELECT j AS dim, round(v[j + 1], 6) AS w
+         |FROM v5 CROSS JOIN range(64) t(j)""".stripMargin
+    },
 
     // Entropy twin: byte values read from the hex rendering of the
     // same synthesized payload, −p·ln p terms folded in ascending

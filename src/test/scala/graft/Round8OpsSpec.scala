@@ -160,6 +160,20 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("pca topComponentPower: recovers a planted dominant axis as a " +
+    "unit vector (sign-stable under negated rows)") {
+    import spark.implicits._
+    val rows = Seq(
+      Seq(0f, 0f, 3f, 0f), Seq(0f, 0f, -2f, 0f), Seq(0f, 0f, 5f, 0f),
+      Seq(0.1f, 0f, 4f, 0f), Seq(0f, -0.1f, -3f, 0f))
+    val emb = rows.map(Tuple1(_)).toDF("embedding")
+    val w = graft.operators.Pca.topComponentPower(emb, dims = 4)
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    assert(math.abs(w(2)) > 0.999)
+    // the output is rounded to 6 dp, so the norm check inherits ~1e-6
+    assert(math.abs(w.map(x => x * x).sum - 1.0) < 1e-5)
+  }
+
   test("kCore: a planted clique survives peeling that removes a chain") {
     import spark.implicits._
     // 4-clique (1..4) plus a pendant chain 5-6-7: k=3 keeps exactly
