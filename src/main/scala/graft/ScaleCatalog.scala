@@ -584,6 +584,13 @@ object ScaleCatalog {
     "q_pca_power" -> ((s, d) =>
       graft.operators.Pca.topComponentPower(Tables.embeddings(s, d))),
 
+    // ABTT apply-side: project every embedding on the trained top
+    // component (6-dp, so the trainer→applier handoff is in the
+    // differential) and report projection + residual norm — the
+    // common-direction removal diagnostic.
+    "q_abtt_residual" -> ((s, d) =>
+      graft.operators.Pca.abttResiduals(Tables.embeddings(s, d))),
+
     // Media byte-entropy probe: Shannon bits/byte of each payload from
     // a native one-pass histogram expression — the no-decode media
     // quality filter (compressed streams ≈ 8, text ≈ 4.3, padding ≈ 0).
@@ -1444,6 +1451,47 @@ object ScaleCatalog {
          |${(1 to 5).map(step).mkString(",\n")}
          |SELECT j AS dim, round(v[j + 1], 6) AS w
          |FROM v5 CROSS JOIN range(64) t(j)""".stripMargin
+    },
+
+    // ABTT twin: the full power-iteration chain, then the rounded
+    // component applied per row — dot and residual folds ascending.
+    "q_abtt_residual" -> {
+      def step(k: Int) =
+        s"""d$k AS MATERIALIZED (
+           |  SELECT x, list_reduce(
+           |    list_transform(range(64), j -> x[j + 1] * v[j + 1]),
+           |    (a, b) -> a + b) AS d
+           |  FROM x CROSS JOIN v${k - 1}),
+           |c$k AS MATERIALIZED (
+           |  SELECT j, CAST(SUM(CAST(round(x[j + 1] * d * 1e9) AS BIGINT))
+           |    AS BIGINT) AS s
+           |  FROM d$k CROSS JOIN range(64) t(j) GROUP BY 1),
+           |s$k AS (SELECT list(CAST(s AS DOUBLE) / 1e9 ORDER BY j) AS sv
+           |        FROM c$k),
+           |n$k AS (SELECT sv, sqrt(list_reduce(
+           |  list_transform(sv, e -> e * e), (a, b) -> a + b)) AS nrm
+           |  FROM s$k),
+           |v$k AS (SELECT list_transform(sv, e -> e / nrm) AS v FROM n$k)"""
+          .stripMargin
+      s"""WITH x0 AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+         |  FROM embeddings),
+         |x AS (SELECT x FROM x0),
+         |v0 AS (SELECT list_transform(range(64),
+         |  j -> 1.0 / sqrt(64.0)) AS v),
+         |${(1 to 5).map(step).mkString(",\n")},
+         |w AS (SELECT list_transform(v, e -> round(e, 6)) AS w FROM v5),
+         |pr AS (
+         |  SELECT vec_id, x, list_reduce(
+         |    list_transform(range(64), j -> x[j + 1] * w[j + 1]),
+         |    (a, b) -> a + b) AS d
+         |  FROM x0 CROSS JOIN w)
+         |SELECT vec_id, round(d, 6) AS proj,
+         |  round(sqrt(list_reduce(
+         |    list_transform(range(64), j ->
+         |      (x[j + 1] - d * w[j + 1]) * (x[j + 1] - d * w[j + 1])),
+         |    (a, b) -> a + b)), 6) AS r_norm
+         |FROM pr CROSS JOIN w""".stripMargin
     },
 
     // Entropy twin: byte values read from the hex rendering of the

@@ -61,4 +61,34 @@ object Pca {
     v.zipWithIndex.map { case (w, j) => (j, w) }.toDF("dim", "w")
       .select(col("dim"), round(col("w"), 6).as("w"))
   }
+
+  /** ABTT ("all-but-the-top", Mu & Viswanath '18) apply-side: project
+    * each embedding onto the [[topComponentPower]] component and
+    * report the projection and the residual norm — the dominant-
+    * direction removal that measurably improves similarity search on
+    * anisotropic embedding sets (and the residual-norm column is the
+    * per-vector "how much of you was boilerplate direction"
+    * diagnostic). Uses the ROUNDED 6-dp component on both engines so
+    * the handoff between trainer and applier is itself part of the
+    * differential. One corpus scan; the component is a broadcast
+    * literal; folds ascend dimensions as always.
+    */
+  def abttResiduals(emb: DataFrame, idCol: String = "vec_id",
+                    embedCol: String = "embedding",
+                    dims: Int = 64, iters: Int = 5): DataFrame = {
+    val w = topComponentPower(emb, embedCol, dims, iters)
+      .orderBy(col("dim")).collect().map(_.getDouble(1)).toIndexedSeq
+    val wc = typedlit(w)
+    emb
+      .select(col(idCol),
+        transform(col(embedCol), c => c.cast("double")).as("x"))
+      .withColumn("d",
+        aggregate(zip_with(col("x"), wc, (a, b) => a * b),
+          lit(0.0), (acc, t) => acc + t))
+      .select(col(idCol), round(col("d"), 6).as("proj"),
+        round(sqrt(aggregate(
+          zip_with(col("x"), wc, (a, b) => (a - col("d") * b) *
+            (a - col("d") * b)),
+          lit(0.0), (acc, t) => acc + t)), 6).as("r_norm"))
+  }
 }

@@ -174,6 +174,23 @@ class Round8OpsSpec extends SparkSpec {
     assert(math.abs(w.map(x => x * x).sum - 1.0) < 1e-5)
   }
 
+  test("pca abttResiduals: Pythagoras holds — proj^2 + r_norm^2 equals " +
+    "each vector's squared norm (w is unit)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(0f, -2f, 5f, 1f)),
+      (3L, Seq(2f, 2f, -4f, 0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.Pca.abttResiduals(emb, dims = 4).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { case (id, x) =>
+      val n2 = x.map(v => v.toDouble * v.toDouble).sum
+      val (p, rn) = got(id)
+      assert(math.abs(p * p + rn * rn - n2) < 1e-3,
+        s"vec $id: $p^2 + $rn^2 != $n2")
+    }
+  }
+
   test("kCore: a planted clique survives peeling that removes a chain") {
     import spark.implicits._
     // 4-clique (1..4) plus a pendant chain 5-6-7: k=3 keeps exactly
