@@ -185,16 +185,19 @@ object AnalyticsCatalog {
       graft.operators.Graph.pageRank(graft.operators.Graph.purchaseEdges(
         Tables.orders(s, d), Tables.lineitem(s, d)))),
 
-    // Personalized PageRank seeded at nation-0 suppliers: random walk
+    // Personalized PageRank seeded at every 5th supplier: random walk
     // with restart over the purchase graph ranks every customer by
     // proximity to the seed slice — the graph-side curation selector.
     // Same fixed-point integer sums as q_pagerank; every iteration
-    // inside the differential.
+    // inside the differential. (Seed predicate is suppkey-mod, not
+    // nationkey: nation 0 has NO suppliers at sf0.001, and an empty
+    // seed set is a division by zero — the mod slice is non-empty at
+    // every scale.)
     "q_ppr" -> ((s, d) =>
       graft.operators.Graph.personalizedPageRank(
         graft.operators.Graph.purchaseEdges(
           Tables.orders(s, d), Tables.lineitem(s, d)),
-        Tables.supplier(s, d).filter(col("s_nationkey") === 0)
+        Tables.supplier(s, d).filter(col("s_suppkey") % 5 === 0)
           .select((col("s_suppkey") * 2L + 1L).as("node")))),
 
     // Exact distinct suppliers per returnflag via dense-bitmap
@@ -743,7 +746,7 @@ object AnalyticsCatalog {
          |      UNION ALL SELECT s AS src, c AS dst FROM pairs),
          |o AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
          |sd AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node FROM supplier
-         |       WHERE s_nationkey = 0),
+         |       WHERE s_suppkey % 5 = 0),
          |nodes AS (
          |  SELECT n.node,
          |    CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed

@@ -108,7 +108,10 @@ object Graph {
     * as [[pageRank]] (see its scaladoc for why each is load-bearing);
     * the seed indicator is a left join onto the node frame computed
     * once, and |S| is a 1-row broadcast. Dangling nodes leak mass by
-    * design — symmetrize when conservation matters.
+    * design — symmetrize when conservation matters. `seeds` must be
+    * non-empty: an empty seed set has no stationary distribution (and
+    * under ANSI mode the 1/|S| teleport fails loudly as a division by
+    * zero rather than returning an all-NULL ranking).
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iters: Int = 5,

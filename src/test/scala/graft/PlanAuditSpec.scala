@@ -95,7 +95,10 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row exact-F2 frame.
     "q_selfjoin_size",
     // ppr: the 1-row seed-count frame per iteration (q_pagerank family).
-    "q_ppr")
+    "q_ppr",
+    // kmv_diff: two 1-row frames (theta + exact count), exactly
+    // q_kmv_intersect's shape.
+    "q_kmv_diff")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
