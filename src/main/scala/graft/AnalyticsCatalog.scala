@@ -200,6 +200,19 @@ object AnalyticsCatalog {
         Tables.supplier(s, d).filter(col("s_suppkey") % 5 === 0)
           .select((col("s_suppkey") * 2L + 1L).as("node")))),
 
+    // Multi-source BFS from the same supplier seed slice: exact
+    // integer hop distance to everything within 4 hops of the slice —
+    // the discrete sibling of q_ppr's continuous proximity ranking.
+    // Frontier-only expansion each round; every round's reached set
+    // is inside the differential (the final frame contains all of
+    // them via the dist column).
+    "q_bfs_hops" -> ((s, d) =>
+      graft.operators.Graph.bfsHops(
+        graft.operators.Graph.purchaseEdges(
+          Tables.orders(s, d), Tables.lineitem(s, d)),
+        Tables.supplier(s, d).filter(col("s_suppkey") % 5 === 0)
+          .select((col("s_suppkey") * 2L + 1L).as("node")))),
+
     // Exact distinct suppliers per returnflag via dense-bitmap
     // aggregation: the shuffle carries one |dict|/8-byte bitmap per
     // group per partition, never the (group, key) pair stream
@@ -760,6 +773,20 @@ object AnalyticsCatalog {
          |${(1 to 5).map(pprIterSql).mkString(",\n")}
          |SELECT node, round(pr, 6) AS pr FROM p5""".stripMargin,
 
+    // BFS twin: same frontier expansion unrolled — round k extends
+    // only from nodes first reached at k-1, dedups, and anti-joins
+    // away the already-reached. Pure integer arithmetic; order-free.
+    "q_bfs_hops" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM pairs
+         |      UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |d0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node, 0 AS dist
+         |       FROM supplier WHERE s_suppkey % 5 = 0),
+         |${(1 to 4).map(bfsIterSql).mkString(",\n")}
+         |SELECT node, dist FROM d4""".stripMargin,
+
     // The bitmap is exact, so the oracle is the plain COUNT(DISTINCT).
     "q_bitmap_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_distinct
@@ -1213,5 +1240,21 @@ object AnalyticsCatalog {
        |    (1.0 - 0.85) * CAST(is_seed AS DOUBLE) / ns
        |      + 0.85 * (CAST(COALESCE(s, 0) AS DOUBLE) / 1e12) AS pr
        |  FROM nodes LEFT JOIN s$k USING (node) CROSS JOIN nn)""".stripMargin
+  }
+
+  /** One BFS round twin (Graph.bfsHops): expand the round-(k−1)
+    * frontier, dedup destinations, anti-join the already-reached,
+    * append at distance k. Integer-only — no float hazard at all.
+    */
+  private def bfsIterSql(k: Int): String = {
+    val prev = s"d${k - 1}"
+    s"""n$k AS (SELECT DISTINCT e.dst AS node
+       |        FROM e JOIN $prev f ON e.src = f.node
+       |        WHERE f.dist = ${k - 1}),
+       |d$k AS (SELECT node, dist FROM $prev
+       |        UNION ALL
+       |        SELECT n$k.node, ${k} AS dist FROM n$k
+       |        LEFT JOIN $prev r ON n$k.node = r.node
+       |        WHERE r.node IS NULL)""".stripMargin
   }
 }

@@ -94,7 +94,9 @@ object Bench {
     // r8 second wave, benched at birth.
     "q_zone_stats", "q_zone_prune", "q_selfjoin_size", "q_kcore",
     "q_bpe_merges", "q_bpe_segment", "q_ppr", "q_kmv_diff",
-    "q_media_entropy", "q_pca_power", "q_abtt_residual")
+    "q_media_entropy", "q_pca_power", "q_abtt_residual",
+    // r8 fourth wave, benched at birth.
+    "q_bfs_hops", "q_source_overlap")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -481,6 +481,15 @@ object PipelineCatalog {
       Dedup.winnowCandidatePairs(
         Dedup.withNearDuplicates(Tables.documents(s, d)))),
 
+    // Cross-source winnow-fingerprint overlap matrix: shared distinct
+    // fingerprints, per-source totals, Jaccard for every source pair —
+    // the corpus-composition audit (are two acquisition streams
+    // independent or re-crawls?). All 190 pairs are non-empty on this
+    // substrate (probed: 3.6k shared fps at sf0.01), so the
+    // differential actually exercises the intersection arithmetic.
+    "q_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d))),
+
     // KMV distinct sketch: per-lang distinct-doc estimate at k=64 (langs
     // hold >64 docs, so the ESTIMATION path fires, not the exact one).
     "q_kmv_distinct" -> ((s, d) =>
@@ -1235,6 +1244,45 @@ object PipelineCatalog {
         |  COUNT(*) AS shared_fps
         |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
+    // Source-overlap twin: q_winnow's fingerprint build collapsed to
+    // (source, fp) distinct, keyed self-join on fp with source_a <
+    // source_b, per-source totals joined back, same Jaccard division
+    // rounded 6 dp.
+    "q_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT source, list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS grams
+        |  FROM toks),
+        |h AS (
+        |  SELECT source, list_transform(grams,
+        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+        |  FROM g),
+        |f AS (
+        |  SELECT source,
+        |    CASE WHEN len(hs) >= 4 THEN
+        |      list_distinct(list_transform(range(1, len(hs) - 2),
+        |        i -> list_min(hs[i:i+3])))
+        |    WHEN len(hs) > 0 THEN [list_min(hs)]
+        |    ELSE [] END AS fps
+        |  FROM h),
+        |fp AS (SELECT DISTINCT source, fp
+        |       FROM (SELECT source, unnest(fps) AS fp FROM f)),
+        |tt AS (SELECT source, COUNT(*) AS n_fps FROM fp GROUP BY 1),
+        |pr AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    COUNT(*) AS shared_fps
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared_fps,
+        |  ta.n_fps AS n_a, tb.n_fps AS n_b,
+        |  round(CAST(shared_fps AS DOUBLE)
+        |    / CAST(ta.n_fps + tb.n_fps - shared_fps AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM pr JOIN tt ta ON pr.source_a = ta.source
+        |  JOIN tt tb ON pr.source_b = tb.source""".stripMargin,
 
     // KMV twin: distinct md5-hashes per lang, bottom-64 by rank, same
     // (k−1)·2⁶⁰/h_k estimator arithmetic.

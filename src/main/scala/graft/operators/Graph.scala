@@ -220,6 +220,52 @@ object Graph {
       .limit(k)
   }
 
+  /** MULTI-SOURCE BFS hop distance: the minimum number of edges from
+    * any node in `seeds` to each reachable node, cut off at `maxHops`
+    * rounds — the graph-proximity primitive underneath "within k hops
+    * of a trusted slice" curation cuts and reachability audits. Where
+    * [[personalizedPageRank]] ranks by continuous proximity, this is
+    * the discrete version: an exact integer distance, no float
+    * arithmetic anywhere, so the differential is trivially
+    * bit-identical.
+    *
+    * FRONTIER discipline (the property that makes distributed BFS
+    * scale — Pregel's canonical example): round k joins the edge list
+    * against only the nodes FIRST reached at round k−1, not the whole
+    * reached set, so total join work across all rounds is O(Σ frontier
+    * out-degree) = O(|E|) — each edge is expanded at most once from
+    * its source's discovery round. Newly seen nodes are separated
+    * with a keyed left-anti join against the reached set; the reached
+    * frame grows monotonically and each round ends in
+    * `localCheckpoint()` (the iterative-lineage discipline
+    * [[pageRank]] documents). The edge list is cached pre-partitioned
+    * on src so every round's sort-merge join moves only the frontier.
+    *
+    * Input is a DIRECTED edge list — symmetrize for undirected
+    * distance (as the catalog's purchase graph does). Output:
+    * (node, dist) for every node within `maxHops` of a seed; nodes
+    * beyond the cutoff are absent, not NULL-rowed.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame,
+              maxHops: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .cache()
+    var reached = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint()
+    for (k <- 1 to maxHops) {
+      val frontier = reached.filter(col("dist") === (k - 1))
+        .select(col("node").as("src"))
+      val cand = e.join(frontier, Seq("src"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = cand.join(reached, Seq("node"), "left_anti")
+        .withColumn("dist", lit(k))
+      reached = reached.unionByName(fresh).localCheckpoint()
+    }
+    reached
+  }
+
   /** K-CORE decomposition by iterative peeling (Seidman '83; the
     * distributed form follows Montresor et al.'s degree-pruning
     * rounds): repeatedly delete nodes of degree < `k` until the

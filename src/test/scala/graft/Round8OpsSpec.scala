@@ -203,4 +203,35 @@ class Round8OpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("bfsHops: multi-source min distance, hop cutoff, unreachable " +
+    "absent") {
+    import spark.implicits._
+    // Path 1→2→3→4→5 with a shortcut 7→3; seeds {1, 7}. Node 3 is
+    // 2 hops from seed 1 but 1 hop from seed 7 — the MIN must win.
+    // Disconnected 9→10 never appears; 5 is 3 hops (inside maxHops=3).
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 3L),
+      (9L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L, 7L).toDF("node")
+    val got = Graph.bfsHops(e, seeds, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 7L -> 0, 2L -> 1, 3L -> 1, 4L -> 2,
+      5L -> 3))
+  }
+
+  test("sourceOverlap: identical sources hit jaccard 1, disjoint pairs " +
+    "are absent, totals are per-source distinct fingerprints") {
+    import spark.implicits._
+    val txt = "a b c d e f g h i j k l"
+    val other = "q r s t u v w x y z zz qq"
+    val docs = Seq(
+      (1L, txt, "sA"), (2L, txt, "sB"), (3L, other, "sC"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set(("sA", "sB")))
+    val (shared, na, nb, j) = got(("sA", "sB"))
+    assert(shared == na && na == nb && j == 1.0)
+  }
 }
