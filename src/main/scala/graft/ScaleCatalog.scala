@@ -390,6 +390,16 @@ object ScaleCatalog {
           col("zval"), "l_partkey", 500, 599, "l_suppkey", 40, 59))
     }),
 
+    // Range-partition boundary planner: 15 boundary bins from the HDR
+    // bin-count sketch over l_extendedprice (integer ⌈i·N/16⌉ ranks,
+    // no sample sort), every row folded to its planned partition via
+    // the broadcast boundary array, per-partition row count / bounds /
+    // balance ratio — the sortless pre-flight audit you read before
+    // committing a 100 TB repartitionByRange.
+    "q_range_plan" -> ((s, d) =>
+      graft.operators.Layout.rangePlan(
+        Tables.lineitem(s, d), "l_extendedprice")),
+
     // Incremental aggregate maintenance: per-customer (sum, count)
     // partial state over the pre-1997 history merged with the 1997+
     // delta slice — the decimal monoid makes ANY slicing bit-identical
@@ -1288,6 +1298,50 @@ object ScaleCatalog {
          |UNION ALL
          |${leg("zorder", "zsrc", "zval")}""".stripMargin
     },
+
+    // Range-plan twin: the price-deciles bin chain over lineitem with
+    // integer (i·n + 15) // 16 boundary ranks, the same strict-compare
+    // assignment fold, per-pid aggregate, balance via the same
+    // long·16 → double division rounded 6 dp.
+    "q_range_plan" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS vc
+        |  FROM lineitem
+        |  WHERE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) >= 1),
+        |b AS (
+        |  SELECT vc, CASE WHEN vc < 16 THEN vc
+        |    ELSE (length(bin(vc)) - 4) * 16
+        |      + ((vc >> greatest(length(bin(vc)) - 5, 0)) & 15) END
+        |    AS bin
+        |  FROM d),
+        |c AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY 1),
+        |cum AS (
+        |  SELECT bin,
+        |    CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        |  FROM c),
+        |pq AS (
+        |  SELECT bin, cum, n, i, (i * n + 15) // 16 AS rank
+        |  FROM cum CROSS JOIN range(1, 16) t(i)),
+        |sel AS (
+        |  SELECT i, bin,
+        |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY bin) AS rn
+        |  FROM pq WHERE cum >= rank),
+        |bounds AS (SELECT list_sort(list(bin)) AS bs FROM sel WHERE rn = 1),
+        |nn AS (SELECT COUNT(*) AS n FROM b),
+        |asg AS (
+        |  SELECT vc, len(list_filter(bs, x -> bin > x)) + 1 AS pid
+        |  FROM b CROSS JOIN bounds),
+        |pp AS (
+        |  SELECT pid, COUNT(*) AS n_rows, MIN(vc) AS min_cents,
+        |    MAX(vc) AS max_cents
+        |  FROM asg GROUP BY 1)
+        |SELECT pid, n_rows, min_cents, max_cents,
+        |  round(CAST(n_rows * 16 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS balance
+        |FROM pp CROSS JOIN nn""".stripMargin,
 
     // Incremental-merge twin: the decimal monoid makes merged partial
     // state bit-identical to the direct one-shot aggregate.

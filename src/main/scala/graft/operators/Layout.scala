@@ -151,4 +151,61 @@ object Layout {
         col("n_candidates"), col("rows_total"), col("rows_scanned"),
         col("rows_matched"))
   }
+
+  /** RANGE-PARTITION boundary planner — the writer-side half of a
+    * 100 TB global sort (Spark's own `RangePartitioner` shape, made
+    * deterministic and sortless): pick `parts`−1 boundary values so
+    * that sorting rows into [b₀,b₁), [b₁,b₂) … yields near-equal
+    * partitions, then AUDIT the plan against the actual data — per
+    * planned partition its row count, key bounds, and balance ratio
+    * (n·parts/N; 1.0 = ideal, 2.0 = a straggler holding twice its
+    * share). This is the number you read before committing to a
+    * `repartitionByRange` of a 100 TB table: a bad key (heavy ties)
+    * shows up here as an empty partition next to a fat one, for the
+    * cost of one aggregate instead of a failed 6-hour sort.
+    *
+    * Boundaries come from the HDR bin-count sketch
+    * ([[Sketch.hdrQuantiles]]'s integer-exact bin chain), NOT a
+    * sample sort: one keyed aggregate to ≤ ~16·64 bin cells, windows
+    * only over that bounded cell frame, boundary ranks in pure
+    * integer arithmetic (⌈i·N/parts⌉ as `(i·N + parts−1) div parts` —
+    * exact for any N, no double division). Each row's partition is
+    * then 1 + |{boundary bins < its bin}|, a broadcast array fold —
+    * the whole planner never sorts or shuffles anything value-shaped.
+    * Ties share a bin, so a duplicated boundary (heavy skew) yields
+    * deliberately-empty ranges — visible in the audit as balance 0.
+    */
+  def rangePlan(df: DataFrame, valueCol: String,
+                parts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(parts >= 2, "a range plan needs at least 2 partitions")
+    val vcRaw = (col(valueCol).cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val d = df.filter(vcRaw >= 1).select(vcRaw.as("vc"))
+      .withColumn("bin", Sketch.hdrBinCol(col("vc")))
+    val counts = d.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val bounds = counts
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("i", explode(sequence(lit(1), lit(parts - 1))))
+      .withColumn("rank", expr(s"(i * n + ${parts - 1}) div $parts"))
+      .filter(col("cum") >= col("rank"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("i")).orderBy(col("bin"))))
+      .filter(col("rn") === 1)
+      .agg(sort_array(collect_list(col("bin"))).as("bs"))
+    val nrow = d.agg(count(lit(1)).as("n"))
+    d.crossJoin(broadcast(bounds))
+      .select(col("vc"),
+        (size(filter(col("bs"), b => col("bin") > b)) + 1).as("pid"))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_rows"), min(col("vc")).as("min_cents"),
+        max(col("vc")).as("max_cents"))
+      .crossJoin(broadcast(nrow))
+      .select(col("pid"), col("n_rows"), col("min_cents"),
+        col("max_cents"),
+        round((col("n_rows") * lit(parts.toLong)).cast("double") /
+          col("n").cast("double"), 6).as("balance"))
+  }
 }

@@ -98,7 +98,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_ppr",
     // kmv_diff: two 1-row frames (theta + exact count), exactly
     // q_kmv_intersect's shape.
-    "q_kmv_diff")
+    "q_kmv_diff",
+    // range_plan: two 1-row frames (the 15-element boundary array —
+    // q_price_deciles' shape — and the total-count frame).
+    "q_range_plan")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
@@ -120,6 +123,8 @@ class PlanAuditSpec extends SparkSpec {
     // price_deciles: the quantile windows over the ≤ ~16·64-row BIN
     // frame (same bounded-by-construction argument as q_token_budget).
     "q_price_deciles",
+    // range_plan: the same bounded bin-frame windows as price_deciles.
+    "q_range_plan",
     // apportion: the leftover ranking over the |sources|-row frame.
     "q_apportion",
     // bitmap_distinct: the key-dictionary row_number over the DISTINCT

@@ -234,4 +234,31 @@ class Round8OpsSpec extends SparkSpec {
     val (shared, na, nb, j) = got(("sA", "sB"))
     assert(shared == na && na == nb && j == 1.0)
   }
+
+  test("rangePlan: partitions cover all rows with ordered disjoint " +
+    "bounds and near-ideal balance on uniform data") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => i.toDouble).toDF("v")
+    val plan = Layout.rangePlan(df, "v", parts = 4)
+      .orderBy(col("pid")).collect()
+    assert(plan.map(_.getLong(1)).sum == 1000L)
+    assert(plan.length <= 4 && plan.map(_.getInt(0)).forall(p =>
+      p >= 1 && p <= 4))
+    // bounds are ordered and disjoint across consecutive partitions
+    plan.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(2))
+      case _ =>
+    }
+    // HDR bins are ≤3% relative error; uniform data stays near 1.0
+    assert(plan.forall(r => r.getDouble(4) > 0.5 && r.getDouble(4) < 2.0))
+  }
+
+  test("rangePlan: heavy ties produce a deliberately-fat partition, " +
+    "never lost rows") {
+    import spark.implicits._
+    val df = (Seq.fill(97)(50.0) ++ Seq(1.0, 2.0, 999.0)).toDF("v")
+    val plan = Layout.rangePlan(df, "v", parts = 4).collect()
+    assert(plan.map(_.getLong(1)).sum == 100L)
+    assert(plan.exists(_.getLong(1) >= 97L))
+  }
 }
