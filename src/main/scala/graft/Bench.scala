@@ -214,7 +214,7 @@ object Bench {
     def jmap(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}"""
     // Persist BEFORE printing: the on-disk copy is the loss-proof
     // record of every headline timing (VERDICT r6 #7), and the min-of-3
@@ -224,9 +224,20 @@ object Bench {
     def write(p: String, s: String): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (s + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    write("bench_out.json", line)
+    write("bench_out.json", fullLine)
     write("bench_min.json",
       s"""{"metric":"total_min","unit":"sec","queries":${jmap(mins)},"sf":"$sfDir"}""")
+    // The STDOUT line is COMPACT (VERDICT r8 #1): BENCH_r06–r08 all
+    // recorded `parsed: null` because the full per-query map (159
+    // entries, ~3.5 KB) outgrew the driver's tail capture — the stored
+    // tail starts mid-value. The driver needs the headline number and
+    // a machine-readable pointer, not the map: print total + pass
+    // count + the 12 slowest medians (the queries any perf question
+    // starts from), with the complete median/min maps at the named
+    // on-disk paths above. ~700 bytes, safely inside the capture.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"passes":$nPasses,"queries":${jmap(slowest)},"full_map":"bench_out.json","min_map":"bench_min.json","sf":"$sfDir"}"""
     // The driver parses the LAST stdout line matching the contract, so
     // print it as the final act and flush — nothing (spark.stop()
     // chatter included) lands after it.
