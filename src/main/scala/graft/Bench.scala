@@ -96,7 +96,9 @@ object Bench {
     "q_bpe_merges", "q_bpe_segment", "q_ppr", "q_kmv_diff",
     "q_media_entropy", "q_pca_power", "q_abtt_residual",
     // r8 fourth wave, benched at birth.
-    "q_bfs_hops", "q_source_overlap", "q_range_plan")
+    "q_bfs_hops", "q_source_overlap", "q_range_plan",
+    // r9 additions, benched at birth.
+    "q_dedup_substring")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -532,6 +532,14 @@ object PipelineCatalog {
       Dedup.excisePassages(
         Dedup.withNearDuplicates(Tables.documents(s, d)), 8)),
 
+    // Exact SUBSTRING dedup (Lee et al. ExactSubstr, r9): maximal
+    // cross-document shared regions of ≥8 tokens at arbitrary offsets,
+    // with boundaries and the recovered span text — anchor-window
+    // islands, never a suffix array, never doc×doc.
+    "q_dedup_substring" -> ((s, d) =>
+      Dedup.exactSubstringSpans(
+        Dedup.withNearDuplicates(Tables.documents(s, d)), 8)),
+
     // Bigram-LM quality score (perplexity-filter shape): add-one
     // smoothed bigram model trained ON the corpus, docs scored by mean
     // ln P — trainer AND scorer inside one oracle-replicated plan.
@@ -1745,6 +1753,43 @@ object PipelineCatalog {
          |FROM corpus c
          |LEFT JOIN reb ON c.doc_id = reb.doc_id
          |LEFT JOIN rem ON c.doc_id = rem.doc_id""".stripMargin,
+
+    // Substring-span twin: the excise twin's positional 8-windows and
+    // cross-doc duplicated set, then gaps-and-islands under the same
+    // per-doc lag/sum windows (NULL first-lag opens island 1 in both
+    // engines) and a 1-based list slice for the span text.
+    "q_dedup_substring" ->
+      s"""WITH $corpusNearSql,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |win AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+         |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+         |      AS passage
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+         |        FROM toks)),
+         |dup AS (
+         |  SELECT passage FROM (SELECT DISTINCT doc_id, passage FROM win)
+         |  GROUP BY 1 HAVING COUNT(*) > 1),
+         |anch AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (passage)),
+         |brk AS (
+         |  SELECT doc_id, pos, CASE
+         |      WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |      THEN 0 ELSE 1 END AS b
+         |  FROM anch),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM brk),
+         |spans AS (
+         |  SELECT doc_id, island, MIN(pos) AS span_start,
+         |    MAX(pos) + 7 AS span_end
+         |  FROM isl GROUP BY 1, 2)
+         |SELECT s.doc_id, s.span_start,
+         |  s.span_end - s.span_start + 1 AS span_tokens,
+         |  array_to_string(t[s.span_start + 1 : s.span_end + 1], ' ')
+         |    AS span_text
+         |FROM spans s JOIN toks USING (doc_id)""".stripMargin,
 
     // Bigram-LM twin: same positional bigram build, same smoothed
     // probability arithmetic ((n2+1)/(n1+V) as doubles, ln probed

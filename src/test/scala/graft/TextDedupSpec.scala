@@ -140,6 +140,41 @@ class TextDedupSpec extends SparkSpec {
       java.lang.Long.parseLong("900150983cd24fb", 16))
   }
 
+  test("exact substring spans: maximal cross-doc regions with text") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val doc1 = (1 to 5).map(i => s"a$i").mkString(" ") + " " + shared +
+      " " + (1 to 5).map(i => s"b$i").mkString(" ")
+    val doc2 = shared + " " + (1 to 8).map(i => s"c$i").mkString(" ")
+    val doc3 = (1 to 20).map(i => s"u$i").mkString(" ")
+    val corpus = Seq((1L, doc1), (2L, doc2), (3L, doc3))
+      .toDF("doc_id", "text")
+    val rows = Dedup.exactSubstringSpans(corpus, 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_tokens"), r.getAs[String]("span_text")))
+      .toSet
+    // The 12 shared tokens surface as ONE maximal span per doc, at
+    // each doc's own offset, with the span text recovered verbatim.
+    assert(rows == Set((1L, 5, 12, shared), (2L, 0, 12, shared)))
+  }
+
+  test("exact substring spans: blocks below k stay invisible; distant " +
+    "blocks stay separate spans") {
+    val s1 = (1 to 8).map(i => s"x$i").mkString(" ")  // exactly k
+    val s2 = (1 to 7).map(i => s"y$i").mkString(" ")  // below k
+    val gap1 = (1 to 9).map(i => s"g$i").mkString(" ")
+    val gap2 = (1 to 9).map(i => s"h$i").mkString(" ")
+    val doc1 = s1 + " " + gap1 + " " + s2
+    val doc2 = s2 + " " + gap2 + " " + s1
+    val corpus = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val rows = Dedup.exactSubstringSpans(corpus, 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_tokens"), r.getAs[String]("span_text")))
+      .toSet
+    // Only the 8-token block is reported (7 < k is invisible), one
+    // span per doc — the 9-token gaps keep islands from merging.
+    assert(rows == Set((1L, 0, 8, s1), (2L, 16, 8, s1)))
+  }
+
   test("simhash band pairs == brute-force radius ball (pigeonhole " +
     "recall is exact)") {
     import graft.operators.Dedup
