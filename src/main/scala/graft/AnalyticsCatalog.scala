@@ -310,8 +310,9 @@ object AnalyticsCatalog {
         graft.operators.Itemsets.pairEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
 
-    // 3-core of the same co-order part graph by 12-round peeling
-    // (converges in 10 at oracle scales — Round8OpsSpec): the
+    // 3-core of the same co-order part graph by convergence-probed
+    // peeling (edge-count fixpoint probe, 12-round cap — result
+    // bit-identical to fixed-12, r9 measurement in PLANS.md): the
     // graph-cleaning cut that drops the sparse fringe before the
     // expensive passes. Per round one degree aggregate + two
     // left-semi joins, localCheckpoint lineage truncation.

@@ -451,21 +451,27 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .cache()
+    // Per-round LAZY localCheckpoint + one count action (r9) — the
+    // same discipline as [[graft.operators.Graph]].pageRank and
+    // cc-star's inner star: the count materializes the checkpoint
+    // inside its own job (still ONE action per round), lineage
+    // truncates, and the next round reads block storage. The pre-r9
+    // form cached each round and `unpersist()`ed the previous frame —
+    // but a non-cascading unpersist INVALIDATES the dependent cache
+    // entry, so every round (and every downstream consumer of the
+    // returned frame) recomputed the whole chain back to the pair
+    // generation: measured 58.5 s to count the 656-row result at
+    // sf0.1, and O(rounds²) work inside the loop itself (PLANS.md
+    // "duplicateClusters lineage leak"). Old checkpoint blocks are
+    // freed by the ContextCleaner as round frames go out of scope.
+    // (The r8 probe-batching dead end — TWO rounds per probe, 2.5-5×
+    // slower — was a different restructuring and stays rejected; see
+    // PLANS.md "Probe-batching probe".)
     var labels = edges.select(col("a").as("doc_id"))
-      .distinct().withColumn("label", col("doc_id")).cache()
+      .distinct().withColumn("label", col("doc_id"))
+      .localCheckpoint(false)
     var converged = false
     while (!converged) {
-      // The convergence flag rides the SAME cached frame the next round
-      // consumes, so each round is ONE action (the count below), not a
-      // materialize + a separate convergence probe — at bench scale the
-      // loop is round-count × job-latency bound, and this halves it.
-      // MEASURED DEAD END (r8, VERDICT r7 #6): chaining TWO rounds per
-      // probe — with the mid-round frame cache()d for its two references
-      // — benched 2.5-5× SLOWER (q_cluster_rep 7.5→23.7 s, pipeline
-      // 17→91 s): the lazily-cached mid frame feeds two INDEPENDENT
-      // stages that run in parallel, race the cache population, and
-      // each recompute the full round. One round per action is the
-      // empirical optimum here; see PLANS.md "Probe-batching probe".
       val next = edges
         .join(labels, edges("b") === labels("doc_id"))
         .select(col("a").as("doc_id"), col("label"))
@@ -474,9 +480,8 @@ object Dedup {
         .join(labels.withColumnRenamed("label", "old"), "doc_id")
         .withColumn("changed", col("label") =!= col("old"))
         .drop("old")
-        .cache()
+        .localCheckpoint(false)
       converged = next.filter(col("changed")).count() == 0
-      labels.unpersist()
       labels = next.drop("changed")
     }
     edges.unpersist()

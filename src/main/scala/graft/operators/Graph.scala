@@ -274,17 +274,22 @@ object Graph {
     * running expensive community/embedding passes) and the degeneracy
     * ordering behind triangle/clique bounds.
     *
-    * Deterministic fixed-ROUND contract: exactly `rounds` peel rounds
-    * in BOTH engines — the fixpoint is unique and order-independent,
-    * extra rounds past convergence are no-ops, and a non-converged
-    * prefix is still a well-defined sound over-approximation (the
-    * surviving set only shrinks toward the core). The catalog's graph
-    * converges in 10 rounds at oracle scales (spec-asserted), so 12
-    * gates the true core there; at larger scales the engines still
-    * agree bit-for-bit because neither iterates on a data-dependent
-    * stop. (A `count()`-probed early-stop variant would save rounds
-    * but make the result depend on convergence detection — the r8
-    * probe-batching lesson says rounds are cheap, plans are not.)
+    * Convergence-probed with a deterministic result (r9, measured):
+    * peel until the edge COUNT stops changing or `rounds` is hit.
+    * Peeling only ever removes edges, so an unchanged count means the
+    * edge SET is unchanged — the probe detects the exact unique
+    * fixpoint, not a heuristic threshold, and the result is
+    * bit-for-bit what `rounds` fixed iterations produce (identical
+    * fixpoint when converged; identical non-converged prefix when the
+    * cap bites first). This reverses the r8 rejection after an A/B
+    * measurement (PLANS.md "kCore early-stop probe"): at sf0.1 the
+    * peel converges in 3 rounds, so the probe trades 4 cheap count
+    * jobs on checkpointed edges for 9 full peel rounds — min 2.76 →
+    * 2.49 s, med 2.94 → 2.54 s in alternating same-JVM runs. The r8
+    * probe-batching lesson warned against RESTRUCTURING plans around
+    * probes; a count on an already-checkpointed frame has no such
+    * cost. At oracle scales (sf0.01, converges in 10) it is a wash;
+    * at corpus scale every skipped round is a full shuffle saved.
     *
     * Input must be SYMMETRIZED (src, dst) edges. Per round: one
     * degree aggregate + two left-semi joins, all keyed shuffles; each
@@ -295,14 +300,22 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, rounds: Int = 12): DataFrame = {
     var e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var n = e.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
       e = e.join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint()
+      val n2 = e.count()
+      r += 1
+      converged = n2 == n
+      n = n2
     }
+    Console.err.println(s"[graft] kCore: $r peel rounds (cap $rounds)")
     e.select(col("src").as("node")).groupBy(col("node"))
       .agg(count(lit(1)).as("degree"))
   }
