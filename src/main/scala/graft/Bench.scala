@@ -98,7 +98,8 @@ object Bench {
     // r8 fourth wave, benched at birth.
     "q_bfs_hops", "q_source_overlap", "q_range_plan",
     // r9 additions, benched at birth.
-    "q_dedup_substring")
+    "q_dedup_substring", "q_stitch_chunks", "q_domain_cap",
+    "q_table_profile")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

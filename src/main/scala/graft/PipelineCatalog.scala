@@ -540,6 +540,23 @@ object PipelineCatalog {
       Dedup.exactSubstringSpans(
         Dedup.withNearDuplicates(Tables.documents(s, d)), 8)),
 
+    // Shard-boundary stitch recovery (r9): chunk the corpus with
+    // 8-token overlaps, drop the provenance, and recover candidate
+    // adjacency purely from content — A's last 8 tokens == B's first
+    // 8. One head/tail projection + one gram-keyed join, never
+    // fragment×fragment.
+    "q_stitch_chunks" -> ((s, d) =>
+      Dedup.stitchCandidates(
+        graft.operators.Curation.chunkOverlap(Tables.documents(s, d))
+          .select((col("doc_id") * 10000 + col("chunk_id")).as("frag_id"),
+            col("chunk_text").as("text")), 8)),
+
+    // Domain balancing cap (r9): at most 15 docs per source, best
+    // quality first (distinct-token score, doc_id tiebreak) — the
+    // survivors table with per-domain ranks, one partitioned window.
+    "q_domain_cap" -> ((s, d) =>
+      graft.operators.Curation.domainCap(Tables.documents(s, d))),
+
     // Bigram-LM quality score (perplexity-filter shape): add-one
     // smoothed bigram model trained ON the corpus, docs scored by mean
     // ln P — trainer AND scorer inside one oracle-replicated plan.
@@ -1790,6 +1807,47 @@ object PipelineCatalog {
          |  array_to_string(t[s.span_start + 1 : s.span_end + 1], ' ')
          |    AS span_text
          |FROM spans s JOIN toks USING (doc_id)""".stripMargin,
+
+    // Stitch twin: the chunkOverlap slice chain (start ∈ range(0, len,
+    // 24), 32-token windows), ≥8-token fragments only, head/tail
+    // 8-grams, one gram-keyed join.
+    "q_stitch_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest(range(0, len(t), 24)) AS start, t
+        |  FROM toks),
+        |frag AS (
+        |  SELECT doc_id * 10000 + start // 24 AS frag_id,
+        |    t[start + 1 : least(start + 32, len(t))] AS ft
+        |  FROM ch),
+        |f AS (SELECT frag_id, ft FROM frag WHERE len(ft) >= 8),
+        |heads AS (
+        |  SELECT frag_id AS frag_b, array_to_string(ft[1:8], ' ') AS gram
+        |  FROM f),
+        |tails AS (
+        |  SELECT frag_id AS frag_a,
+        |    array_to_string(ft[len(ft) - 7 : len(ft)], ' ') AS gram
+        |  FROM f)
+        |SELECT frag_a, frag_b, gram
+        |FROM tails JOIN heads USING (gram)
+        |WHERE frag_a <> frag_b""".stripMargin,
+
+    // Domain-cap twin: the cluster_rep score idiom (distinct-token
+    // count) ranked per source with the same tiebreak, rank <= 15.
+    "q_domain_cap" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+        |      AS score
+        |  FROM documents),
+        |rk AS (
+        |  SELECT doc_id, source, score, ROW_NUMBER() OVER (
+        |      PARTITION BY source ORDER BY score DESC, doc_id ASC)
+        |    AS domain_rank
+        |  FROM scored)
+        |SELECT doc_id, source, score, domain_rank
+        |FROM rk WHERE domain_rank <= 15""".stripMargin,
 
     // Bigram-LM twin: same positional bigram build, same smoothed
     // probability arithmetic ((n2+1)/(n1+V) as doubles, ln probed

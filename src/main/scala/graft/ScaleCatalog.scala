@@ -400,6 +400,15 @@ object ScaleCatalog {
       graft.operators.Layout.rangePlan(
         Tables.lineitem(s, d), "l_extendedprice")),
 
+    // One-pass key-column profiler (r9): per-column row/null/distinct
+    // counts and long bounds for the fact table's four key columns in
+    // a single scan + one Expand-based multi-distinct aggregate — the
+    // pre-commit data-quality pass of a 100 TB ingest.
+    "q_table_profile" -> ((s, d) =>
+      graft.operators.Profile.keyColumnProfile(
+        Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))),
+
     // Incremental aggregate maintenance: per-customer (sum, count)
     // partial state over the pre-1997 history merged with the 1997+
     // delta slice — the decimal monoid makes ANY slicing bit-identical
@@ -1342,6 +1351,21 @@ object ScaleCatalog {
         |  round(CAST(n_rows * 16 AS DOUBLE) / CAST(n AS DOUBLE), 6)
         |    AS balance
         |FROM pp CROSS JOIN nn""".stripMargin,
+
+    // Profiler twin: per-column UNION ALL of the same five aggregates
+    // — DuckDB reads the scan once per leg where Spark's Expand reads
+    // it once total; the RESULTS are engine-independent either way.
+    "q_table_profile" -> {
+      def leg(c: String) =
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS BIGINT) AS min_val,
+           |  CAST(MAX($c) AS BIGINT) AS max_val
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        .map(leg).mkString("\nUNION ALL\n")
+    },
 
     // Incremental-merge twin: the decimal monoid makes merged partial
     // state bit-identical to the direct one-shot aggregate.

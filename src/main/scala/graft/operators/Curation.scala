@@ -412,6 +412,33 @@ object Curation {
     * high-cardinality dimension would swap in [[Sketch]]'s KMV/HLL
     * estimate on the same plan.
     */
+  /** DOMAIN BALANCING cap (the RefinedWeb/CCNet release step): keep at
+    * most `maxPerDomain` documents per source, preferring the
+    * highest-quality members — an over-represented domain (one crawler
+    * -friendly site) must not dominate the mixture, and the cap must
+    * never discard a clean doc while keeping a worse one from the same
+    * domain. Quality here is the repo's integer proxy (distinct-token
+    * count, as [[Dedup.clusterRepresentatives]] uses); ties break to
+    * the smaller doc_id so both engines pick identical survivors.
+    * Returns the SURVIVORS with their per-domain rank — `filter` on
+    * nothing: the output IS the balanced corpus selector.
+    *
+    * Plan: one projection computes the score, one window partitioned
+    * by source ranks it (never global — a domain is one partition key,
+    * and a hot domain is exactly the skewed-window case the rank-only
+    * frame handles with a single ordered scan per key), one filter.
+    */
+  def domainCap(docs: DataFrame, maxPerDomain: Int = 15): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), col("source"),
+        TextOps.distinctTokenCount(col("text")).as("score"))
+      .withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= maxPerDomain)
+  }
+
   def corpusProfile(docs: DataFrame): DataFrame = {
     val wFp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp"))

@@ -912,6 +912,38 @@ object Dedup {
           col("span_end") - col("span_start") + 1), " ").as("span_text"))
   }
 
+  /** SHARD-BOUNDARY STITCH candidates — the inverse problem of
+    * chunking: given a corpus of FRAGMENTS whose provenance metadata
+    * was lost (the classic ingest accident: documents split across
+    * shard/file boundaries and re-ingested as independent rows),
+    * recover candidate adjacency purely from content. Fragment A is a
+    * stitch candidate onto fragment B when A's LAST `k` tokens equal
+    * B's FIRST `k` tokens verbatim — the overlap window chunkers
+    * (e.g. [[graft.operators.Curation.chunkOverlap]], size−stride
+    * tokens) or boundary-overlapped shard writers leave behind.
+    *
+    * Plan: one projection extracts each fragment's head-gram and
+    * tail-gram (two strings per fragment, never the token stream),
+    * then ONE equi-join keyed on the gram text pairs tails with heads
+    * — banded exactly like [[exactSubstringSpans]]'s anchor join:
+    * only fragments sharing a boundary gram ever meet, and a
+    * boilerplate-hot gram is one hot key (same `maxDocFreq`-style cap
+    * story if a corpus needs it). Fragments shorter than `k` cannot
+    * witness a full boundary and are filtered before the join.
+    */
+  def stitchCandidates(frags: DataFrame, k: Int = 8): DataFrame = {
+    val t = frags
+      .select(col("frag_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+    val heads = t.select(col("frag_id").as("frag_b"),
+      array_join(slice(col("t"), 1, k), " ").as("gram"))
+    val tails = t.select(col("frag_id").as("frag_a"),
+      array_join(slice(col("t"), -k, k), " ").as("gram"))
+    tails.join(heads, Seq("gram"))
+      .filter(col("frag_a") =!= col("frag_b"))
+      .select(col("frag_a"), col("frag_b"), col("gram"))
+  }
+
   /** C4-style SPAN EXCISION — the surgical alternative to
     * [[dropDuplicatePassageDocs]]: instead of discarding a whole
     * document that carries a corpus-duplicated `n`-token window, cut
