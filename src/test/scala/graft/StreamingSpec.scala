@@ -18,9 +18,13 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
         r.getAs[java.math.BigDecimal](3).toPlainString)).toSet
 
-    // stage the events as three parquet slices → three micro-batches
+    // stage the events as twelve parquet slices → ≥12 micro-batches
+    // (maxFilesPerTrigger=1; r7 advice #7 hardening — 3 batches hid
+    // any state bug that only shows after repeated incremental merges;
+    // id-sliced arbitrary order is legal here because complete-mode
+    // aggregation state never drops on the watermark)
     val dir = Files.createTempDirectory("graft-stream").toString
-    typed.withColumn("slice", pmod(col("event_id"), lit(3)))
+    typed.withColumn("slice", pmod(col("event_id"), lit(12)))
       .write.partitionBy("slice").mode("overwrite").parquet(dir)
 
     val stream = spark.readStream
@@ -55,7 +59,9 @@ class StreamingSpec extends SparkSpec {
     // stage both sides as sliced parquet → micro-batched file streams
     def staged(df: org.apache.spark.sql.DataFrame, name: String) = {
       val dir = Files.createTempDirectory(s"graft-ss-$name").toString
-      df.withColumn("slice", pmod(col("ts").cast("long"), lit(3)))
+      // twelve slices per side → ≥24 micro-batches across the two
+      // streams (r7 advice #7 hardening)
+      df.withColumn("slice", pmod(col("ts").cast("long"), lit(12)))
         .write.partitionBy("slice").mode("overwrite").parquet(dir)
       // the slices are NOT event-time-ordered (ts-parity split), so the
       // test watermark must exceed the data span or the join state drops
@@ -101,9 +107,9 @@ class StreamingSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-sess-stream").toString
     val b = typed.agg(min(col("ts")).cast("long"),
       max(col("ts")).cast("long")).head
-    val width = (b.getLong(1) - b.getLong(0)) / 3 + 1
+    val width = (b.getLong(1) - b.getLong(0)) / 12 + 1
     typed.withColumn("slice",
-        least(lit(2), floor((col("ts").cast("long") - b.getLong(0)) / width)))
+        least(lit(11), floor((col("ts").cast("long") - b.getLong(0)) / width)))
       .write.partitionBy("slice").mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema(typed.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir + "/slice=*")
