@@ -99,7 +99,9 @@ object Bench {
     "q_bfs_hops", "q_source_overlap", "q_range_plan",
     // r9 additions, benched at birth.
     "q_dedup_substring", "q_stitch_chunks", "q_domain_cap",
-    "q_table_profile")
+    "q_table_profile",
+    // r9 wave 3, benched at birth.
+    "q_dedup_selfrepeat", "q_keyword_tags", "q_fk_orphans")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

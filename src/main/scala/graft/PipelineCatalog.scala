@@ -557,6 +557,18 @@ object PipelineCatalog {
     "q_domain_cap" -> ((s, d) =>
       graft.operators.Curation.domainCap(Tables.documents(s, d))),
 
+    // Within-doc repeat spans (r9): maximal regions covered by a
+    // 3-token window occurring at >=2 positions of the SAME doc — the
+    // self-repetition localizer (q_repetition scores it, this says
+    // WHERE, with the repeated text recovered).
+    "q_dedup_selfrepeat" -> ((s, d) =>
+      Dedup.selfRepeatSpans(Tables.documents(s, d), 3)),
+
+    // Dictionary keyword/phrase tagging (r9): per-doc topic hit
+    // counts against a broadcast taxonomy incl. 2-token phrases.
+    "q_keyword_tags" -> ((s, d) =>
+      graft.operators.Curation.keywordTags(Tables.documents(s, d))),
+
     // Bigram-LM quality score (perplexity-filter shape): add-one
     // smoothed bigram model trained ON the corpus, docs scored by mean
     // ln P — trainer AND scorer inside one oracle-replicated plan.
@@ -1832,6 +1844,65 @@ object PipelineCatalog {
         |SELECT frag_a, frag_b, gram
         |FROM tails JOIN heads USING (gram)
         |WHERE frag_a <> frag_b""".stripMargin,
+
+    // Self-repeat twin: positional 3-windows, within-doc multiplicity
+    // via GROUP BY (doc, passage) HAVING COUNT(*) > 1 on the
+    // POSITIONAL (non-distinct) windows, then the shared islands
+    // skeleton with gap <= 3 and a 1-based slice.
+    "q_dedup_selfrepeat" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS passage
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks)),
+        |rep AS (
+        |  SELECT doc_id, passage FROM win
+        |  GROUP BY 1, 2 HAVING COUNT(*) > 1),
+        |anch AS (
+        |  SELECT w.doc_id, w.pos
+        |  FROM win w JOIN rep ON w.doc_id = rep.doc_id
+        |    AND w.passage = rep.passage),
+        |brk AS (
+        |  SELECT doc_id, pos, CASE
+        |      WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 3
+        |      THEN 0 ELSE 1 END AS b
+        |  FROM anch),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM brk),
+        |spans AS (
+        |  SELECT doc_id, island, MIN(pos) AS span_start,
+        |    MAX(pos) + 2 AS span_end
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT s.doc_id, s.span_start,
+        |  s.span_end - s.span_start + 1 AS span_tokens,
+        |  array_to_string(t[s.span_start + 1 : s.span_end + 1], ' ')
+        |    AS span_text
+        |FROM spans s JOIN toks USING (doc_id)""".stripMargin,
+
+    // Keyword-tag twin: the same literal dictionary as a VALUES list,
+    // unigrams plus positional bigrams, one join + one aggregate.
+    "q_keyword_tags" ->
+      """WITH dict(term, topic) AS (VALUES
+        |  ('scan','engine'), ('join','engine'), ('filter','engine'),
+        |  ('agg','engine'), ('hash join','engine'),
+        |  ('sort merge','engine'), ('table','storage'),
+        |  ('column','storage'), ('row','storage'),
+        |  ('stream','streaming'), ('window','streaming'),
+        |  ('batch','streaming')),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |bi AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS term
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks)),
+        |a AS (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |SELECT a.doc_id, d.topic, COUNT(*) AS n_hits
+        |FROM a JOIN dict d USING (term)
+        |GROUP BY 1, 2""".stripMargin,
 
     // Domain-cap twin: the cluster_rep score idiom (distinct-token
     // count) ranked per source with the same tiebreak, rank <= 15.

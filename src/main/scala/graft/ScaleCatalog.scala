@@ -409,6 +409,21 @@ object ScaleCatalog {
         Tables.lineitem(s, d),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))),
 
+    // FK orphan audit (r9): per-FK orphan counts for lineitem against
+    // deliberately HOLED dimensions (every 100th order, every 13th
+    // part withheld — a 0-orphan audit is a weak differential, the
+    // kmv_diff lesson) plus the clean supplier leg. Single-column
+    // fact scans + broadcast left joins; the fact never shuffles.
+    "q_fk_orphans" -> ((s, d) =>
+      graft.operators.Profile.fkOrphanAudit(Tables.lineitem(s, d), Seq(
+        ("l_orderkey",
+          Tables.orders(s, d).filter(col("o_orderkey") % 100 =!= 0),
+          "o_orderkey"),
+        ("l_partkey",
+          Tables.part(s, d).filter(col("p_partkey") % 13 =!= 0),
+          "p_partkey"),
+        ("l_suppkey", Tables.supplier(s, d), "s_suppkey")))),
+
     // Incremental aggregate maintenance: per-customer (sum, count)
     // partial state over the pre-1997 history merged with the 1997+
     // delta slice — the decimal monoid makes ANY slicing bit-identical
@@ -1365,6 +1380,25 @@ object ScaleCatalog {
            |FROM lineitem""".stripMargin
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
         .map(leg).mkString("\nUNION ALL\n")
+    },
+
+    // FK-orphan twin: per-leg LEFT JOIN against the same holed
+    // dimension key sets, counted with the same null-flag sum.
+    "q_fk_orphans" -> {
+      def leg(fk: String, dimSql: String) =
+        s"""SELECT '$fk' AS fk, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_orphans
+           |FROM (SELECT $fk AS v FROM lineitem) f
+           |LEFT JOIN ($dimSql) d ON f.v = d.k""".stripMargin
+      Seq(
+        leg("l_orderkey",
+          "SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 100 <> 0"),
+        leg("l_partkey",
+          "SELECT DISTINCT p_partkey AS k FROM part WHERE p_partkey % 13 <> 0"),
+        leg("l_suppkey",
+          "SELECT DISTINCT s_suppkey AS k FROM supplier"))
+        .mkString("\nUNION ALL\n")
     },
 
     // Incremental-merge twin: the decimal monoid makes merged partial

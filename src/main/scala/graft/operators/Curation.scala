@@ -412,6 +412,45 @@ object Curation {
     * high-cardinality dimension would swap in [[Sketch]]'s KMV/HLL
     * estimate on the same plan.
     */
+  /** Dictionary KEYWORD/PHRASE tagging — the taxonomy/blocklist pass:
+    * count per-document hits against a curated term dictionary
+    * (topic taxonomies, unsafe-content blocklists, PII keyword lists),
+    * where terms may be single tokens or two-token phrases. Downstream
+    * filters threshold `n_hits` per topic; the dictionary is an
+    * external artifact in production and a fixed literal here so the
+    * oracle replicates it.
+    *
+    * Plan: the dictionary BROADCASTS (it is human-curated — thousands
+    * of rows at most); the corpus explodes once into unigrams and once
+    * into positional bigrams (stride-1 windows, repeats kept — hit
+    * COUNTS are the contract), and one broadcast equi-join + one
+    * doc-keyed aggregate close it. No shuffle ever carries the corpus
+    * against itself; a hot term is a hot aggregate cell, map-side
+    * combined.
+    */
+  def keywordTags(docs: DataFrame,
+                  dict: Seq[(String, String)] = DefaultTagDict): DataFrame = {
+    val d = docs.sparkSession.createDataFrame(dict).toDF("term", "topic")
+    val uni = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("term"))
+    val bi = docs.select(col("doc_id"),
+      explode(TextOps.ngramsAll(col("text"), 2)).as("term"))
+    uni.unionByName(bi)
+      .join(broadcast(d), Seq("term"))
+      .groupBy(col("doc_id"), col("topic"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Fixed demo taxonomy over the testdata vocabulary: engine-,
+    * storage-, and streaming-themed terms incl. two 2-token phrases.
+    */
+  val DefaultTagDict: Seq[(String, String)] = Seq(
+    "scan" -> "engine", "join" -> "engine", "filter" -> "engine",
+    "agg" -> "engine", "hash join" -> "engine", "sort merge" -> "engine",
+    "table" -> "storage", "column" -> "storage", "row" -> "storage",
+    "stream" -> "streaming", "window" -> "streaming",
+    "batch" -> "streaming")
+
   /** DOMAIN BALANCING cap (the RefinedWeb/CCNet release step): keep at
     * most `maxPerDomain` documents per source, preferring the
     * highest-quality members — an over-represented domain (one crawler

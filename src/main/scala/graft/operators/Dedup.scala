@@ -894,6 +894,17 @@ object Dedup {
       .select(col("doc_id"), col("pos"), col("col").as("passage"))
       .join(dup, Seq("passage"))
       .select(col("doc_id"), col("pos"))
+    anchorSpans(anchors, corpus, k)
+  }
+
+  /** Gaps-and-islands merge of anchor-window positions into maximal
+    * spans with recovered text — the shared tail of
+    * [[exactSubstringSpans]] (cross-document anchors) and
+    * [[selfRepeatSpans]] (within-document anchors). Two partitioned
+    * window functions + one keyed join back to the token arrays.
+    */
+  private def anchorSpans(anchors: DataFrame, corpus: DataFrame,
+                          k: Int): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = anchors
       .withColumn("brk",
@@ -910,6 +921,31 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         array_join(slice(col("t"), col("span_start") + 1,
           col("span_end") - col("span_start") + 1), " ").as("span_text"))
+  }
+
+  /** WITHIN-document repeat spans — the self-repetition detector for
+    * generated/templated text (decoding loops, boilerplate blocks
+    * repeated inside ONE document), the intra-doc complement of
+    * [[exactSubstringSpans]]: maximal regions covered by a `k`-token
+    * window that occurs at ≥2 DISTINCT POSITIONS of the same doc.
+    * [[graft.operators.Curation]]'s repetition score flags HOW
+    * repetitive a doc is; this localizes WHERE, with the repeated
+    * text recovered — what a cleanup pass actually excises.
+    *
+    * Plan: positional windows aggregate per (doc, window-text) — a
+    * doc-keyed shuffle, never cross-doc — positions of multiply-
+    * occurring windows explode back out, and the island merge is the
+    * shared [[anchorSpans]] tail.
+    */
+  def selfRepeatSpans(corpus: DataFrame, k: Int = 3): DataFrame = {
+    val anchors = corpus.select(col("doc_id"),
+        posexplode(TextOps.ngramsAll(col("text"), k)))
+      .select(col("doc_id"), col("pos"), col("col").as("passage"))
+      .groupBy(col("doc_id"), col("passage"))
+      .agg(collect_list(col("pos")).as("ps"))
+      .filter(size(col("ps")) > 1)
+      .select(col("doc_id"), explode(col("ps")).as("pos"))
+    anchorSpans(anchors, corpus, k)
   }
 
   /** SHARD-BOUNDARY STITCH candidates — the inverse problem of

@@ -42,4 +42,30 @@ object Profile {
       col(s"max_$c").as("max_val")))
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Referential-integrity audit — per foreign key, how many fact rows
+    * reference a key absent from its dimension (the orphan count every
+    * warehouse ingest checks before exposing a join, and the number
+    * that catches a partial dimension load or a key-domain drift).
+    * One row per audited FK: (fk, n_rows, n_orphans).
+    *
+    * Scale shape: each leg is a single-column scan of the fact (column
+    * -pruned parquet read) + ONE broadcast left join against the
+    * dimension's distinct key set + one two-cell aggregate — the fact
+    * never shuffles. Dimensions are broadcast-sized by definition
+    * here; a fact-sized "dimension" would swap the broadcast for a
+    * keyed left join on the same plan (or a [[Bloom]] probe when an
+    * approximate audit suffices).
+    */
+  def fkOrphanAudit(fact: DataFrame,
+                    fks: Seq[(String, DataFrame, String)]): DataFrame =
+    fks.map { case (fkCol, dim, pkCol) =>
+      fact.select(col(fkCol).as("fk_val"))
+        .join(broadcast(dim.select(col(pkCol).as("fk_val")).distinct()
+          .withColumn("present", lit(1))), Seq("fk_val"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("present").isNull, 1L).otherwise(0L))
+            .as("n_orphans"))
+        .select(lit(fkCol).as("fk"), col("n_rows"), col("n_orphans"))
+    }.reduce(_ unionByName _)
 }

@@ -59,6 +59,60 @@ class Round9OpsSpec extends SparkSpec {
     assert(got == Set((1L, "x", 5, 1), (2L, "x", 3, 2), (4L, "y", 2, 1)))
   }
 
+  test("selfRepeatSpans: localizes a within-doc repeated block, " +
+    "ignores cross-doc-only repeats") {
+    val block = "r1 r2 r3"
+    // doc 1 repeats the block at positions 0 and 6 (gap 6 > k=3 →
+    // two separate spans); doc 2 contains it once (no self-repeat).
+    val doc1 = s"$block x1 x2 x3 $block"
+    val doc2 = s"$block y1 y2 y3 y4 y5"
+    val got = Dedup.selfRepeatSpans(
+        Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text"), 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_tokens"), r.getAs[String]("span_text"))).toSet
+    assert(got == Set((1L, 0, 3, block), (1L, 6, 3, block)))
+  }
+
+  test("selfRepeatSpans: a run of one repeated token merges into one " +
+    "maximal span") {
+    val doc = "a a a a a a b c d e f g"  // 6×'a': windows 0..3 repeat
+    val got = Dedup.selfRepeatSpans(
+        Seq((1L, doc)).toDF("doc_id", "text"), 3).collect()
+      .map(r => (r.getAs[Int]("span_start"), r.getAs[Int]("span_tokens"),
+        r.getAs[String]("span_text"))).toSet
+    assert(got == Set((0, 6, "a a a a a a")))
+  }
+
+  test("keywordTags: unigram and phrase hits counted per topic") {
+    val docs = Seq(
+      (1L, "scan the table then scan the stream"),
+      (2L, "hash join beats sort merge here"),
+      (3L, "nothing matches in this one")).toDF("doc_id", "text")
+    val got = Curation.keywordTags(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("topic"),
+        r.getAs[Long]("n_hits"))).toSet
+    // doc 1: scan×2 (engine), table (storage), stream (streaming);
+    // doc 2: join + "hash join" + "sort merge" = 3 engine hits plus
+    // the bare "merge"/"sort" unigrams are NOT in the dictionary.
+    assert(got == Set((1L, "engine", 2L), (1L, "storage", 1L),
+      (1L, "streaming", 1L), (2L, "engine", 3L)))
+  }
+
+  test("fkOrphanAudit: holed dimension counts orphans exactly, clean " +
+    "dimension counts zero") {
+    val fact = Seq((1L, 10L), (2L, 20L), (3L, 10L), (4L, 30L))
+      .toDF("fk_a", "fk_b")
+    val dimA = Seq(1L, 2L).toDF("pk")            // 3, 4 orphaned
+    val dimB = Seq(10L, 20L, 30L).toDF("pk")     // clean
+    val got = Profile.fkOrphanAudit(fact,
+        Seq(("fk_a", dimA, "pk"), ("fk_b", dimB, "pk"))).collect()
+      .map(r => r.getAs[String]("fk") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_orphans"))).toMap
+    assert(got("fk_a") == ((4L, 2L)))
+    assert(got("fk_b") == ((4L, 0L)))
+  }
+
   test("keyColumnProfile: exact per-column null/distinct/bounds from " +
     "one aggregate") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
