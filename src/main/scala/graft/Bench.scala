@@ -101,7 +101,9 @@ object Bench {
     "q_dedup_substring", "q_stitch_chunks", "q_domain_cap",
     "q_table_profile",
     // r9 wave 3, benched at birth.
-    "q_dedup_selfrepeat", "q_keyword_tags", "q_fk_orphans")
+    "q_dedup_selfrepeat", "q_keyword_tags", "q_fk_orphans",
+    // r9 wave 4, benched at birth.
+    "q_substring_excise", "q_dedup_agreement")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -557,6 +557,19 @@ object PipelineCatalog {
     "q_domain_cap" -> ((s, d) =>
       graft.operators.Curation.domainCap(Tables.documents(s, d))),
 
+    // Exact-substring EXCISION (r9): the apply side of
+    // q_dedup_substring with the faithful ExactSubstr keep-one rule —
+    // duplicated 8-windows cut everywhere EXCEPT the min-doc holder.
+    "q_substring_excise" -> ((s, d) =>
+      Dedup.exciseSubstrings(
+        Dedup.withNearDuplicates(Tables.documents(s, d)), 8)),
+
+    // Dedup-method agreement audit (r9): exact-Jaccard pairs vs
+    // SimHash band pairs, one full-outer join, three counts.
+    "q_dedup_agreement" -> ((s, d) =>
+      Dedup.dedupMethodAgreement(
+        Dedup.withNearDuplicates(Tables.documents(s, d)))),
+
     // Within-doc repeat spans (r9): maximal regions covered by a
     // 3-token window occurring at >=2 positions of the SAME doc — the
     // self-repetition localizer (q_repetition scores it, this says
@@ -1844,6 +1857,83 @@ object PipelineCatalog {
         |SELECT frag_a, frag_b, gram
         |FROM tails JOIN heads USING (gram)
         |WHERE frag_a <> frag_b""".stripMargin,
+
+    // Substring-excise twin: the passages-excise skeleton with the
+    // keep-one rule — dup carries MIN(doc_id), covered positions only
+    // where the witness is NOT the canonical holder.
+    "q_substring_excise" ->
+      s"""WITH $corpusNearSql,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |win AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+         |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+         |      AS passage
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+         |        FROM toks)),
+         |dup AS (
+         |  SELECT passage, MIN(doc_id) AS mdoc
+         |  FROM (SELECT DISTINCT doc_id, passage FROM win)
+         |  GROUP BY 1 HAVING COUNT(*) > 1),
+         |cov AS (
+         |  SELECT DISTINCT w.doc_id, w.pos + r.j AS tpos
+         |  FROM win w JOIN dup USING (passage) CROSS JOIN range(8) r(j)
+         |  WHERE w.doc_id <> dup.mdoc),
+         |tk AS (
+         |  SELECT doc_id, tpos, t[tpos + 1] AS tok
+         |  FROM (SELECT doc_id, t, unnest(range(len(t))) AS tpos
+         |        FROM toks)),
+         |kept AS (
+         |  SELECT tk.doc_id, tk.tpos, tk.tok FROM tk
+         |  ANTI JOIN cov ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos),
+         |reb AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS kept
+         |  FROM kept GROUP BY 1),
+         |rem AS (SELECT doc_id, COUNT(*) AS nrm FROM cov GROUP BY 1)
+         |SELECT c.doc_id, COALESCE(reb.kept, '') AS text_clean,
+         |  COALESCE(rem.nrm, 0) AS n_removed
+         |FROM corpus c
+         |LEFT JOIN reb ON c.doc_id = reb.doc_id
+         |LEFT JOIN rem ON c.doc_id = rem.doc_id""".stripMargin,
+
+    // Agreement twin: the shared jaccard pairs chain FULL OUTER JOINed
+    // with the simhash band-pair chain (same md5 vocabulary votes),
+    // three conditional counts.
+    "q_dedup_agreement" -> {
+      val votes = (0 until 60)
+        .map(j => s"SUM((((h >> $j) & 1) * 2 - 1) * w) AS s$j")
+        .mkString(", ")
+      val sig = (0 until 60)
+        .map(j =>
+          s"CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END")
+        .mkString(" + ")
+      s"""WITH $pairsCteSql,
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM corpus),
+         |w AS (SELECT doc_id, tok, COUNT(*) AS w FROM tok GROUP BY 1, 2),
+         |vcb AS (
+         |  SELECT DISTINCT tok,
+         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+         |  FROM tok),
+         |hh AS (SELECT w.doc_id, vcb.h, w.w FROM w JOIN vcb USING (tok)),
+         |vt AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
+         |sg AS (SELECT doc_id, $sig AS simhash FROM vt),
+         |sp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+         |SELECT
+         |  CAST(SUM(CASE WHEN p.doc_a IS NOT NULL AND sp.doc_a IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN sp.doc_a IS NULL AND p.doc_a IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_jaccard_only,
+         |  CAST(SUM(CASE WHEN p.doc_a IS NULL AND sp.doc_a IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_only
+         |FROM pairs p
+         |FULL OUTER JOIN sp
+         |  ON p.doc_a = sp.doc_a AND p.doc_b = sp.doc_b""".stripMargin
+    },
 
     // Self-repeat twin: positional 3-windows, within-doc multiplicity
     // via GROUP BY (doc, passage) HAVING COUNT(*) > 1 on the

@@ -617,6 +617,35 @@ object Dedup {
         least(col("a"), col("mn")).as("canonical_id"))
   }
 
+  /** DEDUP-METHOD AGREEMENT audit — the meta-quality number a pipeline
+    * publishes when swapping near-dup detectors: how many candidate
+    * pairs do exact n-gram Jaccard (J ≥ 7/10) and SimHash banding
+    * (Hamming ≤ 3) agree on, and how many does each find alone? The
+    * two measure different similarity structures (set overlap vs
+    * weighted-profile angle), so divergence is signal, not error —
+    * a rising `_only` count on a new corpus slice says the cheap
+    * detector's threshold needs re-calibration before it replaces the
+    * expensive one.
+    *
+    * Plan: both pair generators run their documented banded plans;
+    * ONE full-outer join on the (doc_a, doc_b) key — pair sets, tiny
+    * relative to the corpus — and a three-cell conditional aggregate.
+    */
+  def dedupMethodAgreement(corpus: DataFrame): DataFrame = {
+    val j = exactJaccardPairs(corpus)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_j"))
+    val s = simhashBandPairs(corpus)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_s"))
+    j.join(s, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("in_j").isNotNull && col("in_s").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("in_s").isNull && col("in_j").isNotNull, 1L)
+          .otherwise(0L)).as("n_jaccard_only"),
+        sum(when(col("in_j").isNull && col("in_s").isNotNull, 1L)
+          .otherwise(0L)).as("n_simhash_only"))
+  }
+
   /** Cluster → REPRESENTATIVE selection — the decision step after
     * clustering: keep exactly one document per near-dup cluster, the
     * highest-quality member (here: distinct-token count, the repo's
@@ -921,6 +950,50 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         array_join(slice(col("t"), col("span_start") + 1,
           col("span_end") - col("span_start") + 1), " ").as("span_text"))
+  }
+
+  /** EXACT-SUBSTRING EXCISION — the apply side of
+    * [[exactSubstringSpans]] and the faithful ExactSubstr contract
+    * (Lee et al. keep ONE occurrence of each duplicated substring,
+    * not zero): cut every token covered by a cross-document-duplicated
+    * `k`-window EXCEPT in the window's canonical holder (min doc_id —
+    * already computed by [[duplicatePassages]]' aggregate, so the keep
+    * rule costs nothing extra). Docs keep their row; `n_removed`
+    * counts excised tokens — the same output contract as
+    * [[excisePassages]], whose keep-nothing policy this refines.
+    *
+    * Plan: identical shape to [[excisePassages]] — positional windows
+    * equi-join the duplicated-window index (now carrying min_doc_id),
+    * the non-canonical matches explode to covered positions, one
+    * distinct, surviving tokens anti-join and fold back per doc.
+    */
+  def exciseSubstrings(corpus: DataFrame, k: Int = 8): DataFrame = {
+    val dup = duplicatePassages(corpus, k)
+      .select(col("passage"), col("min_doc_id"))
+    val wins = corpus.select(col("doc_id"),
+        posexplode(TextOps.ngramsAll(col("text"), k)))
+      .select(col("doc_id"), col("pos"), col("col").as("passage"))
+    val covered = wins.join(dup, Seq("passage"))
+      .filter(col("doc_id") =!= col("min_doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .distinct()
+    val toks = corpus.select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), col("pos").as("tpos"), col("col").as("tok"))
+    val rebuilt = toks.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("tpos"), col("tok")))),
+        _.getField("tok")), " ").as("kept"))
+    val removed = covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nrm"))
+    corpus.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept"), lit("")).as("text_clean"),
+        coalesce(col("nrm"), lit(0L)).as("n_removed"))
   }
 
   /** WITHIN-document repeat spans — the self-repetition detector for

@@ -113,6 +113,37 @@ class Round9OpsSpec extends SparkSpec {
     assert(got("fk_b") == ((4L, 0L)))
   }
 
+  test("exciseSubstrings: keep-one rule — the canonical (min doc_id) " +
+    "holder keeps its copy, every other witness is cut") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val tailA = (1 to 4).map(i => s"a$i").mkString(" ")
+    val tailB = (1 to 4).map(i => s"b$i").mkString(" ")
+    val docs = Seq((5L, s"$shared $tailA"), (9L, s"$shared $tailB"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exciseSubstrings(docs, 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_clean"), r.getAs[Long]("n_removed"))).toMap
+    // doc 5 is the min holder: untouched. doc 9 loses the 10 shared
+    // tokens and keeps its own tail.
+    assert(got(5L) == ((s"$shared $tailA", 0L)))
+    assert(got(9L) == ((tailB, 10L)))
+  }
+
+  test("dedupMethodAgreement: identical near-dups agree; both-only " +
+    "cells are non-negative and consistent") {
+    val doc1 = (1 to 30).map(i => s"t$i").mkString(" ")
+    val doc2 = (2 to 30).map(i => s"t$i").mkString(" ")
+    val doc3 = (1 to 30).map(i => s"u$i").mkString(" ")
+    val corpus = Seq((1L, doc1), (2L, doc2), (3L, doc3))
+      .toDF("doc_id", "text")
+    val r = Dedup.dedupMethodAgreement(corpus).collect().head
+    val (both, jOnly, sOnly) = (r.getAs[Long]("n_both"),
+      r.getAs[Long]("n_jaccard_only"), r.getAs[Long]("n_simhash_only"))
+    // the (1,2) near-dup pair is found by BOTH detectors; nothing
+    // links doc 3 to either.
+    assert(both == 1L && jOnly == 0L && sOnly == 0L)
+  }
+
   test("keyColumnProfile: exact per-column null/distinct/bounds from " +
     "one aggregate") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
