@@ -565,10 +565,15 @@ object PipelineCatalog {
         Dedup.withNearDuplicates(Tables.documents(s, d)), 8)),
 
     // Dedup-method agreement audit (r9): exact-Jaccard pairs vs
-    // SimHash band pairs, one full-outer join, three counts.
+    // SimHash band pairs, one full-outer join, three counts. The
+    // jaccard leg carries the standard maxDocFreq=50 hot-shingle cap
+    // (no-op at oracle scale, exactly like q_dedup_jaccard's; without
+    // it the saturated-sf1 probe measured 27× on 10× data — the r8
+    // pair-density lesson re-confirmed on a composed query).
     "q_dedup_agreement" -> ((s, d) =>
       Dedup.dedupMethodAgreement(
-        Dedup.withNearDuplicates(Tables.documents(s, d)))),
+        Dedup.withNearDuplicates(Tables.documents(s, d)),
+        maxDocFreq = Some(50))),
 
     // Within-doc repeat spans (r9): maximal regions covered by a
     // 3-token window occurring at >=2 positions of the SAME doc — the

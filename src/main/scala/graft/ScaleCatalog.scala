@@ -472,6 +472,18 @@ object ScaleCatalog {
         e.filter(col("vec_id") >= 10), 5)
     }),
 
+    // ANN recall@5 audit (r9): the exact top-5 vs the single-probe IVF
+    // top-5, per-query hit counts and recall — the number that gates
+    // an index swap into serving. Composes the two existing top-k
+    // frames; one join over |queries|·k rows.
+    "q_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val c = e.filter(col("vec_id") >= 10)
+      Similarity.annRecall(Similarity.bruteTopK(q, c, 5),
+        Similarity.ivfTopK(q, c, 5))
+    }),
+
     // Embedding-cosine near-dup pairs (exact copies injected at
     // vec_id % 25 = 0 → cosine 1.0; random pairs sit far below τ=0.9).
     // Primary is the LSH-BUCKETED path — signature equi-join, never the
@@ -692,6 +704,47 @@ object ScaleCatalog {
         |FROM f JOIN bk ON f.a = bk.a AND f.b = bk.b""".stripMargin,
 
     "q_knn_brute" -> knnSql("CROSS JOIN c"),
+
+    // Recall twin: both knnSql legs inline (brute + label-probe IVF),
+    // left-join hit counting, double division rounded 6 dp.
+    "q_ann_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e, label
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e, label
+        |  FROM embeddings WHERE vec_id >= 10),
+        |s1 AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(round(list_inner_product(q.e, c.e)
+        |      / (sqrt(list_inner_product(q.e, q.e))
+        |         * sqrt(list_inner_product(c.e, c.e))), 6)
+        |      AS DECIMAL(10,6)) AS score
+        |  FROM q CROSS JOIN c),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        |  FROM s1),
+        |bx AS (SELECT query_id, neighbor_id FROM r1 WHERE rnk <= 5),
+        |s2 AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(round(list_inner_product(q.e, c.e)
+        |      / (sqrt(list_inner_product(q.e, q.e))
+        |         * sqrt(list_inner_product(c.e, c.e))), 6)
+        |      AS DECIMAL(10,6)) AS score
+        |  FROM q JOIN c ON q.label = c.label),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        |  FROM s2),
+        |ax AS (SELECT query_id, neighbor_id, 1 AS hit FROM r2 WHERE rnk <= 5)
+        |SELECT bx.query_id, COUNT(*) AS n_exact,
+        |  CAST(SUM(CASE WHEN ax.hit IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(SUM(CASE WHEN ax.hit IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*), 6) AS recall
+        |FROM bx LEFT JOIN ax USING (query_id, neighbor_id)
+        |GROUP BY 1""".stripMargin,
 
     "q_knn_ivf" -> knnSql("JOIN c ON q.label = c.label"),
 

@@ -631,8 +631,9 @@ object Dedup {
     * ONE full-outer join on the (doc_a, doc_b) key — pair sets, tiny
     * relative to the corpus — and a three-cell conditional aggregate.
     */
-  def dedupMethodAgreement(corpus: DataFrame): DataFrame = {
-    val j = exactJaccardPairs(corpus)
+  def dedupMethodAgreement(corpus: DataFrame,
+                           maxDocFreq: Option[Int] = None): DataFrame = {
+    val j = exactJaccardPairs(corpus, maxDocFreq = maxDocFreq)
       .select(col("doc_a"), col("doc_b"), lit(1).as("in_j"))
     val s = simhashBandPairs(corpus)
       .select(col("doc_a"), col("doc_b"), lit(1).as("in_s"))

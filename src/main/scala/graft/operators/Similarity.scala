@@ -477,6 +477,33 @@ object Similarity {
     * element order (the sorted-fold idiom), doubles end to end, rounded
     * to 6 dp at the edge.
     */
+  /** ANN RECALL@k audit — the quality gate every approximate-index
+    * deployment tracks: per query, what fraction of the EXACT top-k
+    * does the approximate path return? Run before swapping an index
+    * into serving and after every retrain; a recall drop on a new
+    * corpus slice is the signal to raise nprobe / rebuild cells.
+    *
+    * Takes the two top-k FRAMES (any of this file's exact/IVF/LSH/
+    * quantized paths — anything with (query_id, neighbor_id) rows), so
+    * the audit composes over every index family without re-scoring.
+    *
+    * Scale shape: both inputs are top-k result sets (|queries|·k rows
+    * — tiny relative to the corpus), one left equi-join on the
+    * (query_id, neighbor_id) key + one query-keyed aggregate.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    val ap = approx.select(col("query_id"), col("neighbor_id"),
+      lit(1L).as("hit"))
+    ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6)
+          .as("recall"))
+  }
+
   def embeddingDrift(prev: DataFrame, curr: DataFrame,
                      threshold: Double = 0.98): DataFrame = {
     def dbl(df: DataFrame, as: String) = df.select(col("vec_id"),

@@ -101,7 +101,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_kmv_diff",
     // range_plan: two 1-row frames (the 15-element boundary array —
     // q_price_deciles' shape — and the total-count frame).
-    "q_range_plan")
+    "q_range_plan",
+    // ann_recall: inherits q_knn_brute's broadcast QUERY-SET cross
+    // join on its exact leg (the few-queries × huge-corpus asymmetry,
+    // already allowlisted there); the recall join itself is keyed.
+    "q_ann_recall")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

@@ -144,6 +144,21 @@ class Round9OpsSpec extends SparkSpec {
     assert(both == 1L && jOnly == 0L && sOnly == 0L)
   }
 
+  test("annRecall: perfect approximate path scores 1.0, a missing " +
+    "neighbor costs exactly 1/k") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val got = graft.operators.Similarity.annRecall(exact, approx)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"),
+          r.getAs[Double]("recall"))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+  }
+
   test("keyColumnProfile: exact per-column null/distinct/bounds from " +
     "one aggregate") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
