@@ -242,9 +242,12 @@ object Bench {
     // count + the 12 slowest medians (the queries any perf question
     // starts from), with the complete median/min maps at the named
     // on-disk paths above. ~700 bytes, safely inside the capture.
+    // Field order mirrors the driver contract's documented shape
+    // (metric, value, unit, queries, sf) with the extras TRAILING, in
+    // case the parser is prefix-order-sensitive.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"passes":$nPasses,"queries":${jmap(slowest)},"full_map":"bench_out.json","min_map":"bench_min.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${jmap(slowest)},"sf":"$sfDir","n_queries":${results.size},"passes":$nPasses,"full_map":"bench_out.json","min_map":"bench_min.json"}"""
     // The driver parses the LAST stdout line matching the contract, so
     // print it as the final act and flush — nothing (spark.stop()
     // chatter included) lands after it.
