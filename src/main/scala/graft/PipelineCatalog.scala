@@ -575,6 +575,14 @@ object PipelineCatalog {
         Dedup.withNearDuplicates(Tables.documents(s, d)),
         maxDocFreq = Some(50))),
 
+    // Jaccard threshold-calibration curve (r9): pair counts at τ ∈
+    // {0.5..0.9} from ONE loose-threshold pair pass — the elbow read
+    // that picks a corpus's dedup threshold. Standard hot-shingle cap.
+    "q_dedup_thresholds" -> ((s, d) =>
+      Dedup.jaccardThresholdCurve(
+        Dedup.withNearDuplicates(Tables.documents(s, d)),
+        maxDocFreq = Some(50))),
+
     // Within-doc repeat spans (r9): maximal regions covered by a
     // 3-token window occurring at >=2 positions of the SAME doc — the
     // self-repetition localizer (q_repetition scores it, this says
@@ -1939,6 +1947,31 @@ object PipelineCatalog {
          |FULL OUTER JOIN sp
          |  ON p.doc_a = sp.doc_a AND p.doc_b = sp.doc_b""".stripMargin
     },
+
+    // Threshold-curve twin: the pairs chain re-anchored at τ = 5/10,
+    // the same threshold sweep as a bounded range cross join.
+    "q_dedup_thresholds" ->
+      s"""WITH $corpusNearSql,
+         |$shinglesSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(*) AS intersect_n
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p5 AS (
+         |  SELECT doc_a, doc_b, intersect_n,
+         |    sa.sz + sb.sz - intersect_n AS union_n
+         |  FROM inter
+         |  JOIN sz sa ON inter.doc_a = sa.doc_id
+         |  JOIN sz sb ON inter.doc_b = sb.doc_id
+         |  WHERE intersect_n * 10 >= (sa.sz + sb.sz - intersect_n) * 5),
+         |sweep AS (
+         |  SELECT doc_a, doc_b, ti FROM p5 CROSS JOIN range(5, 10) r(ti)
+         |  WHERE intersect_n * 10 >= union_n * ti)
+         |SELECT CAST(ti AS INT) AS tau_tenths, COUNT(*) AS n_pairs
+         |FROM sweep GROUP BY 1""".stripMargin,
 
     // Self-repeat twin: positional 3-windows, within-doc multiplicity
     // via GROUP BY (doc, passage) HAVING COUNT(*) > 1 on the

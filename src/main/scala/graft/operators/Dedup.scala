@@ -617,6 +617,22 @@ object Dedup {
         least(col("a"), col("mn")).as("canonical_id"))
   }
 
+  /** Jaccard THRESHOLD-CALIBRATION curve — how a dedup threshold is
+    * actually chosen: pair counts at every candidate threshold τ ∈
+    * {0.5 … 0.9} from ONE pair-generation pass at the loosest τ (each
+    * tighter threshold is a filter over the same (intersect, union)
+    * pairs, so the sweep costs one extra projection, not five index
+    * joins). Read the curve's elbow, pick τ, ship; re-run on a new
+    * corpus slice before trusting the old τ there.
+    */
+  def jaccardThresholdCurve(corpus: DataFrame,
+                            maxDocFreq: Option[Int] = None): DataFrame =
+    exactJaccardPairs(corpus, num = 5, den = 10, maxDocFreq = maxDocFreq)
+      .select(explode(array((5 to 9).map(lit(_)): _*)).as("tau_tenths"),
+        col("intersect_n"), col("union_n"))
+      .filter(col("intersect_n") * 10 >= col("union_n") * col("tau_tenths"))
+      .groupBy(col("tau_tenths")).agg(count(lit(1)).as("n_pairs"))
+
   /** DEDUP-METHOD AGREEMENT audit — the meta-quality number a pipeline
     * publishes when swapping near-dup detectors: how many candidate
     * pairs do exact n-gram Jaccard (J ≥ 7/10) and SimHash banding

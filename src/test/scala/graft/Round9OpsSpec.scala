@@ -159,6 +159,27 @@ class Round9OpsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 0.5)))
   }
 
+  test("jaccardThresholdCurve: counts are monotone non-increasing in " +
+    "tau and match the direct per-threshold counts") {
+    val doc1 = (1 to 20).map(i => s"t$i").mkString(" ")
+    val doc2 = (2 to 20).map(i => s"t$i").mkString(" ")  // J = 17/18
+    val doc3 = (1 to 12).map(i => s"t$i").mkString(" ") +
+      " " + (1 to 8).map(i => s"z$i").mkString(" ")      // mid-J vs doc1
+    val corpus = Seq((1L, doc1), (2L, doc2), (3L, doc3))
+      .toDF("doc_id", "text")
+    val curve = Dedup.jaccardThresholdCurve(corpus).collect()
+      .map(r => r.getAs[Int]("tau_tenths") -> r.getAs[Long]("n_pairs"))
+      .toMap
+    val counts = (5 to 9).map(t => curve.getOrElse(t, 0L))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // direct check against exactJaccardPairs at each threshold
+    for (t <- 5 to 9) {
+      val direct = Dedup.exactJaccardPairs(corpus, num = t, den = 10)
+        .count()
+      assert(curve.getOrElse(t, 0L) == direct, s"tau=$t")
+    }
+  }
+
   test("keyColumnProfile: exact per-column null/distinct/bounds from " +
     "one aggregate") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
