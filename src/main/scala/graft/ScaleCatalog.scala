@@ -472,6 +472,15 @@ object ScaleCatalog {
         e.filter(col("vec_id") >= 10), 5)
     }),
 
+    // Margin-based bitext mining (r9): Artetxe-Schwenk ratio margin
+    // over an even/odd embedding split — forward+backward top-4 legs,
+    // neighborhood-mean normalization, best-margin match per query.
+    "q_bitext_margin" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.marginBitext(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 =!= 0))
+    }),
+
     // ANN recall@5 audit (r9): the exact top-5 vs the single-probe IVF
     // top-5, per-query hit counts and recall — the number that gates
     // an index swap into serving. Composes the two existing top-k
@@ -704,6 +713,60 @@ object ScaleCatalog {
         |FROM f JOIN bk ON f.a = bk.a AND f.b = bk.b""".stripMargin,
 
     "q_knn_brute" -> knnSql("CROSS JOIN c"),
+
+    // Bitext-margin twin: two brute knn legs over the parity split,
+    // double-cast neighborhood means, the same rounded margin and
+    // deterministic best-match window.
+    "q_bitext_margin" ->
+      """WITH va AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |vb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id % 2 <> 0),
+        |s1 AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(round(list_inner_product(a.e, b.e)
+        |      / (sqrt(list_inner_product(a.e, a.e))
+        |         * sqrt(list_inner_product(b.e, b.e))), 6)
+        |      AS DECIMAL(10,6)) AS score
+        |  FROM va a CROSS JOIN vb b),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        |  FROM s1),
+        |fwd AS (SELECT query_id, neighbor_id, score FROM r1 WHERE rnk <= 4),
+        |s2 AS (
+        |  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    CAST(round(list_inner_product(b.e, a.e)
+        |      / (sqrt(list_inner_product(b.e, b.e))
+        |         * sqrt(list_inner_product(a.e, a.e))), 6)
+        |      AS DECIMAL(10,6)) AS score
+        |  FROM vb b CROSS JOIN va a),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        |  FROM s2),
+        |bwd AS (SELECT query_id, score FROM r2 WHERE rnk <= 4),
+        |avga AS (
+        |  SELECT query_id, AVG(CAST(score AS DOUBLE)) AS avg_a
+        |  FROM fwd GROUP BY 1),
+        |avgb AS (
+        |  SELECT query_id AS neighbor_id, AVG(CAST(score AS DOUBLE)) AS avg_b
+        |  FROM bwd GROUP BY 1),
+        |m AS (
+        |  SELECT f.query_id, f.neighbor_id,
+        |    CAST(f.score AS DOUBLE) AS score,
+        |    round(CAST(f.score AS DOUBLE) / ((avg_a + avg_b) / 2), 6)
+        |      AS margin
+        |  FROM fwd f
+        |  JOIN avga USING (query_id) JOIN avgb USING (neighbor_id)),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY margin DESC, neighbor_id) AS rk
+        |  FROM m)
+        |SELECT query_id, neighbor_id, score, margin
+        |FROM rk WHERE rk = 1 AND margin > 1.0""".stripMargin,
 
     // Recall twin: both knnSql legs inline (brute + label-probe IVF),
     // left-join hit counting, double division rounded 6 dp.

@@ -477,6 +477,44 @@ object Similarity {
     * element order (the sorted-fold idiom), doubles end to end, rounded
     * to 6 dp at the edge.
     */
+  /** MARGIN-based BITEXT MINING (Artetxe & Schwenk '19's ratio-margin
+    * criterion — the parallel-corpus mining op behind CCMatrix/
+    * LASER-style training-data pipelines): candidate pair (a, b)
+    * scores cos(a,b) normalized by the mean of the two sides' local
+    * kNN neighborhoods, margin = cos(a,b) / ((avgₖ(a→B) + avgₖ(b→A))
+    * / 2); the margin cancels hubness (a vector globally close to
+    * everything gains no advantage), which raw cosine thresholds
+    * cannot. Returns each query's best-margin match above `threshold`
+    * — the mined pair table.
+    *
+    * Plan: two [[bruteTopK]] legs (forward A→B, backward B→A — at
+    * corpus scale swap in any in-family approximate top-k; the audit
+    * composes identically), two |queries|-row mean aggregates, one
+    * keyed join + one per-query window over k rows. Everything after
+    * the top-k legs touches only |A|·k result rows.
+    */
+  def marginBitext(a: DataFrame, b: DataFrame, k: Int = 4,
+                   threshold: Double = 1.0): DataFrame = {
+    val fwd = bruteTopK(a, b, k)
+    val bwd = bruteTopK(b, a, k)
+    val avgA = fwd.groupBy(col("query_id"))
+      .agg(avg(col("score").cast("double")).as("avg_a"))
+    val avgB = bwd.groupBy(col("query_id"))
+      .agg(avg(col("score").cast("double")).as("avg_b"))
+      .withColumnRenamed("query_id", "neighbor_id")
+    val m = fwd.join(avgA, Seq("query_id")).join(avgB, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("score").cast("double").as("score"),
+        round(col("score").cast("double") /
+          ((col("avg_a") + col("avg_b")) / 2), 6).as("margin"))
+    m.withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("margin").desc, col("neighbor_id").asc)))
+      .filter(col("rk") === 1 && col("margin") > threshold)
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        col("margin"))
+  }
+
   /** ANN RECALL@k audit — the quality gate every approximate-index
     * deployment tracks: per query, what fraction of the EXACT top-k
     * does the approximate path return? Run before swapping an index

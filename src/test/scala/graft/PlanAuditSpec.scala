@@ -105,7 +105,12 @@ class PlanAuditSpec extends SparkSpec {
     // ann_recall: inherits q_knn_brute's broadcast QUERY-SET cross
     // join on its exact leg (the few-queries × huge-corpus asymmetry,
     // already allowlisted there); the recall join itself is keyed.
-    "q_ann_recall")
+    "q_ann_recall",
+    // bitext_margin: the forward and backward brute top-k legs each
+    // carry the q_knn_brute broadcast query-set cross join (the third
+    // BNLJ is the reused leg under the margin join); everything after
+    // the legs is keyed over |queries|·k rows.
+    "q_bitext_margin")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

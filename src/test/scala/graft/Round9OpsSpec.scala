@@ -180,6 +180,27 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("marginBitext: a planted translation pair wins with a high " +
+    "margin; hub-free noise stays near margin 1") {
+    // B side: b=101 is (almost) a's twin; the rest are noise. The
+    // planted pair must be the best-margin match for a=2.
+    def v(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val twin = v(42)
+    val near = twin.clone(); near(0) = near(0) + 0.05f
+    val a = Seq((2L, twin), (4L, v(1)), (6L, v(2))).toDF("vec_id", "embedding")
+    val b = Seq((101L, near), (103L, v(3)), (105L, v(4)), (107L, v(5)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.marginBitext(a, b, k = 3)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("margin"))).toMap
+    assert(got(2L)._1 == 101L)
+    assert(got(2L)._2 > 1.2) // near-clone towers over its neighborhood
+  }
+
   test("keyColumnProfile: exact per-column null/distinct/bounds from " +
     "one aggregate") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
