@@ -472,12 +472,17 @@ object ScaleCatalog {
         e.filter(col("vec_id") >= 10), 5)
     }),
 
-    // Margin-based bitext mining (r9): Artetxe-Schwenk ratio margin
-    // over an even/odd embedding split — forward+backward top-4 legs,
-    // neighborhood-mean normalization, best-margin match per query.
+    // Margin-based bitext mining (r9): Artetxe-Schwenk ratio margin,
+    // a BOUNDED batch of 100 source vectors mined against the full
+    // other-parity corpus (the incremental-mining asymmetry — one
+    // side fixed, like the knn query sets — so both legs stay linear
+    // in the corpus; an unbounded both-sides split is quadratic by
+    // construction and timed out at sf1). Forward+backward top-4
+    // legs, neighborhood-mean normalization, best margin per query.
     "q_bitext_margin" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.marginBitext(e.filter(col("vec_id") % 2 === 0),
+      Similarity.marginBitext(
+        e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200),
         e.filter(col("vec_id") % 2 =!= 0))
     }),
 
@@ -720,7 +725,7 @@ object ScaleCatalog {
     "q_bitext_margin" ->
       """WITH va AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 200),
         |vb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings WHERE vec_id % 2 <> 0),
