@@ -185,6 +185,16 @@ object AnalyticsCatalog {
       graft.operators.Graph.pageRank(graft.operators.Graph.purchaseEdges(
         Tables.orders(s, d), Tables.lineitem(s, d)))),
 
+    // Edge-WEIGHTED PageRank over the co-purchase graph: edge weight =
+    // lineitem count between the customer and supplier, so rank flows
+    // proportionally to purchase volume instead of splitting uniformly
+    // across partners. Same fixed-point integer contribution sums as
+    // q_pagerank; every trainer iteration inside the differential.
+    "q_pagerank_weighted" -> ((s, d) =>
+      graft.operators.Graph.weightedPageRank(
+        graft.operators.Graph.weightedPurchaseEdges(
+          Tables.orders(s, d), Tables.lineitem(s, d)))),
+
     // Personalized PageRank seeded at every 5th supplier: random walk
     // with restart over the purchase graph ranks every customer by
     // proximity to the seed slice — the graph-side curation selector.
@@ -749,6 +759,26 @@ object AnalyticsCatalog {
          |${(1 to 5).map(prIterSql).mkString(",\n")}
          |SELECT node, round(pr, 6) AS pr FROM p5""".stripMargin,
 
+    // Weighted-PageRank twin: the pagerank scaffold with the keyed
+    // lineitem COUNT as edge weight (no DISTINCT) and out-WEIGHT sums;
+    // contribution arithmetic tree identical to the Spark side.
+    "q_pagerank_weighted" ->
+      s"""WITH pairs AS (
+         |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+         |    COUNT(*) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT c AS src, s AS dst, w FROM pairs
+         |      UNION ALL SELECT s AS src, c AS dst, w FROM pairs),
+         |o AS (SELECT src, SUM(w) AS wsum FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e
+         |  UNION ALL SELECT dst AS node FROM e)),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |p0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+         |${(1 to 5).map(wprIterSql).mkString(",\n")}
+         |SELECT node, round(pr, 6) AS pr FROM p5""".stripMargin,
+
     // PPR twin: the pagerank CTE scaffold with a seed-indicator node
     // frame and seed-restricted teleport; same fixed-point iteration
     // arithmetic, parenthesization-identical.
@@ -1213,6 +1243,26 @@ object AnalyticsCatalog {
     s"""c$k AS (
        |  SELECT e.dst AS node,
        |    CAST(round($prev.pr / o.outdeg * 1e12) AS BIGINT) AS c
+       |  FROM e JOIN o ON e.src = o.src
+       |    JOIN $prev ON e.src = $prev.node),
+       |s$k AS (SELECT node, SUM(c) AS s FROM c$k GROUP BY 1),
+       |p$k AS (
+       |  SELECT nodes.node,
+       |    (1.0 - 0.85) / n
+       |      + 0.85 * (CAST(COALESCE(s, 0) AS DOUBLE) / 1e12) AS pr
+       |  FROM nodes LEFT JOIN s$k USING (node) CROSS JOIN nn)""".stripMargin
+  }
+
+  /** One WEIGHTED PageRank iteration twin (Graph.weightedPageRank):
+    * contribution pr·w/wsum in the identical operation tree
+    * (double·bigint → double, then ÷ bigint), same fixed-point long
+    * rounding and damped recombination as [[prIterSql]].
+    */
+  private def wprIterSql(k: Int): String = {
+    val prev = s"p${k - 1}"
+    s"""c$k AS (
+       |  SELECT e.dst AS node,
+       |    CAST(round($prev.pr * e.w / o.wsum * 1e12) AS BIGINT) AS c
        |  FROM e JOIN o ON e.src = o.src
        |    JOIN $prev ON e.src = $prev.node),
        |s$k AS (SELECT node, SUM(c) AS s FROM c$k GROUP BY 1),

@@ -104,7 +104,9 @@ object Bench {
     "q_dedup_selfrepeat", "q_keyword_tags", "q_fk_orphans",
     // r9 wave 4, benched at birth.
     "q_substring_excise", "q_dedup_agreement", "q_ann_recall",
-    "q_dedup_thresholds", "q_bitext_margin")
+    "q_dedup_thresholds", "q_bitext_margin",
+    // r9 wave 5, benched at birth.
+    "q_pagerank_weighted", "q_nb_classifier", "q_ann_recall_curve")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -610,6 +610,14 @@ object PipelineCatalog {
     "q_bigram_pmi" -> ((s, d) =>
       graft.operators.LangModel.bigramPmi(Tables.documents(s, d))),
 
+    // Trained multinomial Naive Bayes classifier (fastText/CCNet
+    // quality-filter shape): add-one token likelihoods + doc-count
+    // prior trained on the doc_id%5!=0 slice, held-out docs scored by
+    // argmax log-posterior. Trainer AND scorer inside one
+    // oracle-replicated plan; position-sorted ln fold per (doc, class).
+    "q_nb_classifier" -> ((s, d) =>
+      graft.operators.TextClassify.naiveBayes(Tables.documents(s, d))),
+
     // Robust per-source outlier flags: median/MAD on token counts,
     // all-integer statistics (exact differential, no float tolerance).
     "q_outlier_docs" -> ((s, d) =>
@@ -2068,6 +2076,54 @@ object PipelineCatalog {
          |  CAST(1 + (avg_logp > c1)::INT + (avg_logp > c2)::INT
          |         + (avg_logp > c3)::INT AS INT) AS bucket
          |FROM lm CROSS JOIN c""".stripMargin,
+
+    // Naive Bayes twin: same train/test split, same (class, token)
+    // count aggregates, same add-one likelihood tree (ln of
+    // count-ratio doubles), position-ordered list_reduce fold per
+    // (doc, class), prior added OUTSIDE the fold, argmax by
+    // (score DESC, cls) — every piece the operation tree the Spark
+    // side builds.
+    "q_nb_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents),
+        |ptoks AS (
+        |  SELECT doc_id, lang AS cls, i - 1 AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks)),
+        |train AS (SELECT * FROM ptoks WHERE doc_id % 5 <> 0),
+        |test AS (SELECT doc_id, cls AS actual, pos, tok FROM ptoks
+        |         WHERE doc_id % 5 = 0),
+        |ct AS (SELECT cls, tok, COUNT(*) AS n_tc FROM train GROUP BY 1, 2),
+        |ctot AS (SELECT cls, COUNT(*) AS n_c FROM train GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM train),
+        |td AS (SELECT lang AS cls, COUNT(*) AS n_docs FROM documents
+        |       WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |ta AS (SELECT COUNT(*) AS n_all FROM documents
+        |       WHERE doc_id % 5 <> 0),
+        |pri AS (SELECT cls, ln(CAST(n_docs AS DOUBLE) / n_all)
+        |          AS log_prior
+        |        FROM td CROSS JOIN ta),
+        |sc AS (
+        |  SELECT te.doc_id, te.actual, p.cls, te.pos,
+        |    ln(CAST(COALESCE(ct.n_tc, 0) + 1 AS DOUBLE)
+        |       / CAST(ctot.n_c + v.vsz AS DOUBLE)) AS logp
+        |  FROM test te CROSS JOIN (SELECT cls FROM pri) p
+        |  LEFT JOIN ct ON ct.cls = p.cls AND ct.tok = te.tok
+        |  JOIN ctot ON ctot.cls = p.cls CROSS JOIN v),
+        |pc AS (
+        |  SELECT doc_id, actual, cls,
+        |    list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
+        |  FROM sc GROUP BY 1, 2, 3),
+        |fin AS (
+        |  SELECT pc.doc_id, pc.actual, pc.cls,
+        |    pri.log_prior + pc.s AS score,
+        |    row_number() OVER (PARTITION BY pc.doc_id
+        |      ORDER BY pri.log_prior + pc.s DESC, pc.cls) AS rk
+        |  FROM pc JOIN pri ON pc.cls = pri.cls)
+        |SELECT doc_id, cls AS pred, round(score, 6) AS score, actual,
+        |  (cls = actual) AS correct
+        |FROM fin WHERE rk = 1""".stripMargin,
 
     // PMI twin: three count aggregates over the same positional bigram
     // build, exact double products (counts < 2^26), 6-dp ln, (pmi desc,

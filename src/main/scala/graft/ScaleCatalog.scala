@@ -498,6 +498,19 @@ object ScaleCatalog {
         Similarity.ivfTopK(q, c, 5))
     }),
 
+    // ANN recall CURVE: recall@k for k ∈ {1,3,5} of the IVF path vs
+    // brute-force ground truth — the index-tuning read (recall@1 drop
+    // with recall@5 holding = misordering; both dropping = wrong
+    // cells). Integer hit counts per k; the only float is the final
+    // division. One |q|·k join + a 3-branch aggregate union.
+    "q_ann_recall_curve" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val c = e.filter(col("vec_id") >= 10)
+      Similarity.annRecallCurve(Similarity.bruteTopK(q, c, 5),
+        Similarity.ivfTopK(q, c, 5), Seq(1, 3, 5))
+    }),
+
     // Embedding-cosine near-dup pairs (exact copies injected at
     // vec_id % 25 = 0 → cosine 1.0; random pairs sit far below τ=0.9).
     // Primary is the LSH-BUCKETED path — signature equi-join, never the
@@ -813,6 +826,61 @@ object ScaleCatalog {
         |      AS DOUBLE) / COUNT(*), 6) AS recall
         |FROM bx LEFT JOIN ax USING (query_id, neighbor_id)
         |GROUP BY 1""".stripMargin,
+
+    // Recall-curve twin: the q_ann_recall skeleton with rnk KEPT on
+    // both legs and a 3-branch per-k union of conditional hit counts;
+    // integer counts, single rounded division per row.
+    "q_ann_recall_curve" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e, label
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e, label
+        |  FROM embeddings WHERE vec_id >= 10),
+        |s1 AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(round(list_inner_product(q.e, c.e)
+        |      / (sqrt(list_inner_product(q.e, q.e))
+        |         * sqrt(list_inner_product(c.e, c.e))), 6)
+        |      AS DECIMAL(10,6)) AS score
+        |  FROM q CROSS JOIN c),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        |  FROM s1),
+        |bx AS (SELECT query_id, neighbor_id, rnk AS ex_rnk FROM r1
+        |       WHERE rnk <= 5),
+        |s2 AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(round(list_inner_product(q.e, c.e)
+        |      / (sqrt(list_inner_product(q.e, q.e))
+        |         * sqrt(list_inner_product(c.e, c.e))), 6)
+        |      AS DECIMAL(10,6)) AS score
+        |  FROM q JOIN c ON q.label = c.label),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        |  FROM s2),
+        |ax AS (SELECT query_id, neighbor_id, rnk AS ap_rnk FROM r2
+        |       WHERE rnk <= 5),
+        |j AS (SELECT bx.query_id, bx.ex_rnk, ax.ap_rnk
+        |      FROM bx LEFT JOIN ax USING (query_id, neighbor_id)),
+        |cur AS (
+        |  SELECT 1 AS k, COUNT(DISTINCT query_id) AS n_queries,
+        |    CAST(SUM(CASE WHEN ex_rnk <= 1 AND ap_rnk <= 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM j
+        |  UNION ALL
+        |  SELECT 3 AS k, COUNT(DISTINCT query_id) AS n_queries,
+        |    CAST(SUM(CASE WHEN ex_rnk <= 3 AND ap_rnk <= 3
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM j
+        |  UNION ALL
+        |  SELECT 5 AS k, COUNT(DISTINCT query_id) AS n_queries,
+        |    CAST(SUM(CASE WHEN ex_rnk <= 5 AND ap_rnk <= 5
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM j)
+        |SELECT k, n_queries, n_hits,
+        |  round(CAST(n_hits AS DOUBLE)
+        |    / CAST(n_queries * k AS DOUBLE), 6) AS recall
+        |FROM cur""".stripMargin,
 
     "q_knn_ivf" -> knnSql("JOIN c ON q.label = c.label"),
 

@@ -152,6 +152,77 @@ object Graph {
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }
 
+  /** EDGE-WEIGHTED PageRank: contributions proportional to edge weight
+    * instead of split uniformly — prᵏ(u)·w(u→v)/wsum(u) with wsum the
+    * source's total out-weight. This is the form a purchase/citation/
+    * link-strength graph actually needs: a customer who bought from a
+    * supplier 40 times should push 40× the rank of a one-off. The
+    * unweighted [[pageRank]] is the w≡1 special case.
+    *
+    * Same determinism device as [[pageRank]] (see its scaladoc): each
+    * contribution is rounded ONCE to a 1e-12 fixed-point long and the
+    * per-node sum is integer addition — order-free, map-side
+    * combinable, hot-node-safe. pr·w/wsum ≤ pr keeps total scaled
+    * mass ≤ ~1e12, so overflow stays impossible regardless of weights.
+    * Same per-iteration `localCheckpoint()` lineage truncation and
+    * cached pre-partitioned weighted edge list.
+    *
+    * `edges` must carry (src, dst, weight ≥ 0, integer-typed so wsum
+    * is exact); parallel edges should be pre-aggregated (the catalog's
+    * co-purchase builder does this with one keyed count).
+    */
+  def weightedPageRank(edges: DataFrame, iters: Int = 5,
+                       damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+    val eOut = e.join(
+        e.groupBy(col("src")).agg(sum(col("weight")).as("wsum")),
+        Seq("src"))
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val nrow = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(nrow))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = eOut
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("pr") * col("weight") / col("wsum") * Scale)
+            .cast("long").as("c"))
+      val sums = contrib.groupBy(col("node"))
+        .agg(sum(col("c")).as("s"))
+      pr = nodes.join(sums, Seq("node"), "left")
+        .crossJoin(broadcast(nrow))
+        .select(col("node"),
+          ((lit(1.0) - damping) / col("n") +
+            lit(damping) * (coalesce(col("s"), lit(0L)).cast("double") /
+              Scale)).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("node"), round(col("pr"), 6).as("pr"))
+  }
+
+  /** Symmetrized WEIGHTED purchase graph: weight(c↔s) = number of
+    * lineitems supplier s shipped on customer c's orders — the
+    * co-purchase strength the weighted walk should follow. One keyed
+    * count instead of [[purchaseEdges]]' DISTINCT; same namespacing.
+    */
+  def weightedPurchaseEdges(orders: DataFrame,
+                            lineitem: DataFrame): DataFrame = {
+    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2L).as("c"),
+        (col("l_suppkey") * 2L + 1L).as("s"))
+      .agg(count(lit(1)).as("weight"))
+    pairs.select(col("c").as("src"), col("s").as("dst"), col("weight"))
+      .unionByName(
+        pairs.select(col("s").as("src"), col("c").as("dst"),
+          col("weight")))
+  }
+
   /** Symmetrized bipartite purchase graph: customer c ↔ supplier s for
     * every distinct (o_custkey, l_suppkey) pair — node ids namespaced
     * as 2·custkey / 2·suppkey+1.

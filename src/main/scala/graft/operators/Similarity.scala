@@ -542,6 +542,47 @@ object Similarity {
           .as("recall"))
   }
 
+  /** ANN RECALL CURVE — [[annRecall]] extended over a k-grid: for each
+    * cutoff k, micro-averaged recall@k = total hits / (|queries|·k)
+    * where a hit is a neighbor inside BOTH the exact and approximate
+    * top-k. The curve (not one point) is what index tuning actually
+    * reads: recall@1 falling while recall@10 holds means the index
+    * finds the neighborhood but misorders it (raise the rerank depth);
+    * both falling means the cells/buckets are wrong (retrain or raise
+    * nprobe).
+    *
+    * DETERMINISM: per-k numbers are INTEGER hit counts; the only float
+    * is the final division, rounded to 6 dp — no fold-order hazard
+    * anywhere. Inputs must carry the `rnk` column the [[rank]] window
+    * emits (every top-k family here does).
+    *
+    * Scale shape: one left equi-join of the two top-k frames
+    * (|queries|·kMax rows each — tiny), then one |ks|-branch union of
+    * whole-frame aggregates; each branch is a conditional count over
+    * the shared joined frame. Nothing touches the corpus.
+    */
+  def annRecallCurve(exact: DataFrame, approx: DataFrame,
+                     ks: Seq[Int] = Seq(1, 3, 5)): DataFrame = {
+    val kMax = ks.max
+    val ex = exact.filter(col("rnk") <= kMax)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rnk").as("ex_rnk"))
+    val ap = approx.filter(col("rnk") <= kMax)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rnk").as("ap_rnk"))
+    val j = ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+    ks.map { k =>
+      j.agg(
+        lit(k).as("k"),
+        countDistinct(col("query_id")).as("n_queries"),
+        sum(when(col("ex_rnk") <= k && col("ap_rnk") <= k, 1L)
+          .otherwise(0L)).as("n_hits"))
+        .select(col("k"), col("n_queries"), col("n_hits"),
+          round(col("n_hits").cast("double") /
+            (col("n_queries") * k).cast("double"), 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   def embeddingDrift(prev: DataFrame, curr: DataFrame,
                      threshold: Double = 0.98): DataFrame = {
     def dbl(df: DataFrame, as: String) = df.select(col("vec_id"),

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Trained multinomial Naive Bayes text classifier — the
+  * fastText/CCNet-quality-filter shape (train a cheap linear classifier
+  * on a labeled slice, score the whole corpus): add-one-smoothed token
+  * likelihoods per class plus a document-count prior, argmax of the
+  * per-class log-posterior. Complements the n-gram PROFILE langid
+  * (`LangModel.trainedLangId`, Cavnar–Trenkle rank distance) with the
+  * probabilistic-classifier mechanism: trained log-odds SUMS, a prior,
+  * and a posterior margin — the thing you threshold when the classifier
+  * gates corpus admission.
+  *
+  * Model, for class c and token t over the TRAIN split:
+  *   P(t|c) = (count(t,c) + 1) / (tokens(c) + V)       V = train vocab
+  *   P(c)   = docs(c) / docs                            (doc-count prior)
+  *   score(d,c) = ln P(c) + Σ_{positions i} ln P(t_i|c)
+  * prediction = argmax_c score(d,c), ties to the lexicographically
+  * first class.
+  *
+  * DETERMINISM: the position-ordered sorted fold (the float idiom every
+  * score surface here uses) makes the per-(doc, class) ln-sum
+  * order-free; ln is probed bit-identical JVM↔DuckDB; the emitted
+  * score is rounded to 6 dp AFTER the argmax, which compares full
+  * doubles (ties at full precision are broken by class name, so both
+  * engines pick identically — a cross-engine score tie below 1 ulp is
+  * not reachable with these count ratios).
+  *
+  * Scale shape: training = two keyed aggregates ((class, token) and
+  * (class)) over one tokenization pass — map-side-combinable counts,
+  * never pairs. Scoring = explode test tokens, ONE broadcast-able join
+  * onto the (class, token) likelihood table keyed by token (classes
+  * per token ≤ |C|, so the fan-out is |C|, constant), then a
+  * (doc, class) aggregate and a |C|-row-per-doc argmax window. A 100 TB
+  * corpus trains in one shuffle keyed by (class, token); the model —
+  * |C|·V rows — broadcasts when V is vocabulary-sized, and falls back
+  * to a keyed shuffle join when it is not. Unseen test tokens hit the
+  * smoothing floor via the class-likelihood left join (each class
+  * contributes ln(1/(tokens(c)+V)) — exactly the add-one floor).
+  */
+object TextClassify {
+
+  /** (doc_id, pred, score, actual, correct) for every doc in the TEST
+    * slice (`doc_id % testMod == 0`), trained on the rest. `labelCol`
+    * is the class column (catalog: `lang`).
+    */
+  def naiveBayes(docs: DataFrame, labelCol: String = "lang",
+                 testMod: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"), col(labelCol).as("cls"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val train = toks.filter(col("doc_id") % testMod =!= 0)
+    val test = toks.filter(col("doc_id") % testMod === 0)
+
+    // Trainer: (class, token) counts, per-class token totals, vocab
+    // size, doc-count priors — all plain keyed aggregates.
+    val ct = train.groupBy(col("cls"), col("tok"))
+      .agg(count(lit(1)).as("n_tc"))
+    val cTot = train.groupBy(col("cls")).agg(count(lit(1)).as("n_c"))
+    val vocab = train.agg(countDistinct(col("tok")).as("vsz"))
+    val trainDocs = docs.filter(col("doc_id") % testMod =!= 0)
+    val priors = trainDocs.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("n_all"))))
+      .select(col("cls"),
+        log(col("n_docs").cast("double") / col("n_all")).as("log_prior"))
+
+    // Scorer: every test token position × every class; the (cls, tok)
+    // likelihood join is LEFT so unseen tokens take the smoothing
+    // floor. Classes come from the trained prior frame (|C| rows,
+    // broadcast), so a test-only label can never invent a class.
+    val scored = test.select(col("doc_id"), col("pos"), col("tok"),
+        col("cls").as("actual"))
+      .join(broadcast(priors.select(col("cls"))), lit(true))
+      .join(ct, Seq("cls", "tok"), "left")
+      .join(cTot, Seq("cls"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("actual"), col("cls"), col("pos"),
+        log((coalesce(col("n_tc"), lit(0L)) + 1).cast("double") /
+          (col("n_c") + col("vsz")).cast("double")).as("logp"))
+    val perClass = scored
+      .groupBy(col("doc_id"), col("actual"), col("cls"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("logp"))))
+        .as("parts"))
+      .join(priors, Seq("cls"))
+      .select(col("doc_id"), col("actual"), col("cls"),
+        (col("log_prior") +
+          aggregate(transform(col("parts"), _.getField("logp")),
+            lit(0.0), _ + _)).as("score"))
+    perClass
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("cls").asc)))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cls").as("pred"),
+        round(col("score"), 6).as("score"), col("actual"),
+        (col("cls") === col("actual")).as("correct"))
+  }
+}

@@ -110,7 +110,18 @@ class PlanAuditSpec extends SparkSpec {
     // carry the q_knn_brute broadcast query-set cross join (the third
     // BNLJ is the reused leg under the margin join); everything after
     // the legs is keyed over |queries|·k rows.
-    "q_bitext_margin")
+    "q_bitext_margin",
+    // pagerank_weighted: the 1-row node-count frame per iteration
+    // (q_pagerank family).
+    "q_pagerank_weighted",
+    // ann_recall_curve: q_ann_recall's exact leg (broadcast query-set
+    // cross join, knn_brute asymmetry); the per-k branches are keyed
+    // aggregates over the tiny joined top-k frame.
+    "q_ann_recall_curve",
+    // nb_classifier: the broadcast |classes|-row frame expanding test
+    // tokens (|C| = 5 constant — Lloyd's-assignment family) + the
+    // 1-row vocabulary-size frame (q_lm_score family).
+    "q_nb_classifier")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
