@@ -106,7 +106,9 @@ object Bench {
     "q_substring_excise", "q_dedup_agreement", "q_ann_recall",
     "q_dedup_thresholds", "q_bitext_margin",
     // r9 wave 5, benched at birth.
-    "q_pagerank_weighted", "q_nb_classifier", "q_ann_recall_curve")
+    "q_pagerank_weighted", "q_nb_classifier", "q_ann_recall_curve",
+    "q_oov_rate", "q_semdedup_prune", "q_quality_rank_blend",
+    "q_lm_kn", "q_psi_drift", "q_ppmi_window", "q_nb_eval")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -124,6 +124,50 @@ object PipelineCatalog {
       |  SELECT doc_id, n_bigrams, round(s / n_bigrams, 6) AS avg_logp
       |  FROM agg)""".stripMargin
 
+  /** Naive Bayes CTE chain (TextClassify.naiveBayes twin) ending in
+    * `fin(doc_id, actual, cls, score, rk)` — rk = 1 rows are the
+    * verdicts. Shared by q_nb_classifier (verdict projection) and
+    * q_nb_eval (per-class confusion tail).
+    */
+  private val nbCtesSql =
+    """toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t
+      |  FROM documents),
+      |ptoks AS (
+      |  SELECT doc_id, lang AS cls, i - 1 AS pos, t[i] AS tok
+      |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t) + 1)) AS i
+      |        FROM toks)),
+      |train AS (SELECT * FROM ptoks WHERE doc_id % 5 <> 0),
+      |test AS (SELECT doc_id, cls AS actual, pos, tok FROM ptoks
+      |         WHERE doc_id % 5 = 0),
+      |ct AS (SELECT cls, tok, COUNT(*) AS n_tc FROM train GROUP BY 1, 2),
+      |ctot AS (SELECT cls, COUNT(*) AS n_c FROM train GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM train),
+      |td AS (SELECT lang AS cls, COUNT(*) AS n_docs FROM documents
+      |       WHERE doc_id % 5 <> 0 GROUP BY 1),
+      |ta AS (SELECT COUNT(*) AS n_all FROM documents
+      |       WHERE doc_id % 5 <> 0),
+      |pri AS (SELECT cls, ln(CAST(n_docs AS DOUBLE) / n_all)
+      |          AS log_prior
+      |        FROM td CROSS JOIN ta),
+      |sc AS (
+      |  SELECT te.doc_id, te.actual, p.cls, te.pos,
+      |    ln(CAST(COALESCE(ct.n_tc, 0) + 1 AS DOUBLE)
+      |       / CAST(ctot.n_c + v.vsz AS DOUBLE)) AS logp
+      |  FROM test te CROSS JOIN (SELECT cls FROM pri) p
+      |  LEFT JOIN ct ON ct.cls = p.cls AND ct.tok = te.tok
+      |  JOIN ctot ON ctot.cls = p.cls CROSS JOIN v),
+      |pc AS (
+      |  SELECT doc_id, actual, cls,
+      |    list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
+      |  FROM sc GROUP BY 1, 2, 3),
+      |fin AS (
+      |  SELECT pc.doc_id, pc.actual, pc.cls,
+      |    pri.log_prior + pc.s AS score,
+      |    row_number() OVER (PARTITION BY pc.doc_id
+      |      ORDER BY pri.log_prior + pc.s DESC, pc.cls) AS rk
+      |  FROM pc JOIN pri ON pc.cls = pri.cls)""".stripMargin
+
   /** BM25 CTE chain (Retrieval.bm25TopK twin) ending in the ranked list
     * `bmr(query_id, doc_id, rnk, score)` — shared by q_bm25 (top-5 cut)
     * and q_hybrid_rrf (top-10 lexical leg). Also defines `toks`, which
@@ -418,6 +462,34 @@ object PipelineCatalog {
         countDistinct(col("doc_id")).as("df"))
     }),
 
+    // PSI distribution drift between the even- and odd-id document
+    // halves over n_chars: fixed 100-wide bins, add-one-smoothed
+    // shares, bin-ordered contribution fold — the population-level
+    // drift monitor (embeddingDrift's no-id-alignment complement).
+    "q_psi_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Profile.psiDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "n_chars")
+    }),
+
+    // Per-language quality rank blend: three signals percent-ranked
+    // within the doc's language ((signal, doc_id) total order — no tie
+    // ambiguity), averaged. One shuffle, three windows on the same
+    // partition key.
+    "q_quality_rank_blend" -> ((s, d) =>
+      graft.operators.Curation.qualityRankBlend(Tables.documents(s, d))),
+
+    // OOV-rate curve over candidate vocab sizes V ∈ {5, 10, 20}:
+    // fraction of token occurrences outside the top-V vocabulary — the
+    // vocabulary-sizing elbow read. Distributed top-V (take-ordered,
+    // never a vocab-wide global sort), one broadcast join, all cutoffs
+    // in one aggregate pass. (Cutoffs sized to the synthetic corpus's
+    // 31-token unigram vocabulary so every curve point is non-trivial;
+    // a natural corpus uses 10^4-10^5 — a parameter, same plan.)
+    "q_oov_rate" -> ((s, d) =>
+      graft.operators.Curation.oovRateCurve(Tables.documents(s, d))),
+
     // BPE tokenizer training: 8 greedy pair merges over the corpus's
     // character sequences — corpus touched once (word-frequency agg),
     // every round runs on the weighted vocabulary; the 1-row argmax
@@ -601,6 +673,14 @@ object PipelineCatalog {
     "q_lm_score" -> ((s, d) =>
       graft.operators.LangModel.bigramScore(Tables.documents(s, d))),
 
+    // Kneser-Ney-style absolute-discount bigram scoring: D = 0.75 off
+    // every seen bigram, redistributed via continuation counts
+    // (distinct-context, not frequency) — the measured-best smoothing
+    // family next to q_lm_score's add-one baseline. Full trainer
+    // inside the differential.
+    "q_lm_kn" -> ((s, d) =>
+      graft.operators.LangModel.knBigramScore(Tables.documents(s, d))),
+
     // LM-score quartile buckets (boundary-broadcast, never ntile) —
     // the quality-based mixing prep over the bigram-LM scores.
     "q_lm_buckets" -> ((s, d) =>
@@ -609,6 +689,19 @@ object PipelineCatalog {
     // Top-50 bigram collocations by PMI with a count>=5 support floor.
     "q_bigram_pmi" -> ((s, d) =>
       graft.operators.LangModel.bigramPmi(Tables.documents(s, d))),
+
+    // Per-class precision/recall/F1 of the trained NB classifier on
+    // its held-out slice — the ship/no-ship eval beside q_kappa's
+    // chance-corrected global read. Composes on the verdict frame.
+    "q_nb_eval" -> ((s, d) =>
+      graft.operators.TextClassify.classifierEval(
+        graft.operators.TextClassify.naiveBayes(Tables.documents(s, d)))),
+
+    // Windowed symmetric PPMI (±2) top-50 — the distributional-
+    // semantics co-occurrence matrix (word2vec/GloVe prep), built from
+    // n-gram endpoints (projection-only pair generation, no self-join).
+    "q_ppmi_window" -> ((s, d) =>
+      graft.operators.LangModel.ppmiWindow(Tables.documents(s, d))),
 
     // Trained multinomial Naive Bayes classifier (fastText/CCNet
     // quality-filter shape): add-one token likelihoods + doc-count
@@ -1196,6 +1289,96 @@ object PipelineCatalog {
         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks)
         |SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM tok GROUP BY 1""".stripMargin,
+
+    // PSI twin: same fixed bins, densified histograms, smoothed-share
+    // arithmetic tree, bin-ordered list_reduce total.
+    "q_psi_drift" ->
+      """WITH bins AS (SELECT CAST(r AS INT) AS bin FROM range(10) t(r)),
+        |pv AS (SELECT CAST(least(floor(n_chars / 100), 9) AS INT) AS bin
+        |       FROM documents WHERE doc_id % 2 = 0),
+        |cv AS (SELECT CAST(least(floor(n_chars / 100), 9) AS INT) AS bin
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |hp AS (SELECT bins.bin, CAST(COALESCE(g.n, 0) AS BIGINT)
+        |         AS n_prev
+        |       FROM bins LEFT JOIN (SELECT bin, COUNT(*) AS n FROM pv
+        |         GROUP BY 1) g USING (bin)),
+        |hc AS (SELECT bins.bin, CAST(COALESCE(g.n, 0) AS BIGINT)
+        |         AS n_curr
+        |       FROM bins LEFT JOIN (SELECT bin, COUNT(*) AS n FROM cv
+        |         GROUP BY 1) g USING (bin)),
+        |h AS (SELECT hp.bin, n_prev, n_curr FROM hp
+        |      JOIN hc ON hp.bin = hc.bin),
+        |tot AS (SELECT SUM(n_prev) AS tp, SUM(n_curr) AS tc FROM h),
+        |sh AS (SELECT bin, n_prev, n_curr,
+        |    CAST(n_prev + 1 AS DOUBLE) / CAST(tp + 10 AS DOUBLE)
+        |      AS p_prev,
+        |    CAST(n_curr + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE)
+        |      AS p_curr
+        |  FROM h CROSS JOIN tot),
+        |sc AS (SELECT bin, n_prev, n_curr, p_prev, p_curr,
+        |    (p_curr - p_prev) * ln(p_curr / p_prev) AS contrib
+        |  FROM sh),
+        |ps AS (SELECT list_reduce(list(contrib ORDER BY bin),
+        |    (a, b) -> a + b) AS psi FROM sc)
+        |SELECT bin, n_prev, n_curr, round(p_prev, 6) AS p_prev,
+        |  round(p_curr, 6) AS p_curr, round(contrib, 6) AS contrib,
+        |  round(psi, 6) AS psi
+        |FROM sc CROSS JOIN ps""".stripMargin,
+
+    // Rank-blend twin: identical (signal, doc_id)-ordered
+    // percent_rank windows per language, 6-dp rounds, same 3-term sum.
+    "q_quality_rank_blend" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(list_distinct(string_split(text, ' '))) AS n_dis,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a'))) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    round(percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY n_tok ASC, doc_id ASC), 6) AS r_len,
+        |    round(percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY n_dis ASC, doc_id ASC), 6) AS r_lex,
+        |    round(percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY n_stop DESC, doc_id ASC), 6) AS r_stop
+        |  FROM base)
+        |SELECT doc_id, lang, r_len, r_lex, r_stop,
+        |  round((r_len + r_lex + r_stop) / 3.0, 6) AS composite
+        |FROM r""".stripMargin,
+
+    // OOV-curve twin: same (tf DESC, tok) top-Vmax ranking, same
+    // left-join + conditional integer sums, 1-row aggregate fanned to
+    // |Vs| rows; single rounded division per row.
+    "q_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |tf AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY 1),
+        |rk AS (SELECT tok,
+        |         row_number() OVER (ORDER BY tf DESC, tok) AS vrank
+        |       FROM tf),
+        |v AS (SELECT tok, vrank FROM rk WHERE vrank <= 20),
+        |j AS (SELECT tok.tok, v.vrank FROM tok LEFT JOIN v USING (tok)),
+        |a AS (SELECT COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN vrank IS NULL OR vrank > 5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS oov_5,
+        |  CAST(SUM(CASE WHEN vrank IS NULL OR vrank > 10
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS oov_10,
+        |  CAST(SUM(CASE WHEN vrank IS NULL OR vrank > 20
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS oov_20
+        |  FROM j)
+        |SELECT vocab_size, n_tokens, n_oov,
+        |  round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS oov_rate
+        |FROM (
+        |  SELECT 5 AS vocab_size, n_tokens, oov_5 AS n_oov FROM a
+        |  UNION ALL
+        |  SELECT 10 AS vocab_size, n_tokens, oov_10 AS n_oov FROM a
+        |  UNION ALL
+        |  SELECT 20 AS vocab_size, n_tokens, oov_20 AS n_oov
+        |  FROM a)""".stripMargin,
 
     // BPE twins: the same word-frequency base, then 8 unrolled rounds
     // of (pair count → argmax with the (count DESC, l, r) tie-break →
@@ -2063,6 +2246,37 @@ object PipelineCatalog {
       s"""WITH $lmCtesSql
          |SELECT doc_id, n_bigrams, avg_logp FROM lm""".stripMargin,
 
+    // KN twin: same three count aggregates (bigram / history+distinct-
+    // continuation / distinct-history), same discount-interpolation
+    // operation tree inside ln, position-ordered fold.
+    "q_lm_kn" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] AS bigram,
+        |    t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks)),
+        |c2 AS (SELECT bigram, COUNT(*) AS n2 FROM bg GROUP BY 1),
+        |ch AS (SELECT w1, COUNT(*) AS ch, COUNT(DISTINCT w2) AS n1f
+        |       FROM bg GROUP BY 1),
+        |cc AS (SELECT w2, COUNT(DISTINCT w1) AS n1b FROM bg GROUP BY 1),
+        |ty AS (SELECT COUNT(DISTINCT bigram) AS nt FROM bg),
+        |lp AS (
+        |  SELECT bg.doc_id, bg.pos,
+        |    ln(greatest(CAST(n2 AS DOUBLE) - 0.75, 0.0)
+        |         / CAST(ch AS DOUBLE)
+        |       + (0.75 * CAST(n1f AS DOUBLE) / CAST(ch AS DOUBLE))
+        |         * (CAST(n1b AS DOUBLE) / CAST(nt AS DOUBLE))) AS logp
+        |  FROM bg JOIN c2 USING (bigram) JOIN ch ON bg.w1 = ch.w1
+        |    JOIN cc ON bg.w2 = cc.w2 CROSS JOIN ty),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
+        |  FROM lp GROUP BY 1)
+        |SELECT doc_id, n_bigrams, round(s / n_bigrams, 6) AS avg_logp
+        |FROM agg""".stripMargin,
+
     // LM-bucket twin: the shared lm chain + the q_quartiles
     // quantile_disc boundary/indicator-sum skeleton over avg_logp.
     "q_lm_buckets" ->
@@ -2077,6 +2291,35 @@ object PipelineCatalog {
          |         + (avg_logp > c3)::INT AS INT) AS bucket
          |FROM lm CROSS JOIN c""".stripMargin,
 
+    // PPMI twin: same endpoint pair build per distance, both
+    // directions, same count marginals and PMI tree, clamp after the
+    // 6-dp round, (ppmi DESC, w, c) top-50 with the support floor.
+    "q_ppmi_window" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |e1 AS (
+        |  SELECT t[i] AS a, t[i+1] AS b
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)),
+        |e2 AS (
+        |  SELECT t[i] AS a, t[i+2] AS b
+        |  FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+        |ends AS (SELECT a, b FROM e1 UNION ALL SELECT a, b FROM e2),
+        |pairs AS (SELECT a AS w, b AS c FROM ends
+        |          UNION ALL SELECT b AS w, a AS c FROM ends),
+        |nwc AS (SELECT w, c, COUNT(*) AS n_wc FROM pairs GROUP BY 1, 2),
+        |nw AS (SELECT w, COUNT(*) AS n_w FROM pairs GROUP BY 1),
+        |nc AS (SELECT c, COUNT(*) AS n_c FROM pairs GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS t FROM pairs)
+        |SELECT w, c, n_wc,
+        |  greatest(round(ln(CAST(n_wc AS DOUBLE) * CAST(t AS DOUBLE)
+        |    / (CAST(n_w AS DOUBLE) * CAST(n_c AS DOUBLE))), 6), 0.0)
+        |    AS ppmi
+        |FROM nwc JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN tot
+        |WHERE n_wc >= 5
+        |  AND greatest(round(ln(CAST(n_wc AS DOUBLE) * CAST(t AS DOUBLE)
+        |    / (CAST(n_w AS DOUBLE) * CAST(n_c AS DOUBLE))), 6), 0.0) > 0.0
+        |ORDER BY ppmi DESC, w, c LIMIT 50""".stripMargin,
+
     // Naive Bayes twin: same train/test split, same (class, token)
     // count aggregates, same add-one likelihood tree (ln of
     // count-ratio doubles), position-ordered list_reduce fold per
@@ -2084,46 +2327,46 @@ object PipelineCatalog {
     // (score DESC, cls) — every piece the operation tree the Spark
     // side builds.
     "q_nb_classifier" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS t
-        |  FROM documents),
-        |ptoks AS (
-        |  SELECT doc_id, lang AS cls, i - 1 AS pos, t[i] AS tok
-        |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t) + 1)) AS i
-        |        FROM toks)),
-        |train AS (SELECT * FROM ptoks WHERE doc_id % 5 <> 0),
-        |test AS (SELECT doc_id, cls AS actual, pos, tok FROM ptoks
-        |         WHERE doc_id % 5 = 0),
-        |ct AS (SELECT cls, tok, COUNT(*) AS n_tc FROM train GROUP BY 1, 2),
-        |ctot AS (SELECT cls, COUNT(*) AS n_c FROM train GROUP BY 1),
-        |v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM train),
-        |td AS (SELECT lang AS cls, COUNT(*) AS n_docs FROM documents
-        |       WHERE doc_id % 5 <> 0 GROUP BY 1),
-        |ta AS (SELECT COUNT(*) AS n_all FROM documents
-        |       WHERE doc_id % 5 <> 0),
-        |pri AS (SELECT cls, ln(CAST(n_docs AS DOUBLE) / n_all)
-        |          AS log_prior
-        |        FROM td CROSS JOIN ta),
-        |sc AS (
-        |  SELECT te.doc_id, te.actual, p.cls, te.pos,
-        |    ln(CAST(COALESCE(ct.n_tc, 0) + 1 AS DOUBLE)
-        |       / CAST(ctot.n_c + v.vsz AS DOUBLE)) AS logp
-        |  FROM test te CROSS JOIN (SELECT cls FROM pri) p
-        |  LEFT JOIN ct ON ct.cls = p.cls AND ct.tok = te.tok
-        |  JOIN ctot ON ctot.cls = p.cls CROSS JOIN v),
-        |pc AS (
-        |  SELECT doc_id, actual, cls,
-        |    list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
-        |  FROM sc GROUP BY 1, 2, 3),
-        |fin AS (
-        |  SELECT pc.doc_id, pc.actual, pc.cls,
-        |    pri.log_prior + pc.s AS score,
-        |    row_number() OVER (PARTITION BY pc.doc_id
-        |      ORDER BY pri.log_prior + pc.s DESC, pc.cls) AS rk
-        |  FROM pc JOIN pri ON pc.cls = pri.cls)
+      s"""WITH $nbCtesSql
         |SELECT doc_id, cls AS pred, round(score, 6) AS score, actual,
         |  (cls = actual) AS correct
         |FROM fin WHERE rk = 1""".stripMargin,
+
+    // NB-eval twin: the shared NB chain's verdicts, class union frame,
+    // three confusion counts, the same zero-division-guarded ratio and
+    // F1 trees (F1 from the UNROUNDED p and r).
+    "q_nb_eval" -> {
+      val pExpr = "CASE WHEN n_pred > 0 THEN CAST(n_tp AS DOUBLE) " +
+        "/ CAST(n_pred AS DOUBLE) ELSE 0.0 END"
+      val rExpr = "CASE WHEN n_actual > 0 THEN CAST(n_tp AS DOUBLE) " +
+        "/ CAST(n_actual AS DOUBLE) ELSE 0.0 END"
+      s"""WITH $nbCtesSql,
+        |nbv AS (SELECT doc_id, cls AS pred, actual FROM fin
+        |        WHERE rk = 1),
+        |classes AS (SELECT DISTINCT cls FROM (
+        |  SELECT pred AS cls FROM nbv
+        |  UNION ALL SELECT actual AS cls FROM nbv)),
+        |tpx AS (SELECT pred AS cls, COUNT(*) AS n_tp FROM nbv
+        |        WHERE pred = actual GROUP BY 1),
+        |npx AS (SELECT pred AS cls, COUNT(*) AS n_pred FROM nbv
+        |        GROUP BY 1),
+        |nax AS (SELECT actual AS cls, COUNT(*) AS n_actual FROM nbv
+        |        GROUP BY 1),
+        |j AS (
+        |  SELECT classes.cls,
+        |    CAST(COALESCE(n_tp, 0) AS BIGINT) AS n_tp,
+        |    CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+        |    CAST(COALESCE(n_actual, 0) AS BIGINT) AS n_actual
+        |  FROM classes LEFT JOIN tpx USING (cls)
+        |    LEFT JOIN npx USING (cls) LEFT JOIN nax USING (cls))
+        |SELECT cls, n_tp, n_pred, n_actual,
+        |  round($pExpr, 6) AS precision,
+        |  round($rExpr, 6) AS recall,
+        |  round(CASE WHEN ($pExpr + $rExpr) > 0
+        |    THEN 2.0 * $pExpr * $rExpr / ($pExpr + $rExpr)
+        |    ELSE 0.0 END, 6) AS f1
+        |FROM j""".stripMargin
+    },
 
     // PMI twin: three count aggregates over the same positional bigram
     // build, exact double products (counts < 2^26), 6-dp ln, (pmi desc,

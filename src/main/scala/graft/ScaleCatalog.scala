@@ -529,6 +529,20 @@ object ScaleCatalog {
         new java.math.BigDecimal("0.900000"))
     }),
 
+    // SemDeDup prune (Abbas et al. '23 keep rule): per duplicate
+    // neighborhood keep the LOWEST-centroid-cosine member, prune the
+    // dominated — the per-vector verdict a corpus cut consumes, on the
+    // same injected-duplicate corpus as q_semantic_dedup (each exact
+    // copy ties on cent_sim and loses on the id tie-break).
+    "q_semdedup_prune" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
+        e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Similarity.semDedupPrune(corpus,
+        new java.math.BigDecimal("0.900000"))
+    }),
+
     // Two-level semantic dedup: cells over 50 vectors split by
     // hyperplane signature (520 vectors / 8 cells guarantees ≥ 1 split
     // by pigeonhole) — the hot-cell answer that drops nothing.
@@ -1140,6 +1154,54 @@ object ScaleCatalog {
          |    AND a.vec_id < b.vec_id)
          |SELECT cell, vec_a, vec_b, score FROM p
          |WHERE score >= 0.9""".stripMargin,
+
+    // SemDeDup-prune twin: the q_semantic_dedup trainer + pair chain,
+    // plus centroid cosines (6-dp DECIMAL — exact comparisons in the
+    // dominance rule), the per-pair CASE loser pick, and the final
+    // left-join verdict. DOUBLE cent_sim at the edge.
+    "q_semdedup_prune" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |      AS cell, e AS centroid
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+         |${lloydSql(1, "c0")},
+         |${lloydSql(2, "c1")},
+         |${lloydSql(3, "c2")},
+         |${assignSql("asg", "v", "vec_id", "c3", 1)},
+         |cs AS (
+         |  SELECT a.cell, a.vec_id,
+         |    CAST(round(list_inner_product(a.e, i.centroid)
+         |      / (sqrt(list_inner_product(a.e, a.e))
+         |         * sqrt(list_inner_product(i.centroid, i.centroid))), 6)
+         |      AS DECIMAL(10,6)) AS cent_sim
+         |  FROM asg a JOIN c3 i ON a.cell = i.cell),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CAST(round(list_inner_product(a.e, b.e)
+         |      / (sqrt(list_inner_product(a.e, a.e))
+         |         * sqrt(list_inner_product(b.e, b.e))), 6)
+         |      AS DECIMAL(10,6)) AS score
+         |  FROM asg a JOIN asg b ON a.cell = b.cell
+         |    AND a.vec_id < b.vec_id),
+         |pj AS (
+         |  SELECT p.vec_a, p.vec_b, sa.cent_sim AS sim_a,
+         |    sb.cent_sim AS sim_b
+         |  FROM p JOIN cs sa ON p.vec_a = sa.vec_id
+         |    JOIN cs sb ON p.vec_b = sb.vec_id
+         |  WHERE p.score >= 0.9),
+         |losers AS (
+         |  SELECT DISTINCT CASE WHEN sim_a < sim_b
+         |      OR (sim_a = sim_b AND vec_a < vec_b)
+         |    THEN vec_b ELSE vec_a END AS vec_id
+         |  FROM pj)
+         |SELECT cs.vec_id, cs.cell, CAST(cent_sim AS DOUBLE) AS cent_sim,
+         |  (l.vec_id IS NOT NULL) AS pruned
+         |FROM cs LEFT JOIN losers l ON cs.vec_id = l.vec_id""".stripMargin,
 
     // Two-level twin: same trainer + assignment, then per-cell counts,
     // the q_dedup_embedding hyperplane-signature build for vectors in

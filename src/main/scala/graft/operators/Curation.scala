@@ -492,4 +492,94 @@ object Curation {
         countDistinct(col("lang")).as("n_langs"),
         sum(col("is_dup")).as("n_dup_docs"))
   }
+
+  /** PER-LANGUAGE QUALITY RANK BLEND — rank-aggregation signal
+    * ensembling (the Borda-style combine web-corpus pipelines use when
+    * raw quality signals live on incomparable scales): each signal is
+    * normalized to its percent-rank WITHIN THE DOCUMENT'S LANGUAGE —
+    * cross-language score comparison is meaningless (stopword lists,
+    * length norms differ) and per-language ranking is what per-lang
+    * quota cuts consume — then blended by plain averaging. Signals:
+    * token count ↑, distinct-token count ↑, stopword count ↓ (the
+    * [[qualityScore]] features, rank-normalized instead of
+    * linear-weighted — the two compose as independent filters).
+    *
+    * DETERMINISM: every window orders by (signal, doc_id) — total
+    * order, so percent_rank emits the exact rational (rank−1)/(n−1)
+    * with no tie ambiguity; ranks are rounded to 6 dp, the blend is
+    * the same left-to-right 3-term sum in both engines.
+    *
+    * Scale shape: one projection (integer per-row token stats), then
+    * THREE windows over the SAME lang partition key — one shuffle,
+    * partitioning reused across all three sorts. A language is a
+    * coarse partition at corpus scale; if one lang dominates, the
+    * quota machinery downstream ([[domainCap]]) is the consumer and
+    * the window becomes the documented per-key bound — at 100 TB this
+    * runs per (lang, shard) with a merge, or swaps percent_rank for
+    * the broadcast-boundary decile machinery (q_price_deciles) when a
+    * single language outgrows a partition.
+    */
+  def qualityRankBlend(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("lang"),
+      TextOps.tokenCount(col("text")).as("n_tok"),
+      TextOps.distinctTokenCount(col("text")).as("n_dis"),
+      TextOps.stopwordCount(col("text")).as("n_stop"))
+    def w(c: Column) = Window.partitionBy(col("lang"))
+      .orderBy(c, col("doc_id").asc)
+    base.select(col("doc_id"), col("lang"),
+        round(percent_rank().over(w(col("n_tok").asc)), 6).as("r_len"),
+        round(percent_rank().over(w(col("n_dis").asc)), 6).as("r_lex"),
+        round(percent_rank().over(w(col("n_stop").desc)), 6).as("r_stop"))
+      .withColumn("composite",
+        round((col("r_len") + col("r_lex") + col("r_stop")) / 3.0, 6))
+  }
+
+  /** OOV-RATE CURVE — the vocabulary-sizing read for tokenizer/embedding
+    * table design: for each candidate vocabulary size V (the top-V
+    * corpus tokens by frequency), what fraction of all token
+    * occurrences falls outside the vocabulary? The elbow of this curve
+    * is where adding vocab entries stops buying coverage — the number
+    * a tokenizer budget decision actually needs (the BPE family here
+    * solves the complementary subword question).
+    *
+    * DETERMINISM: top-V is (count DESC, token ASC) — total order; the
+    * per-V numbers are integer occurrence counts; the only float is
+    * the final division, rounded to 6 dp.
+    *
+    * Scale shape: one token-keyed count aggregate, then a DISTRIBUTED
+    * top-Vmax (TakeOrderedAndProject — never a global sort of the
+    * vocabulary); the ≤Vmax-row ranked vocab broadcasts onto the token
+    * stream for ONE keyed left join, and all V cutoffs are conditional
+    * sums inside ONE corpus-wide aggregate (a 1-row frame exploded to
+    * |Vs| rows by a literal struct array — the keyColumnProfile
+    * idiom). The corpus is tokenized once and scanned twice (count +
+    * join), never per-V. The only window is a row_number over the
+    * ≤Vmax-row top frame — bounded by construction.
+    */
+  def oovRateCurve(docs: DataFrame,
+                   vocabSizes: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vMax = vocabSizes.max
+    val tok = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok").asc).limit(vMax)
+    val ranked = top.withColumn("vrank", row_number().over(
+      Window.orderBy(col("tf").desc, col("tok").asc)))
+    val agg = tok
+      .join(broadcast(ranked.select(col("tok"), col("vrank"))),
+        Seq("tok"), "left")
+      .agg(count(lit(1)).as("n_tokens"),
+        vocabSizes.map(v =>
+          sum(when(col("vrank").isNull || col("vrank") > v, 1L)
+            .otherwise(0L)).as(s"oov_$v")): _*)
+    agg.select(explode(array(vocabSizes.map(v =>
+        struct(lit(v).as("vocab_size"), col("n_tokens"),
+          col(s"oov_$v").as("n_oov"))): _*)).as("r"))
+      .select(col("r.vocab_size").as("vocab_size"),
+        col("r.n_tokens").as("n_tokens"), col("r.n_oov").as("n_oov"),
+        round(col("r.n_oov").cast("double") /
+          col("r.n_tokens").cast("double"), 6).as("oov_rate"))
+  }
 }

@@ -31,6 +31,67 @@ import graft.functions.TextOps
   */
 object LangModel {
 
+  /** INTERPOLATED ABSOLUTE-DISCOUNT bigram scoring (the Kneser-Ney
+    * construction — Kneser & Ney '95; Chen & Goodman '98's measured-best
+    * smoothing family): where [[bigramScore]]'s add-one flattens all
+    * unseen mass uniformly, KN subtracts a fixed discount D from every
+    * seen bigram and redistributes it through the CONTINUATION
+    * distribution — how many distinct contexts a word follows, not how
+    * often it occurs ("Francisco" is frequent but only ever follows
+    * "San"; its continuation probability is tiny, so it stops stealing
+    * mass in novel contexts):
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *              + (D · N1+(w₁·)/c(w₁·)) · (N1+(·w₂) / N_types)
+    *
+    * with N1+(w₁·) distinct continuations of w₁, N1+(·w₂) distinct
+    * histories of w₂, N_types distinct bigrams, D = 0.75 (the standard
+    * c−n₁/(n₁+2n₂) estimate lands near 0.75 on natural text; exact in
+    * binary so cross-engine stable). Trained on the corpus it scores,
+    * like every trainer here — the full model is inside the
+    * differential. Score = position-sorted mean ln P (the sorted-fold
+    * float idiom), 6 dp.
+    *
+    * Scale shape: [[bigramScore]]'s — three keyed count aggregates
+    * (bigram / history / continuation — the continuation counts are
+    * COUNT(DISTINCT) over keyed groups, map-side partial), three
+    * equi-joins back on those keys, one doc-keyed fold. The 1-row type
+    * count broadcasts.
+    */
+  def knBigramScore(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"),
+        posexplode(TextOps.ngramsAll(col("text"), 2)))
+      .select(col("doc_id"), col("pos"), col("col").as("bigram"),
+        substring_index(col("col"), " ", 1).as("w1"),
+        substring_index(col("col"), " ", -1).as("w2"))
+    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n2"))
+    val ch = bg.groupBy(col("w1")).agg(count(lit(1)).as("ch"),
+      countDistinct(col("w2")).as("n1f"))
+    val cc = bg.groupBy(col("w2")).agg(countDistinct(col("w1")).as("n1b"))
+    val ty = bg.agg(countDistinct(col("bigram")).as("nt"))
+    val lp = bg
+      .join(c2, Seq("bigram"))
+      .join(ch, Seq("w1"))
+      .join(cc, Seq("w2"))
+      .crossJoin(broadcast(ty))
+      .select(col("doc_id"), col("pos"),
+        log(
+          greatest(col("n2").cast("double") - lit(0.75), lit(0.0)) /
+            col("ch").cast("double") +
+          (lit(0.75) * col("n1f").cast("double") /
+            col("ch").cast("double")) *
+          (col("n1b").cast("double") / col("nt").cast("double"))
+        ).as("logp"))
+    lp.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        array_sort(collect_list(struct(col("pos"), col("logp"))))
+          .as("parts"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(aggregate(transform(col("parts"), _.getField("logp")),
+          lit(0.0), _ + _) / col("n_bigrams"), 6).as("avg_logp"))
+  }
+
   /** (doc_id, n_bigrams, avg_logp) for every doc with ≥ 1 bigram. */
   def bigramScore(docs: DataFrame): DataFrame = {
     val bg = docs
@@ -123,6 +184,52 @@ object LangModel {
           (col("m1").cast("double") * col("m2").cast("double"))), 6)
           .as("pmi"))
       .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
+
+  /** WINDOWED PPMI co-occurrence — the word-embedding prep matrix
+    * (Levy & Goldberg '14: skip-gram with negative sampling implicitly
+    * factorizes the shifted-PPMI matrix; GloVe trains on the same
+    * counts): symmetric (center, context) pairs at distance 1..window,
+    * positive PMI only. Where [[bigramPmi]] reads DIRECTED adjacency
+    * (collocations), this is the symmetric windowed distribution that
+    * distributional semantics is built on — its top pairs are
+    * second-order relatedness, not just fixed phrases.
+    *
+    * Pairs are built from (d+1)-gram ENDPOINTS per distance d —
+    * pure per-row projections (no self-join; at 100 TB a positional
+    * self-join keyed by doc would shuffle the tokenized corpus twice,
+    * the endpoint explode touches it once per distance). Counts are
+    * keyed aggregates; PMI arithmetic is the [[bigramPmi]] tree with
+    * the PPMI clamp applied AFTER the 6-dp round (deterministic
+    * composition of two exact ops).
+    */
+  def ppmiWindow(docs: DataFrame, window: Int = 2, minCount: Int = 5,
+                 topK: Int = 50): DataFrame = {
+    val ends = (1 to window).map { d =>
+      docs.select(explode(TextOps.ngramsAll(col("text"), d + 1))
+          .as("gram"))
+        .select(substring_index(col("gram"), " ", 1).as("a"),
+          substring_index(col("gram"), " ", -1).as("b"))
+    }.reduce(_ unionByName _)
+    val pairs = ends.select(col("a").as("w"), col("b").as("c"))
+      .unionByName(ends.select(col("b").as("w"), col("a").as("c")))
+    val nwc = pairs.groupBy(col("w"), col("c"))
+      .agg(count(lit(1)).as("n_wc"))
+    val nw = pairs.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val nc = pairs.groupBy(col("c")).agg(count(lit(1)).as("n_c"))
+    val tot = pairs.agg(count(lit(1)).as("t"))
+    nwc.filter(col("n_wc") >= minCount)
+      .join(nw, Seq("w"))
+      .join(nc, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .select(col("w"), col("c"), col("n_wc"),
+        greatest(round(log(col("n_wc").cast("double") *
+            col("t").cast("double") /
+            (col("n_w").cast("double") * col("n_c").cast("double"))), 6),
+          lit(0.0)).as("ppmi"))
+      .filter(col("ppmi") > 0.0)
+      .orderBy(col("ppmi").desc, col("w"), col("c"))
       .limit(topK)
   }
 

@@ -68,4 +68,60 @@ object Profile {
             .as("n_orphans"))
         .select(lit(fkCol).as("fk"), col("n_rows"), col("n_orphans"))
     }.reduce(_ unionByName _)
+
+  /** PSI DISTRIBUTION DRIFT — the population stability index, the
+    * standard "did this feature's distribution move between snapshots"
+    * monitor (banking scorecard lineage; the same number ML feature
+    * stores alarm on): over fixed equal-width bins,
+    * PSI = Σ_bins (p_curr − p_prev) · ln(p_curr / p_prev), with
+    * add-one count smoothing so empty bins stay finite — rule of
+    * thumb: < 0.1 stable, > 0.25 shifted enough to investigate.
+    * Complements [[graft.operators.Similarity.embeddingDrift]] (per-ID
+    * vector drift): PSI sees POPULATION moves with no id alignment.
+    *
+    * DETERMINISM: fixed bin edges (never data-derived quantiles —
+    * cross-snapshot comparability requires frozen bins), integer
+    * counts, smoothed shares (n+1)/(N+bins) as doubles with a mirrored
+    * operation tree, and the PSI total folded over bins in BIN ORDER
+    * (a ≤nBins-element sorted fold). Rounding only at the output edge.
+    *
+    * Scale shape: one keyed count aggregate per snapshot (map-side
+    * combinable), densified against an nBins-row literal range; totals
+    * and the PSI sum are 1-row broadcasts. The scans dominate;
+    * everything after is bin-count-sized.
+    */
+  def psiDrift(prev: DataFrame, curr: DataFrame, valueCol: String,
+               binWidth: Long = 100, nBins: Int = 10): DataFrame = {
+    val bins = prev.sparkSession.range(nBins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    def hist(df: DataFrame, as: String) = bins.join(
+      df.select(least(floor(col(valueCol) / binWidth),
+          lit(nBins - 1)).cast("int").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(as)),
+      Seq("bin"), "left")
+      .select(col("bin"), coalesce(col(as), lit(0L)).as(as))
+    val h = hist(prev, "n_prev").join(hist(curr, "n_curr"), Seq("bin"))
+    val tot = h.agg(sum(col("n_prev")).as("tp"),
+      sum(col("n_curr")).as("tc"))
+    val shares = h.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_prev"), col("n_curr"),
+        ((col("n_prev") + 1).cast("double") /
+          (col("tp") + nBins).cast("double")).as("p_prev"),
+        ((col("n_curr") + 1).cast("double") /
+          (col("tc") + nBins).cast("double")).as("p_curr"))
+      .withColumn("contrib",
+        (col("p_curr") - col("p_prev")) *
+          log(col("p_curr") / col("p_prev")))
+    val psi = shares
+      .agg(array_sort(collect_list(struct(col("bin"), col("contrib"))))
+        .as("parts"))
+      .select(aggregate(transform(col("parts"), _.getField("contrib")),
+        lit(0.0), _ + _).as("psi"))
+    shares.crossJoin(broadcast(psi))
+      .select(col("bin"), col("n_prev"), col("n_curr"),
+        round(col("p_prev"), 6).as("p_prev"),
+        round(col("p_curr"), 6).as("p_curr"),
+        round(col("contrib"), 6).as("contrib"),
+        round(col("psi"), 6).as("psi"))
+  }
 }

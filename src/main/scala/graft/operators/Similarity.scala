@@ -434,6 +434,69 @@ object Similarity {
       .filter(col("score") >= lit(tau))
   }
 
+  /** SemDeDup PRUNE — the keep rule on top of the pair family (Abbas
+    * et al. '23, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): within each k-means cell, among
+    * semantically-duplicate vectors (cosine ≥ τ), KEEP the one with
+    * the LOWEST cosine to the cell centroid — the paper's
+    * measured-best choice (the extreme point carries the most
+    * information; the ones near the centroid are the redundant mass) —
+    * and prune the rest. Where [[semanticDedupPairs]] reports the
+    * duplicate PAIRS, this emits the per-vector verdict a corpus cut
+    * actually consumes.
+    *
+    * Keep rule, exactly: v is pruned iff some duplicate partner u has
+    * (cent_sim(u), u) < (cent_sim(v), v) lexicographically — local
+    * minima of the (cent_sim, id) order survive. This is a per-PAIR
+    * dominance rule, not connected components: on a duplicate chain
+    * a–b–c every dominated member prunes even if its dominator was
+    * itself pruned (monotone, order-free, one aggregate — no iterative
+    * propagation; the CC-based cluster family already exists for
+    * when group ids matter). cent_sim is the 6-dp DECIMAL score —
+    * EXACT comparisons, no float-compare hazard in the rule.
+    *
+    * Scale shape: the trainer + within-cell pair plan of
+    * [[semanticDedupPairs]] (same guards apply), plus one broadcast
+    * centroid join for cent_sim, two keyed joins of pairs onto the
+    * (vec_id, cent_sim) frame, and a distinct over loser ids. Nothing
+    * new touches the corpus more than once.
+    */
+  def semDedupPrune(vecs: DataFrame, tau: java.math.BigDecimal,
+                    kCells: Int = 8, iters: Int = 3): DataFrame = {
+    val cents = Quantizer.fit(vecs, kCells, iters)
+    val assigned = Quantizer.assign(vecs, cents)
+    // cent_sim via the declarative cosine: the native expression wants
+    // two FLOAT arrays and the trained centroid is DOUBLE; the two
+    // forms are bit-identical (see [[cosine]]'s doc).
+    val sims = assigned.join(broadcast(cents), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        round(cosine(col("embedding"), col("centroid")), 6)
+          .cast(DecimalType(10, 6)).as("cent_sim"))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        score(col("ea"), col("eb")).as("score"))
+      .filter(col("score") >= lit(tau))
+    val pj = pairs
+      .join(sims.select(col("vec_id").as("vec_a"),
+        col("cent_sim").as("sim_a")), Seq("vec_a"))
+      .join(sims.select(col("vec_id").as("vec_b"),
+        col("cent_sim").as("sim_b")), Seq("vec_b"))
+    val losers = pj.select(
+        when(col("sim_a") < col("sim_b") ||
+          (col("sim_a") === col("sim_b") && col("vec_a") < col("vec_b")),
+          col("vec_b")).otherwise(col("vec_a")).as("vec_id"))
+      .distinct()
+    sims.join(losers.withColumn("pruned", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("cent_sim").cast("double").as("cent_sim"),
+        coalesce(col("pruned"), lit(false)).as("pruned"))
+  }
+
   /** [[semanticDedupPairs]] with kCells SIZED FROM THE CORPUS — the
     * scale contract VERDICT r4 asked to make explicit. A constant k at
     * growing N means cell size ∝ N and within-cell cost Σ|cell|² ∝ N²/k

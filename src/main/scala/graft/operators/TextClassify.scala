@@ -99,4 +99,49 @@ object TextClassify {
         round(col("score"), 6).as("score"), col("actual"),
         (col("cls") === col("actual")).as("correct"))
   }
+
+  /** PER-CLASS precision / recall / F1 over any (pred, actual) frame —
+    * the held-out evaluation read that decides whether a trained
+    * filter ships (pairs with the corpus-level chance-corrected
+    * [[graft.query.Analytics.cohenKappa]]: κ says "better than
+    * chance", this says WHERE it fails). One confusion aggregate:
+    * per class, tp / predicted-count / actual-count, then the three
+    * ratios; absent denominators yield 0 by convention (the
+    * scikit-learn zero_division=0 behavior), not NULL/NaN.
+    *
+    * DETERMINISM: integer counts; each ratio is one rounded division;
+    * F1 composed from the UNROUNDED p and r (2·p·r/(p+r)) and rounded
+    * once at the edge — identical trees both engines.
+    *
+    * Scale shape: classes-present = the union of pred and actual
+    * domains (|C| rows); three keyed count aggregates over the
+    * verdict frame joined back on the class key. The verdict frame is
+    * evaluation-set-sized, never the corpus.
+    */
+  def classifierEval(verdicts: DataFrame): DataFrame = {
+    val classes = verdicts.select(col("pred").as("cls"))
+      .unionByName(verdicts.select(col("actual").as("cls"))).distinct()
+    val tp = verdicts.filter(col("pred") === col("actual"))
+      .groupBy(col("pred").as("cls")).agg(count(lit(1)).as("n_tp"))
+    val np = verdicts.groupBy(col("pred").as("cls"))
+      .agg(count(lit(1)).as("n_pred"))
+    val na = verdicts.groupBy(col("actual").as("cls"))
+      .agg(count(lit(1)).as("n_actual"))
+    val j = classes
+      .join(tp, Seq("cls"), "left").join(np, Seq("cls"), "left")
+      .join(na, Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("n_tp"), lit(0L)).as("n_tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"))
+    val p = when(col("n_pred") > 0,
+      col("n_tp").cast("double") / col("n_pred").cast("double"))
+      .otherwise(lit(0.0))
+    val r = when(col("n_actual") > 0,
+      col("n_tp").cast("double") / col("n_actual").cast("double"))
+      .otherwise(lit(0.0))
+    j.select(col("cls"), col("n_tp"), col("n_pred"), col("n_actual"),
+      round(p, 6).as("precision"), round(r, 6).as("recall"),
+      round(when(p + r > 0, lit(2.0) * p * r / (p + r))
+        .otherwise(lit(0.0)), 6).as("f1"))
+  }
 }

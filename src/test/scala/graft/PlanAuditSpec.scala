@@ -52,6 +52,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnlJAllowed = Set(
     "q_knn_brute", "q_knn_topk_agg", "q_quartiles", "q_tfidf",
     "q_knn_ivf_learned", "q_semantic_dedup", "q_semantic_dedup_2level",
+    "q_semdedup_prune", // same trainer cross joins as q_semantic_dedup
     "q_knn_quantized", "q_knn_quantized_rerank", "q_knn_ivf_sq8",
     "q_corpus_mix", "q_hll_distinct", "q_lm_score",
     "q_knn_ivf_pq", "q_knn_text", "q_mix_temperature",
@@ -60,6 +61,13 @@ class PlanAuditSpec extends SparkSpec {
     // the 1-row-vocab lm chain; bigram_pmi: the 1-row total-count
     // frame; kmv_intersect: two 1-row frames (theta + exact count).
     "q_lm_buckets", "q_bigram_pmi", "q_kmv_intersect",
+    // lm_kn: the 1-row bigram-type-count frame (q_lm_score family).
+    "q_lm_kn",
+    // psi_drift: two 1-row frames (totals, psi sum) over the 10-row
+    // bin table (q_kmv_intersect family).
+    "q_psi_drift",
+    // ppmi_window: the 1-row total-pair frame (q_bigram_pmi family).
+    "q_ppmi_window",
     // knn_binary(_rerank): the broadcast packed query set (knn_brute
     // asymmetry — 16 B/vector); bm25: the 1-row N/total_dl stats
     // frame; dsir_weights: the 1-row smoothing-totals frame;
@@ -121,7 +129,9 @@ class PlanAuditSpec extends SparkSpec {
     // nb_classifier: the broadcast |classes|-row frame expanding test
     // tokens (|C| = 5 constant — Lloyd's-assignment family) + the
     // 1-row vocabulary-size frame (q_lm_score family).
-    "q_nb_classifier")
+    "q_nb_classifier",
+    // nb_eval: inherits the NB chain's frames; the eval tail is keyed.
+    "q_nb_eval")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
@@ -130,10 +140,15 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val globalWindowAllowed = Set(
     "q_dim_build", "q_fk_resolve", "q_dim_overwrite", "q_knn_ivf_learned",
-    "q_semantic_dedup", "q_semantic_dedup_2level", "q_knn_ivf_sq8",
+    "q_semantic_dedup", "q_semantic_dedup_2level", "q_semdedup_prune",
+    "q_knn_ivf_sq8",
     "q_knn_pq", // PQ codebook init: row_number over ksub = 16 rows
     "q_knn_ivf_pq", // coarse k=8 + PQ ksub=16 init windows
     "q_knn_ivf_pq_residual", // same trainer init windows as q_knn_ivf_pq
+    // oov_rate: the vocab-rank row_number over a frame ALREADY cut to
+    // ≤ Vmax = 1000 rows by the distributed take-ordered top — bounded
+    // by construction (q_token_budget family).
+    "q_oov_rate",
     // token_budget: the bucket-prefix window over a frame bounded at
     // 1024 rows BY CONSTRUCTION (the whole point of the two-level
     // prefix sum — the per-doc window is bucket-partitioned).

@@ -56,6 +56,131 @@ class Round9Wave5Spec extends SparkSpec {
     assert(got2(1) == 0.0 && got2(3) == 1.0)
   }
 
+  test("classifierEval: hand-checkable confusion ratios; a class " +
+    "never predicted gets precision 0 without dividing by zero") {
+    import graft.operators.TextClassify
+    // preds: a→a, a→a, a→b, b→b, c→b. Class c is never predicted.
+    val v = Seq(("a", "a"), ("a", "a"), ("b", "a"), ("b", "b"),
+      ("b", "c")).toDF("pred", "actual")
+    val got = TextClassify.classifierEval(v).collect()
+      .map(r => r.getAs[String]("cls") ->
+        (r.getAs[Double]("precision"), r.getAs[Double]("recall"),
+          r.getAs[Double]("f1"))).toMap
+    assert(got("a") == ((1.0, 0.666667, 0.8)))
+    assert(got("b")._1 == 0.333333 && got("b")._2 == 1.0)
+    assert(got("c") == ((0.0, 0.0, 0.0)))
+  }
+
+  test("ppmiWindow: symmetric ±2 pairs from n-gram endpoints, " +
+    "hand-computed PPMI") {
+    import graft.operators.LangModel
+    // 6 copies of "x y z": per doc, directed pairs (x,y),(y,z),(x,z)
+    // + mirrors → T = 36, every n_wc = 6, every marginal = 12 →
+    // PMI = ln(6·36/144) = ln(1.5) for all six ordered pairs.
+    val docs = (1L to 6L).map(i => (i, "x y z")).toDF("doc_id", "text")
+    val got = LangModel.ppmiWindow(docs).collect()
+    assert(got.length == 6)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.forall(_.getAs[Double]("ppmi") == r6(math.log(1.5))))
+    assert(got.forall(_.getAs[Long]("n_wc") == 6L))
+  }
+
+  test("psiDrift: identical distributions give PSI 0; a shifted bin " +
+    "contributes positively and empty bins stay finite") {
+    import graft.operators.Profile
+    val prev = Seq(50L, 150L, 150L, 250L).toDF("v")
+    val same = Seq(50L, 150L, 150L, 250L).toDF("v")
+    val zero = Profile.psiDrift(prev, same, "v").collect()
+    assert(zero.length == 10)
+    assert(zero.forall(_.getAs[Double]("psi") == 0.0))
+    assert(zero.forall(_.getAs[Double]("contrib") == 0.0))
+    // Shift mass from bin 1 to bin 3: PSI > 0, all contribs finite
+    // (bins 4..9 are empty in both — smoothing keeps them defined).
+    val moved = Seq(50L, 350L, 350L, 250L).toDF("v")
+    val got = Profile.psiDrift(prev, moved, "v").collect()
+    val psi = got.head.getAs[Double]("psi")
+    assert(psi > 0.0)
+    assert(got.forall(r => !r.getAs[Double]("contrib").isNaN &&
+      !r.getAs[Double]("contrib").isInfinite))
+    // per-bin contributions sum (in bin order) to the reported psi
+    val sum = got.sortBy(_.getAs[Int]("bin"))
+      .map(_.getAs[Double]("contrib")).sum
+    assert(math.abs(sum - psi) < 1e-5)
+  }
+
+  test("knBigramScore: hand-computed absolute-discount interpolation; " +
+    "per-history mass conserves to 1") {
+    import graft.operators.LangModel
+    // Bigrams: (a b)×2, (a c)×1 → c(a·)=3, N1+(a·)=2,
+    // Pcont(b)=Pcont(c)=1/2, N_types=2, D=0.75.
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = LangModel.knBigramScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logp"))
+      .toMap
+    val pB = (2.0 - 0.75) / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 2.0)
+    val pC = (1.0 - 0.75) / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 2.0)
+    assert(math.abs(pB + pC - 1.0) < 1e-12) // discount mass conserves
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == r6(math.log(pB)))
+    assert(got(1L) == got(2L))
+    assert(got(3L) == r6(math.log(pC)))
+    assert(got(3L) < got(1L)) // the rarer continuation scores lower
+  }
+
+  test("qualityRankBlend: per-language percent ranks with doc_id " +
+    "tie-break; composite is the plain average") {
+    import graft.operators.Curation
+    // en: 3 docs with token counts 1 < 2 < 3 → r_len 0, 0.5, 1.
+    // fr: 1 doc → all ranks 0 (n−1 = 0 → percent_rank 0).
+    val docs = Seq(
+      (1L, "en", "x"), (2L, "en", "x y"), (3L, "en", "x y z"),
+      (4L, "fr", "le")).toDF("doc_id", "lang", "text")
+    val got = Curation.qualityRankBlend(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("r_len"), r.getAs[Double]("composite"))).toMap
+    assert(got(1L)._1 == 0.0 && got(2L)._1 == 0.5 && got(3L)._1 == 1.0)
+    assert(got(4L) == ((0.0, 0.0)))
+    // doc 3: r_len = 1, r_lex = 1 (3 distinct), r_stop: zero stopwords
+    // everywhere → ties broken by doc_id DESC-order → ranks by id.
+    val r3 = Curation.qualityRankBlend(docs).collect()
+      .find(_.getAs[Long]("doc_id") == 3L).get
+    assert(r3.getAs[Double]("composite") ==
+      math.rint((r3.getAs[Double]("r_len") + r3.getAs[Double]("r_lex") +
+        r3.getAs[Double]("r_stop")) / 3.0 * 1e6) / 1e6)
+  }
+
+  test("semDedupPrune: the exact duplicate loses on the id tie-break; " +
+    "non-duplicates survive") {
+    import graft.operators.Similarity
+    // k=2 seeds = two lowest ids: v1=(1,0) and v2=(0,1). v3 is an
+    // exact copy of v1 → same cell, cosine 1.0, equal cent_sim →
+    // the higher id (3) prunes.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semDedupPrune(vecs,
+        new java.math.BigDecimal("0.900000"), kCells = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("pruned"))
+      .toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true))
+  }
+
+  test("oovRateCurve: hand-checkable top-V cutoffs, count-desc " +
+    "token-asc tie-break") {
+    import graft.operators.Curation
+    // a×3, b×2, c×1 → top1 = {a}, top2 = {a, b}; 6 occurrences.
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Curation.oovRateCurve(docs, Seq(1, 2)).collect()
+      .map(r => r.getAs[Int]("vocab_size") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate"))).toMap
+    assert(got(1) == ((6L, 3L, 0.5)))
+    assert(got(2) == ((6L, 1L, 0.166667)))
+  }
+
   test("naiveBayes: held-out docs classify to the class whose token " +
     "distribution they match") {
     // Two classes with disjoint vocabularies; doc_ids ≡ 0 (mod 5) are
