@@ -223,6 +223,32 @@ object AnalyticsCatalog {
         Tables.supplier(s, d).filter(col("s_suppkey") % 5 === 0)
           .select((col("s_suppkey") * 2L + 1L).as("node")))),
 
+    // HITS hubs & authorities over the DIRECTED customer→supplier
+    // purchase graph: authorities rank suppliers by how strongly
+    // well-connected customers buy from them, hubs rank customers
+    // symmetrically — the second classic centrality beside PageRank,
+    // and the one that needs edge direction. Fixed-point 1e-9 long
+    // contribution sums + exact integer L1 normalizers; every
+    // half-step of all 5 iterations inside the differential.
+    "q_hits" -> ((s, d) =>
+      graft.operators.Graph.hits(
+        graft.operators.Graph.directedPurchaseEdges(
+          Tables.orders(s, d), Tables.lineitem(s, d)))),
+
+    // Seeded label propagation: every 5th supplier seeds its nation
+    // as a label (the q_ppr seed slice), 3 synchronous majority
+    // rounds spread it across the symmetrized purchase graph —
+    // "color the corpus by proximity to labeled slices" as exact
+    // integer counts with a (max count, min label) tie-break; no
+    // floats anywhere in the differential.
+    "q_label_prop" -> ((s, d) =>
+      graft.operators.Graph.labelPropagation(
+        graft.operators.Graph.purchaseEdges(
+          Tables.orders(s, d), Tables.lineitem(s, d)),
+        Tables.supplier(s, d).filter(col("s_suppkey") % 5 === 0)
+          .select((col("s_suppkey") * 2L + 1L).as("node"),
+            col("s_nationkey").cast("long").as("label")))),
+
     // Exact distinct suppliers per returnflag via dense-bitmap
     // aggregation: the shuffle carries one |dict|/8-byte bitmap per
     // group per partition, never the (group, key) pair stream
@@ -818,6 +844,40 @@ object AnalyticsCatalog {
          |${(1 to 4).map(bfsIterSql).mkString(",\n")}
          |SELECT node, dist FROM d4""".stripMargin,
 
+    // HITS twin: directed customer→supplier edges, then 5 unrolled
+    // iterations of the sequential (auth from hub, hub from fresh
+    // auth) half-steps — 1e-9 fixed-point contribution sums, exact
+    // integer L1 totals, identical division tree. Final frame joins
+    // the round-5 hub and auth per node.
+    "q_hits" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e
+         |  UNION ALL SELECT dst AS node FROM e)),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |h0 AS (SELECT node, 1.0 / n AS hub FROM nodes CROSS JOIN nn),
+         |${(1 to 5).map(hitsIterSql).mkString(",\n")}
+         |SELECT h5.node, round(h5.hub, 6) AS hub, round(a5.auth, 6) AS auth
+         |FROM h5 JOIN a5 ON h5.node = a5.node""".stripMargin,
+
+    // Label-propagation twin: the q_ppr seed slice labeled by nation,
+    // 3 unrolled majority rounds with the same (max count, min label)
+    // tie-break and pinned seeds. Integer-only.
+    "q_label_prop" ->
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
+         |      UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |seeds AS MATERIALIZED (SELECT DISTINCT s_suppkey * 2 + 1 AS node,
+         |    CAST(s_nationkey AS BIGINT) AS label
+         |  FROM supplier WHERE s_suppkey % 5 = 0),
+         |l0 AS (SELECT node, label FROM seeds),
+         |${(1 to 3).map(lpIterSql).mkString(",\n")}
+         |SELECT node, label FROM l3""".stripMargin,
+
     // The bitmap is exact, so the oracle is the plain COUNT(DISTINCT).
     "q_bitmap_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_distinct
@@ -1307,5 +1367,50 @@ object AnalyticsCatalog {
        |        SELECT n$k.node, ${k} AS dist FROM n$k
        |        LEFT JOIN $prev r ON n$k.node = r.node
        |        WHERE r.node IS NULL)""".stripMargin
+  }
+
+  /** One HITS iteration twin (Graph.hits): auth half-step from the
+    * previous hub frame, hub half-step from the JUST-normalized auth
+    * — per-edge contributions rounded once to 1e-9 longs, exact
+    * integer L1 totals, one long/long double division per score; the
+    * same sequential-update arithmetic tree as the Spark loop.
+    */
+  private def hitsIterSql(k: Int): String = {
+    val prev = s"h${k - 1}"
+    s"""sa$k AS MATERIALIZED (SELECT e.dst AS node,
+       |    SUM(CAST(round(h.hub * 1e9) AS BIGINT)) AS s
+       |  FROM e JOIN $prev h ON e.src = h.node GROUP BY 1),
+       |ta$k AS MATERIALIZED (SELECT SUM(s) AS t FROM sa$k),
+       |a$k AS MATERIALIZED (SELECT n.node,
+       |    CAST(COALESCE(sa.s, 0) AS DOUBLE) / CAST(ta.t AS DOUBLE) AS auth
+       |  FROM nodes n LEFT JOIN sa$k sa ON n.node = sa.node
+       |  CROSS JOIN ta$k ta),
+       |sh$k AS MATERIALIZED (SELECT e.src AS node,
+       |    SUM(CAST(round(a.auth * 1e9) AS BIGINT)) AS s
+       |  FROM e JOIN a$k a ON e.dst = a.node GROUP BY 1),
+       |th$k AS MATERIALIZED (SELECT SUM(s) AS t FROM sh$k),
+       |h$k AS MATERIALIZED (SELECT n.node,
+       |    CAST(COALESCE(sh.s, 0) AS DOUBLE) / CAST(th.t AS DOUBLE) AS hub
+       |  FROM nodes n LEFT JOIN sh$k sh ON n.node = sh.node
+       |  CROSS JOIN th$k th)""".stripMargin
+  }
+
+  /** One label-propagation round twin (Graph.labelPropagation):
+    * neighbor label counts, per-node max, (max count, min label)
+    * tie-break, seeds pinned via anti-join. Integer-only.
+    */
+  private def lpIterSql(k: Int): String = {
+    val prev = s"l${k - 1}"
+    s"""c$k AS MATERIALIZED (SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+       |  FROM e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
+       |m$k AS MATERIALIZED (SELECT node, MAX(cnt) AS mx FROM c$k GROUP BY 1),
+       |l$k AS MATERIALIZED (SELECT node, label FROM seeds
+       |  UNION ALL
+       |  SELECT w.node, w.label FROM (
+       |    SELECT c.node, MIN(c.label) AS label FROM c$k c
+       |    JOIN m$k m ON c.node = m.node AND c.cnt = m.mx
+       |    GROUP BY 1) w
+       |  LEFT JOIN seeds sd ON w.node = sd.node
+       |  WHERE sd.node IS NULL)""".stripMargin
   }
 }

@@ -108,7 +108,10 @@ object Bench {
     // r9 wave 5, benched at birth.
     "q_pagerank_weighted", "q_nb_classifier", "q_ann_recall_curve",
     "q_oov_rate", "q_semdedup_prune", "q_quality_rank_blend",
-    "q_lm_kn", "q_psi_drift", "q_ppmi_window", "q_nb_eval")
+    "q_lm_kn", "q_psi_drift", "q_ppmi_window", "q_nb_eval",
+    // r9 wave 7, benched at birth.
+    "q_hits", "q_label_prop", "q_ks_drift", "q_doremi_mix",
+    "q_bpe_fertility")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -49,6 +49,23 @@ object PipelineCatalog {
        |${(1 to 8).map(round).mkString(",\n")}""".stripMargin
   }
 
+  /** One DoReMi multiplicative-weights step twin (Mixing.doremiWeights):
+    * expected loss and the renormalizer as source-ordered folds, the
+    * update as the shared (1 + η·excess) product tree.
+    */
+  private def doremiStepSql(t: Int): String = {
+    val prev = s"dom${t - 1}"
+    s"""el$t AS MATERIALIZED (SELECT list_reduce(list(w * lnorm ORDER BY source),
+       |    (a, b) -> a + b) AS el FROM $prev),
+       |up$t AS MATERIALIZED (SELECT source, n_docs, lnorm,
+       |    w * (1.0 + 0.5 * (lnorm - el)) AS w
+       |  FROM $prev CROSS JOIN el$t),
+       |z$t AS MATERIALIZED (SELECT list_reduce(list(w ORDER BY source),
+       |    (a, b) -> a + b) AS z FROM up$t),
+       |dom$t AS MATERIALIZED (SELECT source, n_docs, lnorm, w / z AS w
+       |  FROM up$t CROSS JOIN z$t)""".stripMargin
+  }
+
   /** Corpus with injected NEAR-duplicates (Dedup.withNearDuplicates). */
   private val corpusNearSql =
     """corpus AS (
@@ -473,6 +490,26 @@ object PipelineCatalog {
         docs.filter(col("doc_id") % 2 === 1), "n_chars")
     }),
 
+    // Two-sample Kolmogorov–Smirnov statistic between the R- and
+    // N-returnflag extended-price distributions: the BINLESS drift
+    // read beside q_psi_drift — exact empirical CDFs at every
+    // observed value via the two-level prefix sum (bucket offsets
+    // from a ≤256-row window + keyed in-bucket cumulatives), never a
+    // data-wide global window.
+    "q_ks_drift" -> ((s, d) =>
+      graft.operators.Profile.ksDrift(Tables.lineitem(s, d),
+        "l_extendedprice", "l_returnflag", "R", "N")),
+
+    // DoReMi-style domain reweighting: per-source cross-entropy under
+    // the corpus unigram LM (1e-9 fixed-point ln sums in DECIMAL —
+    // exact past the bigint ceiling), then 5 multiplicative-weights
+    // steps from the proportional baseline, each upweighting domains
+    // whose loss exceeds the current mix's expected loss. Trainer AND
+    // every reweighting step inside the differential.
+    "q_doremi_mix" -> ((s, d) =>
+      graft.operators.Mixing.doremiWeights(
+        Tables.documents(s, d), "source")),
+
     // Per-language quality rank blend: three signals percent-ranked
     // within the doc's language ((signal, doc_id) total order — no tie
     // ambiguity), averaged. One shuffle, three windows on the same
@@ -506,6 +543,19 @@ object PipelineCatalog {
         .orderBy(col("round")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.Bpe.applyMerges(Tables.documents(s, d), m)
+    }),
+
+    // Tokenizer fertility per language under the just-trained BPE-8
+    // table: subword units per word within each language — the
+    // tokenizer-equity audit (a vocab trained on a mixed corpus
+    // fragments minority-language words into more units). Trainer,
+    // segmentation fold, and the per-language division all inside the
+    // differential.
+    "q_bpe_fertility" -> ((s, d) => {
+      val m = graft.operators.Bpe.trainMerges(Tables.documents(s, d))
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.fertilityByLang(Tables.documents(s, d), m)
     }),
 
     // Length-bucketed batching prep: docs per 32-token bucket.
@@ -1325,6 +1375,70 @@ object PipelineCatalog {
         |  round(psi, 6) AS psi
         |FROM sc CROSS JOIN ps""".stripMargin,
 
+    // KS twin: the oracle computes the SAME per-value F_a/F_b with a
+    // plain windowed CDF (the Spark side's bucket offsets + in-bucket
+    // cumulatives reassemble the identical integer cumulative counts,
+    // so each division is the same long/long double op) and takes the
+    // same max.
+    "q_ks_drift" ->
+      """WITH u AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ina,
+        |    CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS inb
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |c AS (SELECT v, CAST(SUM(ina) AS BIGINT) AS na,
+        |    CAST(SUM(inb) AS BIGINT) AS nb
+        |  FROM u GROUP BY 1),
+        |cum AS (SELECT v,
+        |    SUM(na) OVER (ORDER BY v) AS ca,
+        |    SUM(nb) OVER (ORDER BY v) AS cb
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+        |    CAST(SUM(nb) AS BIGINT) AS tb FROM c),
+        |d AS (SELECT MAX(ABS(
+        |    CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+        |      - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))) AS ks
+        |  FROM cum CROSS JOIN t)
+        |SELECT round(ks, 6) AS ks_stat, ta AS n_a, tb AS n_b
+        |FROM d CROSS JOIN t""".stripMargin,
+
+    // DoReMi twin: same unigram-LM loss (1e-9 fixed-point ln
+    // contributions summed as DECIMAL — exact integers in both
+    // engines), same min-max normalization, and 5 unrolled
+    // multiplicative-weights steps whose expected-loss/normalizer
+    // sums fold in source order (list_reduce ORDER BY source — the
+    // sorted-fold idiom Spark mirrors with array_sort+aggregate).
+    "q_doremi_mix" ->
+      s"""WITH toks AS (
+         |  SELECT source, tok FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents)
+         |  WHERE tok <> ''),
+         |tf AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS nt FROM tf),
+         |pd AS (SELECT source,
+         |    SUM(CAST(round(ln(CAST(f.tf AS DOUBLE) / CAST(nt AS DOUBLE))
+         |      * 1e9) AS DECIMAL(20, 0))) AS s,
+         |    COUNT(*) AS n_tok
+         |  FROM toks t JOIN tf f USING (tok) CROSS JOIN tot
+         |  GROUP BY 1),
+         |pl AS (SELECT source, n_tok,
+         |    (-(CAST(s AS DOUBLE)) / 1e9) / CAST(n_tok AS DOUBLE) AS loss
+         |  FROM pd),
+         |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents
+         |  GROUP BY 1),
+         |ndt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM nd),
+         |lb AS (SELECT MIN(loss) AS lmin, MAX(loss) AS lmax FROM pl),
+         |dom0 AS (SELECT pl.source, nd.n_docs,
+         |    CASE WHEN lmax = lmin THEN 0.0
+         |      ELSE (loss - lmin) / (lmax - lmin) END AS lnorm,
+         |    CAST(nd.n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS w
+         |  FROM pl JOIN nd USING (source) CROSS JOIN ndt CROSS JOIN lb),
+         |${(1 to 5).map(doremiStepSql).mkString(",\n")}
+         |SELECT d.source, d.n_docs, round(d.lnorm, 6) AS loss_norm,
+         |  round(dom0.w, 6) AS w_base, round(d.w, 6) AS w_final
+         |FROM dom5 d JOIN dom0 ON d.source = dom0.source""".stripMargin,
+
     // Rank-blend twin: identical (signal, doc_id)-ordered
     // percent_rank windows per language, 6-dp rounds, same 3-term sum.
     "q_quality_rank_blend" ->
@@ -1395,6 +1509,26 @@ object PipelineCatalog {
          |SELECT sym, CAST(SUM(wn) AS BIGINT) AS n FROM (
          |  SELECT n AS wn, unnest(syms) AS sym FROM w8)
          |GROUP BY 1""".stripMargin,
+
+    // Fertility twin: the trained w8 segmentation joined onto
+    // per-language word counts; integer sums, one shared rounded
+    // division per language.
+    "q_bpe_fertility" ->
+      s"""WITH $bpeCtes,
+         |ws AS (SELECT w, CAST(len(syms) AS INT) AS n_syms FROM w8),
+         |lt AS (SELECT lang, tok AS w FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents)
+         |  WHERE tok <> ''),
+         |lw AS (SELECT lang, w, COUNT(*) AS nw FROM lt GROUP BY 1, 2),
+         |j AS (SELECT lang, nw, n_syms FROM lw JOIN ws USING (w)),
+         |a AS (SELECT lang, CAST(SUM(nw) AS BIGINT) AS n_words,
+         |    CAST(SUM(nw * n_syms) AS BIGINT) AS n_subwords
+         |  FROM j GROUP BY 1)
+         |SELECT lang, n_words, n_subwords,
+         |  round(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+         |    AS fertility
+         |FROM a""".stripMargin,
 
     "q_length_buckets" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)

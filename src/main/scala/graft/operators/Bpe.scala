@@ -89,7 +89,18 @@ object Bpe {
     * codebook).
     */
   def applyMerges(docs: DataFrame,
-                  mergesLocal: Seq[(String, String)]): DataFrame = {
+                  mergesLocal: Seq[(String, String)]): DataFrame =
+    foldWords(docs, mergesLocal)
+      .select(col("n"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("n")).as("n"))
+
+  /** The corpus vocabulary folded under a learned merge table:
+    * (w, n, syms) — one row per distinct word with its corpus
+    * frequency and final subword segmentation. Shared tail of
+    * [[applyMerges]] and [[segmentedWords]].
+    */
+  private def foldWords(docs: DataFrame,
+                        mergesLocal: Seq[(String, String)]): DataFrame = {
     val base = docs
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
@@ -100,7 +111,7 @@ object Bpe {
     // expression grows the tree 3^rounds-fold — codegen/serialization
     // death, not a data problem (the frame is |V| rows). Same
     // discipline as the trainer loop.
-    val folded = mergesLocal.foldLeft(base.localCheckpoint()) {
+    mergesLocal.foldLeft(base.localCheckpoint()) {
       case (df, (l, r)) =>
         df.withColumn("syms", expr(
           s"""aggregate(slice(syms, 2, size(syms) - 1),
@@ -111,7 +122,45 @@ object Bpe {
              |    ELSE concat(acc, array(s)) END)""".stripMargin))
           .localCheckpoint()
     }
-    folded.select(col("n"), explode(col("syms")).as("sym"))
-      .groupBy(col("sym")).agg(sum(col("n")).as("n"))
+  }
+
+  /** Per-word segment COUNT under a learned merge table: (w, n_syms)
+    * over the corpus vocabulary — the apply-side lookup fertility
+    * audits join against.
+    */
+  def segmentedWords(docs: DataFrame,
+                     mergesLocal: Seq[(String, String)]): DataFrame =
+    foldWords(docs, mergesLocal)
+      .select(col("w"), size(col("syms")).as("n_syms"))
+
+  /** TOKENIZER FERTILITY per language: subword units emitted per word
+    * (Σ n_w·|segments(w)| / Σ n_w within each `langCol` group) under a
+    * learned merge table — THE standard tokenizer-equity audit: a
+    * vocabulary trained on a corpus dominated by one language
+    * fragments the others into more units per word, inflating their
+    * effective sequence length and training cost, and this is the
+    * number that shows it (fertility 1.0 = every word is one token).
+    *
+    * Scale shape: the vocabulary segmentation table is |V| rows
+    * (broadcast); the per-language word counts are one keyed
+    * aggregate over the token explode; the fertility division is one
+    * |langs|-row projection. Integer sums end-to-end; one rounded
+    * division per language at the output edge.
+    */
+  def fertilityByLang(docs: DataFrame,
+                      mergesLocal: Seq[(String, String)],
+                      langCol: String = "lang"): DataFrame = {
+    val segs = segmentedWords(docs, mergesLocal)
+    val lw = docs
+      .select(col(langCol), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col(langCol), col("w")).agg(count(lit(1)).as("nw"))
+    lw.join(broadcast(segs), Seq("w"))
+      .groupBy(col(langCol))
+      .agg(sum(col("nw")).as("n_words"),
+        sum(col("nw") * col("n_syms")).as("n_subwords"))
+      .select(col(langCol), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"))
   }
 }

@@ -337,6 +337,155 @@ object Graph {
     reached
   }
 
+  /** HITS hubs & authorities (Kleinberg '99): the mutually-recursive
+    * pair auth(v) = Σ_{u→v} hub(u), hub(v) = Σ_{v→u} auth(u), each
+    * L1-normalized per half-step — on a bipartite purchase graph the
+    * authority side ranks suppliers by how strongly well-connected
+    * customers buy from them while the hub side ranks customers by how
+    * much they buy from authoritative suppliers. The classic second
+    * centrality beside PageRank, and the one that needs a DIRECTED
+    * edge list (run it on [[directedPurchaseEdges]]; a symmetrized
+    * list collapses hubs onto authorities by construction).
+    *
+    * Determinism is the [[pageRank]] fixed-point device at 1e-9: each
+    * contribution is rounded ONCE to a long; per-node sums and the L1
+    * normalizer are then plain integer addition — order-free and
+    * bit-identical cross-engine — and the normalized score is one
+    * long/long double division both engines share. Post-normalization
+    * Σ score = 1, so Σ_edges hub(src) ≤ max-outdeg and the scaled
+    * total stays ≤ ~max-outdeg·1e9: overflow needs a single node with
+    * ~10⁹ out-edges before the counter is at risk — document-scale
+    * safe. (The auth half-step reads the PREVIOUS hub frame; the hub
+    * half-step reads the JUST-normalized auth frame — the textbook
+    * sequential update, mirrored exactly by the oracle.)
+    *
+    * Scale shape per iteration: the edge list is cached TWICE, once
+    * pre-partitioned on src and once on dst, so the auth step's join
+    * (keyed by src) and the hub step's join (keyed by dst) each move
+    * only the score frame — the big side never reshuffles (the
+    * two-copy analog of [[pageRank]]'s pinned-partitioning cache).
+    * Two round-latency devices on top (measured: 12.5 → ~7 s at
+    * sf0.1): score frames stay SPARSE — hub over source nodes only,
+    * auth over destination nodes only; an absent score is an exact
+    * zero contribution, so the dense left-join densification is
+    * deferred to the single output projection — and the intermediate
+    * auth frame is LAZY (single consumer inside the iteration), so
+    * only the hub frame checkpoints per round: 5 checkpoint rounds
+    * for 10 half-steps. The per-iteration plan stays constant-depth
+    * (two joins, two aggregates), so the r8 probe-batching lesson
+    * about NESTED plan growth does not apply.
+    */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val HScale = 1e9
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val eBySrc = e.repartition(col("src")).sortWithinPartitions(col("src"))
+      .cache()
+    val eByDst = e.repartition(col("dst")).sortWithinPartitions(col("dst"))
+      .cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val nrow = nodes.agg(count(lit(1)).as("n"))
+    // Sparse init: sinks hold 1/N too in the dense formulation, but a
+    // sink's hub never reaches any edge — contribution-identical.
+    var hub = e.select(col("src").as("node")).distinct()
+      .crossJoin(broadcast(nrow))
+      .select(col("node"), (lit(1.0) / col("n")).as("hub"))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    for (it <- 1 to iters) {
+      // Every dst node has >= 1 in-edge and the hub frame covers every
+      // src, so aSums' support is EXACTLY the dst node set — no
+      // densifying left join needed until the output edge.
+      val aSums = eBySrc
+        .join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("hub") * HScale).cast("long").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      val aTot = aSums.agg(sum(col("s")).as("t"))
+      val a = aSums.crossJoin(broadcast(aTot))
+        .select(col("node"),
+          (col("s").cast("double") / col("t").cast("double")).as("auth"))
+      // Lazy mid-iteration: `a` has ONE consumer (hSums) except on the
+      // final round, where the output also reads it — checkpoint then.
+      auth = if (it == iters) a.localCheckpoint() else a
+      val hSums = eByDst
+        .join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"),
+          round(col("auth") * HScale).cast("long").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      val hTot = hSums.agg(sum(col("s")).as("t"))
+      hub = hSums.crossJoin(broadcast(hTot))
+        .select(col("node"),
+          (col("s").cast("double") / col("t").cast("double")).as("hub"))
+        .localCheckpoint()
+    }
+    nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+      .select(col("node"),
+        round(coalesce(col("hub"), lit(0.0)), 6).as("hub"),
+        round(coalesce(col("auth"), lit(0.0)), 6).as("auth"))
+  }
+
+  /** DIRECTED bipartite purchase edges customer → supplier (one edge
+    * per distinct trading pair, nodes namespaced as in
+    * [[purchaseEdges]]) — the directed substrate [[hits]] needs:
+    * customers are the only sources (hubs), suppliers the only sinks
+    * (authorities).
+    */
+  def directedPurchaseEdges(orders: DataFrame,
+                            lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("src"),
+        (col("l_suppkey") * 2L + 1L).as("dst"))
+      .distinct()
+
+  /** Seeded LABEL PROPAGATION (the semi-supervised community/category
+    * spreader — Zhu & Ghahramani '02 shape, synchronous rounds):
+    * starting from a PINNED seed labeling, each round every node
+    * adopts the MAJORITY label among its in-neighbors' previous-round
+    * labels, ties broken to the SMALLEST label; seed nodes never
+    * change. After k rounds a node's label is the dominant seed
+    * community within k hops — the cheap graph-side classifier for
+    * "color the corpus by proximity to labeled slices" curation, the
+    * discrete complement of [[personalizedPageRank]]'s continuous
+    * proximity and [[bfsHops]]'s distance.
+    *
+    * Fully integer/deterministic by construction: label counts are
+    * integer aggregates, the argmax is (max count, then min label) —
+    * no floats anywhere, so the differential is trivially
+    * bit-identical. Per round: one keyed join (edges pre-partitioned
+    * on src, cached — only the label frame moves), a (node, label)
+    * count, a per-node max, and the tie-break filter+min — all keyed
+    * shuffles; each round ends in `localCheckpoint()` (see
+    * [[pageRank]]'s iterative-lineage discipline). Nodes with no
+    * labeled in-neighbor after `rounds` rounds are absent from the
+    * output, not NULL-rowed (the [[bfsHops]] convention). Pass a
+    * symmetrized edge list for undirected spreading.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+                       rounds: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .cache()
+    val sd = seeds.select(col("node"), col("label")).localCheckpoint()
+    var lab = sd
+    for (_ <- 1 to rounds) {
+      val counts = e
+        .join(lab.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val mx = counts.groupBy(col("node")).agg(max(col("cnt")).as("mx"))
+      val win = counts.join(mx, Seq("node"))
+        .filter(col("cnt") === col("mx"))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      lab = sd.unionByName(
+          win.join(sd.select(col("node")), Seq("node"), "left_anti"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
   /** K-CORE decomposition by iterative peeling (Seidman '83; the
     * distributed form follows Montresor et al.'s degree-pruning
     * rounds): repeatedly delete nodes of degree < `k` until the

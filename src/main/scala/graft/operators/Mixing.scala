@@ -124,4 +124,97 @@ object Mixing {
         (col("base") + when(col("rk") <= col("leftover"), 1L)
           .otherwise(0L)).as("alloc"))
   }
+
+  /** DoReMi-STYLE iterative domain reweighting (Xie et al. '23 shape,
+    * with the polynomial multiplicative-weights update of
+    * Arora–Hazan–Kale instead of the exponentiated one — same
+    * fixed point, no cross-engine `exp`): starting from the
+    * proportional baseline w⁰_d = n_docs_d / N, each of `steps` rounds
+    * upweights domains whose loss EXCEEDS the current mix's expected
+    * loss and renormalizes:
+    *
+    *   excess_t(d) = ℓ(d) − Σ_d w_t(d)·ℓ(d)
+    *   w_{t+1}(d) ∝ w_t(d) · (1 + η·excess_t(d))
+    *
+    * with ℓ(d) the domain's per-token cross-entropy under the CORPUS
+    * unigram LM, min-max normalized to [0,1] so 1 + η·excess stays in
+    * [1−η, 1+η] — strictly positive, no clipping branch to disagree
+    * on. The loss is the trained signal: domains the corpus-level
+    * model compresses badly (rare vocabulary) read as high-loss and
+    * gain weight — the DoReMi effect of boosting underfit domains.
+    *
+    * Determinism: the per-token ln contributions are rounded once to
+    * 1e-9 fixed point and summed as DECIMAL(20,0) — exact 128-bit-
+    * capable integer addition in BOTH engines (Spark decimal sums,
+    * DuckDB hugeint-backed decimals), which removes the bigint
+    * ceiling a corpus-scale ln sum would hit (unlike PageRank, this
+    * mass is NOT bounded by 1 — it grows with tokens-per-domain, so
+    * the 64-bit counter would overflow near ~10⁹ tokens·domain⁻¹).
+    * The per-step expected-loss and normalizer sums run over the
+    * |domains|-row frame as BIN-ORDERED sorted folds (the psiDrift
+    * idiom), and every other op is +/·/÷ in a shared tree.
+    *
+    * Scale shape: one token scan (exploded once), a |V|-row term
+    * frequency broadcast back onto it, one keyed per-domain aggregate
+    * — everything after is |domains|-row with 1-row broadcasts per
+    * step; `steps` is a constant. Output per domain: baseline share,
+    * normalized loss, final weight.
+    */
+  def doremiWeights(docs: DataFrame, sourceCol: String,
+                    steps: Int = 5, eta: Double = 0.5): DataFrame = {
+    val toks = docs
+      .select(col(sourceCol), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val tot = tf.agg(sum(col("tf")).as("nt"))
+    val perDom = toks.join(broadcast(tf), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        round(log(col("tf").cast("double") / col("nt").cast("double"))
+          * 1e9).cast("decimal(20,0)").as("c"))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("n_tok"))
+      .select(col(sourceCol), col("n_tok"),
+        (negate(col("s").cast("double")) / 1e9 /
+          col("n_tok").cast("double")).as("loss"))
+    val nd = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val ndTot = nd.agg(sum(col("n_docs")).as("n_total"))
+    val lb = perDom.agg(min(col("loss")).as("lmin"), max(col("loss")).as("lmax"))
+    // |domains|-row working frame: (source, n_docs, lnorm, w).
+    var dom = perDom.join(nd, Seq(sourceCol))
+      .crossJoin(broadcast(ndTot)).crossJoin(broadcast(lb))
+      .select(col(sourceCol), col("n_docs"),
+        when(col("lmax") === col("lmin"), lit(0.0))
+          .otherwise((col("loss") - col("lmin")) /
+            (col("lmax") - col("lmin"))).as("lnorm"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("w"))
+      .localCheckpoint()
+    val base = dom.select(col(sourceCol), col("w").as("w_base"))
+    for (_ <- 1 to steps) {
+      val el = dom.select(col(sourceCol), (col("w") * col("lnorm")).as("x"))
+        .agg(array_sort(collect_list(struct(col(sourceCol), col("x"))))
+          .as("parts"))
+        .select(aggregate(transform(col("parts"), _.getField("x")),
+          lit(0.0), _ + _).as("el"))
+      val up = dom.crossJoin(broadcast(el))
+        .select(col(sourceCol), col("n_docs"), col("lnorm"),
+          (col("w") * (lit(1.0) + lit(eta) * (col("lnorm") - col("el"))))
+            .as("w"))
+      val z = up.select(col(sourceCol), col("w").as("x"))
+        .agg(array_sort(collect_list(struct(col(sourceCol), col("x"))))
+          .as("parts"))
+        .select(aggregate(transform(col("parts"), _.getField("x")),
+          lit(0.0), _ + _).as("z"))
+      dom = up.crossJoin(broadcast(z))
+        .select(col(sourceCol), col("n_docs"), col("lnorm"),
+          (col("w") / col("z")).as("w"))
+        .localCheckpoint()
+    }
+    dom.join(base, Seq(sourceCol))
+      .select(col(sourceCol), col("n_docs"),
+        round(col("lnorm"), 6).as("loss_norm"),
+        round(col("w_base"), 6).as("w_base"),
+        round(col("w"), 6).as("w_final"))
+  }
 }

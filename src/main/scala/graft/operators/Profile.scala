@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table-level data-quality profiling — the one-pass pre-flight every
@@ -123,5 +124,73 @@ object Profile {
         round(col("p_curr"), 6).as("p_curr"),
         round(col("contrib"), 6).as("contrib"),
         round(col("psi"), 6).as("psi"))
+  }
+
+  /** Two-sample KOLMOGOROV–SMIRNOV statistic D = max_v |F_a(v) −
+    * F_b(v)| between the `valueCol` distributions of the rows where
+    * `groupCol` = `aVal` vs `bVal` — the BINLESS drift read beside
+    * [[psiDrift]]: PSI needs a bin recipe and saturates on
+    * within-bin shifts; KS compares the exact empirical CDFs at every
+    * observed value, so it catches any distributional change and its
+    * null distribution is the standard table test.
+    *
+    * The global-CDF problem is the same one `orderBy` at 100 TB has —
+    * a cumulative count needs a total order. This uses the two-level
+    * prefix sum the token-budget operator established (the
+    * scale-safe alternative to one global window): distinct-value
+    * counts (one keyed aggregate, |distinct| rows), each value zoned
+    * into one of 256 equal-width buckets from a broadcast min/max;
+    * per-bucket subtotals (≤256 rows) get their running offsets from
+    * a window over that CONSTANT-SIZE frame, and the per-value
+    * cumulative is a bucket-partitioned (keyed) window plus the
+    * broadcast offset. Offsets + in-bucket cumulatives are exact
+    * integer sums, so F_a/F_b are each ONE long/long double division
+    * — identical arithmetic to the oracle's plain windowed CDF, and
+    * the max over identical per-value doubles is engine-order-free.
+    *
+    * Scale shape: one scan with indicator columns (both samples in a
+    * single pass), one keyed value aggregate, bucket-count-sized
+    * frames after that; the only unpartitioned window runs over ≤256
+    * rows by construction. Output: 1 row (ks_stat, n_a, n_b).
+    */
+  def ksDrift(df: DataFrame, valueCol: String, groupCol: String,
+              aVal: String, bVal: String,
+              nBuckets: Int = 256): DataFrame = {
+    val u = df.filter(col(groupCol).isin(aVal, bVal))
+      .select(col(valueCol).cast("double").as("v"),
+        when(col(groupCol) === aVal, lit(1L)).otherwise(lit(0L)).as("ina"),
+        when(col(groupCol) === bVal, lit(1L)).otherwise(lit(0L)).as("inb"))
+    val cnts = u.groupBy(col("v"))
+      .agg(sum(col("ina")).as("na"), sum(col("inb")).as("nb"))
+    val bounds = cnts.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val bucketed = cnts.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(
+            floor((col("v") - col("mn")) /
+              ((col("mx") - col("mn")) / nBuckets)),
+            lit(nBuckets - 1).cast("long"))).cast("int"))
+      .select(col("v"), col("na"), col("nb"), col("bucket"))
+    val bt = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("na")).as("ba"), sum(col("nb")).as("bb"))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bt.select(col("bucket"),
+      coalesce(sum(col("ba")).over(wOff), lit(0L)).as("offa"),
+      coalesce(sum(col("bb")).over(wOff), lit(0L)).as("offb"))
+    val totals = bt.agg(sum(col("ba")).as("ta"), sum(col("bb")).as("tb"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diffs = bucketed.join(broadcast(offs), Seq("bucket"))
+      .crossJoin(broadcast(totals))
+      .select(
+        (((col("offa") + sum(col("na")).over(wIn)).cast("double") /
+          col("ta").cast("double")) -
+          ((col("offb") + sum(col("nb")).over(wIn)).cast("double") /
+            col("tb").cast("double"))).as("d"))
+    diffs.agg(max(abs(col("d"))).as("ks"))
+      .crossJoin(broadcast(totals))
+      .select(round(col("ks"), 6).as("ks_stat"),
+        col("ta").as("n_a"), col("tb").as("n_b"))
   }
 }

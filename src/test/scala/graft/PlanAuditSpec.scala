@@ -131,7 +131,11 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row vocabulary-size frame (q_lm_score family).
     "q_nb_classifier",
     // nb_eval: inherits the NB chain's frames; the eval tail is keyed.
-    "q_nb_eval")
+    "q_nb_eval",
+    // ks_drift: two 1-row frames (value bounds, sample totals) and the
+    // broadcast ≤256-row bucket-offset table; the per-value cumulative
+    // window is bucket-partitioned (keyed).
+    "q_ks_drift")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
@@ -166,7 +170,10 @@ class PlanAuditSpec extends SparkSpec {
     // key set — dimension-bounded by the operator's own contract (a key
     // set too big to dictionary-encode is the documented KMV/HLL
     // cutover); same idiom as the dimension surrogate key.
-    "q_bitmap_distinct")
+    "q_bitmap_distinct",
+    // ks_drift: the bucket-offset prefix window over the ≤256-row
+    // bucket frame (the q_token_budget two-level prefix-sum idiom).
+    "q_ks_drift")
 
   /** Sink round-trip queries EXECUTE a write inside the closure and
     * return the trivial re-read scan — calling fn here would side-effect
