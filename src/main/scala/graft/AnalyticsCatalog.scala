@@ -427,7 +427,33 @@ object AnalyticsCatalog {
         "o_custkey", "o_orderdate", v1.unionByName(v2), "custkey")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
           col("segment"))
-    })
+    }),
+
+    // Local clustering coefficient of the co-order part graph: per
+    // node, triangles through it vs possible wedges — the community-
+    // density read (is a cluster a topic or a hub artifact) on the
+    // same compact-forward enumeration q_triangles audits.
+    "q_clustering_coeff" -> ((s, d) =>
+      graft.operators.Graph.clusteringCoefficient(
+        graft.operators.Itemsets.pairEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
+
+    // Degree assortativity (Newman's r) of the same graph: Pearson
+    // correlation of endpoint degrees over every edge end — one
+    // number that says hub-to-hub vs hub-to-leaf before any
+    // degree-sensitive algorithm runs.
+    "q_assortativity" -> ((s, d) =>
+      graft.operators.Graph.assortativity(
+        graft.operators.Itemsets.pairEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
+
+    // Winsorized price statistics per return flag: clip at the exact
+    // p05/p95 order statistics (integer-index selection — no
+    // percentile-interpolation ambiguity), then the robust mean
+    // beside the clip counts.
+    "q_winsorize" -> ((s, d) =>
+      Analytics.winsorize(Tables.lineitem(s, d), "l_returnflag",
+        col("l_extendedprice").cast(Tables.Money)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1291,7 +1317,113 @@ object AnalyticsCatalog {
         |FROM orders JOIN dim ON o_custkey = custkey
         |  AND CAST(o_orderdate AS DATE) >= valid_from
         |  AND (valid_to IS NULL OR CAST(o_orderdate AS DATE) < valid_to)"""
-        .stripMargin
+        .stripMargin,
+
+    // Clustering-coefficient twin: the q_triangles pair CTEs, the same
+    // compact-forward enumeration (unlimited), per-node triangle
+    // counts by 3-way union, symmetrized degree, identical double
+    // tree (2.0·tri exact, deg·(deg−1) exact, one division).
+    "q_clustering_coeff" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |freq AS (SELECT it FROM items GROUP BY it HAVING COUNT(*) >= 2),
+        |fi AS (SELECT items.bk, items.it FROM items JOIN freq USING (it)),
+        |p AS (
+        |  SELECT a.it AS a, b.it AS b FROM fi a JOIN fi b
+        |  ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |t AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM p e1 JOIN p e2 ON e1.b = e2.a
+        |    JOIN p e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |tn AS (
+        |  SELECT node, COUNT(*) AS n_tri FROM (
+        |    SELECT a AS node FROM t
+        |    UNION ALL SELECT b FROM t
+        |    UNION ALL SELECT c FROM t)
+        |  GROUP BY 1),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS degree FROM (
+        |    SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+        |  GROUP BY 1)
+        |SELECT deg.node, CAST(degree AS BIGINT) AS degree,
+        |  CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN degree >= 2 THEN
+        |    round(2.0 * CAST(COALESCE(n_tri, 0) AS DOUBLE)
+        |      / (CAST(degree AS DOUBLE) * CAST(degree - 1 AS DOUBLE)), 6)
+        |  ELSE 0.0 END AS lcc
+        |FROM deg LEFT JOIN tn ON deg.node = tn.node""".stripMargin,
+
+    // Assortativity twin: same pair/degree CTEs, exact integer
+    // correlation sums over both edge orientations (symmetry folds
+    // Σx=Σy into one pair), the identical closed-form double tree.
+    "q_assortativity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |freq AS (SELECT it FROM items GROUP BY it HAVING COUNT(*) >= 2),
+        |fi AS (SELECT items.bk, items.it FROM items JOIN freq USING (it)),
+        |p AS (
+        |  SELECT a.it AS a, b.it AS b FROM fi a JOIN fi b
+        |  ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS degree FROM (
+        |    SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT da.degree AS da, db.degree AS db
+        |  FROM p JOIN deg da ON p.a = da.node
+        |    JOIN deg db ON p.b = db.node),
+        |s AS (
+        |  SELECT COUNT(*) AS m, SUM(da + db) AS sx,
+        |    SUM(da * da + db * db) AS sxx, SUM(da * db * 2) AS sxy
+        |  FROM j)
+        |SELECT CAST(m AS BIGINT) AS n_edges,
+        |  round(CASE WHEN (CAST(m AS DOUBLE) * 2.0)
+        |      * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+        |    ((CAST(m AS DOUBLE) * 2.0) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / ((CAST(m AS DOUBLE) * 2.0) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |  END, 6) AS assortativity
+        |FROM s""".stripMargin,
+
+    // Winsorize twin: identical integer-index order statistics
+    // ((n·p+99) DIV 100 — never a float percentile boundary), the
+    // same clip tree, exact decimal sums, one division to double.
+    "q_winsorize" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+        |  FROM lineitem),
+        |rk AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS nn
+        |  FROM r),
+        |b AS (
+        |  SELECT g,
+        |    MAX(CASE WHEN rn = (nn * 5 + 99) // 100 THEN v END) AS lo,
+        |    MAX(CASE WHEN rn = (nn * 95 + 99) // 100 THEN v END) AS hi
+        |  FROM rk GROUP BY 1),
+        |c AS (
+        |  SELECT r.g,
+        |    CASE WHEN v < lo THEN 1 ELSE 0 END AS is_lo,
+        |    CASE WHEN v > hi THEN 1 ELSE 0 END AS is_hi,
+        |    CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END
+        |      AS cv,
+        |    lo, hi
+        |  FROM r JOIN b ON r.g = b.g)
+        |SELECT g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(is_lo) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(is_hi) AS BIGINT) AS n_clip_hi,
+        |  MIN(lo) AS lo, MIN(hi) AS hi,
+        |  round(CAST(SUM(cv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS win_mean
+        |FROM c GROUP BY 1""".stripMargin
   )
 
   /** One PageRank iteration twin of Graph.pageRank's loop body:

@@ -111,7 +111,10 @@ object Bench {
     "q_lm_kn", "q_psi_drift", "q_ppmi_window", "q_nb_eval",
     // r9 wave 7, benched at birth.
     "q_hits", "q_label_prop", "q_ks_drift", "q_doremi_mix",
-    "q_bpe_fertility")
+    "q_bpe_fertility",
+    // r9 wave 8, benched at birth.
+    "q_zipf_fit", "q_heaps_curve", "q_clustering_coeff",
+    "q_assortativity", "q_winsorize", "q_quantile_norm")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

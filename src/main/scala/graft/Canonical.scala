@@ -93,7 +93,8 @@ object Canonical {
       "q_tfidf"                       -> d("score"),
       "q_topn_per_group"              -> d("total"),
       "q_trailing_7d"                 -> d("trailing_7d"),
-      "q_upsert"                      -> d("bill_total")
+      "q_upsert"                      -> d("bill_total"),
+      "q_winsorize"                   -> d("lo", "hi")
     )
   }
 

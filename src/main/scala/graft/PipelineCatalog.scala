@@ -1039,7 +1039,29 @@ object PipelineCatalog {
     "q_token_entropy" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
-        TextOps.tokenEntropy(col("text")).as("entropy")))
+        TextOps.tokenEntropy(col("text")).as("entropy"))),
+
+    // Zipf-law OLS fit of ln(tf) on ln(rank) over the top-1000 token
+    // types: distributed take-ordered top (never a vocab-wide sort),
+    // fixed-point ln sums, closed-form double math on the 1-row
+    // result. Corpus-health read: healthy slope ≈ −1, r² near 1.
+    "q_zipf_fit" -> ((s, d) =>
+      graft.operators.CorpusStats.zipfFit(Tables.documents(s, d))),
+
+    // Heaps-law vocabulary-growth curve over token bigrams: distinct
+    // types vs occurrences, cumulative over 10 doc-id buckets — one
+    // keyed min-aggregate (first-appearance trick), no per-prefix
+    // re-scan.
+    "q_heaps_curve" -> ((s, d) =>
+      graft.operators.CorpusStats.heapsCurve(Tables.documents(s, d))),
+
+    // Cross-source quantile normalization of n_chars at decile
+    // granularity (Bolstad et al.): per-source rank bins → the
+    // all-sources bin mean as the normalized value — what makes
+    // per-source quality scores comparable before one global cut.
+    "q_quantile_norm" -> ((s, d) =>
+      graft.query.Analytics.quantileNormalize(Tables.documents(s, d),
+        "source", col("n_chars"), col("doc_id")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3077,6 +3099,113 @@ object PipelineCatalog {
         |  (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15))
         |     ::BIGINT % 1000000)
         |    < CAST(floor(pl.p * 1000000.0) AS BIGINT) AS keep
-        |FROM documents d JOIN pl ON d.source = pl.source""".stripMargin
+        |FROM documents d JOIN pl ON d.source = pl.source""".stripMargin,
+
+    // Zipf twin: same top-1000 cut (tf DESC, tok — total order), same
+    // 1e-6 fixed-point ln snap summed as exact integers, the
+    // identical closed-form double tree (same parenthesization).
+    "q_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT tok, COUNT(*) AS tf FROM tok GROUP BY 1
+        |  ORDER BY tf DESC, tok LIMIT 1000),
+        |rk AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(row_number()
+        |        OVER (ORDER BY tf DESC, tok) AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(tf AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM tf),
+        |s AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM rk),
+        |f AS (
+        |  SELECT CAST(n AS BIGINT) AS n_fit,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM s)
+        |SELECT n_fit,
+        |  round(CASE WHEN nd * sxxd - sxd * sxd <> 0.0 THEN
+        |    (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END, 6)
+        |    AS slope,
+        |  round(CASE WHEN nd * sxxd - sxd * sxd <> 0.0 THEN
+        |    (syd - ((nd * sxyd - sxd * syd)
+        |        / (nd * sxxd - sxd * sxd)) * sxd) / nd / 1e6 END, 6)
+        |    AS intercept,
+        |  round(CASE WHEN (nd * sxxd - sxd * sxd)
+        |      * (nd * syyd - syd * syd) <> 0.0 THEN
+        |    (nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+        |    / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+        |  END, 6) AS r2
+        |FROM f""".stripMargin,
+
+    // Heaps twin: the q_bigram_pmi bigram construction, min-doc-id
+    // first appearance, the same integer bucket DIV, densified grid,
+    // cumulative window over the 10-row frame.
+    "q_heaps_curve" ->
+      """WITH bounds AS (
+        |  SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |         FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks)),
+        |firsts AS (SELECT bg, MIN(doc_id) AS first_doc FROM bg
+        |           GROUP BY 1),
+        |fb AS (
+        |  SELECT least(((first_doc - mn) * 10) // (mx - mn + 1), 9)
+        |    AS bucket
+        |  FROM firsts CROSS JOIN bounds),
+        |nt AS (SELECT bucket, COUNT(*) AS new_types FROM fb GROUP BY 1),
+        |occ0 AS (
+        |  SELECT doc_id,
+        |    greatest(len(string_split(text, ' ')) - 1, 0) AS n_bg
+        |  FROM documents),
+        |ob AS (
+        |  SELECT least(((doc_id - mn) * 10) // (mx - mn + 1), 9)
+        |    AS bucket, n_bg
+        |  FROM occ0 CROSS JOIN bounds),
+        |occ AS (SELECT bucket, COUNT(*) AS n_docs, SUM(n_bg) AS n_bigrams
+        |        FROM ob GROUP BY 1),
+        |grid AS (SELECT CAST(r AS BIGINT) AS bucket FROM range(10) g(r)),
+        |j AS (
+        |  SELECT grid.bucket,
+        |    CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(COALESCE(new_types, 0) AS BIGINT) AS new_types
+        |  FROM grid LEFT JOIN occ ON grid.bucket = occ.bucket
+        |    LEFT JOIN nt ON grid.bucket = nt.bucket)
+        |SELECT bucket, n_docs,
+        |  CAST(SUM(n_bigrams) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_bigrams_cum,
+        |  CAST(SUM(new_types) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+        |FROM j""".stripMargin,
+
+    // Quantile-normalization twin: the same total-order ntile binning
+    // (score then doc_id), the two integer-exact aggregates, the same
+    // two divisions.
+    "q_quantile_norm" ->
+      """WITH b AS (
+        |  SELECT source, n_chars,
+        |    CAST(ntile(10) OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS INT) AS bin
+        |  FROM documents),
+        |ps AS (
+        |  SELECT source, bin, COUNT(*) AS n_docs, SUM(n_chars) AS s
+        |  FROM b GROUP BY 1, 2),
+        |g AS (
+        |  SELECT bin, SUM(n_docs) AS gn, SUM(s) AS gs FROM ps
+        |  GROUP BY 1)
+        |SELECT source, bin, CAST(n_docs AS BIGINT) AS n_docs,
+        |  round(CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS src_mean,
+        |  round(CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE), 6)
+        |    AS norm_value
+        |FROM ps JOIN g USING (bin)""".stripMargin
   )
 }

@@ -539,4 +539,92 @@ object Graph {
     e.select(col("src").as("node")).groupBy(col("node"))
       .agg(count(lit(1)).as("degree"))
   }
+
+  /** LOCAL CLUSTERING COEFFICIENT per node — how close each node's
+    * neighborhood is to a clique: lcc(v) = 2·T(v) / (d(v)·(d(v)−1)),
+    * with T(v) the number of triangles through v. The community-density
+    * read underneath "is this co-occurrence cluster a real topic or a
+    * hub artifact" curation calls (Watts–Strogatz small-world metric).
+    *
+    * Reuses [[triangles]]' compact-forward enumeration (each triangle
+    * exactly once as a < b < c, wedge fan-out bounded by FORWARD
+    * degree) — per-node counts are then one union + keyed aggregate
+    * over the triangle rows, and the degree frame is a second keyed
+    * aggregate over the symmetrized edges. lcc for degree-1 nodes is
+    * 0.0 by convention (no possible wedge), not NULL.
+    *
+    * Scale shape: the two equi-joins of the enumeration (the dominant,
+    * already-audited cost), a |nodes|-keyed count, a |nodes|⋈|nodes|
+    * equi-join — all keyed shuffles, integer-exact until the one final
+    * division. Input: ordered edges (a < b), deduplicated upstream.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct()
+    val t = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
+        col("e2.b").as("tc"))
+      .join(e.as("e3"),
+        col("ta") === col("e3.a") && col("tc") === col("e3.b"))
+      .select(col("ta"), col("tb"), col("tc"))
+    val triPerNode = t.select(col("ta").as("node"))
+      .unionByName(t.select(col("tb").as("node")))
+      .unionByName(t.select(col("tc").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.join(triPerNode, Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double")
+            / (col("degree").cast("double")
+              * (col("degree") - 1).cast("double")), 6))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
+  /** DEGREE ASSORTATIVITY — Newman's r: the Pearson correlation of the
+    * endpoint degrees over every edge end (both orientations of each
+    * undirected edge). r > 0 = hubs link to hubs (social-graph shape),
+    * r < 0 = hubs link to leaves (star/bipartite shape) — the one
+    * number that says whether degree-aware tricks (salting, forward
+    * orientation) will matter on this graph before running anything
+    * expensive on it.
+    *
+    * Determinism: degrees are exact longs, so all five correlation
+    * sums shuffle as integers (n ≤ 2|E| edge ends; Σd·d ≤ |E|·dmax²
+    * stays inside Long for any graph this engine's edge lists hold);
+    * the closed-form double math happens once on the 1-row result —
+    * the [[graft.query.Analytics.trendSlope]] discipline. Symmetry
+    * makes Σx = Σy and Σx² = Σy², so one pair of sums serves both
+    * margins.
+    *
+    * Scale shape: one keyed degree aggregate, two keyed equi-joins of
+    * the edge list against the |nodes|-sized degree frame, one global
+    * 1-row aggregate with map-side partials. Input: ordered edges
+    * (a < b), deduplicated upstream.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct()
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val joined = e
+      .join(deg.select(col("node").as("a"), col("degree").as("da")),
+        Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("db")),
+        Seq("b"))
+    val s = joined.agg(
+      count(lit(1)).as("m"),
+      sum(col("da") + col("db")).as("sx"),
+      sum(col("da") * col("da") + col("db") * col("db")).as("sxx"),
+      sum(col("da") * col("db") * 2L).as("sxy"))
+    val n = col("m").cast("double") * 2.0
+    val sxD = col("sx").cast("double")
+    val num = n * col("sxy").cast("double") - sxD * sxD
+    val den = n * col("sxx").cast("double") - sxD * sxD
+    s.select(col("m").as("n_edges"),
+      round(when(den =!= lit(0.0), num / den), 6).as("assortativity"))
+  }
 }

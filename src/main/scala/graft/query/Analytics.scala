@@ -736,4 +736,96 @@ object Analytics {
         max(col(endCol)).as("island_end"),
         count(lit(1)).as("n_intervals"))
   }
+
+  /** WINSORIZED robust statistics per group: clip `valCol` at the
+    * group's p05/p95 ORDER STATISTICS, then report the clipped mean
+    * beside the clip counts — the outlier-robust aggregate to read
+    * when a plain mean is hostage to a few fat-finger rows.
+    *
+    * The cut points are exact order statistics picked by EXPLICIT
+    * integer index k = ⌈p·n⌉ computed in integer arithmetic
+    * ((p·100·n + 99) DIV 100) — not percentile_disc — so the Spark
+    * side and any oracle twin select the IDENTICAL element with no
+    * float-boundary or engine-interpolation ambiguity (0.05·n in
+    * binary floating point can straddle an integer). Value ties make
+    * the picked VALUE well-defined even though row_number among ties
+    * is not.
+    *
+    * Scale shape: one keyed window sort per group (the honest exact-
+    * percentile cost, same trade as [[quartiles]] — swap approx
+    * quantiles in when cut-point exactness stops mattering), a
+    * group-count-sized bounds frame broadcast back, one final keyed
+    * aggregate with exact decimal sums; the single division to double
+    * happens per group row.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valCol: Column,
+                pLo: Int = 5, pHi: Int = 95): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+    val ranked = df.select(col(groupCol), valCol.as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(
+        Window.partitionBy(col(groupCol))))
+    val bounds = ranked.groupBy(col(groupCol)).agg(
+      max(when(col("rn") === expr(s"(nn * $pLo + 99) DIV 100"),
+        col("v"))).as("lo"),
+      max(when(col("rn") === expr(s"(nn * $pHi + 99) DIV 100"),
+        col("v"))).as("hi"))
+    val clipped = df.select(col(groupCol), valCol.as("v"))
+      .join(broadcast(bounds), Seq(groupCol))
+      .select(col(groupCol),
+        when(col("v") < col("lo"), lit(1L)).otherwise(lit(0L))
+          .as("is_lo"),
+        when(col("v") > col("hi"), lit(1L)).otherwise(lit(0L))
+          .as("is_hi"),
+        when(col("v") < col("lo"), col("lo"))
+          .when(col("v") > col("hi"), col("hi"))
+          .otherwise(col("v")).as("cv"),
+        col("lo"), col("hi"))
+    clipped.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("is_lo")).as("n_clip_lo"),
+      sum(col("is_hi")).as("n_clip_hi"),
+      min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+      round(sum(col("cv")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("win_mean"))
+  }
+
+  /** Cross-source QUANTILE NORMALIZATION at decile granularity — the
+    * classic "average the d-th order statistics across arrays" method
+    * (Bolstad et al., microarray normalization), here the curation
+    * device that makes per-source quality scores COMPARABLE before a
+    * single global quality cut: a score's meaning is its rank within
+    * its own source, and the normalized value is what that rank is
+    * worth across the whole corpus.
+    *
+    * Per source, docs are split into `q` equal-count rank bins
+    * (ntile over a TOTAL order — score then doc_id — so the binning
+    * is engine-deterministic); the normalized value of (source, bin)
+    * is the all-sources mean of the bin. Output per (source, bin):
+    * population, the source's own bin mean, and the normalized value.
+    *
+    * Scale shape: one keyed window per source (rank bins), two keyed
+    * aggregates (per source-bin, per bin), one `q`-row broadcast
+    * join. Integer-exact sums; the two divisions happen on bin-count-
+    * sized frames.
+    */
+  def quantileNormalize(docs: DataFrame, srcCol: String,
+                        scoreCol: Column, idCol: Column,
+                        q: Int = 10): DataFrame = {
+    val binned = docs.select(col(srcCol).as("source"),
+        scoreCol.as("score"), idCol.as("id"))
+      .withColumn("bin", ntile(q).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("score"), col("id"))))
+    val perSrc = binned.groupBy(col("source"), col("bin")).agg(
+      count(lit(1)).as("n_docs"), sum(col("score")).as("s"))
+    val global = perSrc.groupBy(col("bin")).agg(
+      sum(col("n_docs")).as("gn"), sum(col("s")).as("gs"))
+    perSrc.join(broadcast(global), Seq("bin"))
+      .select(col("source"), col("bin"), col("n_docs"),
+        round(col("s").cast("double") / col("n_docs").cast("double"), 6)
+          .as("src_mean"),
+        round(col("gs").cast("double") / col("gn").cast("double"), 6)
+          .as("norm_value"))
+  }
 }

@@ -135,7 +135,10 @@ class PlanAuditSpec extends SparkSpec {
     // ks_drift: two 1-row frames (value bounds, sample totals) and the
     // broadcast ≤256-row bucket-offset table; the per-value cumulative
     // window is bucket-partitioned (keyed).
-    "q_ks_drift")
+    "q_ks_drift",
+    // heaps_curve: the 1-row doc-id-bounds frame broadcast onto the
+    // two bucket assignments (q_quartiles 1-row family).
+    "q_heaps_curve")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
@@ -173,7 +176,14 @@ class PlanAuditSpec extends SparkSpec {
     "q_bitmap_distinct",
     // ks_drift: the bucket-offset prefix window over the ≤256-row
     // bucket frame (the q_token_budget two-level prefix-sum idiom).
-    "q_ks_drift")
+    "q_ks_drift",
+    // zipf_fit: the rank row_number over a frame ALREADY cut to
+    // ≤ 1000 rows by the distributed take-ordered top (q_oov_rate
+    // family — bounded by construction).
+    "q_zipf_fit",
+    // heaps_curve: the cumulative window over the densified 10-row
+    // bucket frame (bounded by construction).
+    "q_heaps_curve")
 
   /** Sink round-trip queries EXECUTE a write inside the closure and
     * return the trivial re-read scan — calling fn here would side-effect
