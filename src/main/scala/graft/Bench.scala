@@ -114,7 +114,15 @@ object Bench {
     "q_bpe_fertility",
     // r9 wave 8, benched at birth.
     "q_zipf_fit", "q_heaps_curve", "q_clustering_coeff",
-    "q_assortativity", "q_winsorize", "q_quantile_norm")
+    "q_assortativity", "q_winsorize", "q_quantile_norm",
+    // r9 wave 9, benched at birth.
+    "q_token_gini", "q_charclass_profile", "q_burstiness",
+    "q_dup_rate_by_source", "q_rank_eval",
+    // r9 wave 10, benched at birth.
+    "q_hilbert", "q_embed_norm", "q_shard_diversity",
+    // r9 wave 11, benched at birth.
+    "q_hill_tail", "q_lm_by_source", "q_cluster_sizes",
+    "q_stopword_coverage")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -1061,7 +1061,74 @@ object PipelineCatalog {
     // per-source quality scores comparable before one global cut.
     "q_quantile_norm" -> ((s, d) =>
       graft.query.Analytics.quantileNormalize(Tables.documents(s, d),
-        "source", col("n_chars"), col("doc_id")))
+        "source", col("n_chars"), col("doc_id"))),
+
+    // Gini coefficient of the token-frequency distribution: corpus
+    // concentration in one number — rank-free over distinct tf values
+    // (two-level prefix, DECIMAL(38,0) rank sums), the inequality
+    // read beside q_zipf_fit's shape read.
+    "q_token_gini" -> ((s, d) =>
+      graft.operators.CorpusStats.tokenGini(Tables.documents(s, d))),
+
+    // Character-class corpus profile per language: exact per-class
+    // counts from length deltas (ASCII classes only — no regex
+    // dialect surface), integer sums, one rounded division per ratio.
+    "q_charclass_profile" -> ((s, d) =>
+      graft.operators.CorpusStats.charClassProfile(
+        Tables.documents(s, d))),
+
+    // Term burstiness (cf/df, Church–Gale): the clumping signal
+    // tf-idf's df alone misses; top-50 of the tf ≥ 10 head via
+    // take-ordered, never a vocab-wide sort.
+    "q_burstiness" -> ((s, d) =>
+      graft.operators.CorpusStats.burstiness(Tables.documents(s, d))),
+
+    // Duplication-rate triage per source: share of docs in ≥ 1
+    // verified near-dup pair (exactJaccardPairs contract, hot-shingle
+    // cap stated), injected ids mapped back through the idOffset
+    // arithmetic.
+    "q_dup_rate_by_source" -> ((s, d) =>
+      graft.operators.Dedup.dupRateBySource(Tables.documents(s, d))),
+
+    // Shannon diversity of the source mix per rendezvous shard: the
+    // post-routing segregation check (H near ln|sources| = well
+    // mixed); 1e-9 fixed-point entropy terms → exact integer sums.
+    "q_shard_diversity" -> ((s, d) =>
+      graft.operators.Profile.shardDiversity(Tables.documents(s, d))),
+
+    // Hill tail-index α̂ over the top-200 bigram order statistics —
+    // the MLE companion to q_zipf_fit's OLS slope (tail weight, not
+    // head shape); take-ordered top, fixed-point ln terms.
+    "q_hill_tail" -> ((s, d) =>
+      graft.operators.CorpusStats.hillTail(Tables.documents(s, d))),
+
+    // LM quality by source: macro-averaged per-doc avg_logp under the
+    // corpus bigram LM — the off-distribution-source triage read.
+    "q_lm_by_source" -> ((s, d) =>
+      graft.operators.LangModel.lmBySource(Tables.documents(s, d))),
+
+    // Duplicate-cluster size distribution: pairwise twins vs one
+    // giant boilerplate component — different fixes; histogram over
+    // the min-label fixpoint clusters.
+    "q_cluster_sizes" -> ((s, d) =>
+      graft.operators.Dedup.clusterSizeDist(
+        graft.operators.Dedup.minhashVerifiedPairs(
+          graft.operators.Dedup.withNearDuplicates(
+            Tables.documents(s, d))))),
+
+    // Stopword coverage per language: the function-word share — a
+    // language-health read (near-zero = wrong language or code; the
+    // testdata vocabulary carries 'the'/'a').
+    "q_stopword_coverage" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("nt"),
+          TextOps.stopwordCount(col("text")).cast("long").as("nsw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          sum(col("nsw")).as("n_stopwords"),
+          round(sum(col("nsw")).cast("double")
+            / sum(col("nt")).cast("double"), 6).as("stopword_ratio")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3206,6 +3273,200 @@ object PipelineCatalog {
         |    AS src_mean,
         |  round(CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE), 6)
         |    AS norm_value
-        |FROM ps JOIN g USING (bin)""".stripMargin
+        |FROM ps JOIN g USING (bin)""".stripMargin,
+
+    // Gini twin: the rank-free distinct-value formulation — DuckDB
+    // computes the prefix with ONE plain window (single-node oracle;
+    // the engine's two-level construction produces the same rstart
+    // values), integer rank sums (HUGEINT mirrors the engine's
+    // DECIMAL(38,0)), the identical closed-form double tree.
+    "q_token_gini" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY 1),
+        |cnts AS (SELECT tf AS v, COUNT(*) AS c FROM tf GROUP BY 1),
+        |r AS (
+        |  SELECT v, c,
+        |    1 + COALESCE(SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS rstart
+        |  FROM cnts),
+        |rx AS (
+        |  SELECT v * (c * rstart + (c * (c - 1)) // 2) AS rank_x,
+        |    c, v * c AS vc
+        |  FROM r),
+        |s AS (SELECT SUM(c) AS n, SUM(vc) AS t, SUM(rank_x) AS srx
+        |      FROM rx)
+        |SELECT CAST(n AS BIGINT) AS n_types, CAST(t AS BIGINT)
+        |    AS n_tokens,
+        |  round(CASE WHEN n > 1 THEN
+        |    2.0 * CAST(srx AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+        |  END, 6) AS gini
+        |FROM s""".stripMargin,
+
+    // Char-class twin: identical length-delta counts (regexp_replace
+    // needs the 'g' flag in DuckDB — Spark replaces all by default),
+    // integer sums, the same five rounded divisions.
+    "q_charclass_profile" ->
+      """WITH p AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', ''))
+        |      AS BIGINT) AS sp,
+        |    CAST(length(text)
+        |      - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS BIGINT) AS dg,
+        |    CAST(length(text)
+        |      - length(regexp_replace(text, '[A-Z]', '', 'g'))
+        |      AS BIGINT) AS up,
+        |    CAST(length(text)
+        |      - length(regexp_replace(text, '[a-z]', '', 'g'))
+        |      AS BIGINT) AS lo
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars,
+        |    SUM(sp) AS sp, SUM(dg) AS dg, SUM(up) AS up, SUM(lo) AS lo
+        |  FROM p GROUP BY 1)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  round(CAST(sp AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+        |    AS space_ratio,
+        |  round(CAST(dg AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+        |    AS digit_ratio,
+        |  round(CAST(up AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+        |    AS upper_ratio,
+        |  round(CAST(lo AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+        |    AS lower_ratio,
+        |  round(CAST(n_chars - sp - dg - up - lo AS DOUBLE)
+        |    / CAST(n_chars AS DOUBLE), 6) AS other_ratio
+        |FROM g""".stripMargin,
+
+    // Burstiness twin: one vocab aggregate, exact-integer inputs to
+    // the one rounded division, same (burstiness DESC, tok) cut.
+    "q_burstiness" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |      FROM tok GROUP BY 1)
+        |SELECT tok, tf, df,
+        |  round(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE), 6)
+        |    AS burstiness
+        |FROM v WHERE tf >= 10
+        |ORDER BY burstiness DESC, tok LIMIT 50""".stripMargin,
+
+    // Dup-rate twin: the shared pairs CTEs, pair-member flags, the
+    // idOffset modulo mapping back to source.
+    "q_dup_rate_by_source" ->
+      s"""WITH $pairsCteSql,
+         |flagged AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM pairs
+         |    UNION ALL SELECT doc_b FROM pairs)),
+         |cs AS (
+         |  SELECT c.doc_id, d.source
+         |  FROM corpus c JOIN documents d
+         |    ON c.doc_id % 1000000 = d.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_docs,
+         |  round(CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0
+         |      END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS dup_rate
+         |FROM cs LEFT JOIN flagged f ON cs.doc_id = f.doc_id
+         |GROUP BY 1""".stripMargin,
+
+    // Shard-diversity twin: the q_shard_assign rendezvous CTE with
+    // source carried through, then the same fixed-point entropy fold
+    // (−p·ln p snapped at 1e-9, exact integer sums, one division).
+    "q_shard_diversity" ->
+      """WITH a AS (
+        |  SELECT doc_id, source, CAST(shard AS INT) AS shard FROM (
+        |    SELECT doc_id, source, s AS shard,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY w DESC, s DESC) AS rn
+        |    FROM (
+        |      SELECT doc_id, source, r.s,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |          r.s), 1, 15))::BIGINT AS w
+        |      FROM documents CROSS JOIN range(16) r(s)))
+        |  WHERE rn = 1),
+        |cs AS (SELECT shard, source, COUNT(*) AS c FROM a GROUP BY 1, 2),
+        |per AS (SELECT shard, SUM(c) AS n, COUNT(*) AS n_sources
+        |        FROM cs GROUP BY 1),
+        |t AS (
+        |  SELECT cs.shard, n, n_sources,
+        |    CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1e9)
+        |      AS BIGINT) AS term_fp
+        |  FROM cs JOIN per ON cs.shard = per.shard)
+        |SELECT shard, CAST(MIN(n) AS BIGINT) AS n_docs,
+        |  CAST(MIN(n_sources) AS BIGINT) AS n_sources,
+        |  round(CAST(SUM(term_fp) AS DOUBLE) / 1e9, 6) AS entropy
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // Hill twin: same top-201 cut, rank window, 1-row x(k+1) frame,
+    // fixed-point ln terms, the identical (k·1e6)/Σ division.
+    "q_hill_tail" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS bg
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks)),
+        |tf AS (
+        |  SELECT bg, COUNT(*) AS tf FROM bg GROUP BY 1
+        |  ORDER BY tf DESC, bg LIMIT 201),
+        |rk AS (
+        |  SELECT tf, row_number() OVER (ORDER BY tf DESC, bg) AS rnk
+        |  FROM tf),
+        |xk AS (SELECT tf AS xk FROM rk WHERE rnk = 201),
+        |t AS (
+        |  SELECT CAST(round((ln(CAST(rk.tf AS DOUBLE))
+        |      - ln(CAST(xk AS DOUBLE))) * 1e6) AS BIGINT) AS term_fp
+        |  FROM rk CROSS JOIN xk WHERE rnk <= 200),
+        |s AS (SELECT COUNT(*) AS k_used, SUM(term_fp) AS st FROM t)
+        |SELECT CAST(k_used AS BIGINT) AS k_used,
+        |  round(CASE WHEN st > 0 THEN
+        |    CAST(k_used AS DOUBLE) * 1e6 / CAST(st AS DOUBLE) END, 6)
+        |    AS alpha
+        |FROM s""".stripMargin,
+
+    // LM-by-source twin: the shared LM chain + the source join, 1e-6
+    // snap of the already-6dp per-doc scores (exact integers), one
+    // division per source.
+    "q_lm_by_source" ->
+      s"""WITH $lmCtesSql
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+         |  round(CAST(SUM(CAST(round(avg_logp * 1e6) AS BIGINT))
+         |      AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6)
+         |    AS macro_avg_logp
+         |FROM lm JOIN documents USING (doc_id) GROUP BY 1""".stripMargin,
+
+    // Cluster-size twin: the recursive closure wrapped twice —
+    // per-cluster sizes, then the size histogram.
+    "q_cluster_sizes" ->
+      s"""SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM (
+         |  SELECT canonical_id, COUNT(*) AS sz FROM (
+         |$clustersSql
+         |  ) GROUP BY 1) GROUP BY 1""".stripMargin,
+
+    // Stopword-coverage twin: list_filter over the shared token
+    // split, integer sums, one division per lang.
+    "q_stopword_coverage" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a'))) AS BIGINT) AS nsw
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(nsw) AS BIGINT) AS n_stopwords,
+        |  round(CAST(SUM(nsw) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE), 6)
+        |    AS stopword_ratio
+        |FROM p GROUP BY 1""".stripMargin
   )
 }

@@ -355,6 +355,25 @@ object ScaleCatalog {
         graft.operators.Layout.zorder2(col("l_partkey"), col("l_suppkey"))
           .as("zval"))),
 
+    // Hilbert layout index over the same key pair: the no-diagonal-
+    // jump curve (tighter key rectangles per index range than Morton).
+    // One native codegen'd expression per row — the xy2d walk is
+    // sequential, so a loop in generated code, not 21 unrolled
+    // projections; the oracle unrolls the identical walk as
+    // MATERIALIZED CTE stages.
+    "q_hilbert" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.operators.Layout.hilbert2(col("l_partkey"),
+          col("l_suppkey")).as("hval"))),
+
+    // Embedding L2-norm profile per label: the vector-hygiene read
+    // (dead-head collapse / mixed normalization) before any cosine
+    // index is trusted; 1e-6 fixed-point norms → exact integer sums.
+    "q_embed_norm" -> ((s, d) =>
+      graft.operators.Profile.embedNormProfile(Tables.embeddings(s, d))),
+
     // Zone map over the z-ordered layout: per-zone row count +
     // (partkey, suppkey) min/max — the writer-side skipping index
     // behind parquet row-group / Delta file pruning. Zones are the top
@@ -509,6 +528,20 @@ object ScaleCatalog {
       val c = e.filter(col("vec_id") >= 10)
       Similarity.annRecallCurve(Similarity.bruteTopK(q, c, 5),
         Similarity.ivfTopK(q, c, 5), Seq(1, 3, 5))
+    }),
+
+    // Rank-quality eval of the same IVF-vs-brute pairing: micro MRR +
+    // mean nDCG@5 with graded relevance k+1−exact_rank — the
+    // rank-SENSITIVE companions to the recall curve (found vs found
+    // IN ORDER vs how fast the first truth arrives). Fixed-point
+    // per-rank weights make every per-query metric an exact integer
+    // sum; two divisions total, on the 1-row result.
+    "q_rank_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val c = e.filter(col("vec_id") >= 10)
+      Similarity.rankEval(Similarity.bruteTopK(q, c, 5),
+        Similarity.ivfTopK(q, c, 5), 5)
     }),
 
     // Embedding-cosine near-dup pairs (exact copies injected at
@@ -895,6 +928,69 @@ object ScaleCatalog {
         |  round(CAST(n_hits AS DOUBLE)
         |    / CAST(n_queries * k AS DOUBLE), 6) AS recall
         |FROM cur""".stripMargin,
+
+    // Rank-eval twin: the recall-curve bx/ax legs, then DCG/RR as
+    // exact integer sums over the SAME fixed-point literals the
+    // engine bakes in (Similarity.rankWeightsFp — interpolated here,
+    // so both engines consume identical numbers), two divisions on
+    // the 1-row result.
+    "q_rank_eval" -> {
+      val wCase = Similarity.rankWeightsFp(5)
+        .map { case (r, w) => s"WHEN $r THEN $w" }.mkString(" ")
+      val rrCase = Similarity.rrWeightsFp(5)
+        .map { case (r, w) => s"WHEN $r THEN $w" }.mkString(" ")
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e, label
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (
+         |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e, label
+         |  FROM embeddings WHERE vec_id >= 10),
+         |s1 AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(round(list_inner_product(q.e, c.e)
+         |      / (sqrt(list_inner_product(q.e, q.e))
+         |         * sqrt(list_inner_product(c.e, c.e))), 6)
+         |      AS DECIMAL(10,6)) AS score
+         |  FROM q CROSS JOIN c),
+         |r1 AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |  FROM s1),
+         |bx AS (SELECT query_id, neighbor_id, 6 - rnk AS rel FROM r1
+         |       WHERE rnk <= 5),
+         |s2 AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(round(list_inner_product(q.e, c.e)
+         |      / (sqrt(list_inner_product(q.e, q.e))
+         |         * sqrt(list_inner_product(c.e, c.e))), 6)
+         |      AS DECIMAL(10,6)) AS score
+         |  FROM q JOIN c ON q.label = c.label),
+         |r2 AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |  FROM s2),
+         |ax AS (SELECT query_id, neighbor_id, rnk AS ap_rnk FROM r2
+         |       WHERE rnk <= 5),
+         |j AS (SELECT ax.query_id, ax.ap_rnk, bx.rel
+         |      FROM ax LEFT JOIN bx USING (query_id, neighbor_id)),
+         |pq AS (
+         |  SELECT query_id,
+         |    SUM(COALESCE(rel, 0)
+         |      * CASE ap_rnk $wCase ELSE 0 END) AS dcg_fp,
+         |    MIN(CASE WHEN rel IS NOT NULL THEN ap_rnk END) AS first_rel
+         |  FROM j GROUP BY 1),
+         |t AS (
+         |  SELECT COUNT(*) AS n, SUM(dcg_fp) AS sd,
+         |    SUM(CASE first_rel $rrCase ELSE 0 END) AS sr
+         |  FROM pq)
+         |SELECT CAST(n AS BIGINT) AS n_queries,
+         |  round(CAST(sr AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * 1e9), 6) AS mrr,
+         |  round(CAST(sd AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * ${Similarity.idcgFp(5)}.0), 6)
+         |    AS ndcg
+         |FROM t""".stripMargin
+    },
 
     "q_knn_ivf" -> knnSql("JOIN c ON q.label = c.label"),
 
@@ -1522,6 +1618,59 @@ object ScaleCatalog {
     // Layout.spread, one CTE per step — 64-bit two's-complement &/|/<<
     // agree between the engines for these (never-overflowing) shifts.
     "q_zorder" -> zorderSql,
+
+    // Hilbert twin: the identical xy2d walk unrolled — two
+    // MATERIALIZED stages per level (rx/ry digits, then the
+    // accumulate + reflect-swap rotation); materialization stops
+    // DuckDB's CTE inlining from re-evaluating each level's hx/hy
+    // per reference (the q_kcore device). All-integer arithmetic.
+    "q_hilbert" -> {
+      val order = graft.expressions.HilbertIndex.Order
+      val mask = (1L << order) - 1
+      val keep = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
+      val stages = (0 until order).map { i =>
+        val s = 1L << (order - 1 - i)
+        s"""g$i AS MATERIALIZED (
+           |  SELECT *,
+           |    CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+           |  FROM h$i),
+           |h${i + 1} AS MATERIALIZED (
+           |  SELECT $keep,
+           |    hd + ${s * s}::BIGINT * xor(3 * rx, ry) AS hd,
+           |    CASE WHEN ry = 0 THEN
+           |      (CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END)
+           |    ELSE hx END AS hx,
+           |    CASE WHEN ry = 0 THEN
+           |      (CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END)
+           |    ELSE hy END AS hy
+           |  FROM g$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0 AS MATERIALIZED (
+         |  SELECT $keep,
+         |    (l_partkey & $mask) AS hx, (l_suppkey & $mask) AS hy,
+         |    0::BIGINT AS hd
+         |  FROM lineitem),
+         |$stages
+         |SELECT $keep, hd AS hval FROM h$order""".stripMargin
+    },
+
+    // Norm-profile twin: the same 1e-6 snap on
+    // sqrt(list_inner_product), integer group sums, per-label
+    // divisions.
+    "q_embed_norm" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    CAST(round(sqrt(list_inner_product(e, e)) * 1e6) AS BIGINT)
+        |      AS norm_fp
+        |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings))
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(SUM(norm_fp) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_norm,
+        |  round(CAST(MIN(norm_fp) AS DOUBLE) / 1e6, 6) AS min_norm,
+        |  round(CAST(MAX(norm_fp) AS DOUBLE) / 1e6, 6) AS max_norm
+        |FROM n GROUP BY 1""".stripMargin,
 
     // Zone-map twin: the zorder CTE chain feeding the shared zone-id
     // arithmetic (broadcast MAX → top-8-bits shift → `//` divide),

@@ -130,4 +130,165 @@ object CorpusStats {
         sum(col("n_bigrams")).over(w).as("n_bigrams_cum"),
         sum(col("new_types")).over(w).as("vocab_cum"))
   }
+
+  /** GINI COEFFICIENT of the token-frequency distribution — corpus
+    * concentration in one number (0 = every type equally frequent,
+    * →1 = a few types own the corpus): the inequality read beside
+    * [[zipfFit]]'s shape read, and the before/after check that a
+    * dedup/filter pass actually flattened the head.
+    *
+    * Rank-free formulation: with the tf multiset grouped by DISTINCT
+    * value v (c_v types at tf = v, ascending), the Gini rank sum is
+    * Σ_v v·(c_v·R_v + c_v(c_v−1)/2) where R_v = 1 + Σ_{u<v} c_u — so
+    * the whole statistic needs only a prefix sum over distinct tf
+    * VALUES, never a rank over types. The prefix uses the ks_drift
+    * two-level idiom: an integer-DIV bucket split, a bucket-offset
+    * window over the ≤`nBuckets`-row bucket frame (bounded by
+    * construction), and keyed in-bucket cumulatives — no vocab-wide
+    * window at any scale. G = 2·S/(n·T) − (n+1)/n on the 1-row result.
+    *
+    * Determinism: counts and the rank sum are exact integers end to
+    * end (the rank-sum terms accumulate as DECIMAL(38,0) — v·c·R
+    * can pass the bigint ceiling on a corpus-sized vocabulary, the
+    * doremi device); the closed form runs once, in doubles, on the
+    * 1-row frame.
+    */
+  def tokenGini(docs: DataFrame, nBuckets: Int = 256): DataFrame = {
+    val tf = docs
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val cnts = tf.groupBy(col("tf").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = cnts.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val bucketed = cnts.crossJoin(broadcast(bounds))
+      .withColumn("bnum", (col("v") - col("mn")) * nBuckets)
+      .withColumn("bden", col("mx") - col("mn") + 1)
+      .withColumn("bucket",
+        least(expr("bnum DIV bden"), lit(nBuckets - 1L)))
+      .select(col("v"), col("c"), col("bucket"))
+    val bt = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("bc"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val offs = bt.select(col("bucket"),
+      coalesce(sum(col("bc")).over(wOff), lit(0L)).as("off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ranked = bucketed.join(broadcast(offs), Seq("bucket"))
+      .withColumn("rstart",
+        lit(1L) + col("off") + coalesce(sum(col("c")).over(wIn), lit(0L)))
+      // c(c−1)/2 is integer by construction — keep it in integer DIV,
+      // never a decimal division (whose result scale could round).
+      .withColumn("halfc", expr("(c * (c - 1)) DIV 2"))
+      .select((col("v").cast(dec) *
+        (col("c").cast(dec) * col("rstart").cast(dec) +
+          col("halfc").cast(dec))).as("rank_x"),
+        col("c"), (col("v") * col("c")).as("vc"))
+    val s = ranked.agg(sum(col("c")).as("n"),
+      sum(col("vc")).as("t"), sum(col("rank_x")).cast(dec).as("srx"))
+    val nD = col("n").cast("double")
+    val tD = col("t").cast("double")
+    s.select(col("n").as("n_types"), col("t").as("n_tokens"),
+      round(when(col("n") > 1,
+        lit(2.0) * col("srx").cast("double") / (nD * tD)
+          - (nD + 1.0) / nD), 6).as("gini"))
+  }
+
+  /** CHARACTER-CLASS corpus profile per language — the Gopher-rule
+    * substrate (symbol/digit/upper ratios) rolled up where the
+    * per-doc rules live on doc rows: exact per-class character counts
+    * from length deltas (strip the class, diff the lengths — pure
+    * codegen'd projections, no explode), summed per language, one
+    * rounded division per ratio. ASCII classes only, deliberately:
+    * `[0-9] [A-Z] [a-z]` and space mean the same thing to every regex
+    * engine, so the differential has no dialect surface.
+    */
+  def charClassProfile(docs: DataFrame, langCol: String = "lang")
+      : DataFrame = {
+    def stripped(re: String) =
+      length(col("text")) - length(regexp_replace(col("text"), re, ""))
+    val perDoc = docs.select(col(langCol).as("lang"),
+      length(col("text")).cast("long").as("n_chars"),
+      (length(col("text"))
+        - length(regexp_replace(col("text"), lit(" "), lit(""))))
+        .cast("long").as("n_space"),
+      stripped("[0-9]").cast("long").as("n_digit"),
+      stripped("[A-Z]").cast("long").as("n_upper"),
+      stripped("[a-z]").cast("long").as("n_lower"))
+    val g = perDoc.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+      sum(col("n_space")).as("sp"), sum(col("n_digit")).as("dg"),
+      sum(col("n_upper")).as("up"), sum(col("n_lower")).as("lo"))
+    def ratio(c: org.apache.spark.sql.Column, as: String) =
+      round(c.cast("double") / col("n_chars").cast("double"), 6).as(as)
+    g.select(col("lang"), col("n_docs"), col("n_chars"),
+      ratio(col("sp"), "space_ratio"), ratio(col("dg"), "digit_ratio"),
+      ratio(col("up"), "upper_ratio"), ratio(col("lo"), "lower_ratio"),
+      ratio(col("n_chars") - col("sp") - col("dg") - col("up")
+        - col("lo"), "other_ratio"))
+  }
+
+  /** TERM BURSTINESS — collection frequency over document frequency
+    * (cf/df) per type: a term at 1.0 appears once wherever it appears
+    * (function-word shape); high values mark terms that CLUMP — the
+    * topicality/boilerplate signal (Church & Gale) that tf-idf's df
+    * alone misses. Top-`k` over the `minTf` head by the rounded ratio
+    * (exact-integer inputs → identical rounding both engines), via
+    * TakeOrderedAndProject — never a vocab-wide sort.
+    */
+  def burstiness(docs: DataFrame, minTf: Long = 10, k: Int = 50)
+      : DataFrame = {
+    docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("tf") >= minTf)
+      .select(col("tok"), col("tf"), col("df"),
+        round(col("tf").cast("double") / col("df").cast("double"), 6)
+          .as("burstiness"))
+      .orderBy(col("burstiness").desc, col("tok").asc)
+      .limit(k)
+  }
+
+  /** HILL tail-index estimator over bigram frequencies — the MLE
+    * companion to [[zipfFit]]'s OLS: α̂ = k / Σᵢ ln(x(i)/x(k+1)) over
+    * the top-k order statistics. Where the OLS slope averages the
+    * whole head, Hill reads ONLY the tail exponent — the number that
+    * says how heavy the frequency tail really is (α near 1 = Zipfian;
+    * larger = thinner tail after dedup/filtering). Bigrams, not
+    * unigrams, for the same reason as [[heapsCurve]]: the estimator
+    * needs order statistics, so the vocabulary must outnumber k.
+    *
+    * Shapes: distributed take-ordered top-(k+1) (never a vocab-wide
+    * sort), the rank window on the ≤k+1-row frame (bounded by
+    * construction), the 1-row x(k+1) frame broadcast back, ln terms
+    * snapped to 1e-6 fixed point and summed as exact longs, one
+    * division. Fewer than k+1 types → an honest (0, NULL) row, not an
+    * estimate from a vocabulary that cannot support one.
+    */
+  def hillTail(docs: DataFrame, k: Int = 200): DataFrame = {
+    val top = docs
+      .select(explode(TextOps.ngramsAll(col("text"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("bg").asc).limit(k + 1)
+    val ranked = top.withColumn("rnk", row_number().over(
+      Window.orderBy(col("tf").desc, col("bg").asc)))
+    val xk = ranked.filter(col("rnk") === k + 1)
+      .select(col("tf").as("xk"))
+    val s = ranked.filter(col("rnk") <= k)
+      .crossJoin(broadcast(xk))
+      .select(round((log(col("tf").cast("double"))
+        - log(col("xk").cast("double"))) * 1e6, 0).cast("long")
+        .as("term_fp"))
+      .agg(count(lit(1)).as("k_used"), sum(col("term_fp")).as("st"))
+    s.select(col("k_used"),
+      round(when(col("st") > 0,
+        col("k_used").cast("double") * 1e6 / col("st").cast("double")),
+        6).as("alpha"))
+  }
 }

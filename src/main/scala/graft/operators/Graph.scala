@@ -279,7 +279,10 @@ object Graph {
     * a deterministic bounded result.
     */
   def triangles(edges: DataFrame, k: Int = 100): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct()
+    // The upstream edge derivation (e.g. the pairEdges prune chain —
+    // two joins + two aggregates) feeds THREE join legs; uncached it
+    // re-runs per leg (the r2 shingle-index lesson, PLANS.md).
+    val e = edges.select(col("a"), col("b")).distinct().cache()
     e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
@@ -559,7 +562,9 @@ object Graph {
     * division. Input: ordered edges (a < b), deduplicated upstream.
     */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct()
+    // Five consumers of the edge frame (three enumeration legs + two
+    // degree-union scans) — cache it or pay the pairEdges chain 5×.
+    val e = edges.select(col("a"), col("b")).distinct().cache()
     val t = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
@@ -606,7 +611,8 @@ object Graph {
     * (a < b), deduplicated upstream.
     */
   def assortativity(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct()
+    // Three consumers (two degree-union scans + the edge join leg).
+    val e = edges.select(col("a"), col("b")).distinct().cache()
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))

@@ -268,4 +268,29 @@ object LangModel {
           col("cand"))).as("predicted"),
         max(col("score")).as("best_score"))
   }
+
+  /** LM QUALITY BY SOURCE — the per-source roll-up of
+    * [[bigramScore]]: macro-averaged per-doc log-probability under
+    * the corpus bigram LM, per source. The triage read a mixing
+    * recipe starts from: a source whose macro avg_logp sits far below
+    * the corpus norm is off-distribution (boilerplate, other
+    * language, markup soup) BEFORE any manual inspection.
+    *
+    * Determinism: per-doc avg_logp is already 6-dp-rounded by the
+    * scorer, so the 1e-6 fixed-point snap recovers an exact integer
+    * per doc — group sums are order-free; one division per source.
+    */
+  def lmBySource(docs: DataFrame): DataFrame = {
+    val scored = bigramScore(docs)
+    scored
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("n_bigrams"),
+        round(col("avg_logp") * 1e6, 0).cast("long").as("lp_fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        round(sum(col("lp_fp")).cast("double")
+          / (count(lit(1)).cast("double") * 1e6), 6)
+          .as("macro_avg_logp"))
+  }
 }

@@ -48,6 +48,19 @@ object Layout {
   def zorder2(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
 
+  /** Hilbert curve index of two keys (order 21; wider keys must be
+    * range-bucketed first, as with [[zorder2]]) — the no-diagonal-jump
+    * locality layout: a range of the index always covers a tighter key
+    * rectangle than the same-length Morton range, so range predicates
+    * touch fewer row groups. Backed by the native codegen'd
+    * [[graft.expressions.HilbertIndex]] (the xy2d walk is sequential
+    * per row — unrolled projections would invite exponential
+    * expression inlining; a loop in generated code keeps it one fused
+    * call).
+    */
+  def hilbert2(a: Column, b: Column): Column =
+    call_function("graft_hilbert", a.cast("long"), b.cast("long"))
+
   /** Small-file COMPACTION planner (the lakehouse `OPTIMIZE` bin-pack
     * step): assign contiguously-ordered file stats to target-sized
     * output groups, `bin = floor(cum_bytes_before / target)`. Every

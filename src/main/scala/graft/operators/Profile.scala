@@ -193,4 +193,60 @@ object Profile {
       .select(round(col("ks"), 6).as("ks_stat"),
         col("ta").as("n_a"), col("tb").as("n_b"))
   }
+
+  /** SHARD DIVERSITY — Shannon entropy (nats) of the source mix inside
+    * each [[Shard.rendezvousShard]] shard: the post-routing check that
+    * sharding did not accidentally segregate sources (a shard serving
+    * one crawl trains a skewed sub-model and hot-spots per-source
+    * failures). H near ln(n_sources) = well mixed; near 0 = a
+    * single-source shard.
+    *
+    * Determinism: per-(shard, source) share terms −p·ln p are snapped
+    * to 1e-9 fixed point and summed as exact longs (the fixed-point
+    * device every ln surface here uses), one division on the
+    * shard-count-sized result. Two keyed aggregates + one broadcast
+    * join — the corpus is touched once, by the codegen'd shard
+    * projection.
+    */
+  def shardDiversity(docs: DataFrame, srcCol: String = "source",
+                     shards: Int = 16): DataFrame = {
+    val assigned = docs.select(
+      Shard.rendezvousShard(col("doc_id"), shards).as("shard"),
+      col(srcCol).as("source"))
+    val cs = assigned.groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val per = cs.groupBy(col("shard"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_sources"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    cs.join(broadcast(per), Seq("shard"))
+      .select(col("shard"), col("n"), col("n_sources"),
+        round(-(p * log(p)) * 1e9, 0).cast("long").as("term_fp"))
+      .groupBy(col("shard"))
+      .agg(min(col("n")).as("n_docs"),
+        min(col("n_sources")).as("n_sources"),
+        round(sum(col("term_fp")).cast("double") / 1e9, 6).as("entropy"))
+  }
+
+  /** EMBEDDING NORM profile per label — the vector-hygiene read before
+    * any cosine/IP index is trusted: a label whose norms collapse
+    * toward 0 (dead encoder head) or spread wildly (mixed
+    * normalization) breaks inner-product ranking assumptions. Norms
+    * are snapped to 1e-6 fixed point per row (array fold in fixed
+    * element order), so the group sums are exact integers; divisions
+    * happen once per label row.
+    */
+  def embedNormProfile(embeddings: DataFrame): DataFrame = {
+    val sq = aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), _ + _)
+    embeddings
+      .select(col("label"),
+        round(sqrt(sq) * 1e6, 0).cast("long").as("norm_fp"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("norm_fp")).cast("double")
+          / (count(lit(1)).cast("double") * 1e6), 6).as("mean_norm"),
+        round(min(col("norm_fp")).cast("double") / 1e6, 6).as("min_norm"),
+        round(max(col("norm_fp")).cast("double") / 1e6, 6).as("max_norm"))
+  }
 }

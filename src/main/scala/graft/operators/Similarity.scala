@@ -646,6 +646,69 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Fixed-point rank weights shared by [[rankEval]] and its oracle
+    * twin: w(r) = round(1e9 / log₂(r+1)) (DCG discount) and
+    * rr(r) = round(1e9 / r) (reciprocal rank), as exact integer
+    * literals — both engines consume the SAME numbers, so the metric
+    * arithmetic is integer until one final division. */
+  def rankWeightsFp(k: Int): Seq[(Int, Long)] = (1 to k).map(r =>
+    r -> math.round(1e9 / (math.log(r + 1.0) / math.log(2.0))))
+  def rrWeightsFp(k: Int): Seq[(Int, Long)] = (1 to k).map(r =>
+    r -> math.round(1e9 / r))
+  /** Ideal DCG in the same fixed point: truth always has k items with
+    * graded relevance k..1, so IDCG is a constant of k alone. */
+  def idcgFp(k: Int): Long =
+    rankWeightsFp(k).map { case (r, w) => (k + 1 - r) * w }.sum
+
+  /** RANK-QUALITY eval of an approximate top-k against the exact one:
+    * micro MRR (1 / first rank where a true neighbor appears) and
+    * mean nDCG@k with graded relevance rel = k+1−exact_rank — the
+    * rank-SENSITIVE companions to [[annRecallCurve]]'s set-overlap
+    * read: recall says the neighborhood was found, nDCG says it was
+    * found in ORDER, MRR says how fast the first truth arrives (what
+    * a RAG pipeline actually consumes).
+    *
+    * DETERMINISM: relevance grades and ranks are integers; every
+    * per-rank weight is a pre-baked fixed-point literal
+    * ([[rankWeightsFp]]), so per-query DCG/RR are exact INTEGER sums —
+    * order-free with no float fold anywhere — and the two corpus
+    * means are single divisions on the 1-row result. Inputs must
+    * carry the `rnk` column the rank window emits.
+    *
+    * Scale shape: one left equi-join of two |queries|·k frames, one
+    * keyed per-query aggregate, one 1-row aggregate. Nothing touches
+    * the corpus.
+    */
+  def rankEval(exact: DataFrame, approx: DataFrame, k: Int = 5)
+      : DataFrame = {
+    val ex = exact.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(k + 1) - col("rnk")).cast("long").as("rel"))
+    val ap = approx.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rnk").as("ap_rnk"))
+    val wExpr = rankWeightsFp(k).foldLeft(lit(0L)) {
+      case (acc, (r, w)) =>
+        when(col("ap_rnk") === r, lit(w)).otherwise(acc)
+    }
+    val perQ = ap.join(ex, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("rel"), lit(0L)) * wExpr).as("dcg_fp"),
+        min(when(col("rel").isNotNull, col("ap_rnk"))).as("first_rel"))
+    val rrExpr = rrWeightsFp(k).foldLeft(lit(0L)) {
+      case (acc, (r, w)) =>
+        when(col("first_rel") === r, lit(w)).otherwise(acc)
+    }
+    val s = perQ.agg(count(lit(1)).as("n"),
+      sum(col("dcg_fp")).as("sd"), sum(rrExpr).as("sr"))
+    s.select(col("n").as("n_queries"),
+      round(col("sr").cast("double")
+        / (col("n").cast("double") * 1e9), 6).as("mrr"),
+      round(col("sd").cast("double")
+        / (col("n").cast("double") * lit(idcgFp(k).toDouble)), 6)
+        .as("ndcg"))
+  }
+
   def embeddingDrift(prev: DataFrame, curr: DataFrame,
                      threshold: Double = 0.98): DataFrame = {
     def dbl(df: DataFrame, as: String) = df.select(col("vec_id"),

@@ -138,7 +138,19 @@ class PlanAuditSpec extends SparkSpec {
     "q_ks_drift",
     // heaps_curve: the 1-row doc-id-bounds frame broadcast onto the
     // two bucket assignments (q_quartiles 1-row family).
-    "q_heaps_curve")
+    "q_heaps_curve",
+    // token_gini: the 1-row tf-value-bounds frame (same family).
+    "q_token_gini",
+    // rank_eval: inherits q_knn_brute's broadcast QUERY-SET cross join
+    // on its exact leg and q_knn_ivf's on the approx leg; the metric
+    // tail is keyed over |queries|·k rows.
+    "q_rank_eval",
+    // hill_tail: the 1-row x(k+1) order-statistic frame broadcast
+    // onto the ≤200-row term frame (q_quartiles 1-row family).
+    "q_hill_tail",
+    // lm_by_source: the LM chain's 1-row vocabulary-size frame
+    // (q_lm_score family).
+    "q_lm_by_source")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
@@ -181,6 +193,12 @@ class PlanAuditSpec extends SparkSpec {
     // ≤ 1000 rows by the distributed take-ordered top (q_oov_rate
     // family — bounded by construction).
     "q_zipf_fit",
+    // token_gini: the bucket-offset prefix window over the ≤256-row
+    // bucket frame (the q_ks_drift two-level prefix-sum idiom).
+    "q_token_gini",
+    // hill_tail: the rank row_number over the take-ordered ≤201-row
+    // frame (q_zipf_fit family — bounded by construction).
+    "q_hill_tail",
     // heaps_curve: the cumulative window over the densified 10-row
     // bucket frame (bounded by construction).
     "q_heaps_curve")
