@@ -453,7 +453,30 @@ object AnalyticsCatalog {
     // beside the clip counts.
     "q_winsorize" -> ((s, d) =>
       Analytics.winsorize(Tables.lineitem(s, d), "l_returnflag",
-        col("l_extendedprice").cast(Tables.Money)))
+        col("l_extendedprice").cast(Tables.Money))),
+
+    // Degree Gini of the co-order part graph: inequality of the
+    // degree distribution — the continuous companion to the log2
+    // degree histogram (will degree-aware tricks matter here?).
+    "q_degree_gini" -> ((s, d) =>
+      graft.operators.Graph.degreeGini(
+        graft.operators.Itemsets.pairEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
+
+    // Hub edge share of the same graph: fraction of edges touching
+    // the top-100 degree nodes — how much join work lands on hubs.
+    "q_hub_share" -> ((s, d) =>
+      graft.operators.Graph.hubShare(
+        graft.operators.Itemsets.pairEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
+
+    // Join-strategy advisor for lineitem⋈part on partkey: the degree
+    // statistics folded into the broadcast/salt/shuffle decision —
+    // statistics-only, never runs the join it advises on; integer
+    // threshold arithmetic, no float verdict boundary.
+    "q_join_advisor" -> ((s, d) =>
+      Analytics.joinAdvisor(Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1423,7 +1446,99 @@ object AnalyticsCatalog {
         |  MIN(lo) AS lo, MIN(hi) AS hi,
         |  round(CAST(SUM(cv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
         |    AS win_mean
-        |FROM c GROUP BY 1""".stripMargin
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // Degree-Gini twin: the pair CTEs, symmetrized degrees, then the
+    // q_token_gini rank-free machinery over distinct degree values.
+    "q_degree_gini" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |freq AS (SELECT it FROM items GROUP BY it HAVING COUNT(*) >= 2),
+        |fi AS (SELECT items.bk, items.it FROM items JOIN freq USING (it)),
+        |p AS (
+        |  SELECT a.it AS a, b.it AS b FROM fi a JOIN fi b
+        |  ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS v FROM (
+        |    SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+        |  GROUP BY 1),
+        |cnts AS (SELECT v, COUNT(*) AS c FROM deg GROUP BY 1),
+        |r AS (
+        |  SELECT v, c,
+        |    1 + COALESCE(SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS rstart
+        |  FROM cnts),
+        |rx AS (
+        |  SELECT v * (c * rstart + (c * (c - 1)) // 2) AS rank_x,
+        |    c, v * c AS vc
+        |  FROM r),
+        |s AS (SELECT SUM(c) AS n, SUM(vc) AS t, SUM(rank_x) AS srx
+        |      FROM rx)
+        |SELECT CAST(n AS BIGINT) AS n_nodes,
+        |  CAST(t AS BIGINT) AS n_edge_ends,
+        |  round(CASE WHEN n > 1 THEN
+        |    2.0 * CAST(srx AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+        |  END, 6) AS gini
+        |FROM s""".stripMargin,
+
+    // Hub-share twin: same pair/degree CTEs, the top-100 cut
+    // (degree DESC, node — total order), membership test, one
+    // division.
+    "q_hub_share" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |freq AS (SELECT it FROM items GROUP BY it HAVING COUNT(*) >= 2),
+        |fi AS (SELECT items.bk, items.it FROM items JOIN freq USING (it)),
+        |p AS (
+        |  SELECT a.it AS a, b.it AS b FROM fi a JOIN fi b
+        |  ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS degree FROM (
+        |    SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+        |  GROUP BY 1),
+        |hubs AS (SELECT node FROM deg
+        |         ORDER BY degree DESC, node LIMIT 100),
+        |fe AS (
+        |  SELECT (a IN (SELECT node FROM hubs)
+        |       OR b IN (SELECT node FROM hubs)) AS ish
+        |  FROM p),
+        |tot AS (SELECT COUNT(*) AS n_nodes FROM deg)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |  CAST(SUM(CASE WHEN ish THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hub_edges,
+        |  round(CAST(SUM(CASE WHEN ish THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS hub_share
+        |FROM fe CROSS JOIN tot GROUP BY n_nodes""".stripMargin,
+
+    // Advisor twin: two degree aggregates, the estimated-size join,
+    // the same integer threshold ladder.
+    "q_join_advisor" ->
+      """WITH da AS (SELECT l_partkey AS key, COUNT(*) AS da
+        |            FROM lineitem GROUP BY 1),
+        |db AS (SELECT p_partkey AS key, COUNT(*) AS db
+        |       FROM part GROUP BY 1),
+        |j AS (SELECT da.key, da.da * db.db AS contrib
+        |      FROM da JOIN db ON da.key = db.key),
+        |s AS (SELECT SUM(contrib) AS est, MAX(contrib) AS top FROM j),
+        |nl AS (SELECT COUNT(*) AS n_left FROM lineitem),
+        |nr AS (SELECT COUNT(*) AS n_right FROM part)
+        |SELECT CAST(n_left AS BIGINT) AS n_left,
+        |  CAST(n_right AS BIGINT) AS n_right,
+        |  CAST(est AS BIGINT) AS est_join_rows,
+        |  CAST(top AS BIGINT) AS top_contrib,
+        |  CASE WHEN n_right <= 100000 THEN 'broadcast_right'
+        |       WHEN n_left <= 100000 THEN 'broadcast_left'
+        |       WHEN top * 100 >= est * 20 THEN 'salted_shuffle'
+        |       ELSE 'shuffle' END AS decision
+        |FROM s CROSS JOIN nl CROSS JOIN nr""".stripMargin
   )
 
   /** One PageRank iteration twin of Graph.pageRank's loop body:

@@ -122,7 +122,9 @@ object Bench {
     "q_hilbert", "q_embed_norm", "q_shard_diversity",
     // r9 wave 11, benched at birth.
     "q_hill_tail", "q_lm_by_source", "q_cluster_sizes",
-    "q_stopword_coverage")
+    "q_stopword_coverage",
+    // r9 wave 12, benched at birth.
+    "q_signal_corr", "q_degree_gini", "q_hub_share", "q_join_advisor")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

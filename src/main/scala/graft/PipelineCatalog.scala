@@ -1116,6 +1116,19 @@ object PipelineCatalog {
           graft.operators.Dedup.withNearDuplicates(
             Tables.documents(s, d))))),
 
+    // Pearson correlation between two quality signals (heuristic
+    // q_score vs n_chars): the redundancy read — signals at r ≈ 1 are
+    // one signal; a curation stack should pay for diverse ones.
+    // Fixed-point x, exact integer correlation sums, closed form once.
+    "q_signal_corr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.query.Analytics.signalCorr(
+        graft.operators.Curation.qualityScore(docs)
+          .join(docs.select(col("doc_id"), col("n_chars")),
+            Seq("doc_id")),
+        round(col("q_score") * 1e6, 0).cast("long"), col("n_chars"))
+    }),
+
     // Stopword coverage per language: the function-word share — a
     // language-health read (near-zero = wrong language or code; the
     // testdata vocabulary carries 'the'/'a').
@@ -3452,6 +3465,45 @@ object PipelineCatalog {
          |  SELECT canonical_id, COUNT(*) AS sz FROM (
          |$clustersSql
          |  ) GROUP BY 1) GROUP BY 1""".stripMargin,
+
+    // Signal-correlation twin: the q_quality_score feature chain,
+    // 1e-6 snap of the 6-dp score (exact), the identical closed-form
+    // correlation tree with its one sqrt.
+    "q_signal_corr" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntk,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      AS nd,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a'))) AS DOUBLE) AS ns
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(0.3 * ln(ntk) + 2.0 * (nd / ntk) - 1.5 * (ns / ntk), 6)
+        |      AS q_score
+        |  FROM f),
+        |x AS (
+        |  SELECT CAST(round(q_score * 1e6) AS BIGINT) AS x,
+        |    n_chars AS y
+        |  FROM sc JOIN documents USING (doc_id)),
+        |a AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM x),
+        |d AS (
+        |  SELECT CAST(n AS BIGINT) AS n_rows,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |  FROM a)
+        |SELECT n_rows,
+        |  round(CASE WHEN vx * vy > 0 THEN num / sqrt(vx * vy) END, 6)
+        |    AS r
+        |FROM d""".stripMargin,
 
     // Stopword-coverage twin: list_filter over the shared token
     // split, integer sums, one division per lang.

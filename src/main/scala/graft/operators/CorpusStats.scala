@@ -157,7 +157,19 @@ object CorpusStats {
     val tf = docs
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val cnts = tf.groupBy(col("tf").as("v"))
+    giniOfValues(tf.select(col("tf").as("v")), nBuckets)
+      .withColumnRenamed("n_units", "n_types")
+      .withColumnRenamed("total", "n_tokens")
+  }
+
+  /** Gini coefficient of ANY positive-long value frame (one row per
+    * unit, column `v`) — the machinery behind [[tokenGini]], exposed
+    * for other inequality reads (degree distributions, shard sizes).
+    * Output: (n_units, total, gini). See [[tokenGini]] for the
+    * rank-free formulation and determinism notes.
+    */
+  def giniOfValues(values: DataFrame, nBuckets: Int = 256): DataFrame = {
+    val cnts = values.groupBy(col("v"))
       .agg(count(lit(1)).as("c"))
     val bounds = cnts.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
     val bucketed = cnts.crossJoin(broadcast(bounds))
@@ -193,7 +205,7 @@ object CorpusStats {
       sum(col("vc")).as("t"), sum(col("rank_x")).cast(dec).as("srx"))
     val nD = col("n").cast("double")
     val tD = col("t").cast("double")
-    s.select(col("n").as("n_types"), col("t").as("n_tokens"),
+    s.select(col("n").as("n_units"), col("t").as("total"),
       round(when(col("n") > 1,
         lit(2.0) * col("srx").cast("double") / (nD * tD)
           - (nD + 1.0) / nD), 6).as("gini"))

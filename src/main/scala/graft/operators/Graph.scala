@@ -633,4 +633,52 @@ object Graph {
     s.select(col("m").as("n_edges"),
       round(when(den =!= lit(0.0), num / den), 6).as("assortativity"))
   }
+
+  /** DEGREE GINI — inequality of the degree distribution in one
+    * number ([[graft.operators.CorpusStats.giniOfValues]] over node
+    * degrees): 0 = regular graph, →1 = a few hubs own the edges. The
+    * cheapest pre-flight for "will degree-aware tricks matter here"
+    * (the continuous companion to [[degreeProfile]]'s histogram).
+    */
+  def degreeGini(edges: DataFrame): DataFrame = {
+    // Two degree-union scans of the (possibly expensive) edge chain.
+    val e = edges.select(col("a"), col("b")).distinct().cache()
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("v"))
+    CorpusStats.giniOfValues(deg.select(col("v")))
+      .withColumnRenamed("n_units", "n_nodes")
+      .withColumnRenamed("total", "n_edge_ends")
+  }
+
+  /** HUB EDGE SHARE — the fraction of edges touching the top-`k`
+    * degree nodes: the direct answer to "how much of this graph's
+    * join work lands on hubs" (a high share says salt/forward-orient
+    * BEFORE running anything quadratic-in-degree). Hubs via the
+    * distributed take-ordered top (degree desc, node — total order),
+    * broadcast back as two membership flags; integer counts, one
+    * division.
+    */
+  def hubShare(edges: DataFrame, k: Int = 100): DataFrame = {
+    // Three consumers (two degree-union scans + the flag join).
+    val e = edges.select(col("a"), col("b")).distinct().cache()
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val hubs = deg.orderBy(col("degree").desc, col("node").asc)
+      .limit(k).select(col("node"))
+    val flagged = e
+      .join(broadcast(hubs.select(col("node").as("a"),
+        lit(1L).as("ha"))), Seq("a"), "left")
+      .join(broadcast(hubs.select(col("node").as("b"),
+        lit(1L).as("hb"))), Seq("b"), "left")
+    val tot = deg.agg(count(lit(1)).as("n_nodes"))
+    flagged.agg(count(lit(1)).as("n_edges"),
+      sum(when(col("ha").isNotNull || col("hb").isNotNull, 1L)
+        .otherwise(0L)).as("n_hub_edges"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_nodes"), col("n_edges"), col("n_hub_edges"),
+        round(col("n_hub_edges").cast("double")
+          / col("n_edges").cast("double"), 6).as("hub_share"))
+  }
 }

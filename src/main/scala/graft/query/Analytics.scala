@@ -790,6 +790,62 @@ object Analytics {
         count(lit(1)).cast("double"), 6).as("win_mean"))
   }
 
+  /** PEARSON correlation of two per-row integer signals — the
+    * redundancy read between quality signals (two signals at r ≈ 1
+    * are one signal; a curation stack should pay for diverse ones).
+    * Inputs must already be exact longs (fixed-point-snap doubles
+    * upstream); all five correlation sums shuffle as exact integers,
+    * the closed form (with its sqrt) runs once on the 1-row result.
+    */
+  def signalCorr(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val s = df.select(xCol.as("x"), yCol.as("y")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    s.select(col("n").as("n_rows"),
+      round(when(vx * vy > 0, num / sqrt(vx * vy)), 6).as("r"))
+  }
+
+  /** JOIN-STRATEGY ADVISOR — the [[joinDegreeProfile]] statistics
+    * folded into the decision a planner actually takes: broadcast the
+    * small side, salt when one key owns too much of the estimated
+    * output, plain shuffle otherwise. Thresholds are explicit inputs
+    * (row-count broadcast limit; top-key output share in percent,
+    * compared in INTEGER arithmetic so the verdict has no float
+    * boundary). Statistics-only: never runs the join it advises on.
+    */
+  def joinAdvisor(left: DataFrame, lKey: String,
+                  right: DataFrame, rKey: String,
+                  broadcastRows: Long = 100000L,
+                  saltSharePct: Int = 20): DataFrame = {
+    val da = left.groupBy(col(lKey).as("key"))
+      .agg(count(lit(1)).as("da"))
+    val db = right.groupBy(col(rKey).as("key"))
+      .agg(count(lit(1)).as("db"))
+    val j = da.join(db, Seq("key"))
+      .select(col("key"), (col("da") * col("db")).as("contrib"))
+    val s = j.agg(sum(col("contrib")).as("est"),
+        max(col("contrib")).as("top_contrib"))
+      .crossJoin(broadcast(left.agg(count(lit(1)).as("n_left"))))
+      .crossJoin(broadcast(right.agg(count(lit(1)).as("n_right"))))
+    s.select(col("n_left"), col("n_right"),
+      col("est").as("est_join_rows"), col("top_contrib"),
+      when(col("n_right") <= broadcastRows, lit("broadcast_right"))
+        .when(col("n_left") <= broadcastRows, lit("broadcast_left"))
+        .when(col("top_contrib") * 100 >= col("est") * saltSharePct,
+          lit("salted_shuffle"))
+        .otherwise(lit("shuffle")).as("decision"))
+  }
+
   /** Cross-source QUANTILE NORMALIZATION at decile granularity — the
     * classic "average the d-th order statistics across arrays" method
     * (Bolstad et al., microarray normalization), here the curation

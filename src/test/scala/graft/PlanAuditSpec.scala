@@ -150,7 +150,16 @@ class PlanAuditSpec extends SparkSpec {
     "q_hill_tail",
     // lm_by_source: the LM chain's 1-row vocabulary-size frame
     // (q_lm_score family).
-    "q_lm_by_source")
+    "q_lm_by_source",
+    // degree_gini: giniOfValues' 1-row value-bounds frame
+    // (q_token_gini family).
+    "q_degree_gini",
+    // hub_share: the 1-row node-total frame beside the broadcast
+    // 100-row hub set.
+    "q_hub_share",
+    // join_advisor: the two 1-row side-count frames (statistics-only
+    // planner, q_join_degree family).
+    "q_join_advisor")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
@@ -199,6 +208,9 @@ class PlanAuditSpec extends SparkSpec {
     // hill_tail: the rank row_number over the take-ordered ≤201-row
     // frame (q_zipf_fit family — bounded by construction).
     "q_hill_tail",
+    // degree_gini: the same ≤256-row bucket-offset prefix window as
+    // q_token_gini (shared giniOfValues machinery).
+    "q_degree_gini",
     // heaps_curve: the cumulative window over the densified 10-row
     // bucket frame (bounded by construction).
     "q_heaps_curve")
