@@ -476,7 +476,13 @@ object AnalyticsCatalog {
     // threshold arithmetic, no float verdict boundary.
     "q_join_advisor" -> ((s, d) =>
       Analytics.joinAdvisor(Tables.lineitem(s, d), "l_partkey",
-        Tables.part(s, d), "p_partkey"))
+        Tables.part(s, d), "p_partkey")),
+
+    // Time-decayed event counts (30-day half-life): recency weighting
+    // with DYADIC weights 2^-k carried as integers 2^(20-k) — exact
+    // sums at any scale, one division, no exp() parity surface.
+    "q_decay_counts" -> ((s, d) =>
+      Analytics.decayCounts(Events.typed(Tables.events(s, d))))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1538,7 +1544,24 @@ object AnalyticsCatalog {
         |       WHEN n_left <= 100000 THEN 'broadcast_left'
         |       WHEN top * 100 >= est * 20 THEN 'salted_shuffle'
         |       ELSE 'shuffle' END AS decision
-        |FROM s CROSS JOIN nl CROSS JOIN nr""".stripMargin
+        |FROM s CROSS JOIN nl CROSS JOIN nr""".stripMargin,
+
+    // Decay twin: same day-difference half-life bucket, the same
+    // integer 2^(20-k) weights, one division by 2^20.
+    "q_decay_counts" ->
+      s"""WITH $eventsSql,
+         |ref AS (SELECT MAX(CAST(ts AS DATE)) AS r FROM e),
+         |w AS (
+         |  SELECT event_type,
+         |    CASE WHEN date_diff('day', CAST(ts AS DATE), r) // 30 <= 20
+         |      THEN (1::BIGINT <<
+         |        (20 - (date_diff('day', CAST(ts AS DATE), r) // 30)))
+         |      ELSE 0 END AS wfp
+         |  FROM e CROSS JOIN ref)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  round(CAST(SUM(wfp) AS DOUBLE) / 1048576.0, 6)
+         |    AS decayed_count
+         |FROM w GROUP BY 1""".stripMargin
   )
 
   /** One PageRank iteration twin of Graph.pageRank's loop body:

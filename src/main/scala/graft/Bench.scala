@@ -124,7 +124,9 @@ object Bench {
     "q_hill_tail", "q_lm_by_source", "q_cluster_sizes",
     "q_stopword_coverage",
     // r9 wave 12, benched at birth.
-    "q_signal_corr", "q_degree_gini", "q_hub_share", "q_join_advisor")
+    "q_signal_corr", "q_degree_gini", "q_hub_share", "q_join_advisor",
+    // r9 wave 13, benched at birth.
+    "q_media_dedup", "q_media_chunks", "q_decay_counts")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

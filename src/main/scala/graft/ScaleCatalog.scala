@@ -697,6 +697,27 @@ object ScaleCatalog {
       Multimodal.decodePartitions(
         Multimodal.mediaTable(Tables.documents(s, d))).toDF()),
 
+    // Exact media dedup: digest groupBy over payloads with injected
+    // exact copies (every 40th doc) — keeper + bytes reclaimed; only
+    // digests shuffle, payloads stay put.
+    "q_media_dedup" -> ((s, d) => {
+      // withExactDuplicates' id arithmetic, with `source` carried
+      // through (mediaTable's modality column needs it).
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val dups = docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+          col("source"))
+      Multimodal.mediaDedup(
+        Multimodal.mediaTable(docs.unionByName(dups)))
+    }),
+
+    // Chunk-upload plan per payload: multipart planner (256-byte
+    // chunks at this payload scale) — pure integer projection.
+    "q_media_chunks" -> ((s, d) =>
+      Multimodal.chunkPlan(
+        Multimodal.mediaTable(Tables.documents(s, d)))),
+
     // Top principal component by 5 power steps — the ABTT/whitening
     // input — without materializing the gram matrix: one corpus scan
     // per step, d integer sums across the shuffle (the PageRank
@@ -1933,6 +1954,43 @@ object ScaleCatalog {
         |WHERE rnk <= 5""".stripMargin,
 
     "q_media_meta" -> mediaMetaSql,
+
+    // Media-dedup twin: the payload build over the exact-dup corpus,
+    // digest groups, HAVING n > 1.
+    "q_media_dedup" ->
+      """WITH cd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |m AS (
+        |  SELECT doc_id,
+        |    unhex('89504E470D0A1A0A' || '0000000D' || '49484452' ||
+        |      lpad(to_hex(16 + length(text) % 240), 8, '0') ||
+        |      lpad(to_hex(16 + (length(text) * 7) % 240), 8, '0') ||
+        |      '08' ||
+        |      CASE WHEN length(text) % 2 = 0 THEN '00' ELSE '02' END ||
+        |      '000000' || '00000000') ||
+        |    encode(text) AS payload
+        |  FROM cd)
+        |SELECT sha256(hex(payload)) AS sha,
+        |  MIN(doc_id) AS keeper_doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+
+    // Chunk-plan twin: the shared payload CTE + the same integer
+    // ceiling-division plan.
+    "q_media_chunks" ->
+      s"""WITH $mediaPayloadCte
+         |SELECT doc_id,
+         |  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+         |  CAST((octet_length(payload) + 255) // 256 AS BIGINT)
+         |    AS n_chunks,
+         |  CAST(octet_length(payload)
+         |    - ((octet_length(payload) + 255) // 256 - 1) * 256
+         |    AS BIGINT) AS last_chunk_bytes
+         |FROM m""".stripMargin,
 
     // Power-iteration twin: 5 unrolled steps, each a MATERIALIZED
     // (dot fold → fixed-point per-dim integer sums → /1e9 →

@@ -150,4 +150,35 @@ object Multimodal {
       }
     }(Encoders.product[MediaMeta])
   }
+
+  /** EXACT media dedup — one hash-groupBy over the payload digest
+    * (`sha2(hex(payload))`, the cross-engine fingerprint device this
+    * file already uses): keeper = min doc_id per digest, groups with
+    * n > 1 reported. The first pass every media corpus runs (re-crawled
+    * and mirrored blobs are byte-identical far more often than text
+    * is), and the hash-dedup shape mandated-by-policy pipelines
+    * (known-bad-hash lists) share. Payloads never leave the executors;
+    * only digests shuffle.
+    */
+  def mediaDedup(media: DataFrame): DataFrame =
+    media
+      .groupBy(sha2(hex(col("payload")), 256).as("sha"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n"),
+        sum(length(col("payload")).cast("long")).as("total_bytes"))
+      .filter(col("n") > 1)
+
+  /** CHUNK-UPLOAD plan per payload — the multipart/ranged-PUT planner
+    * (n_chunks at `chunkBytes`, and the short last chunk) a blob
+    * store upload runs per object: pure integer projection, no
+    * shuffle; the planner's output is what gets parallelized, never
+    * the bytes on the driver.
+    */
+  def chunkPlan(media: DataFrame, chunkBytes: Int = 256): DataFrame =
+    media.select(col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("n_chunks",
+        expr(s"(n_bytes + ${chunkBytes - 1}) DIV $chunkBytes"))
+      .withColumn("last_chunk_bytes",
+        col("n_bytes") - (col("n_chunks") - 1) * chunkBytes)
 }

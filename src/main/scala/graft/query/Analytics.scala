@@ -790,6 +790,35 @@ object Analytics {
         count(lit(1)).cast("double"), 6).as("win_mean"))
   }
 
+  /** TIME-DECAYED counts per group — recency weighting with
+    * half-life semantics, engine-exact by construction: the weight of
+    * an event `k` half-lives old is the DYADIC rational 2^−k, carried
+    * as the integer 2^(20−k) (0 beyond 20 half-lives — those weights
+    * are below 1e-6 anyway), so the aggregation is an EXACT integer
+    * sum at any scale and any partition order; ONE division by 2^20
+    * lands the result. No exp(), no float fold — the freshness-
+    * weighting device a data-mixing recipe needs without the
+    * cross-engine exp() parity risk.
+    *
+    * Reference time is the corpus max date (1-row broadcast), so the
+    * result is a pure function of the data.
+    */
+  def decayCounts(events: DataFrame, groupCol: String = "event_type",
+                  halfLifeDays: Int = 30): DataFrame = {
+    val ref = events.agg(max(col("ts").cast("date")).as("r"))
+    events.select(col(groupCol), col("ts").cast("date").as("d"))
+      .crossJoin(broadcast(ref))
+      .withColumn("hl",
+        expr(s"datediff(r, d) DIV $halfLifeDays"))
+      .withColumn("wfp",
+        when(col("hl") <= 20, expr("CAST(1 AS BIGINT) << (20 - hl)"))
+          .otherwise(lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("wfp")).cast("double") / (1L << 20).toDouble, 6)
+          .as("decayed_count"))
+  }
+
   /** PEARSON correlation of two per-row integer signals — the
     * redundancy read between quality signals (two signals at r ≈ 1
     * are one signal; a curation stack should pay for diverse ones).

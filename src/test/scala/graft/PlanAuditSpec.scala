@@ -159,7 +159,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_hub_share",
     // join_advisor: the two 1-row side-count frames (statistics-only
     // planner, q_join_degree family).
-    "q_join_advisor")
+    "q_join_advisor",
+    // decay_counts: the 1-row reference-date frame (q_quartiles
+    // 1-row family).
+    "q_decay_counts")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
