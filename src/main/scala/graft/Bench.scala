@@ -126,7 +126,9 @@ object Bench {
     // r9 wave 12, benched at birth.
     "q_signal_corr", "q_degree_gini", "q_hub_share", "q_join_advisor",
     // r9 wave 13, benched at birth.
-    "q_media_dedup", "q_media_chunks", "q_decay_counts")
+    "q_media_dedup", "q_media_chunks", "q_decay_counts",
+    // r9 wave 14, benched at birth.
+    "q_layout_compare")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

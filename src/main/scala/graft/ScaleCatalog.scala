@@ -374,6 +374,44 @@ object ScaleCatalog {
     "q_embed_norm" -> ((s, d) =>
       graft.operators.Profile.embedNormProfile(Tables.embeddings(s, d))),
 
+    // Layout locality AUDIT — the measurable version of the Hilbert
+    // claim, in the unit storage actually bills: for three fixed key
+    // rectangles, the touched 4096-cell index zones AND the number of
+    // maximal CONTIGUOUS zone runs per layout (= seek ranges a
+    // clustered scan issues; zone COUNTS tie on axis-aligned dense
+    // rectangles — both curves tile them identically — but Morton's
+    // diagonal jumps fragment the rect into more, shorter runs).
+    // Runs via lag over the tiny distinct-zone frame (keyed window);
+    // first-match rect assignment (CASE order, same both engines).
+    "q_layout_compare" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pk = col("l_partkey"); val sk = col("l_suppkey")
+      val rect = when(pk.between(1, 512) && sk.between(1, 8), 1)
+        .when(pk.between(1000, 1512) && sk.between(1, 64), 2)
+        .when(pk.between(1, 4096) && sk.between(1, 4), 3)
+      val base = Tables.lineitem(s, d).select(pk, sk)
+        .withColumn("rect", rect).filter(col("rect").isNotNull)
+        .select(col("rect"),
+          graft.operators.Layout.zorder2(pk, sk).as("zval"),
+          graft.operators.Layout.hilbert2(pk, sk).as("hval"))
+        .cache()
+      def zoneStats(idx: String, zl: String,
+                    rl: String): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy(col("rect")).orderBy(col("zone"))
+        base.select(col("rect"), expr(s"$idx DIV 4096").as("zone"))
+          .distinct()
+          .withColumn("prev", lag(col("zone"), 1).over(w))
+          .groupBy(col("rect"))
+          .agg(count(lit(1)).as(zl),
+            sum(when(col("prev").isNull ||
+              col("zone") =!= col("prev") + 1, 1L).otherwise(0L))
+              .as(rl))
+      }
+      base.groupBy(col("rect")).agg(count(lit(1)).as("n_rows"))
+        .join(zoneStats("zval", "zones_z", "runs_z"), Seq("rect"))
+        .join(zoneStats("hval", "zones_h", "runs_h"), Seq("rect"))
+    }),
+
     // Zone map over the z-ordered layout: per-zone row count +
     // (partkey, suppkey) min/max — the writer-side skipping index
     // behind parquet row-group / Delta file pruning. Zones are the top
@@ -1674,6 +1712,88 @@ object ScaleCatalog {
          |  FROM lineitem),
          |$stages
          |SELECT $keep, hd AS hval FROM h$order""".stripMargin
+    },
+
+    // Layout-compare twin: rect CASE (same first-match order), the
+    // zorder spread chain and the MATERIALIZED Hilbert walk over the
+    // rect-filtered frame, two COUNT(DISTINCT index // 4096).
+    "q_layout_compare" -> {
+      val order = graft.expressions.HilbertIndex.Order
+      val mask = (1L << order) - 1
+      val steps = Seq((16, 281470681808895L), (8, 71777214294589695L),
+        (4, 1085102592571150095L), (2, 3689348814741910323L),
+        (1, 6148914691236517205L))
+      val zctes = steps.zipWithIndex.map { case ((sh, m), i) =>
+        s"""z${i + 1} AS (
+           |  SELECT rect, pk, sk,
+           |    (a$i | (a$i << $sh)) & $m AS a${i + 1},
+           |    (b$i | (b$i << $sh)) & $m AS b${i + 1}
+           |  FROM z$i)""".stripMargin
+      }.mkString(",\n")
+      val hstages = (0 until order).map { i =>
+        val s = 1L << (order - 1 - i)
+        s"""gg$i AS MATERIALIZED (
+           |  SELECT *,
+           |    CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+           |  FROM hh$i),
+           |hh${i + 1} AS MATERIALIZED (
+           |  SELECT rect, zval,
+           |    hd + ${s * s}::BIGINT * xor(3 * rx, ry) AS hd,
+           |    CASE WHEN ry = 0 THEN
+           |      (CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END)
+           |    ELSE hx END AS hx,
+           |    CASE WHEN ry = 0 THEN
+           |      (CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END)
+           |    ELSE hy END AS hy
+           |  FROM gg$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT l_partkey AS pk, l_suppkey AS sk,
+         |    CASE WHEN l_partkey BETWEEN 1 AND 512
+         |           AND l_suppkey BETWEEN 1 AND 8 THEN 1
+         |         WHEN l_partkey BETWEEN 1000 AND 1512
+         |           AND l_suppkey BETWEEN 1 AND 64 THEN 2
+         |         WHEN l_partkey BETWEEN 1 AND 4096
+         |           AND l_suppkey BETWEEN 1 AND 4 THEN 3 END AS rect
+         |  FROM lineitem),
+         |z0 AS (
+         |  SELECT rect, pk, sk, pk & 4294967295 AS a0,
+         |    sk & 4294967295 AS b0
+         |  FROM base WHERE rect IS NOT NULL),
+         |$zctes,
+         |hh0 AS (
+         |  SELECT rect, a5 | (b5 << 1) AS zval,
+         |    pk & $mask AS hx, sk & $mask AS hy, 0::BIGINT AS hd
+         |  FROM z5),
+         |$hstages,
+         |nr AS (
+         |  SELECT CAST(rect AS INT) AS rect,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM hh$order GROUP BY 1),
+         |dz AS (SELECT DISTINCT rect, zval // 4096 AS zone
+         |       FROM hh$order),
+         |rz AS (
+         |  SELECT CAST(rect AS INT) AS rect,
+         |    CAST(COUNT(*) AS BIGINT) AS zones_z,
+         |    CAST(SUM(CASE WHEN prev IS NULL OR zone <> prev + 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS runs_z
+         |  FROM (SELECT rect, zone, lag(zone) OVER (
+         |          PARTITION BY rect ORDER BY zone) AS prev FROM dz)
+         |  GROUP BY 1),
+         |dh AS (SELECT DISTINCT rect, hd // 4096 AS zone
+         |       FROM hh$order),
+         |rh AS (
+         |  SELECT CAST(rect AS INT) AS rect,
+         |    CAST(COUNT(*) AS BIGINT) AS zones_h,
+         |    CAST(SUM(CASE WHEN prev IS NULL OR zone <> prev + 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS runs_h
+         |  FROM (SELECT rect, zone, lag(zone) OVER (
+         |          PARTITION BY rect ORDER BY zone) AS prev FROM dh)
+         |  GROUP BY 1)
+         |SELECT nr.rect, n_rows, zones_z, runs_z, zones_h, runs_h
+         |FROM nr JOIN rz ON nr.rect = rz.rect
+         |  JOIN rh ON nr.rect = rh.rect""".stripMargin
     },
 
     // Norm-profile twin: the same 1e-6 snap on

@@ -56,6 +56,25 @@ class Round9Wave10Spec extends SparkSpec {
     }
   }
 
+  test("layout compare: on every catalog rectangle Hilbert needs " +
+    "no more contiguous seek runs than Morton (zone counts tie — " +
+    "axis-aligned dense rects tile identically)") {
+    // sf0.01: the sf0.001 slice is too sparse for a strict run-count
+    // separation (tiny rect populations tie everything).
+    val got = SparkEntry.queries("q_layout_compare")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("zones_z") == r.getAs[Long]("zones_h"),
+        "tile counts tie on aligned dense rects")
+      assert(r.getAs[Long]("runs_h") <= r.getAs[Long]("runs_z"),
+        s"rect ${r.getAs[Int]("rect")}: hilbert fragments more")
+    }
+    assert(got.exists(r =>
+      r.getAs[Long]("runs_h") < r.getAs[Long]("runs_z")),
+      "strict win on at least one rectangle")
+  }
+
   test("shardDiversity: a single-source corpus has entropy exactly 0 " +
     "in every shard; totals add up") {
     val docs = (0L until 200L).map(i => (i, "only")).toDF("doc_id", "source")
