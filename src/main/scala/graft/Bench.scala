@@ -128,7 +128,9 @@ object Bench {
     // r9 wave 13, benched at birth.
     "q_media_dedup", "q_media_chunks", "q_decay_counts",
     // r9 wave 14, benched at birth.
-    "q_layout_compare")
+    "q_layout_compare",
+    // r9 wave 15, benched at birth.
+    "q_lexical_richness")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

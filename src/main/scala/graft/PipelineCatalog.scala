@@ -1096,6 +1096,13 @@ object PipelineCatalog {
     "q_shard_diversity" -> ((s, d) =>
       graft.operators.Profile.shardDiversity(Tables.documents(s, d))),
 
+    // Lexical richness per source (TTR + Herdan's C over bigram
+    // types): which source still adds new content — a C far below
+    // peers = template/boilerplate mass, before any dedup names it.
+    "q_lexical_richness" -> ((s, d) =>
+      graft.operators.CorpusStats.lexicalRichness(
+        Tables.documents(s, d))),
+
     // Hill tail-index α̂ over the top-200 bigram order statistics —
     // the MLE companion to q_zipf_fit's OLS slope (tail weight, not
     // head shape); take-ordered top, fixed-point ln terms.
@@ -3418,6 +3425,28 @@ object PipelineCatalog {
         |  CAST(MIN(n_sources) AS BIGINT) AS n_sources,
         |  round(CAST(SUM(term_fp) AS DOUBLE) / 1e9, 6) AS entropy
         |FROM t GROUP BY 1""".stripMargin,
+
+    // Richness twin: the bigram build per source, the same two-level
+    // aggregate, two divisions (ln probed bit-identical).
+    "q_lexical_richness" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT source, t[i] || ' ' || t[i+1] AS bg
+        |  FROM (SELECT source, t, unnest(range(1, len(t))) AS i
+        |        FROM toks)),
+        |pt AS (SELECT source, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, COUNT(*) AS n_types, SUM(c) AS n_bigrams
+        |  FROM pt GROUP BY 1)
+        |SELECT source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  round(CAST(n_types AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+        |    AS ttr,
+        |  round(CASE WHEN n_bigrams > 1 THEN
+        |    ln(CAST(n_types AS DOUBLE)) / ln(CAST(n_bigrams AS DOUBLE))
+        |  END, 6) AS herdan_c
+        |FROM a""".stripMargin,
 
     // Hill twin: same top-201 cut, rank window, 1-row x(k+1) frame,
     // fixed-point ln terms, the identical (k·1e6)/Σ division.

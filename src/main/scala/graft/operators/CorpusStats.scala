@@ -267,6 +267,34 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** LEXICAL RICHNESS per source — type–token ratio and Herdan's C
+    * (ln V / ln N, the closed-form Heaps-exponent estimate) over
+    * bigram types: the "which source still adds new content" read at
+    * per-source granularity, where [[heapsCurve]] gives the corpus
+    * curve. A source whose C sits far below its peers is repeating
+    * itself (template/boilerplate mass) before any dedup run names
+    * the culprit passages.
+    *
+    * One exploded aggregate per source (distinct types via the keyed
+    * two-column groupBy, totals via count), integer-exact until the
+    * two divisions; ln probed bit-identical cross-engine.
+    */
+  def lexicalRichness(docs: DataFrame, srcCol: String = "source")
+      : DataFrame = {
+    val bg = docs.select(col(srcCol).as("source"),
+      explode(TextOps.ngramsAll(col("text"), 2)).as("bg"))
+    val types = bg.groupBy(col("source"), col("bg")).agg(count(lit(1))
+        .as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_bigrams"))
+    types.select(col("source"), col("n_bigrams"), col("n_types"),
+      round(col("n_types").cast("double")
+        / col("n_bigrams").cast("double"), 6).as("ttr"),
+      round(when(col("n_bigrams") > 1,
+        log(col("n_types").cast("double"))
+          / log(col("n_bigrams").cast("double"))), 6).as("herdan_c"))
+  }
+
   /** HILL tail-index estimator over bigram frequencies — the MLE
     * companion to [[zipfFit]]'s OLS: α̂ = k / Σᵢ ln(x(i)/x(k+1)) over
     * the top-k order statistics. Where the OLS slope averages the

@@ -61,6 +61,26 @@ class Round9Wave11Spec extends SparkSpec {
     assert(got == Map(3L -> 1L, 2L -> 1L))
   }
 
+  test("lexicalRichness: a repeating source scores below a novel one " +
+    "on TTR and Herdan's C") {
+    // Source A: one 3-token sentence stamped 10 times (2 bigram
+    // types, 20 occurrences). Source B: 20 distinct bigrams.
+    val docs = ((0L until 10L).map(i => (i, "a b c", "A")) ++
+      (0L until 10L).map(i =>
+        (100L + i, s"u$i v$i w$i", "B"))).toDF("doc_id", "text", "source")
+    val got = CorpusStats.lexicalRichness(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("A").getAs[Long]("n_types") == 2L)
+    assert(got("A").getAs[Long]("n_bigrams") == 20L)
+    assert(got("A").getAs[Double]("ttr") == 0.1)
+    assert(got("B").getAs[Long]("n_types") == 20L)
+    assert(got("B").getAs[Double]("ttr") == 1.0)
+    assert(got("A").getAs[Double]("herdan_c") <
+      got("B").getAs[Double]("herdan_c"))
+    val expectA = math.rint(math.log(2.0) / math.log(20.0) * 1e6) / 1e6
+    assert(got("A").getAs[Double]("herdan_c") == expectA)
+  }
+
   test("stopword coverage query: hand-counted ratio per lang") {
     val docs = Seq((0L, "the cat sat on a mat", "en"),
       (1L, "no stp wrds here", "xx")).toDF("doc_id", "text", "lang")
