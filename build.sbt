@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr,
+// NOT through sbt's logger: the logger prefixes every line with
+// "[info] ", which is what kept the driver's bench-line parser at
+// `parsed: null` for four rounds (BENCH_r06–r09 tails all show the
+// final JSON line arriving as `[info] {...}`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -275,9 +275,17 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${jmap(slowest)},"sf":"$sfDir","n_queries":${results.size},"passes":$nPasses,"full_map":"bench_out.json","min_map":"bench_min.json"}"""
+    // Belt and braces for the driver parse (VERDICT r9 #2, fourth round
+    // of `parsed: null`): the same compact line also lands in a
+    // dedicated file, so even if stdout hygiene regresses the record
+    // is one `cat BENCH_SUMMARY.json` away.
+    write("BENCH_SUMMARY.json", line)
     // The driver parses the LAST stdout line matching the contract, so
     // print it as the final act and flush — nothing (spark.stop()
-    // chatter included) lands after it.
+    // chatter included) lands after it. build.sbt's
+    // `run / outputStrategy := StdoutOutput` keeps sbt's logger from
+    // prefixing this line with "[info] " (the actual r6–r9 parse
+    // killer).
     println(line)
     Console.out.flush()
     spark.stop()

@@ -3274,8 +3274,9 @@ object PipelineCatalog {
         |FROM j""".stripMargin,
 
     // Quantile-normalization twin: the same total-order ntile binning
-    // (score then doc_id), the two integer-exact aggregates, the same
-    // two divisions.
+    // (score then doc_id), per-source bin means snapped to 1e-9
+    // fixed-point, the same unweighted cross-source integer average
+    // (Bolstad's mean-of-means — each source one vote).
     "q_quantile_norm" ->
       """WITH b AS (
         |  SELECT source, n_chars,
@@ -3283,16 +3284,18 @@ object PipelineCatalog {
         |      ORDER BY n_chars, doc_id) AS INT) AS bin
         |  FROM documents),
         |ps AS (
-        |  SELECT source, bin, COUNT(*) AS n_docs, SUM(n_chars) AS s
+        |  SELECT source, bin, COUNT(*) AS n_docs, SUM(n_chars) AS s,
+        |    CAST(round(CAST(SUM(n_chars) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) * 1e9) AS BIGINT) AS mean_fp
         |  FROM b GROUP BY 1, 2),
         |g AS (
-        |  SELECT bin, SUM(n_docs) AS gn, SUM(s) AS gs FROM ps
-        |  GROUP BY 1)
+        |  SELECT bin, COUNT(*) AS n_sources, SUM(mean_fp) AS gfp
+        |  FROM ps GROUP BY 1)
         |SELECT source, bin, CAST(n_docs AS BIGINT) AS n_docs,
         |  round(CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
         |    AS src_mean,
-        |  round(CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE), 6)
-        |    AS norm_value
+        |  round(CAST(gfp AS DOUBLE) / 1e9
+        |    / CAST(n_sources AS DOUBLE), 6) AS norm_value
         |FROM ps JOIN g USING (bin)""".stripMargin,
 
     // Gini twin: the rank-free distinct-value formulation — DuckDB
@@ -3377,7 +3380,9 @@ object PipelineCatalog {
         |ORDER BY burstiness DESC, tok LIMIT 50""".stripMargin,
 
     // Dup-rate twin: the shared pairs CTEs, pair-member flags, the
-    // idOffset modulo mapping back to source.
+    // idOffset conditional mapping back to source (injected copies =
+    // doc_id − offset, originals map to themselves — same arithmetic
+    // as dupRateBySource, valid even for native ids ≥ offset).
     "q_dup_rate_by_source" ->
       s"""WITH $pairsCteSql,
          |flagged AS (
@@ -3387,7 +3392,8 @@ object PipelineCatalog {
          |cs AS (
          |  SELECT c.doc_id, d.source
          |  FROM corpus c JOIN documents d
-         |    ON c.doc_id % 1000000 = d.doc_id)
+         |    ON (CASE WHEN c.doc_id >= 1000000 THEN c.doc_id - 1000000
+         |        ELSE c.doc_id END) = d.doc_id)
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_dup_docs,

@@ -394,7 +394,11 @@ object ScaleCatalog {
         .select(col("rect"),
           graft.operators.Layout.zorder2(pk, sk).as("zval"),
           graft.operators.Layout.hilbert2(pk, sk).as("hval"))
-        .cache()
+        // localCheckpoint, not cache: 3 consumers in one returned
+        // plan, but a cache() here is never unpersisted and piles up
+        // across catalog invocations (r9 advisor); the checkpointed
+        // RDD is GC-reclaimed once the result frame is dropped.
+        .localCheckpoint()
       def zoneStats(idx: String, zl: String,
                     rl: String): org.apache.spark.sql.DataFrame = {
         val w = Window.partitionBy(col("rect")).orderBy(col("zone"))
@@ -2100,16 +2104,17 @@ object ScaleCatalog {
         |FROM m GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
 
     // Chunk-plan twin: the shared payload CTE + the same integer
-    // ceiling-division plan.
+    // ceiling-division plan (empty-payload guard mirrored).
     "q_media_chunks" ->
       s"""WITH $mediaPayloadCte
          |SELECT doc_id,
          |  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
          |  CAST((octet_length(payload) + 255) // 256 AS BIGINT)
          |    AS n_chunks,
-         |  CAST(octet_length(payload)
-         |    - ((octet_length(payload) + 255) // 256 - 1) * 256
-         |    AS BIGINT) AS last_chunk_bytes
+         |  CAST(CASE WHEN octet_length(payload) = 0 THEN 0
+         |    ELSE octet_length(payload)
+         |      - ((octet_length(payload) + 255) // 256 - 1) * 256
+         |    END AS BIGINT) AS last_chunk_bytes
          |FROM m""".stripMargin,
 
     // Power-iteration twin: 5 unrolled steps, each a MATERIALIZED

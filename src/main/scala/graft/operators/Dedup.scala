@@ -1117,19 +1117,6 @@ object Dedup {
         coalesce(col("nrm"), lit(0L)).as("n_removed"))
   }
 
-  /** DUPLICATION-RATE profile per source — which slice of the corpus
-    * is paying the dedup bill: per source, how many docs sit in ≥ 1
-    * verified near-dup pair. THE triage read before spending on a
-    * source-specific fix (one boilerplate-heavy crawl can own most of
-    * the duplicate mass), and the per-source acceptance check after.
-    *
-    * Runs the [[exactJaccardPairs]] contract (hot-shingle cap stated
-    * explicitly — the r9 composition rule) on the near-dup corpus,
-    * flags pair members, and maps injected ids back through the
-    * `idOffset` arithmetic to the source column. One distinct over
-    * the pair frame, two keyed joins (the doc→source frame is
-    * dimension-small), one keyed aggregate.
-    */
   /** Duplicate-CLUSTER size distribution: how big are the duplicate
     * families — a corpus of pairwise twins (size-2 clusters) needs a
     * different fix than one giant boilerplate component (one
@@ -1143,15 +1130,34 @@ object Dedup {
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
 
+  /** DUPLICATION-RATE profile per source — which slice of the corpus
+    * is paying the dedup bill: per source, how many docs sit in ≥ 1
+    * verified near-dup pair. THE triage read before spending on a
+    * source-specific fix (one boilerplate-heavy crawl can own most of
+    * the duplicate mass), and the per-source acceptance check after.
+    *
+    * Runs the [[exactJaccardPairs]] contract (hot-shingle cap stated
+    * explicitly — the r9 composition rule) on the near-dup corpus,
+    * flags pair members, and maps injected ids back through the
+    * `idOffset` arithmetic to the source column. One distinct over
+    * the pair frame, two keyed joins (the doc→source frame is
+    * dimension-small), one keyed aggregate.
+    */
   def dupRateBySource(docs: DataFrame, num: Int = 7, den: Int = 10,
-                      maxDocFreq: Option[Int] = Some(50)): DataFrame = {
-    val corpus = withNearDuplicates(docs)
+                      maxDocFreq: Option[Int] = Some(50),
+                      idOffset: Long = 1000000L): DataFrame = {
+    val corpus = withNearDuplicates(docs, idOffset = idOffset)
     val pairs = exactJaccardPairs(corpus, num, den, maxDocFreq)
     val flagged = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct().withColumn("flag", lit(1L))
+    // Injected copies map back as doc_id − idOffset; originals map to
+    // themselves. The conditional (not a modulo) keeps the mapping
+    // correct for corpora whose native ids exceed idOffset (r9
+    // advisor: a `% idOffset` silently mis-attributes those).
     val withSrc = corpus.select(col("doc_id"),
-        (col("doc_id") % 1000000L).as("orig_id"))
+        when(col("doc_id") >= idOffset, col("doc_id") - idOffset)
+          .otherwise(col("doc_id")).as("orig_id"))
       .join(docs.select(col("doc_id").as("orig_id"), col("source")),
         Seq("orig_id"))
     withSrc.join(flagged, Seq("doc_id"), "left")

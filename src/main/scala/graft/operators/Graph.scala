@@ -281,9 +281,13 @@ object Graph {
   def triangles(edges: DataFrame, k: Int = 100): DataFrame = {
     // The upstream edge derivation (e.g. the pairEdges prune chain —
     // two joins + two aggregates) feeds THREE join legs; uncached it
-    // re-runs per leg (the r2 shingle-index lesson, PLANS.md).
+    // re-runs per leg (the r2 shingle-index lesson, PLANS.md). The
+    // k-row result is materialized (localCheckpoint — the
+    // duplicateClusters discipline) so the edge cache can be RELEASED
+    // before returning; a bare cache() here piled up storage across
+    // catalog invocations (r9 advisor).
     val e = edges.select(col("a"), col("b")).distinct().cache()
-    e.as("e1")
+    val out = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
         col("e2.b").as("tc"))
@@ -292,6 +296,9 @@ object Graph {
       .select(col("ta").as("a"), col("tb").as("b"), col("tc").as("c"))
       .orderBy(col("a"), col("b"), col("c"))
       .limit(k)
+      .localCheckpoint()
+    e.unpersist()
+    out
   }
 
   /** MULTI-SOURCE BFS hop distance: the minimum number of edges from
@@ -579,7 +586,9 @@ object Graph {
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    deg.join(triPerNode, Seq("node"), "left_outer")
+    // Materialize the node-sized result, then release the edge cache
+    // (r9 advisor: a bare cache() accumulates across invocations).
+    val out = deg.join(triPerNode, Seq("node"), "left_outer")
       .select(col("node"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         when(col("degree") >= 2,
@@ -587,6 +596,9 @@ object Graph {
             / (col("degree").cast("double")
               * (col("degree") - 1).cast("double")), 6))
           .otherwise(lit(0.0)).as("lcc"))
+      .localCheckpoint()
+    e.unpersist()
+    out
   }
 
   /** DEGREE ASSORTATIVITY — Newman's r: the Pearson correlation of the
@@ -630,8 +642,13 @@ object Graph {
     val sxD = col("sx").cast("double")
     val num = n * col("sxy").cast("double") - sxD * sxD
     val den = n * col("sxx").cast("double") - sxD * sxD
-    s.select(col("m").as("n_edges"),
+    // 1-row result materialized so the edge cache can be released
+    // before returning (r9 advisor: cache pileup across invocations).
+    val out = s.select(col("m").as("n_edges"),
       round(when(den =!= lit(0.0), num / den), 6).as("assortativity"))
+      .localCheckpoint()
+    e.unpersist()
+    out
   }
 
   /** DEGREE GINI — inequality of the degree distribution in one
@@ -646,9 +663,14 @@ object Graph {
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("v"))
-    CorpusStats.giniOfValues(deg.select(col("v")))
+    // 1-row result materialized so the edge cache can be released
+    // before returning (r9 advisor: cache pileup across invocations).
+    val out = CorpusStats.giniOfValues(deg.select(col("v")))
       .withColumnRenamed("n_units", "n_nodes")
       .withColumnRenamed("total", "n_edge_ends")
+      .localCheckpoint()
+    e.unpersist()
+    out
   }
 
   /** HUB EDGE SHARE — the fraction of edges touching the top-`k`
@@ -673,12 +695,17 @@ object Graph {
       .join(broadcast(hubs.select(col("node").as("b"),
         lit(1L).as("hb"))), Seq("b"), "left")
     val tot = deg.agg(count(lit(1)).as("n_nodes"))
-    flagged.agg(count(lit(1)).as("n_edges"),
+    // 1-row result materialized so the edge cache can be released
+    // before returning (r9 advisor: cache pileup across invocations).
+    val out = flagged.agg(count(lit(1)).as("n_edges"),
       sum(when(col("ha").isNotNull || col("hb").isNotNull, 1L)
         .otherwise(0L)).as("n_hub_edges"))
       .crossJoin(broadcast(tot))
       .select(col("n_nodes"), col("n_edges"), col("n_hub_edges"),
         round(col("n_hub_edges").cast("double")
           / col("n_edges").cast("double"), 6).as("hub_share"))
+      .localCheckpoint()
+    e.unpersist()
+    out
   }
 }

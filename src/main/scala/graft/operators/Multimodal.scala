@@ -179,6 +179,10 @@ object Multimodal {
       length(col("payload")).cast("long").as("n_bytes"))
       .withColumn("n_chunks",
         expr(s"(n_bytes + ${chunkBytes - 1}) DIV $chunkBytes"))
+      // Zero-byte payload → 0 chunks and 0 last-chunk bytes (the
+      // unguarded arithmetic would report a phantom full-size last
+      // chunk for an empty object — r9 advisor).
       .withColumn("last_chunk_bytes",
-        col("n_bytes") - (col("n_chunks") - 1) * chunkBytes)
+        when(col("n_chunks") === 0L, lit(0L)).otherwise(
+          col("n_bytes") - (col("n_chunks") - 1) * chunkBytes))
 }

@@ -885,13 +885,22 @@ object Analytics {
     *
     * Per source, docs are split into `q` equal-count rank bins
     * (ntile over a TOTAL order — score then doc_id — so the binning
-    * is engine-deterministic); the normalized value of (source, bin)
-    * is the all-sources mean of the bin. Output per (source, bin):
-    * population, the source's own bin mean, and the normalized value.
+    * is engine-deterministic); the normalized value of bin d is
+    * Bolstad's UNWEIGHTED mean of the per-source bin-d means (each
+    * source one vote, regardless of size — a pooled mean would let
+    * the largest source dominate the "cross-source" value, r9
+    * advisor). Output per (source, bin): population, the source's own
+    * bin mean, and the normalized value.
+    *
+    * Determinism: the per-source bin mean is snapped to 1e-9
+    * fixed-point (one rounding), so the cross-source average is an
+    * order-free integer sum over the handful of sources plus one
+    * final division — the engine's standard no-cross-engine-float-
+    * fold device.
     *
     * Scale shape: one keyed window per source (rank bins), two keyed
     * aggregates (per source-bin, per bin), one `q`-row broadcast
-    * join. Integer-exact sums; the two divisions happen on bin-count-
+    * join. Integer-exact sums; the divisions happen on bin-count-
     * sized frames.
     */
   def quantileNormalize(docs: DataFrame, srcCol: String,
@@ -903,14 +912,17 @@ object Analytics {
         Window.partitionBy(col("source"))
           .orderBy(col("score"), col("id"))))
     val perSrc = binned.groupBy(col("source"), col("bin")).agg(
-      count(lit(1)).as("n_docs"), sum(col("score")).as("s"))
+        count(lit(1)).as("n_docs"), sum(col("score")).as("s"))
+      .withColumn("mean_fp",
+        round(col("s").cast("double") / col("n_docs").cast("double")
+          * 1e9).cast("long"))
     val global = perSrc.groupBy(col("bin")).agg(
-      sum(col("n_docs")).as("gn"), sum(col("s")).as("gs"))
+      count(lit(1)).as("n_sources"), sum(col("mean_fp")).as("gfp"))
     perSrc.join(broadcast(global), Seq("bin"))
       .select(col("source"), col("bin"), col("n_docs"),
         round(col("s").cast("double") / col("n_docs").cast("double"), 6)
           .as("src_mean"),
-        round(col("gs").cast("double") / col("gn").cast("double"), 6)
-          .as("norm_value"))
+        round(col("gfp").cast("double") / 1e9
+          / col("n_sources").cast("double"), 6).as("norm_value"))
   }
 }
