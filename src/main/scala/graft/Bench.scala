@@ -130,7 +130,9 @@ object Bench {
     // r9 wave 14, benched at birth.
     "q_layout_compare",
     // r9 wave 15, benched at birth.
-    "q_lexical_richness")
+    "q_lexical_richness",
+    // r10 additions, benched at birth.
+    "q_media_neardup")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -760,6 +760,21 @@ object ScaleCatalog {
       Multimodal.chunkPlan(
         Multimodal.mediaTable(Tables.documents(s, d)))),
 
+    // PERCEPTUAL media near-dup (dHash + Hamming banding): every 25th
+    // doc gets a same-length perturbed copy (first 3 chars → "XYZ" —
+    // a localized pixel-region edit), signatures over the payload
+    // data section, banded candidates, exact Hamming ≤ 8 verify.
+    "q_media_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val pert = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("XYZ"), expr("substring(text, 4)")).as("text"),
+          col("source"))
+      Multimodal.mediaNearDupPairs(
+        Multimodal.mediaTable(docs.unionByName(pert)))
+    }),
+
     // Top principal component by 5 power steps — the ABTT/whitening
     // input — without materializing the gram matrix: one corpus scan
     // per step, d integer sums across the shuffle (the PageRank
@@ -2214,6 +2229,72 @@ object ScaleCatalog {
          |  round(list_reduce(ts, (a, x) -> a + x) / ln(2.0), 6) AS entropy
          |FROM terms""".stripMargin,
 
-    "q_media_decode" -> mediaMetaSql
+    "q_media_decode" -> mediaMetaSql,
+
+    // Perceptual near-dup twin: the payload data section IS
+    // encode(text) (everything after the 33-byte header), so the
+    // twin hashes encode(text) directly — same bytes, same integer
+    // DIV cell buckets, same cross-multiplied gradient bits, same
+    // 4×16 banding with the >100 hot-bucket exclusion, same exact
+    // Hamming verify.
+    "q_media_neardup" ->
+      """WITH cd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, 'XYZ' || substr(text, 4)
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |db AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nd
+        |  FROM cd WHERE octet_length(encode(text)) > 0),
+        |pb AS (
+        |  SELECT doc_id, nd, unnest(range(0, nd)) AS i, h FROM db),
+        |bv AS (
+        |  SELECT doc_id, (i * 72) // nd AS cell,
+        |    ('0x' || substr(h, CAST(2 * i + 1 AS INT), 2))::INT AS bv
+        |  FROM pb),
+        |cs AS (
+        |  SELECT doc_id, cell, SUM(bv) AS s, COUNT(*) AS c
+        |  FROM bv GROUP BY 1, 2),
+        |ks AS (
+        |  SELECT d.doc_id, r.k, (r.k // 8) * 9 + (r.k % 8) AS ca
+        |  FROM (SELECT DISTINCT doc_id FROM cs) d
+        |  CROSS JOIN range(64) r(k)),
+        |bits AS (
+        |  SELECT ks.doc_id, ks.k,
+        |    CASE WHEN COALESCE(a.s, 0) * COALESCE(b.c, 0)
+        |            > COALESCE(b.s, 0) * COALESCE(a.c, 0)
+        |      THEN '1' ELSE '0' END AS bit
+        |  FROM ks
+        |  LEFT JOIN cs a ON a.doc_id = ks.doc_id AND a.cell = ks.ca
+        |  LEFT JOIN cs b ON b.doc_id = ks.doc_id
+        |    AND b.cell = ks.ca + 1),
+        |sig AS (
+        |  SELECT doc_id, string_agg(bit, '' ORDER BY k) AS sig
+        |  FROM bits GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, r.b AS band,
+        |    substr(sig, CAST(r.b * 16 + 1 AS INT), 16) AS bv
+        |  FROM sig CROSS JOIN range(4) r(b)),
+        |hot AS (
+        |  SELECT band, bv FROM bands GROUP BY 1, 2
+        |  HAVING COUNT(*) > 100),
+        |cold AS (SELECT * FROM bands ANTI JOIN hot USING (band, bv)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM cold x JOIN cold y
+        |    ON x.band = y.band AND x.bv = y.bv
+        |    AND x.doc_id < y.doc_id),
+        |hm AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_filter(range(1, 65), i ->
+        |      substr(sa.sig, CAST(i AS INT), 1)
+        |        <> substr(sb.sig, CAST(i AS INT), 1))) AS INT)
+        |      AS hamming
+        |  FROM cand
+        |  JOIN sig sa ON sa.doc_id = cand.doc_a
+        |  JOIN sig sb ON sb.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, hamming FROM hm
+        |WHERE hamming <= 8""".stripMargin
   )
 }

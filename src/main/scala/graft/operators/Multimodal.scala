@@ -174,6 +174,114 @@ object Multimodal {
     * shuffle; the planner's output is what gets parallelized, never
     * the bytes on the driver.
     */
+  /** PERCEPTUAL dHash signature per payload — the gradient hash
+    * (difference hash) every image near-dup pipeline runs first: the
+    * decoded pixel stream is reduced to an 8×9 grid of cell averages
+    * and each of the 64 bits records whether a cell outshines its
+    * right neighbor. Byte-identical blobs hash equal ([[mediaDedup]]'s
+    * territory); SMALL perturbations — a re-encode, a changed corner,
+    * a metadata rewrite — flip only the bits of the touched cells, so
+    * near-dups sit within a few bits of Hamming distance. Here the
+    * "pixel stream" is the payload's data section (everything after
+    * the 33-byte PNG header this file synthesizes/parses), read
+    * through the same hex-rendering device as [[mediaDedup]] and the
+    * entropy probe, so the whole chain is cross-engine exact.
+    *
+    * Determinism devices: cell boundaries are integer bucket math
+    * (`position * 72 DIV n_bytes` — the engine's standard DIV
+    * idiom); the average comparison is cross-multiplied
+    * (`sum_a · cnt_b > sum_b · cnt_a`) so no division ever happens —
+    * bits are exact integer predicates in both engines. Payloads
+    * shorter than 72 data bytes leave some cells empty; an empty
+    * cell compares as all-zero (bit 0), a fixed function of length.
+    *
+    * Scale shape: one explode of the byte stream keyed by doc_id
+    * (map-side combine collapses it to ≤ 72 cells per doc before the
+    * shuffle), one per-doc fold into the 64-char signature — no
+    * payload ever shuffles (the hex slice is projected per-row), no
+    * driver participation.
+    */
+  def dhashSignatures(media: DataFrame): DataFrame = {
+    val m = media.select(col("doc_id"),
+        expr("substring(hex(payload), 67)").as("h"),
+        (length(col("payload")) - lit(33)).as("nd"))
+      .filter(col("nd") > 0)
+    val bytes = m.select(col("doc_id"), col("nd"),
+        posexplode(expr(
+          "transform(sequence(0, nd - 1), i -> " +
+            "cast(conv(substring(h, 2 * i + 1, 2), 16, 10) as int))")))
+      .select(col("doc_id"),
+        expr("cast(pos as bigint) * 72 div nd").as("cell"),
+        col("col").as("bv"))
+    val cells = bytes.groupBy(col("doc_id"), col("cell"))
+      .agg(sum(col("bv")).cast("long").as("s"),
+        count(lit(1)).as("c"))
+    cells.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("cell"), struct(col("s"), col("c"))))).as("cm"))
+      .select(col("doc_id"), expr(
+        """concat_ws('', transform(sequence(0, 63), k ->
+          |  if(coalesce(cm[cast((k div 8) * 9 + k % 8 as bigint)].s,
+          |       cast(0 as bigint))
+          |     * coalesce(cm[cast((k div 8) * 9 + k % 8 + 1 as bigint)].c,
+          |       cast(0 as bigint))
+          |   > coalesce(cm[cast((k div 8) * 9 + k % 8 + 1 as bigint)].s,
+          |       cast(0 as bigint))
+          |     * coalesce(cm[cast((k div 8) * 9 + k % 8 as bigint)].c,
+          |       cast(0 as bigint)), '1', '0')))""".stripMargin).as("sig"))
+  }
+
+  /** PERCEPTUAL media near-dup pairs — the media analog of the text
+    * near-dup family: [[dhashSignatures]] per payload, then
+    * Hamming-banded candidate generation (4 bands × 16 bits — the
+    * SimHash banding pattern: a pair within `maxHamming` ≤ 8 bits
+    * whose flips touch ≤ 3 bands is GUARANTEED a candidate by
+    * pigeonhole; perturbations localized in the pixel stream flip
+    * only adjacent-row bits, which land in one band) and exact
+    * Hamming verification on candidates only. Never blob×blob — the
+    * self-join is an equi-join on (band, band-bits), and band
+    * buckets holding more than `maxBucketDocs` signatures are
+    * excluded outright (the hot-shingle-cap discipline, stated here
+    * per the r9 composition rule: a corpus of near-constant payloads
+    * degrades to reporting nothing rather than to a quadratic join).
+    *
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤
+    * `maxHamming`. The signature frame feeds three legs (banding +
+    * both verify joins), so it is cached and RELEASED after the
+    * pair frame materializes (the localCheckpoint discipline).
+    */
+  def mediaNearDupPairs(media: DataFrame, maxHamming: Int = 8,
+                        maxBucketDocs: Int = 100): DataFrame = {
+    val sig = dhashSignatures(media).cache()
+    val bands = sig.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), b -> " +
+          "struct(b as band, substring(sig, b * 16 + 1, 16) as bv))"))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bv").as("bv"))
+    val hot = bands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketDocs)
+      .select(col("band"), col("bv"))
+    val cold = bands.join(hot, Seq("band", "bv"), "left_anti")
+    val cand = cold.as("x").join(cold.as("y"), Seq("band", "bv"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val out = cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
+        Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(filter(sequence(1, 64), i -> " +
+          "substring(sa, i, 1) != substring(sb, i, 1)))").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .localCheckpoint()
+    sig.unpersist()
+    out
+  }
+
   def chunkPlan(media: DataFrame, chunkBytes: Int = 256): DataFrame =
     media.select(col("doc_id"),
       length(col("payload")).cast("long").as("n_bytes"))

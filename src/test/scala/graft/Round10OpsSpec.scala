@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** r10 operators: perceptual (dHash) media near-dup. */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media(rows: Seq[(Long, String)]) =
+    Multimodal.mediaTable(
+      rows.map { case (id, t) => (id, t, "s") }
+        .toDF("doc_id", "text", "source"))
+
+  test("dhashSignatures: 64-bit strings; identical payloads hash " +
+    "equal, a localized edit stays within a few bits") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val sigs = Multimodal.dhashSignatures(media(Seq(
+        1L -> base, 2L -> base,
+        3L -> ("XYZ" + base.substring(3)),
+        4L -> base.reverse)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("sig")).toMap
+    assert(sigs.values.forall(s =>
+      s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(sigs(1L) == sigs(2L), "byte-identical payloads")
+    def ham(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sigs(1L), sigs(3L)) <= 8,
+      s"localized edit: ${ham(sigs(1L), sigs(3L))} bits")
+  }
+
+  test("mediaNearDupPairs: planted perturbed copies are found; " +
+    "unrelated docs are not paired") {
+    // Genuinely distinct bodies (seeded per doc): unrelated docs must
+    // land far apart in Hamming space, unlike a shared template.
+    val texts: Seq[(Long, String)] = (0 until 12).map { i =>
+      val rnd = new scala.util.Random(9000 + 31 * i)
+      i.toLong -> (1 to 200).map(_ =>
+        ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val planted = texts.filter(_._1 % 4 == 0).map { case (id, t) =>
+      (id + 1000L) -> ("XYZ" + t.substring(3)) }
+    val got = Multimodal.mediaNearDupPairs(media(texts ++ planted))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming")))
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    for (id <- Seq(0L, 4L, 8L))
+      assert(pairs.contains((id, id + 1000L)), s"planted pair $id")
+    assert(got.forall(_._3 <= 8), "verified threshold")
+    // No cross-document pair: every reported pair is a planted twin.
+    assert(pairs.forall { case (a, b) => b == a + 1000L },
+      s"unexpected pairs: ${pairs.filterNot { case (a, b) => b == a + 1000L }}")
+  }
+
+  test("mediaNearDupPairs: a band bucket past maxBucketDocs is " +
+    "excluded outright (no quadratic blowup on constant payloads)") {
+    val clones = (0 until 120).map(i => i.toLong -> ("same payload " * 10))
+    val got = Multimodal.mediaNearDupPairs(media(clones),
+      maxBucketDocs = 100)
+    assert(got.count() == 0, "hot buckets excluded, not exploded")
+    // With the cap lifted the same corpus pairs freely.
+    val uncapped = Multimodal.mediaNearDupPairs(media(clones.take(5)),
+      maxBucketDocs = 100)
+    assert(uncapped.count() == 5 * 4 / 2, "5 clones -> 10 pairs")
+  }
+}
