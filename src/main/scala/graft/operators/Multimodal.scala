@@ -195,41 +195,17 @@ object Multimodal {
     * shorter than 72 data bytes leave some cells empty; an empty
     * cell compares as all-zero (bit 0), a fixed function of length.
     *
-    * Scale shape: one explode of the byte stream keyed by doc_id
-    * (map-side combine collapses it to ≤ 72 cells per doc before the
-    * shuffle), one per-doc fold into the 64-char signature — no
-    * payload ever shuffles (the hex slice is projected per-row), no
-    * driver participation.
+    * Scale shape: [[graft.expressions.DHash]] is a native codegen'd
+    * expression — ONE O(n) byte pass per row, no per-byte rows, no
+    * shuffle at all (the first cut's explode + groupBy shipped one
+    * row per payload byte and interpreted a per-byte HOF lambda;
+    * measured ~10× this plan's signature cost at sf1). No payload
+    * ever shuffles, no driver participation.
     */
-  def dhashSignatures(media: DataFrame): DataFrame = {
-    val m = media.select(col("doc_id"),
-        expr("substring(hex(payload), 67)").as("h"),
-        (length(col("payload")) - lit(33)).as("nd"))
-      .filter(col("nd") > 0)
-    val bytes = m.select(col("doc_id"), col("nd"),
-        posexplode(expr(
-          "transform(sequence(0, nd - 1), i -> " +
-            "cast(conv(substring(h, 2 * i + 1, 2), 16, 10) as int))")))
-      .select(col("doc_id"),
-        expr("cast(pos as bigint) * 72 div nd").as("cell"),
-        col("col").as("bv"))
-    val cells = bytes.groupBy(col("doc_id"), col("cell"))
-      .agg(sum(col("bv")).cast("long").as("s"),
-        count(lit(1)).as("c"))
-    cells.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(
-        struct(col("cell"), struct(col("s"), col("c"))))).as("cm"))
-      .select(col("doc_id"), expr(
-        """concat_ws('', transform(sequence(0, 63), k ->
-          |  if(coalesce(cm[cast((k div 8) * 9 + k % 8 as bigint)].s,
-          |       cast(0 as bigint))
-          |     * coalesce(cm[cast((k div 8) * 9 + k % 8 + 1 as bigint)].c,
-          |       cast(0 as bigint))
-          |   > coalesce(cm[cast((k div 8) * 9 + k % 8 + 1 as bigint)].s,
-          |       cast(0 as bigint))
-          |     * coalesce(cm[cast((k div 8) * 9 + k % 8 as bigint)].c,
-          |       cast(0 as bigint)), '1', '0')))""".stripMargin).as("sig"))
-  }
+  def dhashSignatures(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+        expr("graft_dhash(payload, 33)").as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** PERCEPTUAL media near-dup pairs — the media analog of the text
     * near-dup family: [[dhashSignatures]] per payload, then
