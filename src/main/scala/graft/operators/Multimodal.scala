@@ -228,13 +228,19 @@ object Multimodal {
     */
   def mediaNearDupPairs(media: DataFrame, maxHamming: Int = 8,
                         maxBucketDocs: Int = 100): DataFrame = {
-    val sig = dhashSignatures(media).cache()
-    val bands = sig.select(col("doc_id"), explode(expr(
+    // Signature + its four 16-bit words as integers: banding joins on
+    // the word (numeric equi-key) and the Hamming verify is popcount
+    // of XOR per word — no per-pair string walk (the first cut's
+    // 64-substring lambda dominated at sf1's ~1M candidate pairs).
+    val sig = dhashSignatures(media)
+      .select(col("doc_id"), expr(
         "transform(sequence(0, 3), b -> " +
-          "struct(b as band, substring(sig, b * 16 + 1, 16) as bv))"))
-        .as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.bv").as("bv"))
+          "cast(conv(substring(sig, b * 16 + 1, 16), 2, 10) as bigint))")
+        .as("w"))
+      .cache()
+    val bands = sig.select(col("doc_id"),
+        posexplode(col("w")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bv"))
     val hot = bands.groupBy(col("band"), col("bv"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucketDocs)
@@ -245,13 +251,14 @@ object Multimodal {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val out = cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
+      .join(sig.select(col("doc_id").as("doc_a"), col("w").as("wa")),
         Seq("doc_a"))
-      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+      .join(sig.select(col("doc_id").as("doc_b"), col("w").as("wb")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("size(filter(sequence(1, 64), i -> " +
-          "substring(sa, i, 1) != substring(sb, i, 1)))").as("hamming"))
+        expr("cast(bit_count(wa[0] ^ wb[0]) + bit_count(wa[1] ^ wb[1])" +
+          " + bit_count(wa[2] ^ wb[2]) + bit_count(wa[3] ^ wb[3])" +
+          " as int)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .localCheckpoint()
     sig.unpersist()
