@@ -210,6 +210,81 @@ object StreamingSketch {
         take.iterator
       }
 
+  case class GroupDay(g: String, day: Int)
+  case class DayCount(day: Int, n: Long)
+  case class DecayHist(g: String, n_events: Long, ref_day: Int,
+                       days: Seq[DayCount])
+
+  /** Incremental state for [[graft.query.Analytics.decayCounts]] —
+    * the freshness-weighted mixing signal live (VERDICT r9 #4): the
+    * decayed sum itself is NOT mergeable state (its dyadic weights
+    * re-scale every time the reference date advances), but the
+    * (total, per-day count map) pair IS — day counts merge by sum,
+    * the reference day by max, and the weighted readout is a pure
+    * function of (histogram, global ref). So the twin splits exactly
+    * there: this operator maintains the bounded per-group histogram
+    * via `mapGroupsWithState`, and [[decayFromHistograms]] is the
+    * stateless finish that applies the batch operator's integer
+    * 2^(20−k) weights under the GLOBAL max day (the batch reference
+    * is corpus-wide, which no single group's state can know).
+    *
+    * State is bounded by construction: days at hl ≥ 21 relative to
+    * the group's own max have weight 0 under ANY global ref ≥ it
+    * (refs only advance), so they are pruned eagerly — ≤ 21·halfLife
+    * day entries per group regardless of stream length, while
+    * `n_events` keeps counting every event like the batch COUNT(*).
+    */
+  def decayStream(events: Dataset[GroupDay], halfLifeDays: Int = 30)
+      : Dataset[DecayHist] =
+    events.groupByKey(_.g)(Encoders.STRING)
+      .mapGroupsWithState[(Long, Map[Int, Long]), DecayHist](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[GroupDay],
+         state: GroupState[(Long, Map[Int, Long])]) =>
+          var (total, days) = state.getOption
+            .getOrElse((0L, Map.empty[Int, Long]))
+          rows.foreach { r =>
+            total += 1L
+            days = days.updated(r.day, days.getOrElse(r.day, 0L) + 1L)
+          }
+          val ref = days.keysIterator.max
+          val kept = days.filter {
+            case (d, _) => ref - d < (20 + 1) * halfLifeDays
+          }
+          state.update((total, kept))
+          DecayHist(g, total, ref,
+            kept.toSeq.sortBy(_._1).map(e => DayCount(e._1, e._2)))
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
+        Encoders.product[DecayHist])
+
+  /** Stateless finish for [[decayStream]]: the batch
+    * [[graft.query.Analytics.decayCounts]] arithmetic — half-life
+    * buckets against the 1-row broadcast GLOBAL max day, integer
+    * 2^(20−k) weights, one division — applied to the emitted
+    * histograms. Output schema matches the batch operator
+    * (`groupCol`, n_events, decayed_count), so the parity spec
+    * compares frames directly.
+    */
+  def decayFromHistograms(hists: org.apache.spark.sql.DataFrame,
+                          groupCol: String = "event_type",
+                          halfLifeDays: Int = 30)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ref = hists.agg(max(col("ref_day")).as("r"))
+    hists.select(col("g"), col("n_events"),
+        explode(col("days")).as("dc"))
+      .crossJoin(broadcast(ref))
+      .withColumn("hl", expr(s"(r - dc.day) DIV $halfLifeDays"))
+      .withColumn("wfp",
+        when(col("hl") <= 20,
+          expr("CAST(1 AS BIGINT) << (20 - hl)") * col("dc.n"))
+          .otherwise(lit(0L)))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n_events")).as("n_events"),
+        round(sum(col("wfp")).cast("double") / (1L << 20).toDouble, 6)
+          .as("decayed_count"))
+  }
+
   /** JVM twin of TextOps.fingerprint64 (md5 hex → first 15 digits →
     * long): non-negative (< 2⁶⁰), so plain `%` is pmod.
     */
