@@ -482,7 +482,27 @@ object AnalyticsCatalog {
     // with DYADIC weights 2^-k carried as integers 2^(20-k) — exact
     // sums at any scale, one division, no exp() parity surface.
     "q_decay_counts" -> ((s, d) =>
-      Analytics.decayCounts(Events.typed(Tables.events(s, d))))
+      Analytics.decayCounts(Events.typed(Tables.events(s, d)))),
+
+    // The spark.sql TEXT surface over the EXTENSION views (VERDICT r9
+    // #5 — q_sql_monthly proved the path for the AR slice only):
+    // decayed counts expressed as SQL over the registered events_typed
+    // view, same dyadic integer weights, same single division.
+    "q_sql_decay_counts" -> ((s, d) => {
+      graft.queries.Views.register(s, d)
+      s.sql("""
+        WITH ref AS (
+          SELECT MAX(CAST(ts AS DATE)) AS r FROM events_typed)
+        SELECT /*+ BROADCAST(ref) */ event_type,
+          COUNT(*) AS n_events,
+          round(CAST(SUM(CASE
+            WHEN datediff(r, CAST(ts AS DATE)) DIV 30 <= 20
+            THEN shiftleft(CAST(1 AS BIGINT),
+              20 - (datediff(r, CAST(ts AS DATE)) DIV 30))
+            ELSE 0 END) AS DOUBLE) / 1048576.0, 6) AS decayed_count
+        FROM events_typed CROSS JOIN ref
+        GROUP BY event_type""")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1547,22 +1567,27 @@ object AnalyticsCatalog {
         |FROM s CROSS JOIN nl CROSS JOIN nr""".stripMargin,
 
     // Decay twin: same day-difference half-life bucket, the same
-    // integer 2^(20-k) weights, one division by 2^20.
-    "q_decay_counts" ->
-      s"""WITH $eventsSql,
-         |ref AS (SELECT MAX(CAST(ts AS DATE)) AS r FROM e),
-         |w AS (
-         |  SELECT event_type,
-         |    CASE WHEN date_diff('day', CAST(ts AS DATE), r) // 30 <= 20
-         |      THEN (1::BIGINT <<
-         |        (20 - (date_diff('day', CAST(ts AS DATE), r) // 30)))
-         |      ELSE 0 END AS wfp
-         |  FROM e CROSS JOIN ref)
-         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-         |  round(CAST(SUM(wfp) AS DOUBLE) / 1048576.0, 6)
-         |    AS decayed_count
-         |FROM w GROUP BY 1""".stripMargin
+    // integer 2^(20-k) weights, one division by 2^20. The SQL-text
+    // variant computes the identical plan from the view, so one twin
+    // gates both.
+    "q_decay_counts" -> decayCountsSql,
+    "q_sql_decay_counts" -> decayCountsSql
   )
+
+  private lazy val decayCountsSql: String =
+    s"""WITH $eventsSql,
+       |ref AS (SELECT MAX(CAST(ts AS DATE)) AS r FROM e),
+       |w AS (
+       |  SELECT event_type,
+       |    CASE WHEN date_diff('day', CAST(ts AS DATE), r) // 30 <= 20
+       |      THEN (1::BIGINT <<
+       |        (20 - (date_diff('day', CAST(ts AS DATE), r) // 30)))
+       |      ELSE 0 END AS wfp
+       |  FROM e CROSS JOIN ref)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  round(CAST(SUM(wfp) AS DOUBLE) / 1048576.0, 6)
+       |    AS decayed_count
+       |FROM w GROUP BY 1""".stripMargin
 
   /** One PageRank iteration twin of Graph.pageRank's loop body:
     * fixed-point contributions from p{k-1}, integer per-node sum,

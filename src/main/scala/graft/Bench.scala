@@ -193,7 +193,11 @@ object Bench {
     "q_doc_fingerprint" -> "q_quality_score",
     "q_docs_csv" -> "q_docs_orc", "q_docs_jsonl" -> "q_docs_orc",
     "q_vocab" -> "q_top_ngrams", "q_dedup_exact" -> "q_dedup_pipeline",
-    "q_dedup_edit" -> "q_entity_match", "q_knn_ivf" -> "q_knn_ivf_learned")
+    "q_dedup_edit" -> "q_entity_match", "q_knn_ivf" -> "q_knn_ivf_learned",
+    // r10 SQL-text variants: same plan as their DataFrame twins.
+    "q_sql_decay_counts" -> "q_decay_counts",
+    "q_sql_dedup_exact" -> "q_dedup_pipeline",
+    "q_sql_embed_norm" -> "q_embed_norm")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

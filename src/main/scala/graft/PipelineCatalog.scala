@@ -313,6 +313,22 @@ object PipelineCatalog {
       Dedup.exactDuplicateGroups(
         Dedup.withExactDuplicates(Tables.documents(s, d)))),
 
+    // The spark.sql TEXT surface over the documents view (VERDICT r9
+    // #5): exact-dup groups as SQL text — the same injected corpus,
+    // md5 fingerprint groupBy, HAVING n > 1; one oracle gates both.
+    "q_sql_dedup_exact" -> ((s, d) => {
+      graft.queries.Views.register(s, d)
+      s.sql("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, text
+          FROM documents WHERE doc_id % 40 = 0)
+        SELECT md5(text) AS fingerprint, MIN(doc_id) AS keeper_doc_id,
+          COUNT(*) AS n
+        FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""")
+    }),
+
     // Exact n-gram Jaccard near-dup pairs (shingle inverted index).
     // maxDocFreq=50 (r8): a strict no-op at oracle scales (max
     // word-trigram df measured 7 at sf0.01, 26 at sf0.1) that bounds
@@ -1198,6 +1214,14 @@ object PipelineCatalog {
         |FROM documents""".stripMargin,
 
     "q_dedup_exact" ->
+      s"""WITH $corpusExactSql
+         |SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_doc_id,
+         |  COUNT(*) AS n
+         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+
+    // SQL-text variant: identical corpus CTE and aggregate, so the
+    // same twin gates it.
+    "q_sql_dedup_exact" ->
       s"""WITH $corpusExactSql
          |SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_doc_id,
          |  COUNT(*) AS n

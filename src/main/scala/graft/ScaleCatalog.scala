@@ -226,6 +226,20 @@ object ScaleCatalog {
   // NOTE: no line in this fragment may START with "||" — it is
   // interpolated into outer stripMargin templates, and a second
   // stripMargin would eat the first pipe of a leading "||".
+  private lazy val embedNormSql: String =
+    """WITH n AS (
+      |  SELECT label,
+      |    CAST(round(sqrt(list_inner_product(e, e)) * 1e6) AS BIGINT)
+      |      AS norm_fp
+      |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+      |        FROM embeddings))
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  round(CAST(SUM(norm_fp) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_norm,
+      |  round(CAST(MIN(norm_fp) AS DOUBLE) / 1e6, 6) AS min_norm,
+      |  round(CAST(MAX(norm_fp) AS DOUBLE) / 1e6, 6) AS max_norm
+      |FROM n GROUP BY 1""".stripMargin
+
   private val mediaPayloadCte =
     """m AS (
       |  SELECT doc_id,
@@ -373,6 +387,27 @@ object ScaleCatalog {
     // index is trusted; 1e-6 fixed-point norms → exact integer sums.
     "q_embed_norm" -> ((s, d) =>
       graft.operators.Profile.embedNormProfile(Tables.embeddings(s, d))),
+
+    // The spark.sql TEXT surface over the embeddings view (VERDICT r9
+    // #5): the norm profile as SQL text — same left-fold sum of
+    // squares (aggregate ≡ DuckDB list_reduce, index order), same
+    // 1e-6 snap and integer group sums; one oracle gates both.
+    "q_sql_embed_norm" -> ((s, d) => {
+      graft.queries.Views.register(s, d)
+      s.sql("""
+        WITH n AS (
+          SELECT label,
+            CAST(round(sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
+              (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+              * 1e6, 0) AS BIGINT) AS norm_fp
+          FROM embeddings)
+        SELECT label, COUNT(*) AS n_vecs,
+          round(CAST(SUM(norm_fp) AS DOUBLE)
+            / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_norm,
+          round(CAST(MIN(norm_fp) AS DOUBLE) / 1e6, 6) AS min_norm,
+          round(CAST(MAX(norm_fp) AS DOUBLE) / 1e6, 6) AS max_norm
+        FROM n GROUP BY label""")
+    }),
 
     // Layout locality AUDIT — the measurable version of the Hilbert
     // claim, in the unit storage actually bills: for three fixed key
@@ -1817,20 +1852,10 @@ object ScaleCatalog {
 
     // Norm-profile twin: the same 1e-6 snap on
     // sqrt(list_inner_product), integer group sums, per-label
-    // divisions.
-    "q_embed_norm" ->
-      """WITH n AS (
-        |  SELECT label,
-        |    CAST(round(sqrt(list_inner_product(e, e)) * 1e6) AS BIGINT)
-        |      AS norm_fp
-        |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e
-        |        FROM embeddings))
-        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-        |  round(CAST(SUM(norm_fp) AS DOUBLE)
-        |    / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_norm,
-        |  round(CAST(MIN(norm_fp) AS DOUBLE) / 1e6, 6) AS min_norm,
-        |  round(CAST(MAX(norm_fp) AS DOUBLE) / 1e6, 6) AS max_norm
-        |FROM n GROUP BY 1""".stripMargin,
+    // divisions. The SQL-text variant computes the identical values
+    // from the view, so one twin gates both.
+    "q_embed_norm" -> embedNormSql,
+    "q_sql_embed_norm" -> embedNormSql,
 
     // Zone-map twin: the zorder CTE chain feeding the shared zone-id
     // arithmetic (broadcast MAX → top-8-bits shift → `//` divide),

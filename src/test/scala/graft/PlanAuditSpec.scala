@@ -161,8 +161,8 @@ class PlanAuditSpec extends SparkSpec {
     // planner, q_join_degree family).
     "q_join_advisor",
     // decay_counts: the 1-row reference-date frame (q_quartiles
-    // 1-row family).
-    "q_decay_counts")
+    // 1-row family); the SQL-text variant compiles to the same plan.
+    "q_decay_counts", "q_sql_decay_counts")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
