@@ -447,7 +447,8 @@ object Dedup {
     * shuffle-partitionable, no driver-side data, only a driver-side
     * convergence check per round.
     */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
+  def duplicateClusters(pairs: DataFrame,
+                        maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .cache()
@@ -471,7 +472,8 @@ object Dedup {
       .distinct().withColumn("label", col("doc_id"))
       .localCheckpoint(false)
     var converged = false
-    while (!converged) {
+    var r = 0
+    while (!converged && r < maxRounds) {
       val next = edges
         .join(labels, edges("b") === labels("doc_id"))
         .select(col("a").as("doc_id"), col("label"))
@@ -483,7 +485,13 @@ object Dedup {
         .localCheckpoint(false)
       converged = next.filter(col("changed")).count() == 0
       labels = next.drop("changed")
+      r += 1
     }
+    // The kCore round-accounting discipline (VERDICT r9 #6): the
+    // fixpoint's cost is round-count-bound at scale, so the count is
+    // part of the perf record.
+    Console.err.println(
+      s"[graft] duplicateClusters: $r rounds (cap $maxRounds)")
     edges.unpersist()
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
