@@ -1071,6 +1071,12 @@ object PipelineCatalog {
     "q_heaps_curve" -> ((s, d) =>
       graft.operators.CorpusStats.heapsCurve(Tables.documents(s, d))),
 
+    // Per-source Heaps exponents (VERDICT r9 #7): the heapsCurve
+    // machinery within each source + the zipfFit OLS closed form —
+    // beta per source = the marginal-data-value read for data buying.
+    "q_heaps_by_source" -> ((s, d) =>
+      graft.operators.CorpusStats.heapsBySource(Tables.documents(s, d))),
+
     // Cross-source quantile normalization of n_chars at decile
     // granularity (Bolstad et al.): per-source rank bins → the
     // all-sources bin mean as the normalized value — what makes
@@ -3296,6 +3302,87 @@ object PipelineCatalog {
         |  CAST(SUM(new_types) OVER (ORDER BY bucket
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
         |FROM j""".stripMargin,
+
+    // Per-source Heaps twin: the q_heaps_curve chain partitioned by
+    // source, 1e-6-snapped ln points, integer per-source sums, the
+    // q_zipf_fit double tree (sums cast to double FIRST).
+    "q_heaps_by_source" ->
+      """WITH bounds AS (
+        |  SELECT source, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        |  FROM documents GROUP BY 1),
+        |toks AS (SELECT source, doc_id, string_split(text, ' ') AS t
+        |         FROM documents),
+        |bg AS (
+        |  SELECT source, doc_id, t[i] || ' ' || t[i+1] AS bg
+        |  FROM (SELECT source, doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks)),
+        |firsts AS (SELECT source, bg, MIN(doc_id) AS first_doc FROM bg
+        |           GROUP BY 1, 2),
+        |fb AS (
+        |  SELECT f.source,
+        |    least(((first_doc - mn) * 10) // (mx - mn + 1), 9) AS bucket
+        |  FROM firsts f JOIN bounds b ON f.source = b.source),
+        |nt AS (SELECT source, bucket, COUNT(*) AS new_types FROM fb
+        |       GROUP BY 1, 2),
+        |occ0 AS (
+        |  SELECT source, doc_id,
+        |    greatest(len(string_split(text, ' ')) - 1, 0) AS n_bg
+        |  FROM documents),
+        |ob AS (
+        |  SELECT o.source,
+        |    least(((doc_id - mn) * 10) // (mx - mn + 1), 9) AS bucket,
+        |    n_bg
+        |  FROM occ0 o JOIN bounds b ON o.source = b.source),
+        |occ AS (SELECT source, bucket, SUM(n_bg) AS n_bigrams
+        |        FROM ob GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT source, CAST(r AS BIGINT) AS bucket
+        |  FROM bounds CROSS JOIN range(10) g(r)),
+        |j AS (
+        |  SELECT grid.source, grid.bucket,
+        |    CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS nb,
+        |    CAST(COALESCE(new_types, 0) AS BIGINT) AS nt2
+        |  FROM grid
+        |  LEFT JOIN occ ON grid.source = occ.source
+        |    AND grid.bucket = occ.bucket
+        |  LEFT JOIN nt ON grid.source = nt.source
+        |    AND grid.bucket = nt.bucket),
+        |cum AS (
+        |  SELECT source,
+        |    SUM(nb) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS n_cum,
+        |    SUM(nt2) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS v_cum
+        |  FROM j),
+        |pts AS (
+        |  SELECT source,
+        |    CAST(round(ln(CAST(n_cum AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(v_cum AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM cum WHERE n_cum > 0 AND v_cum > 0),
+        |s AS (
+        |  SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM pts GROUP BY 1),
+        |f AS (
+        |  SELECT source, CAST(n AS BIGINT) AS n_fit,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM s)
+        |SELECT source, n_fit,
+        |  round(CASE WHEN nd * sxxd - sxd * sxd <> 0.0 THEN
+        |    (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END, 6)
+        |    AS beta,
+        |  round(CASE WHEN nd * sxxd - sxd * sxd <> 0.0 THEN
+        |    (syd - ((nd * sxyd - sxd * syd)
+        |        / (nd * sxxd - sxd * sxd)) * sxd) / nd / 1e6 END, 6)
+        |    AS ln_k,
+        |  round(CASE WHEN (nd * sxxd - sxd * sxd)
+        |      * (nd * syyd - syd * syd) <> 0.0 THEN
+        |    (nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+        |    / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+        |  END, 6) AS r2
+        |FROM f""".stripMargin,
 
     // Quantile-normalization twin: the same total-order ntile binning
     // (score then doc_id), per-source bin means snapped to 1e-9

@@ -68,6 +68,87 @@ object CorpusStats {
         .as("r2"))
   }
 
+  /** PER-SOURCE Heaps-law exponents: the [[heapsCurve]] machinery run
+    * within each source (per-source doc-id ranges, per-source bigram
+    * first appearances) and finished with the [[zipfFit]] OLS
+    * closed form in log-log space — V(N) ≈ K·N^β per source, so β is
+    * the source's MARGINAL-DATA-VALUE read: a high-β source still
+    * yields new types per token (buy more of it), a low-β source has
+    * saturated (the cross-source companion to q_lm_by_source's
+    * familiarity read, VERDICT r9 #7).
+    *
+    * Determinism: the curve points are exact longs (cumulative
+    * integer sums over the densified per-source bucket grid, keyed
+    * window); ln values snap to 1e-6 fixed point and sum as exact
+    * longs per source; the closed-form double tree runs once per
+    * source on the aggregated row with sums cast to double FIRST —
+    * term-for-term the q_zipf_fit twin convention.
+    *
+    * Output per source: n_fit (buckets with data), beta (the Heaps
+    * exponent), ln_k (intercept, = ln K — left in log space: no
+    * cross-engine exp() surface), r2.
+    */
+  def heapsBySource(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val bounds = docs.groupBy(col("source"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    def bucketOf(df: DataFrame, idCol: String): DataFrame = df
+      .join(broadcast(bounds), Seq("source"))
+      .withColumn("bnum", (col(idCol) - col("mn")) * buckets)
+      .withColumn("bden", col("mx") - col("mn") + 1)
+      .withColumn("bucket",
+        least(expr("bnum DIV bden"), lit(buckets - 1L)))
+    val firsts = bucketOf(docs
+      .select(col("source"), col("doc_id"),
+        explode(TextOps.ngramsAll(col("text"), 2)).as("bg"))
+      .groupBy(col("source"), col("bg"))
+      .agg(min(col("doc_id")).as("first_doc")),
+      "first_doc")
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val occ = bucketOf(docs
+      .select(col("source"), col("doc_id"),
+        greatest(TextOps.tokenCount(col("text")) - 1, lit(0))
+          .cast("long").as("n_bg")), "doc_id")
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_bg")).as("n_bigrams"))
+    val grid = bounds.select(col("source"),
+      explode(sequence(lit(0L), lit(buckets - 1L))).as("bucket"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = grid
+      .join(occ, Seq("source", "bucket"), "left_outer")
+      .join(firsts, Seq("source", "bucket"), "left_outer")
+      .select(col("source"), col("bucket"),
+        coalesce(col("n_bigrams"), lit(0L)).as("nb"),
+        coalesce(col("new_types"), lit(0L)).as("nt"))
+      .select(col("source"),
+        sum(col("nb")).over(w).as("n_cum"),
+        sum(col("nt")).over(w).as("v_cum"))
+      .filter(col("n_cum") > 0 && col("v_cum") > 0)
+    val fixed = pts.select(col("source"),
+      round(log(col("n_cum").cast("double")) * 1e6, 0).cast("long")
+        .as("x"),
+      round(log(col("v_cum").cast("double")) * 1e6, 0).cast("long")
+        .as("y"))
+    val s = fixed.groupBy(col("source")).agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double")
+    val num = nD * col("sxy").cast("double") - sxD * syD
+    val den = nD * col("sxx").cast("double") - sxD * sxD
+    val deny = nD * col("syy").cast("double") - syD * syD
+    s.select(col("source"), col("n").as("n_fit"),
+      round(when(den =!= lit(0.0), num / den), 6).as("beta"),
+      round(when(den =!= lit(0.0),
+        (syD - (num / den) * sxD) / nD / 1e6), 6).as("ln_k"),
+      round(when(den * deny =!= lit(0.0), num * num / (den * deny)), 6)
+        .as("r2"))
+  }
+
   /** HEAPS-LAW vocabulary-growth curve over token BIGRAMS: split the
     * corpus into `buckets` equal doc-id ranges (the canonical corpus
     * order), and report, cumulatively, how many bigram occurrences

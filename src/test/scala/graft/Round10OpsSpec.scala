@@ -54,6 +54,27 @@ class Round10OpsSpec extends SparkSpec {
       s"unexpected pairs: ${pairs.filterNot { case (a, b) => b == a + 1000L }}")
   }
 
+  test("heapsBySource: a saturated source fits beta near 0, a " +
+    "fresh-vocabulary source near 1") {
+    import spark.implicits._
+    val sat = (0 until 20).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta " * 4, "sat"))
+    val grow = (0 until 20).map(i =>
+      (100L + i, (0 until 24).map(j => s"w${i}_$j").mkString(" "),
+        "grow"))
+    val got = graft.operators.CorpusStats.heapsBySource(
+        (sat ++ grow).toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_fit"), r.getAs[Double]("beta"),
+          r.getAs[Double]("r2"))).toMap
+    val (nSat, bSat, _) = got("sat")
+    val (nGrow, bGrow, r2Grow) = got("grow")
+    assert(nSat == 10 && nGrow == 10, "all buckets have data")
+    assert(bSat < 0.2, s"saturated source beta $bSat")
+    assert(bGrow > 0.9 && bGrow <= 1.01, s"fresh source beta $bGrow")
+    assert(r2Grow > 0.99, s"fresh source fit r2 $r2Grow")
+  }
+
   test("mediaNearDupPairs: a band bucket past maxBucketDocs is " +
     "excluded outright (no quadratic blowup on constant payloads)") {
     val clones = (0 until 120).map(i => i.toLong -> ("same payload " * 10))
