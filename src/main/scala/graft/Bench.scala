@@ -132,7 +132,9 @@ object Bench {
     // r9 wave 15, benched at birth.
     "q_lexical_richness",
     // r10 additions, benched at birth.
-    "q_media_neardup", "q_heaps_by_source")
+    "q_media_neardup", "q_heaps_by_source",
+    // r10 wave 2, benched at birth.
+    "q_media_neardup_clusters", "q_media_hash_agreement")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

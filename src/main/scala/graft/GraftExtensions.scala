@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{ByteEntropy, CosineSimilarity, DHash, HashVector, HilbertIndex, HllRho, LshBucket, WinnowFingerprints}
+import graft.expressions.{AHash, ByteEntropy, CosineSimilarity, DHash, HashVector, HilbertIndex, HllRho, LshBucket, WinnowFingerprints}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the native expressions so they are callable from SQL and via
@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_byte_entropy"),
       new ExpressionInfo(classOf[ByteEntropy].getName, "graft_byte_entropy"),
       (children: Seq[Expression]) => ByteEntropy(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ahash"),
+      new ExpressionInfo(classOf[AHash].getName, "graft_ahash"),
+      (children: Seq[Expression]) =>
+        AHash(children.head, children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_dhash"),
       new ExpressionInfo(classOf[DHash].getName, "graft_dhash"),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.{Multimodal, Similarity}
 import graft.queries.Tables
@@ -799,16 +800,20 @@ object ScaleCatalog {
     // doc gets a same-length perturbed copy (first 3 chars → "XYZ" —
     // a localized pixel-region edit), signatures over the payload
     // data section, banded candidates, exact Hamming ≤ 8 verify.
-    "q_media_neardup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), col("source"))
-      val pert = docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
-          concat(lit("XYZ"), expr("substring(text, 4)")).as("text"),
-          col("source"))
-      Multimodal.mediaNearDupPairs(
-        Multimodal.mediaTable(docs.unionByName(pert)))
-    }),
+    "q_media_neardup" -> ((s, d) =>
+      Multimodal.mediaNearDupPairs(perturbedMedia(s, d))),
+
+    // Perceptual near-dup CLUSTERS: the text family's min-label
+    // fixpoint (clusterSizeDist) over the verified dHash pairs — the
+    // media keep-one-per-cluster decision's size histogram.
+    "q_media_neardup_clusters" -> ((s, d) =>
+      graft.operators.Dedup.clusterSizeDist(
+        Multimodal.mediaNearDupPairs(perturbedMedia(s, d)))),
+
+    // dHash vs aHash method-agreement audit (the media analog of
+    // q_dedup_agreement): full-outer of the two verified pair sets.
+    "q_media_hash_agreement" -> ((s, d) =>
+      Multimodal.mediaHashAgreement(perturbedMedia(s, d))),
 
     // Top principal component by 5 power steps — the ABTT/whitening
     // input — without materializing the gram matrix: one corpus scan
@@ -2259,67 +2264,175 @@ object ScaleCatalog {
     // Perceptual near-dup twin: the payload data section IS
     // encode(text) (everything after the 33-byte header), so the
     // twin hashes encode(text) directly — same bytes, same integer
-    // DIV cell buckets, same cross-multiplied gradient bits, same
-    // 4×16 banding with the >100 hot-bucket exclusion, same exact
-    // Hamming verify.
+    // DIV cell buckets, same cross-multiplied bits, same 4×16
+    // banding with the >100 hot-bucket exclusion, same exact Hamming
+    // verify. The chain is generated (mediaSigSql/mediaBandSql) so
+    // the clusters and agreement twins reuse it verbatim.
     "q_media_neardup" ->
-      """WITH cd AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 3000000 AS doc_id, 'XYZ' || substr(text, 4)
-        |  FROM documents WHERE doc_id % 25 = 0),
-        |db AS (
-        |  SELECT doc_id, hex(encode(text)) AS h,
-        |    octet_length(encode(text)) AS nd
-        |  FROM cd WHERE octet_length(encode(text)) > 0),
-        |pb AS (
-        |  SELECT doc_id, nd, unnest(range(0, nd)) AS i, h FROM db),
-        |bv AS (
-        |  SELECT doc_id, (i * 72) // nd AS cell,
-        |    ('0x' || substr(h, CAST(2 * i + 1 AS INT), 2))::INT AS bv
-        |  FROM pb),
-        |cs AS (
-        |  SELECT doc_id, cell, SUM(bv) AS s, COUNT(*) AS c
-        |  FROM bv GROUP BY 1, 2),
-        |ks AS (
-        |  SELECT d.doc_id, r.k, (r.k // 8) * 9 + (r.k % 8) AS ca
-        |  FROM (SELECT DISTINCT doc_id FROM cs) d
-        |  CROSS JOIN range(64) r(k)),
-        |bits AS (
-        |  SELECT ks.doc_id, ks.k,
-        |    CASE WHEN COALESCE(a.s, 0) * COALESCE(b.c, 0)
-        |            > COALESCE(b.s, 0) * COALESCE(a.c, 0)
-        |      THEN '1' ELSE '0' END AS bit
-        |  FROM ks
-        |  LEFT JOIN cs a ON a.doc_id = ks.doc_id AND a.cell = ks.ca
-        |  LEFT JOIN cs b ON b.doc_id = ks.doc_id
-        |    AND b.cell = ks.ca + 1),
-        |sig AS (
-        |  SELECT doc_id, string_agg(bit, '' ORDER BY k) AS sig
-        |  FROM bits GROUP BY 1),
-        |bands AS (
-        |  SELECT doc_id, r.b AS band,
-        |    substr(sig, CAST(r.b * 16 + 1 AS INT), 16) AS bv
-        |  FROM sig CROSS JOIN range(4) r(b)),
-        |hot AS (
-        |  SELECT band, bv FROM bands GROUP BY 1, 2
-        |  HAVING COUNT(*) > 100),
-        |cold AS (SELECT * FROM bands ANTI JOIN hot USING (band, bv)),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM cold x JOIN cold y
-        |    ON x.band = y.band AND x.bv = y.bv
-        |    AND x.doc_id < y.doc_id),
-        |hm AS (
-        |  SELECT doc_a, doc_b,
-        |    CAST(len(list_filter(range(1, 65), i ->
-        |      substr(sa.sig, CAST(i AS INT), 1)
-        |        <> substr(sb.sig, CAST(i AS INT), 1))) AS INT)
-        |      AS hamming
-        |  FROM cand
-        |  JOIN sig sa ON sa.doc_id = cand.doc_a
-        |  JOIN sig sb ON sb.doc_id = cand.doc_b)
-        |SELECT doc_a, doc_b, hamming FROM hm
-        |WHERE hamming <= 8""".stripMargin
+      s"""WITH $mediaCdSql,
+         |${mediaSigSql("d")},
+         |${mediaBandSql("d")}
+         |SELECT doc_a, doc_b, hamming FROM dpairs
+         |WHERE hamming <= 8""".stripMargin,
+
+    // Perceptual near-dup CLUSTERS twin: the recursive closure over
+    // the verified dHash pairs, wrapped into the size histogram —
+    // the media analog of q_cluster_sizes.
+    "q_media_neardup_clusters" ->
+      s"""WITH RECURSIVE $mediaCdSql,
+         |${mediaSigSql("d")},
+         |${mediaBandSql("d")},
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM dpairs WHERE hamming <= 8
+         |  UNION
+         |  SELECT doc_b, doc_a FROM dpairs WHERE hamming <= 8),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (
+         |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+         |  FROM reach GROUP BY a)
+         |SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM (
+         |  SELECT canonical_id, COUNT(*) AS sz FROM lbl GROUP BY 1)
+         |GROUP BY 1""".stripMargin,
+
+    // dHash vs aHash agreement twin: both generated chains, full
+    // outer join of the verified pair sets, three conditional counts.
+    "q_media_hash_agreement" ->
+      s"""WITH $mediaCdSql,
+         |${mediaSigSql("d")},
+         |${mediaBandSql("d")},
+         |${mediaSigSql("a")},
+         |${mediaBandSql("a")},
+         |dp AS (SELECT doc_a, doc_b, 1 AS in_d FROM dpairs
+         |       WHERE hamming <= 8),
+         |ap AS (SELECT doc_a, doc_b, 1 AS in_a FROM apairs
+         |       WHERE hamming <= 8)
+         |SELECT
+         |  CAST(SUM(CASE WHEN in_d IS NOT NULL AND in_a IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN in_a IS NULL AND in_d IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dhash_only,
+         |  CAST(SUM(CASE WHEN in_d IS NULL AND in_a IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ahash_only
+         |FROM dp FULL OUTER JOIN ap USING (doc_a, doc_b)""".stripMargin
   )
+
+  /** The perturbed media corpus the perceptual-hash queries share:
+    * every 25th doc gets a same-length copy with its first 3 chars
+    * replaced (a localized pixel-region edit), id-offset 3000000.
+    */
+  private def perturbedMedia(s: SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val pert = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("XYZ"), expr("substring(text, 4)")).as("text"),
+        col("source"))
+    Multimodal.mediaTable(docs.unionByName(pert))
+  }
+
+  /** Shared perturbed-media corpus + per-byte stream for the
+    * perceptual-hash twins: cd (originals ∪ perturbed copies), db
+    * (data-section hex + byte length), pb (one row per data byte).
+    */
+  private lazy val mediaCdSql: String =
+    """cd AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id, 'XYZ' || substr(text, 4)
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |db AS (
+      |  SELECT doc_id, hex(encode(text)) AS h,
+      |    octet_length(encode(text)) AS nd
+      |  FROM cd WHERE octet_length(encode(text)) > 0),
+      |pb AS (
+      |  SELECT doc_id, nd, unnest(range(0, nd)) AS i, h FROM db)""".stripMargin
+
+  /** Signature chain for prefix `p`: "d" = dHash (72 cells, gradient
+    * bits), "a" = aHash (64 cells, global-average bits). Emits
+    * `${p}sig(doc_id, sig)`.
+    */
+  private def mediaSigSql(p: String): String =
+    if (p == "d")
+      s"""${p}bv AS (
+         |  SELECT doc_id, (i * 72) // nd AS cell,
+         |    ('0x' || substr(h, CAST(2 * i + 1 AS INT), 2))::INT AS bv
+         |  FROM pb),
+         |${p}cs AS (
+         |  SELECT doc_id, cell, SUM(bv) AS s, COUNT(*) AS c
+         |  FROM ${p}bv GROUP BY 1, 2),
+         |${p}ks AS (
+         |  SELECT d.doc_id, r.k, (r.k // 8) * 9 + (r.k % 8) AS ca
+         |  FROM (SELECT DISTINCT doc_id FROM ${p}cs) d
+         |  CROSS JOIN range(64) r(k)),
+         |${p}bits AS (
+         |  SELECT ks.doc_id, ks.k,
+         |    CASE WHEN COALESCE(a.s, 0) * COALESCE(b.c, 0)
+         |            > COALESCE(b.s, 0) * COALESCE(a.c, 0)
+         |      THEN '1' ELSE '0' END AS bit
+         |  FROM ${p}ks ks
+         |  LEFT JOIN ${p}cs a ON a.doc_id = ks.doc_id AND a.cell = ks.ca
+         |  LEFT JOIN ${p}cs b ON b.doc_id = ks.doc_id
+         |    AND b.cell = ks.ca + 1),
+         |${p}sig AS (
+         |  SELECT doc_id, string_agg(bit, '' ORDER BY k) AS sig
+         |  FROM ${p}bits GROUP BY 1)""".stripMargin
+    else
+      s"""${p}bv AS (
+         |  SELECT doc_id, nd, (i * 64) // nd AS cell,
+         |    ('0x' || substr(h, CAST(2 * i + 1 AS INT), 2))::INT AS bv
+         |  FROM pb),
+         |${p}cs AS (
+         |  SELECT doc_id, cell, SUM(bv) AS s, COUNT(*) AS c
+         |  FROM ${p}bv GROUP BY 1, 2),
+         |${p}tot AS (
+         |  SELECT doc_id, MIN(nd) AS n, SUM(bv) AS tot
+         |  FROM ${p}bv GROUP BY 1),
+         |${p}ks AS (
+         |  SELECT d.doc_id, r.k
+         |  FROM (SELECT DISTINCT doc_id FROM ${p}cs) d
+         |  CROSS JOIN range(64) r(k)),
+         |${p}bits AS (
+         |  SELECT ks.doc_id, ks.k,
+         |    CASE WHEN COALESCE(a.s, 0) * t.n > t.tot * COALESCE(a.c, 0)
+         |      THEN '1' ELSE '0' END AS bit
+         |  FROM ${p}ks ks
+         |  JOIN ${p}tot t ON t.doc_id = ks.doc_id
+         |  LEFT JOIN ${p}cs a ON a.doc_id = ks.doc_id
+         |    AND a.cell = ks.k),
+         |${p}sig AS (
+         |  SELECT doc_id, string_agg(bit, '' ORDER BY k) AS sig
+         |  FROM ${p}bits GROUP BY 1)""".stripMargin
+
+  /** Banding + exact-Hamming verify for prefix `p`: emits
+    * `${p}pairs(doc_a, doc_b, hamming)` (unfiltered — consumers apply
+    * the threshold), 4×16 bands, >100 hot-bucket exclusion.
+    */
+  private def mediaBandSql(p: String): String =
+    s"""${p}bands AS (
+       |  SELECT doc_id, r.b AS band,
+       |    substr(sig, CAST(r.b * 16 + 1 AS INT), 16) AS bv
+       |  FROM ${p}sig CROSS JOIN range(4) r(b)),
+       |${p}hot AS (
+       |  SELECT band, bv FROM ${p}bands GROUP BY 1, 2
+       |  HAVING COUNT(*) > 100),
+       |${p}cold AS (
+       |  SELECT * FROM ${p}bands ANTI JOIN ${p}hot USING (band, bv)),
+       |${p}cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM ${p}cold x JOIN ${p}cold y
+       |    ON x.band = y.band AND x.bv = y.bv
+       |    AND x.doc_id < y.doc_id),
+       |${p}pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_filter(range(1, 65), i ->
+       |      substr(sa.sig, CAST(i AS INT), 1)
+       |        <> substr(sb.sig, CAST(i AS INT), 1))) AS INT)
+       |      AS hamming
+       |  FROM ${p}cand c
+       |  JOIN ${p}sig sa ON sa.doc_id = c.doc_a
+       |  JOIN ${p}sig sb ON sb.doc_id = c.doc_b)""".stripMargin
 }

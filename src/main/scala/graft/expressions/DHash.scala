@@ -54,6 +54,76 @@ case class DHash(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native perceptual aHash (average hash) — [[DHash]]'s sibling with
+  * a different failure surface: 64 cells over the data section, bit c
+  * = cell-average exceeds the GLOBAL average (cross-multiplied:
+  * `sum_c · n > total · cnt_c`). Where dHash reads local gradients
+  * (robust to global brightness shifts, blind to uniform scaling),
+  * aHash reads absolute level — running BOTH and auditing their
+  * agreement is the media analog of the text family's
+  * method-agreement read (q_dedup_agreement). Same output contract:
+  * the 64-char '0'/'1' signature, NULL when no data bytes remain.
+  */
+case class AHash(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, INT) input")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ahash"
+
+  override protected def nullSafeEval(b: Any, skip: Any): Any =
+    AHash.compute(b.asInstanceOf[Array[Byte]], skip.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, s) =>
+      s"""${ev.value} = graft.expressions.AHash.compute($b, $s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object AHash {
+
+  private final val Cells = 64
+
+  /** 64-char '0'/'1' aHash of `bytes[skip..)`; null when empty. */
+  def compute(bytes: Array[Byte], skip: Int): UTF8String = {
+    val nd = bytes.length - skip
+    if (nd <= 0) return null
+    val sums = new Array[Long](Cells)
+    val cnts = new Array[Long](Cells)
+    var total = 0L
+    var c = 0
+    while (c < Cells) {
+      val lo = (c.toLong * nd + Cells - 1) / Cells
+      val hi = ((c + 1).toLong * nd + Cells - 1) / Cells
+      var i = lo
+      var s = 0L
+      while (i < hi) { s += (bytes(skip + i.toInt) & 0xFF); i += 1 }
+      sums(c) = s
+      cnts(c) = hi - lo
+      total += s
+      c += 1
+    }
+    val out = new Array[Byte](64)
+    c = 0
+    while (c < Cells) {
+      out(c) = if (sums(c) * nd > total * cnts(c)) '1' else '0'
+      c += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
 object DHash {
 
   private final val Cells = 72

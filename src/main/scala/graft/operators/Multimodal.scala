@@ -227,12 +227,22 @@ object Multimodal {
     * pair frame materializes (the localCheckpoint discipline).
     */
   def mediaNearDupPairs(media: DataFrame, maxHamming: Int = 8,
-                        maxBucketDocs: Int = 100): DataFrame = {
-    // Signature + its four 16-bit words as integers: banding joins on
-    // the word (numeric equi-key) and the Hamming verify is popcount
-    // of XOR per word — no per-pair string walk (the first cut's
-    // 64-substring lambda dominated at sf1's ~1M candidate pairs).
-    val sig = dhashSignatures(media)
+                        maxBucketDocs: Int = 100): DataFrame =
+    bandedHammingPairs(dhashSignatures(media), maxHamming,
+      maxBucketDocs)
+
+  /** Banded Hamming pair generation + exact verify over ANY 64-bit
+    * '0'/'1' signature frame (doc_id, sig) — shared by the dHash and
+    * aHash paths. Signatures carry their four 16-bit words as
+    * integers: banding joins on the word (numeric equi-key) and the
+    * Hamming verify is popcount of XOR per word — no per-pair string
+    * walk (the first cut's 64-substring lambda dominated at sf1's
+    * ~1M candidate pairs).
+    */
+  private[operators] def bandedHammingPairs(
+      sigs: DataFrame, maxHamming: Int,
+      maxBucketDocs: Int): DataFrame = {
+    val sig = sigs
       .select(col("doc_id"), expr(
         "transform(sequence(0, 3), b -> " +
           "cast(conv(substring(sig, b * 16 + 1, 16), 2, 10) as bigint))")
@@ -263,6 +273,42 @@ object Multimodal {
       .localCheckpoint()
     sig.unpersist()
     out
+  }
+
+  /** aHash signatures — [[graft.expressions.AHash]]: 64 cells, bit =
+    * cell average above the GLOBAL average. Same one-pass native
+    * expression shape as [[dhashSignatures]].
+    */
+  def ahashSignatures(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+        expr("graft_ahash(payload, 33)").as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** dHash vs aHash METHOD-AGREEMENT audit — the media analog of the
+    * text family's [[Dedup.dedupMethodAgreement]]: both perceptual
+    * hashes run the same banded-candidate + exact-Hamming contract,
+    * and the full-outer join of their verified pair sets reports how
+    * much of the near-dup mass each method sees alone. High
+    * dhash-only mass = level-shifted twins (aHash's blind spot); high
+    * ahash-only mass = locally-reordered content (dHash's). One 1-row
+    * output; the pair frames are already materialized by their own
+    * localCheckpoint discipline.
+    */
+  def mediaHashAgreement(media: DataFrame, maxHamming: Int = 8,
+                         maxBucketDocs: Int = 100): DataFrame = {
+    val d = mediaNearDupPairs(media, maxHamming, maxBucketDocs)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_d"))
+    val a = bandedHammingPairs(ahashSignatures(media), maxHamming,
+        maxBucketDocs)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_a"))
+    d.join(a, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("in_d").isNotNull && col("in_a").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("in_a").isNull && col("in_d").isNotNull, 1L)
+          .otherwise(0L)).as("n_dhash_only"),
+        sum(when(col("in_d").isNull && col("in_a").isNotNull, 1L)
+          .otherwise(0L)).as("n_ahash_only"))
   }
 
   def chunkPlan(media: DataFrame, chunkBytes: Int = 256): DataFrame =

@@ -54,6 +54,39 @@ class Round10OpsSpec extends SparkSpec {
       s"unexpected pairs: ${pairs.filterNot { case (a, b) => b == a + 1000L }}")
   }
 
+  test("AHash: bits are the cell-vs-global-average predicate " +
+    "(dark half '0', bright half '1')") {
+    // Data section = 32 low bytes then 32 high bytes; with nd = 64
+    // each cell is exactly one byte, global average between the two.
+    val text = "!" * 32 + "z" * 32
+    val sig = Multimodal.ahashSignatures(media(Seq(1L -> text)))
+      .collect().head.getAs[String]("sig")
+    assert(sig == "0" * 32 + "1" * 32, sig)
+    // Constant payload: no cell above the global average -> all '0'.
+    val flat = Multimodal.ahashSignatures(media(Seq(2L -> ("m" * 64))))
+      .collect().head.getAs[String]("sig")
+    assert(flat == "0" * 64, flat)
+  }
+
+  test("mediaHashAgreement: planted perturbed twins are seen by BOTH " +
+    "perceptual hashes") {
+    val texts: Seq[(Long, String)] = (0 until 10).map { i =>
+      val rnd = new scala.util.Random(7100 + 17 * i)
+      i.toLong -> (1 to 200).map(_ =>
+        ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val planted = texts.filter(_._1 % 2 == 0).map { case (id, t) =>
+      (id + 1000L) -> ("XYZ" + t.substring(3)) }
+    val got = Multimodal.mediaHashAgreement(media(texts ++ planted))
+      .collect().head
+    assert(got.getAs[Long]("n_both") >= 5L,
+      s"planted twins in both: $got")
+    // On this corpus the only near-dups are the planted twins, and a
+    // localized same-length edit is within both hashes' threshold.
+    assert(got.getAs[Long]("n_dhash_only") == 0L
+      && got.getAs[Long]("n_ahash_only") == 0L, s"$got")
+  }
+
   test("heapsBySource: a saturated source fits beta near 0, a " +
     "fresh-vocabulary source near 1") {
     import spark.implicits._
