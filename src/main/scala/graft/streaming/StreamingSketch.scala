@@ -285,6 +285,42 @@ object StreamingSketch {
           .as("decayed_count"))
   }
 
+  case class DigestDoc(sha: String, doc_id: Long, n_bytes: Long)
+  case class DupGroup(sha: String, keeper_doc_id: Long, n: Long,
+                      total_bytes: Long)
+
+  /** Streaming twin of [[graft.operators.Multimodal.mediaDedup]] —
+    * exact-digest dedup over a CONTINUOUS media ingest: the stream
+    * carries (digest, doc_id, n_bytes) — digests shuffle, payloads
+    * never do, exactly the batch operator's asymmetry — and state per
+    * digest is three longs (min doc_id, count, byte total), updated
+    * by pure min/sum merges. After any prefix of micro-batches the
+    * emitted groups filtered to n > 1 equal the batch operator over
+    * the rows seen so far; a newly-arrived blob whose digest is
+    * already live is flagged a duplicate in ITS OWN micro-batch — the
+    * don't-store-it-twice signal a crawl ingest wants live rather
+    * than at the next compaction run. O(1) state per distinct digest
+    * (the keyspace IS the dedup index; a 24/7 deployment bounds it
+    * with the [[rateLimitStream]] TTL pattern if digests churn).
+    */
+  def mediaDedupStream(rows: Dataset[DigestDoc]): Dataset[DupGroup] =
+    rows.groupByKey(_.sha)(Encoders.STRING)
+      .mapGroupsWithState[(Long, Long, Long), DupGroup](
+        GroupStateTimeout.NoTimeout) {
+        (sha: String, it: Iterator[DigestDoc],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (keeper, n, bytes) = state.getOption
+            .getOrElse((Long.MaxValue, 0L, 0L))
+          it.foreach { r =>
+            keeper = math.min(keeper, r.doc_id)
+            n += 1L
+            bytes += r.n_bytes
+          }
+          state.update((keeper, n, bytes))
+          DupGroup(sha, keeper, n, bytes)
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
+        Encoders.product[DupGroup])
+
   /** JVM twin of TextOps.fingerprint64 (md5 hex → first 15 digits →
     * long): non-negative (< 2⁶⁰), so plain `%` is pmod.
     */
