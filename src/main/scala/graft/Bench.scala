@@ -199,7 +199,8 @@ object Bench {
     // r10 SQL-text variants: same plan as their DataFrame twins.
     "q_sql_decay_counts" -> "q_decay_counts",
     "q_sql_dedup_exact" -> "q_dedup_pipeline",
-    "q_sql_embed_norm" -> "q_embed_norm")
+    "q_sql_embed_norm" -> "q_embed_norm",
+    "q_sql_bm25" -> "q_bm25")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -794,6 +794,54 @@ object PipelineCatalog {
     "q_hybrid_rrf" -> ((s, d) =>
       graft.operators.Retrieval.rrfFusion(Tables.documents(s, d))),
 
+    // The spark.sql TEXT surface, retrieval depth (VERDICT r9 #5's
+    // named example): the full BM25 chain as SQL text over the
+    // documents view — term-for-term the bm25TopK operation tree
+    // (same literals unfolded, same sorted ln-term fold, same 6-dp
+    // DECIMAL edge), so the same oracle gates both.
+    "q_sql_bm25" -> ((s, d) => {
+      graft.queries.Views.register(s, d)
+      s.sql("""
+        WITH toks AS (
+          SELECT doc_id, split(text, ' ') AS t FROM documents),
+        stats AS (
+          SELECT count(*) AS n_docs,
+            sum(cast(size(t) AS bigint)) AS total_dl
+          FROM toks),
+        qterms AS (
+          SELECT doc_id AS query_id,
+            explode(slice(array_distinct(t), 1, 3)) AS token
+          FROM toks WHERE doc_id % 100 = 0 AND doc_id < 1000000),
+        tok AS (
+          SELECT /*+ BROADCAST(qt) */ c.doc_id, c.dl, c.token
+          FROM (SELECT doc_id, size(t) AS dl, explode(t) AS token
+                FROM toks) c
+          JOIN (SELECT DISTINCT token FROM qterms) qt USING (token)),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+          FROM tok GROUP BY 1, 2),
+        dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        ts AS (
+          SELECT /*+ BROADCAST(dfx, q, stats) */ q.query_id,
+            tf.doc_id,
+            ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+              * (tf * (1.2 + 1.0))
+              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                  / (cast(total_dl AS double) / n_docs))) AS ts
+          FROM tf JOIN dfx USING (token) JOIN qterms q USING (token)
+          CROSS JOIN stats),
+        sc AS (
+          SELECT query_id, doc_id,
+            cast(round(aggregate(sort_array(collect_list(ts)),
+              cast(0 AS double), (a, x) -> a + x), 6)
+              AS DECIMAL(18,6)) AS score
+          FROM ts GROUP BY 1, 2),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS rnk FROM sc)
+        SELECT query_id, doc_id, rnk, score FROM r WHERE rnk <= 5""")
+    }),
+
     // Cluster → representative: keep the best (distinct-token count,
     // tie min doc_id) member per near-dup cluster; filter(is_rep) IS
     // the deduplicated corpus. Quality-aware keep, not min-id keep.
@@ -2670,6 +2718,13 @@ object PipelineCatalog {
     // probed bit-identical), value-sorted per-(query, doc) sum fold,
     // 6-dp DECIMAL edge.
     "q_bm25" ->
+      s"""WITH $bm25CtesSql
+         |SELECT query_id, doc_id, rnk, score FROM bmr
+         |WHERE rnk <= 5""".stripMargin,
+
+    // SQL-text BM25 variant: the identical operation tree from the
+    // view, so the same twin gates it.
+    "q_sql_bm25" ->
       s"""WITH $bm25CtesSql
          |SELECT query_id, doc_id, rnk, score FROM bmr
          |WHERE rnk <= 5""".stripMargin,
