@@ -74,6 +74,9 @@ class PlanAuditSpec extends SparkSpec {
     // pagerank: the 1-row node-count frame per iteration.
     "q_knn_binary", "q_knn_binary_rerank", "q_bm25", "q_dsir_weights",
     "q_pagerank",
+    // sql_bm25: the same 1-row N/total_dl stats frame as q_bm25,
+    // expressed as SQL text.
+    "q_sql_bm25",
     // bloom_join: the 1-row dense-word-array filter frame (256 KB at
     // m=2²⁰) broadcast onto the fact scan — the runtime-filter probe.
     "q_bloom_join",
