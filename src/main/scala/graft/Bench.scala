@@ -200,7 +200,9 @@ object Bench {
     "q_sql_decay_counts" -> "q_decay_counts",
     "q_sql_dedup_exact" -> "q_dedup_pipeline",
     "q_sql_embed_norm" -> "q_embed_norm",
-    "q_sql_bm25" -> "q_bm25")
+    "q_sql_bm25" -> "q_bm25",
+    // media dup-rate: the mediaNearDupPairs chain + two tiny keyed joins.
+    "q_media_dup_rate" -> "q_media_neardup")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -815,6 +815,26 @@ object ScaleCatalog {
     "q_media_hash_agreement" -> ((s, d) =>
       Multimodal.mediaHashAgreement(perturbedMedia(s, d))),
 
+    // Media duplication-rate triage per source (the media analog of
+    // q_dup_rate_by_source): share of payloads per source sitting in
+    // ≥ 1 verified perceptual pair, injected ids mapped back through
+    // the idOffset conditional.
+    "q_media_dup_rate" -> ((s, d) => {
+      val media = perturbedMedia(s, d)
+      val pairs = Multimodal.mediaNearDupPairs(media)
+      val flagged = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .distinct().withColumn("flag", lit(1L))
+      media.select(col("doc_id"), col("modality").as("source"))
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("flag"), lit(0L))).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          round(col("n_dup_docs").cast("double")
+            / col("n_docs").cast("double"), 6).as("dup_rate"))
+    }),
+
     // Top principal component by 5 power steps — the ABTT/whitening
     // input — without materializing the gram matrix: one corpus scan
     // per step, d integer sums across the shuffle (the PageRank
@@ -2295,6 +2315,32 @@ object ScaleCatalog {
          |  FROM reach GROUP BY a)
          |SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM (
          |  SELECT canonical_id, COUNT(*) AS sz FROM lbl GROUP BY 1)
+         |GROUP BY 1""".stripMargin,
+
+    // Media dup-rate twin: the dHash chain, pair-member flags, the
+    // idOffset conditional mapping back to source (q_dup_rate_by_
+    // source's device at the media offset).
+    "q_media_dup_rate" ->
+      s"""WITH $mediaCdSql,
+         |${mediaSigSql("d")},
+         |${mediaBandSql("d")},
+         |flagged AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM dpairs WHERE hamming <= 8
+         |    UNION ALL
+         |    SELECT doc_b FROM dpairs WHERE hamming <= 8)),
+         |cs2 AS (
+         |  SELECT c.doc_id, d.source
+         |  FROM cd c JOIN documents d
+         |    ON (CASE WHEN c.doc_id >= 3000000 THEN c.doc_id - 3000000
+         |        ELSE c.doc_id END) = d.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_docs,
+         |  round(CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0
+         |      END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS dup_rate
+         |FROM cs2 LEFT JOIN flagged f ON cs2.doc_id = f.doc_id
          |GROUP BY 1""".stripMargin,
 
     // dHash vs aHash agreement twin: both generated chains, full
