@@ -134,7 +134,9 @@ object Bench {
     // r10 additions, benched at birth.
     "q_media_neardup", "q_heaps_by_source",
     // r10 wave 2, benched at birth.
-    "q_media_neardup_clusters", "q_media_hash_agreement")
+    "q_media_neardup_clusters", "q_media_hash_agreement",
+    // r10 wave 4, benched at birth.
+    "q_maxmatch_segment")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

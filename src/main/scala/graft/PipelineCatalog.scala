@@ -551,6 +551,14 @@ object PipelineCatalog {
     "q_bpe_merges" -> ((s, d) =>
       graft.operators.Bpe.trainMerges(Tables.documents(s, d))),
 
+    // MaxMatch (WordPiece-inference) greedy subword segmentation:
+    // frequency-truncated substring vocab (k=64, len 2..4 + every
+    // char) and the POINTER-DOUBLED jump-table segmentation — the
+    // parallel formulation of the paper's sequential scan; the
+    // DuckDB twin walks the same vocab with a recursive CTE.
+    "q_maxmatch_segment" -> ((s, d) =>
+      graft.operators.Bpe.maxMatchSegment(Tables.documents(s, d))),
+
     // BPE apply-side: segment the corpus with the just-trained merge
     // table (collected — it is 8 rows of trained parameters, a
     // codebook) and count the resulting subword units.
@@ -1690,6 +1698,52 @@ object PipelineCatalog {
     "q_bpe_merges" ->
       s"""WITH $bpeCtes
          |${(1 to 8).map(i => s"SELECT * FROM b$i").mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // MaxMatch twin: same frequency-truncated vocab (row_number ≡
+    // TakeOrderedAndProject at the count DESC, sub ASC tie-break),
+    // then the SEQUENTIAL greedy scan as a recursive CTE — longest
+    // match per position selected by an ANTI JOIN against any longer
+    // fitting match; single chars guarantee termination. Different
+    // method, identical piece counts — that's the differential.
+    "q_maxmatch_segment" ->
+      """WITH RECURSIVE
+        |w AS (
+        |  SELECT tok AS word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY 1),
+        |subs AS (
+        |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS sub,
+        |    SUM(freq) AS c
+        |  FROM w, range(1, 41) r(i), range(2, 5) s(l)
+        |  WHERE i + l - 1 <= len(word)
+        |  GROUP BY 1),
+        |topk AS (
+        |  SELECT sub FROM (
+        |    SELECT sub, row_number() OVER (ORDER BY c DESC, sub)
+        |      AS rn
+        |    FROM subs)
+        |  WHERE rn <= 64),
+        |chars AS (
+        |  SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS sub
+        |  FROM w, range(1, 41) r(i) WHERE i <= len(word)),
+        |vocab AS (
+        |  SELECT sub AS v FROM topk UNION SELECT sub FROM chars),
+        |seg(word, pos, n_pieces) AS (
+        |  SELECT word, 1, 0 FROM w
+        |  UNION ALL
+        |  SELECT s.word, s.pos + len(m.v), s.n_pieces + 1
+        |  FROM seg s
+        |  JOIN vocab m ON s.pos <= len(s.word)
+        |    AND substr(s.word, s.pos, len(m.v)) = m.v
+        |  ANTI JOIN vocab m2 ON len(m2.v) > len(m.v)
+        |    AND substr(s.word, s.pos, len(m2.v)) = m2.v)
+        |SELECT word, CAST(freq AS BIGINT) AS freq,
+        |  CAST(MAX(n_pieces) AS INT) AS n_pieces
+        |FROM seg JOIN w USING (word)
+        |WHERE pos > len(word)
+        |GROUP BY 1, 2
+        |ORDER BY freq DESC, word LIMIT 20""".stripMargin,
 
     "q_bpe_segment" ->
       s"""WITH $bpeCtes

@@ -147,6 +147,92 @@ object Bpe {
     * |langs|-row projection. Integer sums end-to-end; one rounded
     * division per language at the output edge.
     */
+  /** MaxMatch (greedy longest-prefix) SUBWORD SEGMENTATION — the
+    * WordPiece INFERENCE algorithm (Song et al. '21, "Fast WordPiece
+    * Tokenization": greedy longest-match-first), the second tokenizer
+    * family beside the BPE merge fold. Vocabulary = the corpus's
+    * `vocabK` most frequent substrings of length 2..`maxSub`
+    * (frequency-truncated, occurrence-weighted; deterministic
+    * tie-break count DESC then substring ASC via
+    * TakeOrderedAndProject) plus EVERY single character — so
+    * segmentation always terminates with no UNK.
+    *
+    * The segmentation itself is the distributed formulation: instead
+    * of scanning each word left-to-right (the sequential paper
+    * algorithm, O(len) steps), build the per-position JUMP TABLE —
+    * (word, pos) → pos + longest-match-length, an equi-join of the ≤
+    * `maxSub` candidate prefixes per position against the broadcast
+    * vocabulary — and POINTER-DOUBLE it: composing the jump function
+    * with itself k times covers 2^k pieces, so `ceil(log2(maxLen))`
+    * keyed self-joins segment EVERY word simultaneously regardless of
+    * corpus size (the classic parallel list-ranking device; the
+    * DuckDB twin walks the same vocabulary sequentially with a
+    * recursive CTE and must land on identical piece counts).
+    *
+    * Scale shape: corpus touched once (word-frequency aggregate);
+    * everything after runs on the WEIGHTED VOCABULARY (|V| distinct
+    * words × avg length rows). The candidate join is keyed on the
+    * prefix string against a broadcast vocab; each doubling is a
+    * keyed (word, pos) self-join on a |V|·len-row frame with an
+    * eager localCheckpoint (lineage discipline).
+    *
+    * Output: the `topWords` most frequent words (freq DESC, word ASC)
+    * with their exact greedy piece count — the per-word fertility
+    * read that prices a vocabulary before shipping it.
+    */
+  def maxMatchSegment(docs: DataFrame, vocabK: Int = 64,
+                      maxSub: Int = 4, topWords: Int = 20): DataFrame = {
+    val w = docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val subs = w.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  filter(transform(sequence(2, $maxSub), l ->
+           |    if(i + l - 1 <= length(word),
+           |       substring(word, i, l), null)),
+           |    x -> x is not null)))""".stripMargin)).as("sub"))
+      .groupBy(col("sub")).agg(sum(col("freq")).as("c"))
+      .orderBy(col("c").desc, col("sub")).limit(vocabK)
+      .select(col("sub"))
+    val chars = w.select(explode(expr(
+        "transform(sequence(1, length(word)), i -> " +
+          "substring(word, i, 1))")).as("sub"))
+      .distinct()
+    val vocab = subs.unionByName(chars).distinct()
+    val positions = w.select(col("word"),
+      explode(expr("sequence(1, length(word))")).as("pos"))
+    val jump0 = positions.select(col("word"), col("pos"), explode(expr(
+        s"""filter(transform(sequence(1, $maxSub), l ->
+           |  if(pos + l - 1 <= length(word),
+           |     substring(word, pos, l), null)),
+           |  x -> x is not null)""".stripMargin)).as("sub"))
+      .join(broadcast(vocab), Seq("sub"))
+      .groupBy(col("word"), col("pos"))
+      .agg(max(length(col("sub"))).as("bl"))
+      .select(col("word"), col("pos"),
+        (col("pos") + col("bl")).as("nxt"), lit(1L).as("cnt"))
+    val end = w.select(col("word"),
+      (length(col("word")) + 1).as("pos"),
+      (length(col("word")) + 1).as("nxt"), lit(0L).as("cnt"))
+    var f = jump0.unionByName(end).localCheckpoint(false)
+    // 2^6 = 64 pieces ≥ any word the tokens() contract admits (a
+    // piece is ≥ 1 char; doubling count is a constant, not data).
+    for (_ <- 1 to 6) {
+      f = f.as("a")
+        .join(f.as("b"), col("a.word") === col("b.word") &&
+          col("a.nxt") === col("b.pos"))
+        .select(col("a.word").as("word"), col("a.pos").as("pos"),
+          col("b.nxt").as("nxt"),
+          (col("a.cnt") + col("b.cnt")).as("cnt"))
+        .localCheckpoint(false)
+    }
+    w.join(f.filter(col("pos") === 1), Seq("word"))
+      .select(col("word"), col("freq"), col("cnt").cast("int")
+        .as("n_pieces"))
+      .orderBy(col("freq").desc, col("word")).limit(topWords)
+  }
+
   def fertilityByLang(docs: DataFrame,
                       mergesLocal: Seq[(String, String)],
                       langCol: String = "lang"): DataFrame = {

@@ -54,6 +54,19 @@ class Round10OpsSpec extends SparkSpec {
       s"unexpected pairs: ${pairs.filterNot { case (a, b) => b == a + 1000L }}")
   }
 
+  test("maxMatchSegment: greedy longest-prefix counts, hand-checked " +
+    "on a 2-subword vocabulary") {
+    import spark.implicits._
+    // Corpus "aaab aaab aaab ab": occurrence-weighted top-2 substrings
+    // are "aa" (6) and "ab" (4); vocab = {aa, ab, a, b}. Greedy:
+    // "aaab" -> aa|ab = 2 pieces, "ab" -> 1 piece.
+    val docs = Seq((1L, "aaab aaab aaab ab")).toDF("doc_id", "text")
+    val got = graft.operators.Bpe.maxMatchSegment(docs, vocabK = 2)
+      .collect().map(r => r.getAs[String]("word") ->
+        (r.getAs[Long]("freq"), r.getAs[Int]("n_pieces"))).toMap
+    assert(got == Map("aaab" -> (3L, 2), "ab" -> (1L, 1)), s"$got")
+  }
+
   test("AHash: bits are the cell-vs-global-average predicate " +
     "(dark half '0', bright half '1')") {
     // Data section = 32 low bytes then 32 high bytes; with nd = 64
