@@ -204,7 +204,10 @@ object Bench {
     "q_sql_embed_norm" -> "q_embed_norm",
     "q_sql_bm25" -> "q_bm25",
     // media dup-rate: the mediaNearDupPairs chain + two tiny keyed joins.
-    "q_media_dup_rate" -> "q_media_neardup")
+    "q_media_dup_rate" -> "q_media_neardup",
+    // nb calibration: the shared NB chain + one doc-keyed join + a
+    // 10-row aggregate.
+    "q_nb_calibration" -> "q_nb_eval")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -785,6 +785,14 @@ object PipelineCatalog {
     "q_nb_classifier" -> ((s, d) =>
       graft.operators.TextClassify.naiveBayes(Tables.documents(s, d))),
 
+    // Margin-calibration (reliability) bins for the trained NB
+    // classifier: test docs binned by the argmax margin (top minus
+    // runner-up log-posterior, 1e-6 fixed point, 2-nat integer DIV
+    // buckets), per-bin accuracy — does the confidence a gating
+    // threshold cuts on actually predict correctness.
+    "q_nb_calibration" -> ((s, d) =>
+      graft.operators.TextClassify.nbCalibration(Tables.documents(s, d))),
+
     // Robust per-source outlier flags: median/MAD on token counts,
     // all-integer statistics (exact differential, no float tolerance).
     "q_outlier_docs" -> ((s, d) =>
@@ -2742,6 +2750,31 @@ object PipelineCatalog {
         |    ELSE 0.0 END, 6) AS f1
         |FROM j""".stripMargin
     },
+
+    // Calibration twin: the shared NB chain's rk=1 and rk=2 frames,
+    // 1e-6-snapped margin, integer DIV bins capped at 9, exact bin
+    // counts, two divisions on the bin rows.
+    "q_nb_calibration" ->
+      s"""WITH $nbCtesSql,
+         |top1 AS (SELECT doc_id, cls AS pred, actual, score AS s1
+         |         FROM fin WHERE rk = 1),
+         |top2 AS (SELECT doc_id, score AS s2 FROM fin WHERE rk = 2),
+         |m AS (
+         |  SELECT (t1.pred = t1.actual) AS correct,
+         |    CAST(round((s1 - s2) * 1e6) AS BIGINT) AS mfp
+         |  FROM top1 t1 JOIN top2 USING (doc_id)),
+         |b AS (
+         |  SELECT CAST(least(mfp // 2000000, 9) AS INT) AS bin,
+         |    correct, mfp
+         |  FROM m)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  round(CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
+         |  round(CAST(SUM(mfp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    / 1e6, 6) AS mean_margin
+         |FROM b GROUP BY 1""".stripMargin,
 
     // PMI twin: three count aggregates over the same positional bigram
     // build, exact double products (counts < 2^26), 6-dp ln, (pmi desc,

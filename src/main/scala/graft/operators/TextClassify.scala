@@ -49,7 +49,22 @@ object TextClassify {
     * is the class column (catalog: `lang`).
     */
   def naiveBayes(docs: DataFrame, labelCol: String = "lang",
-                 testMod: Int = 5): DataFrame = {
+                 testMod: Int = 5): DataFrame =
+    rankedScores(docs, labelCol, testMod)
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cls").as("pred"),
+        round(col("score"), 6).as("score"), col("actual"),
+        (col("cls") === col("actual")).as("correct"))
+
+  /** The full ranked per-(doc, class) log-posterior frame
+    * (doc_id, actual, cls, score, rk) the classifier ranks over —
+    * exposed so [[naiveBayes]] (rk = 1 verdicts) and
+    * [[nbCalibration]] (rk = 1 vs rk = 2 margin) share one trainer +
+    * scorer chain; scores are UNROUNDED here (the argmax compares
+    * full doubles; consumers round at their own edge).
+    */
+  def rankedScores(docs: DataFrame, labelCol: String = "lang",
+                   testMod: Int = 5): DataFrame = {
     val toks = docs.select(col("doc_id"), col(labelCol).as("cls"),
       posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
     val train = toks.filter(col("doc_id") % testMod =!= 0)
@@ -94,10 +109,54 @@ object TextClassify {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("cls").asc)))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("cls").as("pred"),
-        round(col("score"), 6).as("score"), col("actual"),
-        (col("cls") === col("actual")).as("correct"))
+  }
+
+  /** MARGIN-CALIBRATION (reliability) bins for the trained classifier
+    * — does confidence MEAN anything: test docs are binned by the
+    * argmax margin (top log-posterior minus runner-up — the quantity
+    * a gating threshold actually cuts on), and each bin reports its
+    * population, empirical accuracy, and mean margin. A
+    * well-calibrated-for-gating classifier shows accuracy rising
+    * monotonically with margin; a flat curve says the margin carries
+    * no signal and thresholding it is theater. Margin, not softmax:
+    * the margin is the same decision variable with no cross-engine
+    * exp() surface.
+    *
+    * DETERMINISM: the margin is snapped once to 1e-6 fixed point;
+    * bins are integer DIV buckets of the fixed-point value (width
+    * `binWidthFp`·1e-6 nats, capped at `maxBin`); populations and
+    * correct-counts are exact integers; accuracy and mean margin are
+    * one division each on the bin row.
+    *
+    * Scale shape: [[rankedScores]]' chain plus one (doc)-keyed join
+    * of the rk = 1 and rk = 2 frames and one ≤(maxBin+1)-row
+    * aggregate. Output: (bin, n_docs, n_correct, accuracy,
+    * mean_margin).
+    */
+  def nbCalibration(docs: DataFrame, labelCol: String = "lang",
+                    testMod: Int = 5, binWidthFp: Long = 2000000L,
+                    maxBin: Int = 9): DataFrame = {
+    val ranked = rankedScores(docs, labelCol, testMod)
+    val top = ranked.filter(col("rk") === 1)
+      .select(col("doc_id"), col("cls").as("pred"), col("actual"),
+        col("score").as("s1"))
+    val second = ranked.filter(col("rk") === 2)
+      .select(col("doc_id"), col("score").as("s2"))
+    top.join(second, Seq("doc_id"))
+      .select((col("pred") === col("actual")).as("correct"),
+        round((col("s1") - col("s2")) * 1e6, 0).cast("long").as("mfp"))
+      .withColumn("bin",
+        least(expr(s"mfp DIV $binWidthFp"), lit(maxBin.toLong))
+          .cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"),
+        sum(col("mfp")).as("sm"))
+      .select(col("bin"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double")
+          / col("n_docs").cast("double"), 6).as("accuracy"),
+        round(col("sm").cast("double")
+          / col("n_docs").cast("double") / 1e6, 6).as("mean_margin"))
   }
 
   /** PER-CLASS precision / recall / F1 over any (pred, actual) frame —

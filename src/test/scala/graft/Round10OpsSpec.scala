@@ -54,6 +54,27 @@ class Round10OpsSpec extends SparkSpec {
       s"unexpected pairs: ${pairs.filterNot { case (a, b) => b == a + 1000L }}")
   }
 
+  test("nbCalibration: bins partition the test slice and agree with " +
+    "the classifier's own verdicts") {
+    val docs = graft.queries.Tables.documents(spark,
+      "/root/testdata/sf0.001")
+    val verdicts = graft.operators.TextClassify.naiveBayes(docs)
+      .collect()
+    val bins = graft.operators.TextClassify.nbCalibration(docs)
+      .collect()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == verdicts.length,
+      "bins partition the test docs")
+    assert(bins.map(_.getAs[Long]("n_correct")).sum ==
+      verdicts.count(_.getAs[Boolean]("correct")),
+      "correct counts agree with the verdict frame")
+    bins.foreach { b =>
+      val acc = b.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(b.getAs[Double]("mean_margin") >= 0.0,
+        "margins are non-negative by construction")
+    }
+  }
+
   test("maxMatchSegment: greedy longest-prefix counts, hand-checked " +
     "on a 2-subword vocabulary") {
     import spark.implicits._
