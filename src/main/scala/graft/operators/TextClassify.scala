@@ -136,7 +136,11 @@ object TextClassify {
   def nbCalibration(docs: DataFrame, labelCol: String = "lang",
                     testMod: Int = 5, binWidthFp: Long = 2000000L,
                     maxBin: Int = 9): DataFrame = {
+    // Materialize the ranked frame ONCE (localCheckpoint): the rk=1
+    // and rk=2 legs would otherwise each re-run the whole
+    // trainer+scorer chain.
     val ranked = rankedScores(docs, labelCol, testMod)
+      .localCheckpoint(false)
     val top = ranked.filter(col("rk") === 1)
       .select(col("doc_id"), col("cls").as("pred"), col("actual"),
         col("score").as("s1"))
