@@ -207,7 +207,9 @@ object Bench {
     "q_media_dup_rate" -> "q_media_neardup",
     // nb calibration: the shared NB chain + one doc-keyed join + a
     // 10-row aggregate.
-    "q_nb_calibration" -> "q_nb_eval")
+    "q_nb_calibration" -> "q_nb_eval",
+    // sql media meta: same contract as the benched decode paths.
+    "q_sql_media_meta" -> "q_media_meta")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -775,6 +775,33 @@ object ScaleCatalog {
       Multimodal.decodePartitions(
         Multimodal.mediaTable(Tables.documents(s, d))).toDF()),
 
+    // Multimodal metadata — the spark.sql TEXT path over the media
+    // view: header bytes sliced with plain SQL (substring on BINARY,
+    // hex/conv base math), the third decode path under the SAME
+    // oracle as the expression and mapPartitions twins.
+    "q_sql_media_meta" -> ((s, d) => {
+      graft.queries.Views.register(s, d)
+      s.sql("""
+        SELECT doc_id,
+          length(payload) AS n_bytes,
+          sha2(hex(payload), 256) AS sha,
+          CASE WHEN length(payload) >= 33
+            AND hex(substring(payload, 1, 8)) = '89504E470D0A1A0A'
+            THEN cast(conv(hex(substring(payload, 17, 4)), 16, 10)
+              AS int) END AS width,
+          CASE WHEN length(payload) >= 33
+            AND hex(substring(payload, 1, 8)) = '89504E470D0A1A0A'
+            THEN cast(conv(hex(substring(payload, 21, 4)), 16, 10)
+              AS int) END AS height,
+          CASE WHEN length(payload) >= 33
+            AND hex(substring(payload, 1, 8)) = '89504E470D0A1A0A'
+            THEN CASE cast(conv(hex(substring(payload, 26, 1)), 16, 10)
+                AS int)
+              WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 4 THEN 2 WHEN 6 THEN 4
+              END END AS channels
+        FROM media""")
+    }),
+
     // Exact media dedup: digest groupBy over payloads with injected
     // exact copies (every 40th doc) — keeper + bytes reclaimed; only
     // digests shuffle, payloads stay put.
@@ -2280,6 +2307,9 @@ object ScaleCatalog {
          |FROM terms""".stripMargin,
 
     "q_media_decode" -> mediaMetaSql,
+
+    // The SQL-text decode path shares the same contract and twin.
+    "q_sql_media_meta" -> mediaMetaSql,
 
     // Perceptual near-dup twin: the payload data section IS
     // encode(text) (everything after the 33-byte header), so the

@@ -14,5 +14,10 @@ object Views {
     Tables.documents(s, dir).createOrReplaceTempView("documents")
     Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
     Events.typed(Tables.events(s, dir)).createOrReplaceTempView("events_typed")
+    // The media table (synthesized format-real PNG payloads over the
+    // documents corpus) — SQL text can slice the BINARY column
+    // directly (q_sql_media_meta).
+    graft.operators.Multimodal.mediaTable(Tables.documents(s, dir))
+      .createOrReplaceTempView("media")
   }
 }
