@@ -321,6 +321,78 @@ object StreamingSketch {
       }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
         Encoders.product[DupGroup])
 
+  case class BandSig(band: Int, bv: Long, doc_id: Long,
+                     w0: Long, w1: Long, w2: Long, w3: Long)
+  case class SigDoc(doc_id: Long, w0: Long, w1: Long, w2: Long,
+                    w3: Long)
+  case class BucketState(band: Int, bv: Long, n: Long,
+                         docs: Seq[SigDoc])
+
+  /** Streaming twin of
+    * [[graft.operators.Multimodal.mediaNearDupPairs]]' banded
+    * candidate index — perceptual near-dup detection over a
+    * CONTINUOUS media ingest. The batch hot-bucket exclusion is NOT
+    * incrementally monotone (a bucket crossing `maxBucketDocs` late
+    * would retract every pair it already produced), so the twin
+    * splits at the decayStream joint: this operator maintains the
+    * per-(band, band-word) signature bucket — the full arrival count
+    * plus the member signatures WHILE the bucket is within the cap
+    * (past it the member list is dropped: state stays ≤ cap
+    * signatures per bucket and the count alone keeps growing) — and
+    * [[neardupFromBuckets]] is the stateless finish that generates
+    * pairs from surviving buckets and verifies exact Hamming, exactly
+    * the batch semantics. The stream carries band words and signature
+    * words only — payloads never enter it (the mediaDedupStream
+    * asymmetry).
+    */
+  def neardupStream(rows: Dataset[BandSig], maxBucketDocs: Int = 100)
+      : Dataset[BucketState] =
+    rows.groupByKey(r => (r.band, r.bv))(
+        Encoders.product[(Int, Long)])
+      .mapGroupsWithState[(Long, Seq[SigDoc]), BucketState](
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), it: Iterator[BandSig],
+         state: GroupState[(Long, Seq[SigDoc])]) =>
+          var (n, docs) = state.getOption.getOrElse((0L, Seq.empty))
+          val seen = scala.collection.mutable.Set(docs.map(_.doc_id): _*)
+          it.foreach { r =>
+            if (!seen.contains(r.doc_id)) {
+              seen += r.doc_id
+              n += 1L
+              docs = if (n <= maxBucketDocs)
+                docs :+ SigDoc(r.doc_id, r.w0, r.w1, r.w2, r.w3)
+              else Seq.empty // past the cap: drop members, keep counting
+            }
+          }
+          if (n > maxBucketDocs) docs = Seq.empty
+          state.update((n, docs))
+          BucketState(key._1, key._2, n, docs)
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
+        Encoders.product[BucketState])
+
+  /** Stateless finish for [[neardupStream]]: within-bucket pair
+    * generation (a < b) from buckets at-or-under the cap, one
+    * distinct across bands, popcount-of-XOR Hamming verify — the
+    * batch operator's exact tail, so the parity spec compares pair
+    * frames directly.
+    */
+  def neardupFromBuckets(buckets: org.apache.spark.sql.DataFrame,
+                         maxHamming: Int = 8,
+                         maxBucketDocs: Int = 100)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = buckets.filter(col("n") <= maxBucketDocs)
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("cast(bit_count(a.w0 ^ b.w0) + bit_count(a.w1 ^ b.w1)" +
+          " + bit_count(a.w2 ^ b.w2) + bit_count(a.w3 ^ b.w3)" +
+          " as int)").as("hamming"))
+      .distinct()
+    pairs.filter(col("hamming") <= maxHamming)
+  }
+
   /** JVM twin of TextOps.fingerprint64 (md5 hex → first 15 digits →
     * long): non-negative (< 2⁶⁰), so plain `%` is pmod.
     */
