@@ -209,7 +209,9 @@ object Bench {
     // 10-row aggregate.
     "q_nb_calibration" -> "q_nb_eval",
     // sql media meta: same contract as the benched decode paths.
-    "q_sql_media_meta" -> "q_media_meta")
+    "q_sql_media_meta" -> "q_media_meta",
+    // sql knn lsh: identical chain through the registered native exprs.
+    "q_sql_knn_lsh" -> "q_knn_lsh")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

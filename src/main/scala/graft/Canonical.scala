@@ -54,6 +54,7 @@ object Canonical {
       "q_knn_ivf"                     -> d("score"),
       "q_knn_ivf_learned"             -> d("score"),
       "q_knn_lsh"                     -> d("score"),
+      "q_sql_knn_lsh"                 -> d("score"),
       "q_knn_multiprobe"              -> d("score"),
       "q_mutual_knn"                  -> d("score"),
       "q_knn_ivf_sq8"                 -> d("score"),

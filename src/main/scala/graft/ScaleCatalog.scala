@@ -227,6 +227,41 @@ object ScaleCatalog {
   // NOTE: no line in this fragment may START with "||" — it is
   // interpolated into outer stripMargin templates, and a second
   // stripMargin would eat the first pipe of a leading "||".
+  /** LSH ANN twin (q_knn_lsh + the q_sql_knn_lsh text variant):
+    * identical md5-seeded buckets, candidates only within the query's
+    * bucket, exact rounded cosine, (score DESC, neighbor_id) ranking.
+    */
+  private lazy val knnLshSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (
+      |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE vec_id >= 10),
+      |$planesSql,
+      |qb AS (
+      |  SELECT query_id, e,
+      |    SUM(CASE WHEN list_inner_product(e, pl.w) >= 0
+      |        THEN 1 << p ELSE 0 END) AS bucket
+      |  FROM q CROSS JOIN pl GROUP BY query_id, e),
+      |cb AS (
+      |  SELECT neighbor_id, e,
+      |    SUM(CASE WHEN list_inner_product(e, pl.w) >= 0
+      |        THEN 1 << p ELSE 0 END) AS bucket
+      |  FROM c CROSS JOIN pl GROUP BY neighbor_id, e),
+      |s AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(round(list_inner_product(a.e, b.e)
+      |      / (sqrt(list_inner_product(a.e, a.e))
+      |         * sqrt(list_inner_product(b.e, b.e))), 6)
+      |      AS DECIMAL(10,6)) AS score
+      |  FROM qb a JOIN cb b ON a.bucket = b.bucket),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rnk
+      |  FROM s)
+      |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 5""".stripMargin
+
   private lazy val embedNormSql: String =
     """WITH n AS (
       |  SELECT label,
@@ -682,6 +717,40 @@ object ScaleCatalog {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e.filter(col("vec_id") < 10),
         e.filter(col("vec_id") >= 10), 5)
+    }),
+
+    // The spark.sql TEXT surface for ANN: the SAME LSH chain written
+    // as SQL text calling the REGISTERED native expressions
+    // (graft_lsh_bucket, graft_cosine via GraftExtensions) — the
+    // "extension functions are part of the SQL dialect" proof; plane
+    // weights are rendered into the text as the same 3-dp literals
+    // the DataFrame path embeds. Same oracle as q_knn_lsh.
+    "q_sql_knn_lsh" -> ((s, d) => {
+      graft.queries.Views.register(s, d)
+      val w = Similarity.planeWeights(8, 64)
+      val wSql = w.map(row => "array(" +
+        row.map(v => "%.3fD".formatLocal(java.util.Locale.ROOT, v))
+          .mkString(", ") + ")")
+        .mkString("array(", ",\n          ", ")")
+      s.sql(s"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qe,
+            graft_lsh_bucket(embedding, $wSql) AS bucket
+          FROM embeddings WHERE vec_id < 10),
+        c AS (
+          SELECT vec_id AS neighbor_id, embedding AS ce,
+            graft_lsh_bucket(embedding, $wSql) AS bucket
+          FROM embeddings WHERE vec_id >= 10),
+        sc AS (
+          SELECT /*+ BROADCAST(q) */ q.query_id, c.neighbor_id,
+            cast(round(graft_cosine(q.qe, c.ce), 6)
+              AS DECIMAL(10,6)) AS score
+          FROM c JOIN q USING (bucket)),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rnk FROM sc)
+        SELECT query_id, neighbor_id, rnk, score FROM r
+        WHERE rnk <= 5""")
     }),
 
     // Multi-probe LSH: the same table probed at the query bucket plus
@@ -1247,36 +1316,11 @@ object ScaleCatalog {
     // cosine, same (score DESC, neighbor_id) ranking. The approximation
     // (a near neighbor across a hyperplane is missed) is part of the
     // CONTRACT both engines implement, so the differential is exact.
-    "q_knn_lsh" ->
-      s"""WITH q AS (
-        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
-        |  FROM embeddings WHERE vec_id < 10),
-        |c AS (
-        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
-        |  FROM embeddings WHERE vec_id >= 10),
-        |$planesSql,
-        |qb AS (
-        |  SELECT query_id, e,
-        |    SUM(CASE WHEN list_inner_product(e, pl.w) >= 0
-        |        THEN 1 << p ELSE 0 END) AS bucket
-        |  FROM q CROSS JOIN pl GROUP BY query_id, e),
-        |cb AS (
-        |  SELECT neighbor_id, e,
-        |    SUM(CASE WHEN list_inner_product(e, pl.w) >= 0
-        |        THEN 1 << p ELSE 0 END) AS bucket
-        |  FROM c CROSS JOIN pl GROUP BY neighbor_id, e),
-        |s AS (
-        |  SELECT query_id, neighbor_id,
-        |    CAST(round(list_inner_product(a.e, b.e)
-        |      / (sqrt(list_inner_product(a.e, a.e))
-        |         * sqrt(list_inner_product(b.e, b.e))), 6)
-        |      AS DECIMAL(10,6)) AS score
-        |  FROM qb a JOIN cb b ON a.bucket = b.bucket),
-        |r AS (
-        |  SELECT *, CAST(row_number() OVER (
-        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rnk
-        |  FROM s)
-        |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 5""".stripMargin,
+    "q_knn_lsh" -> knnLshSql,
+
+    // The SQL-text variant computes the identical chain through the
+    // registered native expressions, so one twin gates both.
+    "q_sql_knn_lsh" -> knnLshSql,
 
     // Multi-probe twin: the q_knn_lsh chain with the query bucket
     // expanded to itself + its 8 single-bit XOR flips before the
