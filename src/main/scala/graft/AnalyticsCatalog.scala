@@ -249,6 +249,22 @@ object AnalyticsCatalog {
           .select((col("s_suppkey") * 2L + 1L).as("node"),
             col("s_nationkey").cast("long").as("label")))),
 
+    // Newman modularity of the label-propagation partition on the
+    // purchase graph: per-community degree sums / within-edge counts
+    // as exact integers, Q from Σwithin and Σd² (never a float sum of
+    // per-community terms), one double division rounded 6 dp. The
+    // "was this clustering worth anything" audit — partition +
+    // modularity both inside the differential.
+    "q_modularity" -> ((s, d) => {
+      val edges = graft.operators.Graph.purchaseEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d))
+      graft.operators.Graph.modularity(edges,
+        graft.operators.Graph.labelPropagation(edges,
+          Tables.supplier(s, d).filter(col("s_suppkey") % 5 === 0)
+            .select((col("s_suppkey") * 2L + 1L).as("node"),
+              col("s_nationkey").cast("long").as("label"))))
+    }),
+
     // Exact distinct suppliers per returnflag via dense-bitmap
     // aggregation: the shuffle carries one |dict|/8-byte bitmap per
     // group per partition, never the (group, key) pair stream
@@ -952,6 +968,48 @@ object AnalyticsCatalog {
          |l0 AS (SELECT node, label FROM seeds),
          |${(1 to 3).map(lpIterSql).mkString(",\n")}
          |SELECT node, label FROM l3""".stripMargin,
+
+    // Modularity twin: the same 3 unrolled LP rounds, then the same
+    // exact-integer (degree_sum, within2) aggregate and the identical
+    // division parenthesization; singleton labels for unlabeled
+    // endpoints via the same +1000000 offset.
+    "q_modularity" ->
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
+         |      UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |seeds AS MATERIALIZED (SELECT DISTINCT s_suppkey * 2 + 1 AS node,
+         |    CAST(s_nationkey AS BIGINT) AS label
+         |  FROM supplier WHERE s_suppkey % 5 = 0),
+         |l0 AS (SELECT node, label FROM seeds),
+         |${(1 to 3).map(lpIterSql).mkString(",\n")},
+         |lab AS MATERIALIZED (SELECT node, label FROM l3),
+         |le AS (
+         |  SELECT COALESCE(ls.label, e.src + 1000000) AS csrc,
+         |         COALESCE(ld.label, e.dst + 1000000) AS cdst
+         |  FROM e LEFT JOIN lab ls ON e.src = ls.node
+         |         LEFT JOIN lab ld ON e.dst = ld.node),
+         |per AS MATERIALIZED (
+         |  SELECT csrc AS community, COUNT(*) AS degree_sum,
+         |    CAST(SUM(CASE WHEN csrc = cdst THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS within2
+         |  FROM le GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(degree_sum) AS BIGINT) AS t,
+         |    CAST(SUM(within2) AS BIGINT) AS sw,
+         |    CAST(SUM(degree_sum * degree_sum) AS BIGINT) AS sdd
+         |  FROM per)
+         |SELECT community, degree_sum, within2,
+         |  round(CAST(within2 AS DOUBLE) / t
+         |    - (CAST(degree_sum AS DOUBLE) / t)
+         |      * (CAST(degree_sum AS DOUBLE) / t), 6) AS contribution
+         |FROM per CROSS JOIN tot
+         |UNION ALL
+         |SELECT -1, t, sw,
+         |  round(CAST(sw AS DOUBLE) / t
+         |    - CAST(sdd AS DOUBLE)
+         |      / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)
+         |FROM tot""".stripMargin,
 
     // The bitmap is exact, so the oracle is the plain COUNT(DISTINCT).
     "q_bitmap_distinct" ->

@@ -136,7 +136,9 @@ object Bench {
     // r10 wave 2, benched at birth.
     "q_media_neardup_clusters", "q_media_hash_agreement",
     // r10 wave 4, benched at birth.
-    "q_maxmatch_segment")
+    "q_maxmatch_segment",
+    // r10 wave 5, benched at birth.
+    "q_modularity", "q_distinctive_terms", "q_pack_efficiency")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

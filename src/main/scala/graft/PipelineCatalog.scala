@@ -448,6 +448,13 @@ object PipelineCatalog {
     "q_tfidf" -> ((s, d) =>
       graft.operators.Curation.tfidfTopK(Tables.documents(s, d))),
 
+    // Distinctive terms per source (Monroe et al. "Fightin' Words"
+    // log-odds with a Dirichlet prior): exact counts, fixed ln/√
+    // double chain mirrored verbatim, ranking on the ROUNDED z —
+    // the shrinkage-aware alternative to tf-idf for source triage.
+    "q_distinctive_terms" -> ((s, d) =>
+      graft.operators.Curation.distinctiveTerms(Tables.documents(s, d))),
+
     // JSONL sink/source ROUND-TRIP: write the corpus as JSON lines,
     // re-read with a declared schema, return the re-read rows — the
     // oracle (plain parquet read) gates that the text survives JSON
@@ -475,6 +482,11 @@ object PipelineCatalog {
     // and fixed-length sequence assignment (the LLM batching step).
     "q_pack_sequences" -> ((s, d) =>
       graft.operators.Curation.packSequences(Tables.documents(s, d))),
+
+    // Padding-waste audit: pad-per-doc vs concat-and-chunk, all
+    // integer (ceil = integer div) until one rounded division.
+    "q_pack_efficiency" -> ((s, d) =>
+      graft.operators.Curation.packEfficiency(Tables.documents(s, d))),
 
     // CSV sink/source ROUND-TRIP (the S1 family's on-disk gate): write
     // the corpus as headered CSV, re-read with the declared schema.
@@ -1513,6 +1525,41 @@ object PipelineCatalog {
         |  FROM s)
         |SELECT doc_id, token, tf, df, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
 
+    // Fightin'-Words twin: same exact counts, same α=0.5 prior, the
+    // identical δ/√var parenthesization (ln-parity precedent above),
+    // rank on the rounded z with the token tie-break.
+    "q_distinctive_terms" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t AS (SELECT source, token FROM tok WHERE token <> ''),
+        |ys AS MATERIALIZED (
+        |  SELECT source, token, COUNT(*) AS y_s FROM t GROUP BY 1, 2),
+        |yg AS MATERIALIZED (
+        |  SELECT token, CAST(SUM(y_s) AS BIGINT) AS y_g
+        |  FROM ys GROUP BY 1),
+        |ns AS (SELECT source, CAST(SUM(y_s) AS BIGINT) AS n_s
+        |  FROM ys GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(y_g) AS BIGINT) AS n_tot,
+        |  COUNT(*) AS vocab FROM yg),
+        |sc AS (
+        |  SELECT source, token, y_s, y_g - y_s AS y_r,
+        |    round((ln((CAST(y_s AS DOUBLE) + 0.5)
+        |        / (CAST(n_s AS DOUBLE) + 0.5 * CAST(vocab AS DOUBLE)
+        |           - CAST(y_s AS DOUBLE) - 0.5))
+        |      - ln((CAST(y_g - y_s AS DOUBLE) + 0.5)
+        |        / (CAST(n_tot - n_s AS DOUBLE)
+        |           + 0.5 * CAST(vocab AS DOUBLE)
+        |           - CAST(y_g - y_s AS DOUBLE) - 0.5)))
+        |      / sqrt(1.0 / (CAST(y_s AS DOUBLE) + 0.5)
+        |        + 1.0 / (CAST(y_g - y_s AS DOUBLE) + 0.5)), 6) AS z
+        |  FROM ys JOIN yg USING (token) JOIN ns USING (source)
+        |  CROSS JOIN tot)
+        |SELECT source, token, y_s, y_r, z FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY z DESC, token) AS rn FROM sc)
+        |WHERE rn <= 3""".stripMargin,
+
     "q_dedup_winnow_verified" -> jaccardPairsSql,
 
     "q_docs_jsonl" -> "SELECT doc_id, text FROM documents",
@@ -1536,6 +1583,31 @@ object PipelineCatalog {
         |SELECT doc_id, shard, n_tokens, start_offset,
         |  CAST(floor(start_offset / 512) AS BIGINT) AS seq_idx
         |FROM c""".stripMargin,
+
+    // Packing-audit twin: same integer ceil ((n + L−1) // L), same
+    // shard totals, same final division.
+    "q_pack_efficiency" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |pd AS (SELECT CAST(SUM((n + 511) // 512) AS BIGINT) AS n_seqs,
+        |    CAST(SUM(n) AS BIGINT) AS n_tokens FROM t),
+        |sh AS (SELECT shard, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM t GROUP BY 1),
+        |cc AS (SELECT CAST(SUM((tot + 511) // 512) AS BIGINT) AS n_seqs,
+        |    CAST(SUM(tot) AS BIGINT) AS n_tokens FROM sh)
+        |SELECT 'pad_per_doc' AS strategy, n_seqs, n_tokens,
+        |  n_seqs * 512 - n_tokens AS padded_tokens,
+        |  round(CAST(n_tokens AS DOUBLE)
+        |    / CAST(n_seqs * 512 AS DOUBLE), 6) AS efficiency
+        |FROM pd
+        |UNION ALL
+        |SELECT 'concat_shard', n_seqs, n_tokens,
+        |  n_seqs * 512 - n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE)
+        |    / CAST(n_seqs * 512 AS DOUBLE), 6)
+        |FROM cc""".stripMargin,
 
     "q_vocab" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

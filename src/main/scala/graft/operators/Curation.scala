@@ -100,6 +100,41 @@ object Curation {
       .withColumn("seq_idx", floor(col("start_offset") / seqLen).cast("long"))
   }
 
+  /** PACKING-EFFICIENCY AUDIT — the padding-waste comparison that
+    * decides a batching strategy before any tokens move: pad-per-doc
+    * (every document alone in ⌈n/L⌉ sequences, tail padded — the
+    * fine-tuning default) vs concat-and-chunk per shard (the
+    * [[packSequences]] layout, where only each shard's final sequence
+    * pads). Emits (strategy, n_seqs, n_tokens, padded_tokens,
+    * efficiency) — efficiency = real tokens / slot tokens, the number
+    * that becomes wasted accelerator hours at training time.
+    *
+    * All-integer arithmetic (ceil as `(n + L−1) div L` integer
+    * division, mirrored as `//` in the twin) until one final double
+    * division rounded 6 dp. Scale shape: one corpus scan, one
+    * |shards|-row aggregate — nothing data-sized ever shuffles except
+    * the (doc → shard-total) partials.
+    */
+  def packEfficiency(docs: DataFrame, seqLen: Int = 512,
+                     shards: Int = 32): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      (col("doc_id") % shards).as("shard"),
+      TextOps.tokenCount(col("text")).cast("long").as("n"))
+    val perDoc = t.agg(
+      sum(expr(s"(n + ${seqLen - 1}) div $seqLen")).as("n_seqs"),
+      sum(col("n")).as("n_tokens"))
+    val concat = t.groupBy(col("shard")).agg(sum(col("n")).as("tot"))
+      .agg(sum(expr(s"(tot + ${seqLen - 1}) div $seqLen")).as("n_seqs"),
+        sum(col("tot")).as("n_tokens"))
+    def fin(df: DataFrame, name: String) =
+      df.select(lit(name).as("strategy"), col("n_seqs"),
+        col("n_tokens"),
+        (col("n_seqs") * seqLen - col("n_tokens")).as("padded_tokens"),
+        round(col("n_tokens").cast("double")
+          / (col("n_seqs") * seqLen).cast("double"), 6).as("efficiency"))
+    fin(perDoc, "pad_per_doc").unionByName(fin(concat, "concat_shard"))
+  }
+
   /** Top-k tf-idf terms per document: tf = in-doc term count, df =
     * corpus document frequency, score = tf · ln(N / df) rounded to 6 dp
     * (probed: JVM Math.log and DuckDB ln are bit-identical on this
@@ -581,5 +616,61 @@ object Curation {
         col("r.n_tokens").as("n_tokens"), col("r.n_oov").as("n_oov"),
         round(col("r.n_oov").cast("double") /
           col("r.n_tokens").cast("double"), 6).as("oov_rate"))
+  }
+
+  /** DISTINCTIVE TERMS per source — the "Fightin' Words" log-odds
+    * ratio with a Dirichlet prior (Monroe, Colaresi & Quinn '08): for
+    * each (source, token), δ = ln((y_s+α)/(n_s+αV−y_s−α)) −
+    * ln((y_r+α)/(n_r+αV−y_r−α)) against the REST of the corpus,
+    * scored by z = δ/√(1/(y_s+α) + 1/(y_r+α)). Unlike raw tf-idf,
+    * the prior shrinks rare-token noise and the variance term
+    * downweights small counts — the standard "what vocabulary makes
+    * this source different" read for corpus triage.
+    *
+    * Determinism: all counts are exact integers; δ and z are a fixed
+    * chain of double ops (ln / √ / identical parenthesization,
+    * mirrored verbatim in the DuckDB twin — the tfidf ln-parity
+    * precedent); ranking is on the ROUNDED z with a token tie-break,
+    * so cross-engine order is total.
+    *
+    * Scale shape: one (source, token) keyed aggregate with map-side
+    * partials (a hot token is a hot counter); the global token frame
+    * is vocabulary-sized and joins back on token (the tf⋈df shape);
+    * per-source totals and the 1-row (N, V) frame broadcast. The
+    * per-source top-k runs as a source-partitioned window —
+    * WindowGroupLimit keeps k rows per partition before the exchange.
+    */
+  def distinctiveTerms(docs: DataFrame, alpha: Double = 0.5,
+                       k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val ys = tok.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("y_s"))
+    val yg = ys.groupBy(col("token")).agg(sum(col("y_s")).as("y_g"))
+    val ns = ys.groupBy(col("source")).agg(sum(col("y_s")).as("n_s"))
+    val totals = yg.agg(sum(col("y_g")).as("n_tot"),
+      count(lit(1)).as("vocab"))
+    def lodds(y: Column, n: Column): Column =
+      log((y.cast("double") + lit(alpha)) /
+        (n.cast("double") + lit(alpha) * col("vocab").cast("double")
+          - y.cast("double") - lit(alpha)))
+    val scored = ys.join(yg, Seq("token"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(totals))
+      .withColumn("y_r", col("y_g") - col("y_s"))
+      .withColumn("n_r", col("n_tot") - col("n_s"))
+      .withColumn("z", round(
+        (lodds(col("y_s"), col("n_s"))
+          - lodds(col("y_r"), col("n_r")))
+        / sqrt(lit(1.0) / (col("y_s").cast("double") + lit(alpha))
+          + lit(1.0) / (col("y_r").cast("double") + lit(alpha))), 6))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("z").desc, col("token").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("token"), col("y_s"), col("y_r"),
+        col("z"))
   }
 }

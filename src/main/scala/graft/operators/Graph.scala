@@ -708,4 +708,66 @@ object Graph {
     e.unpersist()
     out
   }
+
+  /** NEWMAN MODULARITY of a node partition (Newman & Girvan '04):
+    * Q = Σ_c (e_c/m − (d_c/2m)²) — how much denser each community is
+    * than a degree-preserving random rewiring. The standard "was this
+    * clustering worth anything" audit over whatever partition the
+    * caller supplies ([[labelPropagation]] labels here; dedup cluster
+    * ids, shard assignments, any (node, label) frame works).
+    *
+    * Arithmetic contract: with SYMMETRIZED edges every undirected edge
+    * appears twice, so `sym_total` = 2m, per-community `degree_sum` =
+    * d_c and `within2` = 2·e_c are EXACT integer counts, and both the
+    * per-community contribution and the total Q are one double
+    * division over exact integers, rounded 6 dp — bit-stable
+    * cross-engine (Q from Σwithin2 and Σd_c², never a float sum of
+    * per-community doubles, so summation order cannot perturb it).
+    * Nodes absent from `communities` count as singletons via
+    * `node + singletonOffset` (a partition must cover every endpoint
+    * or Q's null model is wrong).
+    *
+    * Scale shape: two broadcast-or-keyed label joins onto the edge
+    * list, ONE keyed aggregate to |communities| rows (map-side
+    * partials absorb hot communities), a 1-row total broadcast
+    * (allowlisted). The per-community frame is localCheckpoint'd so
+    * its two consumers (rows + totals) don't re-run the edge chain.
+    * Output: (community, degree_sum, within2, contribution) per
+    * community plus a community = -1 total row whose contribution IS
+    * Q. At 2m beyond ~3·10⁹ the Σd² term needs the decimal monoid
+    * ([[graft.operators.AggState]] idiom) — documented, not defaulted.
+    */
+  def modularity(edges: DataFrame, communities: DataFrame,
+                 singletonOffset: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val lab = communities.select(col("node"), col("label"))
+    val le = e
+      .join(lab.select(col("node").as("src"), col("label").as("lsrc")),
+        Seq("src"), "left")
+      .join(lab.select(col("node").as("dst"), col("label").as("ldst")),
+        Seq("dst"), "left")
+      .select(
+        coalesce(col("lsrc"), col("src") + singletonOffset).as("csrc"),
+        coalesce(col("ldst"), col("dst") + singletonOffset).as("cdst"))
+    val per = le.groupBy(col("csrc").as("community"))
+      .agg(count(lit(1)).as("degree_sum"),
+        sum(when(col("csrc") === col("cdst"), 1L).otherwise(0L))
+          .as("within2"))
+      .localCheckpoint()
+    val tot = per.agg(sum(col("degree_sum")).as("t"),
+      sum(col("within2")).as("sw"),
+      sum(col("degree_sum") * col("degree_sum")).as("sdd"))
+    per.crossJoin(broadcast(tot))
+      .select(col("community"), col("degree_sum"), col("within2"),
+        round(col("within2").cast("double") / col("t")
+          - (col("degree_sum").cast("double") / col("t"))
+            * (col("degree_sum").cast("double") / col("t")), 6)
+          .as("contribution"))
+      .unionByName(tot.select(lit(-1L).as("community"),
+        col("t").as("degree_sum"), col("sw").as("within2"),
+        round(col("sw").cast("double") / col("t")
+          - col("sdd").cast("double")
+            / (col("t").cast("double") * col("t").cast("double")), 6)
+          .as("contribution")))
+  }
 }

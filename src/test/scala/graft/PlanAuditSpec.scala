@@ -88,6 +88,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_hll_merge",
     // cooccurrence: the 1-row basket-total frame under the lift.
     "q_cooccurrence",
+    // modularity: the 1-row (t, sw, sdd) totals frame under Q;
+    // distinctive_terms: the 1-row (n_tot, vocab) frame under the
+    // log-odds — both the q_bm25 stats-frame shape.
+    "q_modularity", "q_distinctive_terms",
     // join_degree: the 1-row estimated-join-size frame under `share`.
     "q_join_degree",
     // apportion: the 1-row source-total frame.

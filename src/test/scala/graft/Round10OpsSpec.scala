@@ -153,4 +153,57 @@ class Round10OpsSpec extends SparkSpec {
       maxBucketDocs = 100)
     assert(uncapped.count() == 5 * 4 / 2, "5 clones -> 10 pairs")
   }
+
+  test("modularity: two clean triangles score Q exactly; an unlabeled " +
+    "pendant becomes a singleton community") {
+    // Triangles {1,2,3} (label 10) and {4,5,6} (label 20), plus a
+    // pendant 7-1 with node 7 unlabeled. m = 7 undirected edges.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (1L, 7L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("node", "label")
+    val got = graft.operators.Graph.modularity(edges, labels)
+      .collect().map(r => r.getAs[Long]("community") ->
+        (r.getAs[Long]("degree_sum"), r.getAs[Long]("within2"),
+          r.getAs[Double]("contribution"))).toMap
+    assert(got.keySet == Set(10L, 20L, 7L + 1000000L, -1L))
+    assert(got(10L) == ((7L, 6L, math.rint((6.0 / 14 - (7.0 / 14)
+      * (7.0 / 14)) * 1e6) / 1e6)))
+    assert(got(20L)._1 == 6L && got(20L)._2 == 6L)
+    assert(got(1000007L) == ((1L, 0L, -0.005102)))
+    // Q from exact integer sums: 12/14 - (49+36+1)/196.
+    val (t, sw, q) = got(-1L)
+    assert(t == 14L && sw == 12L && q == 0.418367)
+  }
+
+  test("distinctiveTerms: a source-exclusive token tops its source " +
+    "with positive z; shared filler does not") {
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "common filler alpha", "A")) ++
+      (7 to 12).map(i => (i.toLong, "common filler beta", "B")))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Curation.distinctiveTerms(docs, k = 1)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[String]("token"), r.getAs[Double]("z"))).toMap
+    assert(got("A")._1 == "alpha" && got("A")._2 > 0)
+    assert(got("B")._1 == "beta" && got("B")._2 > 0)
+  }
+
+  test("packEfficiency: exact integer padding arithmetic on a " +
+    "hand-computed corpus") {
+    // One shard (doc_id % 1): tokens 600, 100, 100.
+    val docs = Seq(
+      (0L, Seq.fill(600)("t").mkString(" "), "s"),
+      (1L, Seq.fill(100)("t").mkString(" "), "s"),
+      (2L, Seq.fill(100)("t").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Curation
+      .packEfficiency(docs, seqLen = 512, shards = 1)
+      .collect().map(r => r.getAs[String]("strategy") ->
+        (r.getAs[Long]("n_seqs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("padded_tokens"))).toMap
+    assert(got("pad_per_doc") == ((4L, 800L, 1248L)))
+    assert(got("concat_shard") == ((2L, 800L, 224L)))
+  }
 }
