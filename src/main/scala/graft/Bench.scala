@@ -138,7 +138,9 @@ object Bench {
     // r10 wave 4, benched at birth.
     "q_maxmatch_segment",
     // r10 wave 5, benched at birth.
-    "q_modularity", "q_distinctive_terms", "q_pack_efficiency")
+    "q_modularity", "q_distinctive_terms", "q_pack_efficiency",
+    // r10 wave 6, benched at birth.
+    "q_unigram_segment")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled
@@ -213,7 +215,10 @@ object Bench {
     // sql media meta: same contract as the benched decode paths.
     "q_sql_media_meta" -> "q_media_meta",
     // sql knn lsh: identical chain through the registered native exprs.
-    "q_sql_knn_lsh" -> "q_knn_lsh")
+    "q_sql_knn_lsh" -> "q_knn_lsh",
+    // unigram vocab: a strict prefix of the q_unigram_segment chain
+    // (init + round-1 DP + M-step, minus the round-2 DP).
+    "q_unigram_vocab" -> "q_unigram_segment")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -49,6 +49,93 @@ object PipelineCatalog {
        |${(1 to 8).map(round).mkString(",\n")}""".stripMargin
   }
 
+  /** Unigram-LM Viterbi-EM twin (Bpe.unigramSegment / unigramVocab):
+    * the SEQUENTIAL formulation of the trainer's per-word DP. States
+    * are the SAME encoded longs as the Spark fold
+    * (cost·2¹⁶ + n_pieces·2⁸ + (255 − len)), so LEAST over candidates
+    * is the identical canonical tie-break; the DP walks positions via
+    * a recursive CTE with one LEFT JOIN per piece length (candidates
+    * END at the new position, so no truncated-substring false
+    * matches), the backtrace is a second recursive CTE over the final
+    * state list, and the M-step re-derives the identical
+    * round(10⁶·ln((tot+V)/(cnt+1))) integer costs.
+    */
+  private def uniDpSql(k: Int, costTable: String): String = {
+    val maxSub = 4
+    val joins = (1 to maxSub).map { l =>
+      s"""  LEFT JOIN $costTable p$l ON d.j + 1 >= $l
+         |    AND p$l.piece = substr(d.word, d.j - ${l - 2}, $l)""".stripMargin
+    }.mkString("\n")
+    val cands = (1 to maxSub).map { l =>
+      val prev = s"d.states[d.j - ${l - 2}]"
+      s"""CASE WHEN p$l.cost IS NOT NULL THEN
+         |      ($prev // 65536 + p$l.cost) * 65536
+         |      + (($prev % 65536) // 256 + 1) * 256 + ${255 - l} END""".stripMargin
+    }.mkString(",\n    ")
+    s"""dp$k(word, j, states) AS (
+       |  SELECT word, 0, [CAST(255 AS BIGINT)] FROM w
+       |  UNION ALL
+       |  SELECT d.word, d.j + 1, list_append(d.states, least(
+       |    $cands))
+       |  FROM dp$k d
+       |$joins
+       |  WHERE d.j < len(d.word)),
+       |fin$k AS MATERIALIZED (
+       |  SELECT word, states FROM dp$k WHERE j = len(word)),
+       |bt$k(word, pos, pieces) AS (
+       |  SELECT word, len(word), CAST([] AS VARCHAR[]) FROM w
+       |  UNION ALL
+       |  SELECT b.word,
+       |    b.pos - (255 - CAST(f.states[b.pos + 1] % 256 AS INT)),
+       |    list_prepend(substr(b.word,
+       |      b.pos - (255 - CAST(f.states[b.pos + 1] % 256 AS INT)) + 1,
+       |      255 - CAST(f.states[b.pos + 1] % 256 AS INT)), b.pieces)
+       |  FROM bt$k b JOIN fin$k f USING (word)
+       |  WHERE b.pos > 0),
+       |seg$k AS MATERIALIZED (
+       |  SELECT word, pieces FROM bt$k WHERE pos = 0)""".stripMargin
+  }
+
+  private val unigramCtes =
+    s"""w AS MATERIALIZED (
+       |  SELECT tok AS word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)
+       |  WHERE tok <> '' GROUP BY 1),
+       |subs AS MATERIALIZED (
+       |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS sub,
+       |    CAST(SUM(freq) AS BIGINT) AS c
+       |  FROM w, range(1, 256) r(i), range(1, 5) s(l)
+       |  WHERE i + l - 1 <= len(word)
+       |  GROUP BY 1),
+       |top2 AS (SELECT sub, c FROM (
+       |    SELECT sub, c, row_number() OVER (ORDER BY c DESC, sub) AS rn
+       |    FROM subs WHERE len(sub) >= 2)
+       |  WHERE rn <= 64),
+       |vocab0 AS MATERIALIZED (SELECT sub AS piece, c FROM top2
+       |  UNION ALL SELECT sub, c FROM subs WHERE len(sub) = 1),
+       |vt0 AS (SELECT CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS v
+       |  FROM vocab0),
+       |cost0 AS MATERIALIZED (SELECT piece,
+       |    CAST(round(1000000.0 * ln(CAST(tot + v AS DOUBLE)
+       |      / CAST(c + 1 AS DOUBLE)), 0) AS BIGINT) AS cost
+       |  FROM vocab0 CROSS JOIN vt0),
+       |${uniDpSql(1, "cost0")},
+       |cnt1 AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS n FROM (
+       |    SELECT w.freq, unnest(s.pieces) AS piece
+       |    FROM seg1 s JOIN w USING (word))
+       |  GROUP BY 1),
+       |full1 AS MATERIALIZED (
+       |  SELECT c0.piece, COALESCE(c1.n, CAST(0 AS BIGINT)) AS cnt
+       |  FROM cost0 c0 LEFT JOIN cnt1 c1 USING (piece)),
+       |vt1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS v
+       |  FROM full1),
+       |cost1 AS MATERIALIZED (SELECT piece,
+       |    CAST(round(1000000.0 * ln(CAST(tot + v AS DOUBLE)
+       |      / CAST(cnt + 1 AS DOUBLE)), 0) AS BIGINT) AS cost
+       |  FROM full1 CROSS JOIN vt1)""".stripMargin
+
   /** One DoReMi multiplicative-weights step twin (Mixing.doremiWeights):
     * expected loss and the renormalizer as source-ordered folds, the
     * update as the shared (1 + η·excess) product tree.
@@ -570,6 +657,21 @@ object PipelineCatalog {
     // DuckDB twin walks the same vocab with a recursive CTE.
     "q_maxmatch_segment" -> ((s, d) =>
       graft.operators.Bpe.maxMatchSegment(Tables.documents(s, d))),
+
+    // Unigram-LM tokenizer (Kudo '18) by Viterbi HARD EM — the third
+    // tokenizer family, made cross-engine-deterministic by fixed-point
+    // integer piece costs and a single encoded-long DP state whose
+    // integer MIN is the canonical tie-break. Two EM rounds, every
+    // step inside the differential (the twin re-runs the DP as a
+    // sequential recursive CTE).
+    "q_unigram_segment" -> ((s, d) =>
+      graft.operators.Bpe.unigramSegment(Tables.documents(s, d))),
+
+    // The trainer's M-step artifact: Viterbi-weighted piece counts
+    // and re-estimated integer costs after round 1 (cost arithmetic
+    // in Spark SQL, not the driver).
+    "q_unigram_vocab" -> ((s, d) =>
+      graft.operators.Bpe.unigramVocab(Tables.documents(s, d))),
 
     // BPE apply-side: segment the corpus with the just-trained merge
     // table (collected — it is 8 rows of trained parameters, a
@@ -1824,6 +1926,24 @@ object PipelineCatalog {
         |WHERE pos > len(word)
         |GROUP BY 1, 2
         |ORDER BY freq DESC, word LIMIT 20""".stripMargin,
+
+    // Unigram twins: identical encoded-long DP states via the
+    // sequential recursive-CTE formulation, identical integer costs.
+    "q_unigram_segment" ->
+      s"""WITH RECURSIVE
+         |$unigramCtes,
+         |${uniDpSql(2, "cost1")}
+         |SELECT s.word, w.freq, CAST(len(s.pieces) AS INT) AS n_pieces,
+         |  CAST(f.states[len(s.word) + 1] // 65536 AS BIGINT)
+         |    AS path_cost
+         |FROM seg2 s JOIN w USING (word) JOIN fin2 f USING (word)
+         |ORDER BY freq DESC, word LIMIT 20""".stripMargin,
+
+    "q_unigram_vocab" ->
+      s"""WITH RECURSIVE
+         |$unigramCtes
+         |SELECT f.piece, f.cnt, c.cost
+         |FROM full1 f JOIN cost1 c USING (piece)""".stripMargin,
 
     "q_bpe_segment" ->
       s"""WITH $bpeCtes

@@ -233,6 +233,188 @@ object Bpe {
       .orderBy(col("freq").desc, col("word")).limit(topWords)
   }
 
+  /** UNIGRAM-LM SUBWORD TOKENIZER (Kudo '18, the SentencePiece
+    * unigram model) trained by HARD (Viterbi) EM — the third
+    * tokenizer family beside the BPE merge fold and the MaxMatch
+    * greedy scan, and the one that required a determinism design:
+    * soft EM's forward-backward is a float sum-product no cross-engine
+    * differential can pin, but VITERBI EM is a pure (min, +) fold,
+    * and in FIXED-POINT INTEGER costs it is bit-exact everywhere.
+    *
+    * The determinism contract, shared verbatim by the DuckDB twin:
+    *   - piece costs are integers: cost(v) = round(10⁶ · ln((total+V)
+    *     /(count_v+1))) — add-one-smoothed negative log-probs, scaled
+    *     and rounded ONCE (the ln-parity precedent); every path cost
+    *     is then an exact integer sum.
+    *   - the per-position DP state is ONE encoded long,
+    *     cost·2¹⁶ + n_pieces·2⁸ + (255 − piece_len), so the integer
+    *     MIN is simultaneously the canonical tie-break (cheapest,
+    *     then fewest pieces, then longest last piece) — no struct
+    *     comparators, no engine-specific ordering.
+    *   - the E-step segmentation is exact Viterbi under those costs;
+    *     the M-step recounts pieces from the segmentation
+    *     (occurrence-weighted) and re-derives costs. Two EM rounds.
+    * Encoding bounds: valid for words ≤ 255 chars and per-piece costs
+    * ≤ ~3·10⁷ (10⁶·ln of any realistic mass ratio) — path cost stays
+    * far below 2⁴⁷, so the shifted sum cannot overflow a long.
+    *
+    * Scale shape ([[trainMerges]]'s discipline): the corpus is
+    * touched ONCE (word-frequency aggregate); everything else runs on
+    * the weighted vocabulary (|V| rows). The DP is a per-row fold —
+    * pure projection, zero shuffle; the trained codebook (≤ vocabK +
+    * alphabet rows) collects to the driver between rounds exactly
+    * like the BPE merge table. The DuckDB twin re-derives the SAME
+    * integers through a SEQUENTIAL recursive-CTE DP — different
+    * formulation, identical encoded states, which is the
+    * differential's point.
+    */
+  def unigramSegment(docs: DataFrame, vocabK: Int = 64,
+                     maxSub: Int = 4, topWords: Int = 20): DataFrame = {
+    val w = wordFreq(docs).localCheckpoint()
+    val cost1 = unigramRound1Costs(w, vocabK, maxSub)
+    viterbiSegment(w, cost1, maxSub)
+      .select(col("word"), col("freq"),
+        size(col("pieces")).cast("int").as("n_pieces"), col("path_cost"))
+      .orderBy(col("freq").desc, col("word")).limit(topWords)
+  }
+
+  /** The unigram trainer's re-estimated piece table after EM round 1:
+    * (piece, cnt, cost) — Viterbi-weighted piece counts and the
+    * add-one-smoothed integer costs the round-2 segmentation uses.
+    * The cost column is computed IN SPARK SQL (round∘ln∘÷) so the
+    * whole M-step sits inside the differential, not the driver.
+    */
+  def unigramVocab(docs: DataFrame, vocabK: Int = 64,
+                   maxSub: Int = 4): DataFrame = {
+    val w = wordFreq(docs).localCheckpoint()
+    val cb0 = collectCodebook(unigramCodebook0(w, vocabK, maxSub))
+    val seg1 = viterbiSegment(w, costsFrom(cb0), maxSub)
+    val cnts = seg1.select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("n"))
+    val full = w.sparkSession.createDataFrame(cb0).toDF("piece", "c0")
+      .join(cnts, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("n"), lit(0L)).as("cnt"))
+    val tot = full.agg(sum(col("cnt")).as("tot"),
+      count(lit(1)).as("v"))
+    full.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        round(lit(1000000.0) * log((col("tot") + col("v")).cast("double")
+          / (col("cnt") + lit(1L)).cast("double")), 0).cast("long")
+          .as("cost"))
+  }
+
+  /** (word, freq) over the corpus — the weighted vocabulary every
+    * tokenizer trainer here runs on.
+    */
+  private def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Occurrence-weighted substring counts, lengths 1..maxSub. */
+  private def subCounts(w: DataFrame, maxSub: Int): DataFrame =
+    w.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  filter(transform(sequence(1, $maxSub), l ->
+           |    if(i + l - 1 <= length(word),
+           |       substring(word, i, l), null)),
+           |    x -> x is not null)))""".stripMargin)).as("sub"))
+      .groupBy(col("sub")).agg(sum(col("freq")).as("c"))
+
+  /** Initial unigram vocabulary with seed counts: top `vocabK`
+    * substrings of length ≥ 2 (count DESC, sub ASC — the MaxMatch
+    * truncation) plus EVERY single character (guaranteed coverage, so
+    * Viterbi always completes with no UNK).
+    */
+  private def unigramCodebook0(w: DataFrame, vocabK: Int,
+                               maxSub: Int): DataFrame = {
+    val sc = subCounts(w, maxSub).localCheckpoint()
+    sc.filter(length(col("sub")) >= 2)
+      .orderBy(col("c").desc, col("sub")).limit(vocabK)
+      .unionByName(sc.filter(length(col("sub")) === 1))
+  }
+
+  private def collectCodebook(df: DataFrame): Seq[(String, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.sortBy(_._1)
+
+  /** Add-one-smoothed fixed-point costs from (piece, count):
+    * round(10⁶ · ln((total + V)/(count + 1))). Driver-side over the
+    * collected codebook (≤ vocabK + alphabet rows); the DuckDB twin
+    * computes the identical longs in SQL.
+    */
+  private def costsFrom(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val tot = counts.map(_._2).sum
+    val v = counts.size
+    counts.map { case (p, c) =>
+      p -> Math.round(1000000.0 *
+        Math.log((tot + v).toDouble / (c + 1).toDouble))
+    }
+  }
+
+  /** Round-1 costs (init codebook → segment → recount → re-cost),
+    * all collect points driver-sized codebooks.
+    */
+  private def unigramRound1Costs(w: DataFrame, vocabK: Int,
+                                 maxSub: Int): Seq[(String, Long)] = {
+    val cb0 = collectCodebook(unigramCodebook0(w, vocabK, maxSub))
+    val seg1 = viterbiSegment(w, costsFrom(cb0), maxSub)
+    val c1 = seg1
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    costsFrom(cb0.map { case (p, _) => p -> c1.getOrElse(p, 0L) })
+  }
+
+  private def sqlStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Exact Viterbi segmentation of the weighted vocabulary under an
+    * integer cost table: per word, a left-to-right (min, +) DP fold
+    * over positions (state = the encoded long above), then a
+    * backtrace fold extracting the canonical pieces. Pure projection
+    * — the cost table rides along as a map literal (a broadcast
+    * codebook), nothing shuffles.
+    */
+  private[graft] def viterbiSegment(w: DataFrame,
+      costs: Seq[(String, Long)], maxSub: Int): DataFrame = {
+    val mapSql = "map(" + costs.map { case (p, c) =>
+      s"${sqlStr(p)}, CAST($c AS BIGINT)" }.mkString(", ") + ")"
+    val dp =
+      s"""aggregate(sequence(1, length(word)),
+         |  array(cast(255 as bigint)),
+         |  (acc, j) -> concat(acc, array(array_min(filter(transform(
+         |    transform(sequence(1, $maxSub), l -> named_struct(
+         |      'l', l,
+         |      'c', if(l <= j, try_element_at($mapSql,
+         |             substring(word, j - l + 1, l)),
+         |           cast(null as bigint)))),
+         |    t -> if(t.c is null, cast(null as bigint),
+         |      (element_at(acc, j - t.l + 1) div 65536 + t.c) * 65536
+         |      + ((element_at(acc, j - t.l + 1) % 65536) div 256 + 1)
+         |        * 256
+         |      + (255 - t.l))),
+         |    x -> x is not null)))))""".stripMargin
+    val bt =
+      s"""aggregate(sequence(1, length(word)),
+         |  named_struct('pos', length(word),
+         |    'ps', cast(array() as array<string>)),
+         |  (acc, i) -> if(acc.pos <= 0, acc, named_struct(
+         |    'pos', acc.pos
+         |      - (255 - cast(element_at(states, acc.pos + 1) % 256 as int)),
+         |    'ps', concat(array(substring(word,
+         |      acc.pos
+         |        - (255 - cast(element_at(states, acc.pos + 1) % 256 as int))
+         |        + 1,
+         |      255 - cast(element_at(states, acc.pos + 1) % 256 as int))),
+         |      acc.ps))),
+         |  a -> a.ps)""".stripMargin
+    w.withColumn("states", expr(dp))
+      .withColumn("pieces", expr(bt))
+      .withColumn("path_cost",
+        expr("element_at(states, length(word) + 1) div 65536"))
+  }
+
   def fertilityByLang(docs: DataFrame,
                       mergesLocal: Seq[(String, String)],
                       langCol: String = "lang"): DataFrame = {

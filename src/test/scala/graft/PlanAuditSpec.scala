@@ -92,6 +92,9 @@ class PlanAuditSpec extends SparkSpec {
     // distinctive_terms: the 1-row (n_tot, vocab) frame under the
     // log-odds — both the q_bm25 stats-frame shape.
     "q_modularity", "q_distinctive_terms",
+    // unigram_vocab: the 1-row (tot, v) smoothing-totals frame under
+    // the cost projection (q_dsir_weights shape).
+    "q_unigram_vocab",
     // join_degree: the 1-row estimated-join-size frame under `share`.
     "q_join_degree",
     // apportion: the 1-row source-total frame.

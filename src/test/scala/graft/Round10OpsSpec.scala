@@ -206,4 +206,49 @@ class Round10OpsSpec extends SparkSpec {
     assert(got("pad_per_doc") == ((4L, 800L, 1248L)))
     assert(got("concat_shard") == ((2L, 800L, 224L)))
   }
+
+  test("viterbiSegment: hand-computed DP with every tie-break leg " +
+    "(cheapest, then fewest pieces, then longest last piece)") {
+    def seg(word: String, costs: Seq[(String, Long)]) = {
+      val row = graft.operators.Bpe.viterbiSegment(
+        Seq((word, 1L)).toDF("word", "freq"), costs, maxSub = 4)
+        .collect().head
+      (row.getAs[Seq[String]]("pieces"), row.getAs[Long]("path_cost"))
+    }
+    // Cheapest path wins outright: ab+c = 250 < a+b+c = 300 < a+bc.
+    assert(seg("abc", Seq("a" -> 100L, "b" -> 100L, "c" -> 100L,
+      "ab" -> 150L, "bc" -> 500L, "abc" -> 10000L))
+      == ((Seq("ab", "c"), 250L)))
+    // Cost tie (300 = 300): fewer pieces wins.
+    assert(seg("abc", Seq("a" -> 100L, "b" -> 100L, "c" -> 100L,
+      "ab" -> 200L)) == ((Seq("ab", "c"), 300L)))
+    // Cost AND piece-count tie: longest last piece wins.
+    assert(seg("ab", Seq("a" -> 100L, "b" -> 100L, "ab" -> 200L))
+      == ((Seq("ab"), 200L)))
+    // Coverage fallback: chars alone always segment.
+    assert(seg("xyz", Seq("x" -> 5L, "y" -> 7L, "z" -> 9L))
+      == ((Seq("x", "y", "z"), 21L)))
+  }
+
+  test("unigramSegment/unigramVocab: EM on a repetitive corpus learns " +
+    "the repeated unit; pieces cover every word") {
+    val docs = Seq(
+      (1L, "abab abab abab cd", "s"),
+      (2L, "abab cd cd", "s"),
+      (3L, "abab abab e", "s")).toDF("doc_id", "text", "source")
+    val seg = graft.operators.Bpe.unigramSegment(docs, vocabK = 8)
+      .collect().map(r => r.getAs[String]("word") ->
+        (r.getAs[Int]("n_pieces"), r.getAs[Long]("path_cost"))).toMap
+    // The dominant word segments as ONE learned piece.
+    assert(seg("abab")._1 == 1, s"abab pieces: ${seg("abab")._1}")
+    assert(seg("cd")._1 == 1)
+    val vocab = graft.operators.Bpe.unigramVocab(docs, vocabK = 8)
+      .collect().map(r => (r.getAs[String]("piece"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("cost")))
+    // Viterbi counts: every emitted piece count is occurrence-weighted;
+    // 'abab' used 6 times, 'cd' 3, 'e' 1; unused pieces carry 0.
+    val cm = vocab.map(t => t._1 -> t._2).toMap
+    assert(cm("abab") == 6L && cm("cd") == 3L && cm("e") == 1L)
+    assert(vocab.forall(t => t._3 > 0L), "costs positive")
+  }
 }
