@@ -140,7 +140,9 @@ object Bench {
     // r10 wave 5, benched at birth.
     "q_modularity", "q_distinctive_terms", "q_pack_efficiency",
     // r10 wave 6, benched at birth.
-    "q_unigram_segment")
+    "q_unigram_segment",
+    // r10 wave 7, benched at birth.
+    "q_source_coverage", "q_label_noise")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

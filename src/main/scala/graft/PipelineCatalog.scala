@@ -750,6 +750,13 @@ object PipelineCatalog {
     "q_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlap(Tables.documents(s, d))),
 
+    // Greedy source-coverage ranking: the submodular-coverage greedy
+    // over distinct 3-gram shingles — first 5 picks with exact
+    // integer marginals (count DESC, source ASC argmax each round).
+    "q_source_coverage" -> ((s, d) =>
+      graft.operators.Curation.sourceCoverageGreedy(
+        Tables.documents(s, d))),
+
     // KMV distinct sketch: per-lang distinct-doc estimate at k=64 (langs
     // hold >64 docs, so the ESTIMATION path fires, not the exact one).
     "q_kmv_distinct" -> ((s, d) =>
@@ -906,6 +913,13 @@ object PipelineCatalog {
     // threshold cuts on actually predict correctness.
     "q_nb_calibration" -> ((s, d) =>
       graft.operators.TextClassify.nbCalibration(Tables.documents(s, d))),
+
+    // Confident-learning label-noise matrix (Northcutt et al.):
+    // margin-based self-confidence vs rational class thresholds
+    // (cross-multiplied — no float mean), integer argmax, |C|² counts;
+    // off-diagonal = suspected mislabels.
+    "q_label_noise" -> ((s, d) =>
+      graft.operators.TextClassify.labelNoise(Tables.documents(s, d))),
 
     // Robust per-source outlier flags: median/MAD on token counts,
     // all-integer statistics (exact differential, no float tolerance).
@@ -2154,6 +2168,41 @@ object PipelineCatalog {
         |    < CAST(floor(pl.p * 1000000.0) AS BIGINT) AS keep
         |FROM documents d JOIN pl ON d.source = pl.source""".stripMargin,
 
+    // Coverage-greedy twin: same distinct (source, shingle) index,
+    // 5 unrolled greedy rounds (anti-join marginal counts, the same
+    // (c DESC, source) argmax, UNION-accumulated covered set), then
+    // the running total over the ≤5-row pick frame.
+    "q_source_coverage" -> {
+      def covRound(r: Int) =
+        s"""g$r AS MATERIALIZED (
+           |  SELECT source, COUNT(*) AS c
+           |  FROM ss ANTI JOIN cov${r - 1} USING (sh) GROUP BY 1),
+           |p$r AS MATERIALIZED (
+           |  SELECT $r AS rank, source, c AS new_shingles
+           |  FROM g$r ORDER BY c DESC, source LIMIT 1),
+           |cov$r AS MATERIALIZED (
+           |  SELECT sh FROM cov${r - 1}
+           |  UNION
+           |  SELECT sh FROM ss JOIN p$r USING (source))""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT source, string_split(text, ' ') AS t FROM documents),
+         |ex AS (SELECT source, t, unnest(range(1, len(t) - 1)) AS i
+         |  FROM toks),
+         |ss AS MATERIALIZED (SELECT DISTINCT source,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         |  FROM ex),
+         |cov0 AS (SELECT sh FROM ss WHERE 1 = 0),
+         |${(1 to 5).map(covRound).mkString(",\n")},
+         |allp AS (
+         |  ${(1 to 5).map(r => s"SELECT * FROM p$r")
+              .mkString("\n  UNION ALL\n  ")})
+         |SELECT CAST(rank AS INT) AS rank, source,
+         |  CAST(new_shingles AS BIGINT) AS new_shingles,
+         |  CAST(SUM(new_shingles) OVER (ORDER BY rank
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_shingles
+         |FROM allp""".stripMargin
+    },
+
     // Winnowing twin: ordered 3-gram hash stream, min per 4-window,
     // distinct, unnest. Short streams keep their single min; <3 tokens
     // vanish — both matching TextOps.winnow's guards.
@@ -2967,6 +3016,35 @@ object PipelineCatalog {
          |  round(CAST(SUM(mfp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
          |    / 1e6, 6) AS mean_margin
          |FROM b GROUP BY 1""".stripMargin,
+
+    // Confident-learning twin: the shared NB chain, margin
+    // self-confidence snapped at 1e-6, rational thresholds compared
+    // by cross-multiplication, (fp DESC, cls) argmax, |C|² counts.
+    "q_label_noise" ->
+      s"""WITH $nbCtesSql,
+         |s1 AS (SELECT doc_id, cls AS top_cls, score AS s1 FROM fin
+         |       WHERE rk = 1),
+         |s2 AS (SELECT doc_id, score AS s2 FROM fin WHERE rk = 2),
+         |rel AS MATERIALIZED (
+         |  SELECT f.doc_id, f.actual, f.cls,
+         |    CAST(round((CASE WHEN f.cls = s1.top_cls
+         |      THEN f.score - s2.s2
+         |      ELSE f.score - s1.s1 END) * 1e6) AS BIGINT) AS fp
+         |  FROM fin f JOIN s1 USING (doc_id) JOIN s2 USING (doc_id)),
+         |th AS (SELECT cls, CAST(SUM(fp) AS BIGINT) AS sfp,
+         |    COUNT(*) AS n_lbl
+         |  FROM rel WHERE actual = cls GROUP BY 1),
+         |qual AS (SELECT r.doc_id, r.actual, r.cls, r.fp
+         |  FROM rel r JOIN th USING (cls)
+         |  WHERE r.fp * th.n_lbl >= th.sfp),
+         |pick AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY fp DESC, cls) AS rn FROM qual)
+         |  WHERE rn = 1)
+         |SELECT actual AS label, cls AS pred_class,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  (actual <> cls) AS suspect
+         |FROM pick GROUP BY 1, 2""".stripMargin,
 
     // PMI twin: three count aggregates over the same positional bigram
     // build, exact double products (counts < 2^26), 6-dp ln, (pmi desc,

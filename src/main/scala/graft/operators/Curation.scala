@@ -618,6 +618,59 @@ object Curation {
           col("r.n_tokens").cast("double"), 6).as("oov_rate"))
   }
 
+  /** GREEDY SOURCE-COVERAGE RANKING — the data-buying read: rank
+    * sources by MARGINAL distinct-shingle contribution under greedy
+    * forward selection (the classic submodular-coverage greedy, which
+    * is (1−1/e)-optimal for coverage — Nemhauser et al. '78). Round r
+    * picks the source adding the most yet-uncovered 3-gram shingles;
+    * output (rank, source, new_shingles, cum_shingles) for the first
+    * `rounds` picks. Two sources that re-crawl the same pages rank
+    * far apart here even when raw sizes match — exactly what
+    * [[graft.operators.Dedup.sourceOverlap]]'s pairwise Jaccard hints
+    * at, made into a purchase ORDER.
+    *
+    * Determinism: marginals are exact integer counts; the per-round
+    * argmax tie-breaks (count DESC, source ASC) — both engines share
+    * the total order. Each pick is a 1-row collect (a driver-sized
+    * training decision, the BPE-argmax precedent); a picked source's
+    * remaining marginal is zero, so it drops out of later rounds
+    * structurally, not via an exclusion list.
+    *
+    * Scale shape: ONE distinct (source, shingle) index built from the
+    * corpus (the decontaminate/jaccard shingle machinery), then per
+    * round one shingle-keyed left-anti join against the covered set +
+    * one |sources|-row count — `rounds` × two keyed jobs, never a
+    * corpus re-scan. The covered set is localCheckpoint'd per round
+    * (iterative-lineage discipline).
+    */
+  def sourceCoverageGreedy(docs: DataFrame, rounds: Int = 5,
+                           n: Int = 3): DataFrame = {
+    val ss = docs.select(col("source"),
+        explode(TextOps.shingles(col("text"), n)).as("sh"))
+      .distinct().localCheckpoint()
+    var covered: DataFrame = null
+    var picked = Vector.empty[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val remaining =
+        if (covered == null) ss
+        else ss.join(covered, Seq("sh"), "left_anti")
+      val top = remaining.groupBy(col("source"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("source")).limit(1).collect()
+      if (top.nonEmpty) {
+        val src = top(0).getString(0)
+        picked = picked :+ ((r, src, top(0).getLong(1)))
+        val newCov = ss.filter(col("source") === src).select(col("sh"))
+        covered = (if (covered == null) newCov
+          else covered.unionByName(newCov)).localCheckpoint()
+      }
+    }
+    val cum = picked.scanLeft(0L)(_ + _._3).tail
+    docs.sparkSession.createDataFrame(
+      picked.zip(cum).map { case ((r, s, c), cm) => (r, s, c, cm) })
+      .toDF("rank", "source", "new_shingles", "cum_shingles")
+  }
+
   /** DISTINCTIVE TERMS per source — the "Fightin' Words" log-odds
     * ratio with a Dirichlet prior (Monroe, Colaresi & Quinn '08): for
     * each (source, token), δ = ln((y_s+α)/(n_s+αV−y_s−α)) −

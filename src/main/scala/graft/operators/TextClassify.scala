@@ -163,6 +163,64 @@ object TextClassify {
           / col("n_docs").cast("double") / 1e6, 6).as("mean_margin"))
   }
 
+  /** CONFIDENT-LEARNING label-noise matrix (Northcutt, Jiang & Chuang
+    * '21): estimate WHICH labels are wrong by counting docs into
+    * C[given label i][confident class j], where a doc counts for
+    * class j only when its self-confidence for j clears the
+    * CLASS-TYPICAL threshold t_j (the mean self-confidence of docs
+    * labeled j). Off-diagonal cells are the suspected-mislabel mass —
+    * the triage queue a labeled-data pipeline re-reviews first.
+    *
+    * Self-confidence is the MARGIN variant (cleanlab's normalized-
+    * margin ranking), not the softmax probability: m_j = score_j −
+    * max_{k≠j} score_k, i.e. the argmax margin for the top class and
+    * −(deficit to the top) for the rest. Softmax would put a
+    * cross-engine exp() on the surface; the margin is the same
+    * decision variable with none (the [[nbCalibration]] argument),
+    * and the CL framework is agnostic to the self-confidence choice.
+    *
+    * DETERMINISM: margins snap once to 1e-6 fixed point; thresholds
+    * stay RATIONAL (Σfp, n) and the clearing test cross-multiplies
+    * (fp·n ≥ Σfp) — no float mean anywhere; the per-doc confident
+    * class is an integer argmax with the (fp DESC, cls ASC)
+    * tie-break. Docs clearing no threshold are skipped (the CL
+    * convention).
+    *
+    * Scale shape: [[rankedScores]]' chain (materialized once), two
+    * doc-keyed joins to attach s1/s2, one |C|-row threshold aggregate
+    * broadcast back, a doc-partitioned argmax window, one |C|²-row
+    * count. Output: (label, pred_class, n_docs, suspect).
+    */
+  def labelNoise(docs: DataFrame, labelCol: String = "lang",
+                 testMod: Int = 5): DataFrame = {
+    val ranked = rankedScores(docs, labelCol, testMod)
+      .localCheckpoint(false)
+    val s1 = ranked.filter(col("rk") === 1)
+      .select(col("doc_id"), col("cls").as("top_cls"),
+        col("score").as("s1"))
+    val s2 = ranked.filter(col("rk") === 2)
+      .select(col("doc_id"), col("score").as("s2"))
+    val rel = ranked.join(s1, Seq("doc_id")).join(s2, Seq("doc_id"))
+      .select(col("doc_id"), col("actual"), col("cls"),
+        round(when(col("cls") === col("top_cls"),
+            col("score") - col("s2"))
+          .otherwise(col("score") - col("s1")) * 1e6, 0)
+          .cast("long").as("fp"))
+    val th = rel.filter(col("actual") === col("cls"))
+      .groupBy(col("cls"))
+      .agg(sum(col("fp")).as("sfp"), count(lit(1)).as("n_lbl"))
+    val qual = rel.join(broadcast(th), Seq("cls"))
+      .filter(col("fp") * col("n_lbl") >= col("sfp"))
+    val pick = qual.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("fp").desc, col("cls").asc)))
+      .filter(col("rn") === 1)
+    pick.groupBy(col("actual").as("label"),
+        col("cls").as("pred_class"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("suspect", col("label") =!= col("pred_class"))
+  }
+
   /** PER-CLASS precision / recall / F1 over any (pred, actual) frame —
     * the held-out evaluation read that decides whether a trained
     * filter ships (pairs with the corpus-level chance-corrected

@@ -251,4 +251,36 @@ class Round10OpsSpec extends SparkSpec {
     assert(cm("abab") == 6L && cm("cd") == 3L && cm("e") == 1L)
     assert(vocab.forall(t => t._3 > 0L), "costs positive")
   }
+
+  test("sourceCoverageGreedy: superset source first, disjoint second, " +
+    "fully-covered source never picked") {
+    val docs = Seq(
+      (1L, "a b c d e f", "big"),   // 4 distinct 3-gram shingles
+      (2L, "a b c d e f", "copy"),  // identical -> 0 marginal after big
+      (3L, "x y z w v", "other"))   // 3 disjoint shingles
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Curation.sourceCoverageGreedy(docs)
+      .collect().map(r => (r.getAs[Int]("rank"),
+        r.getAs[String]("source"), r.getAs[Long]("new_shingles"),
+        r.getAs[Long]("cum_shingles")))
+    assert(got.toSeq == Seq((1, "big", 4L, 4L), (2, "other", 3L, 7L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("labelNoise: a planted label flip lands in the off-diagonal " +
+    "suspect cell") {
+    val docs = (0L until 20L).map { i =>
+      val text = if (i < 10) "aa aa aa" else "bb bb bb"
+      val lang = if (i == 0) "B" else if (i < 10) "A" else "B"
+      (i, text, lang)
+    }.toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextClassify.labelNoise(docs)
+      .collect().map(r => (r.getAs[String]("label"),
+        r.getAs[String]("pred_class")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Boolean]("suspect"))).toMap
+    // Test slice: 0 (aa, labeled B — the flip), 5 (aa, A), 10/15 (bb, B).
+    assert(got(("B", "A")) == ((1L, true)), s"flip cell: $got")
+    assert(got(("A", "A")) == ((1L, false)))
+    assert(got(("B", "B")) == ((2L, false)))
+  }
 }
