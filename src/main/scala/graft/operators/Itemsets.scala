@@ -16,9 +16,17 @@ import org.apache.spark.sql.functions._
   *      dropped BEFORE pair generation (one tiny item-count aggregate,
   *      joined back — at 100 TB this is the difference between pairing
   *      a power-law head and pairing the whole long tail).
-  *   2. WITHIN-BASKET JOIN: pairs come from a self equi-join keyed on
-  *      the basket id — fan-out bounded by (pruned) basket size², never
-  *      cross-basket, never all-pairs.
+  *   2. WITHIN-BASKET GENERATION: baskets collapse to one sorted
+  *      item array each (one keyed shuffle), and pairs explode from a
+  *      per-basket nested transform — fan-out bounded by (pruned)
+  *      basket size², never cross-basket, never all-pairs. This
+  *      replaced the r7 self equi-join on the basket id after an A/B
+  *      (r10, PLANS.md): one exchange fewer, min-of-3 −4%..−23%
+  *      across all four consumers vs the committed anchor. The trade,
+  *      stated: the pair ARRAY materializes per basket (O(k²) row
+  *      memory) where the join streamed it — for corpora with
+  *      pathological thousand-item baskets after pruning, the
+  *      streamed self-join form is the right fallback.
   * Pair counts are map-side-combined partials; the top-k is
   * orderBy+limit = TakeOrderedAndProject (per-partition heaps, never a
   * global sort). The basket total N is a 1-row broadcast (allowlisted).
@@ -39,12 +47,17 @@ object Itemsets {
     val freq = items.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
       .filter(col("n_item") >= minItemSupport)
     val fi = items.join(freq, Seq("it"))
-    val counts = fi.select(col("bk"), col("it").as("a"),
-        col("n_item").as("n_a"))
-      .join(fi.select(col("bk"), col("it").as("b"),
-        col("n_item").as("n_b")), Seq("bk"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("n_a"), col("n_b"))
+    val counts = fi.groupBy(col("bk"))
+      .agg(sort_array(collect_list(struct(col("it"), col("n_item"))))
+        .as("xs"))
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+          |  transform(slice(xs, i + 2, size(xs) - i - 1), y ->
+          |    struct(x.it AS a, y.it AS b,
+          |           x.n_item AS n_a, y.n_item AS n_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .agg(count(lit(1)).as("n_ab"))
     (items, counts)
   }
