@@ -142,7 +142,9 @@ object Bench {
     // r10 wave 6, benched at birth.
     "q_unigram_segment",
     // r10 wave 7, benched at birth.
-    "q_source_coverage", "q_label_noise")
+    "q_source_coverage", "q_label_noise",
+    // r10 wave 8, benched at birth.
+    "q_mutual_info")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled
@@ -220,7 +222,10 @@ object Bench {
     "q_sql_knn_lsh" -> "q_knn_lsh",
     // unigram vocab: a strict prefix of the q_unigram_segment chain
     // (init + round-1 DP + M-step, minus the round-2 DP).
-    "q_unigram_vocab" -> "q_unigram_segment")
+    "q_unigram_vocab" -> "q_unigram_segment",
+    // unigram fertility: the same two-round chain + one (lang, word)
+    // aggregate and a broadcast join.
+    "q_unigram_fertility" -> "q_unigram_segment")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

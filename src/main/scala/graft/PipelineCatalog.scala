@@ -673,6 +673,12 @@ object PipelineCatalog {
     "q_unigram_vocab" -> ((s, d) =>
       graft.operators.Bpe.unigramVocab(Tables.documents(s, d))),
 
+    // Tokenizer-equity audit under the unigram model — the
+    // q_bpe_fertility number for the second trained family, so the
+    // two tokenizers compare per language on the same metric.
+    "q_unigram_fertility" -> ((s, d) =>
+      graft.operators.Bpe.unigramFertilityByLang(Tables.documents(s, d))),
+
     // BPE apply-side: segment the corpus with the just-trained merge
     // table (collected — it is 8 rows of trained parameters, a
     // codebook) and count the resulting subword units.
@@ -1323,6 +1329,13 @@ object PipelineCatalog {
     "q_hill_tail" -> ((s, d) =>
       graft.operators.CorpusStats.hillTail(Tables.documents(s, d))),
 
+    // Mutual information source↔lang: |X|·|Y| contingency counts,
+    // fixed-point ln terms summed as exact longs (no float fold),
+    // entropies + NMI from the integer sums — are the two sampling
+    // keys redundant or independent?
+    "q_mutual_info" -> ((s, d) =>
+      graft.operators.CorpusStats.mutualInfo(Tables.documents(s, d))),
+
     // LM quality by source: macro-averaged per-doc avg_logp under the
     // corpus bigram LM — the off-distribution-source triage read.
     "q_lm_by_source" -> ((s, d) =>
@@ -1958,6 +1971,22 @@ object PipelineCatalog {
          |$unigramCtes
          |SELECT f.piece, f.cnt, c.cost
          |FROM full1 f JOIN cost1 c USING (piece)""".stripMargin,
+
+    "q_unigram_fertility" ->
+      s"""WITH RECURSIVE
+         |$unigramCtes,
+         |${uniDpSql(2, "cost1")},
+         |lw AS (
+         |  SELECT lang, tok AS word, COUNT(*) AS nw FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents)
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |sg AS (SELECT word, len(pieces) AS n_syms FROM seg2)
+         |SELECT lang, CAST(SUM(nw) AS BIGINT) AS n_words,
+         |  CAST(SUM(nw * n_syms) AS BIGINT) AS n_subwords,
+         |  round(CAST(SUM(nw * n_syms) AS DOUBLE)
+         |    / CAST(SUM(nw) AS DOUBLE), 6) AS fertility
+         |FROM lw JOIN sg USING (word) GROUP BY 1""".stripMargin,
 
     "q_bpe_segment" ->
       s"""WITH $bpeCtes
@@ -4003,6 +4032,41 @@ object PipelineCatalog {
         |    CAST(k_used AS DOUBLE) * 1e6 / CAST(st AS DOUBLE) END, 6)
         |    AS alpha
         |FROM s""".stripMargin,
+
+    // MI twin: same contingency/marginal integers, same per-term 1e-6
+    // snap-and-integer-sum, identical ratio trees.
+    "q_mutual_info" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT source AS x, lang AS y, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(SUM(n) AS BIGINT) AS nx
+        |  FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(SUM(n) AS BIGINT) AS ny
+        |  FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+        |smi AS (SELECT CAST(SUM(CAST(round(
+        |      (CAST(n AS DOUBLE) / nn)
+        |      * ln(CAST(n * nn AS DOUBLE) / CAST(nx * ny AS DOUBLE))
+        |      * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS smi
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y)
+        |  CROSS JOIN nn),
+        |shx AS (SELECT CAST(SUM(CAST(round(
+        |      (CAST(nx AS DOUBLE) / nn)
+        |      * ln(CAST(nx AS DOUBLE) / nn) * 1000000.0, 0)
+        |    AS BIGINT)) AS BIGINT) AS shx
+        |  FROM mx CROSS JOIN nn),
+        |shy AS (SELECT CAST(SUM(CAST(round(
+        |      (CAST(ny AS DOUBLE) / nn)
+        |      * ln(CAST(ny AS DOUBLE) / nn) * 1000000.0, 0)
+        |    AS BIGINT)) AS BIGINT) AS shy
+        |  FROM my CROSS JOIN nn)
+        |SELECT round(CAST(smi AS DOUBLE) / 1000000.0, 6) AS mi,
+        |  round(-CAST(shx AS DOUBLE) / 1000000.0, 6) AS h_x,
+        |  round(-CAST(shy AS DOUBLE) / 1000000.0, 6) AS h_y,
+        |  round((CAST(smi AS DOUBLE) / 1000000.0)
+        |    / sqrt((-CAST(shx AS DOUBLE) / 1000000.0)
+        |      * (-CAST(shy AS DOUBLE) / 1000000.0)), 6) AS nmi
+        |FROM smi CROSS JOIN shx CROSS JOIN shy""".stripMargin,
 
     // LM-by-source twin: the shared LM chain + the source join, 1e-6
     // snap of the already-6dp per-doc scores (exact integers), one

@@ -303,6 +303,34 @@ object Bpe {
           .as("cost"))
   }
 
+  /** Per-language fertility under the trained UNIGRAM tokenizer —
+    * the [[fertilityByLang]] equity audit with the Viterbi-EM
+    * segmentation in place of the BPE fold, so the two tokenizer
+    * families' per-language costs compare on the same number. Same
+    * shapes: |V|-row segmentation table broadcast onto one
+    * (lang, word) keyed aggregate, integer sums, one division per
+    * language.
+    */
+  def unigramFertilityByLang(docs: DataFrame, vocabK: Int = 64,
+                             maxSub: Int = 4,
+                             langCol: String = "lang"): DataFrame = {
+    val w = wordFreq(docs).localCheckpoint()
+    val segs = viterbiSegment(w, unigramRound1Costs(w, vocabK, maxSub),
+        maxSub)
+      .select(col("word").as("wd"), size(col("pieces")).as("n_syms"))
+    val lw = docs.select(col(langCol),
+        explode(TextOps.tokens(col("text"))).as("wd"))
+      .filter(col("wd") =!= "")
+      .groupBy(col(langCol), col("wd")).agg(count(lit(1)).as("nw"))
+    lw.join(broadcast(segs), Seq("wd"))
+      .groupBy(col(langCol))
+      .agg(sum(col("nw")).as("n_words"),
+        sum(col("nw") * col("n_syms")).as("n_subwords"))
+      .select(col(langCol), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"))
+  }
+
   /** (word, freq) over the corpus — the weighted vocabulary every
     * tokenizer trainer here runs on.
     */

@@ -412,4 +412,55 @@ object CorpusStats {
         col("k_used").cast("double") * 1e6 / col("st").cast("double")),
         6).as("alpha"))
   }
+
+  /** MUTUAL INFORMATION between two metadata dimensions — "does
+    * source predict language" as one number: I(X;Y) =
+    * Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over the |X|·|Y| contingency
+    * cells, with both marginal entropies and the normalized
+    * NMI = I/√(H(X)H(Y)). High NMI between source and lang says the
+    * two stratifications are redundant (mixing by one implicitly
+    * mixes by the other); near-zero says they cut independently —
+    * the read that decides whether a sampling scheme needs both keys.
+    *
+    * Determinism ([[hillTail]]'s device): every ln term is snapped to
+    * a 1e-6 fixed-point long and SUMMED AS EXACT INTEGERS — no float
+    * fold order anywhere; the three output ratios are fixed double
+    * chains over the integer sums, rounded 6 dp.
+    *
+    * Scale shape: one (x, y) keyed count (map-side partials — the
+    * contingency table is |X|·|Y| rows no matter the corpus), two
+    * marginal aggregates of that table, a 1-row total broadcast
+    * (allowlisted). Nothing data-sized moves after the first
+    * aggregate.
+    */
+  def mutualInfo(docs: DataFrame, xCol: String = "source",
+                 yCol: String = "lang"): DataFrame = {
+    val cells = docs.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(false)
+    val mx = cells.groupBy(col("x")).agg(sum(col("n")).as("nx"))
+    val my = cells.groupBy(col("y")).agg(sum(col("n")).as("ny"))
+    val nn = cells.agg(sum(col("n")).as("nn"))
+    val smi = cells.join(broadcast(mx), Seq("x"))
+      .join(broadcast(my), Seq("y")).crossJoin(broadcast(nn))
+      .select(round((col("n").cast("double") / col("nn"))
+        * log((col("n") * col("nn")).cast("double")
+          / (col("nx") * col("ny")).cast("double")) * 1e6, 0)
+        .cast("long").as("t"))
+      .agg(sum(col("t")).as("smi"))
+    def entSum(m: DataFrame, c: String, as: String) =
+      m.crossJoin(broadcast(nn))
+        .select(round((col(c).cast("double") / col("nn"))
+          * log(col(c).cast("double") / col("nn")) * 1e6, 0)
+          .cast("long").as("t"))
+        .agg(sum(col("t")).as(as))
+    smi.crossJoin(broadcast(entSum(mx, "nx", "shx")))
+      .crossJoin(broadcast(entSum(my, "ny", "shy")))
+      .select(
+        round(col("smi").cast("double") / 1e6, 6).as("mi"),
+        round(-col("shx").cast("double") / 1e6, 6).as("h_x"),
+        round(-col("shy").cast("double") / 1e6, 6).as("h_y"),
+        round((col("smi").cast("double") / 1e6)
+          / sqrt((-col("shx").cast("double") / 1e6)
+            * (-col("shy").cast("double") / 1e6)), 6).as("nmi"))
+  }
 }

@@ -95,6 +95,10 @@ class PlanAuditSpec extends SparkSpec {
     // unigram_vocab: the 1-row (tot, v) smoothing-totals frame under
     // the cost projection (q_dsir_weights shape).
     "q_unigram_vocab",
+    // mutual_info: the 1-row corpus-total frame under each fixed-point
+    // term projection plus the 1-row MI/entropy sum frames — five
+    // 1-row broadcasts, nothing data-sized (q_kmv_intersect family).
+    "q_mutual_info",
     // join_degree: the 1-row estimated-join-size frame under `share`.
     "q_join_degree",
     // apportion: the 1-row source-total frame.
