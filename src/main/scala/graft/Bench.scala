@@ -144,7 +144,9 @@ object Bench {
     // r10 wave 7, benched at birth.
     "q_source_coverage", "q_label_noise",
     // r10 wave 8, benched at birth.
-    "q_mutual_info")
+    "q_mutual_info",
+    // r10 wave 9, benched at birth.
+    "q_split_leakage")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

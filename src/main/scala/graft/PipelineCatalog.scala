@@ -427,6 +427,14 @@ object PipelineCatalog {
         Dedup.withNearDuplicates(Tables.documents(s, d)),
         maxDocFreq = Some(50))),
 
+    // Train/heldout split-leakage audit: the verified near-dup pairs
+    // classified by a deterministic id split — cross_split pairs are
+    // eval contamination. Same substrate and pair contract as
+    // q_dedup_jaccard.
+    "q_split_leakage" -> ((s, d) =>
+      Dedup.splitLeakage(
+        Dedup.withNearDuplicates(Tables.documents(s, d)))),
+
     // MinHash-LSH near-dup pairs (banded buckets + exact verify) — same
     // contract, same oracle as q_dedup_jaccard.
     "q_dedup_minhash" -> ((s, d) =>
@@ -1690,6 +1698,23 @@ object PipelineCatalog {
         |WHERE rn <= 3""".stripMargin,
 
     "q_dedup_winnow_verified" -> jaccardPairsSql,
+
+    // Split-leakage twin: the shared pair chain + the same mod-7
+    // endpoint classification and share division.
+    "q_split_leakage" ->
+      s"""WITH $pairsCteSql,
+         |cl AS (
+         |  SELECT CASE
+         |    WHEN doc_a % 7 = 0 AND doc_b % 7 = 0 THEN 'within_heldout'
+         |    WHEN doc_a % 7 <> 0 AND doc_b % 7 <> 0 THEN 'within_train'
+         |    ELSE 'cross_split' END AS split_class
+         |  FROM pairs),
+         |c AS (SELECT split_class, COUNT(*) AS n_pairs FROM cl
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot FROM c)
+         |SELECT split_class, n_pairs,
+         |  round(CAST(n_pairs AS DOUBLE) / tot, 6) AS share
+         |FROM c CROSS JOIN t""".stripMargin,
 
     "q_docs_jsonl" -> "SELECT doc_id, text FROM documents",
 

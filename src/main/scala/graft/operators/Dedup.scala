@@ -1176,4 +1176,42 @@ object Dedup {
         round(col("n_dup_docs").cast("double")
           / col("n_docs").cast("double"), 6).as("dup_rate"))
   }
+
+  /** TRAIN/HELDOUT SPLIT-LEAKAGE AUDIT — the contamination check a
+    * split must pass BEFORE the heldout slice can be called an eval
+    * set: near-duplicate pairs ([[exactJaccardPairs]]' verified
+    * contract) classified by which side of a deterministic id split
+    * their endpoints land on. `cross_split` pairs are the leakage —
+    * a train doc whose near-copy sits in heldout inflates every
+    * metric computed there (the split-level complement of
+    * [[graft.operators.Curation.decontaminate]]'s external-benchmark
+    * check). Output: (split_class, n_pairs, share).
+    *
+    * The split is `doc_id % heldoutMod == 0` — deterministic,
+    * mirrorable, and NOT content-derived (a content-hash split would
+    * send exact copies to the same side by construction and hide
+    * exactly the pairs this audit exists to count).
+    *
+    * Scale shape: the pair chain's cost IS the query ([[exactJaccardPairs]]
+    * — index-bounded, hot-shingle-capped); classification adds two
+    * integer mods per pair, one |classes|-row aggregate, a 1-row
+    * total broadcast (allowlisted).
+    */
+  def splitLeakage(corpus: DataFrame, heldoutMod: Int = 7,
+                   maxDocFreq: Option[Int] = Some(50)): DataFrame = {
+    def held(c: org.apache.spark.sql.Column) = c % heldoutMod === 0
+    val cl = exactJaccardPairs(corpus, maxDocFreq = maxDocFreq)
+      .select(
+        when(held(col("doc_a")) && held(col("doc_b")), "within_heldout")
+          .when(!held(col("doc_a")) && !held(col("doc_b")),
+            "within_train")
+          .otherwise("cross_split").as("split_class"))
+    // ≤3 rows, two consumers (rows + total) — materialize so the
+    // pair chain runs once (the modularity `per` discipline).
+    val c = cl.groupBy(col("split_class"))
+      .agg(count(lit(1)).as("n_pairs")).localCheckpoint()
+    c.crossJoin(broadcast(c.agg(sum(col("n_pairs")).as("tot"))))
+      .select(col("split_class"), col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("tot"), 6).as("share"))
+  }
 }

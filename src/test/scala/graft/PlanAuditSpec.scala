@@ -99,6 +99,8 @@ class PlanAuditSpec extends SparkSpec {
     // term projection plus the 1-row MI/entropy sum frames — five
     // 1-row broadcasts, nothing data-sized (q_kmv_intersect family).
     "q_mutual_info",
+    // split_leakage: the 1-row pair-total frame under the share.
+    "q_split_leakage",
     // join_degree: the 1-row estimated-join-size frame under `share`.
     "q_join_degree",
     // apportion: the 1-row source-total frame.

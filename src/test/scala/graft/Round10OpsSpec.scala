@@ -283,4 +283,24 @@ class Round10OpsSpec extends SparkSpec {
     assert(got(("A", "A")) == ((1L, false)))
     assert(got(("B", "B")) == ((2L, false)))
   }
+
+  test("splitLeakage: a near-dup pair straddling the id split is " +
+    "counted as cross_split; same-side twins are not") {
+    // Long shared bodies so J >= 0.7; ids chosen around mod 7:
+    // (7, 8) straddle the boundary (7%7=0 heldout, 8 train);
+    // (1, 2) both train; 20 is unrelated.
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (7L, body, "s"), (8L, body + " tail7", "s"),
+      (1L, body.replace("tok1", "zz1"), "s"),
+      (2L, body.replace("tok1", "zz1") + " tail1", "s"),
+      (20L, (1 to 40).map(i => s"other$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup.splitLeakage(docs)
+      .collect().map(r => r.getAs[String]("split_class") ->
+        r.getAs[Long]("n_pairs")).toMap
+    assert(got("cross_split") == 1L, s"got $got")
+    assert(got("within_train") == 1L)
+    assert(!got.contains("within_heldout"))
+  }
 }
