@@ -146,7 +146,9 @@ object Bench {
     // r10 wave 8, benched at birth.
     "q_mutual_info",
     // r10 wave 9, benched at birth.
-    "q_split_leakage")
+    "q_split_leakage",
+    // r10 wave 10, benched at birth.
+    "q_sorted_neighborhood")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -1025,6 +1025,17 @@ object PipelineCatalog {
         parts, "p_partkey", "p_name")
     }),
 
+    // Sorted-neighborhood linkage (Hernández–Stolfo): the second
+    // blocking family over the same dirty feed — block-local sort,
+    // rank+j equi-join window (|records|·window candidates, never a
+    // quadratic range join), exact Levenshtein verify.
+    "q_sorted_neighborhood" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+      graft.operators.EntityMatch.sortedNeighborhood(
+        graft.operators.EntityMatch.dirtyFeed(parts, "p_partkey", "p_name"),
+        parts, "p_partkey", "p_name")
+    }),
+
     // Rendezvous (HRW) shard router: argmax salted hash over 16 shards
     // — the stable assignment that moves only 1/(n+1) of keys on
     // reshard (spec gates the movement property exactly).
@@ -3301,6 +3312,52 @@ object PipelineCatalog {
         |    ORDER BY lev, matched_key) AS rn FROM v)
         |SELECT dirty_id, dirty_name, matched_key, matched_name, lev
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // SNM twin: same dirty feed, same block-local (lower(nm), kind,
+    // rid) rank order; the sliding window as a range join (method
+    // difference — the Spark side is the rank+j equi-join), same
+    // Levenshtein verify and (lev, key) best.
+    "q_sorted_neighborhood" ->
+      """WITH cat AS (
+        |  SELECT 'c' AS kind, MIN(p_partkey) AS rid, p_name AS nm
+        |  FROM part GROUP BY p_name),
+        |d0 AS (
+        |  SELECT p_partkey AS dirty_id, p_name,
+        |    (p_partkey % (length(p_name) - 2)) + 2 AS pos
+        |  FROM part WHERE p_partkey % 7 = 0),
+        |dd AS (
+        |  SELECT 'd' AS kind, dirty_id AS rid,
+        |    concat(substr(p_name, 1, CAST(pos - 1 AS INT)),
+        |      substr(p_name, CAST(pos + 1 AS INT))) AS nm
+        |  FROM d0),
+        |allr AS (
+        |  SELECT *, substr(lower(nm), 1, 1) AS blk FROM (
+        |    SELECT * FROM cat UNION ALL SELECT * FROM dd)),
+        |rn AS MATERIALIZED (
+        |  SELECT *, row_number() OVER (PARTITION BY blk
+        |    ORDER BY lower(nm), kind, rid) AS rn
+        |  FROM allr),
+        |cands AS (
+        |  SELECT a.kind, a.rid, a.nm, b.kind AS kind2, b.rid AS rid2,
+        |    b.nm AS nm2
+        |  FROM rn a JOIN rn b ON a.blk = b.blk
+        |    AND b.rn - a.rn BETWEEN 1 AND 3 AND a.kind <> b.kind),
+        |pairs AS (
+        |  SELECT
+        |    CASE WHEN kind = 'd' THEN rid ELSE rid2 END AS dirty_id,
+        |    CASE WHEN kind = 'd' THEN nm ELSE nm2 END AS dirty_name,
+        |    CASE WHEN kind = 'd' THEN rid2 ELSE rid END AS matched_key,
+        |    CASE WHEN kind = 'd' THEN nm2 ELSE nm END AS matched_name
+        |  FROM cands),
+        |v AS (
+        |  SELECT *, CAST(levenshtein(dirty_name, matched_name) AS INT)
+        |    AS lev
+        |  FROM pairs WHERE levenshtein(dirty_name, matched_name) <= 2),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY dirty_id
+        |    ORDER BY lev, matched_key) AS brn FROM v)
+        |SELECT dirty_id, dirty_name, matched_key, matched_name, lev
+        |FROM best WHERE brn = 1""".stripMargin,
 
     // Rendezvous twin: per-(doc, shard) salted md5 weights, winner by
     // (w DESC, s DESC) — array_max's lexicographic struct tie-break.

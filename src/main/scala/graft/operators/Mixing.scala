@@ -217,4 +217,5 @@ object Mixing {
         round(col("w_base"), 6).as("w_base"),
         round(col("w"), 6).as("w_final"))
   }
+
 }

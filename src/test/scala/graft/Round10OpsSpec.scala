@@ -303,4 +303,19 @@ class Round10OpsSpec extends SparkSpec {
     assert(got("within_train") == 1L)
     assert(!got.contains("within_heldout"))
   }
+
+  test("sortedNeighborhood: adjacency in the block-local sort finds " +
+    "the typo; a first-char typo falls outside every block") {
+    val catalog = Seq((1L, "banana split"), (2L, "banana splitz"),
+      (3L, "cherry cake")).toDF("key", "name")
+    val dirty = Seq((100L, "banana splt"), (101L, "xanana split"))
+      .toDF("dirty_id", "dirty_name")
+    val got = graft.operators.EntityMatch.sortedNeighborhood(
+        dirty, catalog, "key", "name")
+      .collect().map(r => r.getAs[Long]("dirty_id") ->
+        (r.getAs[Long]("matched_key"), r.getAs[Int]("lev"))).toMap
+    assert(got(100L) == ((1L, 1)), s"got $got")
+    assert(!got.contains(101L), "first-char typo breaks the block " +
+      "(the documented recall surface — resolve()'s k2 key covers it)")
+  }
 }
