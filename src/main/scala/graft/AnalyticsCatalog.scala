@@ -265,6 +265,28 @@ object AnalyticsCatalog {
               col("s_nationkey").cast("long").as("label"))))
     }),
 
+    // Per-community conductance over the same LP partition — the
+    // boundary-quality companion to q_modularity (cut / min-side
+    // volume, exact integers, one division).
+    "q_conductance" -> ((s, d) => {
+      val edges = graft.operators.Graph.purchaseEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d))
+      graft.operators.Graph.conductance(edges,
+        graft.operators.Graph.labelPropagation(edges,
+          Tables.supplier(s, d).filter(col("s_suppkey") % 5 === 0)
+            .select((col("s_suppkey") * 2L + 1L).as("node"),
+              col("s_nationkey").cast("long").as("label"))))
+    }),
+
+    // Hash-shard edge cut: the partitioning-locality audit — fraction
+    // of purchase-graph edges crossing a 16-way content-hash shard
+    // assignment (prices "just hash-partition it" vs community-aware
+    // layout). One projection + one aggregate.
+    "q_edge_cut" -> ((s, d) =>
+      graft.operators.Graph.hashShardCut(
+        graft.operators.Graph.purchaseEdges(
+          Tables.orders(s, d), Tables.lineitem(s, d)))),
+
     // Exact distinct suppliers per returnflag via dense-bitmap
     // aggregation: the shuffle carries one |dict|/8-byte bitmap per
     // group per partition, never the (group, key) pair stream
@@ -1010,6 +1032,59 @@ object AnalyticsCatalog {
          |    - CAST(sdd AS DOUBLE)
          |      / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)
          |FROM tot""".stripMargin,
+
+    // Conductance twin: the modularity CTE chain with the
+    // cut / min-side-volume division instead of the null-model terms.
+    "q_conductance" ->
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
+         |      UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |seeds AS MATERIALIZED (SELECT DISTINCT s_suppkey * 2 + 1 AS node,
+         |    CAST(s_nationkey AS BIGINT) AS label
+         |  FROM supplier WHERE s_suppkey % 5 = 0),
+         |l0 AS (SELECT node, label FROM seeds),
+         |${(1 to 3).map(lpIterSql).mkString(",\n")},
+         |lab AS MATERIALIZED (SELECT node, label FROM l3),
+         |le AS (
+         |  SELECT COALESCE(ls.label, e.src + 1000000) AS csrc,
+         |         COALESCE(ld.label, e.dst + 1000000) AS cdst
+         |  FROM e LEFT JOIN lab ls ON e.src = ls.node
+         |         LEFT JOIN lab ld ON e.dst = ld.node),
+         |per AS MATERIALIZED (
+         |  SELECT csrc AS community, COUNT(*) AS degree_sum,
+         |    CAST(SUM(CASE WHEN csrc = cdst THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS within2
+         |  FROM le GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(degree_sum) AS BIGINT) AS t FROM per)
+         |SELECT community, degree_sum AS volume,
+         |  degree_sum - within2 AS cut,
+         |  round(CAST(degree_sum - within2 AS DOUBLE)
+         |    / CAST(least(degree_sum, t - degree_sum) AS DOUBLE), 6)
+         |    AS conductance
+         |FROM per CROSS JOIN tot""".stripMargin,
+
+    // Edge-cut twin: same md5 shard assignment, one aggregate.
+    "q_edge_cut" ->
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pairs
+        |      UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |s AS (
+        |  SELECT ('0x' || substr(md5(CAST(src AS VARCHAR) || ':shard'),
+        |      1, 15))::BIGINT % 16 AS sa,
+        |    ('0x' || substr(md5(CAST(dst AS VARCHAR) || ':shard'),
+        |      1, 15))::BIGINT % 16 AS sb
+        |  FROM e)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges2,
+        |  CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cut2,
+        |  round(CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS cut_fraction
+        |FROM s""".stripMargin,
 
     // The bitmap is exact, so the oracle is the plain COUNT(DISTINCT).
     "q_bitmap_distinct" ->

@@ -148,7 +148,9 @@ object Bench {
     // r10 wave 9, benched at birth.
     "q_split_leakage",
     // r10 wave 10, benched at birth.
-    "q_sorted_neighborhood")
+    "q_sorted_neighborhood",
+    // r10 wave 11, benched at birth.
+    "q_edge_cut")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled
@@ -229,7 +231,10 @@ object Bench {
     "q_unigram_vocab" -> "q_unigram_segment",
     // unigram fertility: the same two-round chain + one (lang, word)
     // aggregate and a broadcast join.
-    "q_unigram_fertility" -> "q_unigram_segment")
+    "q_unigram_fertility" -> "q_unigram_segment",
+    // conductance: q_modularity's LP chain + the same per-community
+    // aggregate with a different final division.
+    "q_conductance" -> "q_modularity")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

@@ -737,23 +737,79 @@ object Graph {
     * Q. At 2m beyond ~3·10⁹ the Σd² term needs the decimal monoid
     * ([[graft.operators.AggState]] idiom) — documented, not defaulted.
     */
-  def modularity(edges: DataFrame, communities: DataFrame,
-                 singletonOffset: Long = 1000000L): DataFrame = {
+  /** PER-COMMUNITY CONDUCTANCE φ(c) = cut(c) / min(vol(c), 2m−vol(c))
+    * — the boundary-quality companion to [[modularity]]'s density
+    * read: a community can beat the null model (positive Q
+    * contribution) while still leaking half its edges; φ is the
+    * number bounding how well it would serve as a PARTITION (random-
+    * walk escape probability, sharding locality). Same integer
+    * surface as modularity: vol = symmetrized degree sum, cut =
+    * vol − within2, one division rounded 6 dp. Same plan shape (one
+    * keyed aggregate + a 1-row total broadcast, allowlisted);
+    * singletons via the same offset convention.
+    */
+  def conductance(edges: DataFrame, communities: DataFrame,
+                  singletonOffset: Long = 1000000L): DataFrame = {
+    val per = communityEdgeStats(edges, communities, singletonOffset)
+    val tot = per.agg(sum(col("degree_sum")).as("t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("community"), col("degree_sum").as("volume"),
+        (col("degree_sum") - col("within2")).as("cut"),
+        round((col("degree_sum") - col("within2")).cast("double")
+          / least(col("degree_sum"), col("t") - col("degree_sum"))
+            .cast("double"), 6).as("conductance"))
+  }
+
+  /** Shared (community, degree_sum, within2) aggregate under
+    * [[modularity]] and [[conductance]] — one edge-list scan with the
+    * label joins, localCheckpoint'd for its multiple consumers.
+    */
+  private def communityEdgeStats(edges: DataFrame,
+      communities: DataFrame, singletonOffset: Long): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
     val lab = communities.select(col("node"), col("label"))
-    val le = e
-      .join(lab.select(col("node").as("src"), col("label").as("lsrc")),
+    e.join(lab.select(col("node").as("src"), col("label").as("lsrc")),
         Seq("src"), "left")
       .join(lab.select(col("node").as("dst"), col("label").as("ldst")),
         Seq("dst"), "left")
       .select(
         coalesce(col("lsrc"), col("src") + singletonOffset).as("csrc"),
         coalesce(col("ldst"), col("dst") + singletonOffset).as("cdst"))
-    val per = le.groupBy(col("csrc").as("community"))
+      .groupBy(col("csrc").as("community"))
       .agg(count(lit(1)).as("degree_sum"),
         sum(when(col("csrc") === col("cdst"), 1L).otherwise(0L))
           .as("within2"))
       .localCheckpoint()
+  }
+
+  /** HASH-SHARD EDGE CUT — the partitioning-locality audit for a
+    * graph workload: assign nodes to `shards` by a deterministic
+    * content hash (the q_shard_assign idiom collapsed to one mod) and
+    * report how many symmetrized edges cross shards. cut_fraction ≈
+    * 1 − 1/shards says hashing is as bad as random for this graph
+    * (expected — hash ignores structure); anything materially lower
+    * means the id space already encodes locality. The number that
+    * prices "just hash-partition it" against a community-aware
+    * layout ([[conductance]] over [[labelPropagation]] labels gives
+    * the achievable contrast). One projection + one aggregate.
+    */
+  def hashShardCut(edges: DataFrame, shards: Int = 16): DataFrame = {
+    def shardOf(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(c.cast("string"), lit(":shard"))),
+        1, 15), 16, 10).cast("long") % shards
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .select(shardOf(col("src")).as("sa"), shardOf(col("dst")).as("sb"))
+    e.agg(count(lit(1)).as("n_edges2"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+          .as("n_cut2"))
+      .select(col("n_edges2"), col("n_cut2"),
+        round(col("n_cut2").cast("double")
+          / col("n_edges2").cast("double"), 6).as("cut_fraction"))
+  }
+
+  def modularity(edges: DataFrame, communities: DataFrame,
+                 singletonOffset: Long = 1000000L): DataFrame = {
+    val per = communityEdgeStats(edges, communities, singletonOffset)
     val tot = per.agg(sum(col("degree_sum")).as("t"),
       sum(col("within2")).as("sw"),
       sum(col("degree_sum") * col("degree_sum")).as("sdd"))

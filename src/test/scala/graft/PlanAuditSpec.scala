@@ -101,6 +101,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_mutual_info",
     // split_leakage: the 1-row pair-total frame under the share.
     "q_split_leakage",
+    // conductance: the same 1-row totals frame as q_modularity.
+    "q_conductance",
     // join_degree: the 1-row estimated-join-size frame under `share`.
     "q_join_degree",
     // apportion: the 1-row source-total frame.

@@ -318,4 +318,32 @@ class Round10OpsSpec extends SparkSpec {
     assert(!got.contains(101L), "first-char typo breaks the block " +
       "(the documented recall surface — resolve()'s k2 key covers it)")
   }
+
+  test("conductance: a clean triangle scores 0; a community leaking " +
+    "half its edge-ends scores accordingly") {
+    // Triangle {1,2,3} (community 10, no cut) + edge 4-5 where only 4
+    // is labeled 20: community 20 has vol 1, cut 1 -> phi = 1.0;
+    // singleton 5 likewise.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L))
+      .toDF("node", "label")
+    val got = graft.operators.Graph.conductance(edges, labels)
+      .collect().map(r => r.getAs[Long]("community") ->
+        (r.getAs[Long]("volume"), r.getAs[Long]("cut"),
+          r.getAs[Double]("conductance"))).toMap
+    assert(got(10L) == ((6L, 0L, 0.0)))
+    assert(got(20L) == ((1L, 1L, 1.0)))
+    assert(got(1000005L) == ((1L, 1L, 1.0)))
+  }
+
+  test("hashShardCut: all edges inside one shard cut nothing; the " +
+    "fraction is exact integer arithmetic") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val one = graft.operators.Graph.hashShardCut(e, shards = 1)
+      .collect().head
+    assert(one.getAs[Long]("n_edges2") == 2L)
+    assert(one.getAs[Long]("n_cut2") == 0L)
+    assert(one.getAs[Double]("cut_fraction") == 0.0)
+  }
 }
