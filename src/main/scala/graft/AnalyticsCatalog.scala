@@ -265,6 +265,12 @@ object AnalyticsCatalog {
               col("s_nationkey").cast("long").as("label"))))
     }),
 
+    // One-sided CUSUM drift monitor over daily per-type totals:
+    // S_t via the prefix-sum-minus-running-min closed form, mean
+    // reference as a rational — exact integer arithmetic end to end.
+    "q_cusum" -> ((s, d) =>
+      graft.query.Analytics.cusumDrift(Tables.events(s, d))),
+
     // Per-community conductance over the same LP partition — the
     // boundary-quality companion to q_modularity (cut / min-side
     // volume, exact integers, one division).
@@ -1032,6 +1038,33 @@ object AnalyticsCatalog {
          |    - CAST(sdd AS DOUBLE)
          |      / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)
          |FROM tot""".stripMargin,
+
+    // CUSUM twin: same daily cents totals, same n-scaled prefix sum
+    // and running min over the per-type day sort, same 2·Σx alarm.
+    "q_cusum" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS sumx,
+        |    COUNT(*) AS n
+        |  FROM daily GROUP BY 1),
+        |w AS (
+        |  SELECT d.event_type, d.day, d.x, s.sumx, s.n,
+        |    row_number() OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day) AS t,
+        |    CAST(SUM(d.x) OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps
+        |  FROM daily d JOIN stats s USING (event_type)),
+        |p AS (SELECT *, ps * n - t * sumx AS p FROM w),
+        |m AS (SELECT *, CAST(MIN(p) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pmin
+        |  FROM p)
+        |SELECT event_type, day, x AS day_total_cents,
+        |  p - pmin AS cusum_scaled,
+        |  (p - pmin) > 2 * sumx AS alarm
+        |FROM m""".stripMargin,
 
     // Conductance twin: the modularity CTE chain with the
     // cut / min-side-volume division instead of the null-model terms.

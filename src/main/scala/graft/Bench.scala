@@ -150,7 +150,9 @@ object Bench {
     // r10 wave 10, benched at birth.
     "q_sorted_neighborhood",
     // r10 wave 11, benched at birth.
-    "q_edge_cut")
+    "q_edge_cut",
+    // r10 wave 12, benched at birth.
+    "q_cusum", "q_dedup_planted_eval")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -856,6 +856,12 @@ object PipelineCatalog {
         Dedup.withNearDuplicates(Tables.documents(s, d)),
         maxDocFreq = Some(50))),
 
+    // Planted-truth dedup eval: measured recall of the MinHash
+    // verified chain against the INJECTED (m, m+offset) pairs —
+    // ground truth by construction, not estimate.
+    "q_dedup_planted_eval" -> ((s, d) =>
+      Dedup.plantedPairEval(Tables.documents(s, d))),
+
     // Jaccard threshold-calibration curve (r9): pair counts at τ ∈
     // {0.5..0.9} from ONE loose-threshold pair pass — the elbow read
     // that picks a corpus's dedup threshold. Standard hot-shingle cap.
@@ -1709,6 +1715,26 @@ object PipelineCatalog {
         |WHERE rn <= 3""".stripMargin,
 
     "q_dedup_winnow_verified" -> jaccardPairsSql,
+
+    // Planted-eval twin: the shared pair chain vs the literal truth
+    // set; three 1-row counts, two divisions.
+    "q_dedup_planted_eval" ->
+      s"""WITH $pairsCteSql,
+         |truth AS (
+         |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |mm AS (SELECT COUNT(*) AS n_matched FROM pairs
+         |  SEMI JOIN truth USING (doc_a, doc_b)),
+         |tc AS (SELECT COUNT(*) AS n_truth FROM truth),
+         |fc AS (SELECT COUNT(*) AS n_found FROM pairs)
+         |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_found AS BIGINT) AS n_found,
+         |  CAST(n_matched AS BIGINT) AS n_matched,
+         |  round(CAST(n_matched AS DOUBLE) / CAST(n_truth AS DOUBLE),
+         |    6) AS recall,
+         |  round(CAST(n_matched AS DOUBLE) / CAST(n_found AS DOUBLE),
+         |    6) AS found_share_planted
+         |FROM tc CROSS JOIN fc CROSS JOIN mm""".stripMargin,
 
     // Split-leakage twin: the shared pair chain + the same mod-7
     // endpoint classification and share division.

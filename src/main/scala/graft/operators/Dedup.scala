@@ -1177,6 +1177,42 @@ object Dedup {
           / col("n_docs").cast("double"), 6).as("dup_rate"))
   }
 
+  /** PLANTED-TRUTH DEDUP EVALUATION — measured recall of the
+    * verified near-dup chain against pairs KNOWN BY CONSTRUCTION:
+    * [[withNearDuplicates]] injects (m, m+idOffset) perturbed copies,
+    * so the truth set is exact and the pipeline's recall is a
+    * measurement, not an estimate (the labeled complement to
+    * [[dedupMethodAgreement]]'s method-vs-method comparison and
+    * [[jaccardThresholdCurve]]'s τ calibration). found pairs outside
+    * the truth set are ORGANIC near-dups, not errors —
+    * `found_share_planted` reads how much of the detected mass the
+    * injection explains. Recall < 1 is honest signal: a copy of a
+    * very short doc falls below the Jaccard bar when its dropped
+    * first token is a large share of its shingles.
+    *
+    * Scale shape: the pair chain is the cost; the truth frame is
+    * |corpus|/everyN rows (broadcast semi-join); three 1-row counts
+    * cross-joined (allowlisted).
+    */
+  def plantedPairEval(docs: DataFrame, everyN: Int = 50,
+                      idOffset: Long = 1000000L): DataFrame = {
+    val found = minhashVerifiedPairs(withNearDuplicates(docs, everyN,
+      idOffset)).localCheckpoint(false)
+    val truth = docs.filter(col("doc_id") % everyN === 0)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + idOffset).as("doc_b"))
+    val matched = found.join(broadcast(truth), Seq("doc_a", "doc_b"),
+      "left_semi").agg(count(lit(1)).as("n_matched"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .crossJoin(broadcast(matched))
+      .select(col("n_truth"), col("n_found"), col("n_matched"),
+        round(col("n_matched").cast("double")
+          / col("n_truth").cast("double"), 6).as("recall"),
+        round(col("n_matched").cast("double")
+          / col("n_found").cast("double"), 6).as("found_share_planted"))
+  }
+
   /** TRAIN/HELDOUT SPLIT-LEAKAGE AUDIT — the contamination check a
     * split must pass BEFORE the heldout slice can be called an eval
     * set: near-duplicate pairs ([[exactJaccardPairs]]' verified

@@ -925,4 +925,47 @@ object Analytics {
         round(col("gfp").cast("double") / 1e9
           / col("n_sources").cast("double"), 6).as("norm_value"))
   }
+
+  /** ONE-SIDED CUSUM change-point detection (Page '54) over daily
+    * per-type value totals — the SEQUENTIAL drift monitor beside
+    * [[rollingAnomaly]]'s pointwise z-score: a run of individually
+    * unremarkable above-reference days ACCUMULATES until the alarm
+    * fires, which is exactly the failure mode (slow ingest drift, a
+    * gradually degrading source) a per-day threshold misses.
+    *
+    * The recursion S_t = max(0, S_{t-1} + x_t − k) is not a window
+    * aggregate, but its closed form is: S_t = P_t − min_{j≤t} P_j
+    * with P_t = Σ_{i≤t}(x_i − k) — a prefix sum and a running min
+    * over the SAME per-type day sort (one shuffle, one sort, the
+    * interval-merge window-reuse idiom). With reference k = the
+    * type's own mean as a RATIONAL (Σx, n), everything scales by n:
+    * P′_t = n·Σ_{i≤t}x_i − t·Σx — EXACT integer arithmetic end to
+    * end (values in rounded cents), alarm at S′_t > h·n with
+    * h = `threshXMean`·mean, i.e. S′_t > threshXMean·Σx. No floats
+    * anywhere. At Σx·n beyond ~2⁶² the decimal monoid swaps in.
+    *
+    * Output: (event_type, day, day_total_cents, cusum_scaled, alarm).
+    */
+  def cusumDrift(events: DataFrame, threshXMean: Int = 2): DataFrame = {
+    val daily = events.select(col("event_type"),
+        to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("sumx"), count(lit(1)).as("n"))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("t", row_number().over(ord))
+      .withColumn("p",
+        sum(col("x")).over(cum) * col("n") - col("t") * col("sumx"))
+      .withColumn("pmin", min(col("p")).over(cum))
+      .select(col("event_type"), col("day"),
+        col("x").as("day_total_cents"),
+        (col("p") - col("pmin")).as("cusum_scaled"),
+        (col("p") - col("pmin") > lit(threshXMean.toLong) * col("sumx"))
+          .as("alarm"))
+  }
 }

@@ -103,6 +103,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_split_leakage",
     // conductance: the same 1-row totals frame as q_modularity.
     "q_conductance",
+    // dedup_planted_eval: three 1-row count frames under the ratios.
+    "q_dedup_planted_eval",
     // join_degree: the 1-row estimated-join-size frame under `share`.
     "q_join_degree",
     // apportion: the 1-row source-total frame.

@@ -337,6 +337,37 @@ class Round10OpsSpec extends SparkSpec {
     assert(got(1000005L) == ((1L, 1L, 1.0)))
   }
 
+  test("cusumDrift: a level shift alarms only after enough drift " +
+    "accumulates — exact closed-form values") {
+    // 8 days at 1.00 then 4 days at 5.00: mean = 2800/12 cents.
+    // P'_t = 12*prefix - t*2800; min at t=8 (-12800); alarm when
+    // S' > 2*2800 = 5600 -> first at day 10 (S'=6400).
+    val rows = (1 to 12).map { d =>
+      ("a", java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"),
+        if (d <= 8) 1.0 else 5.0)
+    }
+    val got = graft.query.Analytics.cusumDrift(
+        rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("cusum_scaled"), r.getAs[Boolean]("alarm")))
+      .toMap
+    assert(got("2024-01-08") == ((0L, false)), s"got $got")
+    assert(got("2024-01-09") == ((3200L, false)))
+    assert(got("2024-01-10") == ((6400L, true)))
+    assert(got("2024-01-12") == ((12800L, true)))
+  }
+
+  test("plantedPairEval: full recall on a corpus of long docs") {
+    val docs = (1L to 100L).map { i =>
+      val rnd = new scala.util.Random(7000 + i)
+      (i, (1 to 60).map(_ => s"w${rnd.nextInt(500)}").mkString(" "),
+        "s")
+    }.toDF("doc_id", "text", "source")
+    val r = graft.operators.Dedup.plantedPairEval(docs).collect().head
+    assert(r.getAs[Long]("n_truth") == 2L) // ids 50, 100
+    assert(r.getAs[Double]("recall") == 1.0)
+  }
+
   test("hashShardCut: all edges inside one shard cut nothing; the " +
     "fraction is exact integer arithmetic") {
     val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
