@@ -152,7 +152,9 @@ object Bench {
     // r10 wave 11, benched at birth.
     "q_edge_cut",
     // r10 wave 12, benched at birth.
-    "q_cusum", "q_dedup_planted_eval")
+    "q_cusum", "q_dedup_planted_eval",
+    // r10 wave 13, benched at birth.
+    "q_lsh_scurve")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled
@@ -236,7 +238,10 @@ object Bench {
     "q_unigram_fertility" -> "q_unigram_segment",
     // conductance: q_modularity's LP chain + the same per-community
     // aggregate with a different final division.
-    "q_conductance" -> "q_modularity")
+    "q_conductance" -> "q_modularity",
+    // unigram prune: the q_unigram_segment chain + a driver-side
+    // prune of the collected codebook and one more DP round.
+    "q_unigram_prune" -> "q_unigram_segment")
 
   def main(args: Array[String]): Unit = {
     // Optional args: builder-local subset runs (driver passes none).

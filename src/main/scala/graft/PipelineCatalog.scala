@@ -687,6 +687,19 @@ object PipelineCatalog {
     "q_unigram_fertility" -> ((s, d) =>
       graft.operators.Bpe.unigramFertilityByLang(Tables.documents(s, d))),
 
+    // SentencePiece-style vocabulary PRUNE round: drop the 32
+    // lowest-count multi-char pieces after round-1 counts (chars
+    // never pruned — coverage survives), re-segment under the
+    // renormalized costs.
+    "q_unigram_prune" -> ((s, d) =>
+      graft.operators.Bpe.unigramPruneSegment(Tables.documents(s, d))),
+
+    // LSH banding design table: P(candidate | J) = 1 − (1 − Jʳ)ᵇ for
+    // every (b, r) split of a 16-slot signature — powers as repeated
+    // left-associated multiplication (no pow() ULP surface).
+    "q_lsh_scurve" -> ((s, d) =>
+      graft.operators.Dedup.lshSCurve()),
+
     // BPE apply-side: segment the corpus with the just-trained merge
     // table (collected — it is 8 rows of trained parameters, a
     // codebook) and count the resulting subword units.
@@ -2033,6 +2046,49 @@ object PipelineCatalog {
          |$unigramCtes
          |SELECT f.piece, f.cnt, c.cost
          |FROM full1 f JOIN cost1 c USING (piece)""".stripMargin,
+
+    // Prune twin: full1's bottom-32 multi-char pieces dropped (same
+    // (cnt, piece) order), renormalized costs, a third DP round.
+    "q_unigram_prune" ->
+      s"""WITH RECURSIVE
+         |$unigramCtes,
+         |pruned AS MATERIALIZED (
+         |  SELECT f.piece, f.cnt FROM full1 f
+         |  WHERE len(f.piece) = 1 OR f.piece NOT IN (
+         |    SELECT piece FROM (
+         |      SELECT piece, row_number() OVER (ORDER BY cnt, piece)
+         |        AS rn
+         |      FROM full1 WHERE len(piece) >= 2)
+         |    WHERE rn <= 32)),
+         |vtp AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS v
+         |  FROM pruned),
+         |costp AS MATERIALIZED (SELECT piece,
+         |    CAST(round(1000000.0 * ln(CAST(tot + v AS DOUBLE)
+         |      / CAST(cnt + 1 AS DOUBLE)), 0) AS BIGINT) AS cost
+         |  FROM pruned CROSS JOIN vtp),
+         |${uniDpSql(3, "costp")}
+         |SELECT s.word, w.freq, CAST(len(s.pieces) AS INT) AS n_pieces,
+         |  CAST(f.states[len(s.word) + 1] // 65536 AS BIGINT)
+         |    AS path_cost
+         |FROM seg3 s JOIN w USING (word) JOIN fin3 f USING (word)
+         |ORDER BY freq DESC, word LIMIT 20""".stripMargin,
+
+    // S-curve twin: identical left-associated multiplication chains
+    // per (b, r) arm over the same i·0.05 grid.
+    "q_lsh_scurve" -> {
+      def arm(b: Int, r: Int): String = {
+        val jx = "(CAST(i AS DOUBLE) * 0.05)"
+        val jr = List.fill(r)(jx).mkString(" * ")
+        val qx = s"(1.0 - $jr)"
+        val qb = List.fill(b)(qx).mkString(" * ")
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+           |  round($jx, 6) AS j,
+           |  round(1.0 - $qb, 6) AS p_candidate
+           |FROM range(1, 20) t(i)""".stripMargin
+      }
+      Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+        arm(b, r) }.mkString("\nUNION ALL\n")
+    },
 
     "q_unigram_fertility" ->
       s"""WITH RECURSIVE

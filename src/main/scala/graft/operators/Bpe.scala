@@ -380,18 +380,46 @@ object Bpe {
     }
   }
 
-  /** Round-1 costs (init codebook → segment → recount → re-cost),
-    * all collect points driver-sized codebooks.
+  /** Round-1 Viterbi counts over the full init vocabulary (zeroes
+    * kept), all collect points driver-sized codebooks.
     */
-  private def unigramRound1Costs(w: DataFrame, vocabK: Int,
-                                 maxSub: Int): Seq[(String, Long)] = {
+  private def unigramRound1Counts(w: DataFrame, vocabK: Int,
+                                  maxSub: Int): Seq[(String, Long)] = {
     val cb0 = collectCodebook(unigramCodebook0(w, vocabK, maxSub))
     val seg1 = viterbiSegment(w, costsFrom(cb0), maxSub)
     val c1 = seg1
       .select(col("freq"), explode(col("pieces")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    costsFrom(cb0.map { case (p, _) => p -> c1.getOrElse(p, 0L) })
+    cb0.map { case (p, _) => p -> c1.getOrElse(p, 0L) }
+  }
+
+  private def unigramRound1Costs(w: DataFrame, vocabK: Int,
+                                 maxSub: Int): Seq[(String, Long)] =
+    costsFrom(unigramRound1Counts(w, vocabK, maxSub))
+
+  /** VOCABULARY PRUNING round — the SentencePiece trainer's other
+    * half: after the round-1 E-step, drop the `pruneK` LOWEST-COUNT
+    * multi-character pieces (count ASC, piece ASC — deterministic;
+    * single characters are never pruned, so coverage survives) and
+    * re-segment under the re-normalized costs. Low-count pieces carry
+    * almost no likelihood mass, so removing them shrinks the model
+    * with negligible corpus-cost increase — the standard
+    * train-big-then-prune regime. Same chain shapes as
+    * [[unigramSegment]]; output contract identical.
+    */
+  def unigramPruneSegment(docs: DataFrame, vocabK: Int = 64,
+                          maxSub: Int = 4, pruneK: Int = 32,
+                          topWords: Int = 20): DataFrame = {
+    val w = wordFreq(docs).localCheckpoint()
+    val counts = unigramRound1Counts(w, vocabK, maxSub)
+    val drop = counts.filter(_._1.length >= 2)
+      .sortBy { case (p, c) => (c, p) }.take(pruneK).map(_._1).toSet
+    val kept = counts.filterNot { case (p, _) => drop(p) }
+    viterbiSegment(w, costsFrom(kept), maxSub)
+      .select(col("word"), col("freq"),
+        size(col("pieces")).cast("int").as("n_pieces"), col("path_cost"))
+      .orderBy(col("freq").desc, col("word")).limit(topWords)
   }
 
   private def sqlStr(s: String): String =

@@ -1177,6 +1177,34 @@ object Dedup {
           / col("n_docs").cast("double"), 6).as("dup_rate"))
   }
 
+  /** LSH S-CURVE DESIGN TABLE — the analytic banding-choice tool
+    * (Broder; the MMDS tuning chart): for every (bands b, rows r)
+    * factorization of the signature budget, P(candidate | J) =
+    * 1 − (1 − Jʳ)ᵇ over a J grid. Read beside
+    * [[jaccardThresholdCurve]]'s MEASURED pair counts, it picks the
+    * banding whose S-curve knee sits at the corpus's chosen τ before
+    * any signatures are computed. Deterministic cross-engine: the
+    * powers are REPEATED LEFT-ASSOCIATED MULTIPLICATION (no pow(),
+    * whose last ULP may differ), the grid is i·0.05 in double — the
+    * identical op tree both engines.
+    */
+  def lshSCurve(numHashes: Int = 16): DataFrame = {
+    def power(x: org.apache.spark.sql.Column, n: Int)
+        : org.apache.spark.sql.Column =
+      (2 to n).foldLeft(x)((acc, _) => acc * x)
+    val configs = Seq(16, 8, 4, 2).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    configs.map { case (b, r) =>
+      val base = org.apache.spark.sql.SparkSession.active.range(1, 20)
+        .select(col("id").cast("int").as("i"),
+          (col("id").cast("double") * lit(0.05)).as("j"))
+      base.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        round(col("j"), 6).as("j"),
+        round(lit(1.0) - power(lit(1.0) - power(col("j"), r), b), 6)
+          .as("p_candidate"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** PLANTED-TRUTH DEDUP EVALUATION — measured recall of the
     * verified near-dup chain against pairs KNOWN BY CONSTRUCTION:
     * [[withNearDuplicates]] injects (m, m+idOffset) perturbed copies,
