@@ -390,6 +390,15 @@ object AnalyticsCatalog {
         graft.operators.Itemsets.pairEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
 
+    // Adamic-Adar link prediction on the same co-order part graph:
+    // top non-adjacent pairs by Σ 1/ln(deg) over common neighbors —
+    // wedge join on the middle node, hub-capped, fixed-point integer
+    // score sum, top-k chosen on the exact integer order.
+    "q_link_predict" -> ((s, d) =>
+      graft.operators.Graph.adamicAdar(
+        graft.operators.Itemsets.pairEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
+
     // 3-core of the same co-order part graph by convergence-probed
     // peeling (edge-count fixpoint probe, 12-round cap — result
     // bit-identical to fixed-12, r9 measurement in PLANS.md): the
@@ -411,6 +420,19 @@ object AnalyticsCatalog {
       Analytics.welchTTest(Tables.customer(s, d), "c_mktsegment",
         "BUILDING", "MACHINERY",
         col("c_acctbal").cast(Tables.Money))),
+
+    // Poisson-bootstrap CI on per-source mean doc length: B = 64
+    // content-hash-weighted replicates, integer cell sums, rank-based
+    // [2nd smallest, 2nd largest] band over the replicate means.
+    "q_bootstrap_ci" -> ((s, d) =>
+      Analytics.bootstrapCI(Tables.documents(s, d), "source",
+        col("doc_id"), col("n_chars"))),
+
+    // Median-of-means robust mean of the same metric: 32 hash
+    // buckets per source, exact bucket means, rank-median.
+    "q_median_of_means" -> ((s, d) =>
+      Analytics.medianOfMeans(Tables.documents(s, d), "source",
+        col("doc_id"), col("n_chars"))),
 
     // Top event-type trigrams over per-user ordered paths: two leads
     // on one sort, |types|³-bounded aggregate, top-20.
@@ -1367,6 +1389,41 @@ object AnalyticsCatalog {
         |    JOIN p e3 ON e1.a = e3.a AND e2.b = e3.b)
         |SELECT a, b, c FROM t ORDER BY a, b, c LIMIT 100""".stripMargin,
 
+    // Adamic-Adar twin: the same pair CTEs symmetrized, one ln per
+    // node rounded once to 1e6 fixed point, integer wedge sums, and
+    // the top-k boundary on the exact (sw, x, y) order.
+    "q_link_predict" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |freq AS (SELECT it FROM items GROUP BY it HAVING COUNT(*) >= 2),
+        |fi AS (SELECT items.bk, items.it FROM items JOIN freq USING (it)),
+        |p AS (
+        |  SELECT a.it AS a, b.it AS b FROM fi a JOIN fi b
+        |  ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (
+        |  SELECT a AS src, b AS dst FROM p
+        |  UNION ALL SELECT b AS src, a AS dst FROM p),
+        |deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY 1),
+        |mids AS (
+        |  SELECT node,
+        |    CAST(round(1e6 / ln(CAST(degree AS DOUBLE))) AS BIGINT) AS w
+        |  FROM deg WHERE degree >= 2 AND degree <= 1000),
+        |wedges AS (
+        |  SELECT e1.src AS x, e2.dst AS y,
+        |    COUNT(*) AS n_common, SUM(m.w) AS sw
+        |  FROM sym e1 JOIN mids m ON e1.dst = m.node
+        |    JOIN sym e2 ON m.node = e2.src
+        |  WHERE e1.src < e2.dst
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT x, y, n_common, sw FROM wedges w
+        |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.a = w.x AND p.b = w.y)
+        |  ORDER BY sw DESC, x, y LIMIT 100)
+        |SELECT x, y, n_common, round(sw / 1e6, 6) AS aa_score
+        |FROM top""".stripMargin,
+
     // K-core twin: the triangles pair CTEs symmetrized, then the same
     // 12 peel rounds unrolled (MATERIALIZED — DuckDB inlines CTEs, and
     // each round references the previous twice; without it the chain
@@ -1397,6 +1454,91 @@ object AnalyticsCatalog {
     },
 
     // Welch twin: same conditional sums and the same closed form.
+    // Poisson-bootstrap twin: the same 60-bit lottery per (doc_id,
+    // replicate), the same CDF cut points, integer cell sums, and the
+    // same rank rule over the exact quotients.
+    "q_bootstrap_ci" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars AS x FROM documents),
+        |reps AS (
+        |  SELECT d.source, d.x, b.b,
+        |    ('0x' || substr(md5(d.doc_id::VARCHAR || ':bs'
+        |        || b.b::VARCHAR), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM d CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 63)) AS b) b),
+        |wts AS (
+        |  SELECT source, b, x,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         ELSE 7 END AS w
+        |  FROM reps),
+        |cells AS (
+        |  SELECT source, b, CAST(SUM(w) AS BIGINT) AS n,
+        |    CAST(SUM(w * x) AS BIGINT) AS s
+        |  FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0),
+        |ranked AS (
+        |  SELECT source, b,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ASC,
+        |        b ASC) AS rk,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(s AS DOUBLE) / CAST(n AS DOUBLE) DESC,
+        |        b DESC) AS rkd
+        |  FROM cells),
+        |base AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(x) AS BIGINT) AS sx
+        |  FROM d GROUP BY 1)
+        |SELECT base.source, n_docs,
+        |  round(CAST(sx AS DOUBLE) / n_docs, 6) AS mean_metric,
+        |  round(lo.m, 6) AS ci_lo, round(hi.m, 6) AS ci_hi
+        |FROM base
+        |JOIN (SELECT source, m FROM ranked WHERE rk = 2) lo
+        |  USING (source)
+        |JOIN (SELECT source, m FROM ranked WHERE rkd = 2) hi
+        |  USING (source)""".stripMargin,
+
+    // Median-of-means twin: same 32-bucket lottery, exact bucket
+    // means, floor/ceil rank median over the populated buckets.
+    "q_median_of_means" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars AS x FROM documents),
+        |cells AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':mom'), 1, 15))
+        |      ::BIGINT % 32 AS bkt,
+        |    COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s
+        |  FROM d GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT source, bkt,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ASC,
+        |        bkt ASC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS c
+        |  FROM cells),
+        |med AS (
+        |  SELECT source, AVG(m) AS mom,
+        |    CAST(MAX(c) AS BIGINT) AS n_buckets
+        |  FROM ranked
+        |  WHERE rk = floor((c + 1) / 2.0) OR rk = ceil((c + 1) / 2.0)
+        |  GROUP BY 1),
+        |base AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(x) AS BIGINT) AS sx
+        |  FROM d GROUP BY 1)
+        |SELECT base.source, n_docs, n_buckets,
+        |  round(CAST(sx AS DOUBLE) / n_docs, 6) AS mean_metric,
+        |  round(mom, 6) AS mom_metric
+        |FROM base JOIN med USING (source)""".stripMargin,
+
     "q_ab_test" ->
       """WITH s AS (
         |  SELECT

@@ -154,7 +154,9 @@ object Bench {
     // r10 wave 12, benched at birth.
     "q_cusum", "q_dedup_planted_eval",
     // r10 wave 13, benched at birth.
-    "q_lsh_scurve")
+    "q_lsh_scurve",
+    // r10 wave 14+, benched at birth.
+    "q_link_predict", "q_bootstrap_ci", "q_median_of_means")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -837,4 +837,70 @@ object Graph {
             / (col("t").cast("double") * col("t").cast("double")), 6)
           .as("contribution")))
   }
+
+  /** ADAMIC-ADAR link prediction (Adamic & Adar '03, "Friends and
+    * neighbors on the Web") over an ordered edge list (a < b): for
+    * every non-adjacent pair (x, y) sharing at least one neighbor,
+    * score AA(x,y) = Σ_{z ∈ Γ(x)∩Γ(y)} 1/ln(deg z) — common neighbors
+    * weighted inversely by how promiscuous they are. Output: the top-k
+    * predicted edges (x < y, not currently edges) with their common-
+    * neighbor count and score.
+    *
+    * Determinism: 1/ln(deg) is a float, and a distributed float sum is
+    * order-dependent. The PageRank device applies: each middle node's
+    * weight is rounded ONCE to a 1e6 fixed-point long
+    * (`round(1e6/ln(deg))`), the per-pair reduction is integer
+    * addition, and the final score is one division — bit-identical in
+    * any execution order and in the DuckDB twin (the only float op is
+    * one `ln` per node on an exact integer degree, the probed-parity
+    * surface shared with the KN/PPMI trainers).
+    *
+    * Scale shape: wedge enumeration is edges⋈edges on the shared
+    * middle node — one keyed shuffle, fan-out Σ deg(z)². A hub z of
+    * degree d contributes d² wedge rows while its AA weight 1/ln(d)
+    * tends to 0, so `maxHubDegree` drops super-hub MIDDLE nodes
+    * (endpoints keep them) — the same hot-key cap as the dedup
+    * index's `maxDocFreq`, bounding the worst key's fan-out while
+    * perturbing only the least-informative addends. The existing-edge
+    * exclusion is a broadcast-free keyed anti-join, and top-k is a
+    * TakeOrdered on the integer (score, x, y) total order — no global
+    * sort.
+    */
+  def adamicAdar(edges: DataFrame, maxHubDegree: Int = 1000,
+                 k: Int = 100): DataFrame = {
+    // Three consumers of the (possibly expensive) edge chain: the two
+    // wedge legs and the anti-join. Cache, then release after the
+    // node-bounded result materializes (r9 advisor discipline).
+    val e = edges.select(col("a"), col("b")).distinct().cache()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    // Eligible middles: degree ≥ 2 (a degree-1 node closes no wedge;
+    // ln 1 = 0 would also divide by zero) and under the hub cap.
+    val mids = deg
+      .filter(col("degree") >= 2 && col("degree") <= maxHubDegree)
+      .select(col("node"),
+        round(lit(1e6) / log(col("degree").cast("double")))
+          .cast("long").as("w"))
+    val wedges = sym.join(mids, sym("dst") === mids("node"))
+      .select(col("src").as("x"), col("node").as("z"), col("w"))
+      .join(sym.select(col("src").as("z2"), col("dst").as("y")),
+        col("z") === col("z2"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w")).as("sw"))
+    // Top-k on the EXACT integer (sw desc, x, y) total order — the
+    // k-boundary never depends on a cross-engine float rounding.
+    val out = wedges
+      .join(e, wedges("x") === e("a") && wedges("y") === e("b"),
+        "left_anti")
+      .orderBy(col("sw").desc, col("x"), col("y"))
+      .limit(k)
+      .select(col("x"), col("y"), col("n_common"),
+        round(col("sw").cast("double") / 1e6, 6).as("aa_score"))
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
 }

@@ -968,4 +968,121 @@ object Analytics {
         (col("p") - col("pmin") > lit(threshXMean.toLong) * col("sumx"))
           .as("alarm"))
   }
+
+  /** Cumulative Poisson(1) CDF cut points (e⁻¹·Σ 1/k!) shared by the
+    * Spark side and the DuckDB twin — the inverse-CDF lottery that
+    * turns one uniform per (row, replicate) into a bootstrap weight.
+    */
+  val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119)
+
+  /** POISSON-BOOTSTRAP confidence interval (Chamandy et al. '12,
+    * "Estimating uncertainty for massive data streams" — the bootstrap
+    * that scales: resampling n-out-of-n needs coordinated global
+    * sampling, but Poisson(1) weights are independent per (row,
+    * replicate), so each mapper weights its rows locally and the B
+    * replicate means reduce map-side like any aggregate). Per source:
+    * the exact mean of an integer metric plus a [lo, hi] band from the
+    * ranked replicate means.
+    *
+    * Determinism: the weight is a pure function of a 60-bit content
+    * hash of (key, replicate) — the [[graft.operators.Sampling]]
+    * lottery device — through the shared [[PoissonCdf]] cut points;
+    * replicate sums are integer; the only floats are one IEEE division
+    * per (source, replicate) cell and the rank ordering over those
+    * exact quotients (tie-broken by replicate id), identical in any
+    * engine. The band rule is rank-based: lo = the `loRank`-th
+    * smallest replicate mean, hi = the `loRank`-th largest (loRank 2
+    * of B = 64 ≈ a central ~95 % band).
+    *
+    * Scale shape: the ×B explode never shuffles — partial aggregation
+    * collapses it to ≤ |sources|·B cells per map partition; the
+    * windows partition by source over exactly B rows. Nothing
+    * data-sized crosses the wire after the first partial aggregate.
+    */
+  def bootstrapCI(docs: DataFrame, srcCol: String, keyCol: Column,
+                  metric: Column, b: Int = 64, loRank: Int = 2)
+      : DataFrame = {
+    val d = docs.select(col(srcCol).as("source"),
+      keyCol.cast("string").as("k"), metric.cast("long").as("x"))
+    val u = TextOps.fingerprint64(
+        concat(col("k"), lit(":bs"), col("b").cast("string")))
+      .cast("double") / lit(1152921504606846976.0)
+    val w = PoissonCdf.zipWithIndex
+      .foldRight(lit(PoissonCdf.size.toLong)) { case ((c, i), acc) =>
+        when(col("u") < c, i.toLong).otherwise(acc)
+      }
+    val cells = d
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("u", u).withColumn("w", w)
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("w")).as("n"), sum(col("w") * col("x")).as("s"))
+      .filter(col("n") > 0)
+      .withColumn("m", col("s").cast("double") / col("n").cast("double"))
+    val asc = Window.partitionBy(col("source"))
+      .orderBy(col("m").asc, col("b").asc)
+    val desc = Window.partitionBy(col("source"))
+      .orderBy(col("m").desc, col("b").desc)
+    val ranked = cells.withColumn("rk", row_number().over(asc))
+      .withColumn("rkd", row_number().over(desc))
+    val base = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sx"))
+    base
+      .join(ranked.filter(col("rk") === loRank)
+        .select(col("source"), col("m").as("mlo")), Seq("source"))
+      .join(ranked.filter(col("rkd") === loRank)
+        .select(col("source"), col("m").as("mhi")), Seq("source"))
+      .select(col("source"), col("n_docs"),
+        round(col("sx").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_metric"),
+        round(col("mlo"), 6).as("ci_lo"),
+        round(col("mhi"), 6).as("ci_hi"))
+  }
+
+  /** MEDIAN-OF-MEANS robust location estimate per source: hash rows
+    * into `k` fixed buckets (the content-hash lottery again), take
+    * each bucket's exact integer mean, report the median bucket mean
+    * beside the plain mean — the estimator whose deviation bound
+    * survives heavy tails that wreck the sample mean, at the cost of
+    * one extra (source, bucket)-keyed aggregate.
+    *
+    * The median over the ≤ k bucket means is rank-based on the exact
+    * quotients (tie-break bucket id): ranks ⌊(c+1)/2⌋ and ⌈(c+1)/2⌉
+    * of the c populated buckets, averaged — one IEEE mean of two
+    * doubles, engine-identical.
+    *
+    * Scale shape: the bucket aggregate map-side-combines to
+    * ≤ |sources|·k cells; the median window partitions by source over
+    * ≤ k rows.
+    */
+  def medianOfMeans(docs: DataFrame, srcCol: String, keyCol: Column,
+                    metric: Column, k: Int = 32): DataFrame = {
+    val d = docs.select(col(srcCol).as("source"),
+      keyCol.cast("string").as("key"), metric.cast("long").as("x"))
+    val cells = d
+      .withColumn("bkt", graft.operators.Sampling.hashBucket(
+        concat(col("key"), lit(":mom")), k))
+      .groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .withColumn("m", col("s").cast("double") / col("n").cast("double"))
+    val win = Window.partitionBy(col("source"))
+    val ranked = cells
+      .withColumn("rk", row_number().over(
+        win.orderBy(col("m").asc, col("bkt").asc)))
+      .withColumn("c", count(lit(1)).over(win))
+    val med = ranked
+      .filter(col("rk") === floor((col("c") + 1) / 2) ||
+        col("rk") === ceil((col("c") + 1) / 2))
+      .groupBy(col("source"))
+      .agg(avg(col("m")).as("mom"), max(col("c")).as("n_buckets"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sx"))
+      .join(med, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_buckets"),
+        round(col("sx").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_metric"),
+        round(col("mom"), 6).as("mom_metric"))
+  }
 }

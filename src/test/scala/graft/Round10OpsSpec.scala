@@ -377,4 +377,58 @@ class Round10OpsSpec extends SparkSpec {
     assert(one.getAs[Long]("n_cut2") == 0L)
     assert(one.getAs[Double]("cut_fraction") == 0.0)
   }
+
+  test("adamicAdar: hand-computed scores on a 5-node graph; existing " +
+    "edges excluded; hub cap silences capped middles") {
+    // 1-2, 1-3, 2-3, 2-4, 3-4, 4-5: degrees 1:2, 2:3, 3:3, 4:3, 5:1.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("a", "b")
+    val got = graft.operators.Graph.adamicAdar(e)
+      .collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"),
+        r.getAs[Long]("n_common"), r.getAs[Double]("aa_score")))
+    // Non-adjacent pairs: (1,4) via {2,3}, (2,5) and (3,5) via {4} —
+    // all middles degree 3: w = round(1e6/ln 3) = 910239.
+    assert(got.toSeq == Seq(
+      (1L, 4L, 2L, 1.820478),
+      (2L, 5L, 1L, 0.910239),
+      (3L, 5L, 1L, 0.910239)))
+    // Cap at degree 2: every wedge middle has degree 3 → no candidates.
+    assert(graft.operators.Graph.adamicAdar(e, maxHubDegree = 2)
+      .count() == 0L)
+  }
+
+  test("bootstrapCI: a constant metric collapses the band to the mean; " +
+    "bands bracket the mean on mixed data") {
+    val const = (1L to 80L).map(i => (i, "s0", 7L))
+      .toDF("doc_id", "source", "x")
+    val r = graft.query.Analytics.bootstrapCI(const, "source",
+      col("doc_id"), col("x")).collect().head
+    assert(r.getAs[Long]("n_docs") == 80L)
+    assert(r.getAs[Double]("mean_metric") == 7.0)
+    assert(r.getAs[Double]("ci_lo") == 7.0)
+    assert(r.getAs[Double]("ci_hi") == 7.0)
+    val mixed = (1L to 200L).map(i => (i, "s1", i % 50))
+      .toDF("doc_id", "source", "x")
+    val m = graft.query.Analytics.bootstrapCI(mixed, "source",
+      col("doc_id"), col("x")).collect().head
+    assert(m.getAs[Double]("ci_lo") <= m.getAs[Double]("mean_metric"))
+    assert(m.getAs[Double]("ci_hi") >= m.getAs[Double]("mean_metric"))
+    assert(m.getAs[Double]("ci_lo") < m.getAs[Double]("ci_hi"))
+  }
+
+  test("medianOfMeans: constant metric → mom == mean; mom lies within " +
+    "the metric range and resists a planted outlier better than mean") {
+    val base = (1L to 300L).map(i => (i, "s0", 10L))
+    val outlier = Seq((301L, "s0", 1000000L))
+    val r = graft.query.Analytics.medianOfMeans(
+      (base ++ outlier).toDF("doc_id", "source", "x"), "source",
+      col("doc_id"), col("x")).collect().head
+    val mean = r.getAs[Double]("mean_metric")
+    val mom = r.getAs[Double]("mom_metric")
+    assert(r.getAs[Long]("n_docs") == 301L)
+    assert(r.getAs[Long]("n_buckets") == 32L)
+    assert(mean > 3000.0, "the outlier drags the plain mean")
+    assert(mom < 100.0, s"mom resists the outlier: $mom")
+  }
 }
