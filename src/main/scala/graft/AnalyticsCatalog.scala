@@ -271,6 +271,13 @@ object AnalyticsCatalog {
     "q_cusum" -> ((s, d) =>
       graft.query.Analytics.cusumDrift(Tables.events(s, d))),
 
+    // Kaplan-Meier survival of order-completion durations per
+    // priority, right-censored at the as-of date: cumulative product
+    // via 1e6 fixed-point ln sums over priority-partitioned windows.
+    "q_survival_km" -> ((s, d) =>
+      graft.query.Analytics.kaplanMeier(
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+
     // Per-community conductance over the same LP partition — the
     // boundary-quality companion to q_modularity (cut / min-side
     // volume, exact integers, one division).
@@ -1060,6 +1067,52 @@ object AnalyticsCatalog {
          |    - CAST(sdd AS DOUBLE)
          |      / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)
          |FROM tot""".stripMargin,
+
+    // Kaplan-Meier twin: same duration/censor split, same at-risk
+    // window arithmetic, same 1e6 fixed-point ln terms and sentinel.
+    "q_survival_km" ->
+      """WITH comp AS (
+        |  SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE)
+        |    AS completion
+        |  FROM lineitem GROUP BY 1),
+        |base AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CASE WHEN completion <= DATE '1998-06-01'
+        |      THEN datediff('day', CAST(o_orderdate AS DATE),
+        |        completion)
+        |      ELSE datediff('day', CAST(o_orderdate AS DATE),
+        |        DATE '1998-06-01') END AS t,
+        |    CASE WHEN completion <= DATE '1998-06-01'
+        |      THEN 1 ELSE 0 END AS ev
+        |  FROM orders JOIN comp ON o_orderkey = l_orderkey
+        |  WHERE CAST(o_orderdate AS DATE) <= DATE '1998-06-01'),
+        |times AS (
+        |  SELECT priority, t, CAST(SUM(ev) AS BIGINT) AS d,
+        |    CAST(SUM(1 - ev) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT priority, COUNT(*) AS n_total FROM base GROUP BY 1),
+        |risk AS (
+        |  SELECT times.priority, t, d, c,
+        |    CAST(n_total - (SUM(d + c) OVER (PARTITION BY
+        |      times.priority ORDER BY t ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) - d - c) AS BIGINT) AS n_risk
+        |  FROM times JOIN tot ON times.priority = tot.priority),
+        |terms AS (
+        |  SELECT priority, t, d, c, n_risk,
+        |    CASE WHEN d = 0 THEN 0
+        |         WHEN d = n_risk THEN -1000000000000
+        |         ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+        |           / CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT)
+        |    END AS lnterm
+        |  FROM risk)
+        |SELECT priority, t AS t_days, n_risk, d AS n_events,
+        |  c AS n_censored,
+        |  round(exp(CAST(SUM(lnterm) OVER (PARTITION BY priority
+        |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS DOUBLE) / 1000000.0), 6) AS survival
+        |FROM terms
+        |QUALIFY d > 0""".stripMargin,
 
     // CUSUM twin: same daily cents totals, same n-scaled prefix sum
     // and running min over the per-type day sort, same 2·Σx alarm.

@@ -156,7 +156,8 @@ object Bench {
     // r10 wave 13, benched at birth.
     "q_lsh_scurve",
     // r10 wave 14+, benched at birth.
-    "q_link_predict", "q_bootstrap_ci", "q_median_of_means")
+    "q_link_predict", "q_bootstrap_ci", "q_median_of_means",
+    "q_survival_km")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

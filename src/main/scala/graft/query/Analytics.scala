@@ -1041,6 +1041,66 @@ object Analytics {
         round(col("mhi"), 6).as("ci_hi"))
   }
 
+  /** KAPLAN-MEIER survival estimate (Kaplan & Meier '58) over
+    * right-censored order-completion durations: per priority class,
+    * S(t) = Π_{t'≤t} (1 − d_t'/n_t') where d is completions at
+    * duration t' and n the at-risk count — the censoring-aware answer
+    * to "how long until an order completes" that a plain duration
+    * histogram gets wrong (open orders at the as-of date are evidence
+    * of survival, not missing data). An order's duration runs from
+    * o_orderdate to its last shipment max(l_shipdate); completions
+    * after `asOf` are censored at the as-of date.
+    *
+    * Determinism: the survival product is a cumulative PRODUCT — the
+    * classic cross-engine float fold. The ln device applies: each
+    * event row's ln(1 − d/n) is rounded ONCE to a 1e6 fixed-point
+    * long (the d = n "everyone dies" row takes a −1e12 sentinel whose
+    * exp underflows to 0 in both engines), the cumulative sum is
+    * integer window arithmetic, and one exp per output row finishes.
+    *
+    * Scale shape: one keyed max over lineitem, one keyed count, then
+    * every window partitions by priority over the distinct-duration
+    * frame — bounded by the duration range in DAYS, not by data size.
+    */
+  def kaplanMeier(orders: DataFrame, lineitem: DataFrame,
+                  asOf: String = "1998-06-01"): DataFrame = {
+    val cutoff = lit(asOf).cast("date")
+    val comp = lineitem.groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("completion"))
+    val base = orders.select(col("o_orderkey"),
+        col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("odate"))
+      .filter(col("odate") <= cutoff)
+      .join(comp, col("o_orderkey") === col("l_orderkey"))
+      .select(col("priority"),
+        when(col("completion") <= cutoff,
+          datediff(col("completion"), col("odate")))
+          .otherwise(datediff(cutoff, col("odate")))
+          .cast("long").as("t"),
+        when(col("completion") <= cutoff, 1L).otherwise(0L).as("ev"))
+    val times = base.groupBy(col("priority"), col("t"))
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val tot = base.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_total"))
+    val cum = Window.partitionBy(col("priority")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = times.join(broadcast(tot), Seq("priority"))
+      .withColumn("removed",
+        sum(col("d") + col("c")).over(cum) - col("d") - col("c"))
+      .withColumn("n_risk", col("n_total") - col("removed"))
+    val terms = risk.withColumn("lnterm",
+      when(col("d") === 0L, lit(0L))
+        .when(col("d") === col("n_risk"), lit(-1000000000000L))
+        .otherwise(round(log((col("n_risk") - col("d")).cast("double")
+          / col("n_risk").cast("double")) * 1e6).cast("long")))
+    terms.withColumn("lnsum", sum(col("lnterm")).over(cum))
+      .filter(col("d") > 0)
+      .select(col("priority"), col("t").as("t_days"), col("n_risk"),
+        col("d").as("n_events"), col("c").as("n_censored"),
+        round(exp(col("lnsum").cast("double") / lit(1e6)), 6)
+          .as("survival"))
+  }
+
   /** MEDIAN-OF-MEANS robust location estimate per source: hash rows
     * into `k` fixed buckets (the content-hash lottery again), take
     * each bucket's exact integer mean, report the median bucket mean

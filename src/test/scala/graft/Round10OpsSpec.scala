@@ -431,4 +431,26 @@ class Round10OpsSpec extends SparkSpec {
     assert(mean > 3000.0, "the outlier drags the plain mean")
     assert(mom < 100.0, s"mom resists the outlier: $mom")
   }
+
+  test("kaplanMeier: hand-computed survival on 4 orders with one " +
+    "censored; censored-only times emit no row") {
+    val orders = Seq(
+      (1L, "P", "2020-01-01"), (2L, "P", "2020-01-01"),
+      (3L, "P", "2020-01-01"), (4L, "P", "2020-01-01"))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq(
+      (1L, "2020-01-03"), (2L, "2020-01-03"), (3L, "2020-01-05"),
+      (4L, "2020-01-20")) // completes after as-of → censored at t=9
+      .toDF("l_orderkey", "l_shipdate")
+    val got = graft.query.Analytics
+      .kaplanMeier(orders, li, asOf = "2020-01-10")
+      .orderBy(col("t_days")).collect()
+      .map(r => (r.getAs[String]("priority"), r.getAs[Long]("t_days"),
+        r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_censored"), r.getAs[Double]("survival")))
+    // t=2: n=4, d=2 → S=0.5; t=4: n=2, d=1 → S=0.25; t=9 censored only.
+    assert(got.toSeq == Seq(
+      ("P", 2L, 4L, 2L, 0L, 0.5),
+      ("P", 4L, 2L, 1L, 0L, 0.25)))
+  }
 }
