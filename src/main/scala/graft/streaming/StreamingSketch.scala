@@ -285,6 +285,76 @@ object StreamingSketch {
           .as("decayed_count"))
   }
 
+  case class TypeDayCents(g: String, day: Int, cents: Long)
+  case class DayCents(day: Int, cents: Long)
+  case class CusumHist(g: String, days: Seq[DayCents])
+
+  /** Incremental state for [[graft.query.Analytics.cusumDrift]] — the
+    * sequential drift monitor live. The CUSUM statistic itself is NOT
+    * mergeable (its reference mean and every prefix re-scale as new
+    * days arrive), but the per-type (day → cents-total) histogram IS:
+    * day totals merge by integer sum, and the whole closed-form
+    * surface — reference rational (Σx, n), scaled prefix P′, running
+    * min, alarm — is a pure function of the finished histogram. The
+    * twin therefore splits at the same joint as [[decayStream]]:
+    * bounded per-group state here, the batch arithmetic verbatim in
+    * [[cusumFromHistograms]].
+    *
+    * State is bounded by the CALENDAR, not the stream: one entry per
+    * distinct active day per type (a decade of daily totals is ~3.7k
+    * longs), while every event folds into its day's integer total.
+    */
+  def cusumStream(events: Dataset[TypeDayCents]): Dataset[CusumHist] =
+    events.groupByKey(_.g)(Encoders.STRING)
+      .mapGroupsWithState[Map[Int, Long], CusumHist](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[TypeDayCents],
+         state: GroupState[Map[Int, Long]]) =>
+          var days = state.getOption.getOrElse(Map.empty[Int, Long])
+          rows.foreach { r =>
+            days = days.updated(r.day,
+              days.getOrElse(r.day, 0L) + r.cents)
+          }
+          state.update(days)
+          CusumHist(g,
+            days.toSeq.sortBy(_._1).map(e => DayCents(e._1, e._2)))
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
+        Encoders.product[CusumHist])
+
+  /** Stateless finish for [[cusumStream]]: exactly the batch
+    * [[graft.query.Analytics.cusumDrift]] arithmetic — n-scaled
+    * integer prefix sum, running min, threshXMean·Σx alarm — applied
+    * to the emitted day histograms. Output schema matches the batch
+    * operator (event_type, day, day_total_cents, cusum_scaled,
+    * alarm), so the parity spec compares frames directly.
+    */
+  def cusumFromHistograms(hists: org.apache.spark.sql.DataFrame,
+                          threshXMean: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val daily = hists
+      .select(col("g").as("event_type"), explode(col("days")).as("dc"))
+      .select(col("event_type"), col("dc.day").as("dayi"),
+        col("dc.cents").as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("sumx"), count(lit(1)).as("n"))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("dayi"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("t", row_number().over(ord))
+      .withColumn("p",
+        sum(col("x")).over(cum) * col("n") - col("t") * col("sumx"))
+      .withColumn("pmin", min(col("p")).over(cum))
+      .select(col("event_type"),
+        date_from_unix_date(col("dayi")).as("day"),
+        col("x").as("day_total_cents"),
+        (col("p") - col("pmin")).as("cusum_scaled"),
+        (col("p") - col("pmin") > lit(threshXMean.toLong) * col("sumx"))
+          .as("alarm"))
+  }
+
   case class DigestDoc(sha: String, doc_id: Long, n_bytes: Long)
   case class DupGroup(sha: String, keeper_doc_id: Long, n: Long,
                       total_bytes: Long)

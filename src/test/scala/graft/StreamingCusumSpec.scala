@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.functions._
+import graft.query.Analytics
+import graft.streaming.StreamingSketch
+import graft.streaming.StreamingSketch.{CusumHist, DayCents, TypeDayCents}
+
+/** Streaming CUSUM histogram == batch cusumDrift after the last
+  * micro-batch: the per-type (day → cents) histogram is mergeable
+  * integer state even though the CUSUM statistic itself re-scales
+  * with every new day — the reference mean, scaled prefix, running
+  * min and alarm all happen in the stateless finish.
+  */
+class StreamingCusumSpec extends SparkSpec {
+
+  private def lastHists(table: String): Seq[CusumHist] = {
+    val streamed = spark.table(table).collect().zipWithIndex
+    streamed.groupBy(_._1.getString(0)).map { case (_, rows) =>
+      val r = rows.maxBy(_._2)._1
+      CusumHist(r.getString(0),
+        r.getSeq[Row](1).map(d => DayCents(d.getInt(0), d.getLong(1))))
+    }.toSeq
+  }
+
+  private def resultMap(rows: Array[Row]) = rows.map { r =>
+    (r.getString(0), r.getAs[java.sql.Date]("day").toString) ->
+      (r.getAs[Long]("day_total_cents"),
+        r.getAs[Long]("cusum_scaled"), r.getAs[Boolean]("alarm"))
+  }.toMap
+
+  test("incremental CUSUM over >=12 micro-batches == batch " +
+    "cusumDrift on the events table") {
+    val events = graft.queries.Tables.events(spark,
+      "/root/testdata/sf0.001")
+    val batch = resultMap(Analytics.cusumDrift(events).collect())
+
+    val gd = events.select(col("event_type").as("g"),
+      datediff(col("ts").cast("date"), lit("1970-01-01"))
+        .cast("int").as("day"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val dir = Files.createTempDirectory("graft-cusum-stream").toString
+    gd.withColumn("slice",
+        pmod(xxhash64(col("g"), col("day"), col("cents")), lit(12)))
+      .write.partitionBy("slice").mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("g STRING, day INT, cents BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/slice=*")
+      .as[TypeDayCents](Encoders.product[TypeDayCents])
+    val q = StreamingSketch.cusumStream(stream)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamedN = spark.table("cusum_stream").count()
+    val got = resultMap(StreamingSketch.cusumFromHistograms(
+        spark.createDataset(lastHists("cusum_stream"))(
+          Encoders.product[CusumHist]).toDF())
+      .collect())
+    assert(got == batch, s"streaming != batch: " +
+      s"${got.toSet.diff(batch.toSet).take(3)} vs " +
+      s"${batch.toSet.diff(got.toSet).take(3)}")
+    // really incremental: more emitted updates than groups
+    assert(streamedN > got.keySet.map(_._1).size)
+  }
+
+  test("a level shift arriving in later micro-batches flips the " +
+    "alarm exactly as the batch closed form does") {
+    import spark.implicits._
+    // 10 quiet days at 100 cents, then 6 loud days at 5000: the batch
+    // alarm fires only in the loud tail; streamed state must agree.
+    val rows = (0 until 10).map(d => ("a", 19000 + d, 100L)) ++
+      (10 until 16).map(d => ("a", 19000 + d, 5000L))
+    val dir = Files.createTempDirectory("graft-cusum-shift").toString
+    rows.zipWithIndex.toDF("r", "slice")
+      .select(col("r._1").as("g"), col("r._2").as("day"),
+        col("r._3").as("cents"), col("slice"))
+      .write.partitionBy("slice").mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("g STRING, day INT, cents BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/slice=*")
+      .as[TypeDayCents](Encoders.product[TypeDayCents])
+    val q = StreamingSketch.cusumStream(stream)
+      .writeStream.format("memory").queryName("cusum_shift")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = resultMap(StreamingSketch.cusumFromHistograms(
+        spark.createDataset(lastHists("cusum_shift"))(
+          Encoders.product[CusumHist]).toDF())
+      .collect())
+    val batch = resultMap(Analytics.cusumDrift(
+        rows.toDF("event_type", "day", "cents").select(
+          col("event_type"),
+          expr("cast(date_add('1970-01-01', day) as timestamp)")
+            .as("ts"),
+          (col("cents").cast("double") / 100.0).as("value")))
+      .collect())
+    assert(got == batch, s"streaming $got vs batch $batch")
+    // Loud days start at epoch day 19010 = 2022-01-18; the closed
+    // form first crosses 2·Σx at t = 12 (2022-01-19).
+    val alarms = got.collect { case ((_, d), (_, _, true)) => d }
+    assert(alarms.nonEmpty && alarms.forall(_ >= "2022-01-18"),
+      s"alarm only in the loud tail: $alarms")
+  }
+}
