@@ -162,6 +162,12 @@ object AnalyticsCatalog {
     "q_k_anonymity" -> ((s, d) =>
       Analytics.kAnonymize(Tables.customer(s, d))),
 
+    // l-diversity audit over the same QI groups: distinct and
+    // entropy diversity of the account-balance band, fixed-point
+    // -p ln p integer sums, group-bounded output.
+    "q_l_diversity" -> ((s, d) =>
+      Analytics.lDiversity(Tables.customer(s, d))),
+
     // Salted skew join: orders fact spread over 16 salt buckets,
     // customer dim replicated per bucket — same result as the plain
     // join (the oracle IS the plain join), different physical shape.
@@ -907,6 +913,38 @@ object AnalyticsCatalog {
         |  CASE WHEN g.qi_n >= 10 THEN c.c_mktsegment END AS segment_qi,
         |  g.qi_n < 10 AS suppressed
         |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+
+    // l-diversity twin: same integer band (offset keeps the dividend
+    // positive so // and DIV agree), same fixed-point entropy terms,
+    // same 1098612 = round(1e6·ln 3) threshold.
+    "q_l_diversity" ->
+      """WITH banded AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)
+        |      // 100000 AS band
+        |  FROM customer),
+        |cells AS (
+        |  SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS cnt
+        |  FROM banded GROUP BY 1, 2, 3),
+        |groups AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS n_distinct_sv
+        |  FROM cells GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT cells.c_nationkey, cells.c_mktsegment, n,
+        |    n_distinct_sv,
+        |    CAST(round((-1000000.0 * (CAST(cnt AS DOUBLE) / n))
+        |      * ln(CAST(cnt AS DOUBLE) / n)) AS BIGINT) AS term
+        |  FROM cells JOIN groups USING (c_nationkey, c_mktsegment)),
+        |ent AS (
+        |  SELECT c_nationkey, c_mktsegment, n, n_distinct_sv,
+        |    CAST(SUM(term) AS BIGINT) AS entropy_fp
+        |  FROM terms GROUP BY 1, 2, 3, 4)
+        |SELECT c_nationkey, c_mktsegment, n, n_distinct_sv,
+        |  round(CAST(entropy_fp AS DOUBLE) / 1000000.0, 6) AS entropy,
+        |  n_distinct_sv >= 3 AS distinct_ok,
+        |  entropy_fp >= 1098612 AS entropy_ok
+        |FROM ent""".stripMargin,
 
     // The PLAIN join — the salted plan must be result-identical.
     "q_skew_join" ->

@@ -157,7 +157,7 @@ object Bench {
     "q_lsh_scurve",
     // r10 wave 14+, benched at birth.
     "q_link_predict", "q_bootstrap_ci", "q_median_of_means",
-    "q_survival_km")
+    "q_survival_km", "q_fs_scores")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled
@@ -242,6 +242,12 @@ object Bench {
     // conductance: q_modularity's LP chain + the same per-community
     // aggregate with a different final division.
     "q_conductance" -> "q_modularity",
+    // fs weights: a strict prefix of the q_fs_scores chain (the
+    // candidate block + the 4-row trainer, minus the scoring pass).
+    "q_fs_weights" -> "q_fs_scores",
+    // l-diversity: the q_k_anonymity QI aggregate family (two keyed
+    // aggregates + a broadcast join on the same customer dim scan).
+    "q_l_diversity" -> "q_k_anonymity",
     // unigram prune: the q_unigram_segment chain + a driver-side
     // prune of the collected codebook and one more DP round.
     "q_unigram_prune" -> "q_unigram_segment")

@@ -22,6 +22,62 @@ object PipelineCatalog {
     * leftmost-greedy fold, a list_reduce over a '|'-delimited
     * accumulator so a merged symbol rejoins the stream immediately).
     */
+  /** Shared CTE prefix for the Fellegi-Sunter twins: the blocked
+    * planted-truth candidate set of `EntityMatch.fsCandidates` — the
+    * deterministic interior char-drop feed WITH its origin name, the
+    * name-deduped catalog, the two-key block union, and the 4-field
+    * comparison vector.
+    */
+  private val FsCandidatesSql: String =
+    """WITH cat AS (
+      |  SELECT MIN(p_partkey) AS matched_key, p_name AS matched_name,
+      |    substr(lower(p_name), 1, 3) AS ck1,
+      |    right(lower(p_name), 3) AS ck2
+      |  FROM part GROUP BY p_name),
+      |d0 AS (
+      |  SELECT p_partkey AS dirty_id, p_name AS orig_name, p_name,
+      |    (p_partkey % (length(p_name) - 2)) + 2 AS pos
+      |  FROM part WHERE p_partkey % 7 = 0),
+      |dk0 AS (
+      |  SELECT dirty_id, orig_name,
+      |    concat(substr(p_name, 1, CAST(pos - 1 AS INT)),
+      |      substr(p_name, CAST(pos + 1 AS INT))) AS dirty_name
+      |  FROM d0),
+      |dk AS (
+      |  SELECT dirty_id, orig_name, dirty_name,
+      |    substr(lower(dirty_name), 1, 3) AS dk1,
+      |    right(lower(dirty_name), 3) AS dk2
+      |  FROM dk0),
+      |cand0 AS (
+      |  SELECT DISTINCT dirty_id, orig_name, dirty_name, matched_key,
+      |    matched_name
+      |  FROM (
+      |    SELECT dk.dirty_id, dk.orig_name, dk.dirty_name,
+      |      cat.matched_key, cat.matched_name
+      |    FROM dk JOIN cat ON dk.dk1 = cat.ck1
+      |      AND abs(length(dk.dirty_name)
+      |        - length(cat.matched_name)) <= 2
+      |    UNION ALL
+      |    SELECT dk.dirty_id, dk.orig_name, dk.dirty_name,
+      |      cat.matched_key, cat.matched_name
+      |    FROM dk JOIN cat ON dk.dk2 = cat.ck2
+      |      AND abs(length(dk.dirty_name)
+      |        - length(cat.matched_name)) <= 2)),
+      |cand AS (
+      |  SELECT dirty_id, matched_key,
+      |    matched_name = orig_name AS is_match,
+      |    CASE WHEN substr(lower(dirty_name), 1, 3)
+      |      = substr(lower(matched_name), 1, 3) THEN 1 ELSE 0 END
+      |      AS a_first3,
+      |    CASE WHEN right(lower(dirty_name), 3)
+      |      = right(lower(matched_name), 3) THEN 1 ELSE 0 END
+      |      AS a_last3,
+      |    CASE WHEN length(dirty_name) = length(matched_name)
+      |      THEN 1 ELSE 0 END AS a_len,
+      |    CASE WHEN levenshtein(dirty_name, matched_name) <= 1
+      |      THEN 1 ELSE 0 END AS a_lev1
+      |  FROM cand0)""".stripMargin
+
   private val bpeCtes = {
     def round(i: Int) =
       s"""p$i AS MATERIALIZED (
@@ -1043,6 +1099,21 @@ object PipelineCatalog {
         graft.operators.EntityMatch.dirtyFeed(parts, "p_partkey", "p_name"),
         parts, "p_partkey", "p_name")
     }),
+
+    // Fellegi-Sunter linkage weights trained on the planted-truth
+    // candidate pairs: per-field m/u with add-half smoothing and the
+    // ln-likelihood-ratio agree/disagree weights — trainer inside
+    // the differential, closed-form on a 4-row frame.
+    "q_fs_weights" -> ((s, d) =>
+      graft.operators.EntityMatch.fellegiSunterWeights(
+        Tables.part(s, d), "p_partkey", "p_name")),
+
+    // The trained weights applied back: per-pair integer sum of 1e6
+    // fixed-point field weights, top-20 on the exact score order,
+    // planted truth riding along as the separation read-out.
+    "q_fs_scores" -> ((s, d) =>
+      graft.operators.EntityMatch.fellegiSunterScores(
+        Tables.part(s, d), "p_partkey", "p_name")),
 
     // Sorted-neighborhood linkage (Hernández–Stolfo): the second
     // blocking family over the same dirty feed — block-local sort,
@@ -3394,6 +3465,96 @@ object PipelineCatalog {
         |    ORDER BY lev, matched_key) AS rn FROM v)
         |SELECT dirty_id, dirty_name, matched_key, matched_name, lev
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // F-S weights twin: same blocked planted-truth candidates, same
+    // add-half m/u, same four lns on the 4-row frame.
+    "q_fs_weights" -> (FsCandidatesSql +
+      """,
+        |unp AS (
+        |  SELECT is_match, 'first3' AS field, a_first3 AS agree
+        |  FROM cand
+        |  UNION ALL SELECT is_match, 'last3', a_last3 FROM cand
+        |  UNION ALL SELECT is_match, 'len', a_len FROM cand
+        |  UNION ALL SELECT is_match, 'lev1', a_lev1 FROM cand),
+        |st AS (
+        |  SELECT field,
+        |    CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_match,
+        |    CAST(SUM(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_nonmatch,
+        |    CAST(SUM(CASE WHEN is_match THEN agree ELSE 0 END)
+        |      AS BIGINT) AS am,
+        |    CAST(SUM(CASE WHEN is_match THEN 0 ELSE agree END)
+        |      AS BIGINT) AS au
+        |  FROM unp GROUP BY 1),
+        |mu AS (
+        |  SELECT field, n_match, n_nonmatch,
+        |    (CAST(am AS DOUBLE) + 0.5)
+        |      / (CAST(n_match AS DOUBLE) + 1.0) AS m,
+        |    (CAST(au AS DOUBLE) + 0.5)
+        |      / (CAST(n_nonmatch AS DOUBLE) + 1.0) AS u
+        |  FROM st)
+        |SELECT field, n_match, n_nonmatch,
+        |  round(m, 6) AS m, round(u, 6) AS u,
+        |  round(ln(m / u), 6) AS w_agree,
+        |  round(ln((1.0 - m) / (1.0 - u)), 6) AS w_disagree
+        |FROM mu""".stripMargin),
+
+    // F-S scores twin: weights re-derived from the ROUND-6 m/u (the
+    // weights query's published precision), 1e6 fixed-point longs,
+    // the same 8-term integer sum and exact top-20 boundary.
+    "q_fs_scores" -> (FsCandidatesSql +
+      """,
+        |unp AS (
+        |  SELECT is_match, 'first3' AS field, a_first3 AS agree
+        |  FROM cand
+        |  UNION ALL SELECT is_match, 'last3', a_last3 FROM cand
+        |  UNION ALL SELECT is_match, 'len', a_len FROM cand
+        |  UNION ALL SELECT is_match, 'lev1', a_lev1 FROM cand),
+        |st AS (
+        |  SELECT field,
+        |    CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_match,
+        |    CAST(SUM(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_nonmatch,
+        |    CAST(SUM(CASE WHEN is_match THEN agree ELSE 0 END)
+        |      AS BIGINT) AS am,
+        |    CAST(SUM(CASE WHEN is_match THEN 0 ELSE agree END)
+        |      AS BIGINT) AS au
+        |  FROM unp GROUP BY 1),
+        |mu AS (
+        |  SELECT field,
+        |    round((CAST(am AS DOUBLE) + 0.5)
+        |      / (CAST(n_match AS DOUBLE) + 1.0), 6) AS m,
+        |    round((CAST(au AS DOUBLE) + 0.5)
+        |      / (CAST(n_nonmatch AS DOUBLE) + 1.0), 6) AS u
+        |  FROM st),
+        |wts AS (
+        |  SELECT field,
+        |    CAST(round(ln(m / u) * 1000000.0) AS BIGINT) AS wa,
+        |    CAST(round(ln((1.0 - m) / (1.0 - u)) * 1000000.0)
+        |      AS BIGINT) AS wd
+        |  FROM mu),
+        |sc AS (
+        |  SELECT dirty_id, matched_key, is_match,
+        |    a_first3 * (SELECT wa FROM wts WHERE field = 'first3')
+        |    + (1 - a_first3)
+        |      * (SELECT wd FROM wts WHERE field = 'first3')
+        |    + a_last3 * (SELECT wa FROM wts WHERE field = 'last3')
+        |    + (1 - a_last3)
+        |      * (SELECT wd FROM wts WHERE field = 'last3')
+        |    + a_len * (SELECT wa FROM wts WHERE field = 'len')
+        |    + (1 - a_len) * (SELECT wd FROM wts WHERE field = 'len')
+        |    + a_lev1 * (SELECT wa FROM wts WHERE field = 'lev1')
+        |    + (1 - a_lev1)
+        |      * (SELECT wd FROM wts WHERE field = 'lev1') AS score_fp
+        |  FROM cand),
+        |top AS (
+        |  SELECT * FROM sc
+        |  ORDER BY score_fp DESC, dirty_id, matched_key LIMIT 20)
+        |SELECT dirty_id, matched_key, is_match,
+        |  round(CAST(score_fp AS DOUBLE) / 1000000.0, 6) AS fs_score
+        |FROM top""".stripMargin),
 
     // SNM twin: same dirty feed, same block-local (lower(nm), kind,
     // rid) rank order; the sliding window as a range join (method

@@ -173,4 +173,123 @@ object EntityMatch {
       .select(col("dirty_id"), col("dirty_name"), col("matched_key"),
         col("matched_name"), col("lev").cast("int").as("lev"))
   }
+
+  /** Blocked candidate pairs with a FELLEGI-SUNTER comparison vector
+    * and a planted-truth label: the same two-key blocking as
+    * [[resolve]], but keeping every candidate (deduplicated — the
+    * stats below must not double-count pairs surviving via both
+    * keys) and the dirty row's ORIGIN name, so is_match is exact
+    * ground truth (the catalog name the dirty string was derived
+    * from). Comparison fields: first-3 agreement, last-3 agreement,
+    * equal length, Levenshtein ≤ 1.
+    */
+  def fsCandidates(catalog: DataFrame, keyCol: String,
+                   nameCol: String): DataFrame = {
+    val pos = (col(keyCol) % (length(col(nameCol)) - 2)) + 2
+    val dirty = catalog.filter(col(keyCol) % 7 === 0)
+      .select(col(keyCol).as("dirty_id"),
+        col(nameCol).as("orig_name"),
+        concat(substring(col(nameCol), lit(1), pos - 1),
+          call_function("substring", col(nameCol), pos + 1))
+          .as("dirty_name"))
+      .select(col("dirty_id"), col("orig_name"), col("dirty_name"),
+        k1(col("dirty_name")).as("dk1"), k2(col("dirty_name")).as("dk2"))
+    val cat = catalog.groupBy(col(nameCol))
+      .agg(min(col(keyCol)).as("matched_key"))
+      .select(col("matched_key"), col(nameCol).as("matched_name"),
+        k1(col(nameCol)).as("ck1"), k2(col(nameCol)).as("ck2"))
+    val band = abs(length(col("dirty_name"))
+      - length(col("matched_name"))) <= 2
+    dirty.join(cat, col("dk1") === col("ck1") && band)
+      .unionByName(dirty.join(cat, col("dk2") === col("ck2") && band))
+      .select(col("dirty_id"), col("orig_name"), col("dirty_name"),
+        col("matched_key"), col("matched_name"))
+      .distinct()
+      .select(col("dirty_id"), col("matched_key"), col("matched_name"),
+        (col("matched_name") === col("orig_name")).as("is_match"),
+        (k1(col("dirty_name")) === k1(col("matched_name")))
+          .cast("long").as("a_first3"),
+        (k2(col("dirty_name")) === k2(col("matched_name")))
+          .cast("long").as("a_last3"),
+        (length(col("dirty_name")) === length(col("matched_name")))
+          .cast("long").as("a_len"),
+        (levenshtein(col("dirty_name"), col("matched_name")) <= 1)
+          .cast("long").as("a_lev1"))
+  }
+
+  /** FELLEGI-SUNTER linkage weights ('69, "A theory for record
+    * linkage") trained on the planted-truth candidates: per
+    * comparison field, m = P(agree | match) and u = P(agree |
+    * non-match) with add-half smoothing, and the log-likelihood-ratio
+    * weights w_agree = ln(m/u), w_disagree = ln((1−m)/(1−u)) a scorer
+    * adds per field. The trainer is INSIDE the differential — both
+    * engines estimate m/u from the same candidate set and take the
+    * same four lns on 4-row output, nothing data-sized crosses a
+    * float fold.
+    *
+    * Scale shape: the field unpivot is a 4× in-map explode collapsing
+    * straight into one keyed aggregate (≤ 4×2 cells per mapper);
+    * everything after is closed-form on a 4-row frame.
+    */
+  def fellegiSunterWeights(catalog: DataFrame, keyCol: String,
+                           nameCol: String): DataFrame = {
+    val c = fsCandidates(catalog, keyCol, nameCol)
+    val unpivoted = c.select(col("is_match"), explode(array(
+        struct(lit("first3").as("field"), col("a_first3").as("agree")),
+        struct(lit("last3").as("field"), col("a_last3").as("agree")),
+        struct(lit("len").as("field"), col("a_len").as("agree")),
+        struct(lit("lev1").as("field"), col("a_lev1").as("agree"))))
+        .as("fa"))
+      .select(col("is_match"), col("fa.field").as("field"),
+        col("fa.agree").as("agree"))
+    unpivoted.groupBy(col("field")).agg(
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(!col("is_match"), 1L).otherwise(0L)).as("n_nonmatch"),
+        sum(when(col("is_match"), col("agree")).otherwise(0L))
+          .as("am"),
+        sum(when(!col("is_match"), col("agree")).otherwise(0L))
+          .as("au"))
+      .withColumn("m", (col("am").cast("double") + 0.5)
+        / (col("n_match").cast("double") + 1.0))
+      .withColumn("u", (col("au").cast("double") + 0.5)
+        / (col("n_nonmatch").cast("double") + 1.0))
+      .select(col("field"), col("n_match"), col("n_nonmatch"),
+        round(col("m"), 6).as("m"), round(col("u"), 6).as("u"),
+        round(log(col("m") / col("u")), 6).as("w_agree"),
+        round(log((lit(1.0) - col("m")) / (lit(1.0) - col("u"))), 6)
+          .as("w_disagree"))
+  }
+
+  /** The trained weights applied back to the candidates: per-pair
+    * F-S score as the INTEGER sum of 1e6 fixed-point field weights
+    * (one ln per field on the 4-row weight frame — the fixed-point
+    * device keeps the per-pair 4-term addition engine-exact), top-k
+    * by the exact (score, dirty_id, matched_key) order, with the
+    * planted-truth label riding along as the separation read-out.
+    */
+  def fellegiSunterScores(catalog: DataFrame, keyCol: String,
+                          nameCol: String, k: Int = 20): DataFrame = {
+    val c = fsCandidates(catalog, keyCol, nameCol)
+    val w = fellegiSunterWeights(catalog, keyCol, nameCol)
+      .select(col("field"),
+        round(log(col("m") / col("u")) * 1e6).cast("long").as("wa"),
+        round(log((lit(1.0) - col("m")) / (lit(1.0) - col("u")))
+          * 1e6).cast("long").as("wd"))
+      .groupBy().pivot("field", Seq("first3", "last3", "len", "lev1"))
+      .agg(first(col("wa")).as("wa"), first(col("wd")).as("wd"))
+    c.crossJoin(broadcast(w))
+      .withColumn("score_fp",
+        col("a_first3") * col("first3_wa")
+          + (lit(1L) - col("a_first3")) * col("first3_wd")
+          + col("a_last3") * col("last3_wa")
+          + (lit(1L) - col("a_last3")) * col("last3_wd")
+          + col("a_len") * col("len_wa")
+          + (lit(1L) - col("a_len")) * col("len_wd")
+          + col("a_lev1") * col("lev1_wa")
+          + (lit(1L) - col("a_lev1")) * col("lev1_wd"))
+      .orderBy(col("score_fp").desc, col("dirty_id"), col("matched_key"))
+      .limit(k)
+      .select(col("dirty_id"), col("matched_key"), col("is_match"),
+        round(col("score_fp").cast("double") / 1e6, 6).as("fs_score"))
+  }
 }

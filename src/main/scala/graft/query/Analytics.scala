@@ -418,6 +418,48 @@ object Analytics {
         (col("qi_n") < k).as("suppressed"))
   }
 
+  /** l-DIVERSITY audit (Machanavajjhala et al. '07) — the release
+    * check k-anonymity misses: a quasi-identifier group can hold ≥ k
+    * rows yet leak its sensitive attribute completely if every row
+    * SHARES the value. Per (nationkey, segment) QI group over a
+    * banded sensitive attribute (account-balance band, exact integer
+    * cents DIV — the +100000 offset keeps the dividend positive so
+    * truncating and flooring division agree across engines): the
+    * distinct-value count against `l`, and entropy l-diversity
+    * (H ≥ ln l) via per-value 1e6 fixed-point −p·ln p terms summed as
+    * integers — the cross-engine-exact entropy fold.
+    *
+    * Scale shape: two keyed aggregates (QI×band, then QI) and a
+    * #groups-sized broadcast join; the output is QI-cardinality-
+    * bounded (≤ 125 rows here) regardless of table size.
+    */
+  def lDiversity(customers: DataFrame, l: Int = 3): DataFrame = {
+    val lnLFp = Math.round(1e6 * Math.log(l.toDouble))
+    val banded = customers.select(col("c_nationkey"), col("c_mktsegment"),
+      (expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)") + 100000L)
+        .as("cents_off"))
+      .withColumn("band", expr("cents_off DIV 100000"))
+    val cells = banded
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    val groups = cells
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_distinct_sv"))
+    cells.join(groups, Seq("c_nationkey", "c_mktsegment"))
+      .withColumn("term",
+        round(lit(-1e6) * (col("cnt").cast("double") / col("n"))
+          * log(col("cnt").cast("double") / col("n"))).cast("long"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        col("n"), col("n_distinct_sv"))
+      .agg(sum(col("term")).as("entropy_fp"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        col("n_distinct_sv"),
+        round(col("entropy_fp").cast("double") / 1e6, 6).as("entropy"),
+        (col("n_distinct_sv") >= l).as("distinct_ok"),
+        (col("entropy_fp") >= lnLFp).as("entropy_ok"))
+  }
+
   /** RIGHT-TO-ERASURE purge audit — the GDPR/CCPA deletion dry-run:
     * for each table, how many rows a pending delete-key set would
     * purge vs keep (run BEFORE the destructive pass; cascades are

@@ -77,6 +77,9 @@ class PlanAuditSpec extends SparkSpec {
     // sql_bm25: the same 1-row N/total_dl stats frame as q_bm25,
     // expressed as SQL text.
     "q_sql_bm25",
+    // fs_scores: the 1-row pivoted weight frame (8 fixed-point longs)
+    // broadcast onto the candidate set — constant-size by construction.
+    "q_fs_scores",
     // bloom_join: the 1-row dense-word-array filter frame (256 KB at
     // m=2²⁰) broadcast onto the fact scan — the runtime-filter probe.
     "q_bloom_join",

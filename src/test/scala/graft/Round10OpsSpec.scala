@@ -432,6 +432,56 @@ class Round10OpsSpec extends SparkSpec {
     assert(mom < 100.0, s"mom resists the outlier: $mom")
   }
 
+  test("lDiversity: one-band group fails both checks; a 3-band " +
+    "uniform group hits entropy exactly ln 3; negative balances band " +
+    "below") {
+    val rows = Seq(
+      // nation 1: four rows, one band → no diversity at all.
+      (1, "S", 100.0), (1, "S", 200.0), (1, "S", 300.0), (1, "S", 400.0),
+      // nation 2: three distinct bands, uniform → H = ln 3 exactly.
+      (2, "S", 100.0), (2, "S", 1100.0), (2, "S", 2100.0),
+      // nation 3: a negative balance lands in band 0 → 2 bands.
+      (3, "S", -500.0), (3, "S", 500.0))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = graft.query.Analytics.lDiversity(rows).collect()
+      .map(r => r.getAs[Int]("c_nationkey") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_distinct_sv"),
+          r.getAs[Double]("entropy"), r.getAs[Boolean]("distinct_ok"),
+          r.getAs[Boolean]("entropy_ok"))).toMap
+    assert(got(1) == (4L, 1L, 0.0, false, false))
+    assert(got(2) == (3L, 3L, 1.098612, true, true),
+      s"uniform 3-band: ${got(2)}")
+    assert(got(3) == (2L, 2L, 0.693148, false, false), s"${got(3)}")
+  }
+
+  test("fellegiSunter: planted pairs are lev<=1 with one char " +
+    "shorter; the trained lev1 weight separates; scores rank truth " +
+    "on top") {
+    val parts = graft.queries.Tables.part(spark, "/root/testdata/sf0.001")
+    val cands = graft.operators.EntityMatch
+      .fsCandidates(parts, "p_partkey", "p_name")
+    val truth = cands.filter(col("is_match")).collect()
+    assert(truth.nonEmpty)
+    assert(truth.forall(r => r.getAs[Long]("a_lev1") == 1L),
+      "a 1-char drop is within lev 1 of its origin")
+    assert(truth.forall(r => r.getAs[Long]("a_len") == 0L),
+      "the dirty string is strictly shorter than its origin")
+    val w = graft.operators.EntityMatch
+      .fellegiSunterWeights(parts, "p_partkey", "p_name")
+      .collect().map(r => r.getAs[String]("field") ->
+        (r.getAs[Double]("m"), r.getAs[Double]("u"),
+          r.getAs[Double]("w_agree"))).toMap
+    assert(w.keySet == Set("first3", "last3", "len", "lev1"))
+    val (mLev, uLev, waLev) = w("lev1")
+    assert(mLev > 0.9 && uLev < 0.5 && waLev > 0.0,
+      s"lev1 separates: m=$mLev u=$uLev w=$waLev")
+    val top = graft.operators.EntityMatch
+      .fellegiSunterScores(parts, "p_partkey", "p_name").collect()
+    assert(top.length == 20)
+    assert(top.count(_.getAs[Boolean]("is_match")) >= 15,
+      "truth dominates the top of the score ranking")
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
