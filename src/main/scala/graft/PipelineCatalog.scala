@@ -1357,6 +1357,12 @@ object PipelineCatalog {
     "q_quality_rules" -> ((s, d) =>
       graft.operators.Curation.gopherRules(Tables.documents(s, d))),
 
+    // End-to-end curation funnel: docs/tokens surviving quality →
+    // langid → exact-dedup → domain-cap over the injected-duplicate
+    // corpus — the retention report, 5 rows at any scale.
+    "q_curation_funnel" -> ((s, d) =>
+      graft.operators.Curation.curationFunnel(Tables.documents(s, d))),
+
     // Unigram Shannon entropy (nats) — repetitive-text detector; the
     // sorted-fold double is bit-identical cross-engine (no rounding).
     "q_token_entropy" -> ((s, d) =>
@@ -2549,6 +2555,55 @@ object PipelineCatalog {
         |    AND (n_alpha * 5 >= n_tokens * 4)
         |    AND (n_stop >= 2) AS pass
         |FROM st""".stripMargin,
+
+    // Funnel twin: same injected corpus, same gopher conjunction and
+    // stopword-density gate, keeper semi-join among stage-2
+    // survivors, same salted-md5 cap lottery — five 1-row aggregates.
+    "q_curation_funnel" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, source FROM documents
+        |  WHERE doc_id % 40 = 0),
+        |st AS (
+        |  SELECT doc_id, text, source, len(t) AS n_tokens,
+        |    CAST(list_reduce(list_transform(t, x -> length(x)),
+        |      (a, b) -> a + b) AS INT) AS sum_len,
+        |    len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+        |      AS n_alpha,
+        |    len(list_filter(t, x -> x IN ('the', 'a'))) AS n_stop
+        |  FROM (SELECT doc_id, text, source,
+        |          string_split(text, ' ') AS t FROM corpus)),
+        |fl AS (
+        |  SELECT *,
+        |    (n_tokens BETWEEN 30 AND 100000)
+        |      AND (sum_len BETWEEN n_tokens * 3 AND n_tokens * 10)
+        |      AND (n_alpha * 5 >= n_tokens * 4)
+        |      AND (n_stop >= 2) AS q_pass,
+        |    n_stop * 100 >= n_tokens * 12 AS is_en
+        |  FROM st),
+        |s1 AS (SELECT * FROM fl WHERE q_pass),
+        |s2 AS (SELECT * FROM s1 WHERE is_en),
+        |s2f AS (SELECT *, md5(text) AS fp FROM s2),
+        |keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM s2f GROUP BY 1),
+        |s3 AS (SELECT s2f.* FROM s2f JOIN keep USING (fp, doc_id)),
+        |s4 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR || ':cap'), doc_id) AS rk
+        |    FROM s3)
+        |  WHERE rk <= 10)
+        |SELECT 0 AS stage, 'all' AS stage_name, COUNT(*) AS n_docs,
+        |  COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) AS n_tokens
+        |FROM fl
+        |UNION ALL SELECT 1, 'quality', COUNT(*),
+        |  COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM s1
+        |UNION ALL SELECT 2, 'langid', COUNT(*),
+        |  COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM s2
+        |UNION ALL SELECT 3, 'exact_dedup', COUNT(*),
+        |  COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM s3
+        |UNION ALL SELECT 4, 'domain_cap', COUNT(*),
+        |  COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM s4""".stripMargin,
 
     // Entropy twin: list_sort(list_distinct) + list_reduce replicate the
     // sorted fold (list_reduce's first-element seed equals Spark's

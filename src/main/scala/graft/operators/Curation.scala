@@ -726,4 +726,76 @@ object Curation {
       .select(col("source"), col("token"), col("y_s"), col("y_r"),
         col("z"))
   }
+
+  /** END-TO-END CURATION FUNNEL — the retention report every corpus
+    * pipeline publishes (CCNet/Gopher shape): docs and tokens
+    * surviving each cleaning stage, composed from this file's own
+    * operators over the standard injected-duplicate corpus:
+    *
+    *   0 all          the corpus (exact copies of every 40th doc
+    *                  injected — [[Dedup.withExactDuplicates]]'s
+    *                  device, source column kept for stage 4);
+    *   1 quality      [[gopherRules]]' conjunction;
+    *   2 langid       the stopword-density language gate
+    *                  (n_stop·100 ≥ n_tokens·12 ⇒ 'en');
+    *   3 exact_dedup  min-doc_id keeper per md5 fingerprint AMONG
+    *                  STAGE-2 SURVIVORS (a real pipeline dedups what
+    *                  remains, not the raw feed);
+    *   4 domain_cap   ≤ `capPerSource` docs per source by the salted
+    *                  content-hash lottery (deterministic, engine-
+    *                  portable rank).
+    *
+    * Scale shape: one flag projection over the scan (cached — five
+    * stage aggregates consume it, then released), one keyed
+    * fingerprint aggregate + semi-join, one source-partitioned rank
+    * window, and five 1-row aggregates unioned. All counts integer;
+    * the output is 5 rows regardless of corpus size.
+    */
+  def curationFunnel(docs: DataFrame, capPerSource: Int = 10)
+      : DataFrame = {
+    val corpus = docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+          col("source")))
+    val t = TextOps.tokens(col("text"))
+    val flagged = corpus.select(col("doc_id"), col("text"),
+        col("source"), size(t).as("n_tokens"),
+        aggregate(transform(t, length(_)), lit(0), _ + _).as("sum_len"),
+        size(filter(t, x => x.rlike("[a-z]"))).as("n_alpha"),
+        TextOps.stopwordCount(col("text")).as("n_stop"))
+      .withColumn("q_pass",
+        col("n_tokens") >= 30 && col("n_tokens") <= 100000 &&
+          col("sum_len") >= col("n_tokens") * 3 &&
+          col("sum_len") <= col("n_tokens") * 10 &&
+          col("n_alpha") * 5 >= col("n_tokens") * 4 &&
+          col("n_stop") >= 2)
+      .withColumn("is_en", col("n_stop") * 100 >= col("n_tokens") * 12)
+      .cache()
+    val s1 = flagged.filter(col("q_pass"))
+    val s2 = s1.filter(col("is_en"))
+    val s2f = s2.withColumn("fp", TextOps.fingerprintMd5(col("text")))
+    val keep = s2f.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val s3 = s2f.join(keep, Seq("fp", "doc_id"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+    val s4 = s3
+      .withColumn("hk",
+        md5(concat(col("doc_id").cast("string"), lit(":cap"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= capPerSource)
+    def stage(df: DataFrame, id: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(id).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    val out = stage(flagged, 0, "all")
+      .unionByName(stage(s1, 1, "quality"))
+      .unionByName(stage(s2, 2, "langid"))
+      .unionByName(stage(s3, 3, "exact_dedup"))
+      .unionByName(stage(s4, 4, "domain_cap"))
+      .localCheckpoint()
+    flagged.unpersist()
+    out
+  }
 }

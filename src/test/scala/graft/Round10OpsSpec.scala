@@ -482,6 +482,30 @@ class Round10OpsSpec extends SparkSpec {
       "truth dominates the top of the score ranking")
   }
 
+  test("curationFunnel: each stage drops exactly the planted doc " +
+    "(short, non-en, injected dup, over-cap)") {
+    def good(i: Int) =
+      ((1 to 28).map(j => s"word${i}x$j") ++ Seq("the", "the", "the",
+        "the")).mkString(" ")
+    val docs = Seq(
+      (1L, good(1), "s"), (5L, good(5), "s"), (40L, good(40), "s"),
+      // 2 stopwords: passes gopher (r_stop >= 2), fails the 12%
+      // stopword-density language gate.
+      (4L, ((1 to 30).map(j => s"word4x$j") ++ Seq("the", "the"))
+        .mkString(" "), "s"),
+      (2L, "tiny doc", "s")) // fails r_len
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Curation
+      .curationFunnel(docs, capPerSource = 2)
+      .orderBy(col("stage")).collect()
+      .map(r => (r.getAs[Int]("stage"), r.getAs[String]("stage_name"),
+        r.getAs[Long]("n_docs")))
+    // corpus = 5 docs + 1 injected exact copy of doc 40.
+    assert(got.toSeq == Seq((0, "all", 6L), (1, "quality", 5L),
+      (2, "langid", 4L), (3, "exact_dedup", 3L),
+      (4, "domain_cap", 2L)), got.toSeq.toString)
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
