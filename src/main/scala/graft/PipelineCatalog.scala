@@ -1390,6 +1390,18 @@ object PipelineCatalog {
     "q_heaps_by_source" -> ((s, d) =>
       graft.operators.CorpusStats.heapsBySource(Tables.documents(s, d))),
 
+    // Good-Turing missing mass + bias-corrected Chao1 per source:
+    // frequency-of-frequency rollup, integer until two divisions —
+    // the unseen-vocabulary price tag beside the Heaps exponent.
+    "q_missing_mass" -> ((s, d) =>
+      graft.operators.CorpusStats.missingMass(Tables.documents(s, d))),
+
+    // Per-source unigram KL to the corpus: present pairs enumerated,
+    // absent words collapsed by the p0 closed form from two integer
+    // ln-sums — never |sources|×V pairs.
+    "q_source_kl" -> ((s, d) =>
+      graft.operators.CorpusStats.sourceKl(Tables.documents(s, d))),
+
     // Cross-source quantile normalization of n_chars at decile
     // granularity (Bolstad et al.): per-source rank bins → the
     // all-sources bin mean as the normalized value — what makes
@@ -4123,6 +4135,79 @@ object PipelineCatalog {
         |  CAST(SUM(new_types) OVER (ORDER BY bucket
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
         |FROM j""".stripMargin,
+
+    // Missing-mass twin: same (source, token) type counts, same
+    // frequency-of-frequency indicator rollup and the two divisions.
+    "q_missing_mass" ->
+      """WITH types AS (
+        |  SELECT source, tok, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |ff AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_types,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_singletons,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_doubletons
+        |  FROM types GROUP BY 1)
+        |SELECT source, n_tokens, n_types, n_singletons, n_doubletons,
+        |  round(CAST(n_singletons AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE), 6) AS missing_mass,
+        |  round(CAST(n_types AS DOUBLE)
+        |    + CAST(n_singletons AS DOUBLE)
+        |      * CAST(n_singletons - 1 AS DOUBLE)
+        |      / (2.0 * CAST(n_doubletons + 1 AS DOUBLE)), 6) AS chao1
+        |FROM ff""".stripMargin,
+
+    // Source-KL twin: same present-pair fixed-point terms, same
+    // lnq integer sums and the same absent-word p0 closed form.
+    "q_source_kl" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |src AS (
+        |  SELECT source, tok, COUNT(*) AS c FROM toks
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |corpus AS (
+        |  SELECT tok, CAST(SUM(c) AS BIGINT) AS cw FROM src
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(cw) AS BIGINT) AS n, COUNT(*) AS v
+        |  FROM corpus),
+        |lnq AS (
+        |  SELECT tok, CAST(round(ln(CAST(cw AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnq_fp
+        |  FROM corpus CROSS JOIN tot),
+        |lall AS (
+        |  SELECT CAST(SUM(lnq_fp) AS BIGINT) AS l_all_fp FROM lnq),
+        |per AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+        |    COUNT(*) AS v_s
+        |  FROM src GROUP BY 1),
+        |pres AS (
+        |  SELECT src.source,
+        |    CAST(SUM(CAST(round(
+        |      ((CAST(c AS DOUBLE) + 1.0) / CAST(n_s + v AS DOUBLE))
+        |      * (ln((CAST(c AS DOUBLE) + 1.0)
+        |          / CAST(n_s + v AS DOUBLE))
+        |        - CAST(lnq_fp AS DOUBLE) / 1000000.0)
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS pres_fp,
+        |    CAST(SUM(lnq_fp) AS BIGINT) AS l_pres_fp
+        |  FROM src JOIN lnq USING (tok)
+        |    JOIN per ON src.source = per.source
+        |    CROSS JOIN tot
+        |  GROUP BY 1)
+        |SELECT per.source, n_s AS n_tokens, v_s AS n_types,
+        |  round(CAST(pres_fp AS DOUBLE) / 1000000.0
+        |    + (1.0 / CAST(n_s + v AS DOUBLE))
+        |      * (CAST(v - v_s AS DOUBLE)
+        |          * ln(1.0 / CAST(n_s + v AS DOUBLE))
+        |        - CAST(l_all_fp - l_pres_fp AS DOUBLE)
+        |          / 1000000.0), 6) AS kl
+        |FROM per JOIN pres ON per.source = pres.source
+        |  CROSS JOIN tot CROSS JOIN lall""".stripMargin,
 
     // Per-source Heaps twin: the q_heaps_curve chain partitioned by
     // source, 1e-6-snapped ln points, integer per-source sums, the

@@ -463,4 +463,108 @@ object CorpusStats {
           / sqrt((-col("shx").cast("double") / 1e6)
             * (-col("shy").cast("double") / 1e6)), 6).as("nmi"))
   }
+
+  /** GOOD-TURING missing mass + CHAO1 richness per source — the
+    * "how much vocabulary haven't we seen yet" pair that prices
+    * additional data from the same source (the marginal-value read
+    * beside [[heapsBySource]]'s growth exponent):
+    *
+    *   missing_mass  P₀ = N₁/N (Good '53; Gale & Sampson '95): the
+    *                 probability the NEXT token is an unseen type —
+    *                 the singleton share of tokens;
+    *   chao1         V + N₁(N₁−1)/(2(N₂+1)) (Chao '84, bias-
+    *                 corrected form — defined even when no doubletons
+    *                 exist): the abundance-based floor on the true
+    *                 vocabulary size.
+    *
+    * Everything is integer until the two final divisions — no ln, no
+    * fixed point needed. Scale shape: one (source, token) keyed
+    * aggregate (map-side combinable) and one source-keyed rollup of
+    * frequency-of-frequency indicators; output is |sources| rows.
+    */
+  def missingMass(docs: DataFrame): DataFrame = {
+    val types = docs.select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    types.groupBy(col("source")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_doubletons"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_singletons"), col("n_doubletons"),
+        round(col("n_singletons").cast("double")
+          / col("n_tokens").cast("double"), 6).as("missing_mass"),
+        round(col("n_types").cast("double")
+          + col("n_singletons").cast("double")
+            * (col("n_singletons") - 1).cast("double")
+            / (lit(2.0) * (col("n_doubletons") + 1).cast("double")), 6)
+          .as("chao1"))
+  }
+
+  /** Per-source unigram KL DIVERGENCE to the corpus distribution —
+    * the drift/outlier read at the source grain (which feed no longer
+    * speaks like the corpus): KL(p_s ‖ q) with add-one smoothing on
+    * the source side over the corpus vocabulary V (so p_s sums to 1
+    * and KL ≥ 0), q the corpus MLE.
+    *
+    * The scale device is the ABSENT-WORD CLOSED FORM: the naive sum
+    * ranges over |sources| × V pairs, but every word absent from a
+    * source contributes the SAME p₀ = 1/(N_s + V), so
+    * Σ_absent p₀·(ln p₀ − ln q_w) = p₀·[(V − V_s)·ln p₀ −
+    * (L_all − L_present)] with L = Σ ln q_w — and the whole absent
+    * side collapses into per-source 1-row arithmetic from two integer
+    * sums. Only PRESENT (source, word) pairs are enumerated — the
+    * frame that already exists.
+    *
+    * Determinism: one ln per vocab word (lnq, rounded once to 1e6
+    * fixed point) and one per present pair (the term, rounded once);
+    * both sums are integer; the finish is per-source 1-row doubles.
+    */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    // Three consumers of the (source, token) count frame.
+    val src = docs.select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val corpus = src.groupBy(col("tok")).agg(sum(col("c")).as("cw"))
+    val tot = corpus.agg(sum(col("cw")).as("n"), count(lit(1)).as("v"))
+    val lnq = corpus.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(log(col("cw").cast("double") / col("n").cast("double"))
+          * 1e6).cast("long").as("lnq_fp"))
+    val lAll = lnq.agg(sum(col("lnq_fp")).as("l_all_fp"))
+    val per = src.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_s"), count(lit(1)).as("v_s"))
+    val present = src.join(lnq, Seq("tok"))
+      .join(broadcast(per), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", (col("c") + 1).cast("double")
+        / (col("n_s") + col("v")).cast("double"))
+      .withColumn("term_fp",
+        round(col("p") * (log(col("p"))
+          - col("lnq_fp").cast("double") / lit(1e6)) * lit(1e6))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("term_fp")).as("pres_fp"),
+        sum(col("lnq_fp")).as("l_pres_fp"))
+    val out = per.join(present, Seq("source"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(lAll))
+      .withColumn("p0",
+        lit(1.0) / (col("n_s") + col("v")).cast("double"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        col("v_s").as("n_types"),
+        round(col("pres_fp").cast("double") / lit(1e6)
+          + col("p0") * ((col("v") - col("v_s")).cast("double")
+            * log(col("p0"))
+            - (col("l_all_fp") - col("l_pres_fp")).cast("double")
+              / lit(1e6)), 6).as("kl"))
+      .localCheckpoint()
+    src.unpersist()
+    out
+  }
 }

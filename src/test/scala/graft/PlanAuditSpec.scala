@@ -80,6 +80,9 @@ class PlanAuditSpec extends SparkSpec {
     // fs_scores: the 1-row pivoted weight frame (8 fixed-point longs)
     // broadcast onto the candidate set — constant-size by construction.
     "q_fs_scores",
+    // source_kl: the 1-row corpus totals (n, v) and 1-row L_all
+    // ln-sum broadcast onto vocab/source frames.
+    "q_source_kl",
     // bloom_join: the 1-row dense-word-array filter frame (256 KB at
     // m=2²⁰) broadcast onto the fact scan — the runtime-filter probe.
     "q_bloom_join",

@@ -506,6 +506,38 @@ class Round10OpsSpec extends SparkSpec {
       (4, "domain_cap", 2L)), got.toSeq.toString)
   }
 
+  test("missingMass: hand-computed Good-Turing and Chao1 on tiny " +
+    "sources (all-singleton source has missing mass 1)") {
+    val docs = Seq((1L, "x x y", "A"), (2L, "a b c", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.CorpusStats.missingMass(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("n_singletons"), r.getAs[Long]("n_doubletons"),
+          r.getAs[Double]("missing_mass"), r.getAs[Double]("chao1")))
+      .toMap
+    // A: x:2 y:1 → N=3 V=2 N1=1 N2=1; chao1 = 2 + 1·0/(2·2) = 2.
+    assert(got("A") == (3L, 2L, 1L, 1L, 0.333333, 2.0), s"${got("A")}")
+    // B: three singletons → P0 = 1; chao1 = 3 + 3·2/(2·1) = 6.
+    assert(got("B") == (3L, 3L, 3L, 0L, 1.0, 6.0), s"${got("B")}")
+  }
+
+  test("sourceKl: a corpus-like source sits near 0, a disjoint-" +
+    "vocabulary source far above; KL is never negative") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w1 w2 w3 w4", "A"),
+      (2L, "w1 w2 w3 w4 w1 w2 w3 w4", "B"),
+      (3L, "z1 z2 z3 z4 z1 z2 z3 z4", "C"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.CorpusStats.sourceKl(docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("kl"))
+      .toMap
+    assert(got("A") == got("B"), "identical sources score identically")
+    assert(got.values.forall(_ >= 0.0), s"KL >= 0: $got")
+    assert(got("C") > got("A") * 10,
+      s"disjoint vocabulary stands out: $got")
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
