@@ -249,6 +249,9 @@ object Bench {
     // l-diversity: the q_k_anonymity QI aggregate family (two keyed
     // aggregates + a broadcast join on the same customer dim scan).
     "q_l_diversity" -> "q_k_anonymity",
+    // source influence: one keyed aggregate + a 1-row broadcast over
+    // the same documents scan q_corpus_profile aggregates.
+    "q_source_influence" -> "q_corpus_profile",
     // unigram prune: the q_unigram_segment chain + a driver-side
     // prune of the collected codebook and one more DP round.
     "q_unigram_prune" -> "q_unigram_segment")

@@ -1402,6 +1402,12 @@ object PipelineCatalog {
     "q_source_kl" -> ((s, d) =>
       graft.operators.CorpusStats.sourceKl(Tables.documents(s, d))),
 
+    // Leave-one-source-out jackknife on the corpus mean doc length:
+    // closed-form influence from one keyed aggregate + a 1-row
+    // broadcast — the source-grain data-valuation screen.
+    "q_source_influence" -> ((s, d) =>
+      graft.operators.CorpusStats.sourceInfluence(Tables.documents(s, d))),
+
     // Cross-source quantile normalization of n_chars at decile
     // granularity (Bolstad et al.): per-source rank bins → the
     // all-sources bin mean as the normalized value — what makes
@@ -4160,6 +4166,27 @@ object PipelineCatalog {
         |      * CAST(n_singletons - 1 AS DOUBLE)
         |      / (2.0 * CAST(n_doubletons + 1 AS DOUBLE)), 6) AS chao1
         |FROM ff""".stripMargin,
+
+    // Influence twin: same keyed sums, same three divisions.
+    "q_source_influence" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+        |    CAST(SUM(sx) AS BIGINT) AS s
+        |  FROM per)
+        |SELECT source, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS doc_share,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_all,
+        |  round(CAST(s - sx AS DOUBLE) / CAST(n - n_docs AS DOUBLE), 6)
+        |    AS mean_without,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(s - sx AS DOUBLE) / CAST(n - n_docs AS DOUBLE), 6)
+        |    AS influence
+        |FROM per CROSS JOIN tot""".stripMargin,
 
     // Source-KL twin: same present-pair fixed-point terms, same
     // lnq integer sums and the same absent-word p0 closed form.

@@ -504,6 +504,41 @@ object CorpusStats {
           .as("chao1"))
   }
 
+  /** LEAVE-ONE-SOURCE-OUT influence (the jackknife at the source
+    * grain): how much does each source pull the corpus-wide mean of
+    * an integer metric? influence_s = mean_all − mean_without_s,
+    * entirely closed-form from the global (Σ, n) and the per-source
+    * (Σ_s, n_s) — no second scan, no resampling. The data-valuation
+    * companion to [[missingMass]]: a large positive influence means
+    * the source inflates the metric, a large negative one that it
+    * drags it down — either way, the first screen for "should we
+    * renegotiate this feed".
+    *
+    * Scale shape: ONE keyed aggregate over the scan plus a 1-row
+    * broadcast; integer sums until the three divisions per output
+    * row. |sources| rows out.
+    */
+  def sourceInfluence(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("source"),
+        col("n_chars").cast("long").as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sx"))
+    val tot = per.agg(sum(col("n_docs")).as("n"), sum(col("sx")).as("s"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n").cast("double"), 6)
+          .as("doc_share"),
+        round(col("s").cast("double") / col("n").cast("double"), 6)
+          .as("mean_all"),
+        round((col("s") - col("sx")).cast("double")
+          / (col("n") - col("n_docs")).cast("double"), 6)
+          .as("mean_without"),
+        round(col("s").cast("double") / col("n").cast("double")
+          - (col("s") - col("sx")).cast("double")
+            / (col("n") - col("n_docs")).cast("double"), 6)
+          .as("influence"))
+  }
+
   /** Per-source unigram KL DIVERGENCE to the corpus distribution —
     * the drift/outlier read at the source grain (which feed no longer
     * speaks like the corpus): KL(p_s ‖ q) with add-one smoothing on

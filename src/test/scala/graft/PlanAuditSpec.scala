@@ -83,6 +83,8 @@ class PlanAuditSpec extends SparkSpec {
     // source_kl: the 1-row corpus totals (n, v) and 1-row L_all
     // ln-sum broadcast onto vocab/source frames.
     "q_source_kl",
+    // source_influence: the 1-row corpus (n, s) totals broadcast.
+    "q_source_influence",
     // bloom_join: the 1-row dense-word-array filter frame (256 KB at
     // m=2²⁰) broadcast onto the fact scan — the runtime-filter probe.
     "q_bloom_join",

@@ -538,6 +538,23 @@ class Round10OpsSpec extends SparkSpec {
       s"disjoint vocabulary stands out: $got")
   }
 
+  test("sourceInfluence: influences sum against shares; the long " +
+    "source pulls the mean up and the short one down") {
+    val docs = Seq(
+      (1L, "s_long", 1000L), (2L, "s_long", 1000L),
+      (3L, "s_short", 100L), (4L, "s_short", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = graft.operators.CorpusStats.sourceInfluence(docs)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("mean_all"), r.getAs[Double]("mean_without"),
+          r.getAs[Double]("influence"))).toMap
+    // mean_all = 550; without s_long = 100 → +450; without s_short
+    // = 1000 → −450.
+    assert(got("s_long") == (550.0, 100.0, 450.0), s"${got("s_long")}")
+    assert(got("s_short") == (550.0, 1000.0, -450.0),
+      s"${got("s_short")}")
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
