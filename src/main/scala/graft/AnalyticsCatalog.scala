@@ -284,6 +284,21 @@ object AnalyticsCatalog {
       graft.query.Analytics.kaplanMeier(
         Tables.orders(s, d), Tables.lineitem(s, d))),
 
+    // Theil-Sen robust trend: median pairwise slope of the daily
+    // per-type series — calendar-bounded pair join, rank median.
+    "q_theil_sen" -> ((s, d) =>
+      graft.query.Analytics.theilSen(Tables.events(s, d))),
+
+    // Benford first-digit audit on order totals in integer cents:
+    // observed vs log10(1+1/d) shares + per-digit chi-square terms.
+    "q_benford" -> ((s, d) =>
+      graft.query.Analytics.benford(Tables.orders(s, d))),
+
+    // Lag-1..7 autocorrelation of the daily per-type series: integer
+    // dollar deviations, exact lag-product sums, one division/row.
+    "q_acf" -> ((s, d) =>
+      graft.query.Analytics.acf(Tables.events(s, d))),
+
     // Per-community conductance over the same LP partition — the
     // boundary-quality companion to q_modularity (cut / min-side
     // volume, exact integers, one division).
@@ -1105,6 +1120,99 @@ object AnalyticsCatalog {
          |    - CAST(sdd AS DOUBLE)
          |      / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)
          |FROM tot""".stripMargin,
+
+    // Theil-Sen twin: same daily series and dense index, same exact-
+    // quotient slopes, same floor/ceil rank median.
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, x, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS t
+        |  FROM daily),
+        |pairs AS (
+        |  SELECT a.event_type, a.t AS t1, b.t AS t2,
+        |    CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+        |      / 100.0 AS slope
+        |  FROM idx a JOIN idx b ON a.event_type = b.event_type
+        |    AND a.t < b.t),
+        |ranked AS (
+        |  SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope ASC, t1 ASC, t2 ASC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS c
+        |  FROM pairs)
+        |SELECT event_type, CAST(MAX(c) AS BIGINT) AS n_pairs,
+        |  round(AVG(slope), 6) AS sen_slope
+        |FROM ranked
+        |WHERE rk = floor((c + 1) / 2.0) OR rk = ceil((c + 1) / 2.0)
+        |GROUP BY 1""".stripMargin,
+
+    // Benford twin: same integer-cents leading digit, same ln-ratio
+    // expected shares and chi-square terms.
+    "q_benford" ->
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    COUNT(*) AS n_obs
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM digits)
+        |SELECT digit, n_obs,
+        |  round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS obs_share,
+        |  round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+        |    AS exp_share,
+        |  round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
+        |      * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+        |    * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
+        |      * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+        |    / (CAST(n AS DOUBLE)
+        |      * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 6)
+        |    AS chi2_term
+        |FROM digits CROSS JOIN tot""".stripMargin,
+
+    // ACF twin: same integer-dollar deviation snap, same exact lag
+    // products and denominator, null on constant series.
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, x, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS t
+        |  FROM daily),
+        |stats AS (
+        |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS s,
+        |    COUNT(*) AS n
+        |  FROM idx GROUP BY 1),
+        |dev AS (
+        |  SELECT idx.event_type, t,
+        |    CAST(round((CAST(x AS DOUBLE)
+        |      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0)
+        |      AS BIGINT) AS d
+        |  FROM idx JOIN stats ON idx.event_type = stats.event_type),
+        |num AS (
+        |  SELECT a.event_type, l.lag,
+        |    CAST(SUM(a.d * b.d) AS BIGINT) AS num,
+        |    COUNT(*) AS n_terms
+        |  FROM dev a
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+        |  JOIN dev b ON a.event_type = b.event_type
+        |    AND b.t = a.t + l.lag
+        |  GROUP BY 1, 2),
+        |den AS (
+        |  SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS den
+        |  FROM dev GROUP BY 1)
+        |SELECT num.event_type, lag, n_terms,
+        |  round(CASE WHEN den <> 0
+        |    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6)
+        |    AS acf
+        |FROM num JOIN den ON num.event_type = den.event_type""".stripMargin,
 
     // Kaplan-Meier twin: same duration/censor split, same at-risk
     // window arithmetic, same 1e6 fixed-point ln terms and sentinel.

@@ -158,7 +158,7 @@ object Bench {
     // r10 wave 14+, benched at birth.
     "q_link_predict", "q_bootstrap_ci", "q_median_of_means",
     "q_survival_km", "q_fs_scores", "q_curation_funnel",
-    "q_missing_mass", "q_source_kl")
+    "q_missing_mass", "q_source_kl", "q_theil_sen", "q_acf")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled
@@ -252,6 +252,9 @@ object Bench {
     // source influence: one keyed aggregate + a 1-row broadcast over
     // the same documents scan q_corpus_profile aggregates.
     "q_source_influence" -> "q_corpus_profile",
+    // benford: a 9-cell aggregate + 1-row broadcast on the orders
+    // scan q_rollup already prices.
+    "q_benford" -> "q_rollup",
     // unigram prune: the q_unigram_segment chain + a driver-side
     // prune of the collected codebook and one more DP round.
     "q_unigram_prune" -> "q_unigram_segment")

@@ -1011,6 +1011,132 @@ object Analytics {
           .as("alarm"))
   }
 
+  /** Daily per-type cents totals with a dense per-type time index —
+    * the series derivation shared by [[theilSen]] and [[acf]] (the
+    * same daily rollup [[cusumDrift]] builds inline).
+    */
+  private def dailySeries(events: DataFrame): DataFrame =
+    events.select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+      .withColumn("t", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+
+  /** THEIL-SEN robust trend (Theil '50, Sen '68): per type, the
+    * MEDIAN of all pairwise slopes of the daily series — the
+    * estimator a single corrupted day cannot drag, unlike
+    * [[trendSlope]]'s OLS (its breakdown point is ~29% vs OLS's one
+    * point). Slopes are exact-quotient doubles (identical IEEE
+    * division in any engine); the median is rank-based with the
+    * (slope, t1, t2) tie-break, floor/ceil ranks averaged.
+    *
+    * Scale shape: the pair join is per-type quadratic IN DAYS — the
+    * series length is calendar-bounded (~10³ rows/type after the
+    * daily rollup), so the pair frame is ~10⁶ rows/type worst case
+    * regardless of event volume; the windows partition by type.
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    val daily = dailySeries(events)
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("a.t") < col("b.t"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.t").as("t1"), col("b.t").as("t2"),
+        ((col("b.x") - col("a.x")).cast("double")
+          / (col("b.t") - col("a.t")).cast("double") / lit(100.0))
+          .as("slope"))
+    val win = Window.partitionBy(col("event_type"))
+    val ranked = pairs
+      .withColumn("rk", row_number().over(
+        win.orderBy(col("slope").asc, col("t1").asc, col("t2").asc)))
+      .withColumn("c", count(lit(1)).over(win))
+    ranked
+      .filter(col("rk") === floor((col("c") + 1) / 2) ||
+        col("rk") === ceil((col("c") + 1) / 2))
+      .groupBy(col("event_type"))
+      .agg(max(col("c")).as("n_pairs"), avg(col("slope")).as("m"))
+      .select(col("event_type"), col("n_pairs"),
+        round(col("m"), 6).as("sen_slope"))
+  }
+
+  /** BENFORD first-digit audit (Newcomb 1881 / Benford '38) over
+    * order totals in exact integer cents: observed vs expected
+    * log₁₀(1 + 1/d) share per leading digit, with the per-digit χ²
+    * contribution — the classic anomalous-feed / fabricated-numbers
+    * screen. The leading digit comes from the INTEGER cents rendered
+    * as a string (no float log10 on the data path); the only floats
+    * are the nine expected shares, computed from the same ln ratio in
+    * both engines.
+    *
+    * Scale shape: one 9-cell aggregate with map-side partials + a
+    * 1-row total broadcast. 9 rows out at any scale.
+    */
+  def benford(orders: DataFrame): DataFrame = {
+    val digits = orders.select(
+        substring(expr(
+          "CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS STRING)"),
+          1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("n"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("e",
+        log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          / log(lit(10.0)))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n").cast("double"), 6)
+          .as("obs_share"),
+        round(col("e"), 6).as("exp_share"),
+        round((col("n_obs").cast("double")
+            - col("n").cast("double") * col("e"))
+          * (col("n_obs").cast("double")
+            - col("n").cast("double") * col("e"))
+          / (col("n").cast("double") * col("e")), 6).as("chi2_term"))
+  }
+
+  /** Lag-k AUTOCORRELATION of the daily per-type series, k = 1..
+    * `maxLag` — the seasonality/persistence read beside the trend and
+    * drift monitors. Deviations are snapped ONCE to integer dollars
+    * (round((x − mean)/100) — the fixed-point device at a scale where
+    * a year of 1e8-cent days keeps Σ d·d′ far from overflow), so both
+    * the lag products and the denominator are exact integer sums; one
+    * division per output row. Constant series (zero denominator)
+    * emit null.
+    *
+    * Scale shape: the series is calendar-bounded, so the lag
+    * self-join and both aggregates run on ~10³-row frames per type;
+    * the dev frame is localCheckpoint'd — three consumers, one
+    * events-scan.
+    */
+  def acf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = dailySeries(events)
+    val stats = daily.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val dev = daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("t"),
+        round((col("x").cast("double")
+          - col("s").cast("double") / col("n").cast("double"))
+          / lit(100.0)).cast("long").as("d"))
+      .localCheckpoint()
+    val lags = dev
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("t2", col("t") + col("lag"))
+    val num = lags
+      .join(dev.select(col("event_type"), col("t").as("t2"),
+        col("d").as("d2")), Seq("event_type", "t2"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum(col("d") * col("d2")).as("num"),
+        count(lit(1)).as("n_terms"))
+    val den = dev.groupBy(col("event_type"))
+      .agg(sum(col("d") * col("d")).as("den"))
+    num.join(broadcast(den), Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n_terms"),
+        round(when(col("den") =!= 0L,
+          col("num").cast("double") / col("den").cast("double")), 6)
+          .as("acf"))
+  }
+
   /** Cumulative Poisson(1) CDF cut points (e⁻¹·Σ 1/k!) shared by the
     * Spark side and the DuckDB twin — the inverse-CDF lottery that
     * turns one uniform per (row, replicate) into a bootstrap weight.

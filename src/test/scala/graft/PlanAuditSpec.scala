@@ -85,6 +85,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_source_kl",
     // source_influence: the 1-row corpus (n, s) totals broadcast.
     "q_source_influence",
+    // benford: the 1-row digit-total broadcast onto the 9-cell frame.
+    "q_benford",
     // bloom_join: the 1-row dense-word-array filter frame (256 KB at
     // m=2²⁰) broadcast onto the fact scan — the runtime-filter probe.
     "q_bloom_join",

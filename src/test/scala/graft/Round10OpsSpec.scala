@@ -555,6 +555,47 @@ class Round10OpsSpec extends SparkSpec {
       s"${got("s_short")}")
   }
 
+  private def eventsOf(rows: Seq[(String, Int, Double)]) =
+    rows.toDF("event_type", "day", "value").select(col("event_type"),
+      expr("cast(date_add('1970-01-01', day) as timestamp)").as("ts"),
+      col("value"))
+
+  test("theilSen: median pairwise slope resists the outlier day the " +
+    "OLS slope chases") {
+    val got = graft.query.Analytics.theilSen(eventsOf(Seq(
+        ("a", 19000, 1.0), ("a", 19001, 2.0), ("a", 19002, 3.0),
+        ("a", 19003, 10.0)))).collect().head
+    // slopes: 1,1,1,3,4,7 → median (ranks 3,4) = (1+3)/2 = 2.
+    assert(got.getAs[Long]("n_pairs") == 6L)
+    assert(got.getAs[Double]("sen_slope") == 2.0)
+  }
+
+  test("benford: leading digits come from exact integer cents; " +
+    "digit-1 expectation is log10(2)") {
+    val orders = Seq((1L, 1.00), (2L, 2.50), (3L, 0.35), (4L, 9.99),
+      (5L, 19.00)).toDF("o_orderkey", "o_totalprice")
+    val got = graft.query.Analytics.benford(orders).collect()
+      .map(r => r.getAs[Int]("digit") ->
+        (r.getAs[Long]("n_obs"), r.getAs[Double]("exp_share"))).toMap
+    // cents: 100→1, 250→2, 35→3, 999→9, 1900→1.
+    assert(got.view.mapValues(_._1).toMap ==
+      Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 9 -> 1L), s"$got")
+    assert(got(1)._2 == 0.30103, s"${got(1)._2}")
+  }
+
+  test("acf: an alternating series scores lag-1 negative and lag-2 " +
+    "positive with exact integer arithmetic") {
+    val rows = (0 until 8).map(d =>
+      ("a", 19000 + d, if (d % 2 == 0) 10.0 else 0.0))
+    val got = graft.query.Analytics.acf(eventsOf(rows)).collect()
+      .map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("acf"))).toMap
+    // devs (dollars): ±5 alternating; den = 8·25 = 200.
+    assert(got(1) == (7L, -0.875), s"${got(1)}")
+    assert(got(2) == (6L, 0.75), s"${got(2)}")
+    assert(got(7) == (1L, -0.125), s"${got(7)}")
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
