@@ -1231,11 +1231,20 @@ object Analytics {
     * frame — bounded by the duration range in DAYS, not by data size.
     */
   def kaplanMeier(orders: DataFrame, lineitem: DataFrame,
+                  asOf: String = "1998-06-01"): DataFrame =
+    kmFinish(kmDurations(orders, lineitem, asOf)
+      .groupBy(col("priority"), col("t"))
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c")))
+
+  /** The duration/censor split under [[kaplanMeier]]: (priority, t,
+    * ev) per order — the row shape the streaming twin ingests.
+    */
+  def kmDurations(orders: DataFrame, lineitem: DataFrame,
                   asOf: String = "1998-06-01"): DataFrame = {
     val cutoff = lit(asOf).cast("date")
     val comp = lineitem.groupBy(col("l_orderkey"))
       .agg(max(to_date(col("l_shipdate"))).as("completion"))
-    val base = orders.select(col("o_orderkey"),
+    orders.select(col("o_orderkey"),
         col("o_orderpriority").as("priority"),
         to_date(col("o_orderdate")).as("odate"))
       .filter(col("odate") <= cutoff)
@@ -1246,10 +1255,16 @@ object Analytics {
           .otherwise(datediff(cutoff, col("odate")))
           .cast("long").as("t"),
         when(col("completion") <= cutoff, 1L).otherwise(0L).as("ev"))
-    val times = base.groupBy(col("priority"), col("t"))
-      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
-    val tot = base.groupBy(col("priority"))
-      .agg(count(lit(1)).as("n_total"))
+  }
+
+  /** The KM estimator finish over a (priority, t, d, c) distinct-
+    * duration frame — shared verbatim by the batch operator and the
+    * streaming twin's stateless readout (n_total = Σ(d + c), so no
+    * second input is needed).
+    */
+  private[graft] def kmFinish(times: DataFrame): DataFrame = {
+    val tot = times.groupBy(col("priority"))
+      .agg(sum(col("d") + col("c")).as("n_total"))
     val cum = Window.partitionBy(col("priority")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val risk = times.join(broadcast(tot), Seq("priority"))

@@ -355,6 +355,55 @@ object StreamingSketch {
           .as("alarm"))
   }
 
+  case class PriorityDur(g: String, t: Long, ev: Int)
+  case class DurCell(t: Long, d: Long, c: Long)
+  case class KmHist(g: String, cells: Seq[DurCell])
+
+  /** Incremental state for [[graft.query.Analytics.kaplanMeier]] —
+    * survival curves over a CONTINUOUS feed of completed/censored
+    * durations. The estimator itself (at-risk counts, cumulative
+    * product) re-ranks with every arrival, but the per-priority
+    * (t → (events, censored)) histogram is mergeable integer state —
+    * the third instance of the decayStream joint: persist the
+    * sufficient statistic, leave the estimator to the stateless
+    * finish. State is bounded by the duration range in days per
+    * priority, not by order volume.
+    */
+  def kmStream(durs: Dataset[PriorityDur]): Dataset[KmHist] =
+    durs.groupByKey(_.g)(Encoders.STRING)
+      .mapGroupsWithState[Map[Long, (Long, Long)], KmHist](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[PriorityDur],
+         state: GroupState[Map[Long, (Long, Long)]]) =>
+          var cells = state.getOption
+            .getOrElse(Map.empty[Long, (Long, Long)])
+          rows.foreach { r =>
+            val (d, c) = cells.getOrElse(r.t, (0L, 0L))
+            cells = cells.updated(r.t,
+              if (r.ev == 1) (d + 1L, c) else (d, c + 1L))
+          }
+          state.update(cells)
+          KmHist(g, cells.toSeq.sortBy(_._1)
+            .map { case (t, (d, c)) => DurCell(t, d, c) })
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
+        Encoders.product[KmHist])
+
+  /** Stateless finish for [[kmStream]]: exactly the batch
+    * [[graft.query.Analytics.kaplanMeier]] estimator (shared
+    * `kmFinish` — at-risk windows, 1e6 fixed-point ln sums, the d = n
+    * sentinel) applied to the emitted histograms; output schema
+    * matches the batch operator, so the parity spec compares frames
+    * directly.
+    */
+  def kmFromHistograms(hists: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.query.Analytics.kmFinish(hists
+      .select(col("g").as("priority"), explode(col("cells")).as("dc"))
+      .select(col("priority"), col("dc.t").as("t"),
+        col("dc.d").as("d"), col("dc.c").as("c")))
+  }
+
   case class DigestDoc(sha: String, doc_id: Long, n_bytes: Long)
   case class DupGroup(sha: String, keeper_doc_id: Long, n: Long,
                       total_bytes: Long)
