@@ -255,6 +255,9 @@ object Bench {
     // benford: a 9-cell aggregate + 1-row broadcast on the orders
     // scan q_rollup already prices.
     "q_benford" -> "q_rollup",
+    // unimax: q_apportion's |sources|-row ranking family on the same
+    // token-count aggregate.
+    "q_unimax" -> "q_apportion",
     // unigram prune: the q_unigram_segment chain + a driver-side
     // prune of the collected codebook and one more DP round.
     "q_unigram_prune" -> "q_unigram_segment")

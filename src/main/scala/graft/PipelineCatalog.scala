@@ -1248,6 +1248,12 @@ object PipelineCatalog {
       graft.operators.Mixing.apportion(
         Tables.documents(s, d), "source", 1000L)),
 
+    // UniMax budget allocation: greedy min-max-epochs spend of half
+    // the corpus tokens under a 4-epoch cap, collapsed to one
+    // ranking window by the monotone integer crossing test.
+    "q_unimax" -> ((s, d) =>
+      graft.operators.Mixing.unimax(Tables.documents(s, d))),
+
     // Temperature-derived mixing recipe (α = ½): shares ∝ √n_s, then
     // the same broadcast plan + salted lottery as q_corpus_mix.
     "q_mix_temperature" -> ((s, d) => {
@@ -4014,6 +4020,48 @@ object PipelineCatalog {
 
     // Apportionment twin: same all-integer base/remainder split and
     // the same (rem DESC, source) leftover ranking.
+    // UniMax twin: same ascending (cap, source) ranking, same integer
+    // crossing test with the caps prefix, same uniform split.
+    "q_unimax" ->
+      """WITH counts AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_corpus
+        |  FROM counts),
+        |ranked AS (
+        |  SELECT source, n_tokens, n_corpus // 2 AS b,
+        |    n_tokens * 4 AS cap,
+        |    row_number() OVER (ORDER BY n_tokens * 4 ASC, source ASC)
+        |      AS i,
+        |    COALESCE(CAST(SUM(n_tokens * 4) OVER (
+        |      ORDER BY n_tokens * 4 ASC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS prefix,
+        |    COUNT(*) OVER () AS s_total
+        |  FROM counts CROSS JOIN tot),
+        |flagged AS (
+        |  SELECT *, cap * (s_total - i + 1) <= b - prefix AS capped
+        |  FROM ranked),
+        |agg AS (
+        |  SELECT CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END)
+        |      AS BIGINT) AS capped_sum,
+        |    CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_uncapped
+        |  FROM flagged),
+        |alloc AS (
+        |  SELECT source, n_tokens, cap, capped,
+        |    round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+        |      ELSE CAST(b - capped_sum AS DOUBLE)
+        |        / CAST(n_uncapped AS DOUBLE) END, 6) AS alloc_tokens
+        |  FROM flagged CROSS JOIN agg)
+        |SELECT source, n_tokens, cap, capped, alloc_tokens,
+        |  round(alloc_tokens / CAST(n_tokens AS DOUBLE), 6)
+        |    AS epochs_used
+        |FROM alloc""".stripMargin,
+
     "q_apportion" ->
       """WITH c AS (
         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),

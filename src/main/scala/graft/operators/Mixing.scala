@@ -218,4 +218,61 @@ object Mixing {
         round(col("w"), 6).as("w_final"))
   }
 
+  /** UNIMAX token-budget allocation (Chung et al. '23): spend a
+    * total budget B over sources so that no source exceeds
+    * `maxEpochs` repetitions and the leftover is split UNIFORMLY —
+    * the fairness alternative to temperature sampling that provably
+    * minimizes the maximum per-source epoch count. Greedy over
+    * sources in ascending capacity c_i = n_i·E: a source below the
+    * running fair share keeps its full capacity, everyone after the
+    * crossing point gets an equal split of what remains.
+    *
+    * The single-pass device: with caps sorted ascending, the greedy's
+    * "capped" prefix satisfies c_i·(S−i+1) ≤ B − Σ_{j<i} c_j — an
+    * INTEGER test per row, and the ascending sort makes it monotone
+    * (substituting the failed test at k into the test at j > k with
+    * c_j ≥ c_k forces failure there too) — so the whole
+    * iterative loop collapses into one ranking window over the
+    * |sources|-row frame plus one conditional aggregate. Integer
+    * exact until the one uniform-share division.
+    *
+    * Scale shape: one keyed token-count aggregate over the scan; the
+    * window ranks the |sources|-row frame (dimension-bounded — the
+    * q_apportion argument); B defaults to half the corpus
+    * (n_corpus DIV budgetShare).
+    */
+  def unimax(docs: DataFrame, sourceCol: String = "source",
+             budgetShare: Int = 2, maxEpochs: Int = 4): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(sum(TextOps.tokenCount(col("text")).cast("long"))
+        .as("n_tokens"))
+    val totals = counts.agg(sum(col("n_tokens")).as("n_corpus"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap").asc, col(sourceCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val ranked = counts.crossJoin(broadcast(totals))
+      .withColumn("b", expr(s"n_corpus div $budgetShare"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+      .withColumn("i", row_number().over(w))
+      .withColumn("prefix", coalesce(sum(col("cap")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions
+          .Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("s_total", count(lit(1)).over(wAll))
+      .withColumn("capped",
+        col("cap") * (col("s_total") - col("i") + 1)
+          <= col("b") - col("prefix"))
+    val agg = ranked.agg(
+      sum(when(col("capped"), col("cap")).otherwise(0L))
+        .as("capped_sum"),
+      sum(when(!col("capped"), 1L).otherwise(0L)).as("n_uncapped"))
+    ranked.crossJoin(broadcast(agg))
+      .withColumn("alloc_tokens",
+        round(when(col("capped"), col("cap").cast("double"))
+          .otherwise((col("b") - col("capped_sum")).cast("double")
+            / col("n_uncapped").cast("double")), 6))
+      .select(col(sourceCol), col("n_tokens"), col("cap"),
+        col("capped"), col("alloc_tokens"),
+        round(col("alloc_tokens") / col("n_tokens").cast("double"), 6)
+          .as("epochs_used"))
+  }
 }

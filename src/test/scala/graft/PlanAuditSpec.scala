@@ -87,6 +87,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_source_influence",
     // benford: the 1-row digit-total broadcast onto the 9-cell frame.
     "q_benford",
+    // unimax: the 1-row corpus-total and capped-sum broadcasts onto
+    // the |sources|-row frame.
+    "q_unimax",
     // bloom_join: the 1-row dense-word-array filter frame (256 KB at
     // m=2²⁰) broadcast onto the fact scan — the runtime-filter probe.
     "q_bloom_join",
@@ -223,6 +226,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_range_plan",
     // apportion: the leftover ranking over the |sources|-row frame.
     "q_apportion",
+    // unimax: the ascending-capacity ranking over the same
+    // |sources|-row frame.
+    "q_unimax",
     // bitmap_distinct: the key-dictionary row_number over the DISTINCT
     // key set — dimension-bounded by the operator's own contract (a key
     // set too big to dictionary-encode is the documented KMV/HLL

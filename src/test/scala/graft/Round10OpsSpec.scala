@@ -596,6 +596,24 @@ class Round10OpsSpec extends SparkSpec {
     assert(got(7) == (1L, -0.125), s"${got(7)}")
   }
 
+  test("unimax: the tiny source keeps its full 4 epochs, the big " +
+    "ones split the remaining budget uniformly") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(5), "A"), (2L, words(100), "B"),
+      (3L, words(50), "C"), (4L, words(50), "C"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Mixing.unimax(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Boolean]("capped"), r.getAs[Double]("alloc_tokens"),
+          r.getAs[Double]("epochs_used"))).toMap
+    // corpus 205 → budget 102; caps 20/400/400: A capped at 20
+    // (4 epochs), B and C split 82 → 41 each.
+    assert(got("A") == (true, 20.0, 4.0), s"${got("A")}")
+    assert(got("B") == (false, 41.0, 0.41), s"${got("B")}")
+    assert(got("C") == (false, 41.0, 0.41), s"${got("C")}")
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
