@@ -299,6 +299,13 @@ object AnalyticsCatalog {
     "q_acf" -> ((s, d) =>
       graft.query.Analytics.acf(Tables.events(s, d))),
 
+    // CUPED pre-period covariate adjustment: hash-split arms, theta
+    // and per-arm adjusted means closed-form from one conditional
+    // aggregate pass; variance reduction = corr^2 exactly.
+    "q_cuped" -> ((s, d) =>
+      graft.query.Analytics.cuped(
+        Tables.customer(s, d), Tables.orders(s, d))),
+
     // Per-community conductance over the same LP partition — the
     // boundary-quality companion to q_modularity (cut / min-side
     // volume, exact integers, one division).
@@ -1120,6 +1127,73 @@ object AnalyticsCatalog {
          |    - CAST(sdd AS DOUBLE)
          |      / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)
          |FROM tot""".stripMargin,
+
+    // CUPED twin: same integer-dollar sums, same md5 arm lottery,
+    // identical double tree for theta / adjusted means / corr^2.
+    "q_cuped" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+        |        < DATE '1996-01-01'
+        |      THEN CAST(round(o_totalprice, 0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+        |        >= DATE '1996-01-01'
+        |      THEN CAST(round(o_totalprice, 0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |units AS (
+        |  SELECT c.c_custkey, COALESCE(x, 0) AS x, COALESCE(y, 0) AS y,
+        |    ('0x' || substr(md5(c.c_custkey::VARCHAR || ':cuped'),
+        |      1, 15))::BIGINT % 2 AS arm
+        |  FROM customer c LEFT JOIN per ON c.c_custkey = per.o_custkey),
+        |g AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT)
+        |      AS sxa,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+        |      AS sya,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT)
+        |      AS sxb,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+        |      AS syb
+        |  FROM units),
+        |d AS (
+        |  SELECT *,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        |  FROM g)
+        |SELECT n, na, nb,
+        |  round(CASE WHEN varxn <> 0.0 THEN covn / varxn END, 6)
+        |    AS theta,
+        |  round(CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)
+        |    - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE), 6)
+        |    AS diff_raw,
+        |  round(CASE WHEN varxn <> 0.0 THEN
+        |    (CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)
+        |      - (covn / varxn)
+        |        * (CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) - xbar))
+        |    - (CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - (covn / varxn)
+        |        * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) - xbar))
+        |    END, 6) AS diff_adj,
+        |  round(CASE WHEN varxn <> 0.0 AND varyn <> 0.0
+        |    THEN covn * covn / (varxn * varyn) END, 6)
+        |    AS var_reduction
+        |FROM d""".stripMargin,
 
     // Theil-Sen twin: same daily series and dense index, same exact-
     // quotient slopes, same floor/ceil rank median.

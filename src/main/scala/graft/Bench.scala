@@ -258,6 +258,9 @@ object Bench {
     // unimax: q_apportion's |sources|-row ranking family on the same
     // token-count aggregate.
     "q_unimax" -> "q_apportion",
+    // cuped: one conditional aggregate over a customer⋈orders join —
+    // the q_ab_test single-pass closed-form family.
+    "q_cuped" -> "q_ab_test",
     // unigram prune: the q_unigram_segment chain + a driver-side
     // prune of the collected codebook and one more DP round.
     "q_unigram_prune" -> "q_unigram_segment")

@@ -483,6 +483,79 @@ object Analytics {
           col("n_kept"))
     }.reduce(_ unionByName _)
 
+  /** CUPED variance reduction (Deng et al. '13, "Improving the
+    * sensitivity of online controlled experiments") — the pre-period
+    * covariate adjustment every experimentation platform runs:
+    * Y′ = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), where X is each
+    * customer's PRE-split spend and Y the post-split spend; the
+    * treatment split is the deterministic content-hash lottery. The
+    * whole read-out is closed-form from ONE conditional aggregate
+    * pass — per-arm adjusted means need no second scan because
+    * mean(Y′ | arm) = Ȳ_arm − θ(X̄_arm − X̄), and the variance
+    * reduction is corr²(X,Y) exactly.
+    *
+    * Determinism: per-order dollars snap once to integers, all sums
+    * are exact longs, and the closed form is a shared double tree
+    * (the [[trendSlope]]/[[welchTTest]] device). Zero pre-period
+    * variance → θ and the reduction emit null.
+    *
+    * Scale shape: one keyed per-customer aggregate, one left join
+    * onto the customer dim, one global aggregate row. 1 row out.
+    */
+  def cuped(customers: DataFrame, orders: DataFrame,
+            splitDate: String = "1996-01-01"): DataFrame = {
+    val cut = lit(splitDate).cast("date")
+    val per = orders.select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        expr("CAST(round(o_totalprice, 0) AS BIGINT)").as("v"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("d") < cut, col("v")).otherwise(0L)).as("x"),
+        sum(when(col("d") >= cut, col("v")).otherwise(0L)).as("y"))
+    val units = customers.select(col("c_custkey"))
+      .join(per, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .withColumn("arm", pmod(TextOps.fingerprint64(
+        concat(col("c_custkey").cast("string"), lit(":cuped"))),
+        lit(2L)))
+    val g = units.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === 0L, col("x")).otherwise(0L)).as("sxa"),
+      sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("sya"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === 1L, col("x")).otherwise(0L)).as("sxb"),
+      sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("syb"))
+    val nD = col("n").cast("double")
+    val covN = (nD * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double"))
+    val varXN = (nD * col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double"))
+    val varYN = (nD * col("syy").cast("double")
+      - col("sy").cast("double") * col("sy").cast("double"))
+    val theta = covN / varXN
+    val xbar = col("sx").cast("double") / nD
+    val meanAdjA = (col("sya").cast("double") / col("na").cast("double")
+      - theta * (col("sxa").cast("double") / col("na").cast("double")
+        - xbar))
+    val meanAdjB = (col("syb").cast("double") / col("nb").cast("double")
+      - theta * (col("sxb").cast("double") / col("nb").cast("double")
+        - xbar))
+    g.select(col("n"), col("na"), col("nb"),
+      round(when(varXN =!= 0.0, theta), 6).as("theta"),
+      round(col("syb").cast("double") / col("nb").cast("double")
+        - col("sya").cast("double") / col("na").cast("double"), 6)
+        .as("diff_raw"),
+      round(when(varXN =!= 0.0, meanAdjB - meanAdjA), 6)
+        .as("diff_adj"),
+      round(when(varXN =!= 0.0 && varYN =!= 0.0,
+        covN * covN / (varXN * varYN)), 6).as("var_reduction"))
+  }
+
   /** WELCH'S two-sample t — the unequal-variance A/B significance test
     * (the experiment read-out: is segment A's metric different from
     * segment B's beyond noise?). Accumulates n/Σx/Σx² for both arms in

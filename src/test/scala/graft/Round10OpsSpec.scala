@@ -614,6 +614,25 @@ class Round10OpsSpec extends SparkSpec {
     assert(got("C") == (false, 41.0, 0.41), s"${got("C")}")
   }
 
+  test("cuped: a perfectly predictive pre-period gives theta 1, " +
+    "zero adjusted diff and full variance reduction") {
+    // Every customer spends the same amount pre and post → Y = X.
+    val customers = (1L to 20L).map(Tuple1(_)).toDF("c_custkey")
+    val orders = (1L to 20L).flatMap { c =>
+      val amt = 100.0 * c
+      Seq((c * 10, c, "1995-06-01", amt), (c * 10 + 1, c, "1997-06-01", amt))
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val r = graft.query.Analytics.cuped(customers, orders)
+      .collect().head
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Double]("theta") == 1.0)
+    assert(r.getAs[Double]("diff_adj") == 0.0 ||
+      r.getAs[Double]("diff_adj") == -0.0, s"$r")
+    assert(r.getAs[Double]("var_reduction") == 1.0)
+    // The raw diff is whatever the hash split makes it; the point is
+    // CUPED removes it entirely when X predicts Y perfectly.
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
