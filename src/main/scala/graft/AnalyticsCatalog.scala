@@ -299,6 +299,11 @@ object AnalyticsCatalog {
     "q_acf" -> ((s, d) =>
       graft.query.Analytics.acf(Tables.events(s, d))),
 
+    // Mann-Whitney U per nation: midranks in integer doubled-rank
+    // space, standard tie correction, nation-partitioned windows.
+    "q_mann_whitney" -> ((s, d) =>
+      graft.query.Analytics.mannWhitney(Tables.customer(s, d))),
+
     // CUPED pre-period covariate adjustment: hash-split arms, theta
     // and per-arm adjusted means closed-form from one conditional
     // aggregate pass; variance reduction = corr^2 exactly.
@@ -1127,6 +1132,51 @@ object AnalyticsCatalog {
          |    - CAST(sdd AS DOUBLE)
          |      / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)
          |FROM tot""".stripMargin,
+
+    // Mann-Whitney twin: same doubled-rank midranks, same tie sum,
+    // same normal-approximation double tree.
+    "q_mann_whitney" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |ranked AS (
+        |  SELECT c_nationkey, seg,
+        |    2 * rank() OVER (PARTITION BY c_nationkey ORDER BY v)
+        |      + COUNT(*) OVER (PARTITION BY c_nationkey, v) - 1 AS r2
+        |  FROM base),
+        |g AS (
+        |  SELECT c_nationkey,
+        |    CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN seg = 'BUILDING' THEN r2 ELSE 0 END)
+        |      AS BIGINT) AS s2a
+        |  FROM ranked GROUP BY 1),
+        |ties AS (
+        |  SELECT c_nationkey,
+        |    CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie3
+        |  FROM (SELECT c_nationkey, v, COUNT(*) AS tc
+        |        FROM base GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT g.c_nationkey, na, nb,
+        |    CAST(s2a - na * (na + 1) AS DOUBLE) / 2.0 AS ua,
+        |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+        |      * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+        |        - CAST(tie3 AS DOUBLE)
+        |          / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |            * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+        |              - 1.0))) AS sigma2
+        |  FROM g JOIN ties ON g.c_nationkey = ties.c_nationkey)
+        |SELECT c_nationkey, na, nb,
+        |  round(CASE WHEN na > 0 AND nb > 0 THEN ua END, 6) AS u_a,
+        |  round(CASE WHEN na > 0 AND nb > 0 AND sigma2 > 0.0
+        |    THEN (ua - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+        |      / sqrt(sigma2) END, 6) AS z
+        |FROM d""".stripMargin,
 
     // CUPED twin: same integer-dollar sums, same md5 arm lottery,
     // identical double tree for theta / adjusted means / corr^2.

@@ -556,6 +556,58 @@ object Analytics {
         covN * covN / (varXN * varYN)), 6).as("var_reduction"))
   }
 
+  /** MANN-WHITNEY U (Wilcoxon rank-sum) per nation — the
+    * NONPARAMETRIC two-sample test beside [[welchTTest]]: does
+    * segment A's balance distribution stochastically dominate B's,
+    * with no normality assumption? Midranks handle ties exactly: in
+    * DOUBLED-rank space r₂ = 2·minrank + t − 1 is an INTEGER, so
+    * Σ midrank and U carry .5 granularity without a float fold —
+    * 2U_A = Σ_A r₂ − n_A(n_A+1)·... the normal approximation (with
+    * the standard tie correction Σ(t³−t)) is a closed-form double
+    * tree on per-nation 1-row aggregates.
+    *
+    * Scale shape: the rank windows partition BY NATION (state
+    * bounded per key, one shuffle); tie counts are one keyed
+    * aggregate; output is |nations| rows. Degenerate groups (either
+    * side empty, or zero variance) emit null U/z.
+    */
+  def mannWhitney(customers: DataFrame, groupA: String = "BUILDING",
+                  groupB: String = "MACHINERY"): DataFrame = {
+    val base = customers
+      .filter(col("c_mktsegment").isin(groupA, groupB))
+      .select(col("c_nationkey"), col("c_mktsegment").as("seg"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("v"))
+    val wRank = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("v"))
+    val wTie = Window.partitionBy(col("c_nationkey"), col("v"))
+    val ranked = base
+      .withColumn("minrank", rank().over(wRank))
+      .withColumn("t", count(lit(1)).over(wTie))
+      .withColumn("r2", lit(2L) * col("minrank") + col("t") - 1L)
+    val g = ranked.groupBy(col("c_nationkey")).agg(
+      sum(when(col("seg") === groupA, 1L).otherwise(0L)).as("na"),
+      sum(when(col("seg") === groupB, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("seg") === groupA, col("r2")).otherwise(0L))
+        .as("s2a"))
+    val ties = base.groupBy(col("c_nationkey"), col("v"))
+      .agg(count(lit(1)).as("tc"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("tc") * col("tc") * col("tc") - col("tc"))
+        .as("tie3"))
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val nD = naD + nbD
+    val ua = ((col("s2a") - col("na") * (col("na") + 1L))
+      .cast("double") / lit(2.0))
+    val sigma2 = (naD * nbD / lit(12.0)
+      * ((nD + 1.0) - col("tie3").cast("double") / (nD * (nD - 1.0))))
+    g.join(ties, Seq("c_nationkey"))
+      .select(col("c_nationkey"), col("na"), col("nb"),
+        round(when(col("na") > 0L && col("nb") > 0L, ua), 6).as("u_a"),
+        round(when(col("na") > 0L && col("nb") > 0L && sigma2 > 0.0,
+          (ua - naD * nbD / lit(2.0)) / sqrt(sigma2)), 6).as("z"))
+  }
+
   /** WELCH'S two-sample t — the unequal-variance A/B significance test
     * (the experiment read-out: is segment A's metric different from
     * segment B's beyond noise?). Accumulates n/Σx/Σx² for both arms in

@@ -633,6 +633,28 @@ class Round10OpsSpec extends SparkSpec {
     // CUPED removes it entirely when X predicts Y perfectly.
   }
 
+  test("mannWhitney: hand-computed U with a midrank tie; clean " +
+    "separation gives U = 0") {
+    val rows = Seq(
+      // nation 1: A={1,2}, B={3,4} → U_A = (1+2) − 3 = 0.
+      (1, "BUILDING", 0.01), (1, "BUILDING", 0.02),
+      (1, "MACHINERY", 0.03), (1, "MACHINERY", 0.04),
+      // nation 2: A={1,2}, B={2,3} → midranks 1, 2.5 | 2.5, 4 →
+      // U_A = 3.5 − 3 = 0.5.
+      (2, "BUILDING", 0.01), (2, "BUILDING", 0.02),
+      (2, "MACHINERY", 0.02), (2, "MACHINERY", 0.03),
+      // other segments are filtered out entirely.
+      (1, "AUTOMOBILE", 9.99))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = graft.query.Analytics.mannWhitney(rows).collect()
+      .map(r => r.getAs[Int]("c_nationkey") ->
+        (r.getAs[Long]("na"), r.getAs[Long]("nb"),
+          r.getAs[Double]("u_a"), r.getAs[Double]("z"))).toMap
+    assert(got(1)._1 == 2L && got(1)._2 == 2L)
+    assert(got(1)._3 == 0.0 && got(1)._4 < 0.0, s"${got(1)}")
+    assert(got(2)._3 == 0.5, s"${got(2)}")
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
