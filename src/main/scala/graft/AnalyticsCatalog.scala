@@ -304,6 +304,11 @@ object AnalyticsCatalog {
     "q_mann_whitney" -> ((s, d) =>
       graft.query.Analytics.mannWhitney(Tables.customer(s, d))),
 
+    // Kruskal-Wallis H per nation over all five segments: the same
+    // doubled-rank midranks, seg-ordered sorted fold, tie-corrected.
+    "q_kruskal_wallis" -> ((s, d) =>
+      graft.query.Analytics.kruskalWallis(Tables.customer(s, d))),
+
     // CUPED pre-period covariate adjustment: hash-split arms, theta
     // and per-arm adjusted means closed-form from one conditional
     // aggregate pass; variance reduction = corr^2 exactly.
@@ -1132,6 +1137,54 @@ object AnalyticsCatalog {
          |    - CAST(sdd AS DOUBLE)
          |      / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)
          |FROM tot""".stripMargin,
+
+    // Kruskal-Wallis twin: same doubled-rank midranks, seg-ordered
+    // list fold (list_reduce's first-element seed == 0.0 + x0 in
+    // IEEE), same tie-corrected H tree.
+    "q_kruskal_wallis" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
+        |  FROM customer),
+        |ranked AS (
+        |  SELECT c_nationkey, seg,
+        |    2 * rank() OVER (PARTITION BY c_nationkey ORDER BY v)
+        |      + COUNT(*) OVER (PARTITION BY c_nationkey, v) - 1 AS r2
+        |  FROM base),
+        |grp AS (
+        |  SELECT c_nationkey, seg, COUNT(*) AS ng,
+        |    CAST(SUM(r2) AS BIGINT) AS s2g
+        |  FROM ranked GROUP BY 1, 2),
+        |ties AS (
+        |  SELECT c_nationkey,
+        |    CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie3
+        |  FROM (SELECT c_nationkey, v, COUNT(*) AS tc
+        |        FROM base GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |folded AS (
+        |  SELECT c_nationkey, CAST(SUM(ng) AS BIGINT) AS n,
+        |    COUNT(*) AS n_groups,
+        |    list_reduce(list_transform(
+        |      list(struct_pack(seg := seg, ng := ng, s2g := s2g)
+        |        ORDER BY seg),
+        |      g -> CAST(g.s2g AS DOUBLE) * CAST(g.s2g AS DOUBLE)
+        |        / (4.0 * CAST(g.ng AS DOUBLE))),
+        |      (a, b) -> a + b) AS sr2
+        |  FROM grp GROUP BY 1)
+        |SELECT f.c_nationkey, n, n_groups,
+        |  round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |    * sr2 - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+        |  round(CASE WHEN 1.0 - CAST(tie3 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0.0
+        |    THEN (12.0 / (CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) + 1.0)) * sr2
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |      / (1.0 - CAST(tie3 AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+        |    END, 6) AS h_tie_corrected
+        |FROM folded f JOIN ties ON f.c_nationkey = ties.c_nationkey""".stripMargin,
 
     // Mann-Whitney twin: same doubled-rank midranks, same tie sum,
     // same normal-approximation double tree.

@@ -262,6 +262,9 @@ object Bench {
     // cuped: one conditional aggregate over a customer⋈orders join —
     // the q_ab_test single-pass closed-form family.
     "q_cuped" -> "q_ab_test",
+    // kruskal-wallis: q_mann_whitney's rank windows + one more keyed
+    // aggregate and a ≤5-struct fold.
+    "q_kruskal_wallis" -> "q_mann_whitney",
     // unigram prune: the q_unigram_segment chain + a driver-side
     // prune of the collected codebook and one more DP round.
     "q_unigram_prune" -> "q_unigram_segment")

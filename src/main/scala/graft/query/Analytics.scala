@@ -608,6 +608,58 @@ object Analytics {
           (ua - naD * nbD / lit(2.0)) / sqrt(sigma2)), 6).as("z"))
   }
 
+  /** KRUSKAL-WALLIS H per nation — the k-sample extension of
+    * [[mannWhitney]]: do the five market segments' balance
+    * distributions differ at all, rank-based? Midranks ride the same
+    * integer doubled-rank device (Σ n_g·r̄_g² = Σ s₂g²/(4n_g)); the
+    * per-nation reduction over the ≤ |segments| group terms is a
+    * SORTED FOLD (seg-ordered collect + aggregate — the
+    * q_token_entropy idiom: deterministic without a fixed-point
+    * cap, since group counts can make s₂g² overflow any integer
+    * scale at extreme n). Standard tie correction; degenerate
+    * all-tied nations emit null.
+    *
+    * Scale shape: rank windows partition by nation; the fold runs
+    * over ≤ |segments| structs per nation; |nations| rows out.
+    */
+  def kruskalWallis(customers: DataFrame): DataFrame = {
+    val base = customers.select(col("c_nationkey"),
+      col("c_mktsegment").as("seg"),
+      expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("v"))
+    val ranked = base
+      .withColumn("minrank", rank().over(
+        Window.partitionBy(col("c_nationkey")).orderBy(col("v"))))
+      .withColumn("t", count(lit(1)).over(
+        Window.partitionBy(col("c_nationkey"), col("v"))))
+      .withColumn("r2", lit(2L) * col("minrank") + col("t") - 1L)
+    val grp = ranked.groupBy(col("c_nationkey"), col("seg"))
+      .agg(count(lit(1)).as("ng"), sum(col("r2")).as("s2g"))
+    val ties = base.groupBy(col("c_nationkey"), col("v"))
+      .agg(count(lit(1)).as("tc"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("tc") * col("tc") * col("tc") - col("tc"))
+        .as("tie3"))
+    val folded = grp.groupBy(col("c_nationkey"))
+      .agg(sum(col("ng")).as("n"), count(lit(1)).as("n_groups"),
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("seg"), col("ng"),
+              col("s2g")))),
+            g => g.getField("s2g").cast("double")
+              * g.getField("s2g").cast("double")
+              / (lit(4.0) * g.getField("ng").cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("sr2"))
+    val nD = col("n").cast("double")
+    val h = (lit(12.0) / (nD * (nD + 1.0)) * col("sr2")
+      - lit(3.0) * (nD + 1.0))
+    val corr = (lit(1.0) - col("tie3").cast("double")
+      / (nD * nD * nD - nD))
+    folded.join(ties, Seq("c_nationkey"))
+      .select(col("c_nationkey"), col("n"), col("n_groups"),
+        round(h, 6).as("h"),
+        round(when(corr > 0.0, h / corr), 6).as("h_tie_corrected"))
+  }
+
   /** WELCH'S two-sample t — the unequal-variance A/B significance test
     * (the experiment read-out: is segment A's metric different from
     * segment B's beyond noise?). Accumulates n/Σx/Σx² for both arms in

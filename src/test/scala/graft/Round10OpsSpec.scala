@@ -655,6 +655,22 @@ class Round10OpsSpec extends SparkSpec {
     assert(got(2)._3 == 0.5, s"${got(2)}")
   }
 
+  test("kruskalWallis: hand-computed H on three singleton groups; " +
+    "all-tied nation emits null corrected H") {
+    val rows = Seq(
+      (1, "A", 0.01), (1, "B", 0.02), (1, "C", 0.03),
+      (2, "A", 0.05), (2, "B", 0.05)) // all tied → corr = 0
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = graft.query.Analytics.kruskalWallis(rows).collect()
+      .map(r => r.getAs[Int]("c_nationkey") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("h"),
+          Option(r.get(r.fieldIndex("h_tie_corrected"))))).toMap
+    // nation 1: ranks 1,2,3 → H = 12/12·(1+4+9) − 12 = 2.
+    assert(got(1)._1 == 3L && got(1)._2 == 2.0, s"${got(1)}")
+    assert(got(1)._3.contains(2.0))
+    assert(got(2)._3.isEmpty, s"all-tied: ${got(2)}")
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
