@@ -265,6 +265,9 @@ object Bench {
     // kruskal-wallis: q_mann_whitney's rank windows + one more keyed
     // aggregate and a ≤5-struct fold.
     "q_kruskal_wallis" -> "q_mann_whitney",
+    // query expansion: one bm25 leg + a broadcast feedback join —
+    // strictly inside q_hybrid_rrf's two-leg cost.
+    "q_query_expansion" -> "q_hybrid_rrf",
     // unigram prune: the q_unigram_segment chain + a driver-side
     // prune of the collected codebook and one more DP round.
     "q_unigram_prune" -> "q_unigram_segment")

@@ -1027,6 +1027,12 @@ object PipelineCatalog {
     "q_hybrid_rrf" -> ((s, d) =>
       graft.operators.Retrieval.rrfFusion(Tables.documents(s, d))),
 
+    // RM3 pseudo-relevance-feedback expansion terms: top feedback-doc
+    // tokens per query minus the query's own terms — the recall
+    // lever over the same BM25 first pass.
+    "q_query_expansion" -> ((s, d) =>
+      graft.operators.Retrieval.rm3ExpansionTerms(Tables.documents(s, d))),
+
     // The spark.sql TEXT surface, retrieval depth (VERDICT r9 #5's
     // named example): the full BM25 chain as SQL text over the
     // documents view — term-for-term the bm25TopK operation tree
@@ -3374,6 +3380,27 @@ object PipelineCatalog {
     "q_bm25" ->
       s"""WITH $bm25CtesSql
          |SELECT query_id, doc_id, rnk, score FROM bmr
+         |WHERE rnk <= 5""".stripMargin,
+
+    // RM3 expansion twin: the shared BM25 chain's top-5 feedback
+    // docs joined back onto the token stream, query terms excluded,
+    // (fb_tf desc, token) rank.
+    "q_query_expansion" ->
+      s"""WITH $bm25CtesSql,
+         |fb AS (SELECT query_id, doc_id FROM bmr WHERE rnk <= 5),
+         |fcnt AS (
+         |  SELECT fb.query_id, tok.token, COUNT(*) AS fb_tf
+         |  FROM tok JOIN fb ON tok.doc_id = fb.doc_id
+         |  GROUP BY 1, 2),
+         |fx AS (
+         |  SELECT f.query_id, f.token, fb_tf FROM fcnt f
+         |  WHERE NOT EXISTS (SELECT 1 FROM q
+         |    WHERE q.query_id = f.query_id AND q.token = f.token)),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY fb_tf DESC, token) AS INT) AS rnk
+         |  FROM fx)
+         |SELECT query_id, token, fb_tf, rnk FROM r
          |WHERE rnk <= 5""".stripMargin,
 
     // SQL-text BM25 variant: the identical operation tree from the

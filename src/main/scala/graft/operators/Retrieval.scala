@@ -97,6 +97,43 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rnk"), col("score"))
   }
 
+  /** PSEUDO-RELEVANCE-FEEDBACK query expansion (the RM3 candidate
+    * stage, Lavrenko & Croft '01 shape): per query, the `m` most
+    * frequent terms across its [[bm25TopK]] top-`k0` feedback
+    * documents, EXCLUDING the query's own terms — the classic
+    * recall lever when the first-pass vocabulary is too narrow.
+    * Counting is exact integers; ties break on the token string.
+    *
+    * Scale shape: the feedback set is |queries|·k0 rows — broadcast
+    * onto the corpus token stream, so only feedback documents' tokens
+    * ever aggregate (the same pre-filter asymmetry as the BM25 tf
+    * pass); the per-query rank window sees ≤ the feedback docs'
+    * vocabulary. The expensive part remains the first-pass retrieval
+    * itself.
+    */
+  def rm3ExpansionTerms(docs: DataFrame, k0: Int = 5, m: Int = 5,
+                        queryEvery: Int = 100,
+                        queryCap: Long = 1000000L): DataFrame = {
+    val fb = bm25TopK(docs, k0, queryEvery = queryEvery,
+        queryCap = queryCap)
+      .select(col("query_id"), col("doc_id"))
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val qterms = toks
+      .filter(col("doc_id") % queryEvery === 0 && col("doc_id") < queryCap)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(array_distinct(col("t")), 1, 3)).as("token"))
+    toks.select(col("doc_id"), explode(col("t")).as("token"))
+      .join(broadcast(fb), Seq("doc_id"))
+      .groupBy(col("query_id"), col("token"))
+      .agg(count(lit(1)).as("fb_tf"))
+      .join(qterms, Seq("query_id", "token"), "left_anti")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("fb_tf").desc, col("token").asc)))
+      .filter(col("rnk") <= m)
+      .select(col("query_id"), col("token"), col("fb_tf"), col("rnk"))
+  }
+
   /** HYBRID retrieval by reciprocal-rank fusion (Cormack et al. '09):
     * fuse the [[bm25TopK]] lexical ranking with a dense ranking
     * ([[Similarity.hashedTextTopK]]'s hashing-trick cosine) over the

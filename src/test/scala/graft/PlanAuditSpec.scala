@@ -90,6 +90,8 @@ class PlanAuditSpec extends SparkSpec {
     // unimax: the 1-row corpus-total and capped-sum broadcasts onto
     // the |sources|-row frame.
     "q_unimax",
+    // query_expansion: inherits bm25's 1-row stats frame.
+    "q_query_expansion",
     // bloom_join: the 1-row dense-word-array filter frame (256 KB at
     // m=2²⁰) broadcast onto the fact scan — the runtime-filter probe.
     "q_bloom_join",

@@ -671,6 +671,28 @@ class Round10OpsSpec extends SparkSpec {
     assert(got(2)._3.isEmpty, s"all-tied: ${got(2)}")
   }
 
+  test("rm3ExpansionTerms: expansion terms never repeat the query's " +
+    "own terms, come from feedback docs, and cap at m per query") {
+    val docs = graft.queries.Tables.documents(spark,
+      "/root/testdata/sf0.001")
+    val qterms = docs
+      .filter(col("doc_id") % 100 === 0 && col("doc_id") < 1000000L)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(array_distinct(split(col("text"), " ")), 1, 3))
+          .as("token"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = graft.operators.Retrieval.rm3ExpansionTerms(docs)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("token"),
+        r.getAs[Long]("fb_tf"), r.getAs[Int]("rnk")))
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, t, _, _) => !qterms.contains((q, t)) },
+      "own query terms excluded")
+    assert(got.forall(_._3 >= 1L))
+    assert(got.groupBy(_._1).values.forall(_.length <= 5))
+    assert(got.forall(_._4 <= 5))
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
