@@ -669,6 +669,12 @@ object PipelineCatalog {
         docs.filter(col("doc_id") % 2 === 1), "n_chars")
     }),
 
+    // PSI unrolled over epoch-week periods vs the first one — the
+    // drift monitor as the time series a dashboard plots; reference
+    // period scores exactly 0.
+    "q_psi_timeline" -> ((s, d) =>
+      graft.operators.Profile.psiTimeline(Tables.events(s, d))),
+
     // Two-sample Kolmogorov–Smirnov statistic between the R- and
     // N-returnflag extended-price distributions: the BINLESS drift
     // read beside q_psi_drift — exact empirical CDFs at every
@@ -1925,6 +1931,47 @@ object PipelineCatalog {
         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks)
         |SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM tok GROUP BY 1""".stripMargin,
+
+    // PSI timeline twin: same frozen bins and smoothing, same
+    // bin-ordered list fold per epoch-week period vs the first.
+    "q_psi_timeline" ->
+      """WITH base AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) // 7 AS INT) AS period,
+        |    CAST(LEAST(GREATEST(floor(value / 50.0), 0.0), 9.0)
+        |      AS INT) AS bin
+        |  FROM events),
+        |months AS (SELECT DISTINCT period FROM base),
+        |bins AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+        |cnt AS (SELECT period, bin, COUNT(*) AS n FROM base
+        |        GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT m.period, b.bin, CAST(COALESCE(n, 0) AS BIGINT) AS n
+        |  FROM months m CROSS JOIN bins b
+        |  LEFT JOIN cnt ON cnt.period = m.period AND cnt.bin = b.bin),
+        |tot AS (SELECT period, CAST(SUM(n) AS BIGINT) AS t FROM dense
+        |        GROUP BY 1),
+        |withp AS (
+        |  SELECT dense.period, bin, n, t,
+        |    CAST(n + 1 AS DOUBLE) / CAST(t + 10 AS DOUBLE) AS p
+        |  FROM dense JOIN tot ON dense.period = tot.period),
+        |refm AS (SELECT MIN(period) AS ref_period FROM months),
+        |ref AS (
+        |  SELECT bin, p AS p_ref FROM withp CROSS JOIN refm
+        |  WHERE period = ref_period),
+        |contribs AS (
+        |  SELECT w.period, w.bin, w.t,
+        |    (w.p - r.p_ref) * ln(w.p / r.p_ref) AS contrib
+        |  FROM withp w JOIN ref r ON w.bin = r.bin),
+        |agg AS (
+        |  SELECT period, CAST(MAX(t) AS BIGINT) AS n_events,
+        |    round(list_reduce(list_transform(
+        |      list(struct_pack(bin := bin, contrib := contrib)
+        |        ORDER BY bin),
+        |      s -> s.contrib), (a, b) -> a + b), 6) AS psi
+        |  FROM contribs GROUP BY 1)
+        |SELECT period, n_events, psi, psi > 0.25 AS alert
+        |FROM agg""".stripMargin,
 
     // PSI twin: same fixed bins, densified histograms, smoothed-share
     // arithmetic tree, bin-ordered list_reduce total.

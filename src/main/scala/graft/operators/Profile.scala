@@ -126,6 +126,59 @@ object Profile {
         round(col("psi"), 6).as("psi"))
   }
 
+  /** PSI TIMELINE — [[psiDrift]] unrolled over time: the
+    * population stability index of the event-value distribution for
+    * EVERY epoch-week period against the first period (integer
+    * epoch-day DIV 7 — an engine-exact grain, unlike locale-bound
+    * week-of-year strings), one row per period — the
+    * drift monitor as a monitored time series rather than a
+    * two-snapshot compare (the shape a feature-store dashboard
+    * actually plots). Same frozen equal-width bins, add-one
+    * smoothing, and bin-ordered fold as the pairwise operator; the
+    * reference period's own PSI is exactly 0.
+    *
+    * Scale shape: one (period, bin) keyed count over the scan,
+    * densified against the periods × nBins literal grid (both
+    * calendar/constant-bounded), a broadcast of the 10-row reference
+    * histogram, and a per-period ≤nBins fold. Output is |periods|
+    * rows.
+    */
+  def psiTimeline(events: DataFrame, binWidth: Double = 50.0,
+                  nBins: Int = 10): DataFrame = {
+    val base = events.select(
+      expr("CAST(datediff(to_date(ts), DATE '1970-01-01') DIV 7 " +
+        "AS INT)").as("period"),
+      least(greatest(floor(col("value") / binWidth), lit(0.0)),
+        lit((nBins - 1).toDouble)).cast("int").as("bin"))
+    val months = base.select(col("period")).distinct()
+    val bins = events.sparkSession.range(nBins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    val dense = months.crossJoin(bins)
+      .join(base.groupBy(col("period"), col("bin"))
+        .agg(count(lit(1)).as("n")), Seq("period", "bin"), "left")
+      .select(col("period"), col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val tot = dense.groupBy(col("period")).agg(sum(col("n")).as("t"))
+    val refMonth = months.agg(min(col("period")).as("ref_period"))
+    val withP = dense.join(tot, Seq("period"))
+      .select(col("period"), col("bin"), col("n"), col("t"),
+        ((col("n") + 1).cast("double")
+          / (col("t") + nBins).cast("double")).as("p"))
+    val ref = withP.crossJoin(broadcast(refMonth))
+      .filter(col("period") === col("ref_period"))
+      .select(col("bin"), col("p").as("p_ref"))
+    withP.join(broadcast(ref), Seq("bin"))
+      .withColumn("contrib",
+        (col("p") - col("p_ref")) * log(col("p") / col("p_ref")))
+      .groupBy(col("period"))
+      .agg(max(col("t")).as("n_events"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("bin"),
+            col("contrib")))), _.getField("contrib")),
+          lit(0.0), _ + _), 6).as("psi"))
+      .withColumn("alert", col("psi") > 0.25)
+  }
+
   /** Two-sample KOLMOGOROV–SMIRNOV statistic D = max_v |F_a(v) −
     * F_b(v)| between the `valueCol` distributions of the rows where
     * `groupCol` = `aVal` vs `bVal` — the BINLESS drift read beside

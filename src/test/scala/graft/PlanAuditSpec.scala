@@ -92,6 +92,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_unimax",
     // query_expansion: inherits bm25's 1-row stats frame.
     "q_query_expansion",
+    // psi_timeline: the |months|×nBins literal grid and the 1-row
+    // reference-month / 10-row reference-histogram broadcasts.
+    "q_psi_timeline",
     // bloom_join: the 1-row dense-word-array filter frame (256 KB at
     // m=2²⁰) broadcast onto the fact scan — the runtime-filter probe.
     "q_bloom_join",

@@ -693,6 +693,23 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.forall(_._4 <= 5))
   }
 
+  test("psiTimeline: the reference period scores exactly 0; a " +
+    "shifted period alerts") {
+    val rows =
+      (1 to 50).map(i => ("a", 19005 + i % 3, 10.0)) ++ // week 1, bin 0
+      (1 to 50).map(i => ("a", 19012 + i % 3, 10.0)) ++ // week 2, same
+      (1 to 50).map(i => ("a", 19019 + i % 3, 480.0))   // week 3 shifted
+    val events = eventsOf(rows)
+    val out = graft.operators.Profile.psiTimeline(events)
+      .orderBy(col("period")).collect()
+      .map(r => (r.getAs[Int]("period"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("psi"), r.getAs[Boolean]("alert")))
+    assert(out.length == 3, out.toSeq.toString)
+    assert(out(0)._3 == 0.0 && !out(0)._4, "reference period is 0")
+    assert(out(1)._3 < 0.05 && !out(1)._4, s"stable period: ${out(1)}")
+    assert(out(2)._3 > 0.25 && out(2)._4, s"shifted period: ${out(2)}")
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
