@@ -838,6 +838,67 @@ object Graph {
           .as("contribution")))
   }
 
+  /** 1-WEISFEILER-LEHMAN color refinement (Weisfeiler & Leman '68 /
+    * the WL-test round every GNN paper benchmarks against): start
+    * with degree as the node color, then repeatedly re-color each
+    * node by hashing (own color | sorted multiset of neighbor
+    * colors). The per-round DISTINCT-color count is the refinement
+    * curve — how much structural identity the graph's neighborhoods
+    * carry (it saturates exactly when 1-WL can no longer split
+    * nodes), and the colors themselves are the canonical
+    * neighborhood-shape keys used for (sub)graph dedup.
+    *
+    * Determinism: the multiset is a SORTED integer array rendered to
+    * one string, hashed by the 60-bit md5 fingerprint — canonical in
+    * any engine; no float anywhere. `maxDegree` drops super-hub
+    * nodes from the refinement (their collected neighbor list is the
+    * one degree-bounded state in the plan — the documented hot-key
+    * cap, mirrored by the twin).
+    *
+    * Scale shape per round: one keyed join of the color frame onto
+    * the symmetrized edges, one per-node sorted collect (state
+    * bounded by capped degree), one projection; the output is
+    * `rounds`+1 rows of counts. Lineage truncates per round.
+    */
+  def wlColors(edges: DataFrame, rounds: Int = 2,
+               maxDegree: Int = 1000): DataFrame = {
+    import graft.functions.TextOps
+    val e = edges.select(col("a"), col("b")).distinct()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    var colors = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .filter(col("degree") <= maxDegree)
+      .select(col("node"), col("degree").cast("long").as("c"))
+      .localCheckpoint()
+    def stats(round: Int, cs: DataFrame): DataFrame =
+      cs.agg(count(lit(1)).as("n_nodes"),
+          countDistinct(col("c")).as("n_colors"))
+        .select(lit(round).as("round"), col("n_nodes"),
+          col("n_colors"))
+    var out = stats(0, colors)
+    for (k <- 1 to rounds) {
+      val nb = sym
+        .join(colors.select(col("node").as("dst"), col("c").as("cn")),
+          Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sort_array(collect_list(col("cn"))).as("ns"))
+      colors = colors
+        .join(nb, Seq("node"), "left")
+        .select(col("node"), TextOps.fingerprint64(
+          concat(col("c").cast("string"), lit("|"),
+            coalesce(array_join(
+              transform(col("ns"), _.cast("string")), ","), lit(""))))
+          .as("c"))
+        .localCheckpoint()
+      out = out.unionByName(stats(k, colors))
+    }
+    val res = out.localCheckpoint()
+    sym.unpersist()
+    res
+  }
+
   /** ADAMIC-ADAR link prediction (Adamic & Adar '03, "Friends and
     * neighbors on the Web") over an ordered edge list (a < b): for
     * every non-adjacent pair (x, y) sharing at least one neighbor,

@@ -710,6 +710,20 @@ class Round10OpsSpec extends SparkSpec {
     assert(out(2)._3 > 0.25 && out(2)._4, s"shifted period: ${out(2)}")
   }
 
+  test("wlColors: the refinement curve on a path graph splits ends, " +
+    "middles, then saturates") {
+    // Path 1-2-3-4-5: degrees {1,2} → round 0: 2 colors; round 1
+    // separates the center (neighbors [2,2]) from nodes 2/4
+    // ([1,2]) → 3; round 2 cannot split further → 3.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = graft.operators.Graph.wlColors(e)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_colors")))
+    assert(got.toSeq == Seq((0, 5L, 2L), (1, 5L, 3L), (2, 5L, 3L)),
+      got.toSeq.toString)
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
