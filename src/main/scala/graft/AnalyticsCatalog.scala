@@ -157,6 +157,12 @@ object AnalyticsCatalog {
     "q_funnel" -> ((s, d) =>
       Analytics.funnel(Events.typed(Tables.events(s, d)))),
 
+    // Funnel conversion latency: first-view → purchase lag
+    // percentiles for completing users — discrete order statistics
+    // on exact integer seconds.
+    "q_funnel_latency" -> ((s, d) =>
+      Analytics.funnelLatency(Events.typed(Tables.events(s, d)))),
+
     // k-anonymity suppression on the customer dimension's
     // (nationkey, segment) quasi-identifiers, k = 10.
     "q_k_anonymity" -> ((s, d) =>
@@ -943,6 +949,31 @@ object AnalyticsCatalog {
          |  (SELECT COUNT(*) FROM s1) AS n_users
          |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
          |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""".stripMargin,
+
+    // Funnel-latency twin: the funnel frontier chain + integer-second
+    // lags (date_diff counts boundary crossings == the cast-long
+    // floor difference) and discrete order statistics.
+    "q_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS ts FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.ts
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.ts
+        |       GROUP BY 1),
+        |lags AS (
+        |  SELECT date_diff('second', s1.ts, s3.ts) AS lag_s
+        |  FROM s1 JOIN s3 ON s1.user_id = s3.user_id)
+        |SELECT COUNT(*) AS n_converted,
+        |  quantile_disc(lag_s, 0.5) AS p50_s,
+        |  quantile_disc(lag_s, 0.9) AS p90_s,
+        |  quantile_disc(lag_s, 0.99) AS p99_s,
+        |  MAX(lag_s) AS max_s
+        |FROM lags""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH g AS (

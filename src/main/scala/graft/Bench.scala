@@ -268,6 +268,9 @@ object Bench {
     // query expansion: one bm25 leg + a broadcast feedback join —
     // strictly inside q_hybrid_rrf's two-leg cost.
     "q_query_expansion" -> "q_hybrid_rrf",
+    // funnel latency: the q_funnel frontier chain + one lag join and
+    // an exact percentile aggregate.
+    "q_funnel_latency" -> "q_funnel",
     // unigram prune: the q_unigram_segment chain + a driver-side
     // prune of the collected codebook and one more DP round.
     "q_unigram_prune" -> "q_unigram_segment")

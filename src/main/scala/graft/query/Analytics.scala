@@ -395,6 +395,49 @@ object Analytics {
     }.reduce(_.unionByName(_))
   }
 
+  /** FUNNEL CONVERSION LATENCY — the companion read to [[funnel]]'s
+    * stage counts: for users who complete the whole funnel, the
+    * distribution of first-step → final-conversion lag (p50/p90/p99
+    * + max in whole seconds) — the product-analytics number that
+    * decides whether conversion is an impulse or a deliberation.
+    * Lags are exact integer second differences (both engines
+    * truncate the sub-second part of a positive epoch identically);
+    * the percentiles are discrete order statistics, so no
+    * interpolation arithmetic can disagree.
+    *
+    * Scale shape: the [[funnel]] frontier chain (per-step keyed
+    * min-aggregates and semi-join-shaped filters), one |converted|-
+    * row lag frame, one exact percentile aggregate. 1 row out.
+    */
+  def funnelLatency(events: DataFrame,
+                    steps: Seq[String] = Seq("view", "click",
+                      "purchase")): DataFrame = {
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
+    val last = steps.tail.foldLeft(first) { (prev, step) =>
+      events.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("ts").as("prev_ts")),
+          Seq("user_id"))
+        .filter(col("ts") > col("prev_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
+    }
+    first.select(col("user_id"), col("ts").as("t0"))
+      .join(last.select(col("user_id"), col("ts").as("t1")),
+        Seq("user_id"))
+      .select((col("t1").cast("long") - col("t0").cast("long"))
+        .as("lag_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        // percentile_disc returns DOUBLE; the value is an exact
+        // integer element, so the cast back to long is lossless.
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_s)")
+          .cast("long").as("p50_s"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_s)")
+          .cast("long").as("p90_s"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY lag_s)")
+          .cast("long").as("p99_s"),
+        max(col("lag_s")).as("max_s"))
+  }
+
   /** k-anonymity suppression over a dimension's quasi-identifier
     * columns: any (nationkey, segment) combination carried by fewer
     * than `k` customers has BOTH quasi-identifiers nulled — the

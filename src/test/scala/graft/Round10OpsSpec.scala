@@ -724,6 +724,28 @@ class Round10OpsSpec extends SparkSpec {
       got.toSeq.toString)
   }
 
+  test("funnelLatency: lag runs first-view to first-valid-purchase; " +
+    "non-completers are excluded") {
+    val rows = Seq(
+      // user 1: view@0s, click@10s, purchase@100s → lag 100.
+      (1L, "view", 0), (1L, "click", 10), (1L, "purchase", 100),
+      // user 2: completes slower → lag 1000; an EARLIER purchase
+      // before the click must not count.
+      (2L, "purchase", 1), (2L, "view", 0), (2L, "click", 500),
+      (2L, "purchase", 1000),
+      // user 3: never purchases after clicking.
+      (3L, "view", 0), (3L, "click", 5))
+      .toDF("user_id", "event_type", "s")
+      .select(col("user_id"), col("event_type"),
+        expr("cast(timestamp '2024-01-01 00:00:00' " +
+          "+ make_interval(0, 0, 0, 0, 0, 0, s) as timestamp)")
+          .as("ts"))
+    val r = graft.query.Analytics.funnelLatency(rows).collect().head
+    assert(r.getAs[Long]("n_converted") == 2L)
+    assert(r.getAs[Long]("p50_s") == 100L)
+    assert(r.getAs[Long]("max_s") == 1000L)
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
