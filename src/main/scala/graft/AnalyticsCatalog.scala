@@ -12,6 +12,43 @@ import graft.streaming.Events
 object AnalyticsCatalog {
   type Q = RelationalCatalog.Q
   private val eventsSql = ScaleCatalog.eventsSql
+
+  /** Shared CTE chain for the WL twins: the co-order pair graph
+    * symmetrized, degree colors, and two unrolled re-coloring rounds
+    * over sorted neighbor lists + the 60-bit md5 fingerprint.
+    */
+  private val wlCtesSql =
+    """items AS (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      |  FROM lineitem),
+      |freq AS (SELECT it FROM items GROUP BY it HAVING COUNT(*) >= 2),
+      |fi AS (SELECT items.bk, items.it FROM items JOIN freq USING (it)),
+      |p AS (
+      |  SELECT a.it AS a, b.it AS b FROM fi a JOIN fi b
+      |  ON a.bk = b.bk AND a.it < b.it
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sym AS (
+      |  SELECT a AS src, b AS dst FROM p
+      |  UNION ALL SELECT b AS src, a AS dst FROM p),
+      |n0 AS (
+      |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM sym GROUP BY 1 HAVING COUNT(*) <= 1000),
+      |nb1 AS (
+      |  SELECT s.src AS node, list(n0.c ORDER BY n0.c) AS ns
+      |  FROM sym s JOIN n0 ON s.dst = n0.node GROUP BY 1),
+      |c1 AS (
+      |  SELECT n0.node, ('0x' || substr(md5(n0.c::VARCHAR || '|' ||
+      |    COALESCE(array_to_string(list_transform(ns,
+      |      x -> x::VARCHAR), ','), '')), 1, 15))::BIGINT AS c
+      |  FROM n0 LEFT JOIN nb1 ON n0.node = nb1.node),
+      |nb2 AS (
+      |  SELECT s.src AS node, list(c1.c ORDER BY c1.c) AS ns
+      |  FROM sym s JOIN c1 ON s.dst = c1.node GROUP BY 1),
+      |c2 AS (
+      |  SELECT c1.node, ('0x' || substr(md5(c1.c::VARCHAR || '|' ||
+      |    COALESCE(array_to_string(list_transform(ns,
+      |      x -> x::VARCHAR), ','), '')), 1, 15))::BIGINT AS c
+      |  FROM c1 LEFT JOIN nb2 ON c1.node = nb2.node)""".stripMargin
   private val invSql = RelationalCatalog.invSql
   private val custSql = RelationalCatalog.custSql
 
@@ -446,6 +483,13 @@ object AnalyticsCatalog {
     // refinement curve + canonical neighborhood-shape keys.
     "q_wl_colors" -> ((s, d) =>
       graft.operators.Graph.wlColors(
+        graft.operators.Itemsets.pairEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
+
+    // WL structural-equivalence classes: top final-color groups with
+    // the min-node keeper — the subgraph-dedup readout.
+    "q_wl_classes" -> ((s, d) =>
+      graft.operators.Graph.wlClasses(
         graft.operators.Itemsets.pairEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
 
@@ -1804,45 +1848,24 @@ object AnalyticsCatalog {
         |    JOIN p e3 ON e1.a = e3.a AND e2.b = e3.b)
         |SELECT a, b, c FROM t ORDER BY a, b, c LIMIT 100""".stripMargin,
 
-    // WL twin: the same pair CTEs symmetrized, two unrolled
-    // re-coloring rounds over sorted neighbor lists and the 60-bit
-    // md5 fingerprint.
+    // WL twin: the shared pair-graph + 2-round re-coloring chain.
     "q_wl_colors" ->
-      """WITH items AS (
-        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
-        |  FROM lineitem),
-        |freq AS (SELECT it FROM items GROUP BY it HAVING COUNT(*) >= 2),
-        |fi AS (SELECT items.bk, items.it FROM items JOIN freq USING (it)),
-        |p AS (
-        |  SELECT a.it AS a, b.it AS b FROM fi a JOIN fi b
-        |  ON a.bk = b.bk AND a.it < b.it
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |sym AS (
-        |  SELECT a AS src, b AS dst FROM p
-        |  UNION ALL SELECT b AS src, a AS dst FROM p),
-        |n0 AS (
-        |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM sym GROUP BY 1 HAVING COUNT(*) <= 1000),
-        |nb1 AS (
-        |  SELECT s.src AS node, list(n0.c ORDER BY n0.c) AS ns
-        |  FROM sym s JOIN n0 ON s.dst = n0.node GROUP BY 1),
-        |c1 AS (
-        |  SELECT n0.node, ('0x' || substr(md5(n0.c::VARCHAR || '|'
-        |    || COALESCE(array_to_string(list_transform(ns,
-        |      x -> x::VARCHAR), ','), '')), 1, 15))::BIGINT AS c
-        |  FROM n0 LEFT JOIN nb1 ON n0.node = nb1.node),
-        |nb2 AS (
-        |  SELECT s.src AS node, list(c1.c ORDER BY c1.c) AS ns
-        |  FROM sym s JOIN c1 ON s.dst = c1.node GROUP BY 1),
-        |c2 AS (
-        |  SELECT c1.node, ('0x' || substr(md5(c1.c::VARCHAR || '|'
-        |    || COALESCE(array_to_string(list_transform(ns,
-        |      x -> x::VARCHAR), ','), '')), 1, 15))::BIGINT AS c
-        |  FROM c1 LEFT JOIN nb2 ON c1.node = nb2.node)
-        |SELECT 0 AS round, COUNT(*) AS n_nodes,
-        |  COUNT(DISTINCT c) AS n_colors FROM n0
-        |UNION ALL SELECT 1, COUNT(*), COUNT(DISTINCT c) FROM c1
-        |UNION ALL SELECT 2, COUNT(*), COUNT(DISTINCT c) FROM c2""".stripMargin,
+      s"""WITH $wlCtesSql
+         |SELECT 0 AS round, COUNT(*) AS n_nodes,
+         |  COUNT(DISTINCT c) AS n_colors FROM n0
+         |UNION ALL SELECT 1, COUNT(*), COUNT(DISTINCT c) FROM c1
+         |UNION ALL SELECT 2, COUNT(*), COUNT(DISTINCT c) FROM c2""".stripMargin,
+
+    // WL classes twin: the same chain's final colors grouped, exact
+    // (n desc, color) top-20 boundary.
+    "q_wl_classes" ->
+      s"""WITH $wlCtesSql,
+         |cls AS (
+         |  SELECT c AS color, COUNT(*) AS n_nodes,
+         |    MIN(node) AS keeper_node
+         |  FROM c2 GROUP BY 1)
+         |SELECT color, n_nodes, keeper_node FROM cls
+         |ORDER BY n_nodes DESC, color LIMIT 20""".stripMargin,
 
     // Adamic-Adar twin: the same pair CTEs symmetrized, one ln per
     // node rounded once to 1e6 fixed point, integer wedge sums, and

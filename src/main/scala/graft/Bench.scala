@@ -271,6 +271,9 @@ object Bench {
     // funnel latency: the q_funnel frontier chain + one lag join and
     // an exact percentile aggregate.
     "q_funnel_latency" -> "q_funnel",
+    // wl classes: the q_wl_colors refinement chain + one keyed group
+    // and a top-20.
+    "q_wl_classes" -> "q_wl_colors",
     // unigram prune: the q_unigram_segment chain + a driver-side
     // prune of the collected codebook and one more DP round.
     "q_unigram_prune" -> "q_unigram_segment")

@@ -862,6 +862,27 @@ object Graph {
     */
   def wlColors(edges: DataFrame, rounds: Int = 2,
                maxDegree: Int = 1000): DataFrame = {
+    val (sym, frames) = wlRefine(edges, rounds, maxDegree)
+    def stats(round: Int, cs: DataFrame): DataFrame =
+      cs.agg(count(lit(1)).as("n_nodes"),
+          countDistinct(col("c")).as("n_colors"))
+        .select(lit(round).as("round"), col("n_nodes"),
+          col("n_colors"))
+    val res = frames.zipWithIndex
+      .map { case (f, i) => stats(i, f) }
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+    sym.unpersist()
+    res
+  }
+
+  /** The shared refinement loop under [[wlColors]] and [[wlClasses]]:
+    * the (still-cached) symmetrized edge frame plus the color frame
+    * after every round (index 0 = degree colors). Callers unpersist
+    * the edge frame once their result materializes.
+    */
+  private def wlRefine(edges: DataFrame, rounds: Int, maxDegree: Int)
+      : (DataFrame, Seq[DataFrame]) = {
     import graft.functions.TextOps
     val e = edges.select(col("a"), col("b")).distinct()
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
@@ -872,13 +893,8 @@ object Graph {
       .filter(col("degree") <= maxDegree)
       .select(col("node"), col("degree").cast("long").as("c"))
       .localCheckpoint()
-    def stats(round: Int, cs: DataFrame): DataFrame =
-      cs.agg(count(lit(1)).as("n_nodes"),
-          countDistinct(col("c")).as("n_colors"))
-        .select(lit(round).as("round"), col("n_nodes"),
-          col("n_colors"))
-    var out = stats(0, colors)
-    for (k <- 1 to rounds) {
+    var frames = Vector(colors)
+    for (_ <- 1 to rounds) {
       val nb = sym
         .join(colors.select(col("node").as("dst"), col("c").as("cn")),
           Seq("dst"))
@@ -892,9 +908,29 @@ object Graph {
               transform(col("ns"), _.cast("string")), ","), lit(""))))
           .as("c"))
         .localCheckpoint()
-      out = out.unionByName(stats(k, colors))
+      frames = frames :+ colors
     }
-    val res = out.localCheckpoint()
+    (sym, frames)
+  }
+
+  /** WL STRUCTURAL-EQUIVALENCE CLASSES — the subgraph-dedup readout
+    * over [[wlColors]]' final refinement: nodes sharing the final
+    * color have (1-WL-)indistinguishable rooted neighborhoods, so
+    * each class is a set of structurally-identical local subgraphs —
+    * the graph analog of the media exact-dedup digest group. Top-`k`
+    * classes by size with the minimal node id as the canonical
+    * representative (the dedup keeper rule), selected on the exact
+    * integer (n desc, color) order.
+    */
+  def wlClasses(edges: DataFrame, rounds: Int = 2,
+                maxDegree: Int = 1000, k: Int = 20): DataFrame = {
+    val (sym, frames) = wlRefine(edges, rounds, maxDegree)
+    val res = frames.last.groupBy(col("c").as("color"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("keeper_node"))
+      .orderBy(col("n_nodes").desc, col("color"))
+      .limit(k)
+      .localCheckpoint()
     sym.unpersist()
     res
   }

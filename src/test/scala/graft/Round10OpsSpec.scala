@@ -746,6 +746,20 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("max_s") == 1000L)
   }
 
+  test("wlClasses: structurally identical nodes share one class " +
+    "with the min node as keeper") {
+    // Path 1-2-3-4-5: after 2 rounds nodes {1,5} (ends), {2,4}
+    // (middles) and {3} (center) are the three classes.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = graft.operators.Graph.wlClasses(e).collect()
+      .map(r => (r.getAs[Long]("n_nodes"), r.getAs[Long]("keeper_node")))
+    assert(got.length == 3, got.toSeq.toString)
+    assert(got.map(_._1).sorted.toSeq == Seq(1L, 2L, 2L))
+    assert(got.contains((2L, 1L)), "ends class keeps node 1")
+    assert(got.contains((2L, 2L)), "middles class keeps node 2")
+    assert(got.contains((1L, 3L)), "center class is the singleton")
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
