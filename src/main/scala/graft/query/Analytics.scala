@@ -1293,12 +1293,18 @@ object Analytics {
     * Scale shape: one 9-cell aggregate with map-side partials + a
     * 1-row total broadcast. 9 rows out at any scale.
     */
-  def benford(orders: DataFrame): DataFrame = {
-    val digits = orders.select(
+  def benford(orders: DataFrame): DataFrame =
+    benfordFinish(orders.select(
         substring(expr(
           "CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS STRING)"),
           1, 1).cast("int").as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs")))
+
+  /** The Benford arithmetic over a (digit, n_obs) histogram — shared
+    * verbatim by the batch operator and the streaming twin's
+    * stateless readout.
+    */
+  private[graft] def benfordFinish(digits: DataFrame): DataFrame = {
     val tot = digits.agg(sum(col("n_obs")).as("n"))
     digits.crossJoin(broadcast(tot))
       .withColumn("e",

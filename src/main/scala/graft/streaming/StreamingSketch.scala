@@ -404,6 +404,34 @@ object StreamingSketch {
         col("dc.d").as("d"), col("dc.c").as("c")))
   }
 
+  case class DigitOne(digit: Int)
+  case class DigitCount(digit: Int, n_obs: Long)
+
+  /** Incremental state for [[graft.query.Analytics.benford]] — the
+    * first-digit audit live on an order feed: the per-digit count is
+    * the textbook mergeable statistic (one long per digit, nine
+    * groups total), and the expected-share / χ² arithmetic is the
+    * stateless finish. The fraud-screen version of the
+    * sufficient-statistic joint: state is CONSTANT-sized (9 cells)
+    * no matter how many orders stream through.
+    */
+  def benfordStream(digits: Dataset[DigitOne]): Dataset[DigitCount] =
+    digits.groupByKey(_.digit)(Encoders.scalaInt)
+      .mapGroupsWithState[Long, DigitCount](GroupStateTimeout.NoTimeout) {
+        (d: Int, rows: Iterator[DigitOne], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          DigitCount(d, n)
+      }(Encoders.scalaLong, Encoders.product[DigitCount])
+
+  /** Stateless finish for [[benfordStream]]: exactly the batch
+    * Benford arithmetic over the 9-row digit histogram; output
+    * schema matches the batch operator.
+    */
+  def benfordFromCounts(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.query.Analytics.benfordFinish(counts)
+
   case class DigestDoc(sha: String, doc_id: Long, n_bytes: Long)
   case class DupGroup(sha: String, keeper_doc_id: Long, n: Long,
                       total_bytes: Long)
