@@ -159,7 +159,8 @@ object Bench {
     "q_link_predict", "q_bootstrap_ci", "q_median_of_means",
     "q_survival_km", "q_fs_scores", "q_curation_funnel",
     "q_missing_mass", "q_source_kl", "q_theil_sen", "q_acf",
-    "q_mann_whitney", "q_psi_timeline", "q_wl_colors")
+    "q_mann_whitney", "q_psi_timeline", "q_wl_colors",
+    "q_rm3_rescore")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -1039,6 +1039,12 @@ object PipelineCatalog {
     "q_query_expansion" -> ((s, d) =>
       graft.operators.Retrieval.rm3ExpansionTerms(Tables.documents(s, d))),
 
+    // RM3 second pass: the expansion terms re-scored through the
+    // identical BM25 chain, blended 0.6/0.4 with the first pass —
+    // the complete pseudo-relevance-feedback loop.
+    "q_rm3_rescore" -> ((s, d) =>
+      graft.operators.Retrieval.rm3Rescore(Tables.documents(s, d))),
+
     // The spark.sql TEXT surface, retrieval depth (VERDICT r9 #5's
     // named example): the full BM25 chain as SQL text over the
     // documents view — term-for-term the bm25TopK operation tree
@@ -3449,6 +3455,61 @@ object PipelineCatalog {
          |  FROM fx)
          |SELECT query_id, token, fb_tf, rnk FROM r
          |WHERE rnk <= 5""".stripMargin,
+
+    // RM3 rescore twin: pass-1 scores (sc), the expansion-term CTEs,
+    // a second identically-shaped scoring chain over them, and the
+    // (1.0 - 0.6) engine-side blend with the exact rank boundary.
+    "q_rm3_rescore" -> (s"""WITH $bm25CtesSql""" +
+      """,
+        |fb AS (SELECT query_id, doc_id FROM bmr WHERE rnk <= 5),
+        |fcnt AS (
+        |  SELECT fb.query_id, tok.token, COUNT(*) AS fb_tf
+        |  FROM tok JOIN fb ON tok.doc_id = fb.doc_id
+        |  GROUP BY 1, 2),
+        |fx AS (
+        |  SELECT f.query_id, f.token, fb_tf FROM fcnt f
+        |  WHERE NOT EXISTS (SELECT 1 FROM q
+        |    WHERE q.query_id = f.query_id AND q.token = f.token)),
+        |exp2 AS (
+        |  SELECT query_id, token FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY fb_tf DESC, token) AS rn FROM fx)
+        |  WHERE rn <= 5),
+        |mt2 AS (
+        |  SELECT doc_id, token, dl FROM tok
+        |  WHERE token IN (SELECT DISTINCT token FROM exp2)),
+        |tf2 AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf, MAX(dl) AS dl
+        |  FROM mt2 GROUP BY 1, 2),
+        |df2 AS (SELECT token, COUNT(*) AS df FROM tf2 GROUP BY 1),
+        |ts2 AS (
+        |  SELECT e.query_id, tf2.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+        |          / (CAST(total_dl AS DOUBLE) / n_docs))) AS ts
+        |  FROM tf2 JOIN df2 USING (token) JOIN exp2 e USING (token)
+        |  CROSS JOIN st),
+        |sc2 AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(round(list_reduce(list_sort(list(ts)),
+        |      (x, y) -> x + y), 6) AS DECIMAL(18,6)) AS score
+        |  FROM ts2 GROUP BY 1, 2),
+        |bl AS (
+        |  SELECT COALESCE(sc.query_id, sc2.query_id) AS query_id,
+        |    COALESCE(sc.doc_id, sc2.doc_id) AS doc_id,
+        |    round(0.6 * COALESCE(CAST(sc.score AS DOUBLE), 0.0)
+        |      + (1.0 - 0.6)
+        |        * COALESCE(CAST(sc2.score AS DOUBLE), 0.0), 6)
+        |      AS rm3_score
+        |  FROM sc FULL OUTER JOIN sc2
+        |    ON sc.query_id = sc2.query_id AND sc.doc_id = sc2.doc_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rm3_score DESC, doc_id) AS INT) AS rnk
+        |  FROM bl)
+        |SELECT query_id, doc_id, rnk, rm3_score FROM r
+        |WHERE rnk <= 5""".stripMargin),
 
     // SQL-text BM25 variant: the identical operation tree from the
     // view, so the same twin gates it.

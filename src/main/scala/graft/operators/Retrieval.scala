@@ -54,15 +54,38 @@ object Retrieval {
                queryEvery: Int = 100, queryTerms: Int = 3,
                queryCap: Long = 1000000L): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    // 1-row corpus stats: N and total token count (integer-exact).
-    val stats = toks.agg(count(lit(1)).as("n_docs"),
-      sum(size(col("t")).cast("long")).as("total_dl"))
-    // Query terms: first `queryTerms` DISTINCT tokens, document order
-    // (array_distinct preserves first occurrence).
-    val qterms = toks
+    bm25Scores(toks, derivedQueryTerms(toks, queryEvery, queryTerms,
+        queryCap), k1, b)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("score"))
+  }
+
+  /** The corpus-derived query panel: first `queryTerms` DISTINCT
+    * tokens of every `queryEvery`-th doc below the cap
+    * (array_distinct preserves first occurrence).
+    */
+  private def derivedQueryTerms(toks: DataFrame, queryEvery: Int,
+                                queryTerms: Int, queryCap: Long)
+      : DataFrame =
+    toks
       .filter(col("doc_id") % queryEvery === 0 && col("doc_id") < queryCap)
       .select(col("doc_id").as("query_id"),
         explode(slice(array_distinct(col("t")), 1, queryTerms)).as("token"))
+
+  /** The BM25 scoring chain for an ARBITRARY (query_id, token) term
+    * set — factored so the RM3 second pass can re-score with
+    * expansion terms through the identical operation tree.
+    * Returns (query_id, doc_id, score) for every doc sharing ≥ 1
+    * term with the query.
+    */
+  private def bm25Scores(toks: DataFrame, qterms: DataFrame,
+                         k1: Double, b: Double): DataFrame = {
+    // 1-row corpus stats: N and total token count (integer-exact).
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("t")).cast("long")).as("total_dl"))
     // Corpus token stream, pre-filtered to query terms BEFORE the tf
     // shuffle; dl rides along to avoid a second corpus-sized join.
     val tok = toks
@@ -90,11 +113,6 @@ object Retrieval {
     termScore.groupBy(col("query_id"), col("doc_id"))
       .agg(round(aggregate(sort_array(collect_list(col("ts"))),
         lit(0.0), _ + _), 6).cast(DecimalType(18, 6)).as("score"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("doc_id").asc)))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("doc_id"), col("rnk"), col("score"))
   }
 
   /** PSEUDO-RELEVANCE-FEEDBACK query expansion (the RM3 candidate
@@ -132,6 +150,45 @@ object Retrieval {
           .orderBy(col("fb_tf").desc, col("token").asc)))
       .filter(col("rnk") <= m)
       .select(col("query_id"), col("token"), col("fb_tf"), col("rnk"))
+  }
+
+  /** RM3 SECOND-PASS RESCORING — the full pseudo-relevance-feedback
+    * loop: first-pass BM25, [[rm3ExpansionTerms]], then a second
+    * BM25 pass scored with the EXPANSION term set through the
+    * identical chain, blended rank-time as
+    * α·score₁ + (1−α)·score₂ (the RM3 interpolation, both sides
+    * coalescing a missing leg to 0). α stays an ENGINE-side
+    * expression (lit(1.0) − lit(α)) so no Scala constant folding can
+    * diverge from the twin's literal tree.
+    *
+    * Scale shape: two [[bm25TopK]]-shaped scoring legs (each with
+    * its own documented 100 TB asymmetry) + a per-query full-outer
+    * blend over ≤ (matched docs per leg) rows and one top-k window.
+    */
+  def rm3Rescore(docs: DataFrame, k: Int = 5, k0: Int = 5, m: Int = 5,
+                 alpha: Double = 0.6, k1: Double = 1.2,
+                 b: Double = 0.75, queryEvery: Int = 100,
+                 queryCap: Long = 1000000L): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val s1 = bm25Scores(toks,
+        derivedQueryTerms(toks, queryEvery, 3, queryCap), k1, b)
+      .select(col("query_id"), col("doc_id"), col("score").as("s1"))
+    val s2 = bm25Scores(toks,
+        rm3ExpansionTerms(docs, k0, m, queryEvery, queryCap)
+          .select(col("query_id"), col("token")), k1, b)
+      .select(col("query_id"), col("doc_id"), col("score").as("s2"))
+    s1.join(s2, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(lit(alpha) * coalesce(col("s1").cast("double"), lit(0.0))
+          + (lit(1.0) - lit(alpha))
+            * coalesce(col("s2").cast("double"), lit(0.0)), 6)
+          .as("rm3_score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rm3_score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        col("rm3_score"))
   }
 
   /** HYBRID retrieval by reciprocal-rank fusion (Cormack et al. '09):

@@ -92,6 +92,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_unimax",
     // query_expansion: inherits bm25's 1-row stats frame.
     "q_query_expansion",
+    // rm3_rescore: both scoring legs carry the 1-row stats frame.
+    "q_rm3_rescore",
     // psi_timeline: the |months|×nBins literal grid and the 1-row
     // reference-month / 10-row reference-histogram broadcasts.
     "q_psi_timeline",

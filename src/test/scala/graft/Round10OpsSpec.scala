@@ -760,6 +760,28 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.contains((1L, 3L)), "center class is the singleton")
   }
 
+  test("rm3Rescore: blended ranking is well-formed and the feedback " +
+    "leg can promote docs the first pass missed") {
+    val docs = graft.queries.Tables.documents(spark,
+      "/root/testdata/sf0.001")
+    val first = graft.operators.Retrieval.bm25TopK(docs).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")))
+      .toSet
+    val got = graft.operators.Retrieval.rm3Rescore(docs).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq ==
+        (1 to rows.length).toSeq, "dense ranks")
+      rows.foreach(r => assert(r.getAs[Double]("rm3_score") > 0.0))
+    }
+    val blended = got
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")))
+      .toSet
+    assert(blended.diff(first).nonEmpty,
+      "the expansion leg surfaces docs outside the first-pass top-k")
+  }
+
   test("kaplanMeier: hand-computed survival on 4 orders with one " +
     "censored; censored-only times emit no row") {
     val orders = Seq(
