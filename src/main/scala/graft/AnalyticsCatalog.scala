@@ -1521,7 +1521,8 @@ object AnalyticsCatalog {
         |QUALIFY d > 0""".stripMargin,
 
     // CUSUM twin: same daily cents totals, same n-scaled prefix sum
-    // and running min over the per-type day sort, same 2·Σx alarm.
+    // and 0-seeded running min (Page's P0 = 0 term) over the per-type
+    // day sort, same 2·Σx alarm.
     "q_cusum" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
@@ -1539,8 +1540,9 @@ object AnalyticsCatalog {
         |      ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps
         |  FROM daily d JOIN stats s USING (event_type)),
         |p AS (SELECT *, ps * n - t * sumx AS p FROM w),
-        |m AS (SELECT *, CAST(MIN(p) OVER (PARTITION BY event_type
-        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pmin
+        |m AS (SELECT *, LEAST(CAST(0 AS BIGINT),
+        |    CAST(MIN(p) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS pmin
         |  FROM p)
         |SELECT event_type, day, x AS day_total_cents,
         |  p - pmin AS cusum_scaled,

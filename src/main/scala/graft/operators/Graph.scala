@@ -798,18 +798,22 @@ object Graph {
       conv(substring(md5(concat(c.cast("string"), lit(":shard"))),
         1, 15), 16, 10).cast("long") % shards
     val ed = edges.select(col("src"), col("dst")).distinct()
-    // Hash per NODE and broadcast-join back: |V| md5s instead of 2|E|
-    // (measured 15.8 -> 3.3 s min at sf1), and the node-attribute
-    // join is the shape that survives when the shard map is a real
-    // table instead of a hash.
+    // Hash per NODE and join back: |V| md5s instead of 2|E| (measured
+    // 15.8 -> 3.3 s min at sf1), and the node-attribute join is the
+    // shape that survives when the shard map is a real table instead
+    // of a hash. NO broadcast hint: the node set is data-sized (|V|
+    // rows), so forcing it into executor memory is exactly the
+    // scale bug the 1-row-broadcast discipline exists to prevent —
+    // AQE still auto-broadcasts when the measured side is under the
+    // threshold, so the small-graph fast path is not lost.
     val nodes = ed.select(col("src").as("node"))
       .unionByName(ed.select(col("dst").as("node"))).distinct()
       .select(col("node"), shardOf(col("node")).as("shard"))
     val e = ed
-      .join(broadcast(nodes.select(col("node").as("src"),
-        col("shard").as("sa"))), Seq("src"))
-      .join(broadcast(nodes.select(col("node").as("dst"),
-        col("shard").as("sb"))), Seq("dst"))
+      .join(nodes.select(col("node").as("src"),
+        col("shard").as("sa")), Seq("src"))
+      .join(nodes.select(col("node").as("dst"),
+        col("shard").as("sb")), Seq("dst"))
     e.agg(count(lit(1)).as("n_edges2"),
         sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
           .as("n_cut2"))

@@ -1206,14 +1206,32 @@ object Analytics {
     * h = `threshXMean`·mean, i.e. S′_t > threshXMean·Σx. No floats
     * anywhere. At Σx·n beyond ~2⁶² the decimal monoid swaps in.
     *
+    * The running min must include the recursion's P₀ = 0 seed:
+    * S_t = P_t − min(0, min_{j≤t} P_j). Without the 0 term a series
+    * whose scaled prefix stays positive (loud head, quiet tail) has
+    * S_1 forced to 0 and every later S_t shifted down by P′_min > 0
+    * — alarms Page's recursion fires are silently missed.
+    *
     * Output: (event_type, day, day_total_cents, cusum_scaled, alarm).
     */
-  def cusumDrift(events: DataFrame, threshXMean: Int = 2): DataFrame = {
-    val daily = events.select(col("event_type"),
-        to_date(col("ts")).as("day"),
-        round(col("value") * 100, 0).cast("long").as("cents"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("cents")).as("x"))
+  def cusumDrift(events: DataFrame, threshXMean: Int = 2): DataFrame =
+    cusumFinish(
+      events.select(col("event_type"),
+          to_date(col("ts")).as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("x")),
+      threshXMean)
+
+  /** Shared CUSUM readout over a daily frame (event_type, day, x) —
+    * the closed form of Page's recursion used verbatim by both
+    * [[cusumDrift]] and the streaming twin
+    * [[graft.streaming.StreamingSketch.cusumFromHistograms]] (the
+    * kmFinish/benfordFinish pattern: one copy of the arithmetic,
+    * two entry points).
+    */
+  private[graft] def cusumFinish(daily: DataFrame,
+                                 threshXMean: Int): DataFrame = {
     val stats = daily.groupBy(col("event_type"))
       .agg(sum(col("x")).as("sumx"), count(lit(1)).as("n"))
     val ord = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -1223,7 +1241,7 @@ object Analytics {
       .withColumn("t", row_number().over(ord))
       .withColumn("p",
         sum(col("x")).over(cum) * col("n") - col("t") * col("sumx"))
-      .withColumn("pmin", min(col("p")).over(cum))
+      .withColumn("pmin", least(lit(0L), min(col("p")).over(cum)))
       .select(col("event_type"), col("day"),
         col("x").as("day_total_cents"),
         (col("p") - col("pmin")).as("cusum_scaled"),

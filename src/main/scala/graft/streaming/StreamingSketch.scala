@@ -321,38 +321,26 @@ object StreamingSketch {
       }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
         Encoders.product[CusumHist])
 
-  /** Stateless finish for [[cusumStream]]: exactly the batch
-    * [[graft.query.Analytics.cusumDrift]] arithmetic — n-scaled
-    * integer prefix sum, running min, threshXMean·Σx alarm — applied
-    * to the emitted day histograms. Output schema matches the batch
-    * operator (event_type, day, day_total_cents, cusum_scaled,
-    * alarm), so the parity spec compares frames directly.
+  /** Stateless finish for [[cusumStream]]: the SAME code as the batch
+    * operator — both this and [[graft.query.Analytics.cusumDrift]]
+    * delegate to the shared `Analytics.cusumFinish` (the
+    * kmFinish/benfordFinish pattern), so the n-scaled integer prefix
+    * sum, the 0-seeded running min, and the threshXMean·Σx alarm
+    * cannot drift apart. Output schema matches the batch operator
+    * (event_type, day, day_total_cents, cusum_scaled, alarm), so the
+    * parity spec compares frames directly.
     */
   def cusumFromHistograms(hists: org.apache.spark.sql.DataFrame,
                           threshXMean: Int = 2)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    val daily = hists
-      .select(col("g").as("event_type"), explode(col("days")).as("dc"))
-      .select(col("event_type"), col("dc.day").as("dayi"),
-        col("dc.cents").as("x"))
-    val stats = daily.groupBy(col("event_type"))
-      .agg(sum(col("x")).as("sumx"), count(lit(1)).as("n"))
-    val ord = Window.partitionBy(col("event_type")).orderBy(col("dayi"))
-    val cum = ord.rowsBetween(Window.unboundedPreceding,
-      Window.currentRow)
-    daily.join(broadcast(stats), Seq("event_type"))
-      .withColumn("t", row_number().over(ord))
-      .withColumn("p",
-        sum(col("x")).over(cum) * col("n") - col("t") * col("sumx"))
-      .withColumn("pmin", min(col("p")).over(cum))
-      .select(col("event_type"),
-        date_from_unix_date(col("dayi")).as("day"),
-        col("x").as("day_total_cents"),
-        (col("p") - col("pmin")).as("cusum_scaled"),
-        (col("p") - col("pmin") > lit(threshXMean.toLong) * col("sumx"))
-          .as("alarm"))
+    graft.query.Analytics.cusumFinish(
+      hists
+        .select(col("g").as("event_type"), explode(col("days")).as("dc"))
+        .select(col("event_type"),
+          date_from_unix_date(col("dc.day")).as("day"),
+          col("dc.cents").as("x")),
+      threshXMean)
   }
 
   case class PriorityDur(g: String, t: Long, ev: Int)

@@ -357,6 +357,30 @@ class Round10OpsSpec extends SparkSpec {
     assert(got("2024-01-12") == ((12800L, true)))
   }
 
+  test("cusumDrift: loud-head series (prefix stays positive) — the " +
+    "P0 = 0 seed of Page's recursion makes the early alarm fire") {
+    // 4 days at 5.00 then 8 days at 1.00: mean = 2800/12 cents, so
+    // P'_t = 12*prefix - t*2800 is POSITIVE for every t (3200, 6400,
+    // 9600, 12800, 11200, ... , 0). With the 0-seeded running min
+    // S'_t = P'_t - min(0, min P'_j) = P'_t; alarm when S' > 5600 ->
+    // first at day 2 (6400). Without the seed S'_1 is forced to 0 and
+    // the day-2..4 alarms are missed.
+    val rows = (1 to 12).map { d =>
+      ("a", java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"),
+        if (d <= 4) 5.0 else 1.0)
+    }
+    val got = graft.query.Analytics.cusumDrift(
+        rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("cusum_scaled"), r.getAs[Boolean]("alarm")))
+      .toMap
+    assert(got("2024-01-01") == ((3200L, false)), s"got $got")
+    assert(got("2024-01-02") == ((6400L, true)))
+    assert(got("2024-01-04") == ((12800L, true)))
+    assert(got("2024-01-05") == ((11200L, true)))
+    assert(got("2024-01-12") == ((0L, false)))
+  }
+
   test("plantedPairEval: full recall on a corpus of long docs") {
     val docs = (1L to 100L).map { i =>
       val rnd = new scala.util.Random(7000 + i)
@@ -744,6 +768,32 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_converted") == 2L)
     assert(r.getAs[Long]("p50_s") == 100L)
     assert(r.getAs[Long]("max_s") == 1000L)
+  }
+
+  test("funnelLatency: small-n discrete quantile convention is " +
+    "ceil(p*n) — rank 10 of 10 for p99, matching DuckDB quantile_disc") {
+    // 10 converted users with distinct lags 10s..100s. The two
+    // discrete-quantile conventions disagree here: smallest value
+    // with cume_dist >= p (rank ceil(p*n)) gives p90=90, p99=100;
+    // the nearest-rank-on-(n-1) convention would give p99=90. DuckDB
+    // quantile_disc empirically picks ceil(p*n) on this exact set
+    // (probed: q in {.05,.15,.85,.91,.95,.99} all match), so this
+    // test pins Spark to the SAME element and closes the small-n
+    // cross-engine divergence surface.
+    val rows = (1 to 10).flatMap { u =>
+      Seq((u.toLong, "view", 0), (u.toLong, "click", 1),
+        (u.toLong, "purchase", 10 * u))
+    }.toDF("user_id", "event_type", "s")
+      .select(col("user_id"), col("event_type"),
+        expr("cast(timestamp '2024-01-01 00:00:00' " +
+          "+ make_interval(0, 0, 0, 0, 0, 0, s) as timestamp)")
+          .as("ts"))
+    val r = graft.query.Analytics.funnelLatency(rows).collect().head
+    assert(r.getAs[Long]("n_converted") == 10L)
+    assert(r.getAs[Long]("p50_s") == 50L)
+    assert(r.getAs[Long]("p90_s") == 90L)
+    assert(r.getAs[Long]("p99_s") == 100L)
+    assert(r.getAs[Long]("max_s") == 100L)
   }
 
   test("wlClasses: structurally identical nodes share one class " +
