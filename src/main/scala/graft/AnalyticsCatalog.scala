@@ -327,6 +327,12 @@ object AnalyticsCatalog {
       graft.query.Analytics.kaplanMeier(
         Tables.orders(s, d), Tables.lineitem(s, d))),
 
+    // Nelson-Aalen cumulative hazard over the same right-censored
+    // durations: additive d/n fixed-point terms + exp(-H) survival.
+    "q_nelson_aalen" -> ((s, d) =>
+      graft.query.Analytics.nelsonAalen(
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+
     // Theil-Sen robust trend: median pairwise slope of the daily
     // per-type series — calendar-bounded pair join, rank median.
     "q_theil_sen" -> ((s, d) =>
@@ -358,6 +364,27 @@ object AnalyticsCatalog {
     "q_cuped" -> ((s, d) =>
       graft.query.Analytics.cuped(
         Tables.customer(s, d), Tables.orders(s, d))),
+
+    // t-closeness audit over the l-diversity QI groups and bands:
+    // exact cumulative-difference EMD to the global distribution,
+    // rational 0.15 breach threshold by cross-multiplication.
+    "q_t_closeness" -> ((s, d) =>
+      graft.query.Analytics.tCloseness(Tables.customer(s, d))),
+
+    // Spearman rank correlation per nation (acctbal vs total spend):
+    // doubled-rank midranks, DECIMAL-summed rank products, Pearson
+    // closed form over ranks.
+    "q_spearman" -> ((s, d) =>
+      graft.query.Analytics.spearman(
+        Tables.customer(s, d), Tables.orders(s, d))),
+
+    // Sample-ratio-mismatch guardrail: distinct event users through
+    // the 90/10 hash lottery, chi-square of observed arm counts vs
+    // design in 1e6 fixed point, df=1 alpha=0.01 alarm.
+    "q_srm" -> ((s, d) =>
+      graft.query.Analytics.srmCheck(
+        graft.query.Analytics.srmAssignments(Tables.events(s, d)),
+        "arm", Seq(9, 1))),
 
     // Per-community conductance over the same LP partition — the
     // boundary-quality companion to q_modularity (cut / min-side
@@ -1519,6 +1546,178 @@ object AnalyticsCatalog {
         |    CURRENT ROW) AS DOUBLE) / 1000000.0), 6) AS survival
         |FROM terms
         |QUALIFY d > 0""".stripMargin,
+
+    // Nelson-Aalen twin: the q_survival_km CTE chain with additive
+    // 1e6 fixed-point d/n terms in place of the ln device; exp(-H)
+    // finishes the Fleming-Harrington column.
+    "q_nelson_aalen" ->
+      """WITH comp AS (
+        |  SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE)
+        |    AS completion
+        |  FROM lineitem GROUP BY 1),
+        |base AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CASE WHEN completion <= DATE '1998-06-01'
+        |      THEN datediff('day', CAST(o_orderdate AS DATE),
+        |        completion)
+        |      ELSE datediff('day', CAST(o_orderdate AS DATE),
+        |        DATE '1998-06-01') END AS t,
+        |    CASE WHEN completion <= DATE '1998-06-01'
+        |      THEN 1 ELSE 0 END AS ev
+        |  FROM orders JOIN comp ON o_orderkey = l_orderkey
+        |  WHERE CAST(o_orderdate AS DATE) <= DATE '1998-06-01'),
+        |times AS (
+        |  SELECT priority, t, CAST(SUM(ev) AS BIGINT) AS d,
+        |    CAST(SUM(1 - ev) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT priority, COUNT(*) AS n_total FROM base GROUP BY 1),
+        |risk AS (
+        |  SELECT times.priority, t, d, c,
+        |    CAST(n_total - (SUM(d + c) OVER (PARTITION BY
+        |      times.priority ORDER BY t ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) - d - c) AS BIGINT) AS n_risk
+        |  FROM times JOIN tot ON times.priority = tot.priority),
+        |terms AS (
+        |  SELECT priority, t, d, c, n_risk,
+        |    CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |      * 1e6) AS BIGINT) AS hterm
+        |  FROM risk),
+        |sums AS (
+        |  SELECT priority, t, d, c, n_risk,
+        |    CAST(SUM(hterm) OVER (PARTITION BY priority ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS hsum
+        |  FROM terms)
+        |SELECT priority, t AS t_days, n_risk, d AS n_events,
+        |  c AS n_censored,
+        |  round(CAST(hsum AS DOUBLE) / 1000000.0, 6) AS cum_hazard,
+        |  round(exp(-CAST(hsum AS DOUBLE) / 1000000.0), 6)
+        |    AS fh_survival
+        |FROM sums
+        |WHERE d > 0""".stripMargin,
+
+    // t-closeness twin: same bands, same exact cumulative-difference
+    // EMD numerator, same cross-multiplied breach test.
+    "q_t_closeness" ->
+      """WITH banded AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)
+        |      // 100000 AS band
+        |  FROM customer),
+        |cells AS (
+        |  SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS cnt
+        |  FROM banded GROUP BY 1, 2, 3),
+        |groups AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(SUM(cnt) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1, 2),
+        |gbands AS (
+        |  SELECT band, CAST(SUM(cnt) AS BIGINT) AS gcnt
+        |  FROM cells GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(gcnt) AS BIGINT) AS nn, COUNT(*) AS m
+        |  FROM gbands),
+        |filled AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.n, b.band, b.gcnt,
+        |    CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt, nn, m
+        |  FROM groups g CROSS JOIN gbands b CROSS JOIN tot
+        |  LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+        |    AND c.c_mktsegment = g.c_mktsegment AND c.band = b.band),
+        |r AS (
+        |  SELECT c_nationkey, c_mktsegment, n, nn, m,
+        |    nn * CAST(SUM(cnt) OVER w AS BIGINT)
+        |      - n * CAST(SUM(gcnt) OVER w AS BIGINT) AS rr
+        |  FROM filled
+        |  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+        |    ORDER BY band ROWS UNBOUNDED PRECEDING))
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  round(CAST(SUM(ABS(rr)) AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)
+        |      * CAST(m - 1 AS DOUBLE)), 6) AS t_emd,
+        |  CAST(SUM(ABS(rr)) AS BIGINT) * 20 > 3 * n * nn * (m - 1)
+        |    AS breach
+        |FROM r GROUP BY 1, 2, 3, nn, m""".stripMargin,
+
+    // Spearman twin: same doubled-rank midranks (rank() + tie count
+    // windows), HUGEINT rank-product sums -> DOUBLE, same closed form.
+    "q_spearman" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice, 0) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c_nationkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x,
+        |    COALESCE(y, 0) AS y
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |ranked AS (
+        |  SELECT c_nationkey,
+        |    2 * rank() OVER (PARTITION BY c_nationkey ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY c_nationkey, x) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY c_nationkey ORDER BY y)
+        |      + COUNT(*) OVER (PARTITION BY c_nationkey, y) - 1 AS ry
+        |  FROM base),
+        |g AS (
+        |  SELECT c_nationkey, COUNT(*) AS n,
+        |    CAST(SUM(rx) AS BIGINT) AS sx,
+        |    CAST(SUM(ry) AS BIGINT) AS sy,
+        |    CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+        |    CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+        |    CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+        |  FROM ranked GROUP BY 1)
+        |SELECT c_nationkey, n,
+        |  round(CASE WHEN
+        |      (CAST(n AS DOUBLE) * sxx
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |      AND (CAST(n AS DOUBLE) * syy
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |    THEN (CAST(n AS DOUBLE) * sxy
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * sxx
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * syy
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    END, 6) AS rho
+        |FROM g""".stripMargin,
+
+    // SRM twin: same md5 lottery, same integer deviation and 1e6
+    // fixed-point chi-square contributions, same -1 total row.
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR
+        |      || ':srm'), 1, 15))::BIGINT % 10 < 9
+        |    THEN 0 ELSE 1 END AS arm
+        |  FROM u),
+        |obs AS (SELECT arm, COUNT(*) AS n_obs FROM a GROUP BY 1),
+        |design AS (
+        |  SELECT 0 AS arm, CAST(9 AS BIGINT) AS p
+        |  UNION ALL SELECT 1, CAST(1 AS BIGINT)),
+        |tot AS (SELECT COUNT(*) AS n FROM a),
+        |per AS (
+        |  SELECT design.arm,
+        |    CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs, p, n,
+        |    CAST(round(1e6
+        |      * CAST(COALESCE(n_obs, 0) * 10 - n * p AS DOUBLE)
+        |      * CAST(COALESCE(n_obs, 0) * 10 - n * p AS DOUBLE)
+        |      / (10.0 * CAST(n AS DOUBLE) * CAST(p AS DOUBLE)))
+        |      AS BIGINT) AS contrib_fp
+        |  FROM design LEFT JOIN obs USING (arm) CROSS JOIN tot)
+        |SELECT CAST(arm AS BIGINT) AS arm, n_obs,
+        |  round(CAST(n AS DOUBLE) * CAST(p AS DOUBLE) / 10.0, 6)
+        |    AS expected,
+        |  round(CAST(contrib_fp AS DOUBLE) / 1e6, 6) AS contribution,
+        |  CAST(NULL AS DOUBLE) AS chi2, CAST(NULL AS BOOLEAN) AS alarm
+        |FROM per
+        |UNION ALL
+        |SELECT -1, CAST(SUM(n_obs) AS BIGINT),
+        |  CAST(SUM(n_obs) AS DOUBLE),
+        |  CAST(NULL AS DOUBLE),
+        |  round(CAST(SUM(contrib_fp) AS DOUBLE) / 1e6, 6),
+        |  CAST(SUM(contrib_fp) AS BIGINT) > 6634897
+        |FROM per""".stripMargin,
 
     // CUSUM twin: same daily cents totals, same n-scaled prefix sum
     // and 0-seeded running min (Page's P0 = 0 term) over the per-type

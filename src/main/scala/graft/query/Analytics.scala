@@ -503,6 +503,65 @@ object Analytics {
         (col("entropy_fp") >= lnLFp).as("entropy_ok"))
   }
 
+  /** t-CLOSENESS audit (Li et al. '07) — the release check
+    * [[lDiversity]] misses: a QI group can carry ≥ l distinct
+    * sensitive values yet still leak by SKEW (all its mass piled on
+    * the tail bands while the population is centered). Per
+    * (nationkey, segment) group over the same ordered acctbal bands
+    * as l-diversity: the Earth-Mover's Distance to the GLOBAL band
+    * distribution under the ordered equal-distance ground metric,
+    * EMD = Σᵢ|Rᵢ| / (n_g·N·(m−1)) with Rᵢ = N·Σ_{j≤i}cnt_j −
+    * n_g·Σ_{j≤i}gcnt_j — the cumulative-difference closed form,
+    * EXACT integers until the single final division. The breach test
+    * cross-multiplies against the rational threshold tNum/tDen
+    * (default 3/20 = 0.15, the paper's running example), so no float
+    * comparison decides a privacy gate.
+    *
+    * Scale shape: one (QI × band) keyed aggregate, two tiny rollups,
+    * then a ≤|QI|·|bands| frame (bands are range-bounded — ~11 here
+    * — so the broadcast cross join is constant-sized, the modularity
+    * device) with per-group cumulative windows over ≤|bands| rows.
+    */
+  def tCloseness(customers: DataFrame, tNum: Long = 3L,
+                 tDen: Long = 20L): DataFrame = {
+    val banded = customers.select(col("c_nationkey"), col("c_mktsegment"),
+      (expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)") + 100000L)
+        .as("cents_off"))
+      .withColumn("band", expr("cents_off DIV 100000"))
+    val cells = banded
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    val groups = cells
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("cnt")).as("n"))
+    val gbands = cells.groupBy(col("band"))
+      .agg(sum(col("cnt")).as("gcnt"))
+    val tot = gbands.agg(sum(col("gcnt")).as("nn"),
+      count(lit(1)).as("m"))
+    val cum = Window
+      .partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    groups
+      .crossJoin(broadcast(gbands))
+      .join(cells, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("r",
+        col("nn") * sum(col("cnt")).over(cum)
+          - col("n") * sum(col("gcnt")).over(cum))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        col("nn"), col("m"))
+      .agg(sum(abs(col("r"))).as("sabs"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        round(col("sabs").cast("double")
+          / (col("n").cast("double") * col("nn").cast("double")
+            * (col("m") - 1L).cast("double")), 6).as("t_emd"),
+        (col("sabs") * lit(tDen)
+          > lit(tNum) * col("n") * col("nn") * (col("m") - 1L))
+          .as("breach"))
+  }
+
   /** RIGHT-TO-ERASURE purge audit — the GDPR/CCPA deletion dry-run:
     * for each table, how many rows a pending delete-key set would
     * purge vs keep (run BEFORE the destructive pass; cascades are
@@ -701,6 +760,142 @@ object Analytics {
       .select(col("c_nationkey"), col("n"), col("n_groups"),
         round(h, 6).as("h"),
         round(when(corr > 0.0, h / corr), 6).as("h_tie_corrected"))
+  }
+
+  /** SPEARMAN rank correlation per nation between a customer's
+    * account balance and their total order spend — the MONOTONE
+    * association read beside the Pearson operators (q_signal_corr /
+    * q_corr_by_currency): rank-based, so one whale's raw magnitude
+    * cannot manufacture correlation, and any monotone (not just
+    * linear) relationship shows at full strength.
+    *
+    * Midranks ride [[mannWhitney]]'s integer DOUBLED-rank device
+    * (r₂ = 2·minrank + t − 1, exact .5 granularity with no float
+    * fold); ρ is then Pearson over the doubled ranks — the shared
+    * closed-form double tree from exact sums. Rank products are
+    * summed through DECIMAL(38,0) (DuckDB sums BIGINT into HUGEINT;
+    * both convert the same exact integer to the same double), so the
+    * Σr² ceiling sits at 10³⁸, far beyond any per-nation n. All-tied
+    * variables emit null.
+    *
+    * Scale shape: one keyed per-customer aggregate, a dim-sized
+    * left join, rank windows partitioned BY NATION, one keyed
+    * closed-form aggregate; |nations| rows out.
+    */
+  def spearman(customers: DataFrame, orders: DataFrame): DataFrame = {
+    val spend = orders.select(col("o_custkey"),
+        expr("CAST(round(o_totalprice, 0) AS BIGINT)").as("v"))
+      .groupBy(col("o_custkey")).agg(sum(col("v")).as("y"))
+    val base = customers.select(col("c_custkey"), col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("x"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), col("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    def doubledRank(v: String): Column =
+      lit(2L) * rank().over(
+        Window.partitionBy(col("c_nationkey")).orderBy(col(v))) +
+        count(lit(1)).over(
+          Window.partitionBy(col("c_nationkey"), col(v))) - 1L
+    val ranked = base
+      .withColumn("rx", doubledRank("x"))
+      .withColumn("ry", doubledRank("y"))
+    def decSum(c: Column) = sum(c.cast("decimal(38,0)"))
+    val g = ranked.groupBy(col("c_nationkey")).agg(
+      count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      decSum(col("rx") * col("rx")).as("sxx"),
+      decSum(col("ry") * col("ry")).as("syy"),
+      decSum(col("rx") * col("ry")).as("sxy"))
+    val nD = col("n").cast("double")
+    val cov = (nD * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double"))
+    val vx = (nD * col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double"))
+    val vy = (nD * col("syy").cast("double")
+      - col("sy").cast("double") * col("sy").cast("double"))
+    g.select(col("c_nationkey"), col("n"),
+      round(when(vx > 0.0 && vy > 0.0, cov / sqrt(vx * vy)), 6)
+        .as("rho"))
+  }
+
+  /** SAMPLE-RATIO-MISMATCH check (the first gate any experiment
+    * readout must pass; Fabijan et al. '19 call SRM "the guardrail
+    * metric"): chi-square goodness-of-fit of OBSERVED per-arm unit
+    * counts against the DESIGN weights. A biased logging path, a
+    * bot filter that correlates with assignment, or a redirect bug
+    * silently corrupts every downstream metric — the count test
+    * catches it before [[welchTTest]]/[[cuped]] are even looked at.
+    *
+    * Exactness: with integer design weights pᵢ (total P), the
+    * per-arm deviation Δᵢ = P·obsᵢ − n·pᵢ is EXACT integer
+    * arithmetic; the χ² contribution Δᵢ²/(P·n·pᵢ) is one double
+    * division per arm, snapped to 1e6 fixed point so the k-term χ²
+    * total is an integer sum (no float fold). The alarm compares
+    * fixed-point integers against `critFp` = round(1e6·χ²_crit)
+    * (default 6634897 = the df=1, α=0.01 critical value — SRM
+    * convention is a deliberately strict α so it never fires on
+    * noise).
+    *
+    * Output: one row per arm (expected count, contribution; chi2 and
+    * alarm null) + an arm = −1 total row carrying χ² and the alarm.
+    * Scale shape: one keyed count over the assignment frame, then
+    * all arithmetic on a k-row frame with a 1-row broadcast total.
+    */
+  def srmCheck(assigned: DataFrame, armCol: String,
+               weights: Seq[Int], critFp: Long = 6634897L): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val pTot = weights.sum.toLong
+    val design = weights.zipWithIndex
+      .map { case (p, i) => (i.toLong, p.toLong) }.toDF("arm", "p")
+    val obs = assigned
+      .groupBy(col(armCol).cast("long").as("arm"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = assigned.agg(count(lit(1)).as("n"))
+    val diff = (col("n_obs") * lit(pTot) - col("n") * col("p"))
+      .cast("double")
+    val perArm = design.join(obs, Seq("arm"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib_fp",
+        round(lit(1e6) * diff * diff
+          / (lit(pTot.toDouble) * col("n").cast("double")
+            * col("p").cast("double"))).cast("long"))
+    val armRows = perArm.select(col("arm"), col("n_obs"),
+      round(col("n").cast("double") * col("p").cast("double")
+        / lit(pTot.toDouble), 6).as("expected"),
+      round(col("contrib_fp").cast("double") / lit(1e6), 6)
+        .as("contribution"),
+      lit(null).cast("double").as("chi2"),
+      lit(null).cast("boolean").as("alarm"))
+    val total = perArm
+      .agg(sum(col("n_obs")).as("n_obs"),
+        sum(col("contrib_fp")).as("fp"))
+      .select(lit(-1L).as("arm"), col("n_obs"),
+        col("n_obs").cast("double").as("expected"),
+        lit(null).cast("double").as("contribution"),
+        round(col("fp").cast("double") / lit(1e6), 6).as("chi2"),
+        (col("fp") > lit(critFp)).as("alarm"))
+    armRows.unionByName(total)
+  }
+
+  /** The deterministic assignment frame under the catalog's SRM
+    * instance: distinct event users through the content-hash lottery
+    * with cumulative integer weight cutoffs (arm i covers hash mod P
+    * in [Σp₍<i₎, Σp₍≤i₎)).
+    */
+  def srmAssignments(events: DataFrame,
+                     weights: Seq[Int] = Seq(9, 1)): DataFrame = {
+    val pTot = weights.sum.toLong
+    val h = pmod(TextOps.fingerprint64(
+      concat(col("user_id").cast("string"), lit(":srm"))), lit(pTot))
+    val cuts = weights.scanLeft(0L)(_ + _).tail
+    val arm = cuts.zipWithIndex.tail.foldLeft(
+      when(h < cuts.head, 0L)) { case (acc, (cut, i)) =>
+        acc.when(h < cut, i.toLong)
+      }
+    events.select(col("user_id")).distinct()
+      .select(col("user_id"), arm.as("arm"))
   }
 
   /** WELCH'S two-sample t — the unequal-variance A/B significance test
@@ -1507,14 +1702,9 @@ object Analytics {
     * second input is needed).
     */
   private[graft] def kmFinish(times: DataFrame): DataFrame = {
-    val tot = times.groupBy(col("priority"))
-      .agg(sum(col("d") + col("c")).as("n_total"))
     val cum = Window.partitionBy(col("priority")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val risk = times.join(broadcast(tot), Seq("priority"))
-      .withColumn("removed",
-        sum(col("d") + col("c")).over(cum) - col("d") - col("c"))
-      .withColumn("n_risk", col("n_total") - col("removed"))
+    val risk = kmRisk(times)
     val terms = risk.withColumn("lnterm",
       when(col("d") === 0L, lit(0L))
         .when(col("d") === col("n_risk"), lit(-1000000000000L))
@@ -1526,6 +1716,64 @@ object Analytics {
         col("d").as("n_events"), col("c").as("n_censored"),
         round(exp(col("lnsum").cast("double") / lit(1e6)), 6)
           .as("survival"))
+  }
+
+  /** The shared at-risk chain under [[kmFinish]] and [[naFinish]]:
+    * per-priority totals broadcast back, removed-so-far cumulative
+    * window, n_risk = n_total − removed.
+    */
+  private def kmRisk(times: DataFrame): DataFrame = {
+    val tot = times.groupBy(col("priority"))
+      .agg(sum(col("d") + col("c")).as("n_total"))
+    val cum = Window.partitionBy(col("priority")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    times.join(broadcast(tot), Seq("priority"))
+      .withColumn("removed",
+        sum(col("d") + col("c")).over(cum) - col("d") - col("c"))
+      .withColumn("n_risk", col("n_total") - col("removed"))
+  }
+
+  /** NELSON-AALEN cumulative hazard (Nelson '72, Aalen '78) over the
+    * same right-censored durations as [[kaplanMeier]] — the additive
+    * twin of KM's multiplicative survival: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ.
+    * Where KM answers "what share survives past t", the hazard slope
+    * answers "is the completion RATE rising or falling with age" —
+    * the readout that separates wear-out from burn-in, and the one
+    * that stays estimable when KM's product hits a d = n plateau.
+    * Also reports the Fleming-Harrington survival exp(−H), the
+    * small-sample-friendlier alternative to the KM product.
+    *
+    * Determinism: each dᵢ/nᵢ term is one exact-integer-ratio IEEE
+    * division rounded ONCE to a 1e6 fixed-point long; the cumulative
+    * sum is integer window arithmetic; one division (and one exp)
+    * per output row finishes — the kmFinish ln device with d/n in
+    * place of ln(1 − d/n).
+    */
+  def nelsonAalen(orders: DataFrame, lineitem: DataFrame,
+                  asOf: String = "1998-06-01"): DataFrame =
+    naFinish(kmDurations(orders, lineitem, asOf)
+      .groupBy(col("priority"), col("t"))
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c")))
+
+  /** The NA estimator finish over a (priority, t, d, c) frame —
+    * shared by the batch operator and the streaming twin's stateless
+    * readout (same contract as [[kmFinish]], same [[kmRisk]] chain).
+    */
+  private[graft] def naFinish(times: DataFrame): DataFrame = {
+    val cum = Window.partitionBy(col("priority")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kmRisk(times)
+      .withColumn("hterm",
+        round(col("d").cast("double") / col("n_risk").cast("double")
+          * 1e6).cast("long"))
+      .withColumn("hsum", sum(col("hterm")).over(cum))
+      .filter(col("d") > 0)
+      .select(col("priority"), col("t").as("t_days"), col("n_risk"),
+        col("d").as("n_events"), col("c").as("n_censored"),
+        round(col("hsum").cast("double") / lit(1e6), 6)
+          .as("cum_hazard"),
+        round(exp(-col("hsum").cast("double") / lit(1e6)), 6)
+          .as("fh_survival"))
   }
 
   /** MEDIAN-OF-MEANS robust location estimate per source: hash rows

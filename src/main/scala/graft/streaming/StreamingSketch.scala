@@ -386,10 +386,29 @@ object StreamingSketch {
   def kmFromHistograms(hists: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    graft.query.Analytics.kmFinish(hists
+    graft.query.Analytics.kmFinish(kmHistTimes(hists))
+  }
+
+  /** Stateless Nelson-Aalen readout over the SAME [[kmStream]]
+    * histograms — one persisted sufficient statistic now feeds two
+    * estimators (KM survival and NA cumulative hazard), which is the
+    * point of persisting the histogram rather than the curve: the
+    * shared `Analytics.naFinish` applies the batch arithmetic
+    * verbatim, so the parity spec compares frames directly against
+    * [[graft.query.Analytics.nelsonAalen]].
+    */
+  def naFromHistograms(hists: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.query.Analytics.naFinish(kmHistTimes(hists))
+
+  /** The (priority, t, d, c) frame under both histogram readouts. */
+  private def kmHistTimes(hists: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    hists
       .select(col("g").as("priority"), explode(col("cells")).as("dc"))
       .select(col("priority"), col("dc.t").as("t"),
-        col("dc.d").as("d"), col("dc.c").as("c")))
+        col("dc.d").as("d"), col("dc.c").as("c"))
   }
 
   case class DigitOne(digit: Int)

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** r11 operators: hand-computed anchors for the new analytics. */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nelsonAalen: hand-computed hazard on 4 orders with one " +
+    "censored; censored-only times emit no row") {
+    val orders = Seq(
+      (1L, "P", "2020-01-01"), (2L, "P", "2020-01-01"),
+      (3L, "P", "2020-01-01"), (4L, "P", "2020-01-01"))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq(
+      (1L, "2020-01-03"), (2L, "2020-01-03"), (3L, "2020-01-05"),
+      (4L, "2020-01-20")) // completes after as-of → censored at t=9
+      .toDF("l_orderkey", "l_shipdate")
+    val got = graft.query.Analytics
+      .nelsonAalen(orders, li, asOf = "2020-01-10")
+      .orderBy(col("t_days")).collect()
+      .map(r => (r.getAs[String]("priority"), r.getAs[Long]("t_days"),
+        r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("cum_hazard"), r.getAs[Double]("fh_survival")))
+    // t=2: n=4, d=2 → H=0.5, exp(-0.5)=0.606531;
+    // t=4: n=2, d=1 → H=1.0, exp(-1)=0.367879; t=9 censored only.
+    assert(got.toSeq == Seq(
+      ("P", 2L, 4L, 2L, 0.5, 0.606531),
+      ("P", 4L, 2L, 1L, 1.0, 0.367879)), got.toSeq.toString)
+  }
+
+  private def srmRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(col("arm")).collect().map(r =>
+      (r.getAs[Long]("arm"), r.getAs[Long]("n_obs"),
+        r.getAs[Double]("expected"),
+        Option(r.getAs[java.lang.Double]("contribution")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("chi2")).map(_.toDouble),
+        Option(r.getAs[java.lang.Boolean]("alarm")).map(_.booleanValue)))
+
+  test("srmCheck: planted 80/20 under a 50/50 design fires the alarm " +
+    "with hand-computed chi-square; balanced split stays quiet") {
+    val biased = ((1 to 80).map(i => (i.toLong, 0L))
+      ++ (81 to 100).map(i => (i.toLong, 1L))).toDF("unit", "arm")
+    // diff = 2*80-100 = 60 each side -> 3600/200 = 18 per arm, chi2 36.
+    val got = srmRows(
+      graft.query.Analytics.srmCheck(biased, "arm", Seq(1, 1)))
+    assert(got.toSeq == Seq(
+      (-1L, 100L, 100.0, None, Some(36.0), Some(true)),
+      (0L, 80L, 50.0, Some(18.0), None, None),
+      (1L, 20L, 50.0, Some(18.0), None, None)), got.toSeq.toString)
+
+    val fair = ((1 to 50).map(i => (i.toLong, 0L))
+      ++ (51 to 100).map(i => (i.toLong, 1L))).toDF("unit", "arm")
+    val quiet = srmRows(
+      graft.query.Analytics.srmCheck(fair, "arm", Seq(1, 1)))
+    assert(quiet.head == ((-1L, 100L, 100.0, None, Some(0.0),
+      Some(false))), quiet.toSeq.toString)
+  }
+
+  test("srmCheck: an arm nobody reached still appears with its " +
+    "expected count (the catastrophic-SRM shape)") {
+    val allA = (1 to 10).map(i => (i.toLong, 0L)).toDF("unit", "arm")
+    val got = srmRows(
+      graft.query.Analytics.srmCheck(allA, "arm", Seq(1, 1)))
+    assert(got.toSeq == Seq(
+      (-1L, 10L, 10.0, None, Some(10.0), Some(true)),
+      (0L, 10L, 5.0, Some(5.0), None, None),
+      (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
+  }
+
+  test("tCloseness: a band-skewed QI group breaches the 0.15 EMD " +
+    "threshold; balanced groups match the hand-computed t") {
+    // bands: acctbal 0 -> 1, 1000 -> 2, 2000 -> 3.
+    def g(nation: Long, bals: Seq[Double], k0: Long) =
+      bals.zipWithIndex.map { case (b, i) => (k0 + i, nation, "X", b) }
+    val customers = (
+      g(0L, Seq(0.0, 0.0, 1000.0, 1000.0, 2000.0, 2000.0), 100L) ++
+      g(1L, Seq.fill(6)(2000.0), 200L) ++
+      g(2L, Seq.fill(10)(0.0) ++ Seq.fill(10)(1000.0)
+        ++ Seq.fill(10)(2000.0), 300L))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = graft.query.Analytics.tCloseness(customers)
+      .collect().map(r => r.getAs[Long]("c_nationkey") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("t_emd"),
+          r.getAs[Boolean]("breach"))).toMap
+    // Global bands (12,12,18), N=42, m=3.
+    assert(got(0L) == ((6L, 0.071429, false)), got.toString)
+    assert(got(1L) == ((6L, 0.428571, true)))
+    assert(got(2L) == ((30L, 0.071429, false)))
+  }
+
+  test("spearman: monotone spend gives rho=1, anti-monotone -1, " +
+    "all-tied spend emits null") {
+    val customers = (
+      (1 to 5).map(i => (i.toLong, 0L, i.toDouble)) ++
+      (1 to 5).map(i => (10L + i, 1L, i.toDouble)) ++
+      (1 to 3).map(i => (20L + i, 2L, i.toDouble)))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val orders = (
+      (1 to 5).map(i => (i.toLong, (i * i * 10).toDouble)) ++
+      (1 to 5).map(i => (10L + i, ((6 - i) * 7).toDouble)))
+      .toDF("o_custkey", "o_totalprice")
+    val got = graft.query.Analytics.spearman(customers, orders)
+      .collect().map(r => r.getAs[Long]("c_nationkey") ->
+        Option(r.getAs[java.lang.Double]("rho")).map(_.toDouble))
+      .toMap
+    assert(got(0L) == Some(1.0), got.toString)
+    assert(got(1L) == Some(-1.0))
+    assert(got(2L) == None, "constant spend has no rank variance")
+  }
+
+  test("srmAssignments: cumulative cutoffs honor 9/1 weights and " +
+    "assignment is deterministic per user") {
+    val ev = (1 to 500).map(u => (u.toLong, "view")).toDF(
+      "user_id", "event_type")
+    val a = graft.query.Analytics.srmAssignments(ev, Seq(9, 1))
+    assert(a.count() == 500L)
+    val byArm = a.groupBy("arm").count().collect()
+      .map(r => r.getAs[Long]("arm") -> r.getAs[Long]("count")).toMap
+    // the lottery is ~uniform: arm 0 should carry the bulk.
+    assert(byArm(0L) > 400L && byArm.getOrElse(1L, 0L) > 10L, byArm.toString)
+    val again = graft.query.Analytics.srmAssignments(ev, Seq(9, 1))
+    assert(a.except(again).count() == 0L)
+  }
+}

@@ -67,5 +67,19 @@ class StreamingKmSpec extends SparkSpec {
       s"${batch.toSet.diff(got.toSet).take(3)}")
     assert(streamedN > got.keySet.map(_._1).size,
       "really incremental: more updates than priorities")
+
+    // The SAME persisted histogram feeds the Nelson-Aalen readout:
+    // one sufficient statistic, two estimators.
+    def naMap(rows: Array[Row]) = rows.map { r =>
+      (r.getString(0), r.getAs[Long]("t_days")) ->
+        (r.getAs[Long]("n_risk"), r.getAs[Double]("cum_hazard"),
+          r.getAs[Double]("fh_survival"))
+    }.toMap
+    val naBatch = naMap(Analytics.nelsonAalen(orders, li).collect())
+    val naGot = naMap(StreamingSketch.naFromHistograms(
+        spark.createDataset(lastHists("km_stream"))(
+          Encoders.product[KmHist]).toDF())
+      .collect())
+    assert(naGot == naBatch, "NA readout: streaming != batch")
   }
 }
