@@ -365,6 +365,14 @@ object AnalyticsCatalog {
       graft.query.Analytics.cuped(
         Tables.customer(s, d), Tables.orders(s, d))),
 
+    // Borůvka max-affinity spanning forest over the supplier
+    // co-order graph: per-round merge trace (groups, new edges, new
+    // weight), unique forest by the (w, src, dst) total order.
+    "q_mst" -> ((s, d) =>
+      graft.operators.Graph.boruvkaTrace(
+        graft.operators.Graph.supplierAffinityEdges(
+          Tables.lineitem(s, d)))),
+
     // t-closeness audit over the l-diversity QI groups and bands:
     // exact cumulative-difference EMD to the global distribution,
     // rational 0.15 breach threshold by cross-multiplication.
@@ -701,7 +709,87 @@ object AnalyticsCatalog {
     })
   )
 
+  /** Machine-unrolled DuckDB twin of [[graft.operators.Graph
+    * .boruvkaTrace]]: `rounds` blocks of (cross-label edges → per-
+    * group row_number pick → canonical-dedup anti join → forest
+    * union → stat row → `propSteps` min-label steps), mirroring the
+    * Spark loop body CTE for CTE. MATERIALIZED everywhere so DuckDB
+    * doesn't exponentially inline the round chain.
+    */
+  private def boruvkaSql(rounds: Int, propSteps: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+        |  FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT x.s AS src, y.s AS dst, -COUNT(*) AS w
+        |  FROM pairs x JOIN pairs y ON x.ok = y.ok AND x.s < y.s
+        |  GROUP BY 1, 2),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst, w FROM e
+        |  UNION ALL SELECT dst, src, w FROM e),
+        |lab0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node, src AS label FROM sym),
+        |mst0 AS MATERIALIZED (
+        |  SELECT src, dst, w FROM e WHERE 1 = 0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |cross$r AS MATERIALIZED (
+        |  SELECT la.label AS gl, s.src, s.dst, s.w
+        |  FROM sym s
+        |  JOIN lab${r - 1} la ON s.src = la.node
+        |  JOIN lab${r - 1} lb ON s.dst = lb.node
+        |  WHERE la.label <> lb.label),
+        |pick$r AS MATERIALIZED (
+        |  SELECT gl, src, dst, w, row_number() OVER (
+        |    PARTITION BY gl ORDER BY w, src, dst) AS rk
+        |  FROM cross$r),
+        |cand$r AS MATERIALIZED (
+        |  SELECT DISTINCT LEAST(src, dst) AS src,
+        |    GREATEST(src, dst) AS dst, w
+        |  FROM pick$r WHERE rk = 1),
+        |newe$r AS MATERIALIZED (
+        |  SELECT c.src, c.dst, c.w FROM cand$r c
+        |  LEFT JOIN mst${r - 1} m
+        |    ON c.src = m.src AND c.dst = m.dst
+        |  WHERE m.src IS NULL),
+        |mst$r AS MATERIALIZED (
+        |  SELECT * FROM mst${r - 1}
+        |  UNION ALL SELECT * FROM newe$r),
+        |stat$r AS MATERIALIZED (
+        |  SELECT CAST($r AS BIGINT) AS round,
+        |    (SELECT COUNT(DISTINCT label) FROM lab${r - 1})
+        |      AS n_groups,
+        |    (SELECT COUNT(*) FROM newe$r) AS n_new_edges,
+        |    (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) FROM newe$r)
+        |      AS new_weight),
+        |msym$r AS MATERIALIZED (
+        |  SELECT src AS a, dst AS b FROM mst$r
+        |  UNION ALL SELECT dst, src FROM mst$r)""".stripMargin)
+      for (s <- 1 to propSteps) {
+        val prev = if (s == 1) s"lab${r - 1}" else s"lab${r}p${s - 1}"
+        val name = if (s == propSteps) s"lab$r" else s"lab${r}p$s"
+        sb.append(s""",
+          |$name AS MATERIALIZED (
+          |  SELECT l.node,
+          |    LEAST(l.label, COALESCE(mn.nl, l.label)) AS label
+          |  FROM $prev l LEFT JOIN (
+          |    SELECT m.a AS node, MIN(ln.label) AS nl
+          |    FROM msym$r m JOIN $prev ln ON ln.node = m.b
+          |    GROUP BY 1) mn ON mn.node = l.node)""".stripMargin)
+      }
+    }
+    sb.append("\n" + (1 to rounds)
+      .map(r => s"SELECT * FROM stat$r")
+      .mkString("\nUNION ALL "))
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // Borůvka twin: the round loop unrolled (8 rounds × 2 label
+    // steps), same (w, src, dst) pick order, same canonical dedup.
+    "q_mst" -> boruvkaSql(8, 2),
     "q_topn_per_group" ->
       s"""WITH $eventsSql,
          |t AS (

@@ -1004,4 +1004,107 @@ object Graph {
     e.unpersist()
     out
   }
+
+  /** BORŮVKA spanning forest (Borůvka 1926 — THE distributed MST
+    * algorithm: Kruskal/Prim serialize on a global edge order or a
+    * single frontier; Borůvka's "every component grabs its lightest
+    * outgoing edge" is embarrassingly parallel per round). With
+    * integer weights totally ordered by (w, src, dst) the forest is
+    * UNIQUE, so the trace is engine-exact.
+    *
+    * PARTIAL contraction: after each pick round the component labels
+    * take only `propSteps` min-label steps along the accumulated
+    * forest instead of a full connected-components collapse. This is
+    * still correct — a label group is always CONNECTED via selected
+    * forest edges, so by the cut property its minimum outgoing edge
+    * is in the MST even when the group is a strict subset of its
+    * true component; convergence just takes more rounds. That trade
+    * (bounded work per round, no nested fixpoint) is what makes each
+    * round expressible as a fixed plan — and the whole trace
+    * twin-able as `rounds` unrolled SQL blocks.
+    *
+    * Returns the per-round merge trace (round, n_groups at round
+    * start, n_new_edges, new_weight): deterministic whether or not
+    * the forest has converged by round `rounds`; a converged graph
+    * shows n_groups = #components and n_new_edges = 0 at the tail.
+    *
+    * Scale shape per round: two keyed joins of the |V|-row label
+    * frame onto the edge list (NO broadcast hints — labels are
+    * data-sized; AQE may still broadcast small graphs), one keyed
+    * min-struct aggregate, one anti join; label frames and the
+    * accumulated forest are localCheckpoint'ed every round (the
+    * duplicateClusters lineage lesson).
+    */
+  def boruvkaTrace(edges: DataFrame, rounds: Int = 8,
+                   propSteps: Int = 2): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    val sym = e.unionByName(e.select(col("dst").as("src"),
+      col("src").as("dst"), col("w"))).localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
+    var mst = e.filter(lit(false)).localCheckpoint()
+    val stats = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val nGroups = labels.select(col("label")).distinct().count()
+      val cross = sym
+        .join(labels.select(col("node").as("src"),
+          col("label").as("la")), Seq("src"))
+        .join(labels.select(col("node").as("dst"),
+          col("label").as("lb")), Seq("dst"))
+        .filter(col("la") =!= col("lb"))
+      val picked = cross.groupBy(col("la"))
+        .agg(min(struct(col("w"), col("src"), col("dst"))).as("m"))
+        .select(least(col("m.src"), col("m.dst")).as("src"),
+          greatest(col("m.src"), col("m.dst")).as("dst"),
+          col("m.w").as("w"))
+        .distinct()
+      val newE = picked.join(mst, Seq("src", "dst"), "left_anti")
+        .localCheckpoint()
+      val agg = newE.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("w")), lit(0L)).as("sw")).collect().head
+      stats += ((r.toLong, nGroups, agg.getAs[Long]("n"),
+        agg.getAs[Long]("sw")))
+      mst = mst.unionByName(newE).localCheckpoint()
+      val mstSym = mst.unionByName(mst.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      for (_ <- 1 to propSteps) {
+        val nbrMin = mstSym
+          .join(labels.select(col("node").as("dst"),
+            col("label").as("nl")), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(min(col("nl")).as("nl"))
+        labels = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nl"), col("label")))
+              .as("label"))
+          .localCheckpoint()
+      }
+    }
+    stats.toSeq
+      .toDF("round", "n_groups", "n_new_edges", "new_weight")
+  }
+
+  /** The catalog's Borůvka instance: the MAXIMUM-affinity spanning
+    * forest (the Chow–Liu backbone shape) over the supplier co-order
+    * graph — w = −(co-order count) turns max affinity into min
+    * weight; suppliers per order are line-count-bounded (≤ 7), so
+    * the within-order pair join is never quadratic in data size.
+    */
+  def supplierAffinityEdges(lineitem: DataFrame): DataFrame = {
+    val pairs = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+      .distinct()
+    pairs.as("x").join(pairs.as("y"),
+        col("x.ok") === col("y.ok") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("src"), col("y.s").as("dst"))
+      .agg((-count(lit(1))).as("w"))
+  }
 }

@@ -68,6 +68,38 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
   }
 
+  test("boruvkaTrace: hand-traced square-with-diagonal graph finds " +
+    "the unique MST and goes quiet after convergence") {
+    // 1-2(w1), 2-3(w2), 3-4(w3), 1-4(w4), 1-3(w5): MST {12,23,34}=6.
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L),
+      (1L, 4L, 4L), (1L, 3L, 5L)).toDF("src", "dst", "w")
+    val got = graft.operators.Graph.boruvkaTrace(e, rounds = 4)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_groups"),
+        r.getAs[Long]("n_new_edges"), r.getAs[Long]("new_weight")))
+    // Round 1: every singleton grabs its lightest edge -> all 3 MST
+    // edges land at once; two label steps leave labels {1,1,1,2}
+    // (two groups), so round 2 re-picks only an already-kept forest
+    // edge (deduped to zero new); round 3+ fully quiet at one group.
+    assert(got.toSeq == Seq(
+      (1L, 4L, 3L, 6L), (2L, 2L, 0L, 0L),
+      (3L, 1L, 0L, 0L), (4L, 1L, 0L, 0L)), got.toSeq.toString)
+  }
+
+  test("boruvkaTrace: two disconnected components converge to two " +
+    "label groups and a spanning forest") {
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 7L), (10L, 11L, 1L))
+      .toDF("src", "dst", "w")
+    val got = graft.operators.Graph.boruvkaTrace(e, rounds = 3)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_groups"),
+        r.getAs[Long]("n_new_edges"), r.getAs[Long]("new_weight")))
+    assert(got.map(_._3).sum == 3L, "forest has |V| - #components edges")
+    assert(got.map(_._4).sum == 13L)
+    assert(got.last._2 == 2L, s"two components stay two groups: $got")
+    assert(got.last._3 == 0L)
+  }
+
   test("tCloseness: a band-skewed QI group breaches the 0.15 EMD " +
     "threshold; balanced groups match the hand-computed t") {
     // bands: acctbal 0 -> 1, 1000 -> 2, 2000 -> 3.
