@@ -348,6 +348,16 @@ object AnalyticsCatalog {
     "q_acf" -> ((s, d) =>
       graft.query.Analytics.acf(Tables.events(s, d))),
 
+    // Lagged cross-correlation view->purchase on calendar-aligned
+    // daily deviations: exact integer lag products, lags -7..7.
+    "q_ccf" -> ((s, d) =>
+      graft.query.Analytics.ccf(Tables.events(s, d))),
+
+    // Pettitt rank changepoint per type: U_t by the exact doubled-
+    // rank collapse, earliest argmax day, approximate significance.
+    "q_pettitt" -> ((s, d) =>
+      graft.query.Analytics.pettitt(Tables.events(s, d))),
+
     // Mann-Whitney U per nation: midranks in integer doubled-rank
     // space, standard tie correction, nation-partitioned windows.
     "q_mann_whitney" -> ((s, d) =>
@@ -463,6 +473,12 @@ object AnalyticsCatalog {
     // orders), within-basket pair join, top-20 by support with lift.
     "q_cooccurrence" -> ((s, d) =>
       graft.operators.Itemsets.frequentPairs(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
+
+    // Directed association rules over the same basket pair counts:
+    // exact rational min-confidence gate, confidence-quotient top-20.
+    "q_assoc_rules" -> ((s, d) =>
+      graft.operators.Itemsets.associationRules(
         Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
 
     // ε-DP Laplace-noised counts over the customer QI groups — the
@@ -1685,6 +1701,89 @@ object AnalyticsCatalog {
         |FROM sums
         |WHERE d > 0""".stripMargin,
 
+    // CCF twin: same calendar-day alignment, same integer-dollar
+    // deviation snap, same exact lag products.
+    "q_ccf" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n
+        |  FROM daily GROUP BY 1),
+        |dev AS MATERIALIZED (
+        |  SELECT d.event_type, d.day,
+        |    CAST(round((CAST(x AS DOUBLE)
+        |      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0)
+        |      AS BIGINT) AS dd
+        |  FROM daily d JOIN stats USING (event_type)),
+        |dx AS (SELECT day, dd FROM dev WHERE event_type = 'view'),
+        |dy AS (SELECT day AS day2, dd AS d2 FROM dev
+        |       WHERE event_type = 'purchase'),
+        |lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+        |num AS (
+        |  SELECT lag, CAST(SUM(dd * d2) AS BIGINT) AS num,
+        |    COUNT(*) AS n_terms
+        |  FROM dx CROSS JOIN lags
+        |  JOIN dy ON dy.day2 = dx.day + CAST(lag AS INTEGER)
+        |  GROUP BY 1),
+        |den AS (
+        |  SELECT (SELECT CAST(SUM(dd * dd) AS BIGINT) FROM dx) AS sxx,
+        |    (SELECT CAST(SUM(d2 * d2) AS BIGINT) FROM dy) AS syy)
+        |SELECT CAST(lag AS INTEGER) AS lag, n_terms,
+        |  round(CASE WHEN sxx > 0 AND syy > 0
+        |    THEN CAST(num AS DOUBLE)
+        |      / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))
+        |    END, 6) AS ccf
+        |FROM num CROSS JOIN den""".stripMargin,
+
+    // Pettitt twin: same doubled-rank collapse V_t = r2 - n - 1,
+    // same cumulative U, same earliest-argmax day and p approx.
+    "q_pettitt" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY day) AS t FROM daily),
+        |r AS (
+        |  SELECT *,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS r2,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM tt),
+        |u AS (
+        |  SELECT event_type, day, t, n,
+        |    -CAST(SUM(r2 - n - 1) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS u
+        |  FROM r QUALIFY t < n),
+        |k AS (
+        |  SELECT event_type, CAST(MAX(ABS(u)) AS BIGINT) AS k_stat,
+        |    MAX(n) AS n
+        |  FROM u GROUP BY 1),
+        |cp AS (
+        |  SELECT u.event_type, MIN(day) AS cp
+        |  FROM u JOIN k ON u.event_type = k.event_type
+        |    AND ABS(u.u) = k.k_stat
+        |  GROUP BY 1)
+        |SELECT k.event_type, n AS n_days, k_stat,
+        |  CASE WHEN k_stat > 0 THEN cp END AS cp_day,
+        |  round(LEAST(2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE)
+        |    * CAST(k_stat AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 1.0), 6)
+        |    AS p_approx,
+        |  LEAST(2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE)
+        |    * CAST(k_stat AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 1.0) < 0.05
+        |    AS significant
+        |FROM k JOIN cp USING (event_type)""".stripMargin,
+
     // t-closeness twin: same bands, same exact cumulative-difference
     // EMD numerator, same cross-multiplied breach test.
     "q_t_closeness" ->
@@ -1970,6 +2069,44 @@ object AnalyticsCatalog {
         |    AS lift
         |FROM agg CROSS JOIN tot
         |ORDER BY n_ab DESC, a, b LIMIT 20""".stripMargin,
+
+    // Association-rules twin: the q_cooccurrence CTE chain unfolded
+    // into both directions, same rational confidence gate and
+    // quotient ordering.
+    "q_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |freq AS (
+        |  SELECT it, COUNT(*) AS n_item FROM items
+        |  GROUP BY 1 HAVING COUNT(*) >= 5),
+        |fi AS (
+        |  SELECT items.bk, items.it, freq.n_item
+        |  FROM items JOIN freq USING (it)),
+        |pairs AS (
+        |  SELECT a.it AS a, b.it AS b, a.n_item AS n_a, b.n_item AS n_b
+        |  FROM fi a JOIN fi b ON a.bk = b.bk AND a.it < b.it),
+        |tot AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM items),
+        |agg AS (
+        |  SELECT a, b, n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM pairs GROUP BY 1, 2, 3, 4),
+        |dirs AS (
+        |  SELECT a AS ante, b AS cons, n_a AS n_ante, n_b AS n_cons,
+        |    n_ab FROM agg
+        |  UNION ALL
+        |  SELECT b, a, n_b, n_a, n_ab FROM agg)
+        |SELECT ante, cons, n_ab, n_ante, n_cons,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(n_ante AS DOUBLE), 6)
+        |    AS confidence,
+        |  round(CAST(n_ab * n_baskets AS DOUBLE)
+        |    / CAST(n_ante * n_cons AS DOUBLE), 6) AS lift
+        |FROM dirs CROSS JOIN tot
+        |WHERE n_ab * 10 >= n_ante
+        |ORDER BY CAST(n_ab AS DOUBLE) / CAST(n_ante AS DOUBLE) DESC,
+        |  ante, cons
+        |LIMIT 20""".stripMargin,
 
     // DP-counts twin: same md5-seeded u ∈ (−½, ½) and inverse-CDF
     // Laplace term, identical parenthesization.

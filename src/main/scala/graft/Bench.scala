@@ -160,7 +160,10 @@ object Bench {
     "q_survival_km", "q_fs_scores", "q_curation_funnel",
     "q_missing_mass", "q_source_kl", "q_theil_sen", "q_acf",
     "q_mann_whitney", "q_psi_timeline", "q_wl_colors",
-    "q_rm3_rescore")
+    "q_rm3_rescore",
+    // r11 additions, benched at birth.
+    "q_nelson_aalen", "q_srm", "q_spearman", "q_t_closeness",
+    "q_mst", "q_ccf", "q_pettitt", "q_assoc_rules", "q_ql_dirichlet")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -64,6 +64,7 @@ object Canonical {
       "q_knn_matryoshka"              -> d("score"),
       "q_knn_binary_rerank"           -> d("score"),
       "q_bm25"                        -> d("score"),
+      "q_ql_dirichlet"                -> d("score"),
       "q_sql_bm25"                    -> d("score"),
       "q_agg_merge"                   -> d("psum"),
       "q_knn_text"                    -> d("score"),

@@ -1027,6 +1027,12 @@ object PipelineCatalog {
     "q_bm25" -> ((s, d) =>
       graft.operators.Retrieval.bm25TopK(Tables.documents(s, d))),
 
+    // Query-likelihood Dirichlet retrieval over the same derived
+    // query panel: matching-terms log decomposition + doc-length
+    // prior, sorted-fold sum, DECIMAL(18,6) rank boundary.
+    "q_ql_dirichlet" -> ((s, d) =>
+      graft.operators.Retrieval.qlDirichletTopK(Tables.documents(s, d))),
+
     // Hybrid retrieval: BM25 (lexical) + hashed-vector cosine (dense)
     // top-10 lists fused by reciprocal-rank 1/(60+rank), re-ranked —
     // the production hybrid-search shape, no score calibration needed.
@@ -3433,6 +3439,36 @@ object PipelineCatalog {
     "q_bm25" ->
       s"""WITH $bm25CtesSql
          |SELECT query_id, doc_id, rnk, score FROM bmr
+         |WHERE rnk <= 5""".stripMargin,
+
+    // QL-Dirichlet twin: the shared BM25 CTE prefix (toks/st/q/tok/
+    // mt/tf), corpus frequency in place of df, same log decomposition
+    // and sorted fold, same rounded-DECIMAL rank boundary.
+    "q_ql_dirichlet" ->
+      s"""WITH $bm25CtesSql,
+         |cfq AS (
+         |  SELECT token, CAST(SUM(tf) AS BIGINT) AS cf
+         |  FROM tf GROUP BY 1),
+         |nq AS (SELECT query_id, COUNT(*) AS nq FROM q GROUP BY 1),
+         |qts AS (
+         |  SELECT q.query_id, tf.doc_id, tf.dl,
+         |    ln(1.0 + (CAST(tf AS DOUBLE) * CAST(total_dl AS DOUBLE))
+         |      / (300.0 * CAST(cf AS DOUBLE))) AS ts
+         |  FROM tf JOIN cfq USING (token) JOIN q USING (token)
+         |  CROSS JOIN st),
+         |qsc AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(round(list_reduce(list_sort(list(ts)),
+         |        (x, y) -> x + y)
+         |      + CAST(nq AS DOUBLE)
+         |        * ln(300.0 / (CAST(MAX(dl) AS DOUBLE) + 300.0)), 6)
+         |      AS DECIMAL(18,6)) AS score
+         |  FROM qts JOIN nq USING (query_id)
+         |  GROUP BY query_id, doc_id, nq),
+         |qr AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id) AS INT) AS rnk FROM qsc)
+         |SELECT query_id, doc_id, rnk, score FROM qr
          |WHERE rnk <= 5""".stripMargin,
 
     // RM3 expansion twin: the shared BM25 chain's top-5 feedback

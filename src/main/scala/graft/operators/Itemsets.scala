@@ -80,6 +80,47 @@ object Itemsets {
       .limit(k)
   }
 
+  /** ASSOCIATION RULES (Agrawal et al. '93) — the directed readout
+    * over the same pruned pair counts as [[frequentPairs]]: each
+    * undirected pair unfolds into ante→cons and cons→ante with
+    * support = n_ab/N, confidence = n_ab/n_ante, lift =
+    * n_ab·N/(n_ante·n_cons). The min-confidence gate is an EXACT
+    * rational comparison (n_ab·cDen ≥ cNum·n_ante — no float decides
+    * rule admission); the top-k order is the single-division
+    * confidence quotient (engine-identical IEEE) tie-broken on
+    * (ante, cons). The directed view is what the undirected lift
+    * list cannot say: B→A can be near-certain while A→B is noise.
+    */
+  def associationRules(baskets: DataFrame, basketCol: String,
+                       itemCol: String, minItemSupport: Int = 5,
+                       minConfNum: Long = 1L, minConfDen: Long = 10L,
+                       k: Int = 20): DataFrame = {
+    val (items, counts) =
+      prunedPairCounts(baskets, basketCol, itemCol, minItemSupport)
+    val totals = items.agg(countDistinct(col("bk")).as("n_baskets"))
+    val fwd = counts.select(col("a").as("ante"), col("b").as("cons"),
+      col("n_a").as("n_ante"), col("n_b").as("n_cons"), col("n_ab"))
+    val rev = counts.select(col("b").as("ante"), col("a").as("cons"),
+      col("n_b").as("n_ante"), col("n_a").as("n_cons"), col("n_ab"))
+    fwd.unionByName(rev)
+      .filter(col("n_ab") * lit(minConfDen)
+        >= lit(minConfNum) * col("n_ante"))
+      .crossJoin(broadcast(totals))
+      .select(col("ante"), col("cons"), col("n_ab"), col("n_ante"),
+        col("n_cons"),
+        round(col("n_ab").cast("double")
+          / col("n_baskets").cast("double"), 6).as("support"),
+        round(col("n_ab").cast("double")
+          / col("n_ante").cast("double"), 6).as("confidence"),
+        round((col("n_ab") * col("n_baskets")).cast("double")
+          / (col("n_ante") * col("n_cons")).cast("double"), 6)
+          .as("lift"))
+      .orderBy((col("n_ab").cast("double")
+        / col("n_ante").cast("double")).desc,
+        col("ante"), col("cons"))
+      .limit(k)
+  }
+
   /** Co-occurrence GRAPH edges (a < b): pairs co-appearing in ≥
     * `minPairSupport` baskets — the substrate for triangle counting /
     * clustering over the co-occurrence structure.

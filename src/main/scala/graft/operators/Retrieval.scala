@@ -115,6 +115,68 @@ object Retrieval {
         lit(0.0), _ + _), 6).cast(DecimalType(18, 6)).as("score"))
   }
 
+  /** QUERY-LIKELIHOOD retrieval with DIRICHLET smoothing (Zhai &
+    * Lafferty '01) — the language-modeling alternative to [[bm25TopK]]
+    * over the SAME derived query panel: rank by
+    * P(q|d) = Π_t (tf + μ·p(t|C)) / (dl + μ), computed in the
+    * efficient log decomposition that enumerates only MATCHING terms:
+    *
+    *   score = Σ_{t∈q, tf>0} ln(1 + tf·|C| / (μ·cf_t))
+    *         + |q|·ln(μ / (dl + μ))
+    *
+    * (cf_t = corpus frequency, |C| = total corpus tokens). Docs
+    * sharing no query term are not scored — the same contract as
+    * BM25, and the reason the doc-length prior must ride inside the
+    * score: it re-ranks matched docs by length exactly as the full
+    * product would.
+    *
+    * Determinism: the per-term lns are one shared double tree; the
+    * per-(query, doc) Σ is the sorted-fold device; the prior is one
+    * more add; the rounded DECIMAL(18,6) is the rank key (exact
+    * boundary). Scale shape: identical to the BM25 chain — corpus
+    * tokens broadcast-semi-joined to query terms BEFORE the tf
+    * shuffle; cf/nq are term-vocabulary-sized broadcasts.
+    */
+  def qlDirichletTopK(docs: DataFrame, k: Int = 5, mu: Double = 300.0,
+                      queryEvery: Int = 100, queryTerms: Int = 3,
+                      queryCap: Long = 1000000L): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val qterms = derivedQueryTerms(toks, queryEvery, queryTerms,
+      queryCap)
+    val stats = toks.agg(sum(size(col("t")).cast("long"))
+      .as("total_dl"))
+    val tok = toks
+      .select(col("doc_id"), size(col("t")).as("dl"),
+        explode(col("t")).as("token"))
+      .join(broadcast(qterms.select("token").distinct()), Seq("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val nq = qterms.groupBy(col("query_id")).agg(count(lit(1)).as("nq"))
+    val term = tf
+      .join(broadcast(cf), Seq("token"))
+      .join(broadcast(qterms), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("dl"),
+        log(lit(1.0)
+          + (col("tf").cast("double") * col("total_dl").cast("double"))
+            / (lit(mu) * col("cf").cast("double"))).as("ts"))
+    term.groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("dl")).as("dl"),
+        aggregate(sort_array(collect_list(col("ts"))),
+          lit(0.0), _ + _).as("s1"))
+      .join(broadcast(nq), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("s1") + col("nq").cast("double")
+          * log(lit(mu) / (col("dl").cast("double") + lit(mu))), 6)
+          .cast(DecimalType(18, 6)).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("score"))
+  }
+
   /** PSEUDO-RELEVANCE-FEEDBACK query expansion (the RM3 candidate
     * stage, Lavrenko & Croft '01 shape): per query, the `m` most
     * frequent terms across its [[bm25TopK]] top-`k0` feedback

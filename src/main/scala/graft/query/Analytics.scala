@@ -1576,6 +1576,106 @@ object Analytics {
           .as("acf"))
   }
 
+  /** Lagged CROSS-correlation between two event types' daily series
+    * (lead-lag analysis: does today's `typeX` volume predict
+    * `typeY` volume k days out?) — the bivariate companion to
+    * [[acf]], sharing its integer-dollar deviation snap so both the
+    * lag products and the two denominators are exact integer sums.
+    * Lags run −maxLag..+maxLag (negative = Y leads X), aligned on
+    * CALENDAR days, not per-type row indexes, so a day missing from
+    * one series simply drops out of that lag's n_terms.
+    * r_k = Σ dx_t·dy_{t+k} / √(Σdx²·Σdy²); constant series → null.
+    *
+    * Scale shape: calendar-bounded frames throughout (the events
+    * scan collapses to ≤ |days| rows per type before any join); the
+    * lag explosion is 2·maxLag+1 per day.
+    */
+  def ccf(events: DataFrame, typeX: String = "view",
+          typeY: String = "purchase", maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .filter(col("event_type").isin(typeX, typeY))
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val dev = daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"),
+        round((col("x").cast("double")
+          - col("s").cast("double") / col("n").cast("double"))
+          / lit(100.0)).cast("long").as("d"))
+      .localCheckpoint()
+    val dx = dev.filter(col("event_type") === typeX)
+      .select(col("day"), col("d"))
+    val dy = dev.filter(col("event_type") === typeY)
+      .select(col("day").as("day2"), col("d").as("d2"))
+    val num = dx
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("day2", date_add(col("day"), col("lag")))
+      .join(dy, Seq("day2"))
+      .groupBy(col("lag"))
+      .agg(sum(col("d") * col("d2")).as("num"),
+        count(lit(1)).as("n_terms"))
+    val den = dx.agg(sum(col("d") * col("d")).as("sxx"))
+      .crossJoin(dy.agg(sum(col("d2") * col("d2")).as("syy")))
+    num.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_terms"),
+        round(when(col("sxx") > 0L && col("syy") > 0L,
+          col("num").cast("double")
+            / sqrt(col("sxx").cast("double")
+              * col("syy").cast("double"))), 6).as("ccf"))
+  }
+
+  /** PETTITT changepoint test (Pettitt '79) per event type — the
+    * rank-based single-changepoint location beside [[cusumDrift]]'s
+    * sequential alarm: K = max_t |U_t| with U_t = Σ_{i≤t}Σ_{j>t}
+    * sgn(x_j − x_i), located WITHOUT assuming a distribution.
+    *
+    * The O(n²) double sum collapses by ranks: with doubled midranks
+    * r₂ ([[mannWhitney]]'s device), V_t = Σ_k sgn(x_t − x_k) =
+    * r₂_t − (n+1) EXACTLY (ties included), and U_t = −Σ_{s≤t} V_s —
+    * one rank window + one cumulative window per type, all integer.
+    * Σ r₂ = n(n+1) guarantees U_n = 0, so the split search runs over
+    * t < n. The only floats are the approximate significance
+    * p ≈ 2·exp(−6K²/(n³+n²)) and its 0.05 comparison, computed from
+    * the same exact integers in both engines. The changepoint day is
+    * the EARLIEST day attaining K (exact integer tie-break);
+    * constant series (K = 0) emit a null changepoint.
+    *
+    * Scale shape: the daily rollup bounds every frame by the
+    * calendar; windows partition by type.
+    */
+  def pettitt(events: DataFrame): DataFrame = {
+    val daily = dailySeries(events)
+    val wT = Window.partitionBy(col("event_type"))
+    val r2 = lit(2L) * rank().over(wT.orderBy(col("x"))) +
+      count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("x"))) - 1L
+    val u = daily
+      .withColumn("n", count(lit(1)).over(wT))
+      .withColumn("v", r2 - col("n") - 1L)
+      .withColumn("u",
+        -sum(col("v")).over(wT.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("t") < col("n"))
+      .localCheckpoint()
+    val k = u.groupBy(col("event_type"))
+      .agg(max(abs(col("u"))).as("k_stat"), max(col("n")).as("n"))
+    val cp = u.join(k, Seq("event_type"))
+      .filter(abs(col("u")) === col("k_stat"))
+      .groupBy(col("event_type"))
+      .agg(min(col("day")).as("cp"))
+    val nD = col("n").cast("double")
+    val p = lit(2.0) * exp(lit(-6.0) * col("k_stat").cast("double")
+      * col("k_stat").cast("double") / (nD * nD * nD + nD * nD))
+    k.join(cp, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_days"), col("k_stat"),
+        when(col("k_stat") > 0L, col("cp")).as("cp_day"),
+        round(least(p, lit(1.0)), 6).as("p_approx"),
+        (least(p, lit(1.0)) < 0.05).as("significant"))
+  }
+
   /** Cumulative Poisson(1) CDF cut points (e⁻¹·Σ 1/k!) shared by the
     * Spark side and the DuckDB twin — the inverse-CDF lottery that
     * turns one uniform per (row, replicate) into a bootstrap weight.

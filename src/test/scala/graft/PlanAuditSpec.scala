@@ -127,6 +127,19 @@ class PlanAuditSpec extends SparkSpec {
     "q_dedup_planted_eval",
     // join_degree: the 1-row estimated-join-size frame under `share`.
     "q_join_degree",
+    // srm: the 1-row unit-total frame under the chi-square (appears
+    // twice — arm rows + total row share the perArm subplan).
+    "q_srm",
+    // ccf: the 1-row (sxx, syy) denominator frame, itself the cross
+    // of two 1-row aggregates.
+    "q_ccf",
+    // t_closeness: the band table (range-bounded, ~11 rows) and the
+    // 1-row (N, m) totals — the q_psi_timeline constant-grid family.
+    "q_t_closeness",
+    // assoc_rules: the 1-row basket-total frame (q_cooccurrence).
+    "q_assoc_rules",
+    // ql_dirichlet: the same 1-row corpus-stats frame as q_bm25.
+    "q_ql_dirichlet",
     // apportion: the 1-row source-total frame.
     "q_apportion",
     // kappa: two 1-row frames (totals × pe marginal product).

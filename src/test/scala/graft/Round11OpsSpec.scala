@@ -68,6 +68,90 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
   }
 
+  test("associationRules: directions split correctly — B->A is " +
+    "certain while A->B is 0.5; lift and support hand-computed") {
+    // 5 baskets {1,2,3} + 5 baskets {1}: item 1 in 10, items 2,3 in 5.
+    val rows = (1 to 5).flatMap(b =>
+      Seq((b.toLong, 1L), (b.toLong, 2L), (b.toLong, 3L))) ++
+      (6 to 10).map(b => (b.toLong, 1L))
+    val got = graft.operators.Itemsets.associationRules(
+        rows.toDF("bk", "it"), "bk", "it", minItemSupport = 1)
+      .collect().map(r => (r.getAs[Long]("ante"), r.getAs[Long]("cons"),
+        r.getAs[Double]("support"), r.getAs[Double]("confidence"),
+        r.getAs[Double]("lift")))
+    assert(got.toSeq == Seq(
+      (2L, 1L, 0.5, 1.0, 1.0), (2L, 3L, 0.5, 1.0, 2.0),
+      (3L, 1L, 0.5, 1.0, 1.0), (3L, 2L, 0.5, 1.0, 2.0),
+      (1L, 2L, 0.5, 0.5, 1.0), (1L, 3L, 0.5, 0.5, 1.0)),
+      got.toSeq.toString)
+  }
+
+  test("qlDirichletTopK: the doc holding both query terms outranks " +
+    "the single-term doc; the single-term score matches the formula") {
+    val docs = Seq((1L, "apple banana"), (100L, "apple apple cherry"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Retrieval.qlDirichletTopK(docs)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("rnk"),
+        r.getAs[java.math.BigDecimal]("score").doubleValue))
+    assert(got.length == 2)
+    assert(got.find(_._3 == 1).get._2 == 100L, got.toSeq.toString)
+    // doc 1, query {apple, cherry}: one matching term (apple, tf 1,
+    // cf 3, |C| 5, dl 2): ln(1 + 1*5/(300*3)) + 2*ln(300/302).
+    val exp = BigDecimal(
+      (0.0 + math.log(1.0 + (1.0 * 5.0) / (300.0 * 3.0)))
+        + 2.0 * math.log(300.0 / 302.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.find(_._2 == 1L).get._4 == exp, got.toSeq.toString)
+  }
+
+  test("ccf: a purchase series that is the view series shifted by " +
+    "2 days peaks at exactly lag 2 with r = 1") {
+    val days = (1 to 11).map(i => f"2024-01-$i%02d")
+    val view = days.zipWithIndex.map { case (d, i) =>
+      ("view", java.sql.Timestamp.valueOf(s"$d 00:00:00"),
+        10.0 + 2 * i)
+    }
+    val purch = days.zipWithIndex.map { case (d, i) =>
+      ("purchase",
+        java.sql.Timestamp.valueOf(f"2024-01-${i + 3}%02d 00:00:00"),
+        10.0 + 2 * i)
+    }
+    val got = graft.query.Analytics.ccf(
+        (view ++ purch).toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_terms"),
+          Option(r.getAs[java.lang.Double]("ccf")).map(_.toDouble)))
+      .toMap
+    assert(got(2) == ((11L, Some(1.0))), got.toString)
+    assert(got.forall { case (l, (_, c)) =>
+      l == 2 || c.forall(_ < 1.0) }, s"lag 2 is the unique peak: $got")
+  }
+
+  test("pettitt: a planted level shift is located at the exact day " +
+    "with the hand-computed K; a constant series emits null") {
+    val rows = (1 to 14).map { d =>
+      ("a", java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"),
+        if (d <= 7) 1.0 else 9.0)
+    } ++ (1 to 14).map { d =>
+      ("b", java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"), 5.0)
+    }
+    val got = graft.query.Analytics.pettitt(
+        rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("k_stat"),
+          Option(r.getAs[java.sql.Date]("cp_day")).map(_.toString),
+          r.getAs[Double]("p_approx"),
+          r.getAs[Boolean]("significant"))).toMap
+    // r2 = 8 (low half) / 22 (high half), V = -/+7, U peaks at 49
+    // on day 7; p = 2 exp(-6*49^2/(14^3+14^2)).
+    val p = BigDecimal(2.0 * math.exp(-6.0 * 49 * 49 / (2744.0 + 196.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") == ((14L, 49L, Some("2024-01-07"), p, true)),
+      got.toString)
+    assert(got("b") == ((14L, 0L, None, 1.0, false)))
+  }
+
   test("boruvkaTrace: hand-traced square-with-diagonal graph finds " +
     "the unique MST and goes quiet after convergence") {
     // 1-2(w1), 2-3(w2), 3-4(w3), 1-4(w4), 1-3(w5): MST {12,23,34}=6.
