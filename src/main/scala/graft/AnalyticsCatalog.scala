@@ -728,9 +728,12 @@ object AnalyticsCatalog {
   /** Machine-unrolled DuckDB twin of [[graft.operators.Graph
     * .boruvkaTrace]]: `rounds` blocks of (cross-label edges → per-
     * group row_number pick → canonical-dedup anti join → forest
-    * union → stat row → `propSteps` min-label steps), mirroring the
-    * Spark loop body CTE for CTE. MATERIALIZED everywhere so DuckDB
-    * doesn't exponentially inline the round chain.
+    * union → stat row → group hooking + `propSteps` pointer-doubling
+    * jumps → node relabel), mirroring the Spark loop body CTE for
+    * CTE (the twin filters the FULL edge list per round where Spark
+    * keeps a shrinking frontier — identical sets, since atomic group
+    * merges make intra-label permanent). MATERIALIZED everywhere so
+    * DuckDB doesn't exponentially inline the round chain.
     */
   private def boruvkaSql(rounds: Int, propSteps: Int): String = {
     val sb = new StringBuilder
@@ -752,13 +755,13 @@ object AnalyticsCatalog {
     for (r <- 1 to rounds) {
       sb.append(s""",
         |cross$r AS MATERIALIZED (
-        |  SELECT la.label AS gl, s.src, s.dst, s.w
+        |  SELECT la.label AS gl, lb.label AS glb, s.src, s.dst, s.w
         |  FROM sym s
         |  JOIN lab${r - 1} la ON s.src = la.node
         |  JOIN lab${r - 1} lb ON s.dst = lb.node
         |  WHERE la.label <> lb.label),
         |pick$r AS MATERIALIZED (
-        |  SELECT gl, src, dst, w, row_number() OVER (
+        |  SELECT gl, glb, src, dst, w, row_number() OVER (
         |    PARTITION BY gl ORDER BY w, src, dst) AS rk
         |  FROM cross$r),
         |cand$r AS MATERIALIZED (
@@ -780,21 +783,22 @@ object AnalyticsCatalog {
         |    (SELECT COUNT(*) FROM newe$r) AS n_new_edges,
         |    (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) FROM newe$r)
         |      AS new_weight),
-        |msym$r AS MATERIALIZED (
-        |  SELECT src AS a, dst AS b FROM mst$r
-        |  UNION ALL SELECT dst, src FROM mst$r)""".stripMargin)
+        |par${r}p0 AS MATERIALIZED (
+        |  SELECT g.g, COALESCE(LEAST(h.gl, h.glb), g.g) AS p
+        |  FROM (SELECT DISTINCT label AS g FROM lab${r - 1}) g
+        |  LEFT JOIN (SELECT gl, glb FROM pick$r WHERE rk = 1) h
+        |    ON g.g = h.gl)""".stripMargin)
       for (s <- 1 to propSteps) {
-        val prev = if (s == 1) s"lab${r - 1}" else s"lab${r}p${s - 1}"
-        val name = if (s == propSteps) s"lab$r" else s"lab${r}p$s"
         sb.append(s""",
-          |$name AS MATERIALIZED (
-          |  SELECT l.node,
-          |    LEAST(l.label, COALESCE(mn.nl, l.label)) AS label
-          |  FROM $prev l LEFT JOIN (
-          |    SELECT m.a AS node, MIN(ln.label) AS nl
-          |    FROM msym$r m JOIN $prev ln ON ln.node = m.b
-          |    GROUP BY 1) mn ON mn.node = l.node)""".stripMargin)
+          |par${r}p$s AS MATERIALIZED (
+          |  SELECT a.g, b.p FROM par${r}p${s - 1} a
+          |  JOIN par${r}p${s - 1} b ON a.p = b.g)""".stripMargin)
       }
+      sb.append(s""",
+        |lab$r AS MATERIALIZED (
+        |  SELECT l.node, p.p AS label
+        |  FROM lab${r - 1} l JOIN par${r}p$propSteps p
+        |    ON l.label = p.g)""".stripMargin)
     }
     sb.append("\n" + (1 to rounds)
       .map(r => s"SELECT * FROM stat$r")

@@ -1012,16 +1012,22 @@ object Graph {
     * integer weights totally ordered by (w, src, dst) the forest is
     * UNIQUE, so the trace is engine-exact.
     *
-    * PARTIAL contraction: after each pick round the component labels
-    * take only `propSteps` min-label steps along the accumulated
-    * forest instead of a full connected-components collapse. This is
-    * still correct — a label group is always CONNECTED via selected
-    * forest edges, so by the cut property its minimum outgoing edge
-    * is in the MST even when the group is a strict subset of its
-    * true component; convergence just takes more rounds. That trade
-    * (bounded work per round, no nested fixpoint) is what makes each
-    * round expressible as a fixed plan — and the whole trace
-    * twin-able as `rounds` unrolled SQL blocks.
+    * PARTIAL contraction by GROUP-LEVEL hooking + pointer doubling
+    * (the Shiloach–Vishkin device): each group hooks onto
+    * min(self, partner-of-its-picked-edge) — parents strictly
+    * decrease along chains, so the hooking graph is a forest with no
+    * cycle case at all — then `propSteps` pointer-doubling jumps
+    * contract chains of length ≤ 2^propSteps, and nodes relabel
+    * through one join on the old label. Because groups move
+    * ATOMICALLY (a whole label class adopts one parent), label
+    * classes only ever MERGE, and every class stays CONNECTED via
+    * picked forest edges — which keeps the cut property valid for
+    * every pick (the min edge leaving a connected vertex set is in
+    * the MST) and makes "intra-label" PERMANENT, so the edge
+    * frontier can safely shed settled edges each round. A full
+    * connected-components fixpoint per round would be cheaper in
+    * rounds but is not a fixed plan; this trade is what makes the
+    * whole trace twin-able as `rounds` unrolled SQL blocks.
     *
     * Returns the per-round merge trace (round, n_groups at round
     * start, n_new_edges, new_weight): deterministic whether or not
@@ -1029,11 +1035,12 @@ object Graph {
     * shows n_groups = #components and n_new_edges = 0 at the tail.
     *
     * Scale shape per round: two keyed joins of the |V|-row label
-    * frame onto the edge list (NO broadcast hints — labels are
-    * data-sized; AQE may still broadcast small graphs), one keyed
-    * min-struct aggregate, one anti join; label frames and the
-    * accumulated forest are localCheckpoint'ed every round (the
-    * duplicateClusters lineage lesson).
+    * frame onto the LIVE edge frontier (NO broadcast hints — labels
+    * are data-sized; AQE may still broadcast small graphs), one
+    * keyed min-struct aggregate, one anti join; the parent table and
+    * pointer jumps are |groups|-sized. The frontier and the label
+    * frame are localCheckpoint'ed every round (the duplicateClusters
+    * lineage lesson).
     */
   def boruvkaTrace(edges: DataFrame, rounds: Int = 8,
                    propSteps: Int = 2): DataFrame = {
@@ -1050,43 +1057,56 @@ object Graph {
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")).localCheckpoint()
     var mst = e.filter(lit(false)).localCheckpoint()
+    // The live edge frontier: an edge whose endpoints share a label
+    // stays intra-group forever (labels only merge), so each round
+    // keeps only the surviving CROSS-label edges — the frame shrinks
+    // to near-empty within a few rounds, making late rounds ~free.
+    var frontier = sym
     val stats = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long)]
     for (r <- 1 to rounds) {
       val nGroups = labels.select(col("label")).distinct().count()
-      val cross = sym
+      val cross = frontier.select(col("src"), col("dst"), col("w"))
         .join(labels.select(col("node").as("src"),
           col("label").as("la")), Seq("src"))
         .join(labels.select(col("node").as("dst"),
           col("label").as("lb")), Seq("dst"))
         .filter(col("la") =!= col("lb"))
-      val picked = cross.groupBy(col("la"))
-        .agg(min(struct(col("w"), col("src"), col("dst"))).as("m"))
+        .localCheckpoint()
+      frontier = cross
+      val pickg = cross.groupBy(col("la"))
+        .agg(min(struct(col("w"), col("src"), col("dst"),
+          col("lb"))).as("m"))
+      val newE = pickg
         .select(least(col("m.src"), col("m.dst")).as("src"),
           greatest(col("m.src"), col("m.dst")).as("dst"),
           col("m.w").as("w"))
         .distinct()
-      val newE = picked.join(mst, Seq("src", "dst"), "left_anti")
+        .join(mst, Seq("src", "dst"), "left_anti")
         .localCheckpoint()
       val agg = newE.agg(count(lit(1)).as("n"),
         coalesce(sum(col("w")), lit(0L)).as("sw")).collect().head
       stats += ((r.toLong, nGroups, agg.getAs[Long]("n"),
         agg.getAs[Long]("sw")))
-      mst = mst.unionByName(newE).localCheckpoint()
-      val mstSym = mst.unionByName(mst.select(col("dst").as("src"),
-        col("src").as("dst"), col("w")))
+      // mst stays a UNION of ≤ `rounds` checkpointed frames — shallow
+      // lineage without its own per-round checkpoint job.
+      mst = mst.unionByName(newE)
+      // Group-level hooking: parent(g) = min(g, partner) strictly
+      // decreases along chains, so the hooking graph is a forest.
+      var par = labels.select(col("label").as("g")).distinct()
+        .join(pickg.select(col("la").as("g"),
+          least(col("la"), col("m.lb")).as("p")), Seq("g"), "left")
+        .select(col("g"), coalesce(col("p"), col("g")).as("p"))
       for (_ <- 1 to propSteps) {
-        val nbrMin = mstSym
-          .join(labels.select(col("node").as("dst"),
-            col("label").as("nl")), Seq("dst"))
-          .groupBy(col("src").as("node"))
-          .agg(min(col("nl")).as("nl"))
-        labels = labels.join(nbrMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nl"), col("label")))
-              .as("label"))
-          .localCheckpoint()
+        par = par.as("a")
+          .join(par.select(col("g").as("g2"), col("p").as("p2")),
+            col("a.p") === col("g2"))
+          .select(col("a.g").as("g"), col("p2").as("p"))
       }
+      labels = labels
+        .join(par.select(col("g").as("label"), col("p")), Seq("label"))
+        .select(col("node"), col("p").as("label"))
+        .localCheckpoint()
     }
     stats.toSeq
       .toDF("round", "n_groups", "n_new_edges", "new_weight")

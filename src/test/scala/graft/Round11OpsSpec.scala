@@ -162,11 +162,11 @@ class Round11OpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_groups"),
         r.getAs[Long]("n_new_edges"), r.getAs[Long]("new_weight")))
     // Round 1: every singleton grabs its lightest edge -> all 3 MST
-    // edges land at once; two label steps leave labels {1,1,1,2}
-    // (two groups), so round 2 re-picks only an already-kept forest
-    // edge (deduped to zero new); round 3+ fully quiet at one group.
+    // edges land at once; hooking parents are 1<-2, 2<-3, 3<-4 and
+    // two pointer-doubling jumps collapse the length-4 chain to one
+    // group, so rounds 2-4 are fully quiet.
     assert(got.toSeq == Seq(
-      (1L, 4L, 3L, 6L), (2L, 2L, 0L, 0L),
+      (1L, 4L, 3L, 6L), (2L, 1L, 0L, 0L),
       (3L, 1L, 0L, 0L), (4L, 1L, 0L, 0L)), got.toSeq.toString)
   }
 
