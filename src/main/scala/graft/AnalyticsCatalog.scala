@@ -234,6 +234,11 @@ object AnalyticsCatalog {
       graft.operators.Graph.pageRank(graft.operators.Graph.purchaseEdges(
         Tables.orders(s, d), Tables.lineitem(s, d)))),
 
+    // TextRank corpus keywords: PageRank over the word-adjacency
+    // graph (window 2), rounded-rank top-20 with token tie-break.
+    "q_textrank" -> ((s, d) =>
+      graft.operators.Retrieval.textRank(Tables.documents(s, d))),
+
     // Edge-WEIGHTED PageRank over the co-purchase graph: edge weight =
     // lineitem count between the customer and supplier, so rank flows
     // proportionally to purchase volume instead of splitting uniformly
@@ -347,6 +352,11 @@ object AnalyticsCatalog {
     // dollar deviations, exact lag-product sums, one division/row.
     "q_acf" -> ((s, d) =>
       graft.query.Analytics.acf(Tables.events(s, d))),
+
+    // Ljung-Box portmanteau over the acf table: 1e-12 fixed-point
+    // r^2/(n-k) terms, chi-square(7) 5% gate on the rounded Q.
+    "q_ljung_box" -> ((s, d) =>
+      graft.query.Analytics.ljungBox(Tables.events(s, d))),
 
     // Lagged cross-correlation view->purchase on calendar-aligned
     // daily deviations: exact integer lag products, lags -7..7.
@@ -567,6 +577,17 @@ object AnalyticsCatalog {
           .unionByName(p.select(col("b").as("src"), col("a").as("dst"))),
         3)
     }),
+
+    // 3-truss of the same co-order part graph: edge-level peel by
+    // triangle support (>= 1), convergence-probed like q_kcore;
+    // output support measured on the surviving subgraph. (k = 4 is
+    // empty on this graph at the oracle scales — the pair prune
+    // already thins triangles.)
+    "q_ktruss" -> ((s, d) =>
+      graft.operators.Graph.kTruss(
+        graft.operators.Itemsets.pairEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey"),
+        k = 3)),
 
     // Welch's t between two customer segments on account balance —
     // one conditional-aggregate pass, closed form in doubles.
@@ -805,6 +826,49 @@ object AnalyticsCatalog {
       .mkString("\nUNION ALL "))
     sb.toString
   }
+
+  /** The acf CTE chain (Analytics.acf twin) ending in
+    * `acft(event_type, lag, n_terms, acf)` — shared by q_acf and the
+    * Ljung-Box readout built on it.
+    */
+  private val acfCtesSql =
+    """daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, x, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY day) AS t
+      |  FROM daily),
+      |stats AS (
+      |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS s,
+      |    COUNT(*) AS n
+      |  FROM idx GROUP BY 1),
+      |dev AS (
+      |  SELECT idx.event_type, t,
+      |    CAST(round((CAST(x AS DOUBLE)
+      |      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0)
+      |      AS BIGINT) AS d
+      |  FROM idx JOIN stats ON idx.event_type = stats.event_type),
+      |num AS (
+      |  SELECT a.event_type, l.lag,
+      |    CAST(SUM(a.d * b.d) AS BIGINT) AS num,
+      |    COUNT(*) AS n_terms
+      |  FROM dev a
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+      |  JOIN dev b ON a.event_type = b.event_type
+      |    AND b.t = a.t + l.lag
+      |  GROUP BY 1, 2),
+      |den AS (
+      |  SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS den
+      |  FROM dev GROUP BY 1),
+      |acft AS (
+      |  SELECT num.event_type, lag, n_terms,
+      |    round(CASE WHEN den <> 0
+      |      THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6)
+      |      AS acf
+      |  FROM num JOIN den ON num.event_type = den.event_type)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // Borůvka twin: the round loop unrolled (8 rounds × 2 label
@@ -1221,6 +1285,30 @@ object AnalyticsCatalog {
          |${(1 to 5).map(prIterSql).mkString(",\n")}
          |SELECT node, round(pr, 6) AS pr FROM p5""".stripMargin,
 
+    // TextRank twin: the pagerank scaffold over the word-adjacency
+    // graph (1-based t[i]/t[i+1] in DuckDB == element_at i+1/i+2 in
+    // Spark), same five prIterSql iterations, rounded-rank top-20.
+    "q_textrank" ->
+      s"""WITH toks AS (
+         |  SELECT string_split(text, ' ') AS t FROM documents),
+         |seq AS (
+         |  SELECT t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)),
+         |prs AS (
+         |  SELECT DISTINCT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b
+         |  FROM seq WHERE w1 <> w2),
+         |e AS (SELECT a AS src, b AS dst FROM prs
+         |      UNION ALL SELECT b AS src, a AS dst FROM prs),
+         |o AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e
+         |  UNION ALL SELECT dst AS node FROM e)),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |p0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+         |${(1 to 5).map(prIterSql).mkString(",\n")}
+         |SELECT node AS token, round(pr, 6) AS pr FROM p5
+         |ORDER BY round(pr, 6) DESC, node LIMIT 20""".stripMargin,
+
     // Weighted-PageRank twin: the pagerank scaffold with the keyed
     // lineitem COUNT as edge weight (no DISTINCT) and out-WEIGHT sums;
     // contribution arithmetic tree identical to the Spark side.
@@ -1572,42 +1660,31 @@ object AnalyticsCatalog {
     // ACF twin: same integer-dollar deviation snap, same exact lag
     // products and denominator, null on constant series.
     "q_acf" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-        |      AS x
-        |  FROM events GROUP BY 1, 2),
-        |idx AS (
-        |  SELECT event_type, x, row_number() OVER (
-        |    PARTITION BY event_type ORDER BY day) AS t
-        |  FROM daily),
-        |stats AS (
-        |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS s,
-        |    COUNT(*) AS n
-        |  FROM idx GROUP BY 1),
-        |dev AS (
-        |  SELECT idx.event_type, t,
-        |    CAST(round((CAST(x AS DOUBLE)
-        |      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0)
-        |      AS BIGINT) AS d
-        |  FROM idx JOIN stats ON idx.event_type = stats.event_type),
-        |num AS (
-        |  SELECT a.event_type, l.lag,
-        |    CAST(SUM(a.d * b.d) AS BIGINT) AS num,
-        |    COUNT(*) AS n_terms
-        |  FROM dev a
-        |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
-        |  JOIN dev b ON a.event_type = b.event_type
-        |    AND b.t = a.t + l.lag
-        |  GROUP BY 1, 2),
-        |den AS (
-        |  SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS den
-        |  FROM dev GROUP BY 1)
-        |SELECT num.event_type, lag, n_terms,
-        |  round(CASE WHEN den <> 0
-        |    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6)
-        |    AS acf
-        |FROM num JOIN den ON num.event_type = den.event_type""".stripMargin,
+      s"""WITH $acfCtesSql
+         |SELECT event_type, lag, n_terms, acf FROM acft""".stripMargin,
+
+    // Ljung-Box twin: the shared acf CTE chain, the same 1e-12
+    // fixed-point terms, the same rounded-Q gate.
+    "q_ljung_box" ->
+      s"""WITH $acfCtesSql,
+         |terms AS (
+         |  SELECT event_type, n_terms + lag AS n, acf,
+         |    CAST(round(1e12 * acf * acf / CAST(n_terms AS DOUBLE))
+         |      AS BIGINT) AS termfp
+         |  FROM acft)
+         |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+         |  COUNT(*) AS m_lags,
+         |  round(CASE WHEN
+         |      SUM(CASE WHEN acf IS NULL THEN 1 ELSE 0 END) = 0
+         |    THEN CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) + 2 AS DOUBLE)
+         |      * (CAST(SUM(termfp) AS DOUBLE) / 1e12) END, 6)
+         |    AS q_stat,
+         |  CASE WHEN SUM(CASE WHEN acf IS NULL THEN 1 ELSE 0 END) = 0
+         |    THEN round(CAST(MAX(n) AS DOUBLE)
+         |      * CAST(MAX(n) + 2 AS DOUBLE)
+         |      * (CAST(SUM(termfp) AS DOUBLE) / 1e12), 6) > 14.067140
+         |    END AS significant
+         |FROM terms GROUP BY 1""".stripMargin,
 
     // Kaplan-Meier twin: same duration/censor split, same at-risk
     // window arithmetic, same 1e6 fixed-point ln terms and sentinel.
@@ -2359,6 +2436,41 @@ object AnalyticsCatalog {
          |  UNION ALL SELECT b AS src, a AS dst FROM p),
          |$peel
          |SELECT src AS node, COUNT(*) AS degree FROM e12 GROUP BY 1""".stripMargin
+    },
+
+    // k-truss twin: the q_kcore pair base, 5 unrolled peel rounds of
+    // (compact-forward triangles -> 3-projection support -> filter),
+    // final support on the surviving set.
+    "q_ktruss" -> {
+      def tri(i: Int, src: String) =
+        s"""tr$i AS MATERIALIZED (
+           |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+           |  FROM $src e1 JOIN $src e2 ON e1.b = e2.a
+           |  JOIN $src e3 ON e1.a = e3.a AND e2.b = e3.b),
+           |supp$i AS MATERIALIZED (
+           |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+           |    SELECT ta AS a, tb AS b FROM tr$i
+           |    UNION ALL SELECT tb, tc FROM tr$i
+           |    UNION ALL SELECT ta, tc FROM tr$i)
+           |  GROUP BY 1, 2)""".stripMargin
+      val peel = (0 until 5).map(i =>
+        tri(i, s"e$i") + s""",
+          |e${i + 1} AS MATERIALIZED (
+          |  SELECT a, b FROM supp$i WHERE support >= 1)""".stripMargin)
+        .mkString(",\n")
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |  FROM lineitem),
+         |freq AS (SELECT it FROM items GROUP BY it HAVING COUNT(*) >= 2),
+         |fi AS (SELECT items.bk, items.it FROM items JOIN freq USING (it)),
+         |e0 AS MATERIALIZED (
+         |  SELECT a.it AS a, b.it AS b FROM fi a JOIN fi b
+         |  ON a.bk = b.bk AND a.it < b.it
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |$peel,
+         |${tri(9, "e5")}
+         |SELECT e.a, e.b, COALESCE(s.support, 0) AS support
+         |FROM e5 e LEFT JOIN supp9 s ON e.a = s.a AND e.b = s.b""".stripMargin
     },
 
     // Welch twin: same conditional sums and the same closed form.

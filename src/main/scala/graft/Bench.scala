@@ -163,7 +163,9 @@ object Bench {
     "q_rm3_rescore",
     // r11 additions, benched at birth.
     "q_nelson_aalen", "q_srm", "q_spearman", "q_t_closeness",
-    "q_mst", "q_ccf", "q_pettitt", "q_assoc_rules", "q_ql_dirichlet")
+    "q_mst", "q_ccf", "q_pettitt", "q_assoc_rules", "q_ql_dirichlet",
+    // r11 wave 2, benched at birth.
+    "q_textrank", "q_ktruss", "q_ljung_box")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -301,6 +301,60 @@ object Graph {
     out
   }
 
+  /** k-TRUSS decomposition (Cohen '08) — the EDGE-level sibling of
+    * [[kCore]]'s node peel: keep only edges supported by ≥ k−2
+    * triangles, recompute (removals destroy other edges' triangles),
+    * iterate to the unique fixpoint. A truss is a stronger cohesion
+    * cut than a core (every surviving tie is embedded in triangles,
+    * not merely incident to a busy node), which is exactly the
+    * hub-artifact filter co-occurrence graphs need before community
+    * readouts.
+    *
+    * Per round: one compact-forward triangle enumeration over the
+    * CANONICAL (a < b) edge set (two keyed joins — [[triangles]]'
+    * audited shape, no limit), a 3-projection union + keyed count
+    * for per-edge support, one filter. [[kCore]]'s edge-count
+    * fixpoint probe applies verbatim (peeling only removes edges, so
+    * an unchanged count IS the unique fixpoint and the result is
+    * bit-identical to `rounds` fixed iterations); each round ends in
+    * `localCheckpoint()`. Output: surviving (a, b) edges with
+    * support measured ON the surviving subgraph.
+    */
+  def kTruss(edges: DataFrame, k: Int = 4, rounds: Int = 5)
+      : DataFrame = {
+    def supports(e: DataFrame): DataFrame = {
+      val t = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
+          col("e2.b").as("tc"))
+        .join(e.as("e3"),
+          col("ta") === col("e3.a") && col("tc") === col("e3.b"))
+        .select(col("ta"), col("tb"), col("tc"))
+      t.select(col("ta").as("a"), col("tb").as("b"))
+        .unionByName(t.select(col("tb").as("a"), col("tc").as("b")))
+        .unionByName(t.select(col("ta").as("a"), col("tc").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var e = edges.select(col("a"), col("b")).distinct()
+      .localCheckpoint()
+    var n = e.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      e = supports(e).filter(col("support") >= k - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val n2 = e.count()
+      r += 1
+      converged = n2 == n
+      n = n2
+    }
+    Console.err.println(s"[graft] kTruss: $r peel rounds (cap $rounds)")
+    e.join(supports(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** MULTI-SOURCE BFS hop distance: the minimum number of edges from
     * any node in `seeds` to each reachable node, cut off at `maxHops`
     * rounds — the graph-proximity primitive underneath "within k hops

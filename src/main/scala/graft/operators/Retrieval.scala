@@ -115,6 +115,42 @@ object Retrieval {
         lit(0.0), _ + _), 6).cast(DecimalType(18, 6)).as("score"))
   }
 
+  /** TEXTRANK keyword extraction (Mihalcea & Tarau '04): PageRank
+    * over the word ADJACENCY graph (undirected co-occurrence at
+    * window 2 — consecutive token pairs), top-`k` corpus keywords by
+    * stationary rank. The graph-centrality keyword signal beside the
+    * frequency family (tf-idf / PPMI / distinctive-terms): a term
+    * that BRIDGES many contexts outranks a term that merely repeats
+    * inside one.
+    *
+    * Reuses [[graft.operators.Graph.pageRank]] wholesale — the
+    * fixed-point integer contribution sums, per-iteration
+    * checkpoints, and pinned edge partitioning all apply unchanged
+    * with STRING node keys. The adjacency pairs come from one array
+    * transform per document (no shuffle before the distinct); the
+    * top-k boundary orders on the ROUNDED rank with the token string
+    * as tie-break, so the cut is engine-exact.
+    */
+  def textRank(docs: DataFrame, iters: Int = 5, k: Int = 20)
+      : DataFrame = {
+    val pairs = docs
+      .select(split(col("text"), " ").as("t"))
+      .select(explode(expr(
+        """transform(slice(t, 1, size(t) - 1),
+          |  (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"""
+          .stripMargin)).as("p"))
+      .filter(col("p.w1") =!= col("p.w2"))
+      .select(least(col("p.w1"), col("p.w2")).as("a"),
+        greatest(col("p.w1"), col("p.w2")).as("b"))
+      .distinct()
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    Graph.pageRank(sym, iters)
+      .orderBy(col("pr").desc, col("node").asc)
+      .limit(k)
+      .select(col("node").as("token"), col("pr"))
+  }
+
   /** QUERY-LIKELIHOOD retrieval with DIRICHLET smoothing (Zhai &
     * Lafferty '01) — the language-modeling alternative to [[bm25TopK]]
     * over the SAME derived query panel: rank by

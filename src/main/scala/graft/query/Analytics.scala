@@ -885,17 +885,24 @@ object Analytics {
     * in [Σp₍<i₎, Σp₍≤i₎)).
     */
   def srmAssignments(events: DataFrame,
-                     weights: Seq[Int] = Seq(9, 1)): DataFrame = {
+                     weights: Seq[Int] = Seq(9, 1)): DataFrame =
+    events.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        srmArm(col("user_id"), weights).as("arm"))
+
+  /** The arm column under [[srmAssignments]] — exposed so the
+    * streaming twin's stateless finish maps the SAME lottery over
+    * its first-sight user stream.
+    */
+  def srmArm(userId: Column, weights: Seq[Int]): Column = {
     val pTot = weights.sum.toLong
     val h = pmod(TextOps.fingerprint64(
-      concat(col("user_id").cast("string"), lit(":srm"))), lit(pTot))
+      concat(userId.cast("string"), lit(":srm"))), lit(pTot))
     val cuts = weights.scanLeft(0L)(_ + _).tail
-    val arm = cuts.zipWithIndex.tail.foldLeft(
+    cuts.zipWithIndex.tail.foldLeft(
       when(h < cuts.head, 0L)) { case (acc, (cut, i)) =>
         acc.when(h < cut, i.toLong)
       }
-    events.select(col("user_id")).distinct()
-      .select(col("user_id"), arm.as("arm"))
   }
 
   /** WELCH'S two-sample t — the unequal-variance A/B significance test
@@ -1574,6 +1581,42 @@ object Analytics {
         round(when(col("den") =!= 0L,
           col("num").cast("double") / col("den").cast("double")), 6)
           .as("acf"))
+  }
+
+  /** LJUNG-BOX portmanteau test (Ljung & Box '78) per event type —
+    * the "is this series white noise AT ALL" gate over [[acf]]'s
+    * lag-1..m autocorrelations: Q = n(n+2)·Σ_k r_k²/(n−k), compared
+    * against the χ²(m) 5 % critical value. The one-number read that
+    * says whether the per-lag acf table is worth looking at.
+    *
+    * Built literally ON the [[acf]] output (rounded r_k — both
+    * engines consume the identical rounded table): each lag's term
+    * r²/(n−k) = r²/n_terms is one double tree snapped to 1e-12 fixed
+    * point, so the Σ over lags is an order-free integer sum; n
+    * recovers exactly as n_terms + lag. Any null r_k (constant
+    * series) nulls the whole statistic rather than silently
+    * under-summing.
+    */
+  def ljungBox(events: DataFrame, maxLag: Int = 7,
+               crit: Double = 14.067140): DataFrame = {
+    val a = acf(events, maxLag)
+    val terms = a.withColumn("n", col("n_terms") + col("lag"))
+      .withColumn("termfp",
+        round(lit(1e12) * col("acf") * col("acf")
+          / col("n_terms").cast("double")).cast("long"))
+    terms.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"), count(lit(1)).as("m_lags"),
+        sum(col("termfp")).as("sfp"),
+        sum(when(col("acf").isNull, 1L).otherwise(0L)).as("n_null"))
+      .select(col("event_type"), col("n_days"), col("m_lags"),
+        round(when(col("n_null") === 0L,
+          col("n_days").cast("double") * (col("n_days") + 2L)
+            .cast("double") * (col("sfp").cast("double") / lit(1e12))),
+          6).as("q_stat"),
+        when(col("n_null") === 0L,
+          round(col("n_days").cast("double") * (col("n_days") + 2L)
+            .cast("double") * (col("sfp").cast("double") / lit(1e12)),
+            6) > lit(crit)).as("significant"))
   }
 
   /** Lagged CROSS-correlation between two event types' daily series

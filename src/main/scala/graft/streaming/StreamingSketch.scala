@@ -343,6 +343,30 @@ object StreamingSketch {
       threshXMean)
   }
 
+  case class UserSeen(user_id: Long)
+
+  /** STREAMING DISTINCT (first-sight) — each user id is emitted
+    * exactly once across the stream's lifetime (one boolean of state
+    * per key, the rate-limiter's shape with maxPerKey = 1 and an
+    * identity payload). This is the mergeable half of the streaming
+    * SRM twin: the guardrail needs DISTINCT units per arm, and
+    * "distinct" is the one aggregate a histogram cannot carry — the
+    * per-key seen flag is its exact sufficient statistic. The
+    * stateless finish is the batch operator itself:
+    * `Analytics.srmCheck` over the emitted first sights (the arm
+    * re-derives from the same content hash, so nothing but the user
+    * id ever enters the stream).
+    */
+  def firstSightStream(users: Dataset[UserSeen]): Dataset[UserSeen] =
+    users.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[Boolean, UserSeen](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (u: Long, _: Iterator[UserSeen], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(UserSeen(u)) }
+      }(Encoders.scalaBoolean, Encoders.product[UserSeen])
+
   case class PriorityDur(g: String, t: Long, ev: Int)
   case class DurCell(t: Long, d: Long, c: Long)
   case class KmHist(g: String, cells: Seq[DurCell])

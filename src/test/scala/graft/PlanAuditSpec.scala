@@ -140,6 +140,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_assoc_rules",
     // ql_dirichlet: the same 1-row corpus-stats frame as q_bm25.
     "q_ql_dirichlet",
+    // textrank: inherits pageRank's 1-row node-count frame per
+    // iteration (q_pagerank family) over the word-adjacency graph.
+    "q_textrank",
     // apportion: the 1-row source-total frame.
     "q_apportion",
     // kappa: two 1-row frames (totals × pe marginal product).

@@ -68,6 +68,57 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
   }
 
+  test("ljungBox: a strong trend is significant, a constant series " +
+    "emits null") {
+    val rows = (1 to 30).map { d =>
+      ("up", java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"),
+        d * 10.0)
+    } ++ (1 to 30).map { d =>
+      ("flat", java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"),
+        5.0)
+    }
+    val got = graft.query.Analytics.ljungBox(
+        rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("m_lags"),
+          Option(r.getAs[java.lang.Double]("q_stat")).map(_.toDouble),
+          Option(r.getAs[java.lang.Boolean]("significant"))
+            .map(_.booleanValue))).toMap
+    assert(got("up")._1 == 30L && got("up")._2 == 7L)
+    assert(got("up")._3.exists(_ > 14.067140), got.toString)
+    assert(got("up")._4 == Some(true))
+    assert(got("flat")._3 == None && got("flat")._4 == None,
+      got.toString)
+  }
+
+  test("kTruss: a K4 with a pendant triangle keeps only the K4 at " +
+    "k=4 (support 2 everywhere); k=3 keeps all triangle edges") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val t4 = graft.operators.Graph.kTruss(e, k = 4)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("support")).toMap
+    assert(t4.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)), t4.toString)
+    assert(t4.values.forall(_ == 2L), t4.toString)
+    val t3 = graft.operators.Graph.kTruss(e, k = 3)
+    assert(t3.count() == 9L, "every edge sits in >= 1 triangle")
+  }
+
+  test("textRank: the bridging hub word outranks leaf words; pairs " +
+    "come from adjacency only") {
+    val docs = Seq((1L, "hub alpha"), (2L, "hub beta"),
+      (3L, "hub gamma"), (4L, "solo solo"), (5L, "x y"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Retrieval.textRank(docs)
+      .collect().map(r => r.getAs[String]("token") ->
+        r.getAs[Double]("pr"))
+    assert(got.head._1 == "hub", got.toSeq.toString)
+    // "solo solo" yields only a self-pair, filtered: solo is not a node.
+    assert(!got.map(_._1).contains("solo"), got.toSeq.toString)
+    assert(got.forall(_._2 > 0.0))
+  }
+
   test("associationRules: directions split correctly — B->A is " +
     "certain while A->B is 0.5; lift and support hand-computed") {
     // 5 baskets {1,2,3} + 5 baskets {1}: item 1 in 10, items 2,3 in 5.
