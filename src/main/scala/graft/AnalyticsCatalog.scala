@@ -353,6 +353,17 @@ object AnalyticsCatalog {
     "q_acf" -> ((s, d) =>
       graft.query.Analytics.acf(Tables.events(s, d))),
 
+    // Paired sign-flip permutation test on daily view-purchase cents
+    // diffs: 64 hash-signed replicates, integer sums, add-one p.
+    "q_sign_flip" -> ((s, d) =>
+      graft.query.Analytics.signFlipTest(Tables.events(s, d))),
+
+    // Chi-square feature selection per language over document token
+    // presence: exact 2x2 contingency counts, one shared double tree,
+    // per-label top-10 on the exact quotient.
+    "q_chi2_features" -> ((s, d) =>
+      graft.operators.TextClassify.chi2Features(Tables.documents(s, d))),
+
     // Ljung-Box portmanteau over the acf table: 1e-12 fixed-point
     // r^2/(n-k) terms, chi-square(7) 5% gate on the rounded Q.
     "q_ljung_box" -> ((s, d) =>
@@ -1662,6 +1673,80 @@ object AnalyticsCatalog {
     "q_acf" ->
       s"""WITH $acfCtesSql
          |SELECT event_type, lag, n_terms, acf FROM acft""".stripMargin,
+
+    // Sign-flip twin: same daily cents diffs, same md5-parity signs,
+    // same integer extremity count and add-one p.
+    "q_sign_flip" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'view'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT)
+        |    - CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS d
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |obs AS (
+        |  SELECT COUNT(*) AS n_days, CAST(SUM(d) AS BIGINT) AS obs
+        |  FROM daily),
+        |reps AS (
+        |  SELECT b.b,
+        |    CAST(SUM((2 * (('0x' || substr(md5(day::VARCHAR || ':pt'
+        |        || b.b::VARCHAR), 1, 15))::BIGINT % 2) - 1) * d)
+        |      AS BIGINT) AS fsum
+        |  FROM daily CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 63)) AS b) b
+        |  GROUP BY 1)
+        |SELECT n_days, obs AS obs_diff_cents,
+        |  CAST(SUM(CASE WHEN ABS(fsum) >= ABS(obs) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_extreme,
+        |  round(CAST(SUM(CASE WHEN ABS(fsum) >= ABS(obs)
+        |      THEN 1 ELSE 0 END) + 1 AS DOUBLE) / 65.0, 6) AS p_value
+        |FROM reps CROSS JOIN obs
+        |GROUP BY n_days, obs""".stripMargin,
+
+    // Chi-square feature twin: same distinct presence counts, same
+    // 2x2 closed form and exact-quotient rank.
+    "q_chi2_features" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, lang AS label, unnest(
+        |    list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |nn AS (SELECT COUNT(*) AS nn FROM documents),
+        |per_label AS (
+        |  SELECT lang AS label, COUNT(*) AS n_c
+        |  FROM documents GROUP BY 1),
+        |global AS (
+        |  SELECT token, COUNT(*) AS g FROM items
+        |  GROUP BY 1 HAVING COUNT(*) >= 5),
+        |a AS (
+        |  SELECT label, items.token, COUNT(*) AS a
+        |  FROM items JOIN global USING (token)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT label, token, a, g,
+        |    CAST(a * (nn - n_c - g + a) - (n_c - a) * (g - a)
+        |      AS DOUBLE) AS adbc,
+        |    CAST(nn AS DOUBLE) AS nnd, CAST(n_c AS DOUBLE) AS ncd,
+        |    CAST(nn - n_c AS DOUBLE) AS nycd, CAST(g AS DOUBLE) AS gd,
+        |    CAST(nn - g AS DOUBLE) AS ngd
+        |  FROM a JOIN global USING (token) JOIN per_label USING (label)
+        |  CROSS JOIN nn),
+        |guarded AS (
+        |  SELECT label, token, a, g,
+        |    CASE WHEN nnd > gd AND nnd > ncd
+        |      THEN nnd * adbc * adbc / (ncd * nycd * gd * ngd)
+        |      ELSE 0.0 END AS chi2_raw
+        |  FROM scored),
+        |ranked AS (
+        |  SELECT label, token, a, g, chi2_raw,
+        |    CAST(row_number() OVER (PARTITION BY label
+        |      ORDER BY chi2_raw DESC, token) AS INT) AS rnk
+        |  FROM guarded)
+        |SELECT label, token, a AS df_label, g AS df_global, rnk,
+        |  round(chi2_raw, 6) AS chi2
+        |FROM ranked WHERE rnk <= 10""".stripMargin,
 
     // Ljung-Box twin: the shared acf CTE chain, the same 1e-12
     // fixed-point terms, the same rounded-Q gate.

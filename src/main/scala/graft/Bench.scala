@@ -165,7 +165,9 @@ object Bench {
     "q_nelson_aalen", "q_srm", "q_spearman", "q_t_closeness",
     "q_mst", "q_ccf", "q_pettitt", "q_assoc_rules", "q_ql_dirichlet",
     // r11 wave 2, benched at birth.
-    "q_textrank", "q_ktruss", "q_ljung_box")
+    "q_textrank", "q_ktruss", "q_ljung_box",
+    // r11 wave 3, benched at birth.
+    "q_chi2_features", "q_sign_flip")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

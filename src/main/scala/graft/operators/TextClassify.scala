@@ -265,4 +265,73 @@ object TextClassify {
       round(when(p + r > 0, lit(2.0) * p * r / (p + r))
         .otherwise(lit(0.0)), 6).as("f1"))
   }
+
+  /** χ² FEATURE SELECTION (the Yang & Pedersen '97 ranking) — the
+    * step BEFORE the classifier: per label, the tokens whose document
+    * presence is most dependent on the label, by the 2×2 contingency
+    * χ² with one degree of freedom:
+    *
+    *   χ²(t, c) = N·(ad − bc)² / (n_c·(N − n_c)·g·(N − g))
+    *
+    * (a = docs in c with t, g = global docs with t, n_c = docs in c;
+    * b, c, d follow). Distinct from the Dirichlet log-odds
+    * distinctive terms: χ² measures association strength on the
+    * document-presence contingency, not frequency prominence. Only
+    * PRESENT (label, token) pairs are scored — the standard sparse
+    * implementation; a term's conspicuous absence from a label
+    * surfaces through its high χ² on the labels it concentrates in.
+    *
+    * Exactness: a, g, n_c, N are exact integer DOCUMENT counts
+    * (presence, not frequency); ad − bc is an exact long; the square
+    * and the single division run in doubles through one shared tree
+    * (cross-engine identical on identical integers). The per-label
+    * top-k ranks on that exact quotient with the token tie-break and
+    * emits the 6-dp rounding.
+    *
+    * Scale shape: one distinct (doc, label, token) projection, two
+    * keyed aggregates ((label, token) and token), vocabulary-sized
+    * frames after that; the rank window partitions by label.
+    */
+  def chi2Features(docs: DataFrame, labelCol: String = "lang",
+                   minDf: Int = 5, k: Int = 10): DataFrame = {
+    val items = docs
+      .select(col("doc_id"), col(labelCol).as("label"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .distinct()
+    val nDocs = docs.agg(count(lit(1)).as("nn"))
+    val perLabel = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_c"))
+    val global = items.groupBy(col("token"))
+      .agg(count(lit(1)).as("g"))
+      .filter(col("g") >= minDf)
+    val a = items.join(global, Seq("token"))
+      .groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("a"))
+    val scored = a
+      .join(global, Seq("token"))
+      .join(perLabel, Seq("label"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("adbc",
+        (col("a") * (col("nn") - col("n_c") - col("g") + col("a"))
+          - (col("n_c") - col("a")) * (col("g") - col("a")))
+          .cast("double"))
+      .withColumn("chi2_raw",
+        // g = N (token everywhere) or n_c = N (one label) zeroes the
+        // denominator with a zero numerator — independence, chi2 0.
+        when(col("nn") > col("g") && col("nn") > col("n_c"),
+          col("nn").cast("double") * col("adbc") * col("adbc")
+            / (col("n_c").cast("double")
+              * (col("nn") - col("n_c")).cast("double")
+              * col("g").cast("double")
+              * (col("nn") - col("g")).cast("double")))
+          .otherwise(lit(0.0)))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("chi2_raw").desc, col("token").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("label"), col("token"), col("a").as("df_label"),
+        col("g").as("df_global"), col("rnk"),
+        round(col("chi2_raw"), 6).as("chi2"))
+  }
 }

@@ -1583,6 +1583,57 @@ object Analytics {
           .as("acf"))
   }
 
+  /** PAIRED SIGN-FLIP PERMUTATION TEST (Fisher's randomization test,
+    * the exact-inference fallback when nothing is normal): is the
+    * daily view−purchase value gap real, or would random ± signs on
+    * the daily differences produce a gap this large? Under the null
+    * (exchangeable signs), each of the B sign patterns is equally
+    * likely; p = (1 + #{b: |Σ s_b·d| ≥ |Σ d|}) / (B + 1) — the
+    * add-one form that never returns p = 0.
+    *
+    * Determinism end to end: diffs are exact integer cents; each
+    * (day, replicate) sign is the content-hash lottery (±1 from a
+    * 60-bit md5 parity — the [[bootstrapCI]] device with signs in
+    * place of Poisson weights); flipped sums are integer; the
+    * extremity comparison is integer; p is one exact-rational
+    * division rounded once. No floats anywhere before the readout.
+    *
+    * Scale shape: the daily rollup bounds the frame by the calendar;
+    * the replicate explosion is B per day; one keyed aggregate per
+    * replicate, one 1-row readout.
+    */
+  def signFlipTest(events: DataFrame, typeX: String = "view",
+                   typeY: String = "purchase", b: Int = 64): DataFrame = {
+    val daily = events
+      .filter(col("event_type").isin(typeX, typeY))
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_type") === typeX, col("cents"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("event_type") === typeY, col("cents"))
+          .otherwise(0L)).as("y"))
+      .select(col("day"), (col("x") - col("y")).as("d"))
+      .localCheckpoint()
+    val obs = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("d")).as("obs"))
+    val reps = daily
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("s",
+        lit(2L) * pmod(TextOps.fingerprint64(
+          concat(col("day").cast("string"), lit(":pt"),
+            col("b").cast("string"))), lit(2L)) - 1L)
+      .groupBy(col("b")).agg(sum(col("s") * col("d")).as("fsum"))
+    reps.crossJoin(broadcast(obs))
+      .groupBy(col("n_days"), col("obs"))
+      .agg(sum(when(abs(col("fsum")) >= abs(col("obs")), 1L)
+        .otherwise(0L)).as("n_extreme"))
+      .select(col("n_days"), col("obs").as("obs_diff_cents"),
+        col("n_extreme"),
+        round((col("n_extreme") + 1L).cast("double")
+          / lit((b + 1).toDouble), 6).as("p_value"))
+  }
+
   /** LJUNG-BOX portmanteau test (Ljung & Box '78) per event type —
     * the "is this series white noise AT ALL" gate over [[acf]]'s
     * lag-1..m autocorrelations: Q = n(n+2)·Σ_k r_k²/(n−k), compared

@@ -143,6 +143,11 @@ class PlanAuditSpec extends SparkSpec {
     // textrank: inherits pageRank's 1-row node-count frame per
     // iteration (q_pagerank family) over the word-adjacency graph.
     "q_textrank",
+    // chi2_features: the 1-row corpus doc-count frame (q_bm25 shape).
+    "q_chi2_features",
+    // sign_flip: the 1-row observed-sum frame under the extremity
+    // count (q_kmv_intersect family).
+    "q_sign_flip",
     // apportion: the 1-row source-total frame.
     "q_apportion",
     // kappa: two 1-row frames (totals × pe marginal product).

@@ -68,6 +68,50 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
   }
 
+  test("chi2Features: a label-exclusive token tops its label with " +
+    "the hand-computed chi2") {
+    // 10 A-docs all contain "zebra"; 10 B-docs never do; everyone
+    // shares "the". a=10, g=10, n_c=10, N=20 for (A, zebra):
+    // ad-bc = 10*10-0 = 100; chi2 = 20*10000/(10*10*10*10) = 20.
+    val docs = ((1 to 10).map(i =>
+      (i.toLong, s"the zebra w$i", "A")) ++
+      (11 to 20).map(i => (i.toLong, s"the w$i", "B")))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextClassify.chi2Features(docs, minDf = 5)
+      .collect().map(r => (r.getAs[String]("label"),
+        r.getAs[String]("token"), r.getAs[Int]("rnk"),
+        r.getAs[Double]("chi2")))
+    val topA = got.filter(t => t._1 == "A" && t._3 == 1).head
+    assert(topA._2 == "zebra" && topA._4 == 20.0, got.toSeq.toString)
+    // "the" is present everywhere -> independence, chi2 = 0.
+    assert(got.filter(_._2 == "the").forall(_._4 == 0.0),
+      got.toSeq.toString)
+  }
+
+  test("signFlipTest: zero daily diffs give p = 1; a large one-sided " +
+    "gap is extreme against the sign lottery") {
+    def ev(t: String, d: Int, v: Double) =
+      (t, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"), v)
+    val same = (1 to 20).flatMap(d =>
+      Seq(ev("view", d, 7.0), ev("purchase", d, 7.0)))
+    val r0 = graft.query.Analytics.signFlipTest(
+      same.toDF("event_type", "ts", "value")).collect().head
+    assert(r0.getAs[Long]("obs_diff_cents") == 0L)
+    assert(r0.getAs[Long]("n_extreme") == 64L)
+    assert(r0.getAs[Double]("p_value") == 1.0)
+
+    val gap = (1 to 20).flatMap(d =>
+      Seq(ev("view", d, 10.0), ev("purchase", d, 1.0)))
+    val r1 = graft.query.Analytics.signFlipTest(
+      gap.toDF("event_type", "ts", "value")).collect().head
+    assert(r1.getAs[Long]("obs_diff_cents") == 20L * 900L)
+    val ne = r1.getAs[Long]("n_extreme")
+    assert(r1.getAs[Double]("p_value") ==
+      BigDecimal((ne + 1.0) / 65.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(ne < 8L, s"a constant +900 diff should be extreme: $ne")
+  }
+
   test("ljungBox: a strong trend is significant, a constant series " +
     "emits null") {
     val rows = (1 to 30).map { d =>
