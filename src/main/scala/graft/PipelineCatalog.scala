@@ -1027,6 +1027,11 @@ object PipelineCatalog {
     "q_bm25" -> ((s, d) =>
       graft.operators.Retrieval.bm25TopK(Tables.documents(s, d))),
 
+    // RAKE keyphrases: stopword-free token runs scored by summed
+    // word degree/frequency in 1e-6 fixed point, exact top-15.
+    "q_rake" -> ((s, d) =>
+      graft.operators.Retrieval.rakeKeyphrases(Tables.documents(s, d))),
+
     // Query-likelihood Dirichlet retrieval over the same derived
     // query panel: matching-terms log decomposition + doc-length
     // prior, sorted-fold sum, DECIMAL(18,6) rank boundary.
@@ -3440,6 +3445,47 @@ object PipelineCatalog {
       s"""WITH $bm25CtesSql
          |SELECT query_id, doc_id, rnk, score FROM bmr
          |WHERE rnk <= 5""".stripMargin,
+
+    // RAKE twin: same islands-and-gaps runs (1-based t[i] - rn is a
+    // shifted constant per run), ordered list agg, same fixed-point
+    // word scores and integer phrase sums.
+    "q_rake" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t[i] AS token, i AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+        |          unnest(range(1, len(string_split(text, ' ')) + 1))
+        |            AS i
+        |        FROM documents)
+        |  WHERE t[i] NOT IN ('the', 'a') AND t[i] <> ''),
+        |runs AS (
+        |  SELECT doc_id, pos, token,
+        |    pos - row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY pos) AS grp
+        |  FROM toks),
+        |phrases AS MATERIALIZED (
+        |  SELECT doc_id, grp, list(token ORDER BY pos) AS words,
+        |    array_to_string(list(token ORDER BY pos), ' ') AS phrase
+        |  FROM runs GROUP BY 1, 2),
+        |wstats AS (
+        |  SELECT word, COUNT(*) AS freq,
+        |    CAST(SUM(plen) AS BIGINT) AS deg,
+        |    CAST(round(1e6 * CAST(SUM(plen) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS wfp
+        |  FROM (SELECT unnest(words) AS word, len(words) AS plen
+        |        FROM phrases)
+        |  GROUP BY 1),
+        |inst AS (
+        |  SELECT doc_id, grp, phrase,
+        |    CAST(SUM(wfp) AS BIGINT) AS sfp, COUNT(*) AS n_words
+        |  FROM (SELECT doc_id, grp, phrase, unnest(words) AS word
+        |        FROM phrases) p
+        |  JOIN wstats USING (word)
+        |  GROUP BY 1, 2, 3)
+        |SELECT phrase, CAST(MAX(n_words) AS BIGINT) AS n_words,
+        |  COUNT(*) AS n_occurrences,
+        |  round(CAST(MAX(sfp) AS DOUBLE) / 1e6, 6) AS score
+        |FROM inst GROUP BY 1
+        |ORDER BY MAX(sfp) DESC, phrase LIMIT 15""".stripMargin,
 
     // QL-Dirichlet twin: the shared BM25 CTE prefix (toks/st/q/tok/
     // mt/tf), corpus frequency in place of df, same log decomposition

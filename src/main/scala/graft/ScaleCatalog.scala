@@ -316,6 +316,12 @@ object ScaleCatalog {
       graft.operators.Similarity.embeddingDrift(emb, curr)
     }),
 
+    // TwoNN intrinsic dimension over a deterministic embedding panel:
+    // shared dot-tree squared distances, (d^2, id) neighbor ranks,
+    // fixed-point ln-ratio sum, duplicate exclusion.
+    "q_intrinsic_dim" -> ((s, d) =>
+      Similarity.twoNNDimension(Tables.embeddings(s, d))),
+
     // Exact cosine top-5: broadcast queries × streamed corpus.
     "q_knn_brute" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1012,6 +1018,45 @@ object ScaleCatalog {
         |FROM f JOIN bk ON f.a = bk.a AND f.b = bk.b""".stripMargin,
 
     "q_knn_brute" -> knnSql("CROSS JOIN c"),
+
+    // TwoNN twin: same panel, same |a|^2+|b|^2-2ab tree, same (d^2,
+    // id) ranks, same 1e-6 fixed-point ln-ratio sum and MLE.
+    "q_intrinsic_dim" ->
+      """WITH panel AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 2000),
+        |pairs AS (
+        |  SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |    list_inner_product(a.e, a.e) + list_inner_product(b.e, b.e)
+        |      - 2.0 * list_inner_product(a.e, b.e) AS dsq
+        |  FROM panel a CROSS JOIN panel b WHERE a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qa
+        |    ORDER BY dsq, qb) AS rk
+        |  FROM pairs),
+        |nn AS (
+        |  SELECT qa,
+        |    MAX(CASE WHEN rk = 1 THEN dsq END) AS d1,
+        |    MAX(CASE WHEN rk = 2 THEN dsq END) AS d2
+        |  FROM ranked WHERE rk <= 2 GROUP BY 1),
+        |terms AS (
+        |  SELECT qa, d1,
+        |    CASE WHEN d1 > 0.0
+        |      THEN CAST(round(1e6 * 0.5 * ln(d2 / d1)) AS BIGINT)
+        |      END AS lnmu_fp
+        |  FROM nn)
+        |SELECT COUNT(*) AS n_panel,
+        |  CAST(SUM(CASE WHEN lnmu_fp IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_used,
+        |  COUNT(*) - CAST(SUM(CASE WHEN lnmu_fp IS NOT NULL THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+        |  round(CAST(SUM(lnmu_fp) AS DOUBLE) / 1e6, 6) AS sum_ln_mu,
+        |  round(CASE WHEN CAST(SUM(lnmu_fp) AS BIGINT) > 0
+        |    THEN CAST(SUM(CASE WHEN lnmu_fp IS NOT NULL THEN 1 ELSE 0
+        |      END) AS DOUBLE)
+        |      / (CAST(SUM(lnmu_fp) AS DOUBLE) / 1e6) END, 6)
+        |    AS intrinsic_dim
+        |FROM terms""".stripMargin,
 
     // Bitext-margin twin: two brute knn legs over the parity split,
     // double-cast neighborhood means, the same rounded margin and

@@ -151,6 +151,63 @@ object Retrieval {
       .select(col("node").as("token"), col("pr"))
   }
 
+  /** RAKE keyphrase extraction (Rose et al. '10, "Rapid Automatic
+    * Keyword Extraction") — [[textRank]]'s phrase-level sibling:
+    * candidate phrases are the maximal stopword-free token runs
+    * (the islands-and-gaps window trick: pos − row_number is
+    * constant within a run), each word scores degree/frequency
+    * (degree = Σ length of phrases containing it, frequency = its
+    * phrase occurrences), and a phrase scores the sum of its words'
+    * scores. Multi-word domain phrases beat single hot words — the
+    * complementary failure mode to PageRank centrality.
+    *
+    * Determinism: degree and frequency are exact integer counts; the
+    * word score snaps ONCE to a 1e-6 fixed-point long, so the phrase
+    * sum is an order-free integer sum and the top-k boundary is an
+    * exact integer order with the phrase-string tie-break.
+    *
+    * Scale shape: one posexplode + per-DOC window (state bounded by
+    * document length), two keyed aggregates (word stats, phrase
+    * instances), a phrase-keyed rollup, a k-row cut.
+    */
+  def rakeKeyphrases(docs: DataFrame, k: Int = 15): DataFrame = {
+    val stop = graft.functions.TextOps.Stopwords
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "token")
+      .filter(!col("token").isin(stop: _*) && col("token") =!= "")
+    val phrases = toks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), (col("pos") - col("rn")).as("grp"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("token"))))
+        .as("ws"))
+      .select(col("doc_id"), col("grp"),
+        transform(col("ws"), _.getField("token")).as("words"))
+      .withColumn("phrase", concat_ws(" ", col("words")))
+    val wstats = phrases
+      .select(explode(col("words")).as("word"),
+        size(col("words")).as("plen"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wfp",
+        round(lit(1e6) * col("deg").cast("double")
+          / col("freq").cast("double")).cast("long"))
+    phrases
+      .select(col("doc_id"), col("grp"), col("phrase"),
+        explode(col("words")).as("word"))
+      .join(wstats.select(col("word"), col("wfp")), Seq("word"))
+      .groupBy(col("doc_id"), col("grp"), col("phrase"))
+      .agg(sum(col("wfp")).as("sfp"), count(lit(1)).as("n_words"))
+      .groupBy(col("phrase"))
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occurrences"), max(col("sfp")).as("sfp"))
+      .orderBy(col("sfp").desc, col("phrase").asc)
+      .limit(k)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        round(col("sfp").cast("double") / lit(1e6), 6).as("score"))
+  }
+
   /** QUERY-LIKELIHOOD retrieval with DIRICHLET smoothing (Zhai &
     * Lafferty '01) — the language-modeling alternative to [[bm25TopK]]
     * over the SAME derived query panel: rank by

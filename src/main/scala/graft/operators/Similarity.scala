@@ -722,4 +722,66 @@ object Similarity {
         round(dot / (sqrt(np) * sqrt(nc)), 6).as("cos_sim"))
       .withColumn("drifted", col("cos_sim") < threshold)
   }
+
+  /** TwoNN INTRINSIC-DIMENSION estimate (Facco et al. '17, "Estimating
+    * the intrinsic dimension of datasets by a minimal neighborhood
+    * information") — the "is my embedding space collapsed or healthy"
+    * read beside [[embeddingDrift]]: using only each point's two
+    * nearest neighbors, μᵢ = r₂/r₁ follows a Pareto(d) law, and the
+    * MLE is d̂ = n / Σ ln μᵢ. Far below the ambient dimension means
+    * the embeddings live on a thin manifold (fine); near-zero Σ ln μ
+    * (μ ≈ 1 everywhere) means degenerate/duplicated geometry.
+    *
+    * Determinism: squared Euclidean distances come from the shared
+    * dot tree (|a|² + |b|² − 2a·b, exact same op order in the twin);
+    * the two neighbors are picked by (d², id) row_number; ln μ =
+    * ½·ln(d₂²/d₁²) snaps per point to a 1e-6 fixed-point long so the
+    * Σ is an order-free integer sum. Points whose r₁ = 0 (exact
+    * duplicates in the panel) are EXCLUDED and counted — duplicates
+    * break the Pareto law, and silently keeping them would divide by
+    * an infinite log ratio.
+    *
+    * Scale shape: the estimate needs only a PANEL of points (the
+    * derived-query device): |panel|² pair scores with the broadcast
+    * panel, two rank windows per point, a 1-row readout. The panel
+    * caps the cost regardless of corpus size — the estimator's
+    * variance is O(1/√n) in panel size, not data size.
+    */
+  def twoNNDimension(vecs: DataFrame, panelMod: Int = 2,
+                     panelCap: Long = 2000L): DataFrame = {
+    val panel = vecs
+      .filter(col("vec_id") % panelMod === 0
+        && col("vec_id") < panelCap)
+      .select(col("vec_id"), dbl(col("embedding")).as("e"))
+    val pairs = panel.select(col("vec_id").as("qa"), col("e").as("ea"))
+      .crossJoin(broadcast(
+        panel.select(col("vec_id").as("qb"), col("e").as("eb"))))
+      .filter(col("qa") =!= col("qb"))
+      .select(col("qa"), col("qb"),
+        (dot(col("ea"), col("ea")) + dot(col("eb"), col("eb"))
+          - lit(2.0) * dot(col("ea"), col("eb"))).as("dsq"))
+    val ranked = pairs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qa"))
+          .orderBy(col("dsq").asc, col("qb").asc)))
+      .filter(col("rk") <= 2)
+    val nn = ranked.groupBy(col("qa"))
+      .agg(max(when(col("rk") === 1, col("dsq"))).as("d1"),
+        max(when(col("rk") === 2, col("dsq"))).as("d2"))
+    val terms = nn.select(col("qa"), col("d1"),
+      when(col("d1") > 0.0,
+        round(lit(1e6) * lit(0.5) * log(col("d2") / col("d1")))
+          .cast("long")).as("lnmu_fp"))
+    terms.agg(count(lit(1)).as("n_panel"),
+        sum(when(col("lnmu_fp").isNotNull, 1L).otherwise(0L))
+          .as("n_used"),
+        sum(col("lnmu_fp")).as("sfp"))
+      .select(col("n_panel"), col("n_used"),
+        (col("n_panel") - col("n_used")).as("n_dup_dropped"),
+        round(col("sfp").cast("double") / lit(1e6), 6)
+          .as("sum_ln_mu"),
+        round(when(col("sfp") > 0L,
+          col("n_used").cast("double")
+            / (col("sfp").cast("double") / lit(1e6))), 6)
+          .as("intrinsic_dim"))
+  }
 }

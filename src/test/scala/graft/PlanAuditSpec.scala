@@ -148,6 +148,9 @@ class PlanAuditSpec extends SparkSpec {
     // sign_flip: the 1-row observed-sum frame under the extremity
     // count (q_kmv_intersect family).
     "q_sign_flip",
+    // intrinsic_dim: the broadcast panel cross (knn_brute asymmetry
+    // — the panel is the capped derived-query set, never the corpus).
+    "q_intrinsic_dim",
     // apportion: the 1-row source-total frame.
     "q_apportion",
     // kappa: two 1-row frames (totals × pe marginal product).

@@ -68,6 +68,47 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
   }
 
+  test("rakeKeyphrases: stopword-delimited runs with hand-computed " +
+    "degree/frequency scores") {
+    val docs = Seq((1L, "deep learning the deep learning"),
+      (2L, "learning a model")).toDF("doc_id", "text")
+    val got = graft.operators.Retrieval.rakeKeyphrases(docs)
+      .collect().map(r => (r.getAs[String]("phrase"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Double]("score")))
+    // deep: deg 4 / freq 2 = 2.0; learning: deg 5 / freq 3 = 1.666667;
+    // model: 1.0. "deep learning" = 3.666667 (fixed-point sum).
+    assert(got.toSeq == Seq(
+      ("deep learning", 2L, 2L, 3.666667),
+      ("learning", 1L, 1L, 1.666667),
+      ("model", 1L, 1L, 1.0)), got.toSeq.toString)
+  }
+
+  test("twoNNDimension: hand-computed 3-point line; exact duplicates " +
+    "are excluded and counted") {
+    // Points 0, 1, 3 on a line: ln mu = ln3, ln2, 0.5*ln(9/4);
+    // fixed-point sum 1098612+693147+405465 = 2197224.
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f)), (2L, Array(1f, 0f, 0f)),
+      (4L, Array(3f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity.twoNNDimension(vecs)
+      .collect().head
+    assert(r.getAs[Long]("n_panel") == 3L)
+    assert(r.getAs[Long]("n_used") == 3L)
+    assert(r.getAs[Double]("sum_ln_mu") == 2.197224)
+    val exp = BigDecimal(3.0 / 2.197224)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("intrinsic_dim") == exp, r.toString)
+
+    val dup = vecs.unionByName(
+      Seq((6L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val r2 = graft.operators.Similarity.twoNNDimension(dup)
+      .collect().head
+    assert(r2.getAs[Long]("n_dup_dropped") == 2L,
+      "both members of the duplicate pair have r1 = 0")
+  }
+
   test("chi2Features: a label-exclusive token tops its label with " +
     "the hand-computed chi2") {
     // 10 A-docs all contain "zebra"; 10 B-docs never do; everyone
