@@ -1023,12 +1023,13 @@ object ScaleCatalog {
     // id) ranks, same 1e-6 fixed-point ln-ratio sum and MLE.
     "q_intrinsic_dim" ->
       """WITH panel AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 2000),
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_inner_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[])) AS n2
+        |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 500),
         |pairs AS (
         |  SELECT a.vec_id AS qa, b.vec_id AS qb,
-        |    list_inner_product(a.e, a.e) + list_inner_product(b.e, b.e)
-        |      - 2.0 * list_inner_product(a.e, b.e) AS dsq
+        |    a.n2 + b.n2 - 2.0 * list_inner_product(a.e, b.e) AS dsq
         |  FROM panel a CROSS JOIN panel b WHERE a.vec_id <> b.vec_id),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY qa

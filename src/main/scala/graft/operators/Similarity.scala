@@ -748,17 +748,22 @@ object Similarity {
     * variance is O(1/√n) in panel size, not data size.
     */
   def twoNNDimension(vecs: DataFrame, panelMod: Int = 2,
-                     panelCap: Long = 2000L): DataFrame = {
+                     panelCap: Long = 500L): DataFrame = {
+    // The panel cap makes the estimator's cost SCALE-INVARIANT (the
+    // variance is O(1/√panel), not data-sized) and the precomputed
+    // per-point norm makes each pair ONE dot instead of three.
     val panel = vecs
       .filter(col("vec_id") % panelMod === 0
         && col("vec_id") < panelCap)
       .select(col("vec_id"), dbl(col("embedding")).as("e"))
-    val pairs = panel.select(col("vec_id").as("qa"), col("e").as("ea"))
-      .crossJoin(broadcast(
-        panel.select(col("vec_id").as("qb"), col("e").as("eb"))))
+      .withColumn("n2", dot(col("e"), col("e")))
+    val pairs = panel.select(col("vec_id").as("qa"),
+        col("e").as("ea"), col("n2").as("na"))
+      .crossJoin(broadcast(panel.select(col("vec_id").as("qb"),
+        col("e").as("eb"), col("n2").as("nb"))))
       .filter(col("qa") =!= col("qb"))
       .select(col("qa"), col("qb"),
-        (dot(col("ea"), col("ea")) + dot(col("eb"), col("eb"))
+        (col("na") + col("nb")
           - lit(2.0) * dot(col("ea"), col("eb"))).as("dsq"))
     val ranked = pairs.withColumn("rk", row_number().over(
         Window.partitionBy(col("qa"))
