@@ -1118,7 +1118,15 @@ object Graph {
     var frontier = sym
     val stats = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long)]
-    for (r <- 1 to rounds) {
+    var done = false
+    for (r <- 1 to rounds) if (done) {
+      // Converged: no cross-label edges means no picks, identity
+      // parents, and unchanged labels — every remaining round is
+      // exactly this row (the kCore fixpoint-probe argument), so the
+      // trace fills without jobs and stays bit-identical to the
+      // twin's fixed unroll.
+      stats += ((r.toLong, stats.last._2, 0L, 0L))
+    } else {
       val nGroups = labels.select(col("label")).distinct().count()
       val cross = frontier.select(col("src"), col("dst"), col("w"))
         .join(labels.select(col("node").as("src"),
@@ -1128,6 +1136,10 @@ object Graph {
         .filter(col("la") =!= col("lb"))
         .localCheckpoint()
       frontier = cross
+      if (cross.isEmpty) {
+        stats += ((r.toLong, nGroups, 0L, 0L))
+        done = true
+      } else {
       val pickg = cross.groupBy(col("la"))
         .agg(min(struct(col("w"), col("src"), col("dst"),
           col("lb"))).as("m"))
@@ -1161,6 +1173,7 @@ object Graph {
         .join(par.select(col("g").as("label"), col("p")), Seq("label"))
         .select(col("node"), col("p").as("label"))
         .localCheckpoint()
+      }
     }
     stats.toSeq
       .toDF("round", "n_groups", "n_new_edges", "new_weight")
