@@ -353,6 +353,18 @@ object AnalyticsCatalog {
     "q_acf" -> ((s, d) =>
       graft.query.Analytics.acf(Tables.events(s, d))),
 
+    // BH FDR step-up over per-nation segment x balance-band
+    // chi-square tests: closed-form even-df p, cross-multiplied
+    // p(k) <= k*alpha/m rule on the tiny ranked frame.
+    "q_bh_fdr" -> ((s, d) =>
+      graft.query.Analytics.bhFdr(Tables.customer(s, d))),
+
+    // Split-conformal interval per priority: hash train/cal/test
+    // split, n-scaled integer residuals, exact ceil((n+1)(1-a)) rank
+    // pick, measured test coverage.
+    "q_conformal" -> ((s, d) =>
+      graft.query.Analytics.conformalInterval(Tables.orders(s, d))),
+
     // Paired sign-flip permutation test on daily view-purchase cents
     // diffs: 64 hash-signed replicates, integer sums, add-one p.
     "q_sign_flip" -> ((s, d) =>
@@ -1673,6 +1685,126 @@ object AnalyticsCatalog {
     "q_acf" ->
       s"""WITH $acfCtesSql
          |SELECT event_type, lag, n_terms, acf FROM acft""".stripMargin,
+
+    // BH-FDR twin: same grid enumeration with zero-obs cells, same
+    // fixed-point chi-square, same closed-form even-df survival and
+    // cross-multiplied step-up.
+    "q_bh_fdr" ->
+      """WITH banded AS (
+        |  SELECT c_nationkey, c_mktsegment AS seg,
+        |    (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)
+        |      // 400000 AS band
+        |  FROM customer),
+        |cells AS (
+        |  SELECT c_nationkey, seg, band, COUNT(*) AS obs
+        |  FROM banded GROUP BY 1, 2, 3),
+        |rowt AS (
+        |  SELECT c_nationkey, seg, CAST(SUM(obs) AS BIGINT) AS rt
+        |  FROM cells GROUP BY 1, 2),
+        |colt AS (
+        |  SELECT c_nationkey, band, CAST(SUM(obs) AS BIGINT) AS ct
+        |  FROM cells GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT c_nationkey, CAST(SUM(obs) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1),
+        |grid AS (
+        |  SELECT r.c_nationkey, r.seg, c.band, r.rt, c.ct, t.n,
+        |    CAST(COALESCE(cells.obs, 0) AS BIGINT) AS obs
+        |  FROM rowt r
+        |  JOIN colt c ON r.c_nationkey = c.c_nationkey
+        |  JOIN tot t ON r.c_nationkey = t.c_nationkey
+        |  LEFT JOIN cells ON cells.c_nationkey = r.c_nationkey
+        |    AND cells.seg = r.seg AND cells.band = c.band),
+        |terms AS (
+        |  SELECT c_nationkey, n, seg, band,
+        |    CAST(round(1e6
+        |      * CAST(n * obs - rt * ct AS DOUBLE)
+        |      * CAST(n * obs - rt * ct AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(rt * ct AS DOUBLE)))
+        |      AS BIGINT) AS tfp
+        |  FROM grid),
+        |chi AS (
+        |  SELECT c_nationkey, n, COUNT(DISTINCT seg) AS r,
+        |    COUNT(DISTINCT band) AS c,
+        |    CAST(SUM(tfp) AS BIGINT) AS sfp
+        |  FROM terms GROUP BY 1, 2),
+        |withp AS (
+        |  SELECT c_nationkey, n,
+        |    (r - 1) * (c - 1) AS df,
+        |    CAST(sfp AS DOUBLE) / 1e6 AS chi2,
+        |    CASE WHEN (r - 1) * (c - 1) % 2 = 0
+        |        AND (r - 1) * (c - 1) >= 2
+        |      THEN exp(-(CAST(sfp AS DOUBLE) / 1e6 / 2.0)) * (1.0
+        |        + CASE WHEN (r - 1) * (c - 1) >= 4
+        |            THEN CAST(sfp AS DOUBLE) / 1e6 / 2.0 ELSE 0.0 END
+        |        + CASE WHEN (r - 1) * (c - 1) >= 6
+        |            THEN (CAST(sfp AS DOUBLE) / 1e6 / 2.0)
+        |              * (CAST(sfp AS DOUBLE) / 1e6 / 2.0) / 2.0
+        |            ELSE 0.0 END
+        |        + CASE WHEN (r - 1) * (c - 1) >= 8
+        |            THEN (CAST(sfp AS DOUBLE) / 1e6 / 2.0)
+        |              * (CAST(sfp AS DOUBLE) / 1e6 / 2.0)
+        |              * (CAST(sfp AS DOUBLE) / 1e6 / 2.0) / 6.0
+        |            ELSE 0.0 END)
+        |      END AS p_raw
+        |  FROM chi),
+        |mt AS (
+        |  SELECT CAST(SUM(CASE WHEN p_raw IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS mt FROM withp),
+        |ranked AS (
+        |  SELECT w.*, mt,
+        |    row_number() OVER (ORDER BY p_raw, c_nationkey) AS k
+        |  FROM withp w CROSS JOIN mt WHERE p_raw IS NOT NULL),
+        |flags AS (
+        |  SELECT *, p_raw * 20.0 * CAST(mt AS DOUBLE)
+        |    <= CAST(k AS DOUBLE) * 1.0 AS ok
+        |  FROM ranked),
+        |ks AS (
+        |  SELECT COALESCE(MAX(CASE WHEN ok THEN k END), 0) AS kstar
+        |  FROM flags)
+        |SELECT c_nationkey, n, df, round(chi2, 6) AS chi2,
+        |  round(p_raw, 6) AS p_value, CAST(k AS INT) AS k_rank,
+        |  k <= kstar AS rejected
+        |FROM flags CROSS JOIN ks""".stripMargin,
+
+    // Conformal twin: same md5 slice lottery, same n-scaled integer
+    // residuals, same integer rank boundary and coverage count.
+    "q_conformal" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y,
+        |    ('0x' || substr(md5(o_orderkey::VARCHAR || ':conf'),
+        |      1, 15))::BIGINT % 4 AS slice
+        |  FROM orders),
+        |train AS (
+        |  SELECT priority, CAST(SUM(y) AS BIGINT) AS sy,
+        |    COUNT(*) AS nt
+        |  FROM base WHERE slice <= 1 GROUP BY 1),
+        |cal AS (
+        |  SELECT b.priority, nt, ABS(nt * y - sy) AS r
+        |  FROM base b JOIN train USING (priority) WHERE slice = 2),
+        |caln AS (SELECT priority, COUNT(*) AS nc FROM cal GROUP BY 1),
+        |qhat AS (
+        |  SELECT c.priority, nc, r AS qr FROM (
+        |    SELECT priority, r, row_number() OVER (
+        |      PARTITION BY priority ORDER BY r) AS rk FROM cal) c
+        |  JOIN caln USING (priority)
+        |  WHERE rk = nc + 1 - (nc + 1) * 1 // 20),
+        |test AS (
+        |  SELECT b.priority, nc, nt, sy, qr, COUNT(*) AS n_test,
+        |    CAST(SUM(CASE WHEN ABS(nt * y - sy) <= qr
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM base b JOIN train USING (priority)
+        |  JOIN qhat USING (priority)
+        |  WHERE slice = 3 GROUP BY 1, 2, 3, 4, 5)
+        |SELECT priority, nc AS n_cal, n_test,
+        |  round(CAST(sy AS DOUBLE) / CAST(nt AS DOUBLE) / 100.0, 6)
+        |    AS yhat_dollars,
+        |  round(CAST(qr AS DOUBLE) / CAST(nt AS DOUBLE) / 100.0, 6)
+        |    AS qhat_dollars,
+        |  round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+        |    AS coverage
+        |FROM test""".stripMargin,
 
     // Sign-flip twin: same daily cents diffs, same md5-parity signs,
     // same integer extremity count and add-one p.

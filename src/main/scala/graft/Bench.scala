@@ -167,7 +167,9 @@ object Bench {
     // r11 wave 2, benched at birth.
     "q_textrank", "q_ktruss", "q_ljung_box",
     // r11 wave 3, benched at birth.
-    "q_chi2_features", "q_sign_flip", "q_intrinsic_dim", "q_rake")
+    "q_chi2_features", "q_sign_flip", "q_intrinsic_dim", "q_rake",
+    // r11 wave 4, benched at birth.
+    "q_conformal", "q_bh_fdr")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

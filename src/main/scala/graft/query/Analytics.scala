@@ -1583,6 +1583,149 @@ object Analytics {
           .as("acf"))
   }
 
+  /** BENJAMINI–HOCHBERG FDR control ('95) over a FAMILY of per-nation
+    * chi-square independence tests (segment × balance band) — the
+    * multiple-testing correction the per-nation test family was
+    * missing: at 25 simultaneous tests, α = 0.05 per test fabricates
+    * ~1 discovery per run; BH's step-up (reject the k smallest
+    * p-values where p₍ₖ₎ ≤ k·α/m) bounds the EXPECTED false-discovery
+    * share instead.
+    *
+    * The p-value uses the closed-form even-df chi-square survival
+    * S(x) = e^(−x/2)·Σ_{j<df/2}(x/2)^j/j! — exact for even df (here
+    * df = (r−1)(c−1) with 5 segments × 3 bands = 8), NULL for the
+    * odd-df degenerate nations rather than an approximation. Cell
+    * terms are (n·obs − rt·ct)²/(n·rt·ct) from exact integer counts
+    * (zero-obs cells enumerated via the row×col grid), snapped to
+    * 1e-6 fixed point so the per-nation χ² is an order-free integer
+    * sum. The BH comparison cross-multiplies: p·αDen·m ≤ k·αNum on
+    * engine-identical doubles; the step-up k* and the rank window
+    * run over the ≤|nations|-row frame (the allowlisted tiny global
+    * window).
+    */
+  def bhFdr(customers: DataFrame, alphaNum: Long = 1L,
+            alphaDen: Long = 20L): DataFrame = {
+    val banded = customers.select(col("c_nationkey"),
+        col("c_mktsegment").as("seg"),
+        (expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)") + 100000L)
+          .as("off"))
+      .withColumn("band", expr("off DIV 400000"))
+    val cells = banded
+      .groupBy(col("c_nationkey"), col("seg"), col("band"))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy(col("c_nationkey"), col("seg"))
+      .agg(sum(col("obs")).as("rt"))
+    val colT = cells.groupBy(col("c_nationkey"), col("band"))
+      .agg(sum(col("obs")).as("ct"))
+    val tot = cells.groupBy(col("c_nationkey"))
+      .agg(sum(col("obs")).as("n"))
+    val grid = rowT.join(colT, Seq("c_nationkey"))
+      .join(tot, Seq("c_nationkey"))
+      .join(cells, Seq("c_nationkey", "seg", "band"), "left")
+      .na.fill(0L, Seq("obs"))
+      .withColumn("diff",
+        (col("n") * col("obs") - col("rt") * col("ct")).cast("double"))
+      .withColumn("tfp",
+        round(lit(1e6) * col("diff") * col("diff")
+          / (col("n").cast("double")
+            * (col("rt") * col("ct")).cast("double"))).cast("long"))
+    val chi = grid.groupBy(col("c_nationkey"), col("n"))
+      .agg(countDistinct(col("seg")).as("r"),
+        countDistinct(col("band")).as("c"),
+        sum(col("tfp")).as("sfp"))
+      .withColumn("df", (col("r") - 1L) * (col("c") - 1L))
+      .withColumn("chi2", col("sfp").cast("double") / lit(1e6))
+    val h = col("chi2") / lit(2.0)
+    val p = when(col("df") % 2L === 0L && col("df") >= 2L,
+      exp(-h) * (lit(1.0)
+        + when(col("df") >= 4L, h).otherwise(lit(0.0))
+        + when(col("df") >= 6L, h * h / lit(2.0)).otherwise(lit(0.0))
+        + when(col("df") >= 8L, h * h * h / lit(6.0))
+          .otherwise(lit(0.0))))
+    val withP = chi.withColumn("p_raw", p)
+    val mT = withP.agg(
+      sum(when(col("p_raw").isNotNull, 1L).otherwise(0L)).as("mt"))
+    val ranked = withP.filter(col("p_raw").isNotNull)
+      .withColumn("k", row_number().over(
+        Window.orderBy(col("p_raw").asc, col("c_nationkey").asc)))
+      .crossJoin(broadcast(mT))
+      .withColumn("ok",
+        col("p_raw") * lit(alphaDen.toDouble) * col("mt").cast("double")
+          <= col("k").cast("double") * lit(alphaNum.toDouble))
+    val kstar = ranked.agg(
+      coalesce(max(when(col("ok"), col("k"))), lit(0)).as("kstar"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("c_nationkey"), col("n"), col("df"),
+        round(col("chi2"), 6).as("chi2"),
+        round(col("p_raw"), 6).as("p_value"),
+        col("k").as("k_rank"),
+        (col("k") <= col("kstar")).as("rejected"))
+  }
+
+  /** SPLIT-CONFORMAL PREDICTION INTERVAL (Vovk et al. / Lei et al.
+    * '18 — the distribution-free coverage guarantee every "model
+    * score + error bar" pipeline should ship with): hash-split the
+    * orders into train/calibration/test; fit the trivial per-priority
+    * mean model on train; q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * absolute calibration residual; report q̂ and the MEASURED test
+    * coverage of ŷ ± q̂, which the theorem guarantees ≥ 1−α in
+    * expectation REGARDLESS of the model's quality — the point is
+    * the wrapper, not the model.
+    *
+    * Exactness: the model is a per-priority integer-cents rational
+    * mean, so residuals scale by n_train: |n·y − Σy| is an exact
+    * integer per row, comparable across rows of one priority. The
+    * quantile is a rank pick at the EXACT ⌈(n+1)(1−α)⌉ boundary
+    * (integer arithmetic: rank = n_cal + 1 − (n_cal + 1) DIV 20 for
+    * α = 1/20 ... computed as ceil via integers), and the coverage
+    * comparison is integer-vs-integer. One division per output row.
+    *
+    * Scale shape: one conditional keyed aggregate (train stats), one
+    * rank window per priority over calibration rows, one test-side
+    * keyed count. |priorities| rows out.
+    */
+  def conformalInterval(orders: DataFrame, alphaNum: Long = 1L,
+                        alphaDen: Long = 20L): DataFrame = {
+    val base = orders.select(col("o_orderpriority").as("priority"),
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("y"),
+      pmod(TextOps.fingerprint64(
+        concat(col("o_orderkey").cast("string"), lit(":conf"))),
+        lit(4L)).as("slice"))
+    // slice 0-1 train, 2 calibration, 3 test.
+    val train = base.filter(col("slice") <= 1L)
+      .groupBy(col("priority"))
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("nt"))
+    val cal = base.filter(col("slice") === 2L)
+      .join(train, Seq("priority"))
+      .select(col("priority"), col("nt"),
+        abs(col("nt") * col("y") - col("sy")).as("r"))
+    val calN = cal.groupBy(col("priority"))
+      .agg(count(lit(1)).as("nc"), max(col("nt")).as("nt2"))
+    // rank = ceil((nc+1)*(1-a)) = nc + 1 - floor((nc+1)*aNum/aDen).
+    val qhat = cal
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("priority")).orderBy(col("r").asc)))
+      .join(calN, Seq("priority"))
+      .filter(col("rk") === col("nc") + 1L
+        - expr(s"(nc + 1) * $alphaNum DIV $alphaDen"))
+      .select(col("priority"), col("nc"), col("r").as("qr"))
+    val test = base.filter(col("slice") === 3L)
+      .join(train, Seq("priority"))
+      .join(qhat, Seq("priority"))
+      .groupBy(col("priority"), col("nc"), col("nt"), col("sy"),
+        col("qr"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("nt") * col("y") - col("sy")) <= col("qr"),
+          1L).otherwise(0L)).as("n_covered"))
+    test.select(col("priority"), col("nc").as("n_cal"), col("n_test"),
+      round(col("sy").cast("double") / col("nt").cast("double")
+        / lit(100.0), 6).as("yhat_dollars"),
+      round(col("qr").cast("double") / col("nt").cast("double")
+        / lit(100.0), 6).as("qhat_dollars"),
+      round(col("n_covered").cast("double")
+        / col("n_test").cast("double"), 6).as("coverage"))
+  }
+
   /** PAIRED SIGN-FLIP PERMUTATION TEST (Fisher's randomization test,
     * the exact-inference fallback when nothing is normal): is the
     * daily view−purchase value gap real, or would random ± signs on

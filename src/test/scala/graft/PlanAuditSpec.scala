@@ -151,6 +151,9 @@ class PlanAuditSpec extends SparkSpec {
     // intrinsic_dim: the broadcast panel cross (knn_brute asymmetry
     // — the panel is the capped derived-query set, never the corpus).
     "q_intrinsic_dim",
+    // bh_fdr: the 1-row m-tests and k-star frames broadcast onto the
+    // <= |nations|-row ranked family (q_kmv_intersect family).
+    "q_bh_fdr",
     // apportion: the 1-row source-total frame.
     "q_apportion",
     // kappa: two 1-row frames (totals × pe marginal product).
@@ -234,6 +237,9 @@ class PlanAuditSpec extends SparkSpec {
     *  - the learned quantizer's init, a row_number over k = 8 rows.
     */
   private val globalWindowAllowed = Set(
+    // bh_fdr: the BH rank and step-up windows run over the test
+    // FAMILY (<= |nations| = 25 rows) — bounded by construction.
+    "q_bh_fdr",
     "q_dim_build", "q_fk_resolve", "q_dim_overwrite", "q_knn_ivf_learned",
     "q_semantic_dedup", "q_semantic_dedup_2level", "q_semdedup_prune",
     "q_knn_ivf_sq8",

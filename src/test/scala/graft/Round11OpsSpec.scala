@@ -68,6 +68,57 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
   }
 
+  test("conformalInterval: constant outcomes give qhat = 0 and exact " +
+    "full coverage; noisy outcomes stay near the 95% guarantee") {
+    val const = (1 to 400).map(i => (i.toLong, "P", 100.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val r = graft.query.Analytics.conformalInterval(const)
+      .collect().head
+    assert(r.getAs[Double]("qhat_dollars") == 0.0)
+    assert(r.getAs[Double]("yhat_dollars") == 100.0)
+    assert(r.getAs[Double]("coverage") == 1.0)
+
+    val noisy = (1 to 2000).map(i =>
+      (i.toLong, "P", 100.0 + (i % 37) * 3.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val r2 = graft.query.Analytics.conformalInterval(noisy)
+      .collect().head
+    assert(r2.getAs[Double]("coverage") >= 0.85,
+      s"split-conformal guarantee grossly violated: $r2")
+    assert(r2.getAs[Double]("qhat_dollars") > 0.0)
+  }
+
+  test("bhFdr: a dependent nation is rejected, uniform nations get " +
+    "p = 1 and survive the step-up") {
+    def block(nation: Long, k0: Long, dependent: Boolean) = {
+      val segs = Seq("A", "B", "C", "D", "E")
+      val bals = Seq(0.0, 3000.0, 7000.0)
+      if (dependent)
+        segs.zipWithIndex.flatMap { case (s, i) =>
+          (1 to 20).map(j =>
+            (k0 + i * 100 + j, nation, s, bals(i % 3)))
+        }
+      else
+        segs.zipWithIndex.flatMap { case (s, i) =>
+          bals.zipWithIndex.flatMap { case (b, bi) =>
+            (1 to 4).map(j => (k0 + i * 100 + bi * 10 + j, nation, s, b))
+          }
+        }
+    }
+    val customers = (block(0L, 10000L, dependent = true)
+      ++ block(1L, 20000L, dependent = false)
+      ++ block(2L, 30000L, dependent = false))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = graft.query.Analytics.bhFdr(customers)
+      .collect().map(r => r.getAs[Long]("c_nationkey") ->
+        (r.getAs[Long]("df"), r.getAs[Double]("p_value"),
+          r.getAs[Boolean]("rejected"))).toMap
+    assert(got(0L)._1 == 8L && got(0L)._2 < 0.001 && got(0L)._3,
+      got.toString)
+    assert(got(1L) == ((8L, 1.0, false)), got.toString)
+    assert(got(2L) == ((8L, 1.0, false)))
+  }
+
   test("rakeKeyphrases: stopword-delimited runs with hand-computed " +
     "degree/frequency scores") {
     val docs = Seq((1L, "deep learning the deep learning"),
