@@ -353,6 +353,16 @@ object AnalyticsCatalog {
     "q_acf" -> ((s, d) =>
       graft.query.Analytics.acf(Tables.events(s, d))),
 
+    // Day-of-week seasonality profile per type: epoch-day mod 7
+    // grain, exact-quotient indexes, decimal-summed variance split.
+    "q_seasonality" -> ((s, d) =>
+      graft.query.Analytics.seasonality(Tables.events(s, d))),
+
+    // mSPRT always-valid sequential test on the daily view-purchase
+    // diff: mixture likelihood ratio per day, running-min p.
+    "q_msprt" -> ((s, d) =>
+      graft.query.Analytics.msprt(Tables.events(s, d))),
+
     // BH FDR step-up over per-nation segment x balance-band
     // chi-square tests: closed-form even-df p, cross-multiplied
     // p(k) <= k*alpha/m rule on the tiny ranked frame.
@@ -1685,6 +1695,87 @@ object AnalyticsCatalog {
     "q_acf" ->
       s"""WITH $acfCtesSql
          |SELECT event_type, lag, n_terms, acf FROM acft""".stripMargin,
+
+    // Seasonality twin: same epoch-day mod 7 grain, same exact
+    // quotients, HUGEINT squared-deviation sums.
+    "q_seasonality" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS x,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      % 7 AS BIGINT) AS dow
+        |  FROM events GROUP BY 1, 2, 4),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS sx,
+        |    COUNT(*) AS n
+        |  FROM daily GROUP BY 1),
+        |bydow AS (
+        |  SELECT event_type, dow, CAST(SUM(x) AS BIGINT) AS sd,
+        |    COUNT(*) AS nd
+        |  FROM daily GROUP BY 1, 2),
+        |sst AS (
+        |  SELECT d.event_type,
+        |    CAST(SUM(CAST(n * x - sx AS HUGEINT) * (n * x - sx))
+        |      AS DOUBLE) AS sst
+        |  FROM daily d JOIN tot USING (event_type) GROUP BY 1)
+        |SELECT b.event_type, dow, nd AS n_days,
+        |  round(CAST(sd * n AS DOUBLE) / CAST(nd * sx AS DOUBLE), 6)
+        |    AS dow_index,
+        |  round(CASE WHEN sst > 0.0
+        |    THEN CAST(CAST(n * sd - nd * sx AS HUGEINT)
+        |        * (n * sd - nd * sx) AS DOUBLE)
+        |      / CAST(nd AS DOUBLE) / sst END, 6) AS var_share
+        |FROM bydow b JOIN tot USING (event_type)
+        |JOIN sst ON sst.event_type = b.event_type""".stripMargin,
+
+    // mSPRT twin: same daily diff, same HUGEINT variance, the same
+    // lambda tree and running-min always-valid p.
+    "q_msprt" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'view'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT)
+        |    - CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS d
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |stats AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(d) AS BIGINT) AS s
+        |  FROM daily),
+        |varn AS (
+        |  SELECT CAST(SUM(CAST(n * d - s AS HUGEINT) * (n * d - s))
+        |      AS DOUBLE)
+        |    / CAST(n * n * n AS DOUBLE) AS sig2
+        |  FROM daily CROSS JOIN stats GROUP BY n),
+        |run AS (
+        |  SELECT day,
+        |    row_number() OVER (ORDER BY day) AS t,
+        |    CAST(SUM(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cs
+        |  FROM daily),
+        |lam AS (
+        |  SELECT day, t,
+        |    CAST(cs AS DOUBLE) / CAST(t AS DOUBLE) AS xbar,
+        |    sqrt(1.0 / (1.0 + CAST(t AS DOUBLE)))
+        |      * exp(CAST(t AS DOUBLE)
+        |        * (CAST(cs AS DOUBLE) / CAST(t AS DOUBLE))
+        |        * (CAST(cs AS DOUBLE) / CAST(t AS DOUBLE))
+        |        / (2.0 * sig2 * (1.0 + 1.0 / CAST(t AS DOUBLE))))
+        |      AS lambda
+        |  FROM run CROSS JOIN varn),
+        |pv AS (
+        |  SELECT *, LEAST(1.0, 1.0 / MAX(lambda) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING)) AS p_av
+        |  FROM lam)
+        |SELECT day, CAST(t AS BIGINT) AS n_days_so_far,
+        |  round(xbar, 6) AS cum_mean_cents,
+        |  round(lambda, 6) AS lambda,
+        |  round(p_av, 6) AS p_always_valid,
+        |  p_av < 0.05 AS reject_at_5pct
+        |FROM pv""".stripMargin,
 
     // BH-FDR twin: same grid enumeration with zero-obs cells, same
     // fixed-point chi-square, same closed-form even-df survival and

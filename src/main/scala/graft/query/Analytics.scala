@@ -1583,6 +1583,126 @@ object Analytics {
           .as("acf"))
   }
 
+  /** DAY-OF-WEEK SEASONALITY PROFILE per event type — the STL-lite
+    * multiplicative index beside [[acf]]'s lag view: for each
+    * weekday d, index = mean(x | dow = d) / mean(x), with the share
+    * of total variance the 7 indexes explain (how much of the series
+    * is "it's just Tuesday"). Exact arithmetic: both means are
+    * integer rationals, so the index is ONE exact-quotient division
+    * per row: (Σ_d x · n) / (n_d · Σ x); the variance split uses the
+    * n-scaled integer deviation device ([[cusumDrift]]'s), so the
+    * explained-share is one more exact-integer quotient.
+    *
+    * dow is pinned engine-neutrally as the epoch-day mod 7 (day 0 =
+    * 1970-01-01, a Thursday) — locale-free, unlike dayofweek().
+    *
+    * Scale shape: the daily rollup bounds everything by the
+    * calendar; two keyed aggregates; ≤ 7 rows per type out.
+    */
+  def seasonality(events: DataFrame): DataFrame = {
+    val daily = events.select(col("event_type"),
+        to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+      .withColumn("dow", pmod(unix_date(col("day")).cast("long"),
+        lit(7L)))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val byDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("x")).as("sd"), count(lit(1)).as("nd"))
+    // Variance split in n-scaled integer space: dev_i = n·x_i − Σx;
+    // between-group piece per dow = n_d·(n·x̄_d − Σx)² with
+    // n·x̄_d − Σx = (n·Σ_d − n_d·Σx)/n_d — keep exact by comparing
+    // n_d-scaled: Σ_d (n·Σ_d − n_d·Σx)²/n_d over Σ_i (n·x_i − Σx)².
+    // Squared n-scaled deviations overflow BIGINT, and a double fold
+    // is shuffle-order-dependent — sum them as exact DECIMAL(38,0)
+    // (HUGEINT in the twin), one double conversion at the end.
+    val dev = (col("n") * col("x") - col("sx")).cast("decimal(19,0)")
+    val sst = daily.join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(dev * dev).cast("double").as("sst"))
+    val bg = (col("n") * col("sd") - col("nd") * col("sx"))
+      .cast("decimal(19,0)")
+    byDow.join(broadcast(tot), Seq("event_type"))
+      .join(broadcast(sst), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("nd").as("n_days"),
+        round((col("sd") * col("n")).cast("double")
+          / (col("nd") * col("sx")).cast("double"), 6).as("dow_index"),
+        round(when(col("sst") > 0.0,
+          (bg * bg).cast("double")
+            / col("nd").cast("double") / col("sst")), 6)
+          .as("var_share"))
+  }
+
+  /** mSPRT ALWAYS-VALID sequential test (Johari et al. '17 / Howard
+    * et al. — the "peeking is allowed" experiment readout): over the
+    * cumulative daily view−purchase diff series, the mixture
+    * likelihood ratio against θ₀ = 0 with a normal mixture prior
+    * τ² = σ̂²,
+    *
+    *   Λ_t = √(σ̂²t/(σ̂²t + t²τ²)) · exp(t²τ²·x̄_t² / (2σ̂²t·(σ̂²t…)))
+    *       = √(1/(1+t)) · exp(t·x̄_t²·/(2σ̂²·(1+1/t)))   (τ² = σ̂²)
+    *
+    * computed per day with the always-valid p_t = min(1, min_{s≤t}
+    * 1/Λ_s) — monotone by construction, so "stop the first day p
+    * crosses α" is a VALID rule no matter how often it is checked.
+    * σ̂² is the full-series integer-deviation variance (a fixed
+    * nuisance both engines derive from the same exact integers); the
+    * Λ tree is shared double arithmetic; the running min is a window
+    * over the same per-type day sort.
+    *
+    * Output per day: (day, n_days_so_far, cum_mean_cents, lambda,
+    * p_always_valid, reject_at_5pct).
+    */
+  def msprt(events: DataFrame, typeX: String = "view",
+            typeY: String = "purchase"): DataFrame = {
+    val daily = events
+      .filter(col("event_type").isin(typeX, typeY))
+      .select(to_date(col("ts")).as("day"),
+        col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_type") === typeX, col("cents"))
+          .otherwise(0L)).as("xv"),
+        sum(when(col("event_type") === typeY, col("cents"))
+          .otherwise(0L)).as("yv"))
+      .select(col("day"), (col("xv") - col("yv")).as("d"))
+      .localCheckpoint()
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("d")).as("s"))
+    // n-scaled integer variance: Σ(n·d − s)² / n³ (per-day, biased).
+    // The squared deviations sum as exact DECIMAL(38,0) (HUGEINT in
+    // the twin) — a double fold would be shuffle-order-dependent.
+    val devM = (col("n") * col("d") - col("s")).cast("decimal(19,0)")
+    val varN = daily.crossJoin(broadcast(stats))
+      .agg(sum(devM * devM).cast("double").as("ssq"),
+        max(col("n")).as("n"))
+      .select((col("ssq")
+        / (col("n") * col("n") * col("n")).cast("double")).as("sig2"))
+    val ord = Window.orderBy(col("day"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val run = daily
+      .withColumn("t", row_number().over(ord))
+      .withColumn("cs", sum(col("d")).over(cum))
+      .crossJoin(broadcast(varN))
+      .withColumn("xbar",
+        col("cs").cast("double") / col("t").cast("double"))
+      .withColumn("lambda",
+        sqrt(lit(1.0) / (lit(1.0) + col("t").cast("double")))
+          * exp(col("t").cast("double") * col("xbar") * col("xbar")
+            / (lit(2.0) * col("sig2")
+              * (lit(1.0) + lit(1.0) / col("t").cast("double")))))
+      .withColumn("p_av",
+        least(lit(1.0),
+          lit(1.0) / max(col("lambda")).over(cum)))
+    run.select(col("day"), col("t").as("n_days_so_far"),
+      round(col("xbar"), 6).as("cum_mean_cents"),
+      round(col("lambda"), 6).as("lambda"),
+      round(col("p_av"), 6).as("p_always_valid"),
+      (col("p_av") < 0.05).as("reject_at_5pct"))
+  }
+
   /** BENJAMINI–HOCHBERG FDR control ('95) over a FAMILY of per-nation
     * chi-square independence tests (segment × balance band) — the
     * multiple-testing correction the per-nation test family was

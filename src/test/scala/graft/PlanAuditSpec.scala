@@ -154,6 +154,9 @@ class PlanAuditSpec extends SparkSpec {
     // bh_fdr: the 1-row m-tests and k-star frames broadcast onto the
     // <= |nations|-row ranked family (q_kmv_intersect family).
     "q_bh_fdr",
+    // msprt: the 1-row variance frame broadcast onto the calendar-
+    // bounded daily diff series (q_ccf family).
+    "q_msprt",
     // apportion: the 1-row source-total frame.
     "q_apportion",
     // kappa: two 1-row frames (totals × pe marginal product).
@@ -240,6 +243,9 @@ class PlanAuditSpec extends SparkSpec {
     // bh_fdr: the BH rank and step-up windows run over the test
     // FAMILY (<= |nations| = 25 rows) — bounded by construction.
     "q_bh_fdr",
+    // msprt: the sequential scan IS one global day order — the frame
+    // is CALENDAR-bounded (the theilSen argument), never data-sized.
+    "q_msprt",
     "q_dim_build", "q_fk_resolve", "q_dim_overwrite", "q_knn_ivf_learned",
     "q_semantic_dedup", "q_semantic_dedup_2level", "q_semdedup_prune",
     "q_knn_ivf_sq8",

@@ -68,6 +68,53 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
   }
 
+  test("seasonality: a perfectly weekly series yields exact indexes " +
+    "and variance shares summing to 1") {
+    // Two identical weeks: value = (dow+1) dollars, dow = epoch%7.
+    val rows = (0 until 14).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      val dow = java.lang.Math.floorMod(d.toEpochDay, 7L)
+      ("a", java.sql.Timestamp.valueOf(d.atStartOfDay()),
+        (dow + 1).toDouble)
+    }
+    val got = graft.query.Analytics.seasonality(
+        rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getAs[Long]("dow") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("dow_index"),
+          r.getAs[Double]("var_share"))).toMap
+    assert(got.size == 7 && got.values.forall(_._1 == 2L))
+    // index(dow k) = (k+1)/4; var_share = (k-3)^2/28.
+    assert(got(6L)._2 == 1.75, got.toString)
+    assert(got(6L)._3 == BigDecimal(9.0 / 28.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-5,
+      got.toString)
+  }
+
+  test("msprt: null diffs never reject; a persistent gap drives the " +
+    "always-valid p below 0.05 and p is monotone") {
+    def ev(t: String, d: Int, v: Double) =
+      (t, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"), v)
+    // Alternating small noise around zero -> no rejection ever.
+    val nullish = (1 to 24).flatMap(d => Seq(
+      ev("view", d, if (d % 2 == 0) 5.0 else 4.0),
+      ev("purchase", d, if (d % 2 == 0) 4.0 else 5.0)))
+    val r0 = graft.query.Analytics.msprt(
+        nullish.toDF("event_type", "ts", "value")).collect()
+    assert(r0.forall(!_.getAs[Boolean]("reject_at_5pct")), "no reject")
+
+    // Persistent +3.00 gap with mild variation -> eventual rejection.
+    val gap = (1 to 24).flatMap(d => Seq(
+      ev("view", d, 8.0 + (d % 3)), ev("purchase", d, 5.0)))
+    val r1 = graft.query.Analytics.msprt(
+        gap.toDF("event_type", "ts", "value"))
+      .orderBy(col("day")).collect()
+    val ps = r1.map(_.getAs[Double]("p_always_valid"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a },
+      s"always-valid p must be monotone: ${ps.toSeq}")
+    assert(ps.last < 0.05, s"persistent gap should reject: ${ps.toSeq}")
+  }
+
   test("conformalInterval: constant outcomes give qhat = 0 and exact " +
     "full coverage; noisy outcomes stay near the 95% guarantee") {
     val const = (1 to 400).map(i => (i.toLong, "P", 100.0))
