@@ -776,6 +776,39 @@ object AnalyticsCatalog {
             ELSE 0 END) AS DOUBLE) / 1048576.0, 6) AS decayed_count
         FROM events_typed CROSS JOIN ref
         GROUP BY event_type""")
+    }),
+
+    // SQL-text CUSUM (the fixed 0-seeded closed form as dialect
+    // text over the typed view — v is the Money decimal, so the
+    // cents snap is CAST(v * 100 AS BIGINT); the twin mirrors the
+    // decimal path explicitly).
+    "q_sql_cusum" -> ((s, d) => {
+      graft.queries.Views.register(s, d)
+      s.sql("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+            SUM(CAST(v * 100 AS BIGINT)) AS x
+          FROM events_typed GROUP BY 1, 2),
+        stats AS (
+          SELECT event_type, SUM(x) AS sumx, COUNT(*) AS n
+          FROM daily GROUP BY 1),
+        w AS (
+          SELECT /*+ BROADCAST(stats) */ d.event_type, d.day, d.x,
+            s.sumx, s.n,
+            row_number() OVER (PARTITION BY d.event_type
+              ORDER BY d.day) AS t,
+            SUM(d.x) OVER (PARTITION BY d.event_type ORDER BY d.day
+              ROWS UNBOUNDED PRECEDING) AS ps
+          FROM daily d JOIN stats s ON d.event_type = s.event_type),
+        p AS (SELECT *, ps * n - t * sumx AS p FROM w),
+        m AS (SELECT *, LEAST(CAST(0 AS BIGINT),
+            MIN(p) OVER (PARTITION BY event_type ORDER BY day
+              ROWS UNBOUNDED PRECEDING)) AS pmin
+          FROM p)
+        SELECT event_type, day, x AS day_total_cents,
+          p - pmin AS cusum_scaled,
+          (p - pmin) > 2 * sumx AS alarm
+        FROM m""")
     })
   )
 
@@ -3207,7 +3240,35 @@ object AnalyticsCatalog {
     // variant computes the identical plan from the view, so one twin
     // gates both.
     "q_decay_counts" -> decayCountsSql,
-    "q_sql_decay_counts" -> decayCountsSql
+    "q_sql_decay_counts" -> decayCountsSql,
+
+    // SQL-text CUSUM twin: the decimal Money path spelled out
+    // (round-to-2dp then x100), same 0-seeded running min.
+    "q_sql_cusum" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(round(value, 2) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS sumx,
+        |    COUNT(*) AS n
+        |  FROM daily GROUP BY 1),
+        |w AS (
+        |  SELECT d.event_type, d.day, d.x, s.sumx, s.n,
+        |    row_number() OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day) AS t,
+        |    CAST(SUM(d.x) OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps
+        |  FROM daily d JOIN stats s USING (event_type)),
+        |p AS (SELECT *, ps * n - t * sumx AS p FROM w),
+        |m AS (SELECT *, LEAST(CAST(0 AS BIGINT),
+        |    CAST(MIN(p) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS pmin
+        |  FROM p)
+        |SELECT event_type, day, x AS day_total_cents,
+        |  p - pmin AS cusum_scaled,
+        |  (p - pmin) > 2 * sumx AS alarm
+        |FROM m""".stripMargin
   )
 
   private lazy val decayCountsSql: String =

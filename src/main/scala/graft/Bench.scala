@@ -169,7 +169,8 @@ object Bench {
     // r11 wave 3, benched at birth.
     "q_chi2_features", "q_sign_flip", "q_intrinsic_dim", "q_rake",
     // r11 wave 4, benched at birth.
-    "q_conformal", "q_bh_fdr", "q_seasonality", "q_msprt")
+    "q_conformal", "q_bh_fdr", "q_seasonality", "q_msprt",
+    "q_sql_cusum")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled
