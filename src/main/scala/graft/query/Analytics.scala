@@ -1599,12 +1599,20 @@ object Analytics {
     * Scale shape: the daily rollup bounds everything by the
     * calendar; two keyed aggregates; ≤ 7 rows per type out.
     */
-  def seasonality(events: DataFrame): DataFrame = {
-    val daily = events.select(col("event_type"),
-        to_date(col("ts")).as("day"),
-        round(col("value") * 100, 0).cast("long").as("cents"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("cents")).as("x"))
+  def seasonality(events: DataFrame): DataFrame =
+    seasonalityFinish(
+      events.select(col("event_type"), to_date(col("ts")).as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("x")))
+
+  /** The seasonality readout over a (event_type, day, x) daily frame
+    * — shared by the batch operator and the streaming twin (the
+    * cusumFinish pattern: the per-(type, day) histogram is one
+    * sufficient statistic feeding multiple estimators).
+    */
+  private[graft] def seasonalityFinish(dailyIn: DataFrame): DataFrame = {
+    val daily = dailyIn
       .withColumn("dow", pmod(unix_date(col("day")).cast("long"),
         lit(7L)))
     val tot = daily.groupBy(col("event_type"))

@@ -367,6 +367,23 @@ object StreamingSketch {
           else { state.update(true); Iterator.single(UserSeen(u)) }
       }(Encoders.scalaBoolean, Encoders.product[UserSeen])
 
+  /** Stateless SEASONALITY readout over the SAME [[cusumStream]]
+    * day-histogram state — the third estimator off one persisted
+    * sufficient statistic (CUSUM drift, and now the dow profile):
+    * shared `Analytics.seasonalityFinish`, so the parity spec
+    * compares frames directly against the batch operator.
+    */
+  def seasonalityFromHistograms(hists: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.query.Analytics.seasonalityFinish(
+      hists
+        .select(col("g").as("event_type"), explode(col("days")).as("dc"))
+        .select(col("event_type"),
+          date_from_unix_date(col("dc.day")).as("day"),
+          col("dc.cents").as("x")))
+  }
+
   case class PriorityDur(g: String, t: Long, ev: Int)
   case class DurCell(t: Long, d: Long, c: Long)
   case class KmHist(g: String, cells: Seq[DurCell])

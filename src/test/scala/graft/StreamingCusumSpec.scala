@@ -65,6 +65,21 @@ class StreamingCusumSpec extends SparkSpec {
       s"${batch.toSet.diff(got.toSet).take(3)}")
     // really incremental: more emitted updates than groups
     assert(streamedN > got.keySet.map(_._1).size)
+
+    // The SAME persisted day histogram feeds the seasonality readout
+    // — third estimator off one sufficient statistic.
+    def seaMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getString(0), r.getAs[Long]("dow")) ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("dow_index"),
+          Option(r.getAs[java.lang.Double]("var_share"))
+            .map(_.toDouble))
+    }.toMap
+    val seaBatch = seaMap(Analytics.seasonality(events).collect())
+    val seaGot = seaMap(StreamingSketch.seasonalityFromHistograms(
+        spark.createDataset(lastHists("cusum_stream"))(
+          Encoders.product[CusumHist]).toDF())
+      .collect())
+    assert(seaGot == seaBatch, "seasonality readout: streaming != batch")
   }
 
   test("a level shift arriving in later micro-batches flips the " +
