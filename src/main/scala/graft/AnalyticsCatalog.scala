@@ -277,6 +277,15 @@ object AnalyticsCatalog {
         Tables.supplier(s, d).filter(col("s_suppkey") % 5 === 0)
           .select((col("s_suppkey") * 2L + 1L).as("node")))),
 
+    // Two-sweep diameter lower bound on the same purchase graph:
+    // BFS, restart from the farthest node, report its eccentricity.
+    "q_diameter" -> ((s, d) =>
+      graft.operators.Graph.diameterTwoSweep(
+        graft.operators.Graph.purchaseEdges(
+          Tables.orders(s, d), Tables.lineitem(s, d)),
+        Tables.supplier(s, d).filter(col("s_suppkey") % 5 === 0)
+          .select((col("s_suppkey") * 2L + 1L).as("node")))),
+
     // HITS hubs & authorities over the DIRECTED customer→supplier
     // purchase graph: authorities rank suppliers by how strongly
     // well-connected customers buy from them, hubs rank customers
@@ -1433,6 +1442,27 @@ object AnalyticsCatalog {
          |       FROM supplier WHERE s_suppkey % 5 = 0),
          |${(1 to 4).map(bfsIterSql).mkString(",\n")}
          |SELECT node, dist FROM d4""".stripMargin,
+
+    // Two-sweep diameter twin: the bfs chain twice under independent
+    // CTE prefixes, the (dist DESC, node) restart pick in between.
+    "q_diameter" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
+         |      UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |d0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node, 0 AS dist
+         |       FROM supplier WHERE s_suppkey % 5 = 0),
+         |${(1 to 6).map(bfsIterSqlNamed("d")).mkString(",\n")},
+         |far AS (SELECT node, dist FROM d6
+         |        ORDER BY dist DESC, node LIMIT 1),
+         |f0 AS (SELECT node, 0 AS dist FROM far),
+         |${(1 to 6).map(bfsIterSqlNamed("f")).mkString(",\n")}
+         |SELECT far.node AS far_node,
+         |  CAST(far.dist AS INT) AS ecc_seed_lb,
+         |  (SELECT CAST(MAX(dist) AS INT) FROM f6) AS diameter_lb,
+         |  (SELECT COUNT(*) FROM f6) AS n_reached
+         |FROM far""".stripMargin,
 
     // HITS twin: directed customer→supplier edges, then 5 unrolled
     // iterations of the sequential (auth from hub, hub from fresh
@@ -3349,15 +3379,22 @@ object AnalyticsCatalog {
     * frontier, dedup destinations, anti-join the already-reached,
     * append at distance k. Integer-only — no float hazard at all.
     */
-  private def bfsIterSql(k: Int): String = {
-    val prev = s"d${k - 1}"
-    s"""n$k AS (SELECT DISTINCT e.dst AS node
+  private def bfsIterSql(k: Int): String = bfsIterSqlNamed("d")(k)
+
+  /** One BFS frontier round under a caller-chosen CTE prefix — the
+    * two-sweep diameter twin needs TWO independent walks. */
+  private def bfsIterSqlNamed(p: String)(k: Int): String = {
+    val prev = s"$p${k - 1}"
+    // MATERIALIZED: each round references its predecessor twice
+    // (carry + anti join) — inlined, the chain re-evaluates
+    // exponentially (the two-sweep twin ran out of file handles).
+    s"""${p}n$k AS MATERIALIZED (SELECT DISTINCT e.dst AS node
        |        FROM e JOIN $prev f ON e.src = f.node
        |        WHERE f.dist = ${k - 1}),
-       |d$k AS (SELECT node, dist FROM $prev
+       |$p$k AS MATERIALIZED (SELECT node, dist FROM $prev
        |        UNION ALL
-       |        SELECT n$k.node, ${k} AS dist FROM n$k
-       |        LEFT JOIN $prev r ON n$k.node = r.node
+       |        SELECT ${p}n$k.node, ${k} AS dist FROM ${p}n$k
+       |        LEFT JOIN $prev r ON ${p}n$k.node = r.node
        |        WHERE r.node IS NULL)""".stripMargin
   }
 

@@ -170,7 +170,9 @@ object Bench {
     "q_chi2_features", "q_sign_flip", "q_intrinsic_dim", "q_rake",
     // r11 wave 4, benched at birth.
     "q_conformal", "q_bh_fdr", "q_seasonality", "q_msprt",
-    "q_sql_cusum")
+    "q_sql_cusum",
+    // r11 wave 6, benched at birth.
+    "q_isotonic", "q_diameter")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -289,6 +289,33 @@ object PipelineCatalog {
     * verdicts. Shared by q_nb_classifier (verdict projection) and
     * q_nb_eval (per-class confusion tail).
     */
+  /** The calibration-bin CTE chain (TextClassify.nbCalibration twin)
+    * ending in `calib(bin, n_docs, n_correct, accuracy, mean_margin)`
+    * — shared by q_nb_calibration and the isotonic fit on top.
+    */
+  private lazy val calibCtesSql =
+    s"""$nbCtesSql,
+       |top1 AS (SELECT doc_id, cls AS pred, actual, score AS s1
+       |         FROM fin WHERE rk = 1),
+       |top2 AS (SELECT doc_id, score AS s2 FROM fin WHERE rk = 2),
+       |mrg AS (
+       |  SELECT (t1.pred = t1.actual) AS correct,
+       |    CAST(round((s1 - s2) * 1e6) AS BIGINT) AS mfp
+       |  FROM top1 t1 JOIN top2 USING (doc_id)),
+       |bb AS (
+       |  SELECT CAST(least(mfp // 2000000, 9) AS INT) AS bin,
+       |    correct, mfp
+       |  FROM mrg),
+       |calib AS MATERIALIZED (
+       |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_correct,
+       |    round(CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END)
+       |        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
+       |    round(CAST(SUM(mfp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |      / 1e6, 6) AS mean_margin
+       |  FROM bb GROUP BY 1)""".stripMargin
+
   private val nbCtesSql =
     """toks AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS t
@@ -1006,6 +1033,13 @@ object PipelineCatalog {
     // runner-up log-posterior, 1e-6 fixed point, 2-nat integer DIV
     // buckets), per-bin accuracy — does the confidence a gating
     // threshold cuts on actually predict correctness.
+    // Isotonic calibration of the margin bins: the PAVA solution via
+    // the minimax closed form on <= 10 bins — a fixed plan both
+    // engines share, no sequential pooling loop.
+    "q_isotonic" -> ((s, d) =>
+      graft.operators.TextClassify.isotonicCalibration(
+        Tables.documents(s, d))),
+
     "q_nb_calibration" -> ((s, d) =>
       graft.operators.TextClassify.nbCalibration(Tables.documents(s, d))),
 
@@ -3363,26 +3397,40 @@ object PipelineCatalog {
     // 1e-6-snapped margin, integer DIV bins capped at 9, exact bin
     // counts, two divisions on the bin rows.
     "q_nb_calibration" ->
-      s"""WITH $nbCtesSql,
-         |top1 AS (SELECT doc_id, cls AS pred, actual, score AS s1
-         |         FROM fin WHERE rk = 1),
-         |top2 AS (SELECT doc_id, score AS s2 FROM fin WHERE rk = 2),
-         |m AS (
-         |  SELECT (t1.pred = t1.actual) AS correct,
-         |    CAST(round((s1 - s2) * 1e6) AS BIGINT) AS mfp
-         |  FROM top1 t1 JOIN top2 USING (doc_id)),
-         |b AS (
-         |  SELECT CAST(least(mfp // 2000000, 9) AS INT) AS bin,
-         |    correct, mfp
-         |  FROM m)
-         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_correct,
-         |  round(CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END)
-         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
-         |  round(CAST(SUM(mfp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-         |    / 1e6, 6) AS mean_margin
-         |FROM b GROUP BY 1""".stripMargin,
+      s"""WITH $calibCtesSql
+         |SELECT bin, n_docs, n_correct, accuracy, mean_margin
+         |FROM calib""".stripMargin,
+
+    // Isotonic-calibration twin: the shared calibration-bin chain +
+    // the minimax closed form over the <= 10-bin enumeration.
+    "q_isotonic" ->
+      s"""WITH $calibCtesSql,
+         |cum AS (
+         |  SELECT bin,
+         |    CAST(SUM(n_docs) OVER w AS BIGINT) AS nc,
+         |    CAST(SUM(n_correct) OVER w AS BIGINT) AS cc
+         |  FROM calib
+         |  WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+         |lo AS (
+         |  SELECT bin AS i,
+         |    COALESCE(LAG(nc) OVER (ORDER BY bin), 0) AS n0,
+         |    COALESCE(LAG(cc) OVER (ORDER BY bin), 0) AS c0
+         |  FROM cum),
+         |pairs AS (
+         |  SELECT lo.i, c.bin AS k,
+         |    CAST(c.cc - lo.c0 AS DOUBLE)
+         |      / CAST(c.nc - lo.n0 AS DOUBLE) AS avg
+         |  FROM lo JOIN cum c ON lo.i <= c.bin),
+         |trip AS (
+         |  SELECT cb.bin AS j, p.i, MIN(p.avg) AS minavg
+         |  FROM calib cb JOIN pairs p
+         |    ON p.i <= cb.bin AND p.k >= cb.bin
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT j AS bin, MAX(minavg) AS cal FROM trip
+         |  GROUP BY 1)
+         |SELECT calib.bin, n_docs, accuracy,
+         |  round(cal, 6) AS calibrated
+         |FROM calib JOIN iso USING (bin)""".stripMargin,
 
     // Confident-learning twin: the shared NB chain, margin
     // self-confidence snapped at 1e-6, rational thresholds compared

@@ -401,6 +401,35 @@ object Graph {
     reached
   }
 
+  /** TWO-SWEEP DIAMETER lower bound (Magnien–Latapy–Habib '09 — the
+    * standard cheap diameter estimate): BFS from a seed set, restart
+    * a second BFS from the farthest node reached (min-id tie-break),
+    * and report that sweep's eccentricity — for many real graphs the
+    * bound is the exact diameter, at the cost of exactly two
+    * [[bfsHops]] walks instead of an all-pairs computation. The
+    * "how many hops wide is this graph really" read the BFS operator
+    * alone doesn't give.
+    *
+    * Output (1 row): the sweep-2 start node, the seed set's
+    * eccentricity bound, the diameter lower bound, and how many
+    * nodes sweep 2 reached (an unreached component shows up here,
+    * not as a silently-small diameter). Determinism: hop counts are
+    * integers; the farthest pick is (dist desc, node asc).
+    */
+  def diameterTwoSweep(edges: DataFrame, seeds: DataFrame,
+                       maxHops: Int = 6): DataFrame = {
+    val s1 = bfsHops(edges, seeds, maxHops)
+    val far = s1.orderBy(col("dist").desc, col("node").asc).limit(1)
+      .localCheckpoint()
+    val s2 = bfsHops(edges, far.select(col("node")), maxHops)
+    s2.agg(max(col("dist")).as("diameter_lb"),
+        count(lit(1)).as("n_reached"))
+      .crossJoin(broadcast(far.select(col("node").as("far_node"),
+        col("dist").as("ecc_seed_lb"))))
+      .select(col("far_node"), col("ecc_seed_lb"),
+        col("diameter_lb"), col("n_reached"))
+  }
+
   /** HITS hubs & authorities (Kleinberg '99): the mutually-recursive
     * pair auth(v) = Σ_{u→v} hub(u), hub(v) = Σ_{v→u} auth(u), each
     * L1-normalized per half-step — on a bipartite purchase graph the

@@ -163,6 +163,56 @@ object TextClassify {
           / col("n_docs").cast("double") / 1e6, 6).as("mean_margin"))
   }
 
+  /** ISOTONIC CALIBRATION of the [[nbCalibration]] reliability bins
+    * (Zadrozny & Elkan '02 — the calibration map that only assumes
+    * monotonicity): fit the least-squares MONOTONE accuracy curve
+    * over the margin bins via the MINIMAX closed form
+    *
+    *   ŷ_j = max_{i≤j} min_{k≥j} (C_k − C_{i−1}) / (N_k − N_{i−1})
+    *
+    * (C/N cumulative correct/count) — the pool-adjacent-violators
+    * solution WITHOUT the sequential pooling loop, which is what
+    * makes it a fixed plan AND a plain SQL twin: with B ≤ 10 bins
+    * the (i, j, k) enumeration is ≤ B³ rows of exact-integer-ratio
+    * doubles, and min/max over identical doubles is engine-exact.
+    *
+    * Scale shape: everything after the (corpus-sized) bin build runs
+    * on ≤ B-row frames — the windows and inequality joins are
+    * constant-bounded by construction.
+    */
+  def isotonicCalibration(docs: DataFrame, labelCol: String = "lang",
+                          testMod: Int = 5): DataFrame =
+    isotonicFit(nbCalibration(docs, labelCol, testMod)
+      .localCheckpoint(false))
+
+  /** The minimax fit over an arbitrary (bin, n_docs, n_correct,
+    * accuracy) bin frame — exposed for direct unit anchoring.
+    */
+  private[graft] def isotonicFit(calib: DataFrame): DataFrame = {
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.orderBy(col("bin"))
+    val cum = calib.select(col("bin"),
+        sum(col("n_docs")).over(wCum).as("nc"),
+        sum(col("n_correct")).over(wCum).as("cc"))
+      .localCheckpoint(false)
+    val lo = cum.select(col("bin").as("i"),
+      coalesce(lag(col("nc"), 1).over(wLag), lit(0L)).as("n0"),
+      coalesce(lag(col("cc"), 1).over(wLag), lit(0L)).as("c0"))
+    val pairs = lo.join(broadcast(cum.select(col("bin").as("k"),
+        col("nc"), col("cc"))), col("i") <= col("k"))
+      .select(col("i"), col("k"),
+        ((col("cc") - col("c0")).cast("double")
+          / (col("nc") - col("n0")).cast("double")).as("avg"))
+    val iso = calib.select(col("bin").as("j"))
+      .join(broadcast(pairs), col("i") <= col("j") && col("k") >= col("j"))
+      .groupBy(col("j"), col("i")).agg(min(col("avg")).as("minavg"))
+      .groupBy(col("j")).agg(max(col("minavg")).as("cal"))
+    calib.join(iso.withColumnRenamed("j", "bin"), Seq("bin"))
+      .select(col("bin"), col("n_docs"), col("accuracy"),
+        round(col("cal"), 6).as("calibrated"))
+  }
+
   /** CONFIDENT-LEARNING label-noise matrix (Northcutt, Jiang & Chuang
     * '21): estimate WHICH labels are wrong by counting docs into
     * C[given label i][confident class j], where a doc counts for

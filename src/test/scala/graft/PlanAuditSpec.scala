@@ -157,6 +157,12 @@ class PlanAuditSpec extends SparkSpec {
     // msprt: the 1-row variance frame broadcast onto the calendar-
     // bounded daily diff series (q_ccf family).
     "q_msprt",
+    // isotonic: the <= B^2 inequality joins of the minimax closed
+    // form run on bin frames capped at 10 rows by construction.
+    "q_isotonic",
+    // diameter: the 1-row farthest-node frame broadcast under the
+    // readout (q_kmv_intersect family).
+    "q_diameter",
     // apportion: the 1-row source-total frame.
     "q_apportion",
     // kappa: two 1-row frames (totals × pe marginal product).
@@ -246,6 +252,8 @@ class PlanAuditSpec extends SparkSpec {
     // msprt: the sequential scan IS one global day order — the frame
     // is CALENDAR-bounded (the theilSen argument), never data-sized.
     "q_msprt",
+    // isotonic: cumulative/lag windows over the <= 10-bin frame.
+    "q_isotonic",
     "q_dim_build", "q_fk_resolve", "q_dim_overwrite", "q_knn_ivf_learned",
     "q_semantic_dedup", "q_semantic_dedup_2level", "q_semdedup_prune",
     "q_knn_ivf_sq8",

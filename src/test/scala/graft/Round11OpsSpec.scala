@@ -68,6 +68,39 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
   }
 
+  test("diameterTwoSweep: center seed on a path graph finds the true " +
+    "diameter from the farthest end") {
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val r = graft.operators.Graph.diameterTwoSweep(
+      e, Seq(3L).toDF("node")).collect().head
+    assert(r.getAs[Long]("far_node") == 1L, r.toString)
+    assert(r.getAs[Int]("ecc_seed_lb") == 2)
+    assert(r.getAs[Int]("diameter_lb") == 4)
+    assert(r.getAs[Long]("n_reached") == 5L)
+  }
+
+  test("isotonicFit: a violating bin pair pools to its weighted mean; " +
+    "monotone input is a fixed point") {
+    // accuracies (0.5, 0.8, 0.6, 0.9) with n=10 each: PAVA pools bins
+    // 1,2 -> 0.7; minimax must produce (0.5, 0.7, 0.7, 0.9).
+    val bins = Seq((0, 10L, 5L, 0.5), (1, 10L, 8L, 0.8),
+      (2, 10L, 6L, 0.6), (3, 10L, 9L, 0.9))
+      .toDF("bin", "n_docs", "n_correct", "accuracy")
+    val got = graft.operators.TextClassify.isotonicFit(bins)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        r.getAs[Double]("calibrated")).toMap
+    assert(got == Map(0 -> 0.5, 1 -> 0.7, 2 -> 0.7, 3 -> 0.9),
+      got.toString)
+
+    val mono = Seq((0, 10L, 2L, 0.2), (1, 10L, 5L, 0.5),
+      (2, 10L, 9L, 0.9)).toDF("bin", "n_docs", "n_correct", "accuracy")
+    val got2 = graft.operators.TextClassify.isotonicFit(mono)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        r.getAs[Double]("calibrated")).toMap
+    assert(got2 == Map(0 -> 0.2, 1 -> 0.5, 2 -> 0.9), got2.toString)
+  }
+
   test("seasonality: a perfectly weekly series yields exact indexes " +
     "and variance shares summing to 1") {
     // Two identical weeks: value = (dow+1) dollars, dow = epoch%7.
