@@ -1033,6 +1033,11 @@ object PipelineCatalog {
     // runner-up log-posterior, 1e-6 fixed point, 2-nat integer DIV
     // buckets), per-bin accuracy — does the confidence a gating
     // threshold cuts on actually predict correctness.
+    // Content-defined chunking dedup audit: Rabin-boundary chunks
+    // (k-gram hash % 16 == 0), per-source chunk-level dedup share.
+    "q_cdc_chunks" -> ((s, d) =>
+      graft.operators.Dedup.cdcChunkStats(Tables.documents(s, d))),
+
     // Isotonic calibration of the margin bins: the PAVA solution via
     // the minimax closed form on <= 10 bins — a fixed plan both
     // engines share, no sequential pooling loop.
@@ -3400,6 +3405,47 @@ object PipelineCatalog {
       s"""WITH $calibCtesSql
          |SELECT bin, n_docs, n_correct, accuracy, mean_margin
          |FROM calib""".stripMargin,
+
+    // CDC twin: the winnow k-gram hash chain, the same boundary rule
+    // and (start, end] slice reconstruction, exact token volumes.
+    "q_cdc_chunks" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents),
+        |h AS (
+        |  SELECT source, t,
+        |    list_transform(
+        |      list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+        |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+        |  FROM toks),
+        |cut AS (
+        |  SELECT source, t,
+        |    list_transform(
+        |      list_filter(range(1, len(hs) + 1), i -> hs[i] % 16 = 0),
+        |      i -> i + 2) AS cuts
+        |  FROM h),
+        |chunks AS (
+        |  SELECT source,
+        |    unnest(list_transform(range(1, len(cuts) + 2),
+        |      ci -> array_to_string(
+        |        t[([0] || cuts)[ci] + 1 : (cuts || [len(t)])[ci]],
+        |        ' '))) AS chunk
+        |  FROM cut),
+        |ch AS (
+        |  SELECT source, chunk,
+        |    ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS fp,
+        |    CAST(len(string_split(chunk, ' ')) AS BIGINT) AS toks
+        |  FROM chunks WHERE chunk <> ''),
+        |per AS (
+        |  SELECT source, fp, COUNT(*) AS n, MAX(toks) AS toks
+        |  FROM ch GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_chunks,
+        |  COUNT(*) AS n_distinct,
+        |  CAST(SUM(n * toks) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(toks) AS BIGINT) AS distinct_tokens,
+        |  round(1.0 - CAST(SUM(toks) AS DOUBLE)
+        |    / CAST(SUM(n * toks) AS DOUBLE), 6) AS dedup_share
+        |FROM per GROUP BY 1""".stripMargin,
 
     // Isotonic-calibration twin: the shared calibration-bin chain +
     // the minimax closed form over the <= 10-bin enumeration.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -1278,4 +1278,60 @@ object Dedup {
       .select(col("split_class"), col("n_pairs"),
         round(col("n_pairs").cast("double") / col("tot"), 6).as("share"))
   }
+
+  /** CONTENT-DEFINED CHUNKING dedup audit (the Rabin-boundary device
+    * under every storage deduplicator, LBFS/Data Domain lineage) —
+    * the STORAGE-dedup read beside the similarity family: cut each
+    * document where a rolling k-gram hash ≡ 0 (mod `maskMod`), so an
+    * insertion reshuffles only its LOCAL chunks (fixed-width chunking
+    * would shift every later boundary), then measure per source how
+    * much of the token volume survives chunk-level dedup.
+    *
+    * Expected chunk length ≈ maskMod grams; boundaries, chunk slices
+    * and fingerprints are pure array expressions over the scan (the
+    * winnow hash chain reused verbatim — no shuffle before the chunk
+    * explode). Readout per source: chunk counts, token volumes, and
+    * dedup_share = 1 − distinct_tokens/total_tokens, all exact
+    * integers until the one division.
+    */
+  def cdcChunkStats(docs: DataFrame, k: Int = 3,
+                    maskMod: Long = 16L): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val hs = transform(TextOps.ngramsAll(col("text"), k),
+      g => TextOps.fingerprint64(g))
+    // Gram i a boundary -> the chunk ends at token i + k - 1.
+    // (sequence(1, 0) counts DOWN in Spark — guard the empty case.)
+    val idx = when(size(hs) > 0, sequence(lit(1), size(hs)))
+      .otherwise(array().cast("array<int>"))
+    val cuts = transform(
+      filter(idx,
+        i => pmod(element_at(hs, i), lit(maskMod)) === 0L),
+      i => i + lit(k - 1))
+    val chunks = docs.select(col("source"),
+        explode(expr_chunks(t, cuts)).as("chunk"))
+      .filter(col("chunk") =!= "")
+      .select(col("source"),
+        TextOps.fingerprint64(col("chunk")).as("fp"),
+        size(TextOps.tokens(col("chunk"))).cast("long").as("toks"))
+    val per = chunks.groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("n"), max(col("toks")).as("toks"))
+    per.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") * col("toks")).as("total_tokens"),
+        sum(col("toks")).as("distinct_tokens"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        col("total_tokens"), col("distinct_tokens"),
+        round(lit(1.0) - col("distinct_tokens").cast("double")
+          / col("total_tokens").cast("double"), 6).as("dedup_share"))
+  }
+
+  /** Chunk texts from token array `t` and ascending cut positions:
+    * slices (start, end] zipped from [0]++cuts and cuts++[size]. */
+  private def expr_chunks(t: Column, cuts: Column): Column =
+    zip_with(
+      concat(array(lit(0)), cuts),
+      concat(cuts, array(size(t))),
+      (s, e) => when(e > s, concat_ws(" ", slice(t, s + 1, e - s)))
+        .otherwise(lit("")))
 }

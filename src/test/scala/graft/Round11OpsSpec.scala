@@ -68,6 +68,33 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
   }
 
+  test("cdcChunkStats: exact duplicates dedup to half the volume; a " +
+    "single mid-doc edit only perturbs its local chunks") {
+    val rnd = new scala.util.Random(42)
+    val words = (1 to 400).map(_ => s"w${rnd.nextInt(5000)}")
+    val base = words.mkString(" ")
+    val dup = Seq((1L, base, "dup"), (2L, base, "dup"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.Dedup.cdcChunkStats(dup)
+      .collect().head
+    assert(r.getAs[Long]("n_chunks") == 2L * r.getAs[Long]("n_distinct"))
+    assert(r.getAs[Double]("dedup_share") == 0.5, r.toString)
+    assert(r.getAs[Long]("total_tokens") == 800L)
+
+    val edited = words.updated(200, "EDITED").mkString(" ")
+    val near = Seq((1L, base, "near"), (2L, edited, "near"))
+      .toDF("doc_id", "text", "source")
+    val r2 = graft.operators.Dedup.cdcChunkStats(near)
+      .collect().head
+    assert(r2.getAs[Double]("dedup_share") > 0.3,
+      s"content-defined boundaries localize the edit: $r2")
+
+    val tiny = Seq((1L, "a b", "tiny")).toDF("doc_id", "text", "source")
+    val r3 = graft.operators.Dedup.cdcChunkStats(tiny).collect().head
+    assert(r3.getAs[Long]("n_chunks") == 1L)
+    assert(r3.getAs[Long]("total_tokens") == 2L)
+  }
+
   test("diameterTwoSweep: center seed on a path graph finds the true " +
     "diameter from the farthest end") {
     val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
