@@ -448,6 +448,13 @@ object AnalyticsCatalog {
       graft.query.Analytics.spearman(
         Tables.customer(s, d), Tables.orders(s, d))),
 
+    // Minimum detectable effect at 80% power / 5% alpha over
+    // per-customer post-period spend: exact integer moments, one
+    // shared closed-form double tree.
+    "q_mde" -> ((s, d) =>
+      graft.query.Analytics.mde(
+        Tables.customer(s, d), Tables.orders(s, d))),
+
     // Sample-ratio-mismatch guardrail: distinct event users through
     // the 90/10 hash lottery, chi-square of observed arm counts vs
     // design in 1e6 fixed point, df=1 alpha=0.01 alarm.
@@ -2319,6 +2326,42 @@ object AnalyticsCatalog {
         |        * (CAST(n AS DOUBLE) * syy
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    END, 6) AS rho
+        |FROM g""".stripMargin,
+
+    // MDE twin: same per-customer integer outcomes, HUGEINT second
+    // moment, same pinned z constants and closed form.
+    "q_mde" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+        |        >= DATE '1996-01-01'
+        |      THEN CAST(round(o_totalprice, 0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |units AS (
+        |  SELECT COALESCE(y, 0) AS y
+        |  FROM customer LEFT JOIN per ON c_custkey = o_custkey),
+        |g AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |  FROM units)
+        |SELECT n AS n_units,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS mean_spend,
+        |  round(sqrt((CAST(n AS DOUBLE) * syy
+        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS sigma,
+        |  round(2.801586 * 2.0 * sqrt((CAST(n AS DOUBLE) * syy
+        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    / sqrt(CAST(n AS DOUBLE)), 6) AS mde_abs,
+        |  round(CASE WHEN sy > 0
+        |    THEN 2.801586 * 2.0 * sqrt((CAST(n AS DOUBLE) * syy
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      / sqrt(CAST(n AS DOUBLE))
+        |      / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) END, 6)
+        |    AS mde_rel
         |FROM g""".stripMargin,
 
     // SRM twin: same md5 lottery, same integer deviation and 1e6

@@ -818,6 +818,46 @@ object Analytics {
         .as("rho"))
   }
 
+  /** MINIMUM DETECTABLE EFFECT (the power-analysis readout that
+    * belongs BEFORE [[welchTTest]]/[[cuped]] are run): with n units
+    * split 50/50 and outcome deviation σ̂, the smallest true lift a
+    * two-sided α = 0.05 test detects with 80 % power is
+    * MDE = (z_{0.975} + z_{0.80})·σ̂·√(2/(n/2)) = 2.801586·2σ̂/√n.
+    * The "is this experiment even worth running" number — and the
+    * reason the per-customer outcome frame is the unit of analysis
+    * (per-order rows would understate σ across the same n).
+    *
+    * Determinism: per-customer integer-dollar outcomes; n/Σy exact
+    * longs; Σy² through DECIMAL(38,0) (HUGEINT twin); σ̂², the two
+    * pinned z constants, and the closed form are one shared double
+    * tree. 1 row out.
+    */
+  def mde(customers: DataFrame, orders: DataFrame,
+          splitDate: String = "1996-01-01"): DataFrame = {
+    val cut = lit(splitDate).cast("date")
+    val per = orders.select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        expr("CAST(round(o_totalprice, 0) AS BIGINT)").as("v"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("d") >= cut, col("v")).otherwise(0L)).as("y"))
+    val units = customers.select(col("c_custkey"))
+      .join(per, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("y"), lit(0L)).as("y"))
+    val g = units.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val nD = col("n").cast("double")
+    val sigma2 = ((nD * col("syy").cast("double")
+      - col("sy").cast("double") * col("sy").cast("double"))
+      / (nD * nD))
+    val mdeAbs = lit(2.801586) * lit(2.0) * sqrt(sigma2) / sqrt(nD)
+    g.select(col("n").as("n_units"),
+      round(col("sy").cast("double") / nD, 6).as("mean_spend"),
+      round(sqrt(sigma2), 6).as("sigma"),
+      round(mdeAbs, 6).as("mde_abs"),
+      round(when(col("sy") > 0L, mdeAbs
+        / (col("sy").cast("double") / nD)), 6).as("mde_rel"))
+  }
+
   /** SAMPLE-RATIO-MISMATCH check (the first gate any experiment
     * readout must pass; Fabijan et al. '19 call SRM "the guardrail
     * metric"): chi-square goodness-of-fit of OBSERVED per-arm unit

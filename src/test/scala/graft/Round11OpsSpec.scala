@@ -68,6 +68,27 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
   }
 
+  test("mde: constant outcomes give a zero MDE; a two-point spread " +
+    "matches the hand-computed closed form") {
+    val customers = (1 to 4).map(i => Tuple1(i.toLong))
+      .toDF("c_custkey")
+    val flat = (1 to 4).map(i => (i.toLong, "1997-01-01", 100.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val r = graft.query.Analytics.mde(customers, flat).collect().head
+    assert(r.getAs[Double]("sigma") == 0.0)
+    assert(r.getAs[Double]("mde_abs") == 0.0)
+
+    // y = (0, 0, 200, 200): mean 100, sigma 100 ->
+    // mde = 2.801586 * 2 * 100 / 2 = 280.1586, rel 2.801586.
+    val spread = Seq((3L, "1997-01-01", 200.0), (4L, "1997-01-01", 200.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val r2 = graft.query.Analytics.mde(customers, spread).collect().head
+    assert(r2.getAs[Double]("mean_spend") == 100.0)
+    assert(r2.getAs[Double]("sigma") == 100.0)
+    assert(r2.getAs[Double]("mde_abs") == 280.1586, r2.toString)
+    assert(r2.getAs[Double]("mde_rel") == 2.801586)
+  }
+
   test("cdcChunkStats: exact duplicates dedup to half the volume; a " +
     "single mid-doc edit only perturbs its local chunks") {
     val rnd = new scala.util.Random(42)
