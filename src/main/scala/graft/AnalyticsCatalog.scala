@@ -372,6 +372,12 @@ object AnalyticsCatalog {
     "q_msprt" -> ((s, d) =>
       graft.query.Analytics.msprt(Tables.events(s, d))),
 
+    // Sinkhorn OT between two segments' band distributions: add-one
+    // smoothed masses, |i-j| ground cost, 5 scaling rounds with
+    // sorted folds everywhere.
+    "q_sinkhorn" -> ((s, d) =>
+      graft.query.Analytics.sinkhorn(Tables.customer(s, d))),
+
     // BH FDR step-up over per-nation segment x balance-band
     // chi-square tests: closed-form even-df p, cross-multiplied
     // p(k) <= k*alpha/m rule on the tiny ranked frame.
@@ -827,6 +833,69 @@ object AnalyticsCatalog {
         FROM m""")
     })
   )
+
+  /** Machine-unrolled DuckDB twin of [[graft.query.Analytics
+    * .sinkhorn]]: `iters` alternating-scaling rounds, each grid sum
+    * an ORDER BY-keyed list fold (the kruskalWallis idiom).
+    */
+  private def sinkhornSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""kv$t AS (
+         |  SELECT i, list_reduce(list_transform(
+         |      list(struct_pack(k := j, t := kk * v) ORDER BY j),
+         |      s -> s.t), (x, y) -> x + y) AS kv
+         |  FROM grid JOIN v${t - 1} USING (j) GROUP BY i),
+         |u$t AS (
+         |  SELECT ab.band AS i, a / kv AS u
+         |  FROM ab JOIN kv$t ON ab.band = kv$t.i),
+         |ku$t AS (
+         |  SELECT j, list_reduce(list_transform(
+         |      list(struct_pack(k := i, t := kk * u) ORDER BY i),
+         |      s -> s.t), (x, y) -> x + y) AS ku
+         |  FROM grid JOIN u$t USING (i) GROUP BY j),
+         |v$t AS (
+         |  SELECT ab.band AS j, b / ku AS v
+         |  FROM ab JOIN ku$t ON ab.band = ku$t.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH banded AS (
+       |  SELECT c_mktsegment AS seg,
+       |    (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)
+       |      // 100000 AS band
+       |  FROM customer
+       |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+       |counts AS (
+       |  SELECT band,
+       |    CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ca,
+       |    CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cb
+       |  FROM banded GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+       |    CAST(SUM(cb) AS BIGINT) AS nb, COUNT(*) AS bcnt
+       |  FROM counts),
+       |ab AS MATERIALIZED (
+       |  SELECT band, na, nb,
+       |    CAST(ca + 1 AS DOUBLE) / CAST(na + bcnt AS DOUBLE) AS a,
+       |    CAST(cb + 1 AS DOUBLE) / CAST(nb + bcnt AS DOUBLE) AS b
+       |  FROM counts CROSS JOIN tot),
+       |grid AS MATERIALIZED (
+       |  SELECT x.band AS i, y.band AS j,
+       |    CAST(ABS(x.band - y.band) AS DOUBLE) AS c,
+       |    exp(-CAST(ABS(x.band - y.band) AS DOUBLE) / 1.0) AS kk
+       |  FROM ab x CROSS JOIN ab y),
+       |v0 AS (SELECT band AS j, 1.0 AS v FROM ab),
+       |$rounds,
+       |terms AS (
+       |  SELECT g.i, g.j, u * kk * v * c AS t,
+       |    g.i * 100 + g.j AS ij
+       |  FROM grid g JOIN u$iters USING (i) JOIN v$iters USING (j))
+       |SELECT na AS n_a, nb AS n_b, $iters AS iters,
+       |  round(list_reduce(list_transform(
+       |    list(struct_pack(k := ij, t := t) ORDER BY ij),
+       |    s -> s.t), (x, y) -> x + y), 6) AS sinkhorn_cost
+       |FROM terms CROSS JOIN tot GROUP BY na, nb""".stripMargin
+  }
 
   /** Machine-unrolled DuckDB twin of [[graft.operators.Graph
     * .boruvkaTrace]]: `rounds` blocks of (cross-label edges → per-
@@ -1846,6 +1915,10 @@ object AnalyticsCatalog {
         |  round(p_av, 6) AS p_always_valid,
         |  p_av < 0.05 AS reject_at_5pct
         |FROM pv""".stripMargin,
+
+    // Sinkhorn twin: 5 unrolled scaling rounds, ORDER BY-keyed list
+    // folds for every grid sum, same smoothed masses and kernel tree.
+    "q_sinkhorn" -> sinkhornSql(5),
 
     // BH-FDR twin: same grid enumeration with zero-obs cells, same
     // fixed-point chi-square, same closed-form even-df survival and

@@ -172,7 +172,8 @@ object Bench {
     "q_conformal", "q_bh_fdr", "q_seasonality", "q_msprt",
     "q_sql_cusum",
     // r11 wave 6, benched at birth.
-    "q_isotonic", "q_diameter", "q_cdc_chunks", "q_mde")
+    "q_isotonic", "q_diameter", "q_cdc_chunks", "q_mde",
+    "q_sinkhorn")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -1751,6 +1751,87 @@ object Analytics {
       (col("p_av") < 0.05).as("reject_at_5pct"))
   }
 
+  /** SINKHORN OPTIMAL TRANSPORT (Cuturi '13, "Sinkhorn distances:
+    * lightspeed computation of optimal transport") between two
+    * segments' balance-band distributions — the full-metric upgrade
+    * of [[tCloseness]]'s ordered 1-D EMD: entropy-regularized OT
+    * converges by simple alternating scaling (u ← a/Kv, v ← b/Kᵀu),
+    * and a FIXED number of scaling rounds is exactly the kind of
+    * iteration both engines can replay verbatim. The readout is the
+    * transport cost ⟨diag(u)·K·diag(v), C⟩ under the |i−j| band
+    * metric after `iters` rounds.
+    *
+    * Determinism: masses are add-one-smoothed exact rationals (no
+    * zeros — Sinkhorn divides by Kv), the kernel exp(−|i−j|/ε) is a
+    * shared double tree, and every Σ over the band grid — the float
+    * fold Sinkhorn is made of — runs as the SORTED-FOLD device
+    * (collect the ≤B terms keyed by band, fold in band order), so no
+    * aggregation-order hazard exists anywhere in the loop.
+    *
+    * Scale shape: after two keyed aggregates over the scan, the
+    * whole iteration lives on band-bounded frames (B ≤ ~11 rows,
+    * B² grid); scaling vectors checkpoint per round.
+    */
+  def sinkhorn(customers: DataFrame, segA: String = "BUILDING",
+               segB: String = "MACHINERY", eps: Double = 1.0,
+               iters: Int = 5): DataFrame = {
+    def fold(term: Column, key: Column): Column =
+      aggregate(sort_array(collect_list(struct(key.as("k"),
+        term.as("t")))), lit(0.0), (acc, x) => acc + x.getField("t"))
+    val banded = customers
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select(col("c_mktsegment").as("seg"),
+        expr("(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)" +
+          " DIV 100000").as("band"))
+    val counts = banded.groupBy(col("band"))
+      .agg(sum(when(col("seg") === segA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("seg") === segB, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb"), count(lit(1)).as("bcnt"))
+    val ab = counts.crossJoin(broadcast(tot))
+      .select(col("band"), col("na"), col("nb"),
+        ((col("ca") + 1L).cast("double")
+          / (col("na") + col("bcnt")).cast("double")).as("a"),
+        ((col("cb") + 1L).cast("double")
+          / (col("nb") + col("bcnt")).cast("double")).as("b"))
+      .localCheckpoint()
+    val grid = ab.select(col("band").as("i"), col("a"))
+      .crossJoin(broadcast(ab.select(col("band").as("j"), col("b"))))
+      .select(col("i"), col("j"),
+        abs(col("i") - col("j")).cast("double").as("c"),
+        exp(-abs(col("i") - col("j")).cast("double") / lit(eps))
+          .as("kk"))
+      .localCheckpoint()
+    var v = ab.select(col("band").as("j"), lit(1.0).as("v"))
+      .localCheckpoint()
+    var u = ab.select(col("band").as("i"), lit(1.0).as("u"))
+    for (_ <- 1 to iters) {
+      val kv = grid.join(v, Seq("j"))
+        .groupBy(col("i"))
+        .agg(fold(col("kk") * col("v"), col("j")).as("kv"))
+      u = ab.select(col("band").as("i"), col("a"))
+        .join(kv, Seq("i"))
+        .select(col("i"), (col("a") / col("kv")).as("u"))
+        .localCheckpoint()
+      val ku = grid.join(u, Seq("i"))
+        .groupBy(col("j"))
+        .agg(fold(col("kk") * col("u"), col("i")).as("ku"))
+      v = ab.select(col("band").as("j"), col("b"))
+        .join(ku, Seq("j"))
+        .select(col("j"), (col("b") / col("ku")).as("v"))
+        .localCheckpoint()
+    }
+    grid.join(u, Seq("i")).join(v, Seq("j"))
+      .select(col("i"), col("j"),
+        (col("u") * col("kk") * col("v") * col("c")).as("t"),
+        (col("i") * lit(100L) + col("j")).as("ij"))
+      .agg(fold(col("t"), col("ij")).as("cost"))
+      .crossJoin(broadcast(tot))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        lit(iters).as("iters"),
+        round(col("cost"), 6).as("sinkhorn_cost"))
+  }
+
   /** BENJAMINI–HOCHBERG FDR control ('95) over a FAMILY of per-nation
     * chi-square independence tests (segment × balance band) — the
     * multiple-testing correction the per-nation test family was

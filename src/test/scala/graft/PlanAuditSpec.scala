@@ -163,6 +163,9 @@ class PlanAuditSpec extends SparkSpec {
     // diameter: the 1-row farthest-node frame broadcast under the
     // readout (q_kmv_intersect family).
     "q_diameter",
+    // sinkhorn: the band-bounded (<= 11-row) ab frame crossed into
+    // the B^2 grid plus 1-row totals (q_t_closeness family).
+    "q_sinkhorn",
     // apportion: the 1-row source-total frame.
     "q_apportion",
     // kappa: two 1-row frames (totals × pe marginal product).

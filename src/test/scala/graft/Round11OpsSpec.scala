@@ -68,6 +68,30 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
   }
 
+  test("sinkhorn: identical band distributions cost ~0, a 4-band " +
+    "shift costs ~4, and the readout is deterministic") {
+    def cust(seg: String, bal: Double, k0: Long) =
+      (1 to 40).map(i => (k0 + i, seg, bal))
+    val same = (cust("X", 1000.0, 100L) ++ cust("Y", 1000.0, 200L))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val c0 = graft.query.Analytics.sinkhorn(same, "X", "Y")
+      .collect().head
+    assert(c0.getAs[Long]("n_a") == 40L && c0.getAs[Long]("n_b") == 40L)
+    assert(c0.getAs[Double]("sinkhorn_cost") < 0.2, c0.toString)
+
+    val shifted = (cust("X", 1000.0, 100L) ++ cust("Y", 5000.0, 200L))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val c1 = graft.query.Analytics.sinkhorn(shifted, "X", "Y")
+      .collect().head
+    assert(c1.getAs[Double]("sinkhorn_cost") > 1.0, c1.toString)
+    assert(c1.getAs[Double]("sinkhorn_cost")
+      > c0.getAs[Double]("sinkhorn_cost"))
+    val c1b = graft.query.Analytics.sinkhorn(shifted, "X", "Y")
+      .collect().head
+    assert(c1b.getAs[Double]("sinkhorn_cost")
+      == c1.getAs[Double]("sinkhorn_cost"), "deterministic replay")
+  }
+
   test("mde: constant outcomes give a zero MDE; a two-point spread " +
     "matches the hand-computed closed form") {
     val customers = (1 to 4).map(i => Tuple1(i.toLong))
