@@ -454,6 +454,11 @@ object AnalyticsCatalog {
       graft.query.Analytics.spearman(
         Tables.customer(s, d), Tables.orders(s, d))),
 
+    // Multi-feature OLS by one Gram-matrix pass + 3x3 Cramer solve:
+    // extendedprice ~ quantity + discount over lineitem, with R^2.
+    "q_ols_multi" -> ((s, d) =>
+      graft.query.Analytics.olsMulti(Tables.lineitem(s, d))),
+
     // Minimum detectable effect at 80% power / 5% alpha over
     // per-customer post-period spend: exact integer moments, one
     // shared closed-form double tree.
@@ -2400,6 +2405,56 @@ object AnalyticsCatalog {
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    END, 6) AS rho
         |FROM g""".stripMargin,
+
+    // OLS twin: same exact HUGEINT moments, the same 3x3 Cramer
+    // determinant trees and R^2 decomposition.
+    "q_ols_multi" ->
+      """WITH base AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 100, 0) AS BIGINT) AS x2,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |  FROM base),
+        |sol AS (
+        |  SELECT n, sy, s1y, s2y, syy,
+        |    CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+        |      - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12)
+        |      - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+        |      - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+        |      - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM g)
+        |SELECT n,
+        |  round(CASE WHEN det <> 0.0 THEN det0 / det / 100.0 END, 6)
+        |    AS beta0_dollars,
+        |  round(CASE WHEN det <> 0.0 THEN det1 / det / 100.0 END, 6)
+        |    AS beta1_per_qty,
+        |  round(CASE WHEN det <> 0.0 THEN det2 / det / 100.0 END, 6)
+        |    AS beta2_per_pct,
+        |  round(CASE WHEN det <> 0.0
+        |      AND (syy - sy * sy / CAST(n AS DOUBLE)) > 0.0
+        |    THEN ((det0 / det) * sy + (det1 / det) * s1y
+        |        + (det2 / det) * s2y
+        |        - sy * sy / CAST(n AS DOUBLE))
+        |      / (syy - sy * sy / CAST(n AS DOUBLE)) END, 6) AS r2
+        |FROM sol""".stripMargin,
 
     // MDE twin: same per-customer integer outcomes, HUGEINT second
     // moment, same pinned z constants and closed form.

@@ -818,6 +818,65 @@ object Analytics {
         .as("rho"))
   }
 
+  /** MULTI-FEATURE OLS by normal equations + Cramer (the canonical
+    * "regression at any scale" shape: ONE aggregation pass collects
+    * the 3×3 Gram matrix and the cross moments — sufficient
+    * statistics, never rows — and the solve is closed-form): fit
+    * extendedprice_cents ~ β₀ + β₁·quantity + β₂·discount_pct over
+    * lineitem, with R². [[trendSlope]]'s single-feature OLS
+    * generalized to the d-feature regime every feature pipeline
+    * actually needs; for small d the 3×3 Cramer determinants are a
+    * shared double tree both engines evaluate identically.
+    *
+    * Exactness: x₁, x₂, y are exact integers; every moment sums
+    * through DECIMAL(38,0)/HUGEINT (products reach ~2⁶³ at corpus
+    * scale); the determinants, β and R² are one shared tree over the
+    * exact moments converted to double once each. Singular designs
+    * (det = 0) emit null βs.
+    */
+  def olsMulti(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(
+      col("l_quantity").cast("long").as("x1"),
+      round(col("l_discount") * 100, 0).cast("long").as("x2"),
+      expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("y"))
+    def d38(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    val g = base.agg(count(lit(1)).as("n"),
+      d38(col("x1")).as("s1"), d38(col("x2")).as("s2"),
+      d38(col("x1") * col("x1")).as("s11"),
+      d38(col("x1") * col("x2")).as("s12"),
+      d38(col("x2") * col("x2")).as("s22"),
+      d38(col("y")).as("sy"),
+      d38(col("x1") * col("y")).as("s1y"),
+      d38(col("x2") * col("y")).as("s2y"),
+      d38(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    def det3(a11: Column, a12: Column, a13: Column,
+             a21: Column, a22: Column, a23: Column,
+             a31: Column, a32: Column, a33: Column): Column =
+      a11 * (a22 * a33 - a23 * a32) - a12 * (a21 * a33 - a23 * a31) +
+        a13 * (a21 * a32 - a22 * a31)
+    val det = det3(nD, col("s1"), col("s2"),
+      col("s1"), col("s11"), col("s12"),
+      col("s2"), col("s12"), col("s22"))
+    val b0 = det3(col("sy"), col("s1"), col("s2"),
+      col("s1y"), col("s11"), col("s12"),
+      col("s2y"), col("s12"), col("s22")) / det
+    val b1 = det3(nD, col("sy"), col("s2"),
+      col("s1"), col("s1y"), col("s12"),
+      col("s2"), col("s2y"), col("s22")) / det
+    val b2 = det3(nD, col("s1"), col("sy"),
+      col("s1"), col("s11"), col("s1y"),
+      col("s2"), col("s12"), col("s2y")) / det
+    val sst = col("syy") - col("sy") * col("sy") / nD
+    val ssr = (b0 * col("sy") + b1 * col("s1y") + b2 * col("s2y")
+      - col("sy") * col("sy") / nD)
+    g.select(col("n"),
+      round(when(det =!= 0.0, b0 / lit(100.0)), 6).as("beta0_dollars"),
+      round(when(det =!= 0.0, b1 / lit(100.0)), 6).as("beta1_per_qty"),
+      round(when(det =!= 0.0, b2 / lit(100.0)), 6).as("beta2_per_pct"),
+      round(when(det =!= 0.0 && sst > 0.0, ssr / sst), 6).as("r2"))
+  }
+
   /** MINIMUM DETECTABLE EFFECT (the power-analysis readout that
     * belongs BEFORE [[welchTTest]]/[[cuped]] are run): with n units
     * split 50/50 and outcome deviation σ̂, the smallest true lift a

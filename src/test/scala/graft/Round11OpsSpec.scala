@@ -68,6 +68,20 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
   }
 
+  test("olsMulti: an exactly linear design recovers the planted " +
+    "coefficients with r2 = 1") {
+    // y_cents = 10 + 2*x1 + 3*x2 exactly.
+    val rows = Seq((1, 1), (2, 1), (1, 2), (3, 2), (2, 3), (4, 1))
+      .map { case (x1, x2) =>
+        (x1.toDouble, x2 / 100.0, (10 + 2 * x1 + 3 * x2) / 100.0)
+      }.toDF("l_quantity", "l_discount", "l_extendedprice")
+    val r = graft.query.Analytics.olsMulti(rows).collect().head
+    assert(r.getAs[Double]("beta0_dollars") == 0.1, r.toString)
+    assert(r.getAs[Double]("beta1_per_qty") == 0.02)
+    assert(r.getAs[Double]("beta2_per_pct") == 0.03)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
   test("sinkhorn: identical band distributions cost ~0, a 4-band " +
     "shift costs ~4, and the readout is deterministic") {
     def cust(seg: String, bal: Double, k0: Long) =
