@@ -2054,18 +2054,27 @@ object Analytics {
     * replicate, one 1-row readout.
     */
   def signFlipTest(events: DataFrame, typeX: String = "view",
-                   typeY: String = "purchase", b: Int = 64): DataFrame = {
-    val daily = events
-      .filter(col("event_type").isin(typeX, typeY))
-      .select(col("event_type"), to_date(col("ts")).as("day"),
-        round(col("value") * 100, 0).cast("long").as("cents"))
-      .groupBy(col("day"))
-      .agg(sum(when(col("event_type") === typeX, col("cents"))
-          .otherwise(0L)).as("x"),
-        sum(when(col("event_type") === typeY, col("cents"))
-          .otherwise(0L)).as("y"))
-      .select(col("day"), (col("x") - col("y")).as("d"))
-      .localCheckpoint()
+                   typeY: String = "purchase", b: Int = 64): DataFrame =
+    signFlipFinish(
+      events
+        .filter(col("event_type").isin(typeX, typeY))
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("event_type") === typeX, col("cents"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("event_type") === typeY, col("cents"))
+            .otherwise(0L)).as("y"))
+        .select(col("day"), (col("x") - col("y")).as("d")),
+      b)
+
+  /** The sign-flip readout over a (day, d) daily-diff frame — shared
+    * by the batch operator and the streaming twin (the
+    * cusumFinish/seasonalityFinish pattern).
+    */
+  private[graft] def signFlipFinish(dailyIn: DataFrame,
+                                    b: Int): DataFrame = {
+    val daily = dailyIn.localCheckpoint()
     val obs = daily.agg(count(lit(1)).as("n_days"),
       sum(col("d")).as("obs"))
     val reps = daily

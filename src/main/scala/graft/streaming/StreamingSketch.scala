@@ -384,6 +384,37 @@ object StreamingSketch {
           col("dc.cents").as("x")))
   }
 
+  /** Stateless SIGN-FLIP readout over the SAME [[cusumStream]]
+    * day-histogram state — the FOURTH estimator off one persisted
+    * sufficient statistic (CUSUM, seasonality, and now Fisher's
+    * randomization test): the two types' day maps full-outer join
+    * into the daily diff (0 where one side is silent — exactly the
+    * batch conditional aggregate), and the shared
+    * `Analytics.signFlipFinish` replays the batch arithmetic.
+    */
+  def signFlipFromHistograms(hists: org.apache.spark.sql.DataFrame,
+                             typeX: String = "view",
+                             typeY: String = "purchase",
+                             b: Int = 64)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val daily = hists
+      .filter(col("g").isin(typeX, typeY))
+      .select(col("g"), explode(col("days")).as("dc"))
+      .select(col("g"), col("dc.day").as("dayi"),
+        col("dc.cents").as("cents"))
+    val x = daily.filter(col("g") === typeX)
+      .select(col("dayi"), col("cents").as("x"))
+    val y = daily.filter(col("g") === typeY)
+      .select(col("dayi"), col("cents").as("y"))
+    graft.query.Analytics.signFlipFinish(
+      x.join(y, Seq("dayi"), "full_outer")
+        .select(date_from_unix_date(col("dayi")).as("day"),
+          (coalesce(col("x"), lit(0L)) - coalesce(col("y"), lit(0L)))
+            .as("d")),
+      b)
+  }
+
   case class PriorityDur(g: String, t: Long, ev: Int)
   case class DurCell(t: Long, d: Long, c: Long)
   case class KmHist(g: String, cells: Seq[DurCell])

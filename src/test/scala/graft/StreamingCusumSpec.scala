@@ -80,6 +80,18 @@ class StreamingCusumSpec extends SparkSpec {
           Encoders.product[CusumHist]).toDF())
       .collect())
     assert(seaGot == seaBatch, "seasonality readout: streaming != batch")
+
+    // ...and the sign-flip randomization test — fourth estimator.
+    def sfRow(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[Long]("n_days"), r.getAs[Long]("obs_diff_cents"),
+        r.getAs[Long]("n_extreme"), r.getAs[Double]("p_value"))
+    }.toSeq
+    val sfBatch = sfRow(Analytics.signFlipTest(events).collect())
+    val sfGot = sfRow(StreamingSketch.signFlipFromHistograms(
+        spark.createDataset(lastHists("cusum_stream"))(
+          Encoders.product[CusumHist]).toDF())
+      .collect())
+    assert(sfGot == sfBatch, s"sign-flip readout: $sfGot vs $sfBatch")
   }
 
   test("a level shift arriving in later micro-batches flips the " +
