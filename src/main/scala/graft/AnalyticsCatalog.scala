@@ -454,6 +454,12 @@ object AnalyticsCatalog {
       graft.query.Analytics.spearman(
         Tables.customer(s, d), Tables.orders(s, d))),
 
+    // Cohort LTV curves: members summed first, so cumulative spend
+    // per age is one per-(cohort, month) prefix sum; integer-month
+    // grain, exact cents, one division per row.
+    "q_ltv_cohorts" -> ((s, d) =>
+      graft.query.Analytics.ltvCohorts(Tables.orders(s, d))),
+
     // Multi-feature OLS by one Gram-matrix pass + 3x3 Cramer solve:
     // extendedprice ~ quantity + discount over lineitem, with R^2.
     "q_ols_multi" -> ((s, d) =>
@@ -2405,6 +2411,35 @@ object AnalyticsCatalog {
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    END, 6) AS rho
         |FROM g""".stripMargin,
+
+    // LTV twin: same integer-month grain, same members-first
+    // cumulative, same single division.
+    "q_ltv_cohorts" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+        |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |firstmo AS (
+        |  SELECT o_custkey, CAST(MIN(m) AS BIGINT) AS cohort
+        |  FROM base GROUP BY 1),
+        |csize AS (
+        |  SELECT cohort, COUNT(*) AS n_customers
+        |  FROM firstmo GROUP BY 1),
+        |monthly AS (
+        |  SELECT cohort, m, CAST(SUM(cents) AS BIGINT) AS sp
+        |  FROM base JOIN firstmo USING (o_custkey) GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort, m,
+        |    CAST(SUM(sp) OVER (PARTITION BY cohort ORDER BY m
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumsp
+        |  FROM monthly)
+        |SELECT cohort AS cohort_month, m - cohort AS age_months,
+        |  n_customers,
+        |  round(CAST(cumsp AS DOUBLE) / CAST(n_customers AS DOUBLE)
+        |    / 100.0, 6) AS avg_ltv_dollars
+        |FROM cum JOIN csize USING (cohort)""".stripMargin,
 
     // OLS twin: same exact HUGEINT moments, the same 3x3 Cramer
     // determinant trees and R^2 decomposition.

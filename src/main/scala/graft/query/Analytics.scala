@@ -818,6 +818,50 @@ object Analytics {
         .as("rho"))
   }
 
+  /** COHORT LTV CURVES — the revenue companion to
+    * [[retentionCohorts]]: for each acquisition cohort (first-order
+    * month) and age a, the average CUMULATIVE spend per cohort
+    * member through month cohort+a. The trick that keeps it one
+    * aggregate instead of a |customers|×|months| densification:
+    * summing over members FIRST makes the cumulative a per-(cohort,
+    * month) prefix sum — cohort_spend(m) cumulated over m, divided
+    * once by the (constant) cohort size.
+    *
+    * Months are the engine-neutral integer index year·12 + month − 1
+    * (no date_trunc/locale surface); spend is exact integer cents;
+    * the prefix sum is an integer window per cohort; one division
+    * per output row. Gap months genuinely without cohort spend do
+    * not emit a row (the curve is defined at observed months; a
+    * consumer interpolates flats).
+    *
+    * Scale shape: two keyed aggregates ((customer), (cohort, month)),
+    * a cohort-keyed broadcast-size join, calendar-bounded windows.
+    */
+  def ltvCohorts(orders: DataFrame): DataFrame = {
+    val mo = (d: Column) => (year(d) * 12 + month(d) - 1).cast("long")
+    val base = orders.select(col("o_custkey"),
+      mo(to_date(col("o_orderdate"))).as("m"),
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+    val firstMo = base.groupBy(col("o_custkey"))
+      .agg(min(col("m")).as("cohort"))
+    val cohortSize = firstMo.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_customers"))
+    val monthly = base.join(firstMo, Seq("o_custkey"))
+      .groupBy(col("cohort"), col("m"))
+      .agg(sum(col("cents")).as("sp"))
+    val cum = Window.partitionBy(col("cohort")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("cumsp", sum(col("sp")).over(cum))
+      .join(cohortSize, Seq("cohort"))
+      .select(col("cohort").as("cohort_month"),
+        (col("m") - col("cohort")).as("age_months"),
+        col("n_customers"),
+        round(col("cumsp").cast("double")
+          / col("n_customers").cast("double") / lit(100.0), 6)
+          .as("avg_ltv_dollars"))
+  }
+
   /** MULTI-FEATURE OLS by normal equations + Cramer (the canonical
     * "regression at any scale" shape: ONE aggregation pass collects
     * the 3×3 Gram matrix and the cross moments — sufficient

@@ -68,6 +68,22 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
   }
 
+  test("ltvCohorts: hand-computed cumulative curve; gap months skip " +
+    "a row but the cumulative carries") {
+    // Cohort 2024-01 (two customers): Jan spends 10+20, Feb 30 (one
+    // customer), Apr 40. Ages 0,1,3; avg cum = 15, 30, 50.
+    val rows = Seq(
+      (1L, "2024-01-05", 10.0), (2L, "2024-01-20", 20.0),
+      (1L, "2024-02-10", 30.0), (2L, "2024-04-01", 40.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = graft.query.Analytics.ltvCohorts(rows)
+      .collect().map(r => r.getAs[Long]("age_months") ->
+        (r.getAs[Long]("n_customers"),
+          r.getAs[Double]("avg_ltv_dollars"))).toMap
+    assert(got == Map(0L -> ((2L, 15.0)), 1L -> ((2L, 30.0)),
+      3L -> ((2L, 50.0))), got.toString)
+  }
+
   test("olsMulti: an exactly linear design recovers the planted " +
     "coefficients with r2 = 1") {
     // y_cents = 10 + 2*x1 + 3*x2 exactly.
