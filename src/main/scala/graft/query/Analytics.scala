@@ -839,9 +839,18 @@ object Analytics {
     */
   def ltvCohorts(orders: DataFrame): DataFrame = {
     val mo = (d: Column) => (year(d) * 12 + month(d) - 1).cast("long")
-    val base = orders.select(col("o_custkey"),
+    ltvFinish(orders.select(col("o_custkey"),
       mo(to_date(col("o_orderdate"))).as("m"),
-      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents")))
+  }
+
+  /** The LTV readout over a (o_custkey, m, cents) frame — shared by
+    * the batch operator and the streaming twin's stateless finish
+    * (the cusumFinish pattern: the per-customer month histogram is
+    * the sufficient statistic, and a LATE-arriving early order
+    * correctly re-ages its customer's cohort on replay).
+    */
+  private[graft] def ltvFinish(base: DataFrame): DataFrame = {
     val firstMo = base.groupBy(col("o_custkey"))
       .agg(min(col("m")).as("cohort"))
     val cohortSize = firstMo.groupBy(col("cohort"))

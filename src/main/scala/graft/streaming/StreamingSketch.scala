@@ -415,6 +415,49 @@ object StreamingSketch {
       b)
   }
 
+  case class CustMonthCents(cust: Long, m: Int, cents: Long)
+  case class MonthCents(m: Int, cents: Long)
+  case class CustHist(cust: Long, months: Seq[MonthCents])
+
+  /** Incremental state for [[graft.query.Analytics.ltvCohorts]] —
+    * cohort LTV live on an order feed. The cohort itself (first-order
+    * month) is NOT incrementally monotone: a late-arriving EARLY
+    * order must re-age its customer's whole curve. The per-customer
+    * (month → cents) integer histogram is the sufficient statistic
+    * that makes that correction exact — the stateless finish
+    * (`Analytics.ltvFinish`) re-derives cohorts from scratch each
+    * readout. State is bounded by active months per customer.
+    */
+  def ltvStream(orders: Dataset[CustMonthCents]): Dataset[CustHist] =
+    orders.groupByKey(_.cust)(Encoders.scalaLong)
+      .mapGroupsWithState[Map[Int, Long], CustHist](
+        GroupStateTimeout.NoTimeout) {
+        (c: Long, rows: Iterator[CustMonthCents],
+         state: GroupState[Map[Int, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Int, Long])
+          rows.foreach { r =>
+            m = m.updated(r.m, m.getOrElse(r.m, 0L) + r.cents)
+          }
+          state.update(m)
+          CustHist(c, m.toSeq.sortBy(_._1)
+            .map(e => MonthCents(e._1, e._2)))
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
+        Encoders.product[CustHist])
+
+  /** Stateless finish for [[ltvStream]] — the shared
+    * `Analytics.ltvFinish` over the exploded histograms; output
+    * schema matches the batch operator for direct parity compare.
+    */
+  def ltvFromHistograms(hists: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.query.Analytics.ltvFinish(hists
+      .select(col("cust").as("o_custkey"),
+        explode(col("months")).as("mc"))
+      .select(col("o_custkey"), col("mc.m").cast("long").as("m"),
+        col("mc.cents").as("cents")))
+  }
+
   case class PriorityDur(g: String, t: Long, ev: Int)
   case class DurCell(t: Long, d: Long, c: Long)
   case class KmHist(g: String, cells: Seq[DurCell])
