@@ -454,6 +454,12 @@ object AnalyticsCatalog {
       graft.query.Analytics.spearman(
         Tables.customer(s, d), Tables.orders(s, d))),
 
+    // Empirical-Bayes shrinkage of per-nation mean balances: exact
+    // per-group moments, method-of-moments tau^2, sorted-fold group
+    // sums, partial pooling toward the grand mean.
+    "q_eb_shrinkage" -> ((s, d) =>
+      graft.query.Analytics.ebShrinkage(Tables.customer(s, d))),
+
     // Cohort LTV curves: members summed first, so cumulative spend
     // per age is one per-(cohort, month) prefix sum; integer-month
     // grain, exact cents, one division per row.
@@ -2411,6 +2417,64 @@ object AnalyticsCatalog {
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    END, 6) AS rho
         |FROM g""".stripMargin,
+
+    // EB twin: same exact moments, same ORDER BY-keyed group folds,
+    // same method-of-moments tree and pooling weight.
+    "q_eb_shrinkage" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT c_nationkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS s,
+        |    CAST(SUM(CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+        |      AS HUGEINT) * CAST(round(c_acctbal * 100, 0) AS BIGINT))
+        |      AS DOUBLE) AS sxx
+        |  FROM customer GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(s) AS BIGINT) AS ss, COUNT(*) AS kk,
+        |    list_reduce(list_transform(
+        |      list(struct_pack(k := c_nationkey, t := sxx)
+        |        ORDER BY c_nationkey), x -> x.t),
+        |      (a, b) -> a + b) AS sumsxx,
+        |    list_reduce(list_transform(
+        |      list(struct_pack(k := c_nationkey,
+        |          t := CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |            / CAST(n AS DOUBLE))
+        |        ORDER BY c_nationkey), x -> x.t),
+        |      (a, b) -> a + b) AS sumssn,
+        |    list_reduce(list_transform(
+        |      list(struct_pack(k := c_nationkey,
+        |          t := CAST(n * n AS DOUBLE))
+        |        ORDER BY c_nationkey), x -> x.t),
+        |      (a, b) -> a + b) AS sumn2
+        |  FROM per),
+        |sol AS (
+        |  SELECT nn, kk,
+        |    CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS gmean,
+        |    (sumsxx - sumssn)
+        |      / (CAST(nn AS DOUBLE) - CAST(kk AS DOUBLE)) AS sig2,
+        |    GREATEST(0.0,
+        |      (sumssn - (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+        |          * (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+        |          * CAST(nn AS DOUBLE)
+        |        - CAST(kk - 1 AS DOUBLE) * ((sumsxx - sumssn)
+        |          / (CAST(nn AS DOUBLE) - CAST(kk AS DOUBLE))))
+        |      / (CAST(nn AS DOUBLE) - sumn2 / CAST(nn AS DOUBLE)))
+        |      AS tau2
+        |  FROM g)
+        |SELECT c_nationkey, n,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+        |    AS raw_mean_dollars,
+        |  round(CASE WHEN tau2 + sig2 / CAST(n AS DOUBLE) > 0.0
+        |    THEN tau2 / (tau2 + sig2 / CAST(n AS DOUBLE))
+        |    ELSE 0.0 END, 6) AS weight,
+        |  round((gmean + (CASE WHEN tau2 + sig2 / CAST(n AS DOUBLE)
+        |      > 0.0
+        |    THEN tau2 / (tau2 + sig2 / CAST(n AS DOUBLE))
+        |    ELSE 0.0 END)
+        |    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - gmean))
+        |    / 100.0, 6) AS shrunk_mean_dollars
+        |FROM per CROSS JOIN sol""".stripMargin,
 
     // LTV twin: same integer-month grain, same members-first
     // cumulative, same single division.

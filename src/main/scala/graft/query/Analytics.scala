@@ -818,6 +818,65 @@ object Analytics {
         .as("rho"))
   }
 
+  /** EMPIRICAL-BAYES SHRINKAGE of per-nation mean balances (the
+    * James–Stein / random-effects partial pooling every per-group
+    * ranking should apply before trusting small groups): the
+    * method-of-moments estimate τ̂² = max(0, (SSB − (k−1)σ̂²) /
+    * (N − Σn²/N)) of the between-group variance, then each group
+    * mean shrinks toward the grand mean with weight
+    * w = τ̂²/(τ̂² + σ̂²/n) — small groups pool hard, big groups keep
+    * their own signal. The readout that separates "this source
+    * really is better" from "this source has 12 documents".
+    *
+    * Exactness: per-group n/Σx/Σx² are exact integers (cents;
+    * squares through DECIMAL(38,0)/HUGEINT); SSW and SSB come from
+    * those moments as one shared double tree, with the two Σ-over-
+    * groups folds (Σ Sᵢ²/nᵢ and Σ nᵢ(x̄ᵢ−x̄)², k ≤ 25 terms) run as
+    * the ORDER BY-keyed sorted fold. One division per output row.
+    */
+  def ebShrinkage(customers: DataFrame): DataFrame = {
+    def fold(term: Column, key: Column): Column =
+      aggregate(sort_array(collect_list(struct(key.as("k"),
+        term.as("t")))), lit(0.0), (acc, x) => acc + x.getField("t"))
+    val per = customers.select(col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("x"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum((col("x") * col("x")).cast("decimal(38,0)"))
+          .cast("double").as("sxx"))
+      .localCheckpoint()
+    val g = per.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"),
+      count(lit(1)).as("kk"),
+      fold(col("sxx"), col("c_nationkey")).as("sumsxx"),
+      fold(col("s").cast("double") * col("s").cast("double")
+        / col("n").cast("double"), col("c_nationkey")).as("sumssn"),
+      fold((col("n") * col("n")).cast("double"),
+        col("c_nationkey")).as("sumn2"))
+    val nnD = col("nn").cast("double")
+    val gmean = col("ss").cast("double") / nnD
+    val ssw = col("sumsxx") - col("sumssn")
+    val ssb = col("sumssn") - gmean * gmean * nnD
+    val sig2 = ssw / (nnD - col("kk").cast("double"))
+    val tau2 = greatest(lit(0.0),
+      (ssb - (col("kk") - 1L).cast("double") * sig2)
+        / (nnD - col("sumn2") / nnD))
+    per.crossJoin(broadcast(
+        g.select(gmean.as("gmean"), sig2.as("sig2"), tau2.as("tau2"))))
+      .withColumn("raw",
+        col("s").cast("double") / col("n").cast("double"))
+      .withColumn("w",
+        when(col("tau2") + col("sig2") / col("n").cast("double") > 0.0,
+          col("tau2")
+            / (col("tau2") + col("sig2") / col("n").cast("double")))
+          .otherwise(lit(0.0)))
+      .select(col("c_nationkey"), col("n"),
+        round(col("raw") / lit(100.0), 6).as("raw_mean_dollars"),
+        round(col("w"), 6).as("weight"),
+        round((col("gmean")
+          + col("w") * (col("raw") - col("gmean"))) / lit(100.0), 6)
+          .as("shrunk_mean_dollars"))
+  }
+
   /** COHORT LTV CURVES — the revenue companion to
     * [[retentionCohorts]]: for each acquisition cohort (first-order
     * month) and age a, the average CUMULATIVE spend per cohort

@@ -166,6 +166,9 @@ class PlanAuditSpec extends SparkSpec {
     // sinkhorn: the band-bounded (<= 11-row) ab frame crossed into
     // the B^2 grid plus 1-row totals (q_t_closeness family).
     "q_sinkhorn",
+    // eb_shrinkage: the 1-row (gmean, sig2, tau2) frame broadcast
+    // onto the |nations|-row means (q_benford family).
+    "q_eb_shrinkage",
     // apportion: the 1-row source-total frame.
     "q_apportion",
     // kappa: two 1-row frames (totals × pe marginal product).

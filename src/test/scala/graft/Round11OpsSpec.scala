@@ -68,6 +68,30 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L, 5.0, Some(5.0), None, None)), got.toSeq.toString)
   }
 
+  test("ebShrinkage: the small group pools harder than the big ones " +
+    "and shrunk means sit between raw and grand") {
+    def grp(nation: Long, n: Int, lo: Double, hi: Double, k0: Long) =
+      (1 to n).map(i => (k0 + i, nation,
+        if (i % 2 == 0) lo else hi))
+    val customers = (grp(1L, 4, 480.0, 520.0, 100L)
+      ++ grp(2L, 100, 80.0, 120.0, 1000L)
+      ++ grp(3L, 100, 180.0, 220.0, 2000L))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val got = graft.query.Analytics.ebShrinkage(customers)
+      .collect().map(r => r.getAs[Long]("c_nationkey") ->
+        (r.getAs[Double]("raw_mean_dollars"),
+          r.getAs[Double]("weight"),
+          r.getAs[Double]("shrunk_mean_dollars"))).toMap
+    assert(got(1L)._1 == 500.0 && got(2L)._1 == 100.0
+      && got(3L)._1 == 200.0, got.toString)
+    assert(got(1L)._2 < got(2L)._2,
+      s"small group must pool harder: $got")
+    val gmean = (4 * 500.0 + 100 * 100.0 + 100 * 200.0) / 204.0
+    assert(got(1L)._3 < 500.0 && got(1L)._3 > gmean,
+      s"shrunk mean between raw and grand: $got vs $gmean")
+    assert(got.values.forall(v => v._2 > 0.0 && v._2 < 1.0))
+  }
+
   test("ltvCohorts: hand-computed cumulative curve; gap months skip " +
     "a row but the cumulative carries") {
     // Cohort 2024-01 (two customers): Jan spends 10+20, Feb 30 (one
