@@ -435,7 +435,9 @@ object AnalyticsCatalog {
 
     // Borůvka max-affinity spanning forest over the supplier
     // co-order graph: per-round merge trace (groups, new edges, new
-    // weight), unique forest by the (w, src, dst) total order.
+    // weight), unique forest by the canonical (w, least, greatest)
+    // edge total order (orientation-independent, so tied parallel
+    // cross edges can't double-enter).
     "q_mst" -> ((s, d) =>
       graft.operators.Graph.boruvkaTrace(
         graft.operators.Graph.supplierAffinityEdges(
@@ -832,7 +834,7 @@ object AnalyticsCatalog {
           SELECT event_type, SUM(x) AS sumx, COUNT(*) AS n
           FROM daily GROUP BY 1),
         w AS (
-          SELECT /*+ BROADCAST(stats) */ d.event_type, d.day, d.x,
+          SELECT /*+ BROADCAST(s) */ d.event_type, d.day, d.x,
             s.sumx, s.n,
             row_number() OVER (PARTITION BY d.event_type
               ORDER BY d.day) AS t,
@@ -951,7 +953,8 @@ object AnalyticsCatalog {
         |  WHERE la.label <> lb.label),
         |pick$r AS MATERIALIZED (
         |  SELECT gl, glb, src, dst, w, row_number() OVER (
-        |    PARTITION BY gl ORDER BY w, src, dst) AS rk
+        |    PARTITION BY gl
+        |    ORDER BY w, LEAST(src, dst), GREATEST(src, dst)) AS rk
         |  FROM cross$r),
         |cand$r AS MATERIALIZED (
         |  SELECT DISTINCT LEAST(src, dst) AS src,
@@ -1040,7 +1043,8 @@ object AnalyticsCatalog {
 
   val oracleSql: Map[String, String] = Map(
     // Borůvka twin: the round loop unrolled (8 rounds × 2 label
-    // steps), same (w, src, dst) pick order, same canonical dedup.
+    // steps), same canonical (w, least, greatest) pick order, same
+    // canonical dedup.
     "q_mst" -> boruvkaSql(8, 2),
     "q_topn_per_group" ->
       s"""WITH $eventsSql,
@@ -2040,7 +2044,7 @@ object AnalyticsCatalog {
         |    SELECT priority, r, row_number() OVER (
         |      PARTITION BY priority ORDER BY r) AS rk FROM cal) c
         |  JOIN caln USING (priority)
-        |  WHERE rk = nc + 1 - (nc + 1) * 1 // 20),
+        |  WHERE rk = LEAST(nc, nc + 1 - (nc + 1) * 1 // 20)),
         |test AS (
         |  SELECT b.priority, nc, nt, sy, qr, COUNT(*) AS n_test,
         |    CAST(SUM(CASE WHEN ABS(nt * y - sy) <= qr

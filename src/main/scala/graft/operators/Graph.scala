@@ -304,7 +304,9 @@ object Graph {
   /** k-TRUSS decomposition (Cohen '08) — the EDGE-level sibling of
     * [[kCore]]'s node peel: keep only edges supported by ≥ k−2
     * triangles, recompute (removals destroy other edges' triangles),
-    * iterate to the unique fixpoint. A truss is a stronger cohesion
+    * iterate to the unique fixpoint. Defined for k ≥ 3 only
+    * (enforced below): at k ≤ 2 "≥ 0 triangles" keeps every edge,
+    * but the triangle join never emits triangle-free edges. A truss is a stronger cohesion
     * cut than a core (every surviving tie is embedded in triangles,
     * not merely incident to a busy node), which is exactly the
     * hub-artifact filter co-occurrence graphs need before community
@@ -322,6 +324,12 @@ object Graph {
     */
   def kTruss(edges: DataFrame, k: Int = 4, rounds: Int = 5)
       : DataFrame = {
+    // supports() enumerates only edges in ≥1 triangle, so triangle-free
+    // edges vanish from the join regardless of the threshold — the peel
+    // is only the k-truss for k ≥ 3 (where such edges are rightly cut).
+    require(k >= 3, s"kTruss requires k >= 3 (got $k): for k <= 2 the " +
+      "truss is the whole graph, which this triangle-join peel cannot " +
+      "represent")
     def supports(e: DataFrame): DataFrame = {
       val t = e.as("e1")
         .join(e.as("e2"), col("e1.b") === col("e2.a"))
@@ -1092,8 +1100,10 @@ object Graph {
     * algorithm: Kruskal/Prim serialize on a global edge order or a
     * single frontier; Borůvka's "every component grabs its lightest
     * outgoing edge" is embarrassingly parallel per round). With
-    * integer weights totally ordered by (w, src, dst) the forest is
-    * UNIQUE, so the trace is engine-exact.
+    * integer weights totally ordered by the CANONICAL key
+    * (w, least(src,dst), greatest(src,dst)) — the same key for both
+    * orientations of an undirected edge — the forest is UNIQUE, so
+    * the trace is engine-exact.
     *
     * PARTIAL contraction by GROUP-LEVEL hooking + pointer doubling
     * (the Shiloach–Vishkin device): each group hooks onto
@@ -1124,9 +1134,27 @@ object Graph {
     * pointer jumps are |groups|-sized. The frontier and the label
     * frame are localCheckpoint'ed every round (the duplicateClusters
     * lineage lesson).
+    *
+    * HYBRID FINISH: Borůvka halves the group count every round, so
+    * after a few distributed rounds the CONTRACTED graph (one min
+    * edge per current-group pair, by the same canonical total order)
+    * is tiny even when |V| and |E| are cluster-sized. Once the group
+    * count is ≤ `localGroupCap` AND the contracted pair frame fits
+    * under `localEdgeCap` rows, both are collected and the remaining
+    * rounds run driver-side as an EXACT emulation of the same loop —
+    * same canonical pick, same min(g, partner) hooking, same
+    * `propSteps` PARTIAL pointer-doubling contraction, same dedup +
+    * anti-join against the forest — so the trace stays bit-identical
+    * to the unrolled SQL twin while the per-round job latency (the
+    * whole cost of late rounds, whose frames are near-empty)
+    * disappears. The collects are CONSTANT-bounded (caps, and
+    * ≤ rounds×groups cross-forest edges), never data-sized; weights
+    * are integral by the trace contract (new_weight is a BIGINT
+    * sum), so the long-typed local fold is exact.
     */
   def boruvkaTrace(edges: DataFrame, rounds: Int = 8,
-                   propSteps: Int = 2): DataFrame = {
+                   propSteps: Int = 2, localGroupCap: Long = 10000L,
+                   localEdgeCap: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst"), col("w"))
@@ -1148,6 +1176,59 @@ object Graph {
     val stats = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long)]
     var done = false
+    // n_groups for the next round, folded out of this round's stat
+    // collect (countDistinct over the checkpointed parent table) so
+    // each distributed round after the first runs one fewer job.
+    var nGroupsNext = -1L
+    // Driver-side finish state: contracted (g1, g2, w, s1, s2) pair
+    // minima keyed by at-switch labels, at-switch-label → current
+    // label, and the canonical forest edges still crossing groups.
+    var localPairs: Array[(Long, Long, Long, Long, Long)] = null
+    var localCur: scala.collection.mutable.HashMap[Long, Long] = null
+    var localMst: scala.collection.mutable.HashSet[(Long, Long)] = null
+    // One driver-side round: the distributed loop body verbatim over
+    // the collected contracted graph (min over pair minima IS the
+    // group min because the canonical key is a total order on edges).
+    def driverRound(r: Int): Unit = {
+      val nGroups = localCur.valuesIterator.toSet.size.toLong
+      val best =
+        scala.collection.mutable.HashMap.empty[Long, (Long, Long, Long, Long)]
+      def propose(g: Long, w: Long, s1: Long, s2: Long, h: Long): Unit = {
+        val keep = best.get(g) match {
+          case Some((bw, b1, b2, _)) =>
+            bw < w || (bw == w && (b1 < s1 || (b1 == s1 && b2 <= s2)))
+          case None => false
+        }
+        if (!keep) best(g) = (w, s1, s2, h)
+      }
+      localPairs.foreach { case (g1, g2, w, s1, s2) =>
+        val a = localCur(g1); val b = localCur(g2)
+        if (a != b) { propose(a, w, s1, s2, b); propose(b, w, s1, s2, a) }
+      }
+      if (best.isEmpty) {
+        stats += ((r.toLong, nGroups, 0L, 0L)); done = true
+      } else {
+        val picked = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        best.valuesIterator.foreach { case (w, s1, s2, _) =>
+          picked((s1, s2)) = w }
+        val newEdges = picked.filterNot { case (k, _) => localMst(k) }
+        stats += ((r.toLong, nGroups, newEdges.size.toLong,
+          newEdges.valuesIterator.sum))
+        newEdges.keysIterator.foreach(localMst += _)
+        val groups = localCur.valuesIterator.toSet
+        var par = groups.iterator.map { g =>
+          g -> (best.get(g) match {
+            case Some((_, _, _, h)) => math.min(g, h)
+            case None => g
+          })
+        }.toMap
+        for (_ <- 1 to propSteps) {
+          val p0 = par; par = p0.map { case (g, p) => g -> p0(p) }
+        }
+        val p1 = par
+        localCur.mapValuesInPlace((_, l) => p1(l))
+      }
+    }
     for (r <- 1 to rounds) if (done) {
       // Converged: no cross-label edges means no picks, identity
       // parents, and unchanged labels — every remaining round is
@@ -1155,8 +1236,11 @@ object Graph {
       // trace fills without jobs and stays bit-identical to the
       // twin's fixed unroll.
       stats += ((r.toLong, stats.last._2, 0L, 0L))
+    } else if (localPairs != null) {
+      driverRound(r)
     } else {
-      val nGroups = labels.select(col("label")).distinct().count()
+      val nGroups = if (nGroupsNext >= 0L) nGroupsNext
+        else labels.select(col("label")).distinct().count()
       val cross = frontier.select(col("src"), col("dst"), col("w"))
         .join(labels.select(col("node").as("src"),
           col("label").as("la")), Seq("src"))
@@ -1169,23 +1253,68 @@ object Graph {
         stats += ((r.toLong, nGroups, 0L, 0L))
         done = true
       } else {
+      if (nGroups <= localGroupCap) {
+        // Contract: the canonical-min edge per unordered current-group
+        // pair — ≤ groups² rows in theory, frontier-bounded in
+        // practice; the count() gate keeps the collect constant-sized.
+        val contracted = cross.groupBy(
+            least(col("la"), col("lb")).as("g1"),
+            greatest(col("la"), col("lb")).as("g2"))
+          .agg(min(struct(col("w"),
+            least(col("src"), col("dst")).as("s1"),
+            greatest(col("src"), col("dst")).as("s2"))).as("m"))
+          .select(col("g1").cast("long").as("g1"),
+            col("g2").cast("long").as("g2"),
+            col("m.w").cast("long").as("w"),
+            col("m.s1").cast("long").as("s1"),
+            col("m.s2").cast("long").as("s2"))
+          .localCheckpoint()
+        if (contracted.count() <= localEdgeCap) {
+          // Forest edges still crossing groups (the partial-contraction
+          // long-chain case): ≤ one pick per group per round, so the
+          // collect is ≤ rounds × localGroupCap rows.
+          val crossMst = mst
+            .join(labels.select(col("node").as("src"),
+              col("label").as("la")), Seq("src"))
+            .join(labels.select(col("node").as("dst"),
+              col("label").as("lb")), Seq("dst"))
+            .filter(col("la") =!= col("lb"))
+            .select(col("src").cast("long").as("s1"),
+              col("dst").cast("long").as("s2"))
+          localPairs = contracted.collect().map(x =>
+            (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+              x.getLong(4)))
+          localCur = scala.collection.mutable.HashMap(
+            labels.select(col("label").cast("long")).distinct()
+              .collect().map(x => x.getLong(0) -> x.getLong(0))
+              .toSeq: _*)
+          localMst = scala.collection.mutable.HashSet(
+            crossMst.collect()
+              .map(x => (x.getLong(0), x.getLong(1))).toSeq: _*)
+        }
+      }
+      if (localPairs != null) {
+        driverRound(r)
+      } else {
+      // Pick per group by the CANONICAL edge key (w, least, greatest):
+      // the two orientations of one undirected edge carry the same
+      // key, so two mutually-picking groups provably select the SAME
+      // cross edge even under tied weights, and the distinct/anti-join
+      // dedup below keeps the forest invariant. (Keying on the raw
+      // orientation-dependent (w, src, dst) let tied parallel cross
+      // edges both enter and close a cycle.) (w, s1, s2) is already a
+      // total order on edges — lb rides along only as the hook partner.
       val pickg = cross.groupBy(col("la"))
-        .agg(min(struct(col("w"), col("src"), col("dst"),
+        .agg(min(struct(col("w"),
+          least(col("src"), col("dst")).as("s1"),
+          greatest(col("src"), col("dst")).as("s2"),
           col("lb"))).as("m"))
       val newE = pickg
-        .select(least(col("m.src"), col("m.dst")).as("src"),
-          greatest(col("m.src"), col("m.dst")).as("dst"),
+        .select(col("m.s1").as("src"), col("m.s2").as("dst"),
           col("m.w").as("w"))
         .distinct()
         .join(mst, Seq("src", "dst"), "left_anti")
         .localCheckpoint()
-      val agg = newE.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("w")), lit(0L)).as("sw")).collect().head
-      stats += ((r.toLong, nGroups, agg.getAs[Long]("n"),
-        agg.getAs[Long]("sw")))
-      // mst stays a UNION of ≤ `rounds` checkpointed frames — shallow
-      // lineage without its own per-round checkpoint job.
-      mst = mst.unionByName(newE)
       // Group-level hooking: parent(g) = min(g, partner) strictly
       // decreases along chains, so the hooking graph is a forest.
       var par = labels.select(col("label").as("g")).distinct()
@@ -1198,10 +1327,24 @@ object Graph {
             col("a.p") === col("g2"))
           .select(col("a.g").as("g"), col("p2").as("p"))
       }
+      par = par.localCheckpoint()
+      // One collect for the round stat AND next round's group count
+      // (two 1-row aggregates crossJoined — the allowlisted shape).
+      val agg = newE.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("w")), lit(0L)).as("sw"))
+        .crossJoin(par.agg(countDistinct(col("p")).as("ng")))
+        .collect().head
+      stats += ((r.toLong, nGroups, agg.getAs[Long]("n"),
+        agg.getAs[Long]("sw")))
+      nGroupsNext = agg.getAs[Long]("ng")
+      // mst stays a UNION of ≤ `rounds` checkpointed frames — shallow
+      // lineage without its own per-round checkpoint job.
+      mst = mst.unionByName(newE)
       labels = labels
         .join(par.select(col("g").as("label"), col("p")), Seq("label"))
         .select(col("node"), col("p").as("label"))
         .localCheckpoint()
+      }
       }
     }
     stats.toSeq

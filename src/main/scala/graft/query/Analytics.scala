@@ -2097,8 +2097,11 @@ object Analytics {
     * integer per row, comparable across rows of one priority. The
     * quantile is a rank pick at the EXACT ⌈(n+1)(1−α)⌉ boundary
     * (integer arithmetic: rank = n_cal + 1 − (n_cal + 1) DIV 20 for
-    * α = 1/20 ... computed as ceil via integers), and the coverage
-    * comparison is integer-vs-integer. One division per output row.
+    * α = 1/20 ... computed as ceil via integers) CLAMPED to n_cal:
+    * when the slice is too small for the level ((n+1)·α < 1, i.e.
+    * rank n+1) the conservative q̂ = max residual is reported rather
+    * than silently dropping the priority. Coverage comparison is
+    * integer-vs-integer. One division per output row.
     *
     * Scale shape: one conditional keyed aggregate (train stats), one
     * rank window per priority over calibration rows, one test-side
@@ -2126,8 +2129,13 @@ object Analytics {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("priority")).orderBy(col("r").asc)))
       .join(calN, Seq("priority"))
-      .filter(col("rk") === col("nc") + 1L
-        - expr(s"(nc + 1) * $alphaNum DIV $alphaDen"))
+      // Clamp the rank to nc: when (nc+1)*α floors to 0 (a
+      // calibration slice too small for the level, nc < aDen/aNum − 1)
+      // the raw rank nc+1 matches no calibration row and the priority
+      // would silently vanish — emit the conservative qhat = max
+      // residual instead, so degenerate small-n slices stay visible.
+      .filter(col("rk") === least(col("nc"), col("nc") + 1L
+        - expr(s"(nc + 1) * $alphaNum DIV $alphaDen")))
       .select(col("priority"), col("nc"), col("r").as("qr"))
     val test = base.filter(col("slice") === 3L)
       .join(train, Seq("priority"))

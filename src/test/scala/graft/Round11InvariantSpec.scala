@@ -33,10 +33,6 @@ class Round11InvariantSpec extends SparkSpec {
     "and the MDE exactly unchanged") {
     val customers = (1 to 50).map(i => Tuple1(i.toLong))
       .toDF("c_custkey")
-    def orders(shift: Double) = (1 to 50).map(i =>
-      (i.toLong, "1997-01-01", 100.0 + rnd.nextInt(50) + shift))
-      .toDF("o_custkey", "o_orderdate", "o_totalprice")
-    val rndBase = new scala.util.Random(7)
     def fixed(shift: Double) = (1 to 50).map(i =>
       (i.toLong, "1997-01-01", 100.0 + (i * 37 % 50) + shift))
       .toDF("o_custkey", "o_orderdate", "o_totalprice")
