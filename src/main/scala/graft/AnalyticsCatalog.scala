@@ -390,6 +390,12 @@ object AnalyticsCatalog {
     "q_conformal" -> ((s, d) =>
       graft.query.Analytics.conformalInterval(Tables.orders(s, d))),
 
+    // Conformalized quantile regression per priority: train-slice
+    // [5%, 95%] rank-pick quantiles, signed two-sided nonconformity
+    // (can narrow the band), clamped rank pick, measured coverage.
+    "q_conformal_qr" -> ((s, d) =>
+      graft.query.Analytics.conformalQuantile(Tables.orders(s, d))),
+
     // Paired sign-flip permutation test on daily view-purchase cents
     // diffs: 64 hash-signed replicates, integer sums, add-one p.
     "q_sign_flip" -> ((s, d) =>
@@ -2057,6 +2063,54 @@ object AnalyticsCatalog {
         |    AS yhat_dollars,
         |  round(CAST(qr AS DOUBLE) / CAST(nt AS DOUBLE) / 100.0, 6)
         |    AS qhat_dollars,
+        |  round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+        |    AS coverage
+        |FROM test""".stripMargin,
+
+    // CQR twin: same md5 ':cqr' split, same integer rank-pick train
+    // quantiles (lo = max(1, ceil(nt/20)), hi mirrored), same signed
+    // nonconformity, same clamped qhat rank, integer coverage.
+    "q_conformal_qr" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y,
+        |    ('0x' || substr(md5(o_orderkey::VARCHAR || ':cqr'),
+        |      1, 15))::BIGINT % 4 AS slice
+        |  FROM orders),
+        |train AS (
+        |  SELECT priority, y, row_number() OVER (
+        |    PARTITION BY priority ORDER BY y) AS rk
+        |  FROM base WHERE slice <= 1),
+        |tn AS (SELECT priority, COUNT(*) AS nt FROM train GROUP BY 1),
+        |bounds AS (
+        |  SELECT t.priority,
+        |    MAX(CASE WHEN rk = GREATEST(1, (nt * 1 + 19) // 20)
+        |      THEN y END) AS qlo,
+        |    MAX(CASE WHEN rk = nt + 1 - GREATEST(1, (nt * 1 + 19) // 20)
+        |      THEN y END) AS qhi
+        |  FROM train t JOIN tn USING (priority)
+        |  GROUP BY 1),
+        |cal AS (
+        |  SELECT b.priority, GREATEST(qlo - y, y - qhi) AS e
+        |  FROM base b JOIN bounds USING (priority) WHERE slice = 2),
+        |caln AS (SELECT priority, COUNT(*) AS nc FROM cal GROUP BY 1),
+        |qhat AS (
+        |  SELECT c.priority, nc, e AS qhat FROM (
+        |    SELECT priority, e, row_number() OVER (
+        |      PARTITION BY priority ORDER BY e) AS rk FROM cal) c
+        |  JOIN caln USING (priority)
+        |  WHERE rk = LEAST(nc, nc + 1 - (nc + 1) * 1 // 10)),
+        |test AS (
+        |  SELECT b.priority, nc, qlo, qhi, qhat, COUNT(*) AS n_test,
+        |    CAST(SUM(CASE WHEN y >= qlo - qhat AND y <= qhi + qhat
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM base b JOIN bounds USING (priority)
+        |  JOIN qhat USING (priority)
+        |  WHERE slice = 3 GROUP BY 1, 2, 3, 4, 5)
+        |SELECT priority, nc AS n_cal, n_test,
+        |  round(CAST(qlo AS DOUBLE) / 100.0, 6) AS qlo_dollars,
+        |  round(CAST(qhi AS DOUBLE) / 100.0, 6) AS qhi_dollars,
+        |  round(CAST(qhat AS DOUBLE) / 100.0, 6) AS qhat_dollars,
         |  round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
         |    AS coverage
         |FROM test""".stripMargin,

@@ -1071,6 +1071,13 @@ object PipelineCatalog {
     "q_rake" -> ((s, d) =>
       graft.operators.Retrieval.rakeKeyphrases(Tables.documents(s, d))),
 
+    // Distinctive phrases (Monroe '08 log-odds, informative Dirichlet
+    // prior) over the RAKE candidate runs: English slice vs rest,
+    // top-20 by |z| with the rounded-DECIMAL rank boundary.
+    "q_distinctive_phrases" -> ((s, d) =>
+      graft.operators.Retrieval.distinctivePhrases(
+        Tables.documents(s, d))),
+
     // Query-likelihood Dirichlet retrieval over the same derived
     // query panel: matching-terms log decomposition + doc-length
     // prior, sorted-fold sum, DECIMAL(18,6) rank boundary.
@@ -3580,6 +3587,63 @@ object PipelineCatalog {
         |  round(CAST(MAX(sfp) AS DOUBLE) / 1e6, 6) AS score
         |FROM inst GROUP BY 1
         |ORDER BY MAX(sfp) DESC, phrase LIMIT 15""".stripMargin,
+
+    // Distinctive-phrases twin: the q_rake candidate-run CTEs, then
+    // the Monroe log-odds with the α0 = 100 pooled informative prior
+    // — same per-row double tree, same rounded-DECIMAL |z| boundary.
+    "q_distinctive_phrases" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t[i] AS token, i AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+        |          unnest(range(1, len(string_split(text, ' ')) + 1))
+        |            AS i
+        |        FROM documents)
+        |  WHERE t[i] NOT IN ('the', 'a') AND t[i] <> ''),
+        |runs AS (
+        |  SELECT doc_id, pos, token,
+        |    pos - row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY pos) AS grp
+        |  FROM toks),
+        |phrases AS MATERIALIZED (
+        |  SELECT doc_id, grp,
+        |    array_to_string(list(token ORDER BY pos), ' ') AS phrase
+        |  FROM runs GROUP BY 1, 2),
+        |cnt AS (
+        |  SELECT phrase,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ya,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS yb
+        |  FROM phrases JOIN documents USING (doc_id)
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(ya) AS BIGINT) AS na,
+        |    CAST(SUM(yb) AS BIGINT) AS nb
+        |  FROM cnt),
+        |pri AS (
+        |  SELECT phrase, ya, yb, na, nb,
+        |    100.0 * CAST(ya + yb AS DOUBLE)
+        |      / CAST(na + nb AS DOUBLE) AS aw
+        |  FROM cnt CROSS JOIN tot),
+        |dl AS (
+        |  SELECT phrase, ya, yb, aw,
+        |    ln((CAST(ya AS DOUBLE) + aw)
+        |        / (CAST(na AS DOUBLE) + 100.0
+        |          - CAST(ya AS DOUBLE) - aw))
+        |      - ln((CAST(yb AS DOUBLE) + aw)
+        |        / (CAST(nb AS DOUBLE) + 100.0
+        |          - CAST(yb AS DOUBLE) - aw)) AS delta
+        |  FROM pri),
+        |zz AS (
+        |  SELECT phrase, ya, yb, delta,
+        |    delta / sqrt(1.0 / (CAST(ya AS DOUBLE) + aw)
+        |      + 1.0 / (CAST(yb AS DOUBLE) + aw)) AS z
+        |  FROM dl)
+        |SELECT phrase, ya AS n_en, yb AS n_other,
+        |  round(delta, 6) AS log_odds, round(z, 6) AS z_score
+        |FROM zz
+        |ORDER BY CAST(round(abs(z), 6) AS DECIMAL(18,6)) DESC, phrase
+        |LIMIT 20""".stripMargin,
 
     // QL-Dirichlet twin: the shared BM25 CTE prefix (toks/st/q/tok/
     // mt/tf), corpus frequency in place of df, same log decomposition

@@ -171,20 +171,7 @@ object Retrieval {
     * instances), a phrase-keyed rollup, a k-row cut.
     */
   def rakeKeyphrases(docs: DataFrame, k: Int = 15): DataFrame = {
-    val stop = graft.functions.TextOps.Stopwords
-    val toks = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .withColumnRenamed("col", "token")
-      .filter(!col("token").isin(stop: _*) && col("token") =!= "")
-    val phrases = toks
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .groupBy(col("doc_id"), (col("pos") - col("rn")).as("grp"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("token"))))
-        .as("ws"))
-      .select(col("doc_id"), col("grp"),
-        transform(col("ws"), _.getField("token")).as("words"))
-      .withColumn("phrase", concat_ws(" ", col("words")))
+    val phrases = rakeCandidates(docs)
     val wstats = phrases
       .select(explode(col("words")).as("word"),
         size(col("words")).as("plen"))
@@ -206,6 +193,90 @@ object Retrieval {
       .limit(k)
       .select(col("phrase"), col("n_words"), col("n_occurrences"),
         round(col("sfp").cast("double") / lit(1e6), 6).as("score"))
+  }
+
+  /** Candidate phrases shared by [[rakeKeyphrases]] and
+    * [[distinctivePhrases]]: the maximal stopword-free token runs per
+    * document (pos − row_number is constant within a run), with the
+    * ordered word array and the space-joined phrase string. One
+    * posexplode + one per-DOC window (state bounded by document
+    * length) + one keyed aggregate.
+    */
+  private def rakeCandidates(docs: DataFrame): DataFrame = {
+    val stop = graft.functions.TextOps.Stopwords
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "token")
+      .filter(!col("token").isin(stop: _*) && col("token") =!= "")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), (col("pos") - col("rn")).as("grp"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("token"))))
+        .as("ws"))
+      .select(col("doc_id"), col("grp"),
+        transform(col("ws"), _.getField("token")).as("words"))
+      .withColumn("phrase", concat_ws(" ", col("words")))
+  }
+
+  /** DISTINCTIVE PHRASES by weighted log-odds with an informative
+    * Dirichlet prior (Monroe, Colaresi & Quinn '08, "Fightin'
+    * Words") — the standard two-corpus comparison readout, here over
+    * [[rakeCandidates]] phrase instances: which candidate phrases are
+    * over-represented in the English slice (corpus A, lang = 'en')
+    * versus the rest (corpus B), with pooled-rate shrinkage so rare
+    * phrases don't dominate the way they do under the raw
+    * log-odds-ratio or PMI?
+    *
+    * For phrase w with instance counts y_aw / y_bw, corpus totals
+    * n_a / n_b, and informative prior α_w = α0·(y_aw+y_bw)/(n_a+n_b):
+    *
+    *   δ_w  = ln[(y_aw + α_w) / (n_a + α0 − y_aw − α_w)]
+    *        − ln[(y_bw + α_w) / (n_b + α0 − y_bw − α_w)]
+    *   σ²_w ≈ 1/(y_aw + α_w) + 1/(y_bw + α_w),   z_w = δ_w / σ_w
+    *
+    * Top-k by |z| with δ's sign giving the direction.
+    *
+    * Determinism: the counts are exact integers; δ and z are per-row
+    * double trees over those integers (no order-dependent folds); the
+    * rank key is the rounded DECIMAL(18,6) |z| with the phrase-string
+    * tie-break — the exact-boundary device.
+    *
+    * Scale shape: the [[rakeCandidates]] per-doc window, one
+    * phrase-keyed count aggregate, one 1-row total crossJoin
+    * broadcast (allowlisted shape), a k-row cut.
+    */
+  def distinctivePhrases(docs: DataFrame, k: Int = 20,
+                         alpha0: Double = 100.0): DataFrame = {
+    val counts = rakeCandidates(docs)
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").as("is_a")), Seq("doc_id"))
+      .groupBy(col("phrase"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ya"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("yb"))
+    val tot = counts.agg(sum(col("ya")).as("na"),
+      sum(col("yb")).as("nb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("aw", (lit(alpha0)
+        * (col("ya") + col("yb")).cast("double")
+        / (col("na") + col("nb")).cast("double")))
+      .withColumn("delta", (
+        log((col("ya").cast("double") + col("aw"))
+          / (col("na").cast("double") + lit(alpha0)
+            - col("ya").cast("double") - col("aw")))
+        - log((col("yb").cast("double") + col("aw"))
+          / (col("nb").cast("double") + lit(alpha0)
+            - col("yb").cast("double") - col("aw")))))
+      .withColumn("z", (col("delta")
+        / sqrt(lit(1.0) / (col("ya").cast("double") + col("aw"))
+          + lit(1.0) / (col("yb").cast("double") + col("aw")))))
+      .withColumn("zr", round(abs(col("z")), 6)
+        .cast(DecimalType(18, 6)))
+      .orderBy(col("zr").desc, col("phrase").asc)
+      .limit(k)
+      .select(col("phrase"), col("ya").as("n_en"),
+        col("yb").as("n_other"),
+        round(col("delta"), 6).as("log_odds"),
+        round(col("z"), 6).as("z_score"))
   }
 
   /** QUERY-LIKELIHOOD retrieval with DIRICHLET smoothing (Zhai &

@@ -2154,6 +2154,82 @@ object Analytics {
         / col("n_test").cast("double"), 6).as("coverage"))
   }
 
+  /** CONFORMALIZED QUANTILE REGRESSION (Romano, Patterson & Candès
+    * '19) — the heteroskedastic upgrade of [[conformalInterval]]:
+    * instead of a symmetric mean ± q̂ band, fit per-priority
+    * empirical [α/2, 1−α/2] quantiles on the train slice, measure
+    * the SIGNED two-sided nonconformity E = max(q_lo − y, y − q_hi)
+    * on calibration (negative deep inside the interval, so q̂ can
+    * NARROW a too-wide band — the property the symmetric variant
+    * lacks), pick q̂ at the clamped ⌈(n_cal+1)(1−α)⌉ rank, and
+    * report the calibrated interval [q_lo − q̂, q_hi + q̂] with its
+    * measured test coverage (guaranteed ≥ 1−α in expectation,
+    * model-free).
+    *
+    * Exactness end to end: the same md5 hash split as the mean
+    * variant (suffix ':cqr'); train quantiles are rank picks over
+    * integer cents (lo rank = max(1, ⌈n_t·α/2⌉), hi = n_t+1−lo, by
+    * integer ceil division); E is an exact integer; the q̂ rank uses
+    * the same clamped integer formula as [[conformalInterval]]; the
+    * coverage test is integer-vs-integer.
+    *
+    * Scale shape: one rank window per priority over each of train
+    * and calibration, two keyed aggregates, one test-side keyed
+    * count. |priorities| rows out.
+    */
+  def conformalQuantile(orders: DataFrame, alphaNum: Long = 1L,
+                        alphaDen: Long = 10L): DataFrame = {
+    val base = orders.select(col("o_orderpriority").as("priority"),
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("y"),
+      pmod(TextOps.fingerprint64(
+        concat(col("o_orderkey").cast("string"), lit(":cqr"))),
+        lit(4L)).as("slice"))
+    // slice 0-1 train, 2 calibration, 3 test — the mean variant's map.
+    val train = base.filter(col("slice") <= 1L)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("priority")).orderBy(col("y").asc)))
+    val tn = train.groupBy(col("priority")).agg(count(lit(1)).as("nt"))
+    val bounds = train.join(tn, Seq("priority"))
+      .withColumn("lo_rk", greatest(lit(1L),
+        expr(s"(nt * $alphaNum + ${2 * alphaDen} - 1) " +
+          s"DIV ${2 * alphaDen}")))
+      .withColumn("hi_rk", col("nt") + lit(1L) - col("lo_rk"))
+      .groupBy(col("priority"))
+      .agg(max(when(col("rk") === col("lo_rk"), col("y"))).as("qlo"),
+        max(when(col("rk") === col("hi_rk"), col("y"))).as("qhi"))
+    val cal = base.filter(col("slice") === 2L)
+      .join(bounds, Seq("priority"))
+      .select(col("priority"),
+        greatest(col("qlo") - col("y"), col("y") - col("qhi")).as("e"))
+    val calN = cal.groupBy(col("priority")).agg(count(lit(1)).as("nc"))
+    val qhat = cal
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("priority")).orderBy(col("e").asc)))
+      .join(calN, Seq("priority"))
+      // the same small-slice clamp as conformalInterval
+      .filter(col("rk") === least(col("nc"), col("nc") + 1L
+        - expr(s"(nc + 1) * $alphaNum DIV $alphaDen")))
+      .select(col("priority"), col("nc"), col("e").as("qhat"))
+    val test = base.filter(col("slice") === 3L)
+      .join(bounds, Seq("priority"))
+      .join(qhat, Seq("priority"))
+      .groupBy(col("priority"), col("nc"), col("qlo"), col("qhi"),
+        col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("y") >= col("qlo") - col("qhat")
+            && col("y") <= col("qhi") + col("qhat"),
+          1L).otherwise(0L)).as("n_covered"))
+    test.select(col("priority"), col("nc").as("n_cal"), col("n_test"),
+      round(col("qlo").cast("double") / lit(100.0), 6)
+        .as("qlo_dollars"),
+      round(col("qhi").cast("double") / lit(100.0), 6)
+        .as("qhi_dollars"),
+      round(col("qhat").cast("double") / lit(100.0), 6)
+        .as("qhat_dollars"),
+      round(col("n_covered").cast("double")
+        / col("n_test").cast("double"), 6).as("coverage"))
+  }
+
   /** PAIRED SIGN-FLIP PERMUTATION TEST (Fisher's randomization test,
     * the exact-inference fallback when nothing is normal): is the
     * daily view−purchase value gap real, or would random ± signs on

@@ -244,7 +244,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_join_advisor",
     // decay_counts: the 1-row reference-date frame (q_quartiles
     // 1-row family); the SQL-text variant compiles to the same plan.
-    "q_decay_counts", "q_sql_decay_counts")
+    "q_decay_counts", "q_sql_decay_counts",
+    // distinctive_phrases: the 1-row (n_a, n_b) corpus-totals frame
+    // broadcast under the log-odds (q_distinctive_terms shape).
+    "q_distinctive_phrases")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

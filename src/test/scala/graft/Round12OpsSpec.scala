@@ -49,6 +49,103 @@ class Round12OpsSpec extends SparkSpec {
     assert(dist == hyb, s"\ndistributed: $dist\nhybrid:      $hyb")
   }
 
+  test("distinctivePhrases: a phrase exclusive to the en slice gets " +
+    "positive log-odds, an exclusive non-en phrase negative; counts " +
+    "and the hand-computed z match") {
+    // 4 docs: "spark shuffle" twice in en only; "flink state" twice
+    // in de only; "join" everywhere (background mass). Stopword 'the'
+    // splits runs.
+    val docs = Seq(
+      (1L, "spark shuffle the join", "en"),
+      (2L, "spark shuffle the join", "en"),
+      (3L, "flink state the join", "de"),
+      (4L, "flink state the join", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.Retrieval.distinctivePhrases(docs, k = 10)
+      .collect().map(r => r.getAs[String]("phrase") ->
+        (r.getAs[Long]("n_en"), r.getAs[Long]("n_other"),
+          r.getAs[Double]("log_odds"), r.getAs[Double]("z_score")))
+      .toMap
+    // candidate runs per doc: ("spark shuffle", "join") / ("flink
+    // state", "join") → n_a = n_b = 4 phrase instances.
+    assert(got("spark shuffle")._1 == 2L && got("spark shuffle")._2 == 0L)
+    assert(got("flink state")._1 == 0L && got("flink state")._2 == 2L)
+    assert(got("join")._1 == 2L && got("join")._2 == 2L)
+    assert(got("spark shuffle")._3 > 0.0 && got("flink state")._3 < 0.0)
+    // symmetric corpus: the two exclusive phrases mirror each other
+    assert(got("spark shuffle")._4 == -got("flink state")._4, got.toString)
+    // hand-computed: alpha0=100, n=8, y=2 → aw=25; ya=2, na=4:
+    // delta = ln(27/(104-27)) - ln(25/(104-25)); z = delta/sqrt(1/27+1/25)
+    val delta = math.log(27.0 / 77.0) - math.log(25.0 / 79.0)
+    val z = delta / math.sqrt(1.0 / 27.0 + 1.0 / 25.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("spark shuffle")._3 == r6(delta), got.toString)
+    assert(got("spark shuffle")._4 == r6(z), got.toString)
+    // the balanced background phrase is exactly non-distinctive
+    assert(got("join")._3 == 0.0 && got("join")._4 == 0.0)
+  }
+
+  test("conformalQuantile: matches an independent Scala " +
+    "re-computation of the rank-pick quantiles, signed residual " +
+    "quantile, and coverage on a 400-order frame") {
+    val orders = (1 to 400).map(i =>
+      (i.toLong, "P", 100.0 + (i * 17 % 250)))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val got = graft.query.Analytics.conformalQuantile(orders)
+      .collect().head
+    // Re-derive the hash slices through the same expression, then
+    // fold the whole CQR pipeline in plain Scala.
+    val sl = orders.select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("y"),
+        pmod(graft.functions.TextOps.fingerprint64(
+          concat(col("o_orderkey").cast("string"), lit(":cqr"))),
+          lit(4L)).as("slice"))
+      .collect().map(r => (r.getAs[Long]("y"), r.getAs[Long]("slice")))
+    val train = sl.filter(_._2 <= 1L).map(_._1).sorted
+    val nt = train.length
+    val loRk = math.max(1, (nt * 1 + 19) / 20)
+    val qlo = train(loRk - 1); val qhi = train(nt + 1 - loRk - 1)
+    val calE = sl.filter(_._2 == 2L)
+      .map { case (y, _) => math.max(qlo - y, y - qhi) }.sorted
+    val nc = calE.length
+    val qRk = math.min(nc, nc + 1 - (nc + 1) * 1 / 10)
+    val qhat = calE(qRk.toInt - 1)
+    val testY = sl.filter(_._2 == 3L).map(_._1)
+    val covered = testY.count(y => y >= qlo - qhat && y <= qhi + qhat)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Long]("n_cal") == nc.toLong)
+    assert(got.getAs[Long]("n_test") == testY.length.toLong)
+    assert(got.getAs[Double]("qlo_dollars") == r6(qlo / 100.0))
+    assert(got.getAs[Double]("qhi_dollars") == r6(qhi / 100.0))
+    assert(got.getAs[Double]("qhat_dollars") == r6(qhat / 100.0))
+    assert(got.getAs[Double]("coverage")
+      == r6(covered.toDouble / testY.length))
+  }
+
+  test("conformalInterval: a calibration slice too small for the " +
+    "level no longer vanishes — clamped to the max residual") {
+    // 24 orders → calibration slice ~6 rows << 19, so the raw rank
+    // nc+1 matched nothing before the clamp and priority P vanished.
+    val orders = (1 to 24).map(i =>
+      (i.toLong, "P", 100.0 + i)).toDF(
+      "o_orderkey", "o_orderpriority", "o_totalprice")
+    val got = graft.query.Analytics.conformalInterval(orders).collect()
+    assert(got.length == 1,
+      s"small-n priority must survive with conservative qhat: " +
+        s"${got.toSeq}")
+    assert(got.head.getAs[Double]("qhat_dollars") >= 0.0)
+  }
+
+  test("kTruss: k <= 2 is rejected (the triangle peel cannot " +
+    "represent the keep-everything truss)") {
+    val e = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      graft.operators.Graph.kTruss(e, k = 2)
+    }
+  }
+
   test("boruvkaTrace: all-tied K4 stays a forest (3 edges, not 4+)") {
     // Every edge weight equal: the worst tie storm. A correct pick
     // rule yields a spanning tree; the orientation bug inflated it.
