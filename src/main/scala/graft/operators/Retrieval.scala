@@ -362,18 +362,10 @@ object Retrieval {
         queryCap = queryCap)
       .select(col("query_id"), col("doc_id"))
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val qterms = derivedQueryTerms(toks, queryEvery, 3, queryCap)
-    feedbackExpansion(toks, fb, qterms, m)
-  }
-
-  /** The RM3 candidate tail over a GIVEN feedback set: per-query
-    * term counts across the feedback docs, query terms anti-joined
-    * out, (fb_tf desc, token) top-m. Shared by [[rm3ExpansionTerms]]
-    * and [[rm3Rescore]] (which feeds it the already-scored first
-    * pass instead of re-running retrieval).
-    */
-  private def feedbackExpansion(toks: DataFrame, fb: DataFrame,
-                                qterms: DataFrame, m: Int): DataFrame =
+    val qterms = toks
+      .filter(col("doc_id") % queryEvery === 0 && col("doc_id") < queryCap)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(array_distinct(col("t")), 1, 3)).as("token"))
     toks.select(col("doc_id"), explode(col("t")).as("token"))
       .join(broadcast(fb), Seq("doc_id"))
       .groupBy(col("query_id"), col("token"))
@@ -384,6 +376,7 @@ object Retrieval {
           .orderBy(col("fb_tf").desc, col("token").asc)))
       .filter(col("rnk") <= m)
       .select(col("query_id"), col("token"), col("fb_tf"), col("rnk"))
+  }
 
   /** RM3 SECOND-PASS RESCORING — the full pseudo-relevance-feedback
     * loop: first-pass BM25, [[rm3ExpansionTerms]], then a second
@@ -397,29 +390,17 @@ object Retrieval {
     * Scale shape: two [[bm25TopK]]-shaped scoring legs (each with
     * its own documented 100 TB asymmetry) + a per-query full-outer
     * blend over ≤ (matched docs per leg) rows and one top-k window.
-    * The first pass is scored ONCE and localCheckpoint'ed: it feeds
-    * BOTH the feedback top-k0 (the expansion source — previously a
-    * full re-retrieval inside [[rm3ExpansionTerms]]) and the final
-    * blend. The checkpointed frame is |queries| × matched-docs rows —
-    * exactly what the blend join shuffles anyway, never corpus-sized.
     */
   def rm3Rescore(docs: DataFrame, k: Int = 5, k0: Int = 5, m: Int = 5,
                  alpha: Double = 0.6, k1: Double = 1.2,
                  b: Double = 0.75, queryEvery: Int = 100,
                  queryCap: Long = 1000000L): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val qterms = derivedQueryTerms(toks, queryEvery, 3, queryCap)
-    val pass1 = bm25Scores(toks, qterms, k1, b).localCheckpoint()
-    val fb = pass1
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("doc_id").asc)))
-      .filter(col("rnk") <= k0)
-      .select(col("query_id"), col("doc_id"))
-    val s1 = pass1
+    val s1 = bm25Scores(toks,
+        derivedQueryTerms(toks, queryEvery, 3, queryCap), k1, b)
       .select(col("query_id"), col("doc_id"), col("score").as("s1"))
     val s2 = bm25Scores(toks,
-        feedbackExpansion(toks, fb, qterms, m)
+        rm3ExpansionTerms(docs, k0, m, queryEvery, queryCap)
           .select(col("query_id"), col("token")), k1, b)
       .select(col("query_id"), col("doc_id"), col("score").as("s2"))
     s1.join(s2, Seq("query_id", "doc_id"), "full_outer")
