@@ -202,7 +202,7 @@ object Retrieval {
     * posexplode + one per-DOC window (state bounded by document
     * length) + one keyed aggregate.
     */
-  private def rakeCandidates(docs: DataFrame): DataFrame = {
+  private[graft] def rakeCandidates(docs: DataFrame): DataFrame = {
     val stop = graft.functions.TextOps.Stopwords
     docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
@@ -246,13 +246,23 @@ object Retrieval {
     * broadcast (allowlisted shape), a k-row cut.
     */
   def distinctivePhrases(docs: DataFrame, k: Int = 20,
-                         alpha0: Double = 100.0): DataFrame = {
-    val counts = rakeCandidates(docs)
-      .join(docs.select(col("doc_id"),
-        (col("lang") === "en").as("is_a")), Seq("doc_id"))
-      .groupBy(col("phrase"))
-      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ya"),
-        sum(when(!col("is_a"), 1L).otherwise(0L)).as("yb"))
+                         alpha0: Double = 100.0): DataFrame =
+    distinctiveFinish(
+      rakeCandidates(docs)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("is_a")), Seq("doc_id"))
+        .groupBy(col("phrase"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ya"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("yb")),
+      k, alpha0)
+
+  /** The Monroe log-odds surface over a finished (phrase, ya, yb)
+    * count table — a pure function of the counts (the prior and the
+    * corpus totals re-derive from Σya/Σyb), so the streaming twin
+    * splits at this joint exactly like the decay/CUSUM families.
+    */
+  private[graft] def distinctiveFinish(counts: DataFrame, k: Int,
+                                       alpha0: Double): DataFrame = {
     val tot = counts.agg(sum(col("ya")).as("na"),
       sum(col("yb")).as("nb"))
     counts.crossJoin(broadcast(tot))

@@ -285,6 +285,48 @@ object StreamingSketch {
           .as("decayed_count"))
   }
 
+  case class PhraseLang(phrase: String, en: Boolean)
+  case class PhraseCounts(phrase: String, ya: Long, yb: Long)
+
+  /** Incremental state for [[graft.operators.Retrieval
+    * .distinctivePhrases]] — the Monroe log-odds corpus comparison
+    * live: per-phrase (en, other) instance counts merge by integer
+    * addition, and the WHOLE log-odds surface (informative prior,
+    * corpus totals, δ, z, the top-k cut) is a pure function of the
+    * finished count table, so the twin splits at the same joint as
+    * [[decayStream]]/[[cusumStream]]: bounded per-key state here,
+    * the batch arithmetic verbatim in [[distinctiveFromCounts]].
+    * State is two longs per DISTINCT phrase (vocabulary-bounded,
+    * like the cms/kmv token streams), never instance-sized; phrase
+    * extraction is per-document stateless and happens upstream.
+    */
+  def phraseCountStream(rows: Dataset[PhraseLang])
+      : Dataset[PhraseCounts] =
+    rows.groupByKey(_.phrase)(Encoders.STRING)
+      .mapGroupsWithState[(Long, Long), PhraseCounts](
+        GroupStateTimeout.NoTimeout) {
+        (p: String, it: Iterator[PhraseLang],
+         state: GroupState[(Long, Long)]) =>
+          var (ya, yb) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { r => if (r.en) ya += 1L else yb += 1L }
+          state.update((ya, yb))
+          PhraseCounts(p, ya, yb)
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
+        Encoders.product[PhraseCounts])
+
+  /** Stateless finish for [[phraseCountStream]]: the batch
+    * [[graft.operators.Retrieval.distinctivePhrases]] tail over the
+    * emitted counts — same output schema, so the parity spec
+    * compares frames directly.
+    */
+  def distinctiveFromCounts(counts: org.apache.spark.sql.DataFrame,
+                            k: Int = 20, alpha0: Double = 100.0)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.Retrieval.distinctiveFinish(
+      counts.select(col("phrase"), col("ya"), col("yb")), k, alpha0)
+  }
+
   case class TypeDayCents(g: String, day: Int, cents: Long)
   case class DayCents(day: Int, cents: Long)
   case class CusumHist(g: String, days: Seq[DayCents])
