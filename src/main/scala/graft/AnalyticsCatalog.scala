@@ -352,6 +352,19 @@ object AnalyticsCatalog {
     "q_theil_sen" -> ((s, d) =>
       graft.query.Analytics.theilSen(Tables.events(s, d))),
 
+    // Mann-Kendall trend test over the same daily series: exact
+    // integer S and tie sum, single /18 variance division,
+    // continuity-corrected z — Theil-Sen's significance companion.
+    "q_mann_kendall" -> ((s, d) =>
+      graft.query.Analytics.mannKendall(Tables.events(s, d))),
+
+    // Two-sample log-rank test (urgent vs rest) over the KM/NA
+    // durations: hypergeometric E and V per event time, t-sorted
+    // folds, 1-df chi-square readout.
+    "q_logrank" -> ((s, d) =>
+      graft.query.Analytics.logRank(
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+
     // Benford first-digit audit on order totals in integer cents:
     // observed vs log10(1+1/d) shares + per-digit chi-square terms.
     "q_benford" -> ((s, d) =>
@@ -2307,6 +2320,127 @@ object AnalyticsCatalog {
         |    AS fh_survival
         |FROM sums
         |WHERE d > 0""".stripMargin,
+
+    // Mann-Kendall twin: same daily cents rollup, exact integer S
+    // and tie sum, one /18 division, continuity-corrected z.
+    "q_mann_kendall" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, x, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS t
+        |  FROM daily),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.x > a.x THEN 1
+        |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM idx a JOIN idx b
+        |    ON a.event_type = b.event_type AND a.t < b.t
+        |  GROUP BY 1),
+        |nd AS (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tsum
+        |  FROM (SELECT event_type, x, COUNT(*) AS tc
+        |        FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |vz AS (
+        |  SELECT nd.event_type, n, COALESCE(s_stat, 0) AS s_stat,
+        |    CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE) / 18.0
+        |      AS var_s
+        |  FROM nd JOIN ties USING (event_type)
+        |  LEFT JOIN s ON nd.event_type = s.event_type),
+        |z AS (
+        |  SELECT event_type, n, s_stat, var_s,
+        |    CASE WHEN var_s > 0 THEN
+        |      CASE WHEN s_stat > 0
+        |             THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+        |           WHEN s_stat < 0
+        |             THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+        |           ELSE 0.0 END END AS zv
+        |  FROM vz)
+        |SELECT event_type, n AS n_days, s_stat,
+        |  round(var_s, 6) AS var_s, round(zv, 6) AS z,
+        |  COALESCE(ABS(zv) > 1.959964, false) AS significant
+        |FROM z""".stripMargin,
+
+    // Log-rank twin: the q_survival_km duration CTEs collapsed to one
+    // shared event-time frame with BOTH groups' at-risk windows, the
+    // same hypergeometric E/V trees, t-ordered list_reduce folds.
+    "q_logrank" ->
+      """WITH comp AS (
+        |  SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE)
+        |    AS completion
+        |  FROM lineitem GROUP BY 1),
+        |base AS (
+        |  SELECT (o_orderpriority = '1-URGENT') AS ga,
+        |    CASE WHEN completion <= DATE '1998-06-01'
+        |      THEN datediff('day', CAST(o_orderdate AS DATE),
+        |        completion)
+        |      ELSE datediff('day', CAST(o_orderdate AS DATE),
+        |        DATE '1998-06-01') END AS t,
+        |    CASE WHEN completion <= DATE '1998-06-01'
+        |      THEN 1 ELSE 0 END AS ev
+        |  FROM orders JOIN comp ON o_orderkey = l_orderkey
+        |  WHERE CAST(o_orderdate AS DATE) <= DATE '1998-06-01'),
+        |times AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN ga THEN ev ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN ga THEN 1 - ev ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(SUM(CASE WHEN ga THEN 0 ELSE ev END) AS BIGINT) AS d2,
+        |    CAST(SUM(CASE WHEN ga THEN 0 ELSE 1 - ev END) AS BIGINT)
+        |      AS c2
+        |  FROM base GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(d1 + c1) AS BIGINT) AS n1tot,
+        |    CAST(SUM(d2 + c2) AS BIGINT) AS n2tot
+        |  FROM times),
+        |risk AS (
+        |  SELECT t, d1, d2,
+        |    n1tot, n2tot,
+        |    CAST(n1tot - (SUM(d1 + c1) OVER (ORDER BY t ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) - d1 - c1)
+        |      AS BIGINT) AS n1,
+        |    CAST(n2tot - (SUM(d2 + c2) OVER (ORDER BY t ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) - d2 - c2)
+        |      AS BIGINT) AS n2
+        |  FROM times CROSS JOIN tot),
+        |ev AS (
+        |  SELECT t, d1, n1tot, n2tot, d1 + d2 AS d, n1, n2,
+        |    n1 + n2 AS n
+        |  FROM risk WHERE d1 + d2 > 0),
+        |terms AS (
+        |  SELECT t, d1, n1tot, n2tot,
+        |    CAST(d * n1 AS DOUBLE) / CAST(n AS DOUBLE) AS e1,
+        |    CASE WHEN n > 1 THEN
+        |      CAST(d * n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        * CAST(n - d AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          * CAST(n - 1 AS DOUBLE))
+        |      ELSE 0.0 END AS v
+        |  FROM ev),
+        |agg AS (
+        |  SELECT MAX(n1tot) AS n1, MAX(n2tot) AS n2,
+        |    CAST(SUM(d1) AS BIGINT) AS o1,
+        |    list_reduce(list_transform(
+        |      list(struct_pack(k := t, v := e1) ORDER BY t),
+        |      s -> s.v), (x, y) -> x + y) AS e1s,
+        |    list_reduce(list_transform(
+        |      list(struct_pack(k := t, v := v) ORDER BY t),
+        |      s -> s.v), (x, y) -> x + y) AS vsum
+        |  FROM terms)
+        |SELECT n1, n2, o1 AS observed_a, round(e1s, 6) AS expected_a,
+        |  round(CASE WHEN vsum > 0 THEN
+        |    (CAST(o1 AS DOUBLE) - e1s) * (CAST(o1 AS DOUBLE) - e1s)
+        |      / vsum END, 6) AS chi2,
+        |  COALESCE(CASE WHEN vsum > 0 THEN
+        |    (CAST(o1 AS DOUBLE) - e1s) * (CAST(o1 AS DOUBLE) - e1s)
+        |      / vsum > 3.841459 END, false) AS significant
+        |FROM agg""".stripMargin,
 
     // CCF twin: same calendar-day alignment, same integer-dollar
     // deviation snap, same exact lag products.

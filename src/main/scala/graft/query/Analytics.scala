@@ -2626,6 +2626,134 @@ object Analytics {
           .as("fh_survival"))
   }
 
+  /** MANN-KENDALL TREND TEST (Mann '45, Kendall '48) per event type
+    * — the SIGNIFICANCE companion [[theilSen]] lacks: is the daily
+    * series' monotone trend real? S = Σ_{i<j} sign(x_j − x_i) over
+    * the day-ordered series, Var(S) = [n(n−1)(2n+5) −
+    * Σ_ties t(t−1)(2t+5)]/18 (the standard tie correction), and the
+    * continuity-corrected z = (S∓1)/√Var against the two-sided 5%
+    * normal cut. The canonical pairing: Theil-Sen GIVES the robust
+    * slope, Mann-Kendall SAYS whether to believe it — both over the
+    * same exact integer-cents daily rollup.
+    *
+    * Determinism: S and the tie sum are exact integers; Var is ONE
+    * double division by 18; z is one more division; all thresholds
+    * are pinned literals. Degenerate Var = 0 (all days tied, or
+    * n < 2) → null z, false significance.
+    *
+    * Scale shape: [[theilSen]]'s argument verbatim — the pair join
+    * runs per type over the CALENDAR-bounded daily frame (≤ |days|²
+    * rows per type, never data-sized); one keyed aggregate each for
+    * S, ties, and n.
+    */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val daily = dailySeries(events)
+    val s = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("a.t") < col("b.t"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum((col("b.x") - col("a.x")).cast("double"))
+        .cast("long")).as("s_stat"))
+    val nD = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("tc"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("tc") * (col("tc") - 1L)
+        * (lit(2L) * col("tc") + 5L)).as("tsum"))
+    val varS = (
+      (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L)
+        - col("tsum")).cast("double") / lit(18.0))
+    val z = when(col("var_s") > 0.0,
+      when(col("s_stat") > 0L,
+        (col("s_stat") - 1L).cast("double") / sqrt(col("var_s")))
+        .when(col("s_stat") < 0L,
+          (col("s_stat") + 1L).cast("double") / sqrt(col("var_s")))
+        .otherwise(lit(0.0)))
+    nD.join(ties, Seq("event_type"))
+      .join(s, Seq("event_type"), "left") // 1-day type: no pairs, S = 0
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("var_s", varS)
+      .withColumn("z", z)
+      .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+        round(col("var_s"), 6).as("var_s"),
+        round(col("z"), 6).as("z"),
+        coalesce(abs(col("z")) > lit(1.959964), lit(false))
+          .as("significant"))
+  }
+
+  /** TWO-SAMPLE LOG-RANK TEST (Mantel '66 / Peto) — the standard
+    * "are these two survival curves the same" readout completing the
+    * [[kaplanMeier]]/[[nelsonAalen]] family: group A = orders at
+    * `groupA` priority, B = the rest, over the same right-censored
+    * completion durations. At each event time, A's expected deaths
+    * under the null are E1 = d·n1/n (the hypergeometric mean) with
+    * variance V = d·n1·n2·(n−d) / (n²·(n−1)); the statistic
+    * χ² = (O1 − ΣE1)² / ΣV against the 1-df 5% cut.
+    *
+    * Determinism: d/n/n1/n2 are exact integers (the [[kmRisk]]
+    * device per group over ONE shared event-time frame, so both
+    * at-risk counts are defined at every time); E1 and V are per-row
+    * double trees; their sums over event times fold VALUE-SORTED by
+    * t (the sinkhorn sorted-fold device) — no aggregation-order
+    * hazard; O1 is an exact integer.
+    *
+    * Scale shape: the duration scan collapses to ≤ |distinct
+    * durations| rows before anything else (duration-bounded, the
+    * calendar argument); the cumulative windows are global over that
+    * bounded frame; the fold collects ≤ that many structs; 1 row out
+    * with the 1-row totals broadcast.
+    */
+  def logRank(orders: DataFrame, lineitem: DataFrame,
+              asOf: String = "1998-06-01",
+              groupA: String = "1-URGENT"): DataFrame = {
+    val durs = kmDurations(orders, lineitem, asOf)
+    val times = durs
+      .select((col("priority") === groupA).as("ga"), col("t"),
+        col("ev"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("ga"), col("ev")).otherwise(0L)).as("d1"),
+        sum(when(col("ga"), lit(1L) - col("ev")).otherwise(0L)).as("c1"),
+        sum(when(!col("ga"), col("ev")).otherwise(0L)).as("d2"),
+        sum(when(!col("ga"), lit(1L) - col("ev")).otherwise(0L)).as("c2"))
+    val tot = times.agg(sum(col("d1") + col("c1")).as("n1tot"),
+      sum(col("d2") + col("c2")).as("n2tot"))
+    val cum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = times.crossJoin(broadcast(tot))
+      .withColumn("n1", col("n1tot")
+        - (sum(col("d1") + col("c1")).over(cum) - col("d1") - col("c1")))
+      .withColumn("n2", col("n2tot")
+        - (sum(col("d2") + col("c2")).over(cum) - col("d2") - col("c2")))
+      .filter(col("d1") + col("d2") > 0L)
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1") + col("n2"))
+    val e1 = (col("d") * col("n1")).cast("double") / col("n").cast("double")
+    val v = when(col("n") > 1L,
+      (col("d") * col("n1")).cast("double") * col("n2").cast("double")
+        * (col("n") - col("d")).cast("double")
+        / (col("n").cast("double") * col("n").cast("double")
+          * (col("n") - 1L).cast("double"))).otherwise(lit(0.0))
+    def tfold(term: Column): Column =
+      aggregate(sort_array(collect_list(struct(col("t").as("k"),
+        term.as("v")))), lit(0.0), (acc, x) => acc + x.getField("v"))
+    val agg0 = risk.agg(
+      max(col("n1tot")).as("n1"), max(col("n2tot")).as("n2"),
+      sum(col("d1")).as("o1"),
+      tfold(e1).as("e1"), tfold(v).as("vsum"))
+    agg0.select(col("n1"), col("n2"), col("o1").as("observed_a"),
+      round(col("e1"), 6).as("expected_a"),
+      round(when(col("vsum") > 0.0,
+        (col("o1").cast("double") - col("e1"))
+          * (col("o1").cast("double") - col("e1")) / col("vsum")), 6)
+        .as("chi2"),
+      coalesce(when(col("vsum") > 0.0,
+        (col("o1").cast("double") - col("e1"))
+          * (col("o1").cast("double") - col("e1")) / col("vsum")
+          > lit(3.841459)), lit(false)).as("significant"))
+  }
+
   /** MEDIAN-OF-MEANS robust location estimate per source: hash rows
     * into `k` fixed buckets (the content-hash lottery again), take
     * each bucket's exact integer mean, report the median bucket mean

@@ -247,7 +247,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_decay_counts", "q_sql_decay_counts",
     // distinctive_phrases: the 1-row (n_a, n_b) corpus-totals frame
     // broadcast under the log-odds (q_distinctive_terms shape).
-    "q_distinctive_phrases")
+    "q_distinctive_phrases",
+    // logrank: the 1-row (n1tot, n2tot) totals frame broadcast onto
+    // the duration-bounded event-time frame (q_ccf family).
+    "q_logrank")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup
@@ -261,6 +264,10 @@ class PlanAuditSpec extends SparkSpec {
     // msprt: the sequential scan IS one global day order — the frame
     // is CALENDAR-bounded (the theilSen argument), never data-sized.
     "q_msprt",
+    // logrank: the two at-risk cumulative windows run over the ONE
+    // shared event-time frame — duration-bounded (the msprt/calendar
+    // argument), never data-sized.
+    "q_logrank",
     // isotonic: cumulative/lag windows over the <= 10-bin frame.
     "q_isotonic",
     "q_dim_build", "q_fk_resolve", "q_dim_overwrite", "q_knn_ivf_learned",

@@ -138,6 +138,59 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.head.getAs[Double]("qhat_dollars") >= 0.0)
   }
 
+  test("mannKendall: a strictly increasing 5-day series gives " +
+    "S = 10, Var = 50/3, z = 9/sqrt(50/3); a flat series gives " +
+    "null z and no significance") {
+    val rows = (1 to 5).map(i => ("up", s"2024-01-0$i", i * 10.0)) ++
+      (1 to 5).map(i => ("flat", s"2024-01-0$i", 7.0))
+    val got = graft.query.Analytics
+      .mannKendall(rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("s_stat"),
+          r.getAs[Double]("var_s"),
+          Option(r.getAs[java.lang.Double]("z")).map(_.toDouble),
+          r.getAs[Boolean]("significant"))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // no ties: Var = 5·4·15/18 = 50/3; z = (10−1)/sqrt(50/3).
+    assert(got("up") == ((5L, 10L, r6(50.0 / 3.0),
+      Some(r6(9.0 / math.sqrt(50.0 / 3.0))), true)), got.toString)
+    // all tied: tie sum equals the main term, Var = 0 → null z.
+    assert(got("flat") == ((5L, 0L, 0.0, None, false)), got.toString)
+  }
+
+  test("logRank: identical groups give chi2 = 0; separated groups " +
+    "match the hand-computed 49/17 hypergeometric statistic") {
+    def fr(rows: Seq[(Long, String, String)],
+           ship: Seq[(Long, String)]) = (
+      rows.toDF("o_orderkey", "o_orderpriority", "o_orderdate"),
+      ship.toDF("l_orderkey", "l_shipdate"))
+    val (o1, l1) = fr(
+      Seq((1L, "1-URGENT", "1998-05-01"), (2L, "1-URGENT", "1998-05-01"),
+        (3L, "3-MEDIUM", "1998-05-01"), (4L, "3-MEDIUM", "1998-05-01")),
+      Seq((1L, "1998-05-03"), (2L, "1998-05-05"),
+        (3L, "1998-05-03"), (4L, "1998-05-05")))
+    val same = graft.query.Analytics.logRank(o1, l1).collect().head
+    assert(same.getAs[Double]("chi2") == 0.0, same.toString)
+    assert(!same.getAs[Boolean]("significant"))
+    // A completes at t = 1, 2; B at t = 9, 10:
+    // E1 = 1·2/4 + 1·1/3 = 5/6; V = 12/48 + 4/18 = 17/36;
+    // chi2 = (2 − 5/6)² / (17/36) = 49/17.
+    val (o2, l2) = fr(
+      Seq((1L, "1-URGENT", "1998-05-01"), (2L, "1-URGENT", "1998-05-01"),
+        (3L, "3-MEDIUM", "1998-05-01"), (4L, "3-MEDIUM", "1998-05-01")),
+      Seq((1L, "1998-05-02"), (2L, "1998-05-03"),
+        (3L, "1998-05-10"), (4L, "1998-05-11")))
+    val sep = graft.query.Analytics.logRank(o2, l2).collect().head
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(sep.getAs[Long]("n1") == 2L && sep.getAs[Long]("n2") == 2L)
+    assert(sep.getAs[Long]("observed_a") == 2L)
+    assert(sep.getAs[Double]("expected_a") == r6(5.0 / 6.0), sep.toString)
+    assert(sep.getAs[Double]("chi2") == r6(49.0 / 17.0), sep.toString)
+    assert(!sep.getAs[Boolean]("significant"))
+  }
+
   test("kTruss: k <= 2 is rejected (the triangle peel cannot " +
     "represent the keep-everything truss)") {
     val e = Seq((1L, 2L)).toDF("a", "b")
