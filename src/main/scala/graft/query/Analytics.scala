@@ -2646,8 +2646,15 @@ object Analytics {
     * rows per type, never data-sized); one keyed aggregate each for
     * S, ties, and n.
     */
-  def mannKendall(events: DataFrame): DataFrame = {
-    val daily = dailySeries(events)
+  def mannKendall(events: DataFrame): DataFrame =
+    mannKendallFinish(dailySeries(events))
+
+  /** The MK readout over a (event_type, x, t) daily frame — shared
+    * by the batch operator and the streaming twin's stateless finish
+    * (the cusumFinish pattern: one more estimator off the persisted
+    * per-type day histogram).
+    */
+  private[graft] def mannKendallFinish(daily: DataFrame): DataFrame = {
     val s = daily.as("a")
       .join(daily.as("b"),
         col("a.event_type") === col("b.event_type")

@@ -426,6 +426,26 @@ object StreamingSketch {
           col("dc.cents").as("x")))
   }
 
+  /** Stateless MANN-KENDALL readout over the SAME [[cusumStream]]
+    * day-histogram state — the FIFTH estimator off one persisted
+    * sufficient statistic (CUSUM, seasonality, sign-flip, SRM-family,
+    * and now the trend test): the day → cents map IS the daily
+    * series, so the exact-integer S/tie/variance arithmetic replays
+    * verbatim through the shared `Analytics.mannKendallFinish`.
+    */
+  def mannKendallFromHistograms(hists: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.query.Analytics.mannKendallFinish(
+      hists
+        .select(col("g").as("event_type"), explode(col("days")).as("dc"))
+        .select(col("event_type"), col("dc.day").as("day"),
+          col("dc.cents").as("x"))
+        .withColumn("t", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("day")))))
+  }
+
   /** Stateless SIGN-FLIP readout over the SAME [[cusumStream]]
     * day-histogram state — the FOURTH estimator off one persisted
     * sufficient statistic (CUSUM, seasonality, and now Fisher's

@@ -92,6 +92,20 @@ class StreamingCusumSpec extends SparkSpec {
           Encoders.product[CusumHist]).toDF())
       .collect())
     assert(sfGot == sfBatch, s"sign-flip readout: $sfGot vs $sfBatch")
+
+    // ...and the Mann-Kendall trend test — fifth estimator.
+    def mkMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getString(0) -> (r.getAs[Long]("n_days"),
+        r.getAs[Long]("s_stat"), r.getAs[Double]("var_s"),
+        Option(r.getAs[java.lang.Double]("z")).map(_.toDouble),
+        r.getAs[Boolean]("significant"))
+    }.toMap
+    val mkBatch = mkMap(Analytics.mannKendall(events).collect())
+    val mkGot = mkMap(StreamingSketch.mannKendallFromHistograms(
+        spark.createDataset(lastHists("cusum_stream"))(
+          Encoders.product[CusumHist]).toDF())
+      .collect())
+    assert(mkGot == mkBatch, s"MK readout: $mkGot vs $mkBatch")
   }
 
   test("a level shift arriving in later micro-batches flips the " +
