@@ -358,6 +358,12 @@ object AnalyticsCatalog {
     "q_mann_kendall" -> ((s, d) =>
       graft.query.Analytics.mannKendall(Tables.events(s, d))),
 
+    // Kendall tau-b between the view/purchase daily series: exact
+    // integer concordance S and tie sums over the calendar-bounded
+    // pair frame, full tie-corrected variance, z readout.
+    "q_kendall_tau" -> ((s, d) =>
+      graft.query.Analytics.kendallTau(Tables.events(s, d))),
+
     // Two-sample log-rank test (urgent vs rest) over the KM/NA
     // durations: hypergeometric E and V per event time, t-sorted
     // folds, 1-df chi-square readout.
@@ -2366,6 +2372,69 @@ object AnalyticsCatalog {
         |  round(var_s, 6) AS var_s, round(zv, 6) AS z,
         |  COALESCE(ABS(zv) > 1.959964, false) AS significant
         |FROM z""".stripMargin,
+
+    // Kendall tau-b twin: same day-aligned cents pivot, exact integer
+    // concordance and tie sums, same variance/denominator trees.
+    "q_kendall_tau" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'view'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS hx,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS hy
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |d2 AS MATERIALIZED (
+        |  SELECT day, x, y FROM daily WHERE hx = 1 AND hy = 1),
+        |pairs AS (
+        |  SELECT CAST(SUM(
+        |      CASE WHEN a.x > b.x THEN 1
+        |           WHEN a.x < b.x THEN -1 ELSE 0 END
+        |      * CASE WHEN a.y > b.y THEN 1
+        |             WHEN a.y < b.y THEN -1 ELSE 0 END) AS BIGINT)
+        |      AS s,
+        |    COUNT(*) AS n0
+        |  FROM d2 a JOIN d2 b ON a.day < b.day),
+        |tx AS (
+        |  SELECT CAST(SUM(tc * (tc - 1) // 2) AS BIGINT) AS n_x,
+        |    CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS v_x,
+        |    CAST(SUM(tc * (tc - 1)) AS BIGINT) AS p1_x,
+        |    CAST(SUM(tc * (tc - 1) * (tc - 2)) AS BIGINT) AS p2_x
+        |  FROM (SELECT x, COUNT(*) AS tc FROM d2 GROUP BY 1)),
+        |ty AS (
+        |  SELECT CAST(SUM(tc * (tc - 1) // 2) AS BIGINT) AS n_y,
+        |    CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS v_y,
+        |    CAST(SUM(tc * (tc - 1)) AS BIGINT) AS p1_y,
+        |    CAST(SUM(tc * (tc - 1) * (tc - 2)) AS BIGINT) AS p2_y
+        |  FROM (SELECT y, COUNT(*) AS tc FROM d2 GROUP BY 1)),
+        |nn AS (SELECT COUNT(*) AS n FROM d2),
+        |vv AS (
+        |  SELECT s, n0, n, n_x, n_y,
+        |    CAST(n * (n - 1) * (2 * n + 5) - v_x - v_y AS DOUBLE)
+        |        / 18.0
+        |      + CAST(p1_x * p1_y AS DOUBLE)
+        |        / (2.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |      + CAST(p2_x * p2_y AS DOUBLE)
+        |        / (9.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |          * (CAST(n AS DOUBLE) - 2.0)) AS var_s,
+        |    sqrt(CAST(n0 - n_x AS DOUBLE) * CAST(n0 - n_y AS DOUBLE))
+        |      AS den
+        |  FROM pairs CROSS JOIN tx CROSS JOIN ty CROSS JOIN nn)
+        |SELECT n AS n_days, s AS s_stat,
+        |  round(CASE WHEN den > 0
+        |    THEN CAST(s AS DOUBLE) / den END, 6) AS tau_b,
+        |  round(CASE WHEN var_s > 0
+        |    THEN CAST(s AS DOUBLE) / sqrt(var_s) END, 6) AS z,
+        |  COALESCE(CASE WHEN var_s > 0
+        |    THEN ABS(CAST(s AS DOUBLE) / sqrt(var_s)) > 1.959964 END,
+        |    false) AS significant
+        |FROM vv""".stripMargin,
 
     // Log-rank twin: the q_survival_km duration CTEs collapsed to one
     // shared event-time frame with BOTH groups' at-risk windows, the

@@ -2690,6 +2690,91 @@ object Analytics {
           .as("significant"))
   }
 
+  /** KENDALL τ-b RANK CORRELATION (Kendall '38; the τ-b tie
+    * normalization) between the view and purchase daily cents series
+    * aligned on calendar days — the CONCORDANCE member of the
+    * dependence family ([[spearman]] = linear-on-ranks per nation,
+    * [[ccf]] = lagged product-moment; τ asks only "do the two series
+    * move the same DIRECTION day over day", the most
+    * outlier-immune of the three):
+    *
+    *   S   = Σ_{i<j} sign(x_i − x_j)·sign(y_i − y_j)
+    *   τ_b = S / √((n0 − n1)(n0 − n2)),  n0 = n(n−1)/2,
+    *         n1/n2 = Σ_ties t(t−1)/2 per side
+    *
+    * with the full tie-corrected normal variance for the z readout
+    * (the [[mannKendall]] variance plus the Kendall cross-terms):
+    * Var(S) = (v0 − vt − vu)/18 + ΣtΣu-products /(2n(n−1)) and
+    * /(9n(n−1)(n−2)).
+    *
+    * Determinism: S, n0, n1, n2 and every tie sum are exact integers
+    * from one pair join + two tie aggregates; τ_b and z are single
+    * double trees over those integers. Degenerate (either side all
+    * tied, or n < 2) → null τ and z.
+    *
+    * Scale shape: the [[theilSen]] argument — the pair join runs
+    * over the CALENDAR-bounded joined daily frame (≤ |days|² rows,
+    * never data-sized); three keyed aggregates.
+    */
+  def kendallTau(events: DataFrame, typeX: String = "view",
+                 typeY: String = "purchase"): DataFrame = {
+    val daily = events
+      .filter(col("event_type").isin(typeX, typeY))
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_type") === typeX, col("cents"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("event_type") === typeY, col("cents"))
+          .otherwise(0L)).as("y"),
+        max(when(col("event_type") === typeX, 1L).otherwise(0L))
+          .as("hx"),
+        max(when(col("event_type") === typeY, 1L).otherwise(0L))
+          .as("hy"))
+      .filter(col("hx") === 1L && col("hy") === 1L)
+      .select(col("day"), col("x"), col("y"))
+    // Calendar-bounded all-pairs: both sides are ≤ |days| rows, so
+    // the broadcast nested-loop is the q_intrinsic_dim bounded-panel
+    // shape (allowlisted), never data-sized.
+    val pairs = daily.as("a")
+      .join(broadcast(daily.as("b")), col("a.day") < col("b.day"))
+      .agg(sum((signum((col("a.x") - col("b.x")).cast("double"))
+        * signum((col("a.y") - col("b.y")).cast("double")))
+        .cast("long")).as("s"),
+        count(lit(1)).as("n0"))
+    def tieSums(c: String) = daily.groupBy(col(c))
+      .agg(count(lit(1)).as("tc"))
+      .agg(sum(expr("tc * (tc - 1) DIV 2")).as(s"n_$c"),
+        sum(col("tc") * (col("tc") - 1L)
+          * (lit(2L) * col("tc") + 5L)).as(s"v_$c"),
+        sum(col("tc") * (col("tc") - 1L)).as(s"p1_$c"),
+        sum(col("tc") * (col("tc") - 1L) * (col("tc") - 2L))
+          .as(s"p2_$c"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    val nD = col("n").cast("double")
+    val varS = (
+      ((col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L)
+        - col("v_x") - col("v_y")).cast("double") / lit(18.0))
+      + (col("p1_x") * col("p1_y")).cast("double")
+        / (lit(2.0) * nD * (nD - 1.0))
+      + (col("p2_x") * col("p2_y")).cast("double")
+        / (lit(9.0) * nD * (nD - 1.0) * (nD - 2.0)))
+    val den = sqrt((col("n0") - col("n_x")).cast("double")
+      * (col("n0") - col("n_y")).cast("double"))
+    pairs.crossJoin(broadcast(tieSums("x")))
+      .crossJoin(broadcast(tieSums("y")))
+      .crossJoin(broadcast(n))
+      .withColumn("var_s", varS)
+      .select(col("n").as("n_days"), col("s").as("s_stat"),
+        round(when(den > 0.0, col("s").cast("double") / den), 6)
+          .as("tau_b"),
+        round(when(col("var_s") > 0.0,
+          col("s").cast("double") / sqrt(col("var_s"))), 6).as("z"),
+        coalesce(when(col("var_s") > 0.0,
+          abs(col("s").cast("double") / sqrt(col("var_s")))
+            > lit(1.959964)), lit(false)).as("significant"))
+  }
+
   /** TWO-SAMPLE LOG-RANK TEST (Mantel '66 / Peto) — the standard
     * "are these two survival curves the same" readout completing the
     * [[kaplanMeier]]/[[nelsonAalen]] family: group A = orders at

@@ -250,7 +250,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_distinctive_phrases",
     // logrank: the 1-row (n1tot, n2tot) totals frame broadcast onto
     // the duration-bounded event-time frame (q_ccf family).
-    "q_logrank")
+    "q_logrank",
+    // kendall_tau: the calendar-bounded all-pairs day frame (the
+    // q_intrinsic_dim bounded-panel shape — both sides ≤ |days| rows)
+    // plus three 1-row tie/total frames under the readout.
+    "q_kendall_tau")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

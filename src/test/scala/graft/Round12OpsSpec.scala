@@ -191,6 +191,35 @@ class Round12OpsSpec extends SparkSpec {
     assert(!sep.getAs[Boolean]("significant"))
   }
 
+  test("kendallTau: one discordant pair out of six gives tau = 2/3 " +
+    "with the exact no-ties variance; an all-tied side degenerates " +
+    "to null tau and z") {
+    def ev(ys: Seq[Double]) = (1 to 4).flatMap { d =>
+      Seq(("view", s"2024-01-0$d", d * 0.10),
+        ("purchase", s"2024-01-0$d", ys(d - 1)))
+    }.toDF("event_type", "ts", "value")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // x strictly increasing; y = [1,2,4,3] cents/100: only the
+    // (day3, day4) pair is discordant → S = 5 − 1 = 4, n0 = 6,
+    // no ties: tau = 2/3, Var = 4·3·13/18 = 26/3, z = 4/sqrt(26/3).
+    val got = graft.query.Analytics
+      .kendallTau(ev(Seq(0.01, 0.02, 0.04, 0.03))).collect().head
+    assert(got.getAs[Long]("n_days") == 4L)
+    assert(got.getAs[Long]("s_stat") == 4L, got.toString)
+    assert(got.getAs[Double]("tau_b") == r6(4.0 / 6.0), got.toString)
+    assert(got.getAs[Double]("z") == r6(4.0 / math.sqrt(26.0 / 3.0)),
+      got.toString)
+    assert(!got.getAs[Boolean]("significant"))
+    // all-tied y: the tau denominator and the variance both hit 0.
+    val tied = graft.query.Analytics
+      .kendallTau(ev(Seq(0.05, 0.05, 0.05, 0.05))).collect().head
+    assert(tied.getAs[Long]("s_stat") == 0L, tied.toString)
+    assert(tied.isNullAt(tied.fieldIndex("tau_b")), tied.toString)
+    assert(tied.isNullAt(tied.fieldIndex("z")))
+    assert(!tied.getAs[Boolean]("significant"))
+  }
+
   test("kTruss: k <= 2 is rejected (the triangle peel cannot " +
     "represent the keep-everything truss)") {
     val e = Seq((1L, 2L)).toDF("a", "b")
