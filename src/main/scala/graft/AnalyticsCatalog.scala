@@ -364,6 +364,12 @@ object AnalyticsCatalog {
     "q_kendall_tau" -> ((s, d) =>
       graft.query.Analytics.kendallTau(Tables.events(s, d))),
 
+    // Granger causality (lag-1, both directions) over the same
+    // day-aligned pair: nested OLS via exact HUGEINT Gram moments +
+    // Cramer solves, F against the asymptotic chi2(1) cut.
+    "q_granger" -> ((s, d) =>
+      graft.query.Analytics.granger(Tables.events(s, d))),
+
     // Two-sample log-rank test (urgent vs rest) over the KM/NA
     // durations: hypergeometric E and V per event time, t-sorted
     // folds, 1-df chi-square readout.
@@ -940,6 +946,62 @@ object AnalyticsCatalog {
        |    s -> s.t), (x, y) -> x + y), 6) AS sinkhorn_cost
        |FROM terms CROSS JOIN tot GROUP BY na, nb""".stripMargin
   }
+
+  /** One Granger direction's CTE chain over the shared 14-moment g:
+    * a rename projection mapping the direction's target/own/cause
+    * roles onto the standard (sy, syy, s1, s2, …) names, then the
+    * Cramer solve and RSS chain — mirrors Analytics.granger's dir()
+    * tree for tree.
+    */
+  private def grangerLegSql(id: String, sy: String, syy: String,
+                            s1: String, s2: String, s11: String,
+                            s12: String, s22: String, s1y: String,
+                            s2y: String): String =
+    s"""m$id AS (
+       |  SELECT n, $sy AS sy, $syy AS syy, $s1 AS s1, $s2 AS s2,
+       |    $s11 AS s11, $s12 AS s12, $s22 AS s22, $s1y AS s1y,
+       |    $s2y AS s2y
+       |  FROM g),
+       |d$id AS (
+       |  SELECT *,
+       |    CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+       |      - s1 * (s1 * s22 - s12 * s2)
+       |      + s2 * (s1 * s12 - s11 * s2) AS det,
+       |    sy * (s11 * s22 - s12 * s12)
+       |      - s1 * (s1y * s22 - s12 * s2y)
+       |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+       |    CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+       |      - sy * (s1 * s22 - s12 * s2)
+       |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+       |    CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+       |      - s1 * (s1 * s2y - s1y * s2)
+       |      + sy * (s1 * s12 - s11 * s2) AS det2
+       |  FROM m$id),
+       |r$id AS (
+       |  SELECT *,
+       |    syy - ((det0 / det) * sy + (det1 / det) * s1y
+       |      + (det2 / det) * s2y) AS rss1,
+       |    CAST(n AS DOUBLE) * s11 - s1 * s1 AS den0,
+       |    (CAST(n AS DOUBLE) * s1y - s1 * sy)
+       |      / (CAST(n AS DOUBLE) * s11 - s1 * s1) AS a1
+       |  FROM d$id),
+       |f$id AS (
+       |  SELECT *,
+       |    syy - (((sy - a1 * s1) / CAST(n AS DOUBLE)) * sy
+       |      + a1 * s1y) AS rss0
+       |  FROM r$id)""".stripMargin
+
+  /** One Granger direction's readout row over its f-CTE. */
+  private def grangerOutSql(id: String, label: String): String =
+    s"""SELECT '$label' AS direction, n AS n_obs,
+       |  round(CASE WHEN det <> 0.0 AND den0 <> 0.0 AND rss1 > 0.0
+       |    THEN (rss0 - rss1) * (CAST(n AS DOUBLE) - 3.0) / rss1
+       |    END, 6) AS f_stat,
+       |  COALESCE(CASE WHEN det <> 0.0 AND den0 <> 0.0
+       |      AND rss1 > 0.0
+       |    THEN (rss0 - rss1) * (CAST(n AS DOUBLE) - 3.0) / rss1
+       |      > 3.841459 END, false) AS significant
+       |FROM f$id""".stripMargin
 
   /** Machine-unrolled DuckDB twin of [[graft.operators.Graph
     * .boruvkaTrace]]: `rounds` blocks of (cross-label edges → per-
@@ -2372,6 +2434,55 @@ object AnalyticsCatalog {
         |  round(var_s, 6) AS var_s, round(zv, 6) AS z,
         |  COALESCE(ABS(zv) > 1.959964, false) AS significant
         |FROM z""".stripMargin,
+
+    // Granger twin: the kendall day pivot + day-index lag join, both
+    // legs' Gram/Cramer/RSS chains machine-generated to mirror the
+    // Spark trees, chi2(1)-cut readout unioned.
+    "q_granger" ->
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |    CAST(SUM(CASE WHEN event_type = 'view'
+         |      THEN CAST(round(value * 100, 0) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100, 0) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS y,
+         |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS hx,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS hy
+         |  FROM events WHERE event_type IN ('view', 'purchase')
+         |  GROUP BY 1),
+         |d2 AS (SELECT day, x, y FROM daily WHERE hx = 1 AND hy = 1),
+         |idx AS (
+         |  SELECT x, y, row_number() OVER (ORDER BY day) AS t
+         |  FROM d2),
+         |lagf AS MATERIALIZED (
+         |  SELECT c.x AS x, c.y AS y, p.x AS xl, p.y AS yl
+         |  FROM idx c JOIN idx p ON c.t = p.t + 1),
+         |g AS MATERIALIZED (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(yl AS HUGEINT)) AS DOUBLE) AS l1,
+         |    CAST(SUM(CAST(xl AS HUGEINT)) AS DOUBLE) AS l2,
+         |    CAST(SUM(CAST(yl AS HUGEINT) * yl) AS DOUBLE) AS l11,
+         |    CAST(SUM(CAST(yl AS HUGEINT) * xl) AS DOUBLE) AS l12,
+         |    CAST(SUM(CAST(xl AS HUGEINT) * xl) AS DOUBLE) AS l22,
+         |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS ty,
+         |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS tx,
+         |    CAST(SUM(CAST(yl AS HUGEINT) * y) AS DOUBLE) AS y1,
+         |    CAST(SUM(CAST(xl AS HUGEINT) * y) AS DOUBLE) AS y2,
+         |    CAST(SUM(CAST(xl AS HUGEINT) * x) AS DOUBLE) AS x1,
+         |    CAST(SUM(CAST(yl AS HUGEINT) * x) AS DOUBLE) AS x2,
+         |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS qy,
+         |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS qx
+         |  FROM lagf),
+         |${grangerLegSql("a", "ty", "qy", "l1", "l2", "l11", "l12",
+             "l22", "y1", "y2")},
+         |${grangerLegSql("b", "tx", "qx", "l2", "l1", "l22", "l12",
+             "l11", "x1", "x2")}
+         |${grangerOutSql("a", "view->purchase")}
+         |UNION ALL
+         |${grangerOutSql("b", "purchase->view")}""".stripMargin,
 
     // Kendall tau-b twin: same day-aligned cents pivot, exact integer
     // concordance and tie sums, same variance/denominator trees.

@@ -2690,6 +2690,112 @@ object Analytics {
           .as("significant"))
   }
 
+  /** GRANGER CAUSALITY, lag-1, both directions (Granger '69) — the
+    * PREDICTIVE member of the lead-lag family: [[ccf]] asks whether
+    * the two daily series CO-MOVE at a lag; Granger asks whether
+    * yesterday's X improves the prediction of today's Y BEYOND
+    * yesterday's Y itself — the nested-model comparison
+    *
+    *   restricted:   y_t ~ β0 + β1·y_{t−1}            (RSS₀)
+    *   unrestricted: y_t ~ β0 + β1·y_{t−1} + β2·x_{t−1}  (RSS₁)
+    *   F = (RSS₀ − RSS₁)·(n − 3) / RSS₁
+    *
+    * judged against the asymptotic χ²(1) 5% cut 3.841459 (the Wald
+    * form — with one restriction the F statistic is asymptotically
+    * χ²(1); the pinned constant keeps the decision engine-exact
+    * where an exact F(1, n−3) quantile would need the incomplete
+    * beta). Both directions are emitted — Granger is directional,
+    * and the view↔purchase pair is exactly the case where X→Y holds
+    * while Y→X does not.
+    *
+    * Determinism: the lag frame is an equality self-join on the day
+    * index; every Gram moment is an exact DECIMAL(38,0)/HUGEINT sum
+    * of integer-cents products cast to double ONCE ([[olsMulti]]'s
+    * device); the 3×3 Cramer solve, the 2×2 restricted solve, both
+    * RSS and F are one shared double tree. Degenerate designs
+    * (singular Gram, RSS₁ ≤ 0) → null F, false significance.
+    *
+    * Scale shape: the events scan collapses to the calendar-bounded
+    * day pivot before anything else; the lag join is keyed on the
+    * day index; two 10-moment aggregates. 2 rows out.
+    */
+  def granger(events: DataFrame, typeX: String = "view",
+              typeY: String = "purchase"): DataFrame = {
+    val daily = events
+      .filter(col("event_type").isin(typeX, typeY))
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_type") === typeX, col("cents"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("event_type") === typeY, col("cents"))
+          .otherwise(0L)).as("y"),
+        max(when(col("event_type") === typeX, 1L).otherwise(0L))
+          .as("hx"),
+        max(when(col("event_type") === typeY, 1L).otherwise(0L))
+          .as("hy"))
+      .filter(col("hx") === 1L && col("hy") === 1L)
+      .select(col("day"), col("x"), col("y"))
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))))
+    val lagf = daily.as("c")
+      .join(daily.select((col("t") + 1).as("t"), col("x").as("xl"),
+        col("y").as("yl")), Seq("t"))
+      .select(col("x"), col("y"), col("xl"), col("yl"))
+    def d38(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    // ONE 14-moment pass, checkpointed to a 1-row frame: both
+    // directions share the lag moments (the two designs are the same
+    // Gram matrix with target/feature roles swapped), and the
+    // checkpoint severs the union branches from the windowed
+    // self-join lineage — unioning two per-direction aggregates over
+    // that lineage MISBOUND attributes between the legs (observed: a
+    // negative F, i.e. RSS0 < RSS1, which is algebraically
+    // impossible; the single-leg plan was correct).
+    val g = lagf.agg(count(lit(1)).as("n"),
+      d38(col("yl")).as("l1"), d38(col("xl")).as("l2"),
+      d38(col("yl") * col("yl")).as("l11"),
+      d38(col("yl") * col("xl")).as("l12"),
+      d38(col("xl") * col("xl")).as("l22"),
+      d38(col("y")).as("ty"), d38(col("x")).as("tx"),
+      d38(col("yl") * col("y")).as("y1"),
+      d38(col("xl") * col("y")).as("y2"),
+      d38(col("xl") * col("x")).as("x1"),
+      d38(col("yl") * col("x")).as("x2"),
+      d38(col("y") * col("y")).as("qy"),
+      d38(col("x") * col("x")).as("qx"))
+      .localCheckpoint()
+    def det3(a11: Column, a12: Column, a13: Column,
+             a21: Column, a22: Column, a23: Column,
+             a31: Column, a32: Column, a33: Column): Column =
+      a11 * (a22 * a33 - a23 * a32) - a12 * (a21 * a33 - a23 * a31) +
+        a13 * (a21 * a32 - a22 * a31)
+    def dir(label: String, s1: Column, s2: Column, s11: Column,
+            s12: Column, s22: Column, sy: Column, s1y: Column,
+            s2y: Column, syy: Column): DataFrame = {
+      val nD = col("n").cast("double")
+      val det = det3(nD, s1, s2, s1, s11, s12, s2, s12, s22)
+      val b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det
+      val b1 = det3(nD, sy, s2, s1, s1y, s12, s2, s2y, s22) / det
+      val b2 = det3(nD, s1, sy, s1, s11, s1y, s2, s12, s2y) / det
+      val rss1 = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+      val den0 = nD * s11 - s1 * s1
+      val a1 = (nD * s1y - s1 * sy) / den0
+      val a0 = (sy - a1 * s1) / nD
+      val rss0 = syy - (a0 * sy + a1 * s1y)
+      val f = (rss0 - rss1) * (nD - lit(3.0)) / rss1
+      val ok = det =!= 0.0 && den0 =!= 0.0 && rss1 > 0.0
+      g.select(lit(label).as("direction"), col("n").as("n_obs"),
+        round(when(ok, f), 6).as("f_stat"),
+        coalesce(when(ok, f > lit(3.841459)), lit(false))
+          .as("significant"))
+    }
+    dir(s"$typeX->$typeY", col("l1"), col("l2"), col("l11"),
+        col("l12"), col("l22"), col("ty"), col("y1"), col("y2"),
+        col("qy"))
+      .unionByName(dir(s"$typeY->$typeX", col("l2"), col("l1"),
+        col("l22"), col("l12"), col("l11"), col("tx"), col("x1"),
+        col("x2"), col("qx")))
+  }
+
   /** KENDALL τ-b RANK CORRELATION (Kendall '38; the τ-b tie
     * normalization) between the view and purchase daily cents series
     * aligned on calendar days — the CONCORDANCE member of the

@@ -272,6 +272,9 @@ class PlanAuditSpec extends SparkSpec {
     // shared event-time frame — duration-bounded (the msprt/calendar
     // argument), never data-sized.
     "q_logrank",
+    // granger: the day-index row_number over the calendar-bounded
+    // joined daily pivot (the msprt argument).
+    "q_granger",
     // isotonic: cumulative/lag windows over the <= 10-bin frame.
     "q_isotonic",
     "q_dim_build", "q_fk_resolve", "q_dim_overwrite", "q_knn_ivf_learned",

@@ -220,6 +220,35 @@ class Round12OpsSpec extends SparkSpec {
     assert(!tied.getAs[Boolean]("significant"))
   }
 
+  test("granger: a planted x->y lag-1 dependence is detected in the " +
+    "causal direction only, with an overwhelming F") {
+    // x iid (seeded); y_t = x_{t-1} +/- 1 cent: the unrestricted
+    // model fits y almost perfectly (RSS1 = sum of +/-1 cent noise),
+    // so F is enormous for view->purchase; x is unpredictable from
+    // y's lag (= x two steps back) beyond its own lag, so the
+    // reverse F stays small.
+    val rnd = new scala.util.Random(11)
+    val xs = Vector.fill(60)(10.0 + rnd.nextInt(1000) / 100.0)
+    val d0 = java.time.LocalDate.parse("2024-01-01")
+    val rows = (0 until 60).flatMap { t =>
+      val day = d0.plusDays(t.toLong).toString
+      val y = if (t == 0) 5.0
+        else xs(t - 1) + (if (t % 2 == 0) 0.01 else -0.01)
+      Seq(("view", day, xs(t)), ("purchase", day, y))
+    }.toDF("event_type", "ts", "value")
+    val got = graft.query.Analytics.granger(rows).collect()
+      .map(r => r.getAs[String]("direction") ->
+        (r.getAs[Long]("n_obs"), r.getAs[Double]("f_stat"),
+          r.getAs[Boolean]("significant"))).toMap
+    assert(got("view->purchase")._1 == 59L)
+    assert(got("view->purchase")._3,
+      s"planted direction must be significant: $got")
+    assert(got("view->purchase")._2 > 100.0, got.toString)
+    assert(!got("purchase->view")._3,
+      s"reverse direction must not be significant: $got")
+    assert(got("view->purchase")._2 > got("purchase->view")._2)
+  }
+
   test("kTruss: k <= 2 is rejected (the triangle peel cannot " +
     "represent the keep-everything truss)") {
     val e = Seq((1L, 2L)).toDF("a", "b")
