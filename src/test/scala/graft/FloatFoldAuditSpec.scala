@@ -50,7 +50,13 @@ class FloatFoldAuditSpec extends AnyFunSuite {
           j += 1
         }
         val arg = text.substring(m.end, j - 1)
-        if (doubleRe.findFirstIn(arg).isDefined) {
+        // A fold whose OUTERMOST expression casts to an integral or
+        // exact-decimal type sums exactly regardless of doubles inside
+        // (e.g. sum(signum(dx).cast("long")) — the ±1 is snapped to a
+        // long per row BEFORE the fold).
+        val exactOutermost = arg.trim.replaceAll("\\s+", "")
+          .matches("""(?s).*\.cast\("(long|int|bigint|decimal[^"]*)"\)$""")
+        if (doubleRe.findFirstIn(arg).isDefined && !exactOutermost) {
           val call = s"${m.group(1)}($arg)".replaceAll("\\s+", " ")
           val allowed = allowlist.exists { case (base, frag) =>
             f.getName == base && call.replaceAll("\\s", "")
