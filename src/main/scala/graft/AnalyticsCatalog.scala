@@ -464,6 +464,13 @@ object AnalyticsCatalog {
       graft.query.Analytics.cuped(
         Tables.customer(s, d), Tables.orders(s, d))),
 
+    // Difference-in-differences (panel form): per-customer pre/post
+    // spend, hash arms, effect = Welch on the per-unit change —
+    // nets out the common time shock and unit effects.
+    "q_did" -> ((s, d) =>
+      graft.query.Analytics.diffInDiff(
+        Tables.customer(s, d), Tables.orders(s, d))),
+
     // Borůvka max-affinity spanning forest over the supplier
     // co-order graph: per-round merge trace (groups, new edges, new
     // weight), unique forest by the canonical (w, least, greatest)
@@ -2434,6 +2441,80 @@ object AnalyticsCatalog {
         |  round(var_s, 6) AS var_s, round(zv, 6) AS z,
         |  COALESCE(ABS(zv) > 1.959964, false) AS significant
         |FROM z""".stripMargin,
+
+    // DiD twin: same per-customer pre/post integer dollars, md5 ':did'
+    // arms, HUGEINT sum of squared changes, same Welch-on-diffs tree.
+    "q_did" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+        |        >= DATE '1996-01-01'
+        |      THEN CAST(round(o_totalprice, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS post,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+        |        < DATE '1996-01-01'
+        |      THEN CAST(round(o_totalprice, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS pre
+        |  FROM orders GROUP BY 1),
+        |units AS (
+        |  SELECT COALESCE(post, 0) AS post, COALESCE(pre, 0) AS pre,
+        |    COALESCE(post, 0) - COALESCE(pre, 0) AS dif,
+        |    ('0x' || substr(md5(c_custkey::VARCHAR || ':did'),
+        |      1, 15))::BIGINT % 2 AS arm
+        |  FROM customer LEFT JOIN per ON c_custkey = o_custkey),
+        |g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nt,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN pre ELSE 0 END)
+        |      AS BIGINT) AS pre_t,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN pre ELSE 0 END)
+        |      AS BIGINT) AS pre_c,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN post ELSE 0 END)
+        |      AS BIGINT) AS post_t,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN post ELSE 0 END)
+        |      AS BIGINT) AS post_c,
+        |    CAST(SUM(CASE WHEN arm = 1
+        |      THEN CAST(dif AS HUGEINT) * dif ELSE 0 END) AS DOUBLE)
+        |      AS qt,
+        |    CAST(SUM(CASE WHEN arm = 0
+        |      THEN CAST(dif AS HUGEINT) * dif ELSE 0 END) AS DOUBLE)
+        |      AS qc
+        |  FROM units),
+        |sol AS (
+        |  SELECT *, post_t - pre_t AS dt, post_c - pre_c AS dc
+        |  FROM g),
+        |fin AS (
+        |  SELECT *,
+        |    CAST(dt AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      - CAST(dc AS DOUBLE) / CAST(nc AS DOUBLE) AS did,
+        |    GREATEST((qt - (CAST(dt AS DOUBLE) * CAST(dt AS DOUBLE))
+        |        / CAST(nt AS DOUBLE))
+        |        / (CAST(nt AS DOUBLE) - 1.0), 0.0)
+        |      / CAST(nt AS DOUBLE)
+        |    + GREATEST((qc - (CAST(dc AS DOUBLE) * CAST(dc AS DOUBLE))
+        |        / CAST(nc AS DOUBLE))
+        |        / (CAST(nc AS DOUBLE) - 1.0), 0.0)
+        |      / CAST(nc AS DOUBLE) AS se2
+        |  FROM sol)
+        |SELECT nt AS n_treat, nc AS n_control,
+        |  round(CAST(pre_t AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+        |    AS pre_mean_t,
+        |  round(CAST(pre_c AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+        |    AS pre_mean_c,
+        |  round(CAST(post_t AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+        |    AS post_mean_t,
+        |  round(CAST(post_c AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+        |    AS post_mean_c,
+        |  round(did, 6) AS did_dollars,
+        |  round(CASE WHEN nt > 1 AND nc > 1 AND se2 <> 0.0
+        |    THEN did / sqrt(se2) END, 6) AS t_stat,
+        |  COALESCE(CASE WHEN nt > 1 AND nc > 1 AND se2 <> 0.0
+        |    THEN ABS(did / sqrt(se2)) > 1.959964 END, false)
+        |    AS significant
+        |FROM fin""".stripMargin,
 
     // Granger twin: the kendall day pivot + day-index lag join, both
     // legs' Gram/Cramer/RSS chains machine-generated to mirror the

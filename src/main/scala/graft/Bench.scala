@@ -176,7 +176,8 @@ object Bench {
     "q_sinkhorn", "q_ols_multi", "q_ltv_cohorts", "q_eb_shrinkage",
     // r12 additions, benched at birth.
     "q_distinctive_phrases", "q_conformal_qr",
-    "q_mann_kendall", "q_logrank", "q_kendall_tau", "q_granger")
+    "q_mann_kendall", "q_logrank", "q_kendall_tau", "q_granger",
+    "q_did")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

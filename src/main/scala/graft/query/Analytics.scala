@@ -2690,6 +2690,83 @@ object Analytics {
           .as("significant"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES, panel form (the Card–Krueger '94
+    * design) — the experiment family's quasi-experimental member
+    * beside [[welchTTest]]/[[cuped]]/[[mde]]: per-customer pre/post
+    * spend around `splitDate`, a hash arm split, and the effect
+    * estimated on the per-unit CHANGE D_i = post_i − pre_i:
+    * DiD = D̄_T − D̄_C, which nets out both the common time shock
+    * (the post-period level change every unit shares) and every
+    * time-invariant unit effect — the parallel-trends design. With
+    * the same units observed in both periods this IS the Welch test
+    * on differenced outcomes (the efficient panel form; the 2×2
+    * cell-variance form would ignore the within-unit pairing), so
+    * the t readout reuses [[welchTTest]]'s closed form against the
+    * large-sample 1.959964 cut.
+    *
+    * Determinism: per-customer pre/post are exact integer dollars;
+    * all six moments fold exactly (DECIMAL(38,0) for ΣD²); the four
+    * cell means, DiD, SE and t are one shared double tree. The hash
+    * lottery is the ':did'-suffixed md5 device, so a null split on
+    * unshifted data reads DiD ≈ 0 / not significant.
+    *
+    * Scale shape: one keyed aggregate to |customers| rows, one
+    * 6-moment global fold. 1 row out.
+    */
+  def diffInDiff(customers: DataFrame, orders: DataFrame,
+                 splitDate: String = "1996-01-01"): DataFrame = {
+    val cut = lit(splitDate).cast("date")
+    val per = orders.select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        expr("CAST(round(o_totalprice, 0) AS BIGINT)").as("v"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("d") >= cut, col("v")).otherwise(0L))
+          .as("post"),
+        sum(when(col("d") < cut, col("v")).otherwise(0L)).as("pre"))
+    val units = customers.select(col("c_custkey"))
+      .join(per, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("post"), lit(0L)).as("post"),
+        coalesce(col("pre"), lit(0L)).as("pre"),
+        pmod(TextOps.fingerprint64(
+          concat(col("c_custkey").cast("string"), lit(":did"))),
+          lit(2L)).as("arm"))
+      .withColumn("dif", col("post") - col("pre"))
+    def cell(arm: Long, c: Column) = sum(when(col("arm") === arm, c)
+      .otherwise(lit(0L)))
+    val g = units.agg(
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("nc"),
+      cell(1L, col("pre")).as("pre_t"), cell(0L, col("pre")).as("pre_c"),
+      cell(1L, col("post")).as("post_t"),
+      cell(0L, col("post")).as("post_c"),
+      sum(when(col("arm") === 1L,
+        (col("dif") * col("dif")).cast("decimal(38,0)"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("qt"),
+      sum(when(col("arm") === 0L,
+        (col("dif") * col("dif")).cast("decimal(38,0)"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("qc"))
+    def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    val dT = col("post_t") - col("pre_t")
+    val dC = col("post_c") - col("pre_c")
+    val did = mean(dT, col("nt")) - mean(dC, col("nc"))
+    def va(q: Column, s: Column, n: Column) = greatest(
+      (q.cast("double")
+        - (s.cast("double") * s.cast("double")) / n.cast("double"))
+        / (n.cast("double") - lit(1.0)), lit(0.0))
+    val se2 = (va(col("qt"), dT, col("nt")) / col("nt").cast("double")
+      + va(col("qc"), dC, col("nc")) / col("nc").cast("double"))
+    val ok = col("nt") > 1L && col("nc") > 1L && se2 =!= lit(0.0)
+    g.select(col("nt").as("n_treat"), col("nc").as("n_control"),
+      round(mean(col("pre_t"), col("nt")), 6).as("pre_mean_t"),
+      round(mean(col("pre_c"), col("nc")), 6).as("pre_mean_c"),
+      round(mean(col("post_t"), col("nt")), 6).as("post_mean_t"),
+      round(mean(col("post_c"), col("nc")), 6).as("post_mean_c"),
+      round(did, 6).as("did_dollars"),
+      round(when(ok, did / sqrt(se2)), 6).as("t_stat"),
+      coalesce(when(ok, abs(did / sqrt(se2)) > lit(1.959964)),
+        lit(false)).as("significant"))
+  }
+
   /** GRANGER CAUSALITY, lag-1, both directions (Granger '69) — the
     * PREDICTIVE member of the lead-lag family: [[ccf]] asks whether
     * the two daily series CO-MOVE at a lag; Granger asks whether

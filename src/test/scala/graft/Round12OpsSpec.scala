@@ -249,6 +249,57 @@ class Round12OpsSpec extends SparkSpec {
     assert(got("view->purchase")._2 > got("purchase->view")._2)
   }
 
+  test("diffInDiff: a planted 50-dollar treatment effect on the " +
+    "hash-selected arm is recovered exactly against an independent " +
+    "Scala re-computation; the null frame is not significant") {
+    val custs = (1 to 200).map(i => Tuple1(i.toLong))
+      .toDF("c_custkey")
+    // Re-derive each customer's hash arm through the same expression.
+    val arms = custs.select(col("c_custkey"),
+        pmod(graft.functions.TextOps.fingerprint64(
+          concat(col("c_custkey").cast("string"), lit(":did"))),
+          lit(2L)).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def orders(effect: Long) = (1 to 200).flatMap { i =>
+      val k = i.toLong
+      val pre = 100.0 + (i % 7)
+      val lift = if (arms(k) == 1L) effect.toDouble else 0.0
+      Seq((k * 2, k, "1995-06-01", pre),
+        (k * 2 + 1, k, "1996-06-01", pre + (i % 3) + lift))
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val got = graft.query.Analytics
+      .diffInDiff(custs, orders(50L)).collect().head
+    // independent recomputation over the same integer dollars
+    val diffs = (1 to 200).map { i =>
+      val lift = if (arms(i.toLong) == 1L) 50L else 0L
+      arms(i.toLong) -> ((i % 3).toLong + lift)
+    }
+    def stats(a: Long) = {
+      val d = diffs.filter(_._1 == a).map(_._2)
+      val n = d.length.toDouble
+      val m = d.sum.toDouble / n
+      val v = (d.map(x => x.toDouble * x).sum - d.sum.toDouble
+        * d.sum / n) / (n - 1.0)
+      (n, m, v)
+    }
+    val (nt, mt, vt) = stats(1L); val (nc, mc, vc) = stats(0L)
+    val did = mt - mc
+    val t = did / math.sqrt(vt / nt + vc / nc)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Long]("n_treat") == nt.toLong)
+    assert(got.getAs[Double]("did_dollars") == r6(did), got.toString)
+    assert(math.abs(got.getAs[Double]("t_stat") - r6(t)) <= 1e-6,
+      s"${got.getAs[Double]("t_stat")} vs $t")
+    assert(got.getAs[Boolean]("significant"))
+    val nul = graft.query.Analytics
+      .diffInDiff(custs, orders(0L)).collect().head
+    assert(!nul.getAs[Boolean]("significant"), nul.toString)
+    assert(math.abs(nul.getAs[Double]("did_dollars")) < 1.0)
+  }
+
   test("kTruss: k <= 2 is rejected (the triangle peel cannot " +
     "represent the keep-everything truss)") {
     val e = Seq((1L, 2L)).toDF("a", "b")
