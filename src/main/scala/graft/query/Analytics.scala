@@ -2730,6 +2730,16 @@ object Analytics {
         pmod(TextOps.fingerprint64(
           concat(col("c_custkey").cast("string"), lit(":did"))),
           lit(2L)).as("arm"))
+    didFinish(units)
+  }
+
+  /** The DiD readout over a (pre, post, arm) per-unit frame — shared
+    * by the batch operator and the streaming twin's stateless finish
+    * (per-unit pre/post integer sums are mergeable state; the Welch
+    * surface is a pure function of the finished unit table).
+    */
+  private[graft] def didFinish(unitsIn: DataFrame): DataFrame = {
+    val units = unitsIn
       .withColumn("dif", col("post") - col("pre"))
     def cell(arm: Long, c: Column) = sum(when(col("arm") === arm, c)
       .otherwise(lit(0L)))

@@ -285,6 +285,45 @@ object StreamingSketch {
           .as("decayed_count"))
   }
 
+  case class UnitSpend(k: Long, post: Boolean, v: Long)
+  case class UnitPrePost(k: Long, pre: Long, post: Long)
+
+  /** Incremental state for [[graft.query.Analytics.diffInDiff]] —
+    * the experiment readout live: per-unit (pre, post) integer-dollar
+    * sums merge by addition (two longs per customer, unit-bounded
+    * state), and the whole Welch-on-changes surface (hash arms, cell
+    * means, DiD, SE, t) is a pure function of the finished unit
+    * table — the cusumStream split joint. Contract: order-less units
+    * enter the stream with a zero row so the control/treat counts
+    * match the batch left join.
+    */
+  def didStream(rows: Dataset[UnitSpend]): Dataset[UnitPrePost] =
+    rows.groupByKey(_.k)(Encoders.scalaLong)
+      .mapGroupsWithState[(Long, Long), UnitPrePost](
+        GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[UnitSpend],
+         state: GroupState[(Long, Long)]) =>
+          var (pre, post) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { r => if (r.post) post += r.v else pre += r.v }
+          state.update((pre, post))
+          UnitPrePost(k, pre, post)
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
+        Encoders.product[UnitPrePost])
+
+  /** Stateless finish for [[didStream]]: re-derive the md5 ':did'
+    * arm from the unit key and replay the batch Welch-on-changes
+    * arithmetic through the shared `Analytics.didFinish`.
+    */
+  def didFromUnits(units: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.query.Analytics.didFinish(
+      units.select(col("pre"), col("post"),
+        pmod(graft.functions.TextOps.fingerprint64(
+          concat(col("k").cast("string"),
+            lit(":did"))), lit(2L)).as("arm")))
+  }
+
   case class PhraseLang(phrase: String, en: Boolean)
   case class PhraseCounts(phrase: String, ya: Long, yb: Long)
 
