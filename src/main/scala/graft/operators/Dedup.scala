@@ -448,9 +448,28 @@ object Dedup {
     * convergence check per round.
     */
   def duplicateClusters(pairs: DataFrame,
-                        maxRounds: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+                        maxRounds: Int = 50,
+                        localEdgeCap: Long = 2000000L): DataFrame = {
+    // HYBRID FINISH (r13, the boruvkaTrace template generalized): the
+    // pair frame is checkpointed once; if it fits under the cap, the
+    // unique min-label CC fixpoint comes from one driver union-find
+    // over the same blocks — zero propagation rounds, zero per-round
+    // checkpoint+count jobs. Near-dup pair graphs are pairs-sized
+    // (tiny vs the corpus) at every harness sf; above the cap the
+    // documented distributed loop below runs unchanged, so the 100 TB
+    // path is identical to r12. Output identity (not trace identity)
+    // is the correctness argument: both paths compute THE fixpoint,
+    // which is unique — HybridFinishSpec pins them equal.
+    val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint(false)
+    if (localEdgeCap > 0 && LocalFinish.allLong(und, "a", "b") &&
+        und.count() <= localEdgeCap) {
+      Console.err.println("[graft] duplicateClusters: driver finish")
+      return LocalFinish.minComponents(und, "a", "b",
+        "doc_id", "canonical_id")
+    }
+    val edges = und
+      .unionByName(und.select(col("b").as("a"), col("a").as("b")))
       .cache()
     // Per-round LAZY localCheckpoint + one count action (r9) — the
     // same discipline as [[graft.operators.Graph]].pageRank and
@@ -585,10 +604,28 @@ object Dedup {
     * truncates the iterative lineage exactly like [[graft.operators.Graph]]'s
     * PageRank loop. Nothing ever moves but (long, long) edges.
     */
-  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame,
+                              localEdgeCap: Long = 2000000L): DataFrame = {
     def sym(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
         .filter(col("a") =!= col("b")).distinct()
+    // HYBRID FINISH (r13): same gate as [[duplicateClusters]] — the
+    // star rounds converge to the same unique min-label CC fixpoint,
+    // so a cap-gated driver union-find is output-identical while
+    // skipping every star round AND the per-round exceptAll
+    // convergence probe (two extra jobs each). Self-loop pairs are
+    // dropped first, exactly as sym() drops them in the distributed
+    // path (a node with only self-loops is absent from this
+    // operator's output, unlike duplicateClusters').
+    val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint(false)
+    if (localEdgeCap > 0 && LocalFinish.allLong(und, "a", "b") &&
+        und.count() <= localEdgeCap) {
+      Console.err.println("[graft] connectedComponentsStar: driver finish")
+      return LocalFinish.minComponents(und, "a", "b",
+        "doc_id", "canonical_id")
+    }
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val m = e.groupBy(col("a")).agg(min(col("b")).as("mn"))
         .select(col("a"), least(col("a"), col("mn")).as("m"))
@@ -598,8 +635,7 @@ object Dedup {
       sym(relinked.unionByName(
         m.select(col("a"), col("m").as("b"))))
     }
-    var edges = sym(pairs.select(col("doc_a").as("a"),
-      col("doc_b").as("b"))).localCheckpoint()
+    var edges = sym(und).localCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) { // log²-bound safety, not a tuning

@@ -565,11 +565,29 @@ object Graph {
     * symmetrized edge list for undirected spreading.
     */
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
-                       rounds: Int = 3): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+                       rounds: Int = 3,
+                       localEdgeCap: Long = 2000000L): DataFrame = {
+    // HYBRID FINISH (r13, the boruvkaTrace template): each round is
+    // ~4 keyed shuffles over the FULL edge frame (this loop never
+    // contracts), so when the frame fits under the cap the whole
+    // fixed-round schedule is job latency. LocalFinish.labelPropLocal
+    // emulates the loop exactly — per-(dst,label) long counts, (max
+    // count, min label) winner, seeds pinned — so the result set is
+    // bit-identical (HybridFinishSpec pins it). Above the cap the
+    // distributed loop below is the unchanged 100 TB path.
+    val eU = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
+    val sdU = seeds.select(col("node"), col("label")).localCheckpoint(false)
+    if (localEdgeCap > 0 && LocalFinish.allLong(eU, "src", "dst") &&
+        LocalFinish.allLong(sdU, "node", "label") &&
+        eU.count() <= localEdgeCap && sdU.count() <= localEdgeCap) {
+      Console.err.println("[graft] labelPropagation: driver finish")
+      return LocalFinish.labelPropLocal(eU, sdU, rounds)
+    }
+    val e = eU
       .repartition(col("src")).sortWithinPartitions(col("src"))
       .cache()
-    val sd = seeds.select(col("node"), col("label")).localCheckpoint()
+    val sd = sdU.localCheckpoint()
     var lab = sd
     for (_ <- 1 to rounds) {
       val counts = e
@@ -618,13 +636,34 @@ object Graph {
     * discipline [[pageRank]] documents). Output: (node, degree) of
     * the surviving subgraph.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int = 12): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 12,
+            localEdgeCap: Long = 2000000L): DataFrame = {
     var e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint()
     var n = e.count()
+    // HYBRID FINISH (r13, the boruvkaTrace template): peeling only
+    // deletes rows, so the edge frame contracts monotonically and the
+    // already-counted checkpoint gives the gate for free. Under the
+    // cap, LocalFinish.kCorePeel runs the SAME loop (degree ≥ k over
+    // src, both-endpoint filter, row-count convergence probe, same
+    // round budget) over the collected rows — bit-identical output
+    // whether the budget or the fixpoint stops it (peeling is
+    // deterministic), pinned by HybridFinishSpec. Above the cap the
+    // distributed peel below is unchanged (the 100 TB path); it also
+    // re-checks the gate each round, so a big graph that peels down
+    // finishes its tail rounds driver-side instead of paying
+    // job-latency on a near-empty frame.
     var r = 0
     var converged = false
+    val driverEligible = localEdgeCap > 0 && LocalFinish.allLong(e, "src", "dst")
     while (r < rounds && !converged) {
+      if (driverEligible && n <= localEdgeCap) {
+        val (out, used) = LocalFinish.kCorePeel(e, k, rounds - r)
+        Console.err.println(
+          s"[graft] kCore: ${r + used} peel rounds (cap $rounds, " +
+            s"driver finish after $r)")
+        return out
+      }
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
       e = e.join(keep, Seq("src"), "left_semi")
@@ -1154,7 +1193,7 @@ object Graph {
     */
   def boruvkaTrace(edges: DataFrame, rounds: Int = 8,
                    propSteps: Int = 2, localGroupCap: Long = 10000L,
-                   localEdgeCap: Long = 2000000L): DataFrame = {
+                   localEdgeCap: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst"), col("w"))
@@ -1181,11 +1220,19 @@ object Graph {
     // each distributed round after the first runs one fewer job.
     var nGroupsNext = -1L
     // Driver-side finish state: contracted (g1, g2, w, s1, s2) pair
-    // minima keyed by at-switch labels, at-switch-label → current
-    // label, and the canonical forest edges still crossing groups.
-    var localPairs: Array[(Long, Long, Long, Long, Long)] = null
+    // minima keyed by at-switch labels — a FLAT stride-5 Array[Long]
+    // (r12 ADVICE: 2M boxed Tuple5 cost hundreds of MB of driver
+    // heap; 5 longs/row in one primitive array cost 40 B/row) —
+    // at-switch-label → current label, and the canonical forest edges
+    // still crossing groups.
+    var localPairs: Array[Long] = null
     var localCur: scala.collection.mutable.HashMap[Long, Long] = null
     var localMst: scala.collection.mutable.HashSet[(Long, Long)] = null
+    // Gate-retry memory (r12 ADVICE): once the edge gate fails at G
+    // groups, don't re-pay the contraction + count() every remaining
+    // round — the contracted pair frame shrinks with the group count,
+    // so retry only once the groups have at least halved.
+    var nextGateGroups = localGroupCap
     // One driver-side round: the distributed loop body verbatim over
     // the collected contracted graph (min over pair minima IS the
     // group min because the canonical key is a total order on edges).
@@ -1201,9 +1248,15 @@ object Graph {
         }
         if (!keep) best(g) = (w, s1, s2, h)
       }
-      localPairs.foreach { case (g1, g2, w, s1, s2) =>
-        val a = localCur(g1); val b = localCur(g2)
-        if (a != b) { propose(a, w, s1, s2, b); propose(b, w, s1, s2, a) }
+      var pi = 0
+      while (pi < localPairs.length) {
+        val a = localCur(localPairs(pi)); val b = localCur(localPairs(pi + 1))
+        if (a != b) {
+          val w = localPairs(pi + 2)
+          val s1 = localPairs(pi + 3); val s2 = localPairs(pi + 4)
+          propose(a, w, s1, s2, b); propose(b, w, s1, s2, a)
+        }
+        pi += 5
       }
       if (best.isEmpty) {
         stats += ((r.toLong, nGroups, 0L, 0L)); done = true
@@ -1253,7 +1306,7 @@ object Graph {
         stats += ((r.toLong, nGroups, 0L, 0L))
         done = true
       } else {
-      if (nGroups <= localGroupCap) {
+      if (nGroups <= nextGateGroups) {
         // Contract: the canonical-min edge per unordered current-group
         // pair — ≤ groups² rows in theory, frontier-bounded in
         // practice; the count() gate keeps the collect constant-sized.
@@ -1281,9 +1334,18 @@ object Graph {
             .filter(col("la") =!= col("lb"))
             .select(col("src").cast("long").as("s1"),
               col("dst").cast("long").as("s2"))
-          localPairs = contracted.collect().map(x =>
-            (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
-              x.getLong(4)))
+          val rowsC = contracted.collect()
+          localPairs = new Array[Long](rowsC.length * 5)
+          var ci = 0
+          while (ci < rowsC.length) {
+            val row = rowsC(ci)
+            localPairs(5 * ci) = row.getLong(0)
+            localPairs(5 * ci + 1) = row.getLong(1)
+            localPairs(5 * ci + 2) = row.getLong(2)
+            localPairs(5 * ci + 3) = row.getLong(3)
+            localPairs(5 * ci + 4) = row.getLong(4)
+            ci += 1
+          }
           localCur = scala.collection.mutable.HashMap(
             labels.select(col("label").cast("long")).distinct()
               .collect().map(x => x.getLong(0) -> x.getLong(0))
@@ -1291,7 +1353,7 @@ object Graph {
           localMst = scala.collection.mutable.HashSet(
             crossMst.collect()
               .map(x => (x.getLong(0), x.getLong(1))).toSeq: _*)
-        }
+        } else nextGateGroups = nGroups / 2
       }
       if (localPairs != null) {
         driverRound(r)

@@ -2807,8 +2807,18 @@ object Analytics {
     * day index; two 10-moment aggregates. 2 rows out.
     */
   def granger(events: DataFrame, typeX: String = "view",
-              typeY: String = "purchase"): DataFrame = {
-    val daily = events
+              typeY: String = "purchase"): DataFrame =
+    grangerFinish(xyDaily(events, typeX, typeY), typeX, typeY)
+
+  /** The shared TWO-SERIES calendar pivot under [[granger]] and
+    * [[kendallTau]] (and their streaming twins' stateless finishes):
+    * the (day, x, y) joined daily cents frame over days where BOTH
+    * types fired — the cusumFinish split discipline, one copy of the
+    * pivot arithmetic.
+    */
+  private[graft] def xyDaily(events: DataFrame, typeX: String,
+                             typeY: String): DataFrame =
+    events
       .filter(col("event_type").isin(typeX, typeY))
       .select(to_date(col("ts")).as("day"), col("event_type"),
         round(col("value") * 100, 0).cast("long").as("cents"))
@@ -2823,6 +2833,15 @@ object Analytics {
           .as("hy"))
       .filter(col("hx") === 1L && col("hy") === 1L)
       .select(col("day"), col("x"), col("y"))
+
+  /** The Granger readout over a (day, x, y) joined daily frame —
+    * shared by the batch operator and the streaming twin (the
+    * mannKendallFinish pattern: one more estimator off the persisted
+    * per-type day histogram).
+    */
+  private[graft] def grangerFinish(dailyXY: DataFrame, typeX: String,
+                                   typeY: String): DataFrame = {
+    val daily = dailyXY
       .withColumn("t", row_number().over(Window.orderBy(col("day"))))
     val lagf = daily.as("c")
       .join(daily.select((col("t") + 1).as("t"), col("x").as("xl"),
@@ -2910,22 +2929,14 @@ object Analytics {
     * never data-sized); three keyed aggregates.
     */
   def kendallTau(events: DataFrame, typeX: String = "view",
-                 typeY: String = "purchase"): DataFrame = {
-    val daily = events
-      .filter(col("event_type").isin(typeX, typeY))
-      .select(to_date(col("ts")).as("day"), col("event_type"),
-        round(col("value") * 100, 0).cast("long").as("cents"))
-      .groupBy(col("day"))
-      .agg(sum(when(col("event_type") === typeX, col("cents"))
-          .otherwise(0L)).as("x"),
-        sum(when(col("event_type") === typeY, col("cents"))
-          .otherwise(0L)).as("y"),
-        max(when(col("event_type") === typeX, 1L).otherwise(0L))
-          .as("hx"),
-        max(when(col("event_type") === typeY, 1L).otherwise(0L))
-          .as("hy"))
-      .filter(col("hx") === 1L && col("hy") === 1L)
-      .select(col("day"), col("x"), col("y"))
+                 typeY: String = "purchase"): DataFrame =
+    kendallTauFinish(xyDaily(events, typeX, typeY))
+
+  /** The τ-b readout over a (day, x, y) joined daily frame — shared
+    * by the batch operator and the streaming twin (the
+    * mannKendallFinish pattern).
+    */
+  private[graft] def kendallTauFinish(daily: DataFrame): DataFrame = {
     // Calendar-bounded all-pairs: both sides are ≤ |days| rows, so
     // the broadcast nested-loop is the q_intrinsic_dim bounded-panel
     // shape (allowlisted), never data-sized.

@@ -16,9 +16,15 @@ import graft.streaming.StreamingSketch.{CusumHist, DayCents, TypeDayCents}
 class StreamingCusumSpec extends SparkSpec {
 
   private def lastHists(table: String): Seq[CusumHist] = {
-    val streamed = spark.table(table).collect().zipWithIndex
-    streamed.groupBy(_._1.getString(0)).map { case (_, rows) =>
-      val r = rows.maxBy(_._2)._1
+    // Last update per type, recovered from the STATE VALUES, not the
+    // memory-sink row order (r12 ADVICE: cross-micro-batch order is an
+    // implementation detail): day counts and cents totals only grow
+    // (positive cents), so the max (n_days, Σcents) IS the final
+    // histogram.
+    val streamed = spark.table(table).collect()
+    streamed.groupBy(_.getString(0)).map { case (_, rows) =>
+      val r = rows.maxBy(x =>
+        (x.getSeq[Row](1).length, x.getSeq[Row](1).map(_.getLong(1)).sum))
       CusumHist(r.getString(0),
         r.getSeq[Row](1).map(d => DayCents(d.getInt(0), d.getLong(1))))
     }.toSeq
@@ -106,6 +112,35 @@ class StreamingCusumSpec extends SparkSpec {
           Encoders.product[CusumHist]).toDF())
       .collect())
     assert(mkGot == mkBatch, s"MK readout: $mkGot vs $mkBatch")
+
+    // ...and the Kendall τ-b concordance — sixth estimator
+    // (VERDICT r12 #3: the joined daily series is a pure function of
+    // the same persisted per-type day histograms).
+    def ktRow(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[Long]("n_days"), r.getAs[Long]("s_stat"),
+        Option(r.getAs[java.lang.Double]("tau_b")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("z")).map(_.toDouble),
+        r.getAs[Boolean]("significant"))
+    }.toSeq
+    val ktBatch = ktRow(Analytics.kendallTau(events).collect())
+    val ktGot = ktRow(StreamingSketch.kendallTauFromHistograms(
+        spark.createDataset(lastHists("cusum_stream"))(
+          Encoders.product[CusumHist]).toDF())
+      .collect())
+    assert(ktGot == ktBatch, s"tau-b readout: $ktGot vs $ktBatch")
+
+    // ...and lag-1 Granger, both directions — seventh estimator.
+    def grMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getString(0) -> (r.getAs[Long]("n_obs"),
+        Option(r.getAs[java.lang.Double]("f_stat")).map(_.toDouble),
+        r.getAs[Boolean]("significant"))
+    }.toMap
+    val grBatch = grMap(Analytics.granger(events).collect())
+    val grGot = grMap(StreamingSketch.grangerFromHistograms(
+        spark.createDataset(lastHists("cusum_stream"))(
+          Encoders.product[CusumHist]).toDF())
+      .collect())
+    assert(grGot == grBatch, s"granger readout: $grGot vs $grBatch")
   }
 
   test("a level shift arriving in later micro-batches flips the " +

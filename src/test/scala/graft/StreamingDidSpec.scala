@@ -44,10 +44,16 @@ class StreamingDidSpec extends SparkSpec {
       .outputMode("update").start()
     try q.processAllAvailable() finally q.stop()
 
-    val streamed = spark.table("did_stream").collect().zipWithIndex
-    val units = streamed.groupBy(_._1.getLong(0)).map {
+    // Last update per key, recovered from the STATE VALUES, not the
+    // memory-sink row order (r12 ADVICE: cross-micro-batch row order
+    // is an implementation detail): per-unit pre/post are sums of
+    // non-negative spend, so they are monotone non-decreasing across
+    // updates — the max (pre, post) IS the final state, and any tie
+    // is between identical rows.
+    val streamed = spark.table("did_stream").collect()
+    val units = streamed.groupBy(_.getLong(0)).map {
       case (_, rs) =>
-        val r = rs.maxBy(_._2)._1
+        val r = rs.maxBy(x => (x.getLong(1), x.getLong(2)))
         UnitPrePost(r.getLong(0), r.getLong(1), r.getLong(2))
     }.toSeq
     val got = StreamingSketch.didFromUnits(

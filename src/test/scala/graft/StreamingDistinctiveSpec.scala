@@ -44,11 +44,15 @@ class StreamingDistinctiveSpec extends SparkSpec {
       .outputMode("update").start()
     try q.processAllAvailable() finally q.stop()
 
-    // Last emitted update per phrase = the finished count state.
-    val streamed = spark.table("phrase_stream").collect().zipWithIndex
-    val counts = streamed.groupBy(_._1.getString(0)).map {
+    // Last emitted update per phrase = the finished count state,
+    // recovered from the STATE VALUES, not the memory-sink row order
+    // (r12 ADVICE: cross-micro-batch row order is an implementation
+    // detail): per-phrase (en, other) counts are monotone
+    // non-decreasing, so the max pair IS the final state.
+    val streamed = spark.table("phrase_stream").collect()
+    val counts = streamed.groupBy(_.getString(0)).map {
       case (_, rows) =>
-        val r = rows.maxBy(_._2)._1
+        val r = rows.maxBy(x => (x.getLong(1), x.getLong(2)))
         PhraseCounts(r.getString(0), r.getLong(1), r.getLong(2))
     }.toSeq
     val got = StreamingSketch.distinctiveFromCounts(
