@@ -370,6 +370,28 @@ object AnalyticsCatalog {
     "q_granger" -> ((s, d) =>
       graft.query.Analytics.granger(Tables.events(s, d))),
 
+    // Per-nation Mann-Kendall (VERDICT r12 #4, the per-segment form):
+    // events key to the customer nation over a broadcast dim; every
+    // window and pair join partitions by (nation, event_type) — the
+    // partitioned form of the day-index panel, no global window.
+    "q_mann_kendall_by_nation" -> ((s, d) =>
+      graft.query.Analytics.mannKendallByNation(
+        Tables.events(s, d), Tables.customer(s, d))),
+
+    // Per-nation Kendall tau-b: the view/purchase concordance per
+    // customer nation — the pair panel becomes a nation equi-join
+    // (calendar-bounded within each segment), the combine plain key
+    // joins; nothing for the plan-audit allowlist.
+    "q_kendall_tau_by_nation" -> ((s, d) =>
+      graft.query.Analytics.kendallTauByNation(
+        Tables.events(s, d), Tables.customer(s, d))),
+
+    // Per-nation Granger (lag-1, both directions): one 14-moment
+    // aggregate per nation, day-index window partitioned by nation.
+    "q_granger_by_nation" -> ((s, d) =>
+      graft.query.Analytics.grangerByNation(
+        Tables.events(s, d), Tables.customer(s, d))),
+
     // Two-sample log-rank test (urgent vs rest) over the KM/NA
     // durations: hypergeometric E and V per event time, t-sorted
     // folds, 1-df chi-square readout.
@@ -963,9 +985,11 @@ object AnalyticsCatalog {
   private def grangerLegSql(id: String, sy: String, syy: String,
                             s1: String, s2: String, s11: String,
                             s12: String, s22: String, s1y: String,
-                            s2y: String): String =
+                            s2y: String,
+                            keyCols: Seq[String] = Nil): String = {
+    val ks = keyCols.map(k => s"$k, ").mkString
     s"""m$id AS (
-       |  SELECT n, $sy AS sy, $syy AS syy, $s1 AS s1, $s2 AS s2,
+       |  SELECT ${ks}n, $sy AS sy, $syy AS syy, $s1 AS s1, $s2 AS s2,
        |    $s11 AS s11, $s12 AS s12, $s22 AS s22, $s1y AS s1y,
        |    $s2y AS s2y
        |  FROM g),
@@ -997,10 +1021,13 @@ object AnalyticsCatalog {
        |    syy - (((sy - a1 * s1) / CAST(n AS DOUBLE)) * sy
        |      + a1 * s1y) AS rss0
        |  FROM r$id)""".stripMargin
+  }
 
-  /** One Granger direction's readout row over its f-CTE. */
-  private def grangerOutSql(id: String, label: String): String =
-    s"""SELECT '$label' AS direction, n AS n_obs,
+  /** One Granger direction's readout row(s) over its f-CTE. */
+  private def grangerOutSql(id: String, label: String,
+                            keyCols: Seq[String] = Nil): String = {
+    val ks = keyCols.map(k => s"$k, ").mkString
+    s"""SELECT $ks'$label' AS direction, n AS n_obs,
        |  round(CASE WHEN det <> 0.0 AND den0 <> 0.0 AND rss1 > 0.0
        |    THEN (rss0 - rss1) * (CAST(n AS DOUBLE) - 3.0) / rss1
        |    END, 6) AS f_stat,
@@ -1009,6 +1036,7 @@ object AnalyticsCatalog {
        |    THEN (rss0 - rss1) * (CAST(n AS DOUBLE) - 3.0) / rss1
        |      > 3.841459 END, false) AS significant
        |FROM f$id""".stripMargin
+  }
 
   /** Machine-unrolled DuckDB twin of [[graft.operators.Graph
     * .boruvkaTrace]]: `rounds` blocks of (cross-label edges → per-
@@ -2442,6 +2470,142 @@ object AnalyticsCatalog {
         |  COALESCE(ABS(zv) > 1.959964, false) AS significant
         |FROM z""".stripMargin,
 
+    // Per-nation MK twin: the same chain with the customer-nation
+    // broadcast join in front and (nation, event_type) keys all the
+    // way down — the PARTITION BY mirrors Spark's segmented window.
+    "q_mann_kendall_by_nation" ->
+      """WITH seg AS MATERIALIZED (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, event_type,
+        |    ts, value
+        |  FROM events JOIN customer ON user_id = c_custkey),
+        |daily AS MATERIALIZED (
+        |  SELECT nation, event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM seg GROUP BY 1, 2, 3),
+        |idx AS (
+        |  SELECT nation, event_type, x, row_number() OVER (
+        |    PARTITION BY nation, event_type ORDER BY day) AS t
+        |  FROM daily),
+        |s AS (
+        |  SELECT a.nation, a.event_type,
+        |    CAST(SUM(CASE WHEN b.x > a.x THEN 1
+        |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM idx a JOIN idx b
+        |    ON a.nation = b.nation AND a.event_type = b.event_type
+        |      AND a.t < b.t
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT nation, event_type, COUNT(*) AS n
+        |       FROM daily GROUP BY 1, 2),
+        |ties AS (
+        |  SELECT nation, event_type,
+        |    CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tsum
+        |  FROM (SELECT nation, event_type, x, COUNT(*) AS tc
+        |        FROM daily GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |vz AS (
+        |  SELECT nd.nation, nd.event_type, n,
+        |    COALESCE(s_stat, 0) AS s_stat,
+        |    CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE) / 18.0
+        |      AS var_s
+        |  FROM nd JOIN ties USING (nation, event_type)
+        |  LEFT JOIN s ON nd.nation = s.nation
+        |    AND nd.event_type = s.event_type),
+        |z AS (
+        |  SELECT nation, event_type, n, s_stat, var_s,
+        |    CASE WHEN var_s > 0 THEN
+        |      CASE WHEN s_stat > 0
+        |             THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+        |           WHEN s_stat < 0
+        |             THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+        |           ELSE 0.0 END END AS zv
+        |  FROM vz)
+        |SELECT nation, event_type, n AS n_days, s_stat,
+        |  round(var_s, 6) AS var_s, round(zv, 6) AS z,
+        |  COALESCE(ABS(zv) > 1.959964, false) AS significant
+        |FROM z""".stripMargin,
+
+    // Per-nation tau-b twin: the q_kendall_tau chain with the nation
+    // key on every CTE, the pair join keyed on nation, and the
+    // combine as key joins (LEFT for one-day segments with no pairs).
+    "q_kendall_tau_by_nation" ->
+      """WITH seg AS MATERIALIZED (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, event_type,
+        |    ts, value
+        |  FROM events JOIN customer ON user_id = c_custkey
+        |  WHERE event_type IN ('view', 'purchase')),
+        |daily AS MATERIALIZED (
+        |  SELECT nation, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'view'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS hx,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS hy
+        |  FROM seg GROUP BY 1, 2),
+        |d2 AS MATERIALIZED (
+        |  SELECT nation, day, x, y FROM daily
+        |  WHERE hx = 1 AND hy = 1),
+        |pairs AS (
+        |  SELECT a.nation, CAST(SUM(
+        |      CASE WHEN a.x > b.x THEN 1
+        |           WHEN a.x < b.x THEN -1 ELSE 0 END
+        |      * CASE WHEN a.y > b.y THEN 1
+        |             WHEN a.y < b.y THEN -1 ELSE 0 END) AS BIGINT)
+        |      AS s,
+        |    COUNT(*) AS n0
+        |  FROM d2 a JOIN d2 b
+        |    ON a.nation = b.nation AND a.day < b.day
+        |  GROUP BY 1),
+        |tx AS (
+        |  SELECT nation,
+        |    CAST(SUM(tc * (tc - 1) // 2) AS BIGINT) AS n_x,
+        |    CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS v_x,
+        |    CAST(SUM(tc * (tc - 1)) AS BIGINT) AS p1_x,
+        |    CAST(SUM(tc * (tc - 1) * (tc - 2)) AS BIGINT) AS p2_x
+        |  FROM (SELECT nation, x, COUNT(*) AS tc FROM d2 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |ty AS (
+        |  SELECT nation,
+        |    CAST(SUM(tc * (tc - 1) // 2) AS BIGINT) AS n_y,
+        |    CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS v_y,
+        |    CAST(SUM(tc * (tc - 1)) AS BIGINT) AS p1_y,
+        |    CAST(SUM(tc * (tc - 1) * (tc - 2)) AS BIGINT) AS p2_y
+        |  FROM (SELECT nation, y, COUNT(*) AS tc FROM d2 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |nn AS (SELECT nation, COUNT(*) AS n FROM d2 GROUP BY 1),
+        |vv AS (
+        |  SELECT nn.nation, s, COALESCE(n0, 0) AS n0, n, n_x, n_y,
+        |    CASE WHEN n >= 3 THEN
+        |      CAST(n * (n - 1) * (2 * n + 5) - v_x - v_y AS DOUBLE)
+        |        / 18.0
+        |      + CAST(p1_x * p1_y AS DOUBLE)
+        |        / (2.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |      + CAST(p2_x * p2_y AS DOUBLE)
+        |        / (9.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |          * (CAST(n AS DOUBLE) - 2.0))
+        |    ELSE 0.0 END AS var_s
+        |  FROM nn JOIN tx USING (nation) JOIN ty USING (nation)
+        |  LEFT JOIN pairs ON nn.nation = pairs.nation),
+        |dd AS (
+        |  SELECT *,
+        |    sqrt(CAST(n0 - n_x AS DOUBLE) * CAST(n0 - n_y AS DOUBLE))
+        |      AS den
+        |  FROM vv)
+        |SELECT nation, n AS n_days, s AS s_stat,
+        |  round(CASE WHEN den > 0
+        |    THEN CAST(s AS DOUBLE) / den END, 6) AS tau_b,
+        |  round(CASE WHEN var_s > 0
+        |    THEN CAST(s AS DOUBLE) / sqrt(var_s) END, 6) AS z,
+        |  COALESCE(CASE WHEN var_s > 0
+        |    THEN ABS(CAST(s AS DOUBLE) / sqrt(var_s)) > 1.959964 END,
+        |    false) AS significant
+        |FROM dd""".stripMargin,
+
     // DiD twin: same per-customer pre/post integer dollars, md5 ':did'
     // arms, HUGEINT sum of squared changes, same Welch-on-diffs tree.
     "q_did" ->
@@ -2565,6 +2729,65 @@ object AnalyticsCatalog {
          |UNION ALL
          |${grangerOutSql("b", "purchase->view")}""".stripMargin,
 
+    // Per-nation Granger twin: the q_granger chain with the customer
+    // nation key on every CTE — PARTITION BY nation day index, lag
+    // join on (nation, t), per-nation Gram moments; the leg/readout
+    // SQL is the same machine-generated tree with the key threaded
+    // through (SELECT * keeps it on every intermediate CTE).
+    "q_granger_by_nation" ->
+      s"""WITH seg AS MATERIALIZED (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nation, event_type,
+         |    ts, value
+         |  FROM events JOIN customer ON user_id = c_custkey
+         |  WHERE event_type IN ('view', 'purchase')),
+         |daily AS MATERIALIZED (
+         |  SELECT nation, CAST(ts AS DATE) AS day,
+         |    CAST(SUM(CASE WHEN event_type = 'view'
+         |      THEN CAST(round(value * 100, 0) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100, 0) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS y,
+         |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS hx,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS hy
+         |  FROM seg GROUP BY 1, 2),
+         |d2 AS (SELECT nation, day, x, y FROM daily
+         |       WHERE hx = 1 AND hy = 1),
+         |idx AS (
+         |  SELECT nation, x, y, row_number() OVER (
+         |    PARTITION BY nation ORDER BY day) AS t
+         |  FROM d2),
+         |lagf AS MATERIALIZED (
+         |  SELECT c.nation AS nation, c.x AS x, c.y AS y,
+         |    p.x AS xl, p.y AS yl
+         |  FROM idx c JOIN idx p
+         |    ON c.nation = p.nation AND c.t = p.t + 1),
+         |g AS MATERIALIZED (
+         |  SELECT nation, COUNT(*) AS n,
+         |    CAST(SUM(CAST(yl AS HUGEINT)) AS DOUBLE) AS l1,
+         |    CAST(SUM(CAST(xl AS HUGEINT)) AS DOUBLE) AS l2,
+         |    CAST(SUM(CAST(yl AS HUGEINT) * yl) AS DOUBLE) AS l11,
+         |    CAST(SUM(CAST(yl AS HUGEINT) * xl) AS DOUBLE) AS l12,
+         |    CAST(SUM(CAST(xl AS HUGEINT) * xl) AS DOUBLE) AS l22,
+         |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS ty,
+         |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS tx,
+         |    CAST(SUM(CAST(yl AS HUGEINT) * y) AS DOUBLE) AS y1,
+         |    CAST(SUM(CAST(xl AS HUGEINT) * y) AS DOUBLE) AS y2,
+         |    CAST(SUM(CAST(xl AS HUGEINT) * x) AS DOUBLE) AS x1,
+         |    CAST(SUM(CAST(yl AS HUGEINT) * x) AS DOUBLE) AS x2,
+         |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS qy,
+         |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS qx
+         |  FROM lagf GROUP BY 1),
+         |${grangerLegSql("a", "ty", "qy", "l1", "l2", "l11", "l12",
+             "l22", "y1", "y2", Seq("nation"))},
+         |${grangerLegSql("b", "tx", "qx", "l2", "l1", "l22", "l12",
+             "l11", "x1", "x2", Seq("nation"))}
+         |${grangerOutSql("a", "view->purchase", Seq("nation"))}
+         |UNION ALL
+         |${grangerOutSql("b", "purchase->view", Seq("nation"))}""".stripMargin,
+
     // Kendall tau-b twin: same day-aligned cents pivot, exact integer
     // concordance and tie sums, same variance/denominator trees.
     "q_kendall_tau" ->
@@ -2608,13 +2831,15 @@ object AnalyticsCatalog {
         |nn AS (SELECT COUNT(*) AS n FROM d2),
         |vv AS (
         |  SELECT s, n0, n, n_x, n_y,
-        |    CAST(n * (n - 1) * (2 * n + 5) - v_x - v_y AS DOUBLE)
+        |    CASE WHEN n >= 3 THEN
+        |      CAST(n * (n - 1) * (2 * n + 5) - v_x - v_y AS DOUBLE)
         |        / 18.0
         |      + CAST(p1_x * p1_y AS DOUBLE)
         |        / (2.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
         |      + CAST(p2_x * p2_y AS DOUBLE)
         |        / (9.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
-        |          * (CAST(n AS DOUBLE) - 2.0)) AS var_s,
+        |          * (CAST(n AS DOUBLE) - 2.0))
+        |    ELSE 0.0 END AS var_s,
         |    sqrt(CAST(n0 - n_x AS DOUBLE) * CAST(n0 - n_y AS DOUBLE))
         |      AS den
         |  FROM pairs CROSS JOIN tx CROSS JOIN ty CROSS JOIN nn)
@@ -2687,12 +2912,12 @@ object AnalyticsCatalog {
         |agg AS (
         |  SELECT MAX(n1tot) AS n1, MAX(n2tot) AS n2,
         |    CAST(SUM(d1) AS BIGINT) AS o1,
-        |    list_reduce(list_transform(
+        |    COALESCE(list_reduce(list_transform(
         |      list(struct_pack(k := t, v := e1) ORDER BY t),
-        |      s -> s.v), (x, y) -> x + y) AS e1s,
-        |    list_reduce(list_transform(
+        |      s -> s.v), (x, y) -> x + y), 0.0) AS e1s,
+        |    COALESCE(list_reduce(list_transform(
         |      list(struct_pack(k := t, v := v) ORDER BY t),
-        |      s -> s.v), (x, y) -> x + y) AS vsum
+        |      s -> s.v), (x, y) -> x + y), 0.0) AS vsum
         |  FROM terms)
         |SELECT n1, n2, o1 AS observed_a, round(e1s, 6) AS expected_a,
         |  round(CASE WHEN vsum > 0 THEN

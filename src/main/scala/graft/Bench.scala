@@ -177,7 +177,11 @@ object Bench {
     // r12 additions, benched at birth.
     "q_distinctive_phrases", "q_conformal_qr",
     "q_mann_kendall", "q_logrank", "q_kendall_tau", "q_granger",
-    "q_did")
+    "q_did",
+    // r13 additions, benched at birth: the per-nation segmented
+    // forms of the sequential-stats family (partitioned windows).
+    "q_mann_kendall_by_nation", "q_kendall_tau_by_nation",
+    "q_granger_by_nation")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -34,6 +34,55 @@ class FloatFoldAuditSpec extends AnyFunSuite {
     walk(new java.io.File("src/main/scala"))
   }
 
+  /** Positions inside string/char literals or comments (r12 ADVICE:
+    * a ')' inside a string within a fold argument truncated the
+    * captured argument and could misclassify as the codebase grows).
+    * The scan keeps the RAW text (line numbers, `cast("double")`
+    * lookups inside arguments) and only consults this mask to (a)
+    * drop call matches that start inside literals/comments — SQL twin
+    * text is data, not code — and (b) skip masked parens while depth
+    * matching. Interpolated `${...}` parens are masked on both sides,
+    * so the depth stays balanced.
+    */
+  private def maskedRegions(text: String): Array[Boolean] = {
+    val mask = new Array[Boolean](text.length)
+    def mark(from: Int, until: Int): Int = {
+      var k = from
+      while (k < until && k < text.length) { mask(k) = true; k += 1 }
+      math.min(until, text.length)
+    }
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '"' && text.startsWith("\"\"\"", i)) {
+        val end = text.indexOf("\"\"\"", i + 3)
+        i = mark(i, if (end < 0) text.length else end + 3)
+      } else if (c == '"') {
+        var j = i + 1
+        while (j < text.length && text.charAt(j) != '"') {
+          if (text.charAt(j) == '\\') j += 1
+          j += 1
+        }
+        i = mark(i, j + 1)
+      } else if (c == '\'' && i + 2 < text.length &&
+          (text.charAt(i + 2) == '\'' ||
+            (text.charAt(i + 1) == '\\' && i + 3 < text.length &&
+              text.charAt(i + 3) == '\''))) {
+        i = mark(i, if (text.charAt(i + 1) == '\\') i + 4 else i + 3)
+      } else if (c == '/' && i + 1 < text.length &&
+          text.charAt(i + 1) == '/') {
+        var j = i
+        while (j < text.length && text.charAt(j) != '\n') j += 1
+        i = mark(i, j)
+      } else if (c == '/' && i + 1 < text.length &&
+          text.charAt(i + 1) == '*') {
+        val end = text.indexOf("*/", i + 2)
+        i = mark(i, if (end < 0) text.length else end + 2)
+      } else i += 1
+    }
+    mask
+  }
+
   test("no sum/avg/mean over a double-typed argument outside the " +
     "allowlist (fold exact, cast after — or sorted-fold)") {
     val callRe = """\b(sum|avg|mean)\(""".r
@@ -42,10 +91,13 @@ class FloatFoldAuditSpec extends AnyFunSuite {
     scalaSources.foreach { f =>
       val s = scala.io.Source.fromFile(f, "UTF-8")
       val text = try s.mkString finally s.close()
-      callRe.findAllMatchIn(text).foreach { m =>
+      val mask = maskedRegions(text)
+      callRe.findAllMatchIn(text)
+        .filterNot(m => mask(m.start)).foreach { m =>
         var depth = 1; var j = m.end
         while (depth > 0 && j < text.length) {
-          if (text.charAt(j) == '(') depth += 1
+          if (mask(j)) ()
+          else if (text.charAt(j) == '(') depth += 1
           else if (text.charAt(j) == ')') depth -= 1
           j += 1
         }

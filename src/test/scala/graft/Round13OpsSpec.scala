@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.query.Analytics
+
+/** r13 per-segment sequential stats (VERDICT r12 #4): the keyed forms
+  * must (a) collapse to the global operators when all events sit in
+  * one segment — the strongest arithmetic-parity check, every moment
+  * and tie sum equal — and (b) recover a planted per-segment trend
+  * divergence the global form averages away.
+  */
+class Round13OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthetic events for `users`, one row per (user, day, type). */
+  private def mkEvents(rows: Seq[(Long, Int, String, Double)]): DataFrame =
+    rows.toDF("user_id", "d", "event_type", "value")
+      .select(col("user_id"), col("event_type"), col("value"),
+        to_timestamp(concat(lit("2024-03-"),
+          lpad((col("d") + 1).cast("string"), 2, "0"),
+          lit(" 12:00:00"))).as("ts"))
+
+  private def mkCustomers(nations: Map[Long, Long]): DataFrame =
+    nations.toSeq.toDF("c_custkey", "c_nationkey")
+
+  private def sorted(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toVector).toSeq.sortBy(_.mkString("|"))
+
+  // Seeded two-type value series over 14 days for 3 users, varied
+  // enough for non-degenerate MK/tau/Granger designs.
+  private val rnd = new scala.util.Random(131)
+  private val oneNationRows: Seq[(Long, Int, String, Double)] =
+    for (u <- 1L to 3L; d <- 0 until 14; t <- Seq("view", "purchase"))
+      yield (u, d, t, (rnd.nextInt(900) + 100) / 100.0)
+
+  test("single-segment parity: byNation == global + nation column") {
+    val events = mkEvents(oneNationRows)
+    val customers = mkCustomers(Map(1L -> 7L, 2L -> 7L, 3L -> 7L))
+    assert(sorted(Analytics.mannKendallByNation(events, customers)
+      .drop("nation")) === sorted(Analytics.mannKendall(events)))
+    assert(sorted(Analytics.kendallTauByNation(events, customers)
+      .drop("nation")) === sorted(Analytics.kendallTau(events)))
+    assert(sorted(Analytics.grangerByNation(events, customers)
+      .drop("nation")) === sorted(Analytics.granger(events)))
+  }
+
+  test("planted divergent segments: rising nation significant, flat " +
+    "nation tied-out, and the global average hides the split") {
+    // Nation 1 (user 1): purchase cents rise 1,2,...,10 by day.
+    // Nation 2 (user 2): constant 5 every day (all tied).
+    val rows =
+      (0 until 10).map(d => (1L, d, "purchase", (d + 1) / 100.0)) ++
+        (0 until 10).map(d => (2L, d, "purchase", 0.05))
+    val events = mkEvents(rows)
+    val customers = mkCustomers(Map(1L -> 1L, 2L -> 2L))
+    val mk = Analytics.mannKendallByNation(events, customers)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("s_stat"), r.getAs[Double]("var_s"),
+          r.getAs[Boolean]("significant"))).toMap
+    // Rising: S = C(10,2) = 45, no ties: Var = 10*9*25/18 = 125,
+    // z = 44/sqrt(125) = 3.935 > 1.96.
+    assert(mk(1L) === ((45L, 125.0, true)))
+    // Flat: all days tied, variance fully tie-corrected to 0.
+    assert(mk(2L) === ((0L, 0.0, false)))
+    // The global (unsegmented) series mixes both nations per day:
+    // x_d = (d+1) + 5 cents still rises, so the split is invisible.
+    val global = Analytics.mannKendall(events).collect().head
+    assert(global.getAs[Long]("s_stat") === 45L)
+  }
+
+  test("keyed tau recovers per-segment concordance sign") {
+    // Nation 1: y moves WITH x; nation 2: y moves AGAINST x.
+    val rows =
+      (0 until 8).flatMap(d => Seq(
+        (1L, d, "view", (d + 1) / 100.0),
+        (1L, d, "purchase", (2 * d + 2) / 100.0),
+        (2L, d, "view", (d + 1) / 100.0),
+        (2L, d, "purchase", (16 - 2 * d) / 100.0)))
+    val events = mkEvents(rows)
+    val customers = mkCustomers(Map(1L -> 1L, 2L -> 2L))
+    val tau = Analytics.kendallTauByNation(events, customers)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Double]("tau_b")).toMap
+    assert(tau(1L) === 1.0)
+    assert(tau(2L) === -1.0)
+  }
+
+  test("logRank fully-censored input: expected_a folds to 0.0, chi2 " +
+    "null, not significant (r12 ADVICE degenerate parity)") {
+    // asOf before every order date: zero uncensored events, so the
+    // risk frame is empty and the 0.0-seeded folds must read 0.0 —
+    // the DuckDB twin's list_reduce is COALESCEd to the same value.
+    val sf = "/root/testdata/sf0.001"
+    val row = Analytics.logRank(
+      graft.queries.Tables.orders(spark, sf),
+      graft.queries.Tables.lineitem(spark, sf),
+      asOf = "1990-01-01").collect().head
+    assert(row.getAs[Double]("expected_a") === 0.0)
+    assert(row.getAs[java.lang.Double]("chi2") === null)
+    assert(row.getAs[Boolean]("significant") === false)
+  }
+
+  test("keyed granger emits both directions per segment and nulls " +
+    "degenerate designs") {
+    // Nation 1: 14 varied days (well-posed design); nation 2: two
+    // joined days -> one lag row -> singular Gram -> null F, false.
+    val rows = oneNationRows ++
+      (0 until 2).flatMap(d => Seq(
+        (9L, d, "view", 0.50), (9L, d, "purchase", 0.70)))
+    val events = mkEvents(rows)
+    val customers = mkCustomers(
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 2L))
+    val g = Analytics.grangerByNation(events, customers)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (Option(r.getAs[java.lang.Double]("f_stat")),
+          r.getAs[Boolean]("significant"))).toMap
+    assert(g.keySet === Set((1L, "view->purchase"),
+      (1L, "purchase->view"), (2L, "view->purchase"),
+      (2L, "purchase->view")))
+    assert(g((2L, "view->purchase")) === ((None, false)))
+    assert(g((2L, "purchase->view")) === ((None, false)))
+  }
+}
