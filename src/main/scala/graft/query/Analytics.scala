@@ -1687,8 +1687,15 @@ object Analytics {
     * daily rollup), so the pair frame is ~10⁶ rows/type worst case
     * regardless of event volume; the windows partition by type.
     */
-  def theilSen(events: DataFrame): DataFrame = {
-    val daily = dailySeries(events)
+  def theilSen(events: DataFrame): DataFrame =
+    theilSenFinish(dailySeries(events))
+
+  /** The Theil-Sen readout over an (event_type, x, t) daily frame —
+    * shared by the batch operator and the streaming twin's stateless
+    * finish (the mannKendallFinish pattern: one more estimator off
+    * the persisted per-type day histogram).
+    */
+  private[graft] def theilSenFinish(daily: DataFrame): DataFrame = {
     val pairs = daily.as("a")
       .join(daily.as("b"),
         col("a.event_type") === col("b.event_type")
@@ -1766,8 +1773,14 @@ object Analytics {
     * the dev frame is localCheckpoint'd — three consumers, one
     * events-scan.
     */
-  def acf(events: DataFrame, maxLag: Int = 7): DataFrame = {
-    val daily = dailySeries(events)
+  def acf(events: DataFrame, maxLag: Int = 7): DataFrame =
+    acfFinish(dailySeries(events), maxLag)
+
+  /** The ACF readout over an (event_type, x, t) daily frame — shared
+    * by the batch operator and the streaming twin's stateless finish.
+    */
+  private[graft] def acfFinish(daily: DataFrame,
+                               maxLag: Int): DataFrame = {
     val stats = daily.groupBy(col("event_type"))
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
     val dev = daily.join(broadcast(stats), Seq("event_type"))
@@ -2396,8 +2409,14 @@ object Analytics {
     * Scale shape: the daily rollup bounds every frame by the
     * calendar; windows partition by type.
     */
-  def pettitt(events: DataFrame): DataFrame = {
-    val daily = dailySeries(events)
+  def pettitt(events: DataFrame): DataFrame =
+    pettittFinish(dailySeries(events))
+
+  /** The Pettitt readout over an (event_type, day, x, t) daily frame
+    * — shared by the batch operator and the streaming twin's
+    * stateless finish (cp_day needs the calendar day, not just t).
+    */
+  private[graft] def pettittFinish(daily: DataFrame): DataFrame = {
     val wT = Window.partitionBy(col("event_type"))
     val r2 = lit(2L) * rank().over(wT.orderBy(col("x"))) +
       count(lit(1)).over(

@@ -473,17 +473,56 @@ object StreamingSketch {
     * verbatim through the shared `Analytics.mannKendallFinish`.
     */
   def mannKendallFromHistograms(hists: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.query.Analytics.mannKendallFinish(dailyFromHistograms(hists))
+
+  /** The per-type (event_type, day, x, t) daily frame rebuilt from
+    * the persisted [[cusumStream]] histograms — exactly what the
+    * batch `Analytics.dailySeries` derives from the raw events (the
+    * histogram holds the same per-day integer totals; the dense t
+    * index orders by the same calendar day).
+    */
+  private def dailyFromHistograms(hists: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    graft.query.Analytics.mannKendallFinish(
-      hists
-        .select(col("g").as("event_type"), explode(col("days")).as("dc"))
-        .select(col("event_type"), col("dc.day").as("day"),
-          col("dc.cents").as("x"))
-        .withColumn("t", row_number().over(
-          Window.partitionBy(col("event_type")).orderBy(col("day")))))
+    hists
+      .select(col("g").as("event_type"), explode(col("days")).as("dc"))
+      .select(col("event_type"),
+        date_from_unix_date(col("dc.day")).as("day"),
+        col("dc.cents").as("x"))
+      .withColumn("t", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
   }
+
+  /** Stateless THEIL-SEN readout over the SAME [[cusumStream]]
+    * day-histogram state — the robust-slope companion to the
+    * Mann-Kendall readout, off one persisted sufficient statistic;
+    * the rank-median pair arithmetic replays verbatim through the
+    * shared `Analytics.theilSenFinish`.
+    */
+  def theilSenFromHistograms(hists: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.query.Analytics.theilSenFinish(dailyFromHistograms(hists))
+
+  /** Stateless LAG-k AUTOCORRELATION readout over the SAME
+    * [[cusumStream]] day-histogram state — the persistence view,
+    * exact integer-dollar deviation products through the shared
+    * `Analytics.acfFinish`.
+    */
+  def acfFromHistograms(hists: org.apache.spark.sql.DataFrame,
+                        maxLag: Int = 7)
+      : org.apache.spark.sql.DataFrame =
+    graft.query.Analytics.acfFinish(dailyFromHistograms(hists), maxLag)
+
+  /** Stateless PETTITT changepoint readout over the SAME
+    * [[cusumStream]] day-histogram state — rank-based changepoint
+    * location through the shared `Analytics.pettittFinish` (cp_day
+    * reads the calendar day the histogram already carries).
+    */
+  def pettittFromHistograms(hists: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.query.Analytics.pettittFinish(dailyFromHistograms(hists))
 
   /** The shared two-series (day, x, y) pivot from the persisted
     * [[cusumStream]] histograms: the per-type day map IS the daily

@@ -141,6 +141,45 @@ class StreamingCusumSpec extends SparkSpec {
           Encoders.product[CusumHist]).toDF())
       .collect())
     assert(grGot == grBatch, s"granger readout: $grGot vs $grBatch")
+
+    // ...Theil-Sen robust slope — eighth estimator.
+    def tsMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getString(0) -> (r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("sen_slope"))
+    }.toMap
+    val tsBatch = tsMap(Analytics.theilSen(events).collect())
+    val tsGot = tsMap(StreamingSketch.theilSenFromHistograms(
+        spark.createDataset(lastHists("cusum_stream"))(
+          Encoders.product[CusumHist]).toDF())
+      .collect())
+    assert(tsGot == tsBatch, s"theil-sen readout: $tsGot vs $tsBatch")
+
+    // ...lag-k autocorrelation — ninth estimator.
+    def acMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getString(0), r.getAs[Int]("lag")) ->
+        (r.getAs[Long]("n_terms"),
+          Option(r.getAs[java.lang.Double]("acf")).map(_.toDouble))
+    }.toMap
+    val acBatch = acMap(Analytics.acf(events).collect())
+    val acGot = acMap(StreamingSketch.acfFromHistograms(
+        spark.createDataset(lastHists("cusum_stream"))(
+          Encoders.product[CusumHist]).toDF())
+      .collect())
+    assert(acGot == acBatch, s"acf readout: $acGot vs $acBatch")
+
+    // ...Pettitt changepoint — tenth estimator off the same state.
+    def ptMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getString(0) -> (r.getAs[Long]("n_days"),
+        r.getAs[Long]("k_stat"),
+        Option(r.getAs[java.sql.Date]("cp_day")).map(_.toString),
+        r.getAs[Double]("p_approx"), r.getAs[Boolean]("significant"))
+    }.toMap
+    val ptBatch = ptMap(Analytics.pettitt(events).collect())
+    val ptGot = ptMap(StreamingSketch.pettittFromHistograms(
+        spark.createDataset(lastHists("cusum_stream"))(
+          Encoders.product[CusumHist]).toDF())
+      .collect())
+    assert(ptGot == ptBatch, s"pettitt readout: $ptGot vs $ptBatch")
   }
 
   test("a level shift arriving in later micro-batches flips the " +
