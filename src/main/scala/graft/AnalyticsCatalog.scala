@@ -392,6 +392,25 @@ object AnalyticsCatalog {
       graft.query.Analytics.grangerByNation(
         Tables.events(s, d), Tables.customer(s, d))),
 
+    // Simple exponential smoothing of the daily per-type series:
+    // order-dependent recursion via the sorted-fold device (t-ordered
+    // list fold, first-element seed), source-literal α/1−α.
+    "q_ses" -> ((s, d) =>
+      graft.query.Analytics.sesForecast(Tables.events(s, d))),
+
+    // Holt's linear level+trend smoothing over the same series: the
+    // same fold with a (level, trend, sse) state and the 1-step
+    // forecast L+T readout.
+    "q_holt" -> ((s, d) =>
+      graft.query.Analytics.holtForecast(Tables.events(s, d))),
+
+    // Two-proportion z-test on order conversion (>=1 order after the
+    // split date) under the ':prop' md5 lottery — the binary-outcome
+    // member of the experiment family.
+    "q_prop_ztest" -> ((s, d) =>
+      graft.query.Analytics.propZTest(
+        Tables.customer(s, d), Tables.orders(s, d))),
+
     // Two-sample log-rank test (urgent vs rest) over the KM/NA
     // durations: hypergeometric E and V per event time, t-sorted
     // folds, 1-df chi-square readout.
@@ -2605,6 +2624,121 @@ object AnalyticsCatalog {
         |    THEN ABS(CAST(s AS DOUBLE) / sqrt(var_s)) > 1.959964 END,
         |    false) AS significant
         |FROM dd""".stripMargin,
+
+    // SES twin: the order-dependent recursion as a RECURSIVE CTE —
+    // each step reads ONLY the previous iteration's row, sidestepping
+    // DuckDB list_reduce's unreliable struct-field aliasing (measured:
+    // a (level, sse) struct fold updated sse against the NEW level;
+    // probe in PLANS.md). Identical IEEE tree to Spark's snapshot
+    // fold; α/1−α are source double literals (3e-1/7e-1 — a bare 0.3
+    // parses as DECIMAL(2,1) and poisons the arithmetic).
+    "q_ses" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS MATERIALIZED (
+        |  SELECT event_type, CAST(x AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS t
+        |  FROM daily),
+        |nn AS (SELECT event_type, COUNT(*) AS n FROM idx GROUP BY 1),
+        |rec AS (
+        |  SELECT event_type, t, x AS level, 0e0 AS sse
+        |  FROM idx WHERE t = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.t,
+        |    3e-1 * i.x + 7e-1 * r.level,
+        |    r.sse + (i.x - r.level) * (i.x - r.level)
+        |  FROM rec r JOIN idx i
+        |    ON i.event_type = r.event_type AND i.t = r.t + 1)
+        |SELECT n.event_type, n.n AS n_days,
+        |  round(r.level, 6) AS level,
+        |  round(CASE WHEN n.n > 1
+        |    THEN sqrt(r.sse / CAST(n.n - 1 AS DOUBLE)) END, 6) AS rmse
+        |FROM rec r JOIN nn n
+        |  ON r.event_type = n.event_type AND r.t = n.n""".stripMargin,
+
+    // Holt twin: the same recursive-CTE device with the (level,
+    // trend, sse) state; the repeated newLevel subtree is written out
+    // verbatim so both engines evaluate the identical IEEE tree.
+    "q_holt" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS MATERIALIZED (
+        |  SELECT event_type, CAST(x AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS t
+        |  FROM daily),
+        |nn AS (SELECT event_type, COUNT(*) AS n FROM idx GROUP BY 1),
+        |rec AS (
+        |  SELECT event_type, t, x AS level, 0e0 AS trend, 0e0 AS sse
+        |  FROM idx WHERE t = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.t,
+        |    3e-1 * i.x + 7e-1 * (r.level + r.trend),
+        |    2e-1 * ((3e-1 * i.x + 7e-1 * (r.level + r.trend))
+        |        - r.level)
+        |      + 8e-1 * r.trend,
+        |    r.sse + (i.x - (r.level + r.trend))
+        |      * (i.x - (r.level + r.trend))
+        |  FROM rec r JOIN idx i
+        |    ON i.event_type = r.event_type AND i.t = r.t + 1)
+        |SELECT n.event_type, n.n AS n_days,
+        |  round(r.level, 6) AS level,
+        |  round(r.trend, 6) AS trend,
+        |  round(r.level + r.trend, 6) AS forecast_next,
+        |  round(CASE WHEN n.n > 1
+        |    THEN sqrt(r.sse / CAST(n.n - 1 AS DOUBLE)) END, 6) AS rmse
+        |FROM rec r JOIN nn n
+        |  ON r.event_type = n.event_type AND r.t = n.n""".stripMargin,
+
+    // Two-proportion z twin: same ':prop' md5 lottery, integer cells,
+    // same pooled-variance double tree.
+    "q_prop_ztest" ->
+      """WITH conv AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'),
+        |units AS (
+        |  SELECT CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS cv,
+        |    ('0x' || substr(md5(c_custkey::VARCHAR || ':prop'),
+        |      1, 15))::BIGINT % 2 AS arm
+        |  FROM customer LEFT JOIN conv ON c_custkey = o_custkey),
+        |g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN cv ELSE 0 END) AS BIGINT)
+        |      AS c2
+        |  FROM units),
+        |fin AS (
+        |  SELECT *,
+        |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |    CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+        |    CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pp
+        |  FROM g),
+        |zz AS (
+        |  SELECT *,
+        |    (p1 - p2) / sqrt(pp * (1.0 - pp)
+        |      * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+        |      AS zv,
+        |    n1 > 0 AND n2 > 0 AND pp > 0.0 AND pp < 1.0 AS ok
+        |  FROM fin)
+        |SELECT n1 AS n_treat, n2 AS n_control, c1 AS conv_treat,
+        |  c2 AS conv_control, round(p1, 6) AS rate_treat,
+        |  round(p2, 6) AS rate_control,
+        |  round(CASE WHEN ok THEN zv END, 6) AS z,
+        |  COALESCE(CASE WHEN ok THEN ABS(zv) > 1.959964 END, false)
+        |    AS significant
+        |FROM zz""".stripMargin,
 
     // DiD twin: same per-customer pre/post integer dollars, md5 ':did'
     // arms, HUGEINT sum of squared changes, same Welch-on-diffs tree.

@@ -181,7 +181,9 @@ object Bench {
     // r13 additions, benched at birth: the per-nation segmented
     // forms of the sequential-stats family (partitioned windows).
     "q_mann_kendall_by_nation", "q_kendall_tau_by_nation",
-    "q_granger_by_nation")
+    "q_granger_by_nation",
+    // r13 wave 4: the forecasting family + the conversion z-test.
+    "q_ses", "q_holt", "q_prop_ztest")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -2390,6 +2390,137 @@ object Analytics {
               * col("syy").cast("double"))), 6).as("ccf"))
   }
 
+  /** SIMPLE EXPONENTIAL SMOOTHING (Brown '56) of the daily per-type
+    * cents series — the first member of the forecasting family beside
+    * the trend/drift monitors: L_t = α·x_t + (1−α)·L_{t−1}, seeded
+    * L_1 = x_1, with the in-sample one-step error power
+    * SSE = Σ_{t≥2} (x_t − L_{t−1})². The level IS the h-step
+    * forecast, and RMSE = √(SSE/(n−1)) is the honest backtest number
+    * a mixing/capacity planner reads next to it.
+    *
+    * Determinism: the recursion is ORDER-DEPENDENT by definition, so
+    * it folds with the sorted-fold device (collect_list + sort_array
+    * + aggregate over the t-ordered series) — the exact same IEEE
+    * sequence in both engines (DuckDB's list_reduce over the same
+    * ORDER BY list, first-element seed == the L_1 = x_1 seed). α and
+    * 1−α are both SOURCE LITERALS (0.3 / 0.7) — computing 1−α at
+    * runtime would give a different double than parsing "0.7".
+    *
+    * Scale shape: the daily rollup bounds the series by the calendar
+    * (~10³ doubles/type); one keyed collect + an O(n) fold per type.
+    */
+  def sesForecast(events: DataFrame): DataFrame =
+    sesFinish(dailySeries(events))
+
+  private[graft] def sesFinish(daily: DataFrame): DataFrame = {
+    val states = transform(
+      sort_array(collect_list(struct(col("t"), col("x")))),
+      e => struct(e.getField("x").cast("double").as("level"),
+        lit(0.0).as("sse")))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), states.as("st"))
+      .withColumn("f", aggregate(
+        slice(col("st"), lit(2), greatest(size(col("st")) - 1, lit(0))),
+        element_at(col("st"), 1),
+        (acc, e) => struct(
+          (lit(0.3) * e.getField("level")
+            + lit(0.7) * acc.getField("level")).as("level"),
+          (acc.getField("sse")
+            + (e.getField("level") - acc.getField("level"))
+            * (e.getField("level") - acc.getField("level"))).as("sse"))))
+      .select(col("event_type"), col("n").as("n_days"),
+        round(col("f.level"), 6).as("level"),
+        round(when(col("n") > 1L,
+          sqrt(col("f.sse") / (col("n") - 1L).cast("double"))), 6)
+          .as("rmse"))
+  }
+
+  /** HOLT'S LINEAR TREND smoothing (Holt '57) — the level+trend
+    * member of the forecasting family: with forecast f = L + T,
+    * L' = α·x + (1−α)·f and T' = β·(L'−L) + (1−β)·T, seeded
+    * L_1 = x_1, T_1 = 0; SSE over the one-step errors x − f. The
+    * 1-step-ahead forecast is L + T at the series end. Same
+    * sorted-fold determinism contract as [[sesForecast]]; α = 0.3,
+    * β = 0.2 and their complements are source literals in BOTH
+    * engines.
+    */
+  def holtForecast(events: DataFrame): DataFrame =
+    holtFinish(dailySeries(events))
+
+  private[graft] def holtFinish(daily: DataFrame): DataFrame = {
+    val states = transform(
+      sort_array(collect_list(struct(col("t"), col("x")))),
+      e => struct(e.getField("x").cast("double").as("level"),
+        lit(0.0).as("trend"), lit(0.0).as("sse")))
+    def f(acc: Column) = acc.getField("level") + acc.getField("trend")
+    def newLevel(acc: Column, e: Column) =
+      lit(0.3) * e.getField("level") + lit(0.7) * f(acc)
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), states.as("st"))
+      .withColumn("f", aggregate(
+        slice(col("st"), lit(2), greatest(size(col("st")) - 1, lit(0))),
+        element_at(col("st"), 1),
+        (acc, e) => struct(
+          newLevel(acc, e).as("level"),
+          (lit(0.2) * (newLevel(acc, e) - acc.getField("level"))
+            + lit(0.8) * acc.getField("trend")).as("trend"),
+          (acc.getField("sse")
+            + (e.getField("level") - f(acc))
+            * (e.getField("level") - f(acc))).as("sse"))))
+      .select(col("event_type"), col("n").as("n_days"),
+        round(col("f.level"), 6).as("level"),
+        round(col("f.trend"), 6).as("trend"),
+        round(col("f.level") + col("f.trend"), 6).as("forecast_next"),
+        round(when(col("n") > 1L,
+          sqrt(col("f.sse") / (col("n") - 1L).cast("double"))), 6)
+          .as("rmse"))
+  }
+
+  /** TWO-PROPORTION Z-TEST — the CONVERSION-RATE member of the
+    * experiment family ([[welchTTest]] tests means, [[srmCheck]]
+    * tests allocation; this tests the binary outcome itself):
+    * converted = the customer placed ≥ 1 order on/after `splitDate`,
+    * arms from the ':prop'-suffixed md5 lottery, pooled-variance
+    * z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)) against the two-sided
+    * 5% cut. All counts exact integers; one shared double tree.
+    * Degenerate (p̂ ∈ {0, 1} or an empty arm) → null z, false.
+    *
+    * Scale shape: one keyed semi-join aggregate to |customers| rows,
+    * one 4-cell fold. 1 row out.
+    */
+  def propZTest(customers: DataFrame, orders: DataFrame,
+                splitDate: String = "1996-01-01"): DataFrame = {
+    val conv = orders
+      .filter(to_date(col("o_orderdate")) >= lit(splitDate).cast("date"))
+      .select(col("o_custkey")).distinct()
+      .withColumn("converted", lit(1L))
+    val units = customers.select(col("c_custkey"))
+      .join(conv, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("converted"), lit(0L)).as("cv"),
+        pmod(TextOps.fingerprint64(
+          concat(col("c_custkey").cast("string"), lit(":prop"))),
+          lit(2L)).as("arm"))
+    val g = units.agg(
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("arm") === 1L, col("cv")).otherwise(0L)).as("c1"),
+      sum(when(col("arm") === 0L, col("cv")).otherwise(0L)).as("c2"))
+    def d(c: Column) = c.cast("double")
+    val p1 = d(col("c1")) / d(col("n1"))
+    val p2 = d(col("c2")) / d(col("n2"))
+    val pp = d(col("c1") + col("c2")) / d(col("n1") + col("n2"))
+    val se = sqrt(pp * (lit(1.0) - pp)
+      * (lit(1.0) / d(col("n1")) + lit(1.0) / d(col("n2"))))
+    val ok = col("n1") > 0L && col("n2") > 0L &&
+      pp > 0.0 && pp < 1.0
+    g.select(col("n1").as("n_treat"), col("n2").as("n_control"),
+      col("c1").as("conv_treat"), col("c2").as("conv_control"),
+      round(p1, 6).as("rate_treat"), round(p2, 6).as("rate_control"),
+      round(when(ok, (p1 - p2) / se), 6).as("z"),
+      coalesce(when(ok, abs((p1 - p2) / se) > lit(1.959964)),
+        lit(false)).as("significant"))
+  }
+
   /** PETTITT changepoint test (Pettitt '79) per event type — the
     * rank-based single-changepoint location beside [[cusumDrift]]'s
     * sequential alarm: K = max_t |U_t| with U_t = Σ_{i≤t}Σ_{j>t}

@@ -524,6 +524,21 @@ object StreamingSketch {
       : org.apache.spark.sql.DataFrame =
     graft.query.Analytics.pettittFinish(dailyFromHistograms(hists))
 
+  /** Stateless SES readout over the SAME [[cusumStream]]
+    * day-histogram state — the forecasting member: the smoothing
+    * recursion is order-dependent, but the t-ORDERED day histogram
+    * is its exact sufficient statistic, so the sorted fold replays
+    * verbatim through the shared `Analytics.sesFinish`.
+    */
+  def sesFromHistograms(hists: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.query.Analytics.sesFinish(dailyFromHistograms(hists))
+
+  /** Stateless HOLT level+trend readout over the SAME state. */
+  def holtFromHistograms(hists: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.query.Analytics.holtFinish(dailyFromHistograms(hists))
+
   /** The shared two-series (day, x, y) pivot from the persisted
     * [[cusumStream]] histograms: the per-type day map IS the daily
     * cents series, so days where BOTH types fired reconstruct exactly

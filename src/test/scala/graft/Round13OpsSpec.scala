@@ -101,6 +101,60 @@ class Round13OpsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("significant") === false)
   }
 
+  test("SES: constant series keeps its level with zero error; a step " +
+    "series converges toward the new level") {
+    // Constant 500 cents for 10 days: L stays 5.00 dollars-in-cents
+    // exactly (0.3*x + 0.7*x = x in IEEE for equal x), SSE = 0.
+    val const = mkEvents((0 until 10).map(d => (1L, d, "view", 5.0)))
+    val c = Analytics.sesForecast(const).collect().head
+    assert(c.getAs[Long]("n_days") === 10L)
+    assert(c.getAs[Double]("level") === 500.0)
+    assert(c.getAs[Double]("rmse") === 0.0)
+    // Step 100 -> 1000 cents at day 5: the level must sit strictly
+    // between the halves and strictly above the pre-step level.
+    val step = mkEvents((0 until 5).map(d => (1L, d, "view", 1.0)) ++
+      (5 until 10).map(d => (1L, d, "view", 10.0)))
+    val sRow = Analytics.sesForecast(step).collect().head
+    val lvl = sRow.getAs[Double]("level")
+    assert(lvl > 100.0 && lvl < 1000.0 && lvl > 800.0,
+      s"level $lvl should have converged most of the way")
+  }
+
+  test("Holt: an exact linear series is tracked with positive trend " +
+    "and the 1-step forecast overshoots the level") {
+    // x_d = 100*(d+1) cents, 12 days: trend must be positive and the
+    // forecast = level + trend strictly above the level.
+    val lin = mkEvents((0 until 12).map(d =>
+      (1L, d, "view", (d + 1) * 1.0)))
+    val r = Analytics.holtForecast(lin).collect().head
+    assert(r.getAs[Double]("trend") > 0.0)
+    assert(r.getAs[Double]("forecast_next") >
+      r.getAs[Double]("level"))
+    // Constant series: zero trend, zero error, forecast == level.
+    val const = mkEvents((0 until 8).map(d => (1L, d, "view", 5.0)))
+    val c = Analytics.holtForecast(const).collect().head
+    assert(c.getAs[Double]("trend") === 0.0)
+    assert(c.getAs[Double]("rmse") === 0.0)
+    assert(c.getAs[Double]("forecast_next") === c.getAs[Double]("level"))
+  }
+
+  test("propZTest: identical arms read z ~ 0 / not significant and " +
+    "the cells partition the population") {
+    val sf = "/root/testdata/sf0.001"
+    val customers = graft.queries.Tables.customer(spark, sf)
+    val orders = graft.queries.Tables.orders(spark, sf)
+    val r = Analytics.propZTest(customers, orders).collect().head
+    val n = r.getAs[Long]("n_treat") + r.getAs[Long]("n_control")
+    assert(n === customers.count())
+    assert(r.getAs[Long]("conv_treat") <= r.getAs[Long]("n_treat"))
+    assert(r.getAs[Long]("conv_control") <= r.getAs[Long]("n_control"))
+    // A null lottery on unshifted data: the arms differ only by the
+    // hash split, so |z| must sit far from the reject cut.
+    val z = Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)
+    assert(z.isEmpty || math.abs(z.get) < 1.959964,
+      s"null split flagged significant: $z")
+  }
+
   test("keyed granger emits both directions per segment and nulls " +
     "degenerate designs") {
     // Nation 1: 14 varied days (well-posed design); nation 2: two

@@ -180,6 +180,22 @@ class StreamingCusumSpec extends SparkSpec {
           Encoders.product[CusumHist]).toDF())
       .collect())
     assert(ptGot == ptBatch, s"pettitt readout: $ptGot vs $ptBatch")
+
+    // ...SES and Holt forecasting readouts — estimators 11 and 12.
+    def seqMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val sesBatch = seqMap(Analytics.sesForecast(events).collect())
+    val sesGot = seqMap(StreamingSketch.sesFromHistograms(
+        spark.createDataset(lastHists("cusum_stream"))(
+          Encoders.product[CusumHist]).toDF())
+      .collect())
+    assert(sesGot == sesBatch, s"ses readout: $sesGot vs $sesBatch")
+    val hoBatch = seqMap(Analytics.holtForecast(events).collect())
+    val hoGot = seqMap(StreamingSketch.holtFromHistograms(
+        spark.createDataset(lastHists("cusum_stream"))(
+          Encoders.product[CusumHist]).toDF())
+      .collect())
+    assert(hoGot == hoBatch, s"holt readout: $hoGot vs $hoBatch")
   }
 
   test("a level shift arriving in later micro-batches flips the " +
