@@ -418,6 +418,15 @@ object AnalyticsCatalog {
       graft.query.Analytics.logRank(
         Tables.orders(s, d), Tables.lineitem(s, d))),
 
+    // Cox proportional-hazards ratio (urgent vs rest, Breslow ties):
+    // 3 Newton steps on the partial likelihood over the shared
+    // log-rank risk frame — e^beta snapped to 6 dp per step, t-sorted
+    // U/I folds, Wald z readout. The regression member of the
+    // survival family.
+    "q_cox_hr" -> ((s, d) =>
+      graft.query.Analytics.coxHazardRatio(
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+
     // Benford first-digit audit on order totals in integer cents:
     // observed vs log10(1+1/d) shares + per-digit chi-square terms.
     "q_benford" -> ((s, d) =>
@@ -1040,6 +1049,38 @@ object AnalyticsCatalog {
        |    syy - (((sy - a1 * s1) / CAST(n AS DOUBLE)) * sy
        |      + a1 * s1y) AS rss0
        |  FROM r$id)""".stripMargin
+  }
+
+  /** One Cox Newton step: evaluate the t-ordered U/I folds over the
+    * `ev` risk frame at the previous CTE's beta (e^beta snapped to
+    * 6 dp — the one libm call feeds a rounded rational), then the
+    * update beta' = beta + U/I. The weight subtree
+    * (n1·eb)/(n2 + n1·eb) is written out verbatim in each term so
+    * both engines evaluate the identical IEEE tree Spark's
+    * coxHazardRatio builds.
+    */
+  private def coxStepSql(k: Int, prev: String): String = {
+    val w = """((CAST(n1 AS DOUBLE) * b.eb)
+       |        / (CAST(n2 AS DOUBLE) + CAST(n1 AS DOUBLE) * b.eb))"""
+      .stripMargin
+    s"""s$k AS (
+       |  SELECT MAX(b.beta) AS b0,
+       |    COALESCE(list_reduce(list_transform(
+       |      list(struct_pack(k := t, v :=
+       |        CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE)
+       |        * $w) ORDER BY t),
+       |      s -> s.v), (x, y) -> x + y), 0e0) AS u,
+       |    COALESCE(list_reduce(list_transform(
+       |      list(struct_pack(k := t, v :=
+       |        CAST(d AS DOUBLE)
+       |        * $w
+       |        * (1e0 - $w)) ORDER BY t),
+       |      s -> s.v), (x, y) -> x + y), 0e0) AS i
+       |  FROM ev CROSS JOIN
+       |    (SELECT beta, round(exp(beta), 6) AS eb FROM $prev) b),
+       |b$k AS (
+       |  SELECT b0 + CASE WHEN i > 0e0 THEN u / i ELSE 0e0 END AS beta
+       |  FROM s$k)""".stripMargin
   }
 
   /** One Granger direction's readout row(s) over its f-CTE. */
@@ -3061,6 +3102,71 @@ object AnalyticsCatalog {
         |    (CAST(o1 AS DOUBLE) - e1s) * (CAST(o1 AS DOUBLE) - e1s)
         |      / vsum > 3.841459 END, false) AS significant
         |FROM agg""".stripMargin,
+
+    // Cox twin: the q_logrank duration/risk CTE prefix + machine-
+    // generated Newton steps (coxStepSql) — each step evaluates the
+    // t-ordered U/I folds at the previous beta's 6-dp-snapped e^beta,
+    // exactly the Spark iteration tree.
+    "q_cox_hr" ->
+      s"""WITH comp AS (
+         |  SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE)
+         |    AS completion
+         |  FROM lineitem GROUP BY 1),
+         |base AS (
+         |  SELECT (o_orderpriority = '1-URGENT') AS ga,
+         |    CASE WHEN completion <= DATE '1998-06-01'
+         |      THEN datediff('day', CAST(o_orderdate AS DATE),
+         |        completion)
+         |      ELSE datediff('day', CAST(o_orderdate AS DATE),
+         |        DATE '1998-06-01') END AS t,
+         |    CASE WHEN completion <= DATE '1998-06-01'
+         |      THEN 1 ELSE 0 END AS ev
+         |  FROM orders JOIN comp ON o_orderkey = l_orderkey
+         |  WHERE CAST(o_orderdate AS DATE) <= DATE '1998-06-01'),
+         |times AS (
+         |  SELECT t,
+         |    CAST(SUM(CASE WHEN ga THEN ev ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(SUM(CASE WHEN ga THEN 1 - ev ELSE 0 END) AS BIGINT)
+         |      AS c1,
+         |    CAST(SUM(CASE WHEN ga THEN 0 ELSE ev END) AS BIGINT) AS d2,
+         |    CAST(SUM(CASE WHEN ga THEN 0 ELSE 1 - ev END) AS BIGINT)
+         |      AS c2
+         |  FROM base GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(d1 + c1) AS BIGINT) AS n1tot,
+         |    CAST(SUM(d2 + c2) AS BIGINT) AS n2tot
+         |  FROM times),
+         |risk AS (
+         |  SELECT t, d1, d2,
+         |    CAST(n1tot - (SUM(d1 + c1) OVER (ORDER BY t ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW) - d1 - c1)
+         |      AS BIGINT) AS n1,
+         |    CAST(n2tot - (SUM(d2 + c2) OVER (ORDER BY t ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW) - d2 - c2)
+         |      AS BIGINT) AS n2
+         |  FROM times CROSS JOIN tot),
+         |ev AS MATERIALIZED (
+         |  SELECT t, d1, d1 + d2 AS d, n1, n2
+         |  FROM risk WHERE d1 + d2 > 0),
+         |b0 AS (SELECT 0e0 AS beta),
+         |${coxStepSql(1, "b0")},
+         |${coxStepSql(2, "b1")},
+         |${coxStepSql(3, "b2")},
+         |${coxStepSql(4, "b3")},
+         |cnts AS (
+         |  SELECT CAST(SUM(d) AS BIGINT) AS n_events,
+         |    CAST(SUM(d1) AS BIGINT) AS events_a
+         |  FROM ev)
+         |SELECT n_events, events_a,
+         |  round(CASE WHEN i > 0e0 THEN b0 END, 6) AS beta,
+         |  round(CASE WHEN i > 0e0 THEN exp(b0) END, 6)
+         |    AS hazard_ratio,
+         |  round(CASE WHEN i > 0e0 THEN 1e0 / sqrt(i) END, 6) AS se,
+         |  round(CASE WHEN i > 0e0 THEN b0 * sqrt(i) END, 6) AS z,
+         |  COALESCE(CASE WHEN i > 0e0
+         |    THEN ABS(b0 * sqrt(i)) > 1.959964 END, false)
+         |    AS significant
+         |FROM s4 CROSS JOIN cnts""".stripMargin,
 
     // CCF twin: same calendar-day alignment, same integer-dollar
     // deviation snap, same exact lag products.

@@ -183,7 +183,9 @@ object Bench {
     "q_mann_kendall_by_nation", "q_kendall_tau_by_nation",
     "q_granger_by_nation",
     // r13 wave 4: the forecasting family + the conversion z-test.
-    "q_ses", "q_holt", "q_prop_ztest")
+    "q_ses", "q_holt", "q_prop_ztest",
+    // r13 wave 5: the survival-regression member.
+    "q_cox_hr")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

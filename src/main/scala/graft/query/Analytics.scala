@@ -3283,7 +3283,37 @@ object Analytics {
   def logRank(orders: DataFrame, lineitem: DataFrame,
               asOf: String = "1998-06-01",
               groupA: String = "1-URGENT"): DataFrame = {
-    val durs = kmDurations(orders, lineitem, asOf)
+    val risk = logRankRisk(kmDurations(orders, lineitem, asOf), groupA)
+    val e1 = (col("d") * col("n1")).cast("double") / col("n").cast("double")
+    val v = when(col("n") > 1L,
+      (col("d") * col("n1")).cast("double") * col("n2").cast("double")
+        * (col("n") - col("d")).cast("double")
+        / (col("n").cast("double") * col("n").cast("double")
+          * (col("n") - 1L).cast("double"))).otherwise(lit(0.0))
+    val agg0 = risk.agg(
+      max(col("n1tot")).as("n1"), max(col("n2tot")).as("n2"),
+      sum(col("d1")).as("o1"),
+      tSortedFold(e1).as("e1"), tSortedFold(v).as("vsum"))
+    agg0.select(col("n1"), col("n2"), col("o1").as("observed_a"),
+      round(col("e1"), 6).as("expected_a"),
+      round(when(col("vsum") > 0.0,
+        (col("o1").cast("double") - col("e1"))
+          * (col("o1").cast("double") - col("e1")) / col("vsum")), 6)
+        .as("chi2"),
+      coalesce(when(col("vsum") > 0.0,
+        (col("o1").cast("double") - col("e1"))
+          * (col("o1").cast("double") - col("e1")) / col("vsum")
+          > lit(3.841459)), lit(false)).as("significant"))
+  }
+
+  /** The shared per-event-time RISK frame under [[logRank]] and
+    * [[coxHazardRatio]]: (t, d1, d2, c1, c2, n1, n2, d, n, n1tot,
+    * n2tot) — group A vs rest deaths/censorings per time, both
+    * groups' at-risk counts via the cumulative device, event times
+    * only. Duration-bounded (≤ |distinct t| rows).
+    */
+  private[graft] def logRankRisk(durs: DataFrame,
+                                 groupA: String): DataFrame = {
     val times = durs
       .select((col("priority") === groupA).as("ga"), col("t"),
         col("ev"))
@@ -3296,7 +3326,7 @@ object Analytics {
       sum(col("d2") + col("c2")).as("n2tot"))
     val cum = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val risk = times.crossJoin(broadcast(tot))
+    times.crossJoin(broadcast(tot))
       .withColumn("n1", col("n1tot")
         - (sum(col("d1") + col("c1")).over(cum) - col("d1") - col("c1")))
       .withColumn("n2", col("n2tot")
@@ -3304,29 +3334,79 @@ object Analytics {
       .filter(col("d1") + col("d2") > 0L)
       .withColumn("d", col("d1") + col("d2"))
       .withColumn("n", col("n1") + col("n2"))
-    val e1 = (col("d") * col("n1")).cast("double") / col("n").cast("double")
-    val v = when(col("n") > 1L,
-      (col("d") * col("n1")).cast("double") * col("n2").cast("double")
-        * (col("n") - col("d")).cast("double")
-        / (col("n").cast("double") * col("n").cast("double")
-          * (col("n") - 1L).cast("double"))).otherwise(lit(0.0))
-    def tfold(term: Column): Column =
-      aggregate(sort_array(collect_list(struct(col("t").as("k"),
-        term.as("v")))), lit(0.0), (acc, x) => acc + x.getField("v"))
-    val agg0 = risk.agg(
-      max(col("n1tot")).as("n1"), max(col("n2tot")).as("n2"),
-      sum(col("d1")).as("o1"),
-      tfold(e1).as("e1"), tfold(v).as("vsum"))
-    agg0.select(col("n1"), col("n2"), col("o1").as("observed_a"),
-      round(col("e1"), 6).as("expected_a"),
-      round(when(col("vsum") > 0.0,
-        (col("o1").cast("double") - col("e1"))
-          * (col("o1").cast("double") - col("e1")) / col("vsum")), 6)
-        .as("chi2"),
-      coalesce(when(col("vsum") > 0.0,
-        (col("o1").cast("double") - col("e1"))
-          * (col("o1").cast("double") - col("e1")) / col("vsum")
-          > lit(3.841459)), lit(false)).as("significant"))
+  }
+
+  /** The t-ORDERED float fold shared by [[logRank]] and
+    * [[coxHazardRatio]] (the sinkhorn sorted-fold device): per-time
+    * double terms collect to ≤ |times| structs, sort by t, fold with
+    * a 0.0 seed — no shuffle-order hazard, identical IEEE sequence to
+    * the twins' t-ordered list_reduce.
+    */
+  private def tSortedFold(term: Column): Column =
+    aggregate(sort_array(collect_list(struct(col("t").as("k"),
+      term.as("v")))), lit(0.0), (acc, x) => acc + x.getField("v"))
+
+  /** COX PROPORTIONAL-HAZARDS RATIO, single binary covariate
+    * (Cox '72; Breslow tie handling) — the REGRESSION member
+    * completing the survival family: [[kaplanMeier]] draws the
+    * curves, [[logRank]] tests "same?", this estimates HOW MUCH the
+    * `groupA` hazard differs: h_A(t) = e^β · h_B(t), fit by Newton
+    * on the Breslow partial likelihood. With a binary covariate the
+    * per-event-time sufficient statistics are just the [[logRankRisk]]
+    * counts: with w(t) = n1·e^β / (n2 + n1·e^β),
+    *   U(β) = Σ_t (d1 − d·w),  I(β) = Σ_t d·w·(1−w),
+    *   β ← β + U/I,   seeded β = 0 (where U = O1 − E1, the log-rank
+    * numerator — the score test IS the log-rank connection).
+    * `iters` fixed Newton steps + one final (U, I) evaluation give
+    * se = 1/√I, z = β·√I and the Wald readout; hr = e^β.
+    *
+    * Determinism: the risk counts are exact integers; e^β is SNAPPED
+    * to 6 dp each iteration (the kmFinish fixed-point discipline —
+    * the one cross-engine libm call feeds a rounded rational, so the
+    * U/I trees are identical doubles); U and I fold t-SORTED. β is a
+    * data-dependent scalar carried as a 1-row broadcast, never a
+    * driver value. Degenerate (no events, or I ≤ 0) → null β/z.
+    *
+    * Scale shape: the duration-bounded risk frame materializes once
+    * (localCheckpoint); each Newton step is ONE aggregate over it
+    * with a 1-row broadcast of the previous β. `iters`+1 tiny jobs.
+    */
+  def coxHazardRatio(orders: DataFrame, lineitem: DataFrame,
+                     asOf: String = "1998-06-01",
+                     groupA: String = "1-URGENT",
+                     iters: Int = 3): DataFrame = {
+    val risk = logRankRisk(kmDurations(orders, lineitem, asOf), groupA)
+      .localCheckpoint()
+    val w = ((col("n1").cast("double") * col("ebv"))
+      / (col("n2").cast("double") + col("n1").cast("double") * col("ebv")))
+    def uTerm = col("d1").cast("double") - col("d").cast("double") * w
+    def iTerm = col("d").cast("double") * w * (lit(1.0) - w)
+    def step(beta: DataFrame): DataFrame =
+      risk.crossJoin(broadcast(
+          beta.select(col("beta"),
+            round(exp(col("beta")), 6).as("ebv"))))
+        .agg(max(col("beta")).as("b0"),
+          tSortedFold(uTerm).as("u"), tSortedFold(iTerm).as("i"))
+    val spark = orders.sparkSession
+    var beta = spark.range(1).select(lit(0.0).as("beta"))
+    for (_ <- 1 to iters)
+      beta = step(beta).select(
+        (col("b0") + when(col("i") > 0.0, col("u") / col("i"))
+          .otherwise(lit(0.0))).as("beta"))
+    val counts = risk.agg(sum(col("d")).as("n_events"),
+      sum(col("d1")).as("events_a"))
+    step(beta).crossJoin(broadcast(counts))
+      .select(col("n_events"), col("events_a"),
+        round(when(col("i") > 0.0, col("b0")), 6).as("beta"),
+        round(when(col("i") > 0.0, exp(col("b0"))), 6)
+          .as("hazard_ratio"),
+        round(when(col("i") > 0.0,
+          lit(1.0) / sqrt(col("i"))), 6).as("se"),
+        round(when(col("i") > 0.0,
+          col("b0") * sqrt(col("i"))), 6).as("z"),
+        coalesce(when(col("i") > 0.0,
+          abs(col("b0") * sqrt(col("i"))) > lit(1.959964)),
+          lit(false)).as("significant"))
   }
 
   /** MEDIAN-OF-MEANS robust location estimate per source: hash rows

@@ -251,6 +251,10 @@ class PlanAuditSpec extends SparkSpec {
     // logrank: the 1-row (n1tot, n2tot) totals frame broadcast onto
     // the duration-bounded event-time frame (q_ccf family).
     "q_logrank",
+    // cox_hr: the same logrank risk-frame shape, plus one 1-row beta
+    // frame broadcast per Newton step (4 steps, each a 1-row
+    // crossJoin onto the duration-bounded checkpointed frame).
+    "q_cox_hr",
     // kendall_tau: the calendar-bounded all-pairs day frame (the
     // q_intrinsic_dim bounded-panel shape — both sides ≤ |days| rows)
     // plus three 1-row tie/total frames under the readout.
@@ -272,6 +276,9 @@ class PlanAuditSpec extends SparkSpec {
     // shared event-time frame — duration-bounded (the msprt/calendar
     // argument), never data-sized.
     "q_logrank",
+    // cox_hr: the same duration-bounded at-risk cumulative windows
+    // (shared logRankRisk chain).
+    "q_cox_hr",
     // granger: the day-index row_number over the calendar-bounded
     // joined daily pivot (the msprt argument).
     "q_granger",

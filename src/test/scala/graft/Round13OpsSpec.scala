@@ -155,6 +155,61 @@ class Round13OpsSpec extends SparkSpec {
       s"null split flagged significant: $z")
   }
 
+  test("coxHazardRatio: finite fit on real durations, near-exact " +
+    "label-swap antisymmetry, se/z consistency") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.queries.Tables.orders(spark, sf)
+    val li = graft.queries.Tables.lineitem(spark, sf)
+    val r = Analytics.coxHazardRatio(orders, li).collect().head
+    val beta = r.getAs[Double]("beta")
+    val hr = r.getAs[Double]("hazard_ratio")
+    val se = r.getAs[Double]("se")
+    val z = r.getAs[Double]("z")
+    assert(r.getAs[Long]("n_events") > 0L)
+    assert(math.abs(hr - math.exp(beta)) < 1e-5)
+    assert(se > 0.0)
+    assert(math.abs(z - beta / se) < 1e-4)
+    // Swapping the covariate labels (group A = "the rest") mirrors
+    // the partial likelihood: beta -> -beta up to the 6-dp e^beta
+    // snap (groupA buckets every non-urgent priority when the flag
+    // is defined as != — emulate by fitting each other priority...
+    // instead use the exact complement: priority equality vs the
+    // 4 remaining priorities is not a binary swap, so fit the SAME
+    // model with A and B exchanged via a relabeled orders frame).
+    val swapped = orders.withColumn("o_orderpriority",
+      when(col("o_orderpriority") === "1-URGENT", lit("other"))
+        .otherwise(lit("1-URGENT")))
+    val r2 = Analytics.coxHazardRatio(swapped, li).collect().head
+    assert(math.abs(r2.getAs[Double]("beta") + beta) < 1e-4,
+      s"swap: ${r2.getAs[Double]("beta")} vs ${-beta}")
+  }
+
+  test("coxHazardRatio score test at beta=0 agrees with the log-rank " +
+    "direction (planted faster completion for group A)") {
+    // Group A (urgent) orders complete in 1-5 days, others in 20-40:
+    // the urgent hazard is higher, so beta must come out positive
+    // and significant.
+    import spark.implicits._
+    val n = 120
+    val orders = (1 to n).map { i =>
+      (i.toLong, if (i % 2 == 0) "1-URGENT" else "3-MEDIUM",
+        "1995-01-%02d".format(i % 20 + 1))
+    }.toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_timestamp(col("o_orderdate")).as("o_orderdate"))
+    val li = (1 to n).map { i =>
+      val lag = if (i % 2 == 0) 1 + i % 5 else 20 + i % 20
+      (i.toLong, "1995-%02d-%02d".format(2 + (i % 20 + lag) / 28,
+        (i % 20 + lag) % 28 + 1))
+    }.toDF("l_orderkey", "l_shipdate")
+      .select(col("l_orderkey"),
+        to_timestamp(col("l_shipdate")).as("l_shipdate"))
+    val r = Analytics.coxHazardRatio(orders, li, asOf = "1996-01-01")
+      .collect().head
+    assert(r.getAs[Double]("beta") > 0.5, s"beta ${r.get(2)}")
+    assert(r.getAs[Boolean]("significant"))
+  }
+
   test("keyed granger emits both directions per segment and nulls " +
     "degenerate designs") {
     // Nation 1: 14 varied days (well-posed design); nation 2: two
