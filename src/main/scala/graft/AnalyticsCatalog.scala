@@ -411,6 +411,12 @@ object AnalyticsCatalog {
       graft.query.Analytics.propZTest(
         Tables.customer(s, d), Tables.orders(s, d))),
 
+    // McNemar's paired test on the same units' pre/post conversion
+    // flip: discordant counts b/c, continuity-corrected 1-df chi2.
+    "q_mcnemar" -> ((s, d) =>
+      graft.query.Analytics.mcnemar(
+        Tables.customer(s, d), Tables.orders(s, d))),
+
     // Two-sample log-rank test (urgent vs rest) over the KM/NA
     // durations: hypergeometric E and V per event time, t-sorted
     // folds, 1-df chi-square readout.
@@ -2780,6 +2786,38 @@ object AnalyticsCatalog {
         |  COALESCE(CASE WHEN ok THEN ABS(zv) > 1.959964 END, false)
         |    AS significant
         |FROM zz""".stripMargin,
+
+    // McNemar twin: same per-customer pre/post flags, integer
+    // discordant cells, corrected numerator squared in BIGINT, one
+    // double division.
+    "q_mcnemar" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    MAX(CASE WHEN CAST(o_orderdate AS DATE)
+        |      < DATE '1996-01-01' THEN 1 ELSE 0 END) AS pre,
+        |    MAX(CASE WHEN CAST(o_orderdate AS DATE)
+        |      >= DATE '1996-01-01' THEN 1 ELSE 0 END) AS post
+        |  FROM orders GROUP BY 1),
+        |units AS (
+        |  SELECT COALESCE(pre, 0) AS pre, COALESCE(post, 0) AS post
+        |  FROM customer LEFT JOIN per ON c_custkey = o_custkey),
+        |g AS (
+        |  SELECT COUNT(*) AS n_units,
+        |    CAST(SUM(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM units),
+        |f AS (
+        |  SELECT *, GREATEST(ABS(b - c) - 1, 0) AS d FROM g)
+        |SELECT n_units, b AS pre_only, c AS post_only,
+        |  round(CASE WHEN b + c > 0 THEN
+        |    CAST(d * d AS DOUBLE) / CAST(b + c AS DOUBLE) END, 6)
+        |    AS chi2,
+        |  COALESCE(CASE WHEN b + c > 0 THEN
+        |    CAST(d * d AS DOUBLE) / CAST(b + c AS DOUBLE) > 3.841459
+        |    END, false) AS significant
+        |FROM f""".stripMargin,
 
     // DiD twin: same per-customer pre/post integer dollars, md5 ':did'
     // arms, HUGEINT sum of squared changes, same Welch-on-diffs tree.

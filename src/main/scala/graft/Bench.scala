@@ -185,7 +185,9 @@ object Bench {
     // r13 wave 4: the forecasting family + the conversion z-test.
     "q_ses", "q_holt", "q_prop_ztest",
     // r13 wave 5: the survival-regression member.
-    "q_cox_hr")
+    "q_cox_hr",
+    // r13 wave 6: paired-binary test + classifier ranking quality.
+    "q_mcnemar", "q_nb_auc")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -1048,6 +1048,12 @@ object PipelineCatalog {
     "q_nb_calibration" -> ((s, d) =>
       graft.operators.TextClassify.nbCalibration(Tables.documents(s, d))),
 
+    // One-vs-rest AUC/Gini per class for the trained NB classifier:
+    // margin ranking via exact doubled midranks (Mann-Whitney U
+    // identity), 1e-6-snapped margins, per-class rank windows.
+    "q_nb_auc" -> ((s, d) =>
+      graft.operators.TextClassify.nbAuc(Tables.documents(s, d))),
+
     // Confident-learning label-noise matrix (Northcutt et al.):
     // margin-based self-confidence vs rational class thresholds
     // (cross-multiplied — no float mean), integer argmax, |C|² counts;
@@ -3412,6 +3418,44 @@ object PipelineCatalog {
       s"""WITH $calibCtesSql
          |SELECT bin, n_docs, n_correct, accuracy, mean_margin
          |FROM calib""".stripMargin,
+
+    // AUC twin: the shared NB fin frame, per-class one-vs-rest
+    // margins (vs the best OTHER class via the rk=1/rk=2 legs),
+    // doubled midranks, the U identity — exact integers until the
+    // final division.
+    "q_nb_auc" ->
+      s"""WITH $nbCtesSql,
+         |m1 AS (SELECT doc_id, cls AS a1, score AS s1 FROM fin
+         |       WHERE rk = 1),
+         |m2 AS (SELECT doc_id, score AS s2 FROM fin WHERE rk = 2),
+         |marg AS (
+         |  SELECT f.cls, f.actual = f.cls AS y,
+         |    CAST(round((CASE WHEN f.cls = m1.a1 THEN f.score - m2.s2
+         |      ELSE f.score - m1.s1 END) * 1e6, 0) AS BIGINT) AS sfp
+         |  FROM fin f JOIN m1 USING (doc_id) JOIN m2 USING (doc_id)),
+         |rk2 AS (
+         |  SELECT cls, y,
+         |    2 * rank() OVER (PARTITION BY cls ORDER BY sfp)
+         |      + COUNT(*) OVER (PARTITION BY cls, sfp) - 1 AS r2
+         |  FROM marg),
+         |agg AS (
+         |  SELECT cls,
+         |    CAST(SUM(CASE WHEN y THEN r2 ELSE 0 END) AS BIGINT)
+         |      AS spos2,
+         |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos,
+         |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_neg
+         |  FROM rk2 GROUP BY 1)
+         |SELECT cls, n_pos, n_neg,
+         |  round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    CAST(spos2 - n_pos * (n_pos + 1) AS DOUBLE)
+         |      / CAST(2 * n_pos * n_neg AS DOUBLE) END, 6) AS auc,
+         |  round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    2.0 * (CAST(spos2 - n_pos * (n_pos + 1) AS DOUBLE)
+         |      / CAST(2 * n_pos * n_neg AS DOUBLE)) - 1.0 END, 6)
+         |    AS gini
+         |FROM agg""".stripMargin,
 
     // CDC twin: the winnow k-gram hash chain, the same boundary rule
     // and (start, end] slice reconstruction, exact token volumes.

@@ -163,6 +163,60 @@ object TextClassify {
           / col("n_docs").cast("double") / 1e6, 6).as("mean_margin"))
   }
 
+  /** ONE-VS-REST AUC per class for the trained classifier — the
+    * threshold-free ranking quality beside [[naiveBayes]]'s point
+    * accuracy and [[nbCalibration]]'s reliability: for each class c,
+    * rank every test doc by its c-margin (score(c) minus the best
+    * OTHER class's score — the same decision variable the gate
+    * thresholds) and read AUC off the Mann-Whitney U identity
+    *
+    *   AUC = (Σ_{positives} midrank − n₊(n₊+1)/2) / (n₊ · n₋)
+    *
+    * with ties at the exact DOUBLED midrank (the [[graft.query
+    * .Analytics]] mannWhitney r₂ device — 2·rank + tiecount − 1), so
+    * everything is exact integers until the one division. Margins
+    * are snapped once to 1e-6 fixed point ([[nbCalibration]]'s
+    * discipline). Gini = 2·AUC − 1 rides along.
+    *
+    * Scale shape: [[rankedScores]]' chain (materialized once), two
+    * doc-keyed joins, then rank windows PARTITIONED by class — the
+    * same |segment|-sized rank-window shape as mannWhitney/spearman
+    * (per-class partitions are test-split-sized; at corpus scale the
+    * standard move is scoring a held-out sample, which this operator
+    * inherits from its input slice).
+    */
+  def nbAuc(docs: DataFrame, labelCol: String = "lang",
+            testMod: Int = 5): DataFrame = {
+    val ranked = rankedScores(docs, labelCol, testMod)
+      .localCheckpoint(false)
+    val m1 = ranked.filter(col("rk") === 1)
+      .select(col("doc_id"), col("cls").as("a1"), col("score").as("s1"))
+    val m2 = ranked.filter(col("rk") === 2)
+      .select(col("doc_id"), col("score").as("s2"))
+    val marg = ranked.join(m1, Seq("doc_id")).join(m2, Seq("doc_id"))
+      .select(col("cls"), (col("actual") === col("cls")).as("y"),
+        round(when(col("cls") === col("a1"), col("score") - col("s2"))
+          .otherwise(col("score") - col("s1")) * lit(1e6), 0)
+          .cast("long").as("sfp"))
+    val r2 = (lit(2L) * rank().over(
+      Window.partitionBy(col("cls")).orderBy(col("sfp")))
+      + count(lit(1)).over(Window.partitionBy(col("cls"), col("sfp")))
+      - 1L)
+    val auc = ((col("spos2") - col("n_pos") * (col("n_pos") + 1L))
+      .cast("double")
+      / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+    marg.withColumn("r2", r2)
+      .groupBy(col("cls"))
+      .agg(sum(when(col("y"), col("r2")).otherwise(0L)).as("spos2"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("n_neg"))
+      .select(col("cls"), col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0L && col("n_neg") > 0L, auc), 6)
+          .as("auc"),
+        round(when(col("n_pos") > 0L && col("n_neg") > 0L,
+          lit(2.0) * auc - lit(1.0)), 6).as("gini"))
+  }
+
   /** ISOTONIC CALIBRATION of the [[nbCalibration]] reliability bins
     * (Zadrozny & Elkan '02 — the calibration map that only assumes
     * monotonicity): fit the least-squares MONOTONE accuracy curve

@@ -2521,6 +2521,48 @@ object Analytics {
         lit(false)).as("significant"))
   }
 
+  /** McNEMAR'S TEST (McNemar '47), continuity-corrected — the PAIRED
+    * binary member of the experiment family: [[propZTest]] compares
+    * two INDEPENDENT arms' conversion; McNemar asks whether the SAME
+    * units flipped state across the split date (pre-only vs
+    * post-only customers — the discordant pairs b and c; concordant
+    * units carry no information):
+    *
+    *   χ² = (max(|b − c| − 1, 0))² / (b + c)   against the 1-df cut.
+    *
+    * Determinism: b and c are exact integer counts; the corrected
+    * numerator squares in LONGs; one double division. b + c = 0 →
+    * null χ², false.
+    *
+    * Scale shape: one keyed aggregate to |customers| rows, one 2-cell
+    * fold. 1 row out.
+    */
+  def mcnemar(customers: DataFrame, orders: DataFrame,
+              splitDate: String = "1996-01-01"): DataFrame = {
+    val cut = lit(splitDate).cast("date")
+    val per = orders.select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("d") < cut, 1L).otherwise(0L)).as("pre"),
+        max(when(col("d") >= cut, 1L).otherwise(0L)).as("post"))
+    val units = customers.select(col("c_custkey"))
+      .join(per, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("pre"), lit(0L)).as("pre"),
+        coalesce(col("post"), lit(0L)).as("post"))
+    val g = units.agg(count(lit(1)).as("n_units"),
+      sum(when(col("pre") === 1L && col("post") === 0L, 1L)
+        .otherwise(0L)).as("b"),
+      sum(when(col("pre") === 0L && col("post") === 1L, 1L)
+        .otherwise(0L)).as("c"))
+    val d = greatest(abs(col("b") - col("c")) - 1L, lit(0L))
+    val chi2 = (d * d).cast("double") / (col("b") + col("c")).cast("double")
+    g.select(col("n_units"), col("b").as("pre_only"),
+      col("c").as("post_only"),
+      round(when(col("b") + col("c") > 0L, chi2), 6).as("chi2"),
+      coalesce(when(col("b") + col("c") > 0L, chi2 > lit(3.841459)),
+        lit(false)).as("significant"))
+  }
+
   /** PETTITT changepoint test (Pettitt '79) per event type — the
     * rank-based single-changepoint location beside [[cusumDrift]]'s
     * sequential alarm: K = max_t |U_t| with U_t = Σ_{i≤t}Σ_{j>t}

@@ -214,6 +214,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_nb_classifier",
     // nb_eval: inherits the NB chain's frames; the eval tail is keyed.
     "q_nb_eval",
+    // nb_auc: the same NB chain inheritance; the AUC tail is keyed
+    // joins + class-partitioned rank windows.
+    "q_nb_auc",
     // ks_drift: two 1-row frames (value bounds, sample totals) and the
     // broadcast ≤256-row bucket-offset table; the per-value cumulative
     // window is bucket-partitioned (keyed).

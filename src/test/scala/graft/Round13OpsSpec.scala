@@ -210,6 +210,38 @@ class Round13OpsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("significant"))
   }
 
+  test("nbAuc: a perfectly separable corpus reads AUC = 1 per class") {
+    val docs = (0L until 20L).map { i =>
+      if (i % 2 == 0) (i, "en", "hello world common")
+      else (i, "fr", "bonjour monde common")
+    }.toDF("doc_id", "lang", "text")
+    val out = graft.operators.TextClassify.nbAuc(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[Double]("auc"), r.getAs[Double]("gini"))).toMap
+    // test slice = doc_id % 5 == 0 -> docs 0,5,10,15 (2 en, 2 fr).
+    assert(out("en") === ((2L, 2L, 1.0, 1.0)))
+    assert(out("fr") === ((2L, 2L, 1.0, 1.0)))
+  }
+
+  test("mcnemar: hand-counted discordant cells and corrected chi2") {
+    val customers = (1L to 6L).toDF("c_custkey")
+    // pre-only: 1, 2, 6 (b = 3); post-only: 3 (c = 1); both: 4;
+    // neither: 5. chi2 = (|3-1|-1)^2 / 4 = 0.25, not significant.
+    val orders = Seq(
+      (1L, "1995-05-01"), (2L, "1995-06-01"), (6L, "1995-07-01"),
+      (3L, "1996-02-01"), (4L, "1995-03-01"), (4L, "1997-01-01"))
+      .toDF("o_custkey", "o_orderdate")
+      .select(col("o_custkey"),
+        to_timestamp(col("o_orderdate")).as("o_orderdate"))
+    val r = Analytics.mcnemar(customers, orders).collect().head
+    assert(r.getAs[Long]("n_units") === 6L)
+    assert(r.getAs[Long]("pre_only") === 3L)
+    assert(r.getAs[Long]("post_only") === 1L)
+    assert(r.getAs[Double]("chi2") === 0.25)
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
   test("keyed granger emits both directions per segment and nulls " +
     "degenerate designs") {
     // Nation 1: 14 varied days (well-posed design); nation 2: two
