@@ -322,6 +322,13 @@ object ScaleCatalog {
     "q_intrinsic_dim" -> ((s, d) =>
       Similarity.twoNNDimension(Tables.embeddings(s, d))),
 
+    // Energy-distance two-sample test between the label-0 and label-1
+    // embedding populations: bounded panels, 1e-6-snapped pair
+    // distances, exact long sums — the kernel-free distribution-drift
+    // read (no bandwidth to pick).
+    "q_embed_energy" -> ((s, d) =>
+      Similarity.energyDistance(Tables.embeddings(s, d))),
+
     // Exact cosine top-5: broadcast queries × streamed corpus.
     "q_knn_brute" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1058,6 +1065,58 @@ object ScaleCatalog {
         |      / (CAST(SUM(lnmu_fp) AS DOUBLE) / 1e6) END, 6)
         |    AS intrinsic_dim
         |FROM terms""".stripMargin,
+
+    // Energy twin: same capped panels, same norm+dot distance tree,
+    // the same 1e-6 snap per pair, exact BIGINT sums, three means +
+    // one combination tree.
+    "q_embed_energy" ->
+      """WITH va AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_inner_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[])) AS n2
+        |  FROM embeddings WHERE label = 0 AND vec_id < 1000),
+        |vb AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_inner_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[])) AS n2
+        |  FROM embeddings WHERE label = 1 AND vec_id < 1000),
+        |ab AS (
+        |  SELECT COALESCE(CAST(SUM(CAST(round(1e6 * sqrt(GREATEST(
+        |      a.n2 + b.n2 - 2.0 * list_inner_product(a.e, b.e),
+        |      0.0)), 0) AS BIGINT)) AS BIGINT), 0) AS s_ab,
+        |    COUNT(*) AS n_ab
+        |  FROM va a CROSS JOIN vb b),
+        |aa AS (
+        |  SELECT COALESCE(CAST(SUM(CAST(round(1e6 * sqrt(GREATEST(
+        |      a.n2 + b.n2 - 2.0 * list_inner_product(a.e, b.e),
+        |      0.0)), 0) AS BIGINT)) AS BIGINT), 0) AS s_aa,
+        |    COUNT(*) AS n_aa
+        |  FROM va a JOIN va b ON a.vec_id < b.vec_id),
+        |bb AS (
+        |  SELECT COALESCE(CAST(SUM(CAST(round(1e6 * sqrt(GREATEST(
+        |      a.n2 + b.n2 - 2.0 * list_inner_product(a.e, b.e),
+        |      0.0)), 0) AS BIGINT)) AS BIGINT), 0) AS s_bb,
+        |    COUNT(*) AS n_bb
+        |  FROM vb a JOIN vb b ON a.vec_id < b.vec_id),
+        |na AS (SELECT COUNT(*) AS n_a FROM va),
+        |nb AS (SELECT COUNT(*) AS n_b FROM vb)
+        |SELECT n_a, n_b,
+        |  round(CASE WHEN n_ab > 0 THEN
+        |    CAST(s_ab AS DOUBLE) / 1e6 / CAST(n_ab AS DOUBLE) END, 6)
+        |    AS mean_cross,
+        |  round(CASE WHEN n_aa > 0 THEN
+        |    CAST(s_aa AS DOUBLE) / 1e6 / CAST(n_aa AS DOUBLE) END, 6)
+        |    AS mean_within_a,
+        |  round(CASE WHEN n_bb > 0 THEN
+        |    CAST(s_bb AS DOUBLE) / 1e6 / CAST(n_bb AS DOUBLE) END, 6)
+        |    AS mean_within_b,
+        |  round(CASE WHEN n_ab > 0 AND n_aa > 0 AND n_bb > 0 THEN
+        |    2.0 * (CAST(s_ab AS DOUBLE) / 1e6 / CAST(n_ab AS DOUBLE))
+        |    - CAST(s_aa AS DOUBLE) / 1e6 / CAST(n_aa AS DOUBLE)
+        |    - CAST(s_bb AS DOUBLE) / 1e6 / CAST(n_bb AS DOUBLE)
+        |    END, 6) AS energy
+        |FROM ab CROSS JOIN aa CROSS JOIN bb
+        |  CROSS JOIN na CROSS JOIN nb""".stripMargin,
 
     // Bitext-margin twin: two brute knn legs over the parity split,
     // double-cast neighborhood means, the same rounded margin and

@@ -747,6 +747,74 @@ object Similarity {
     * caps the cost regardless of corpus size — the estimator's
     * variance is O(1/√n) in panel size, not data size.
     */
+  /** ENERGY-DISTANCE two-sample test (Székely & Rizzo '04) between
+    * two labeled embedding populations — the kernel-free "did the
+    * embedding DISTRIBUTION move" drift read beside
+    * [[embeddingDrift]]'s id-aligned cosine (which needs the SAME
+    * vectors re-embedded; this compares two arbitrary samples):
+    *
+    *   E = 2·E‖a − b‖ − E‖a − a′‖ − E‖b − b′‖   (≥ 0, = 0 iff same
+    *   distribution) — no bandwidth to pick, unlike an MMD kernel.
+    *
+    * Determinism: distances come off the shared norm+dot tree
+    * ([[twoNNDimension]]'s device), each pair's ‖·‖ is SNAPPED once
+    * to 1e-6 fixed point, and the three pair sums are exact LONG
+    * sums — the only doubles are the three means and the final
+    * combination.
+    *
+    * Scale shape: both sides are vec_id-capped panels (the
+    * twoNNDimension scale-invariance argument — estimator variance
+    * is O(1/√panel), so a bigger corpus should not mean a bigger
+    * panel), so all three pair joins are bounded broadcast panels,
+    * never data-sized.
+    */
+  def energyDistance(vecs: DataFrame, labelA: Int = 0, labelB: Int = 1,
+                     panelCap: Long = 1000L): DataFrame = {
+    def side(lbl: Int) = vecs
+      .filter(col("label") === lbl && col("vec_id") < panelCap)
+      .select(col("vec_id"), dbl(col("embedding")).as("e"))
+      .withColumn("n2", dot(col("e"), col("e")))
+    val a = side(labelA).localCheckpoint(false)
+    val b = side(labelB).localCheckpoint(false)
+    // One snapped integer distance per pair: exact long sums after.
+    def dfp(na: Column, nb: Column, d: Column) =
+      round(lit(1e6) * sqrt(greatest(na + nb - lit(2.0) * d,
+        lit(0.0))), 0).cast("long")
+    def pairSum(x: DataFrame, y: DataFrame, within: Boolean) = {
+      val p = x.select(col("vec_id").as("qa"), col("e").as("ea"),
+          col("n2").as("na"))
+        .crossJoin(broadcast(y.select(col("vec_id").as("qb"),
+          col("e").as("eb"), col("n2").as("nb"))))
+      (if (within) p.filter(col("qa") < col("qb")) else p)
+        .select(dfp(col("na"), col("nb"),
+          dot(col("ea"), col("eb"))).as("dfp"))
+        .agg(coalesce(sum(col("dfp")), lit(0L)).as("s"),
+          count(lit(1)).as("n"))
+    }
+    val ab = pairSum(a, b, within = false)
+      .select(col("s").as("s_ab"), col("n").as("n_ab"))
+    val aa = pairSum(a, a, within = true)
+      .select(col("s").as("s_aa"), col("n").as("n_aa"))
+    val bb = pairSum(b, b, within = true)
+      .select(col("s").as("s_bb"), col("n").as("n_bb"))
+    def mean(s: Column, n: Column) =
+      s.cast("double") / lit(1e6) / n.cast("double")
+    val ok = col("n_ab") > 0L && col("n_aa") > 0L && col("n_bb") > 0L
+    ab.crossJoin(broadcast(aa)).crossJoin(broadcast(bb))
+      .crossJoin(broadcast(a.agg(count(lit(1)).as("n_a"))))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+      .select(col("n_a"), col("n_b"),
+        round(when(col("n_ab") > 0L,
+          mean(col("s_ab"), col("n_ab"))), 6).as("mean_cross"),
+        round(when(col("n_aa") > 0L,
+          mean(col("s_aa"), col("n_aa"))), 6).as("mean_within_a"),
+        round(when(col("n_bb") > 0L,
+          mean(col("s_bb"), col("n_bb"))), 6).as("mean_within_b"),
+        round(when(ok, lit(2.0) * mean(col("s_ab"), col("n_ab"))
+          - mean(col("s_aa"), col("n_aa"))
+          - mean(col("s_bb"), col("n_bb"))), 6).as("energy"))
+  }
+
   def twoNNDimension(vecs: DataFrame, panelMod: Int = 2,
                      panelCap: Long = 500L): DataFrame = {
     // The panel cap makes the estimator's cost SCALE-INVARIANT (the

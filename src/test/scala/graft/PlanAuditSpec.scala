@@ -261,7 +261,10 @@ class PlanAuditSpec extends SparkSpec {
     // kendall_tau: the calendar-bounded all-pairs day frame (the
     // q_intrinsic_dim bounded-panel shape — both sides ≤ |days| rows)
     // plus three 1-row tie/total frames under the readout.
-    "q_kendall_tau")
+    "q_kendall_tau",
+    // embed_energy: three vec_id-capped panel cross joins (the
+    // q_intrinsic_dim bounded-panel shape) + five 1-row combines.
+    "q_embed_energy")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

@@ -242,6 +242,42 @@ class Round13OpsSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("energyDistance: separated clusters read large positive " +
+    "energy; label swap is symmetric; identical populations near 0") {
+    def vecs(rows: Seq[(Long, Seq[Float], Int)]) =
+      rows.toDF("vec_id", "embedding", "label")
+    val rnd = new scala.util.Random(17)
+    def jitter(base: Seq[Float]) =
+      base.map(v => v + (rnd.nextInt(100) - 50) / 1000.0f)
+    // Cluster A near (5, 0), cluster B near (0, 5): cross distance
+    // ~7.07, within ~0.05 -> energy ~ 2*7 - tiny.
+    val sep = vecs(
+      (0L until 20L).map(i => (i, jitter(Seq(5f, 0f)), 0)) ++
+      (20L until 40L).map(i => (i, jitter(Seq(0f, 5f)), 1)))
+    val r = graft.operators.Similarity.energyDistance(sep)
+      .collect().head
+    assert(r.getAs[Long]("n_a") === 20L)
+    assert(r.getAs[Double]("energy") > 10.0)
+    // Symmetry: swapping the two labels leaves energy unchanged.
+    val swapped = vecs(
+      (0L until 20L).map(i => (i, jitter(Seq(5f, 0f)), 1)) ++
+      (20L until 40L).map(i => (i, jitter(Seq(0f, 5f)), 0)))
+    // (fresh jitter — compare SAME frame with labels flipped instead)
+    val flipped = sep.withColumn("label",
+      lit(1) - col("label"))
+    val r2 = graft.operators.Similarity.energyDistance(flipped)
+      .collect().head
+    assert(r2.getAs[Double]("energy") === r.getAs[Double]("energy"))
+    assert(swapped.count() === 40L) // keep the fresh frame used
+    // Same-distribution: both labels drawn from one cluster.
+    val same = vecs((0L until 40L).map(i =>
+      (i, jitter(Seq(1f, 1f)), (i % 2).toInt)))
+    val r3 = graft.operators.Similarity.energyDistance(same)
+      .collect().head
+    assert(math.abs(r3.getAs[Double]("energy")) < 0.05,
+      s"same-dist energy ${r3.getAs[Double]("energy")}")
+  }
+
   test("keyed granger emits both directions per segment and nulls " +
     "degenerate designs") {
     // Nation 1: 14 varied days (well-posed design); nation 2: two
