@@ -188,8 +188,9 @@ object Bench {
     "q_cox_hr",
     // r13 wave 6: paired-binary test + classifier ranking quality.
     "q_mcnemar", "q_nb_auc",
-    // r13 wave 7: kernel-free embedding-distribution drift.
-    "q_embed_energy")
+    // r13 wave 7: kernel-free embedding-distribution drift +
+    // label-coherence silhouette.
+    "q_embed_energy", "q_silhouette")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -329,6 +329,13 @@ object ScaleCatalog {
     "q_embed_energy" -> ((s, d) =>
       Similarity.energyDistance(Tables.embeddings(s, d))),
 
+    // Per-label silhouette over the capped embedding panel: snapped
+    // pair distances, exact cell sums, closest-confuser b-min, 1e-6
+    // per-point snap before the label mean — the label-coherence
+    // audit before a labeled slice trains anything.
+    "q_silhouette" -> ((s, d) =>
+      Similarity.silhouette(Tables.embeddings(s, d))),
+
     // Exact cosine top-5: broadcast queries × streamed corpus.
     "q_knn_brute" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1117,6 +1124,45 @@ object ScaleCatalog {
         |    END, 6) AS energy
         |FROM ab CROSS JOIN aa CROSS JOIN bb
         |  CROSS JOIN na CROSS JOIN nb""".stripMargin,
+
+    // Silhouette twin: same capped panel, same snapped distance tree,
+    // exact cell sums, the same singleton/one-label 0 convention.
+    "q_silhouette" ->
+      """WITH panel AS MATERIALIZED (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS e,
+        |    list_inner_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[])) AS n2
+        |  FROM embeddings WHERE vec_id < 1000),
+        |cells AS (
+        |  SELECT a.vec_id AS qa, a.label AS la, b.label AS lb,
+        |    CAST(SUM(CAST(round(1e6 * sqrt(GREATEST(
+        |      a.n2 + b.n2 - 2.0 * list_inner_product(a.e, b.e),
+        |      0.0)), 0) AS BIGINT)) AS BIGINT) AS s,
+        |    COUNT(*) AS n
+        |  FROM panel a CROSS JOIN panel b
+        |  WHERE a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT qa, la, lb,
+        |    CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS m
+        |  FROM cells),
+        |aside AS (SELECT qa, m AS a FROM m WHERE la = lb),
+        |bside AS (SELECT qa, MIN(m) AS b FROM m WHERE la <> lb
+        |          GROUP BY 1),
+        |sp AS (
+        |  SELECT p.label,
+        |    CAST(round(1e6 * CASE WHEN a IS NOT NULL AND b IS NOT NULL
+        |        AND GREATEST(a, b) > 0.0
+        |      THEN (b - a) / GREATEST(a, b) ELSE 0.0 END, 0)
+        |      AS BIGINT) AS sfp
+        |  FROM panel p
+        |  LEFT JOIN aside ON p.vec_id = aside.qa
+        |  LEFT JOIN bside ON p.vec_id = bside.qa)
+        |SELECT label, COUNT(*) AS n_points,
+        |  round(CAST(SUM(sfp) AS DOUBLE) / 1e6
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette
+        |FROM sp GROUP BY 1""".stripMargin,
 
     // Bitext-margin twin: two brute knn legs over the parity split,
     // double-cast neighborhood means, the same rounded margin and

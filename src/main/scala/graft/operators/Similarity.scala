@@ -815,6 +815,65 @@ object Similarity {
           - mean(col("s_bb"), col("n_bb"))), 6).as("energy"))
   }
 
+  /** SILHOUETTE SCORE per label (Rousseeuw '87) over a bounded
+    * embedding panel — "are these labels geometrically coherent":
+    * for each point, a = mean distance to its OWN label's other
+    * members, b = the closest OTHER label's mean distance, s =
+    * (b − a)/max(a, b) ∈ [−1, 1]; singleton-label points score 0 by
+    * the standard convention. The label-quality audit run before a
+    * labeled slice trains a classifier ([[energyDistance]] asks "do
+    * two populations differ"; this asks "does EVERY label hold
+    * together against its nearest confuser").
+    *
+    * Determinism: pair distances snap once to 1e-6 fixed point
+    * ([[energyDistance]]'s device), per-(point, label) cell sums are
+    * exact longs, cell means are one double division, the b-min is a
+    * min over identical doubles, and each point's s snaps to 1e-6
+    * before the exact per-label integer sum — no float fold anywhere.
+    *
+    * Scale shape: one vec_id-capped panel ([[twoNNDimension]]'s
+    * scale-invariance argument), one bounded pair cross join, keyed
+    * cell aggregates, a |panel|·|labels| frame down to |labels| rows.
+    */
+  def silhouette(vecs: DataFrame, panelCap: Long = 1000L): DataFrame = {
+    val panel = vecs.filter(col("vec_id") < panelCap)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        dbl(col("embedding")).as("e"))
+      .withColumn("n2", dot(col("e"), col("e")))
+      .localCheckpoint(false)
+    val cells = panel.select(col("vec_id").as("qa"),
+        col("label").as("la"), col("e").as("ea"), col("n2").as("na"))
+      .crossJoin(broadcast(panel.select(col("vec_id").as("qb"),
+        col("label").as("lb"), col("e").as("eb"), col("n2").as("nb"))))
+      .filter(col("qa") =!= col("qb"))
+      .select(col("qa"), col("la"), col("lb"),
+        round(lit(1e6) * sqrt(greatest(col("na") + col("nb")
+          - lit(2.0) * dot(col("ea"), col("eb")), lit(0.0))), 0)
+          .cast("long").as("dfp"))
+      .groupBy(col("qa"), col("la"), col("lb"))
+      .agg(sum(col("dfp")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m",
+        col("s").cast("double") / lit(1e6) / col("n").cast("double"))
+    val aSide = cells.filter(col("la") === col("lb"))
+      .select(col("qa"), col("la"), col("m").as("a"))
+    val bSide = cells.filter(col("la") =!= col("lb"))
+      .groupBy(col("qa")).agg(min(col("m")).as("b"))
+    val sPoint = panel.select(col("vec_id").as("qa"), col("label"))
+      .join(aSide.select(col("qa"), col("a")), Seq("qa"), "left")
+      .join(bSide, Seq("qa"), "left")
+      // Singleton label (no a) or single-label panel (no b): s = 0.
+      .select(col("label"),
+        round(lit(1e6) * when(col("a").isNotNull && col("b").isNotNull
+            && greatest(col("a"), col("b")) > 0.0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)), 0).cast("long").as("sfp"))
+    sPoint.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"), sum(col("sfp")).as("ssum"))
+      .select(col("label"), col("n_points"),
+        round(col("ssum").cast("double") / lit(1e6)
+          / col("n_points").cast("double"), 6).as("mean_silhouette"))
+  }
+
   def twoNNDimension(vecs: DataFrame, panelMod: Int = 2,
                      panelCap: Long = 500L): DataFrame = {
     // The panel cap makes the estimator's cost SCALE-INVARIANT (the

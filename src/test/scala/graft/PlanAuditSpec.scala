@@ -264,7 +264,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_kendall_tau",
     // embed_energy: three vec_id-capped panel cross joins (the
     // q_intrinsic_dim bounded-panel shape) + five 1-row combines.
-    "q_embed_energy")
+    "q_embed_energy",
+    // silhouette: one vec_id-capped panel cross join (same shape).
+    "q_silhouette")
 
   /** Queries allowed an unpartitioned window:
     *  - the dimension surrogate-key row_number, bounded by post-dedup

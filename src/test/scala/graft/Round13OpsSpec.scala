@@ -278,6 +278,32 @@ class Round13OpsSpec extends SparkSpec {
       s"same-dist energy ${r3.getAs[Double]("energy")}")
   }
 
+  test("silhouette: tight well-separated labels score near 1, mixed " +
+    "labels near 0, singleton labels exactly 0") {
+    def vecs(rows: Seq[(Long, Seq[Float], Int)]) =
+      rows.toDF("vec_id", "embedding", "label")
+    val rnd = new scala.util.Random(23)
+    def jitter(base: Seq[Float]) =
+      base.map(v => v + (rnd.nextInt(100) - 50) / 1000.0f)
+    val sep = vecs(
+      (0L until 15L).map(i => (i, jitter(Seq(5f, 0f)), 0)) ++
+      (15L until 30L).map(i => (i, jitter(Seq(0f, 5f)), 1)) ++
+      Seq((30L, Seq(9f, 9f), 7))) // singleton label
+    val out = graft.operators.Similarity.silhouette(sep)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_points"),
+          r.getAs[Double]("mean_silhouette"))).toMap
+    assert(out(0L)._2 > 0.9 && out(1L)._2 > 0.9, s"sep: $out")
+    assert(out(7L) === ((1L, 0.0)))
+    // Mixed: both labels drawn from ONE cluster -> near 0 (can go
+    // slightly negative from jitter).
+    val mixed = vecs((0L until 30L).map(i =>
+      (i, jitter(Seq(1f, 1f)), (i % 2).toInt)))
+    val m = graft.operators.Similarity.silhouette(mixed)
+      .collect().map(r => math.abs(r.getAs[Double]("mean_silhouette")))
+    assert(m.forall(_ < 0.25), s"mixed: ${m.toSeq}")
+  }
+
   test("keyed granger emits both directions per segment and nulls " +
     "degenerate designs") {
     // Nation 1: 14 varied days (well-posed design); nation 2: two
