@@ -1133,7 +1133,7 @@ object ScaleCatalog {
         |    CAST(embedding AS DOUBLE[]) AS e,
         |    list_inner_product(CAST(embedding AS DOUBLE[]),
         |      CAST(embedding AS DOUBLE[])) AS n2
-        |  FROM embeddings WHERE vec_id < 1000),
+        |  FROM embeddings WHERE vec_id < 512),
         |cells AS (
         |  SELECT a.vec_id AS qa, a.label AS la, b.label AS lb,
         |    CAST(SUM(CAST(round(1e6 * sqrt(GREATEST(

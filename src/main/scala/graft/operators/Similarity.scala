@@ -835,7 +835,7 @@ object Similarity {
     * scale-invariance argument), one bounded pair cross join, keyed
     * cell aggregates, a |panel|·|labels| frame down to |labels| rows.
     */
-  def silhouette(vecs: DataFrame, panelCap: Long = 1000L): DataFrame = {
+  def silhouette(vecs: DataFrame, panelCap: Long = 512L): DataFrame = {
     val panel = vecs.filter(col("vec_id") < panelCap)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         dbl(col("embedding")).as("e"))
