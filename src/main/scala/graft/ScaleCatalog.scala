@@ -1081,12 +1081,18 @@ object ScaleCatalog {
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
         |    list_inner_product(CAST(embedding AS DOUBLE[]),
         |      CAST(embedding AS DOUBLE[])) AS n2
-        |  FROM embeddings WHERE label = 0 AND vec_id < 1000),
+        |  FROM embeddings WHERE label = 0
+        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || ':panel'),
+        |    1, 15))::BIGINT, vec_id
+        |  LIMIT 1000),
         |vb AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
         |    list_inner_product(CAST(embedding AS DOUBLE[]),
         |      CAST(embedding AS DOUBLE[])) AS n2
-        |  FROM embeddings WHERE label = 1 AND vec_id < 1000),
+        |  FROM embeddings WHERE label = 1
+        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || ':panel'),
+        |    1, 15))::BIGINT, vec_id
+        |  LIMIT 1000),
         |ab AS (
         |  SELECT COALESCE(CAST(SUM(CAST(round(1e6 * sqrt(GREATEST(
         |      a.n2 + b.n2 - 2.0 * list_inner_product(a.e, b.e),
@@ -1133,7 +1139,10 @@ object ScaleCatalog {
         |    CAST(embedding AS DOUBLE[]) AS e,
         |    list_inner_product(CAST(embedding AS DOUBLE[]),
         |      CAST(embedding AS DOUBLE[])) AS n2
-        |  FROM embeddings WHERE vec_id < 512),
+        |  FROM embeddings
+        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || ':panel'),
+        |    1, 15))::BIGINT, vec_id
+        |  LIMIT 512),
         |cells AS (
         |  SELECT a.vec_id AS qa, a.label AS la, b.label AS lb,
         |    CAST(SUM(CAST(round(1e6 * sqrt(GREATEST(

@@ -450,27 +450,35 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame,
                         maxRounds: Int = 50,
                         localEdgeCap: Long = 2000000L): DataFrame = {
-    // HYBRID FINISH (r13, the boruvkaTrace template generalized): the
-    // pair frame is checkpointed once; if it fits under the cap, the
-    // unique min-label CC fixpoint comes from one driver union-find
-    // over the same blocks — zero propagation rounds, zero per-round
-    // checkpoint+count jobs. Near-dup pair graphs are pairs-sized
-    // (tiny vs the corpus) at every harness sf; above the cap the
-    // documented distributed loop below runs unchanged, so the 100 TB
-    // path is identical to r12. Output identity (not trace identity)
-    // is the correctness argument: both paths compute THE fixpoint,
-    // which is unique — HybridFinishSpec pins them equal.
+    // HYBRID FINISH (r13, the boruvkaTrace template generalized): if
+    // the pair graph fits under the cap, the unique min-label CC
+    // fixpoint comes from one driver union-find — zero propagation
+    // rounds, zero per-round checkpoint+count jobs. Near-dup pair
+    // graphs are pairs-sized (tiny vs the corpus) at every harness sf;
+    // above the cap the documented distributed loop below runs
+    // unchanged, so the 100 TB path is identical to r12. Output
+    // identity (not trace identity) is the correctness argument: both
+    // paths compute THE fixpoint, which is unique — HybridFinishSpec
+    // pins them equal.
+    //
+    // r13 ADVICE restructure: the gate counts the SAME cached
+    // symmetrized frame the distributed loop reads (union-find is
+    // orientation/duplicate-insensitive, so collecting the 2× frame is
+    // output-identical at 2× the cap) — above the cap the count merely
+    // pre-materializes the cache the first round needed anyway, and
+    // there is no second persisted copy of the pairs.
     val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .localCheckpoint(false)
-    if (localEdgeCap > 0 && LocalFinish.allLong(und, "a", "b") &&
-        und.count() <= localEdgeCap) {
-      Console.err.println("[graft] duplicateClusters: driver finish")
-      return LocalFinish.minComponents(und, "a", "b",
-        "doc_id", "canonical_id")
-    }
     val edges = und
       .unionByName(und.select(col("b").as("a"), col("a").as("b")))
       .cache()
+    if (localEdgeCap > 0 && LocalFinish.allLong(edges, "a", "b") &&
+        edges.count() <= 2L * localEdgeCap) {
+      Console.err.println("[graft] duplicateClusters: driver finish")
+      val out = LocalFinish.minComponents(edges, "a", "b",
+        "doc_id", "canonical_id")
+      edges.unpersist()
+      return out
+    }
     // Per-round LAZY localCheckpoint + one count action (r9) — the
     // same discipline as [[graft.operators.Graph]].pageRank and
     // cc-star's inner star: the count materializes the checkpoint
@@ -613,17 +621,22 @@ object Dedup {
     // star rounds converge to the same unique min-label CC fixpoint,
     // so a cap-gated driver union-find is output-identical while
     // skipping every star round AND the per-round exceptAll
-    // convergence probe (two extra jobs each). Self-loop pairs are
-    // dropped first, exactly as sym() drops them in the distributed
-    // path (a node with only self-loops is absent from this
-    // operator's output, unlike duplicateClusters').
-    val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .filter(col("a") =!= col("b"))
-      .localCheckpoint(false)
-    if (localEdgeCap > 0 && LocalFinish.allLong(und, "a", "b") &&
-        und.count() <= localEdgeCap) {
+    // convergence probe (two extra jobs each). sym() drops self-loop
+    // pairs on both paths (a node with only self-loops is absent from
+    // this operator's output, unlike duplicateClusters').
+    //
+    // r13 ADVICE restructure: the gate counts the eager checkpoint of
+    // the symmetrized frame — the loop's round-0 frame, needed either
+    // way — at 2× the cap (union-find is orientation-insensitive), so
+    // above the cap the only added work is one count over checkpoint
+    // blocks and there is no second persisted copy of the pairs.
+    var edges = sym(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .localCheckpoint()
+    if (localEdgeCap > 0 && LocalFinish.allLong(edges, "a", "b") &&
+        edges.count() <= 2L * localEdgeCap) {
       Console.err.println("[graft] connectedComponentsStar: driver finish")
-      return LocalFinish.minComponents(und, "a", "b",
+      return LocalFinish.minComponents(edges, "a", "b",
         "doc_id", "canonical_id")
     }
     def star(e: DataFrame, large: Boolean): DataFrame = {
@@ -635,7 +648,6 @@ object Dedup {
       sym(relinked.unionByName(
         m.select(col("a"), col("m").as("b"))))
     }
-    var edges = sym(und).localCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) { // log²-bound safety, not a tuning

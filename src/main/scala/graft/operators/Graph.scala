@@ -54,7 +54,8 @@ object Graph {
     * iteration reuses it.
     */
   def pageRank(edges: DataFrame, iters: Int = 5,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               localEdgeCap: Long = 2000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
     // Cache the out-degreed edges PRE-PARTITIONED AND PRE-SORTED on the
     // join key: InMemoryRelation preserves both properties, so each
@@ -66,6 +67,17 @@ object Graph {
         e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
       .repartition(col("src")).sortWithinPartitions(col("src"))
       .cache()
+    // HYBRID FINISH (r14, VERDICT r13 #1 — see [[hits]]): the 1e-12
+    // long contribution sums make each round exact, so the driver
+    // replay is bit-identical; gate count = the cache materialization
+    // iteration 1 needed anyway.
+    if (localEdgeCap > 0 && LocalFinish.allLong(eOut, "src", "dst") &&
+        eOut.count() <= localEdgeCap) {
+      Console.err.println("[graft] pageRank: driver finish")
+      val out = LocalFinish.pageRankLocal(eOut, iters, damping)
+      eOut.unpersist()
+      return out
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val nrow = nodes.agg(count(lit(1)).as("n"))
@@ -115,15 +127,27 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iters: Int = 5,
-                           damping: Double = 0.85): DataFrame = {
+                           damping: Double = 0.85,
+                           localEdgeCap: Long = 2000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
     val eOut = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
       .repartition(col("src")).sortWithinPartitions(col("src"))
       .cache()
+    val sd = seeds.select(col("node")).distinct()
+    // HYBRID FINISH (r14, VERDICT r13 #1 — see [[hits]]): exact
+    // replay incl. the whole-seed-frame |S| (seeds outside the graph
+    // count toward the teleport denominator on both paths).
+    if (localEdgeCap > 0 && LocalFinish.allLong(eOut, "src", "dst") &&
+        LocalFinish.allLong(sd, "node") &&
+        eOut.count() <= localEdgeCap) {
+      Console.err.println("[graft] personalizedPageRank: driver finish")
+      val out = LocalFinish.pprLocal(eOut, sd, iters, damping)
+      eOut.unpersist()
+      return out
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val sd = seeds.select(col("node")).distinct()
     val tagged = nodes
       .join(sd.withColumn("is_seed", lit(1)), Seq("node"), "left")
       .select(col("node"),
@@ -172,13 +196,26 @@ object Graph {
     * co-purchase builder does this with one keyed count).
     */
   def weightedPageRank(edges: DataFrame, iters: Int = 5,
-                       damping: Double = 0.85): DataFrame = {
+                       damping: Double = 0.85,
+                       localEdgeCap: Long = 2000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight"))
     val eOut = e.join(
         e.groupBy(col("src")).agg(sum(col("weight")).as("wsum")),
         Seq("src"))
       .repartition(col("src")).sortWithinPartitions(col("src"))
       .cache()
+    // HYBRID FINISH (r14, VERDICT r13 #1 — see [[hits]]): per-edge
+    // round(pr·w/wsum·1e12) longs replayed exactly (memoized per
+    // (source, weight)); weight must be LongType or the gate falls
+    // through to the distributed loop.
+    if (localEdgeCap > 0 &&
+        LocalFinish.allLong(eOut, "src", "dst", "weight") &&
+        eOut.count() <= localEdgeCap) {
+      Console.err.println("[graft] weightedPageRank: driver finish")
+      val out = LocalFinish.weightedPageRankLocal(eOut, iters, damping)
+      eOut.unpersist()
+      return out
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val nrow = nodes.agg(count(lit(1)).as("n"))
@@ -476,11 +513,27 @@ object Graph {
     * (two joins, two aggregates), so the r8 probe-batching lesson
     * about NESTED plan growth does not apply.
     */
-  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def hits(edges: DataFrame, iters: Int = 5,
+           localEdgeCap: Long = 2000000L): DataFrame = {
     val HScale = 1e9
     val e = edges.select(col("src"), col("dst")).distinct()
     val eBySrc = e.repartition(col("src")).sortWithinPartitions(col("src"))
       .cache()
+    // HYBRID FINISH (r14, VERDICT r13 #1): the fixed-point device
+    // makes every half-step exact (long contribution sums, one
+    // long/long division), so LocalFinish.hitsLocal replays the loop
+    // bit-identically — and this loop NEVER contracts, so under the
+    // cap the whole 2·iters-join schedule collapses to one collect.
+    // The gate count materializes the same eBySrc cache iteration 1
+    // reads, so above the cap nothing is wasted (the labelPropagation
+    // gate discipline); HybridFinishSpec pins driver ≡ distributed.
+    if (localEdgeCap > 0 && LocalFinish.allLong(eBySrc, "src", "dst") &&
+        eBySrc.count() <= localEdgeCap) {
+      Console.err.println("[graft] hits: driver finish")
+      val out = LocalFinish.hitsLocal(eBySrc, iters)
+      eBySrc.unpersist()
+      return out
+    }
     val eByDst = e.repartition(col("dst")).sortWithinPartitions(col("dst"))
       .cache()
     val nodes = e.select(col("src").as("node"))
@@ -572,22 +625,32 @@ object Graph {
     // contracts), so when the frame fits under the cap the whole
     // fixed-round schedule is job latency. LocalFinish.labelPropLocal
     // emulates the loop exactly — per-(dst,label) long counts, (max
-    // count, min label) winner, seeds pinned — so the result set is
-    // bit-identical (HybridFinishSpec pins it). Above the cap the
-    // distributed loop below is the unchanged 100 TB path.
-    val eU = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(false)
-    val sdU = seeds.select(col("node"), col("label")).localCheckpoint(false)
-    if (localEdgeCap > 0 && LocalFinish.allLong(eU, "src", "dst") &&
-        LocalFinish.allLong(sdU, "node", "label") &&
-        eU.count() <= localEdgeCap && sdU.count() <= localEdgeCap) {
-      Console.err.println("[graft] labelPropagation: driver finish")
-      return LocalFinish.labelPropLocal(eU, sdU, rounds)
-    }
-    val e = eU
+    // count, min label) winner, seeds pinned, MULTI-label seed nodes
+    // spreading every seed row — so the result set is bit-identical
+    // (HybridFinishSpec pins it, duplicate-seed case included).
+    //
+    // r13 ADVICE restructure: the gate's count() now materializes the
+    // SAME cached repartitioned frame the distributed loop reads —
+    // above the cap the count is work the loop's first join needed
+    // anyway, and there is no second persisted copy of the edges
+    // (the old form lazily checkpointed one copy for the gate and
+    // cached a second for the loop). `.distinct()` on the seeds
+    // makes duplicate seed ROWS a no-op on both paths; a node seeded
+    // with several DIFFERENT labels keeps and spreads all of them,
+    // identically on both paths.
+    val sd = seeds.select(col("node"), col("label")).distinct()
+      .localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).sortWithinPartitions(col("src"))
       .cache()
-    val sd = sdU.localCheckpoint()
+    if (localEdgeCap > 0 && LocalFinish.allLong(e, "src", "dst") &&
+        LocalFinish.allLong(sd, "node", "label") &&
+        e.count() <= localEdgeCap && sd.count() <= localEdgeCap) {
+      Console.err.println("[graft] labelPropagation: driver finish")
+      val out = LocalFinish.labelPropLocal(e, sd, rounds)
+      e.unpersist()
+      return out
+    }
     var lab = sd
     for (_ <- 1 to rounds) {
       val counts = e

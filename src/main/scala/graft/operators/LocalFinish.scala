@@ -54,6 +54,57 @@ object LocalFinish {
     out
   }
 
+  /** Collect one long column as a flat array. */
+  private def collectCol(df: DataFrame, a: String): Array[Long] = {
+    val rows = df.select(col(a)).collect()
+    val out = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) { out(i) = rows(i).getLong(0); i += 1 }
+    out
+  }
+
+  /** Collect a three-long-column frame as a flat stride-3 array. */
+  private def collectTriples(df: DataFrame, a: String, b: String,
+                             c: String): Array[Long] = {
+    val rows = df.select(col(a), col(b), col(c)).collect()
+    val out = new Array[Long](rows.length * 3)
+    var i = 0
+    while (i < rows.length) {
+      out(3 * i) = rows(i).getLong(0)
+      out(3 * i + 1) = rows(i).getLong(1)
+      out(3 * i + 2) = rows(i).getLong(2)
+      i += 1
+    }
+    out
+  }
+
+  /** Spark's `round(double, scale)` EXACTLY — RoundBase goes through
+    * the shortest-decimal-repr BigDecimal with HALF_UP, which is NOT
+    * `math.round` (floor(x+0.5) differs on reprs like
+    * 0.49999999999999994). Every fixed-point emulation below must
+    * round through this, or the driver finish silently diverges from
+    * the distributed aggregates on boundary values.
+    */
+  private def sparkRound(x: Double, scale: Int): Double =
+    scala.math.BigDecimal(x)
+      .setScale(scale, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** `round(x).cast("long")` — the scaled-contribution device. */
+  private def roundToLong(x: Double): Long = sparkRound(x, 0).toLong
+
+  /** The distinct sorted node set of a stride-2 edge array. */
+  private def nodeIds(flat: Array[Long]): Array[Long] = {
+    val seen = new scala.collection.mutable.LongMap[Unit]()
+    var i = 0
+    while (i < flat.length) { seen(flat(i)) = (); i += 1 }
+    val out = new Array[Long](seen.size)
+    var j = 0
+    seen.foreachKey { k => out(j) = k; j += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
   /** CONNECTED COMPONENTS, min-label contract: (doc_id, canonical_id =
     * component min) for every node incident to `edges`. Union-find with
     * path halving + a min-per-root pass — the unique CC fixpoint both
@@ -162,9 +213,18 @@ object LocalFinish {
     * [[Graph.labelPropagation]]'s fixed-round loop: per round, each
     * labeled node spreads its label along out-edges; each receiving
     * node takes the (max count, then min label) winner; seed nodes
-    * keep their seed label forever; non-seed nodes carry the current
-    * round's winner. Counts, max and min are all exact longs — the
-    * same integers the distributed aggregates produce.
+    * keep their seed label(s) forever; non-seed nodes carry the
+    * current round's winner. Counts, max and min are all exact longs
+    * — the same integers the distributed aggregates produce.
+    *
+    * Duplicate-seed semantics (r13 ADVICE): the distributed `lab`
+    * frame is `sd ∪ (win anti-join sd.nodes)`, so a node seeded with
+    * SEVERAL distinct labels keeps every seed row in the output and
+    * spreads each of them every round; the winner computed for a seed
+    * node is discarded. The driver state mirrors that exactly — a
+    * per-node label LIST for seeds, a single winner for non-seeds.
+    * Per-(dst, label) counts live in nested LongMaps (the r12 boxed
+    * driver-heap lesson: no tuple keys at 2M-edge scale).
     */
   def labelPropLocal(edges: DataFrame, seeds: DataFrame,
                      rounds: Int): DataFrame = {
@@ -172,35 +232,253 @@ object LocalFinish {
     import spark.implicits._
     val flat = collectPairs(edges, "src", "dst")
     val seedArr = collectPairs(seeds, "node", "label")
-    val seedLab = new scala.collection.mutable.LongMap[Long]()
+    // Seed node → every distinct seed label it carries (the caller
+    // distincts the frame, so lists hold no duplicates).
+    val seedLab = new scala.collection.mutable.LongMap[List[Long]]()
     var i = 0
     while (i < seedArr.length) {
-      seedLab(seedArr(i)) = seedArr(i + 1); i += 2
+      seedLab(seedArr(i)) = seedArr(i + 1) :: seedLab.getOrElse(seedArr(i), Nil)
+      i += 2
     }
-    var lab = seedLab.clone()
+    // Current-round winners for NON-seed nodes only.
+    var win = new scala.collection.mutable.LongMap[Long]()
     for (_ <- 1 to rounds) {
-      val cnt = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+      val cnt = new scala.collection.mutable.LongMap[
+        scala.collection.mutable.LongMap[Long]]()
       i = 0
       while (i < flat.length) {
-        lab.get(flat(i)).foreach { l =>
-          val key = (flat(i + 1), l)
-          cnt(key) = cnt.getOrElse(key, 0L) + 1L
+        val src = flat(i); val dst = flat(i + 1)
+        val ls = seedLab.getOrNull(src)
+        if (ls != null) {
+          var rest = ls
+          while (rest.nonEmpty) {
+            val m = cnt.getOrElseUpdate(dst,
+              new scala.collection.mutable.LongMap[Long]())
+            m(rest.head) = m.getOrElse(rest.head, 0L) + 1L
+            rest = rest.tail
+          }
+        } else win.get(src).foreach { l =>
+          val m = cnt.getOrElseUpdate(dst,
+            new scala.collection.mutable.LongMap[Long]())
+          m(l) = m.getOrElse(l, 0L) + 1L
         }
         i += 2
       }
-      // (max count, min label) winner per receiving node.
-      val win = new scala.collection.mutable.LongMap[(Long, Long)]()
-      cnt.foreachEntry { case ((node, l), c) =>
-        win.get(node) match {
-          case Some((bc, bl)) if bc > c || (bc == c && bl <= l) => ()
-          case _ => win(node) = (c, l)
+      // (max count, min label) winner per receiving non-seed node;
+      // winners are recomputed fresh each round, exactly like the
+      // distributed win frame.
+      val next = new scala.collection.mutable.LongMap[Long]()
+      cnt.foreachEntry { (node, m) =>
+        if (!seedLab.contains(node)) {
+          var bc = 0L; var bl = 0L; var first = true
+          m.foreachEntry { (l, c) =>
+            if (first || c > bc || (c == bc && l < bl)) {
+              bc = c; bl = l; first = false
+            }
+          }
+          next(node) = bl
         }
       }
-      val next = seedLab.clone()
-      win.foreachEntry((node, cl) =>
-        if (!seedLab.contains(node)) next(node) = cl._2)
-      lab = next
+      win = next
     }
-    lab.toSeq.sortBy(_._1).toDF("node", "label")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    seedLab.foreachEntry((n, ls) => ls.foreach(l => out += ((n, l))))
+    win.foreachEntry((n, l) => out += ((n, l)))
+    out.sortBy(identity).toSeq.toDF("node", "label")
+  }
+
+  // ---------------------------------------------------------------------
+  // SCORE-PROPAGATION FAMILY (r14, VERDICT r13 #1): hits / pageRank /
+  // personalizedPageRank / weightedPageRank all run a FIXED number of
+  // rounds whose only non-integer steps are (a) one long/long or
+  // long/Scale double division per node and (b) one Spark-round of a
+  // scaled double to a LONG per contribution — the fixed-point device
+  // each operator's scaladoc documents. Both are order-free, so a
+  // driver emulation that replays the identical IEEE expression trees
+  // (same operand order, same [[sparkRound]]) is bit-identical to the
+  // distributed fixpoint; HybridFinishSpec pins each pairing. The
+  // loops never contract, so unlike the CC family the WHOLE schedule
+  // moves driver-side when the edge frame fits under the cap.
+  // ---------------------------------------------------------------------
+
+  /** HITS, exact emulation of [[Graph.hits]]: per round (sequential
+    * half-steps), auth sums round(hub·1e9) longs over in-edges then
+    * L1-normalizes; hub sums round(auth·1e9) longs over out-edges
+    * ditto. Contributions depend only on the source node's score, so
+    * the per-edge Spark-round collapses to one round per node.
+    */
+  def hitsLocal(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val flat = collectPairs(edges, "src", "dst")
+    val nodes = nodeIds(flat)
+    val n = nodes.length
+    var hub = new scala.collection.mutable.LongMap[Double]()
+    var i = 0
+    while (i < flat.length) { hub(flat(i)) = 1.0 / n; i += 2 }
+    var auth = new scala.collection.mutable.LongMap[Double]()
+    for (_ <- 1 to iters) {
+      val clH = new scala.collection.mutable.LongMap[Long]()
+      hub.foreachEntry((nd, h) => clH(nd) = roundToLong(h * 1e9))
+      val aS = new scala.collection.mutable.LongMap[Long]()
+      i = 0
+      while (i < flat.length) {
+        aS(flat(i + 1)) = aS.getOrElse(flat(i + 1), 0L) + clH(flat(i))
+        i += 2
+      }
+      var aTot = 0L
+      aS.foreachValue(aTot += _)
+      val a = new scala.collection.mutable.LongMap[Double]()
+      aS.foreachEntry((nd, s) => a(nd) = s.toDouble / aTot.toDouble)
+      auth = a
+      val clA = new scala.collection.mutable.LongMap[Long]()
+      a.foreachEntry((nd, v) => clA(nd) = roundToLong(v * 1e9))
+      val hS = new scala.collection.mutable.LongMap[Long]()
+      i = 0
+      while (i < flat.length) {
+        hS(flat(i)) = hS.getOrElse(flat(i), 0L) + clA(flat(i + 1))
+        i += 2
+      }
+      var hTot = 0L
+      hS.foreachValue(hTot += _)
+      val h = new scala.collection.mutable.LongMap[Double]()
+      hS.foreachEntry((nd, s) => h(nd) = s.toDouble / hTot.toDouble)
+      hub = h
+    }
+    nodes.toSeq.map(nd => (nd,
+        sparkRound(hub.getOrElse(nd, 0.0), 6),
+        sparkRound(auth.getOrElse(nd, 0.0), 6)))
+      .toDF("node", "hub", "auth")
+  }
+
+  /** PageRank, exact emulation of [[Graph.pageRank]]: per round each
+    * node's contribution round(pr/outdeg·1e12) (one Spark-round per
+    * SOURCE node — the per-edge value is per-source constant) sums as
+    * longs per destination; pr' = (1−d)/n + d·(s/1e12).
+    */
+  def pageRankLocal(edges: DataFrame, iters: Int,
+                    damping: Double): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val flat = collectPairs(edges, "src", "dst")
+    val nodes = nodeIds(flat)
+    val n = nodes.length
+    val outdeg = new scala.collection.mutable.LongMap[Long]()
+    var i = 0
+    while (i < flat.length) {
+      outdeg(flat(i)) = outdeg.getOrElse(flat(i), 0L) + 1L; i += 2
+    }
+    val pr = new scala.collection.mutable.LongMap[Double]()
+    nodes.foreach(nd => pr(nd) = 1.0 / n)
+    for (_ <- 1 to iters) {
+      val cl = new scala.collection.mutable.LongMap[Long]()
+      outdeg.foreachEntry((nd, od) =>
+        cl(nd) = roundToLong(pr(nd) / od * 1e12))
+      val sums = new scala.collection.mutable.LongMap[Long]()
+      i = 0
+      while (i < flat.length) {
+        sums(flat(i + 1)) = sums.getOrElse(flat(i + 1), 0L) + cl(flat(i))
+        i += 2
+      }
+      nodes.foreach { nd =>
+        pr(nd) = (1.0 - damping) / n +
+          damping * (sums.getOrElse(nd, 0L).toDouble / 1e12)
+      }
+    }
+    nodes.toSeq.map(nd => (nd, sparkRound(pr(nd), 6))).toDF("node", "pr")
+  }
+
+  /** Personalized PageRank, exact emulation of
+    * [[Graph.personalizedPageRank]]: init and teleport mass are
+    * is_seed/|S| (|S| counts the WHOLE distinct seed frame, including
+    * seeds outside the graph, exactly like the distributed ns
+    * broadcast); contribution device as [[pageRankLocal]].
+    */
+  def pprLocal(edges: DataFrame, seeds: DataFrame, iters: Int,
+               damping: Double): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val flat = collectPairs(edges, "src", "dst")
+    val nodes = nodeIds(flat)
+    val seedArr = collectCol(seeds, "node")
+    val ns = seedArr.length
+    val isSeed = new scala.collection.mutable.LongMap[Unit]()
+    seedArr.foreach(s => isSeed(s) = ())
+    val outdeg = new scala.collection.mutable.LongMap[Long]()
+    var i = 0
+    while (i < flat.length) {
+      outdeg(flat(i)) = outdeg.getOrElse(flat(i), 0L) + 1L; i += 2
+    }
+    def seedInd(nd: Long): Double = if (isSeed.contains(nd)) 1.0 else 0.0
+    val pr = new scala.collection.mutable.LongMap[Double]()
+    nodes.foreach(nd => pr(nd) = seedInd(nd) / ns)
+    for (_ <- 1 to iters) {
+      val cl = new scala.collection.mutable.LongMap[Long]()
+      outdeg.foreachEntry((nd, od) =>
+        cl(nd) = roundToLong(pr(nd) / od * 1e12))
+      val sums = new scala.collection.mutable.LongMap[Long]()
+      i = 0
+      while (i < flat.length) {
+        sums(flat(i + 1)) = sums.getOrElse(flat(i + 1), 0L) + cl(flat(i))
+        i += 2
+      }
+      nodes.foreach { nd =>
+        pr(nd) = (1.0 - damping) * seedInd(nd) / ns +
+          damping * (sums.getOrElse(nd, 0L).toDouble / 1e12)
+      }
+    }
+    nodes.toSeq.map(nd => (nd, sparkRound(pr(nd), 6))).toDF("node", "pr")
+  }
+
+  /** Weighted PageRank, exact emulation of [[Graph.weightedPageRank]]:
+    * contribution round(pr·w/wsum·1e12) per EDGE — Spark-rounds are
+    * memoized per (source, weight) in nested LongMaps (the boxed-key
+    * heap lesson), since a source's contribution is per-weight
+    * constant within a round.
+    */
+  def weightedPageRankLocal(edges: DataFrame, iters: Int,
+                            damping: Double): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val flat = collectTriples(edges, "src", "dst", "weight")
+    val pairView = new Array[Long](flat.length / 3 * 2)
+    var i = 0
+    var j = 0
+    while (i < flat.length) {
+      pairView(j) = flat(i); pairView(j + 1) = flat(i + 1)
+      i += 3; j += 2
+    }
+    val nodes = nodeIds(pairView)
+    val n = nodes.length
+    val wsum = new scala.collection.mutable.LongMap[Long]()
+    i = 0
+    while (i < flat.length) {
+      wsum(flat(i)) = wsum.getOrElse(flat(i), 0L) + flat(i + 2); i += 3
+    }
+    val pr = new scala.collection.mutable.LongMap[Double]()
+    nodes.foreach(nd => pr(nd) = 1.0 / n)
+    for (_ <- 1 to iters) {
+      val cl = new scala.collection.mutable.LongMap[
+        scala.collection.mutable.LongMap[Long]]()
+      val sums = new scala.collection.mutable.LongMap[Long]()
+      i = 0
+      while (i < flat.length) {
+        val src = flat(i); val dst = flat(i + 1); val w = flat(i + 2)
+        val perW = cl.getOrElseUpdate(src,
+          new scala.collection.mutable.LongMap[Long]())
+        val c = perW.getOrElse(w, {
+          val v = roundToLong(pr(src) * w / wsum(src) * 1e12)
+          perW(w) = v
+          v
+        })
+        sums(dst) = sums.getOrElse(dst, 0L) + c
+        i += 3
+      }
+      nodes.foreach { nd =>
+        pr(nd) = (1.0 - damping) / n +
+          damping * (sums.getOrElse(nd, 0L).toDouble / 1e12)
+      }
+    }
+    nodes.toSeq.map(nd => (nd, sparkRound(pr(nd), 6))).toDF("node", "pr")
   }
 }

@@ -31,6 +31,23 @@ object Similarity {
 
   private def dbl(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Deterministic UNBIASED bounded panel: the `cap` rows smallest by
+    * (md5 fingerprint of vec_id, vec_id) — membership independent of
+    * id assignment order (a `vec_id < cap` prefix correlates with
+    * insertion order at corpus scale: oldest source, first shard),
+    * size exactly capped and scale-invariant. Plans as
+    * TakeOrderedAndProject (per-partition top-k + one driver merge —
+    * no full sort, no window); the ":panel" salt keeps the pick
+    * independent of every other fingerprint lottery in the catalog,
+    * and the same md5-prefix order is expressible verbatim in DuckDB.
+    */
+  private def panelByHash(vecs: DataFrame, cap: Long): DataFrame =
+    vecs.withColumn("hk", graft.functions.TextOps.fingerprint64(
+        concat(col("vec_id").cast("string"), lit(":panel"))))
+      .orderBy(col("hk").asc, col("vec_id").asc)
+      .limit(cap.toInt)
+      .drop("hk")
+
   private def dot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
 
@@ -770,8 +787,15 @@ object Similarity {
     */
   def energyDistance(vecs: DataFrame, labelA: Int = 0, labelB: Int = 1,
                      panelCap: Long = 1000L): DataFrame = {
-    def side(lbl: Int) = vecs
-      .filter(col("label") === lbl && col("vec_id") < panelCap)
+    // Panel pick is an UNBIASED deterministic hash top-k (r13 VERDICT
+    // #4): the old `vec_id < cap` prefix is insertion-order-correlated
+    // at real scale (oldest source, first shard) — a biased panel for
+    // a distribution-drift test. Ordering by the md5 fingerprint makes
+    // membership independent of id assignment while keeping the size
+    // EXACTLY capped (TakeOrderedAndProject — per-partition top-k, no
+    // full sort); the DuckDB twin mirrors the same md5-prefix order.
+    def side(lbl: Int) = panelByHash(vecs.filter(col("label") === lbl),
+        panelCap)
       .select(col("vec_id"), dbl(col("embedding")).as("e"))
       .withColumn("n2", dot(col("e"), col("e")))
     val a = side(labelA).localCheckpoint(false)
@@ -836,7 +860,8 @@ object Similarity {
     * cell aggregates, a |panel|·|labels| frame down to |labels| rows.
     */
   def silhouette(vecs: DataFrame, panelCap: Long = 512L): DataFrame = {
-    val panel = vecs.filter(col("vec_id") < panelCap)
+    // Unbiased hash top-k panel — see [[energyDistance]]'s pick note.
+    val panel = panelByHash(vecs, panelCap)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         dbl(col("embedding")).as("e"))
       .withColumn("n2", dot(col("e"), col("e")))

@@ -41,8 +41,11 @@ class FloatFoldAuditSpec extends AnyFunSuite {
     * lookups inside arguments) and only consults this mask to (a)
     * drop call matches that start inside literals/comments — SQL twin
     * text is data, not code — and (b) skip masked parens while depth
-    * matching. Interpolated `${...}` parens are masked on both sides,
-    * so the depth stays balanced.
+    * matching. `${...}` interpolation BODIES stay UNMASKED (r13
+    * ADVICE: a fold built inside an interpolated string must still be
+    * scanned) — only the `${`/`}` delimiters and any string literal
+    * nested inside the body are masked, so paren depth stays balanced
+    * and the interior code is audited like any other code.
     */
   private def maskedRegions(text: String): Array[Boolean] = {
     val mask = new Array[Boolean](text.length)
@@ -51,19 +54,56 @@ class FloatFoldAuditSpec extends AnyFunSuite {
       while (k < until && k < text.length) { mask(k) = true; k += 1 }
       math.min(until, text.length)
     }
+    // Mask a plain `"..."` literal NESTED inside an interpolation
+    // body (it is data again); returns the index after its close.
+    def scanNested(start: Int): Int = {
+      var k = start + 1
+      mask(start) = true
+      while (k < text.length && text.charAt(k) != '"') {
+        if (text.charAt(k) == '\\') { mask(k) = true; k += 1 }
+        if (k < text.length) { mask(k) = true; k += 1 }
+      }
+      if (k < text.length) { mask(k) = true; k += 1 }
+      k
+    }
+    // Scan a string literal from its opening delimiter to its close,
+    // masking literal text but leaving `${...}` bodies SCANNABLE
+    // (delimiters and nested quoted literals masked). The terminator
+    // search itself skips interpolation bodies, so a quote inside a
+    // `${...}` does not end the literal. Returns the index after the
+    // closing delimiter.
+    def scanLiteral(start: Int, term: String): Int = {
+      var k = mark(start, start + term.length)
+      while (k < text.length && !text.startsWith(term, k)) {
+        val ch = text.charAt(k)
+        if (ch == '\\' && term == "\"") {
+          mask(k) = true; k += 1
+          if (k < text.length) { mask(k) = true; k += 1 }
+        } else if (ch == '$' && k + 1 < text.length &&
+            text.charAt(k + 1) == '{') {
+          mask(k) = true; mask(k + 1) = true; k += 2
+          var depth = 1
+          while (k < text.length && depth > 0) {
+            val c2 = text.charAt(k)
+            if (c2 == '"') k = scanNested(k)
+            else {
+              if (c2 == '{') depth += 1
+              else if (c2 == '}') depth -= 1
+              if (c2 == '{' || c2 == '}') mask(k) = true
+              k += 1
+            }
+          }
+        } else { mask(k) = true; k += 1 }
+      }
+      mark(k, k + term.length)
+    }
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
       if (c == '"' && text.startsWith("\"\"\"", i)) {
-        val end = text.indexOf("\"\"\"", i + 3)
-        i = mark(i, if (end < 0) text.length else end + 3)
+        i = scanLiteral(i, "\"\"\"")
       } else if (c == '"') {
-        var j = i + 1
-        while (j < text.length && text.charAt(j) != '"') {
-          if (text.charAt(j) == '\\') j += 1
-          j += 1
-        }
-        i = mark(i, j + 1)
+        i = scanLiteral(i, "\"")
       } else if (c == '\'' && i + 2 < text.length &&
           (text.charAt(i + 2) == '\'' ||
             (text.charAt(i + 1) == '\\' && i + 3 < text.length &&
@@ -125,5 +165,34 @@ class FloatFoldAuditSpec extends AnyFunSuite {
       "shuffle-order-dependent float folds (fold exact ints/DECIMAL " +
         "and cast AFTER, or use the sorted-fold device):\n" +
         violations.mkString("\n"))
+  }
+
+  test("mask leaves ${...} interpolation bodies scannable (r13 ADVICE)") {
+    // s"... ${sum(col("x").cast("double"))} ..." — the literal text is
+    // masked, the interpolated fold is NOT, the nested "x"/"double"
+    // literals inside the body ARE.
+    val snippet = "val q = s\"SELECT ${sum(col(\"x\").cast(\"double\"))} t\""
+    val mask = maskedRegions(snippet)
+    assert(mask(snippet.indexOf("SELECT")), "literal text must be masked")
+    assert(!mask(snippet.indexOf("sum(")), "interpolated call must be scannable")
+    assert(!mask(snippet.indexOf(".cast")), "interpolated code must be scannable")
+    assert(mask(snippet.indexOf("x")), "nested literal must be re-masked")
+    assert(mask(snippet.indexOf("${") + 1), "delimiters must be masked")
+    // Paren depth over unmasked chars stays balanced across the literal.
+    val depth = snippet.indices.filterNot(mask).map(snippet.charAt).foldLeft(0) {
+      case (d, '(') => d + 1
+      case (d, ')') => d - 1
+      case (d, _) => d
+    }
+    assert(depth === 0)
+  }
+
+  test("mask covers triple-quoted interpolation bodies the same way") {
+    val tq = "\"\"\""
+    val snippet = s"val q = s$tq a $${avg(col(${'"'}zz${'"'}))} b $tq"
+    val mask = maskedRegions(snippet)
+    assert(!mask(snippet.indexOf("avg(")))
+    assert(mask(snippet.indexOf(" a ") + 1))
+    assert(mask(snippet.indexOf("zz")))
   }
 }

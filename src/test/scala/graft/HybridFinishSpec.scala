@@ -117,6 +117,72 @@ class HybridFinishSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: duplicate and multi-label seeds on both paths") {
+    // Node 1 is seeded TWICE with the same label (exact dup — a no-op
+    // after the distinct) and node 2 carries TWO different labels:
+    // the distributed lab frame keeps both of node 2's rows forever
+    // and spreads both each round; the driver emulation must too.
+    val e = Seq((1L, 9L), (2L, 9L), (2L, 8L), (9L, 7L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 5L), (1L, 5L), (2L, 3L), (2L, 6L))
+      .toDF("node", "label")
+    for (rounds <- 1 to 3)
+      assertSame(
+        Graph.labelPropagation(e, seeds, rounds),
+        Graph.labelPropagation(e, seeds, rounds, localEdgeCap = 0L))
+    // Pin the round-1 set: node 9 hears {5 (from 1), 3 and 6 (from
+    // 2)} — tie on count, min label 3; node 8 hears {3, 6} → 3; node
+    // 2's two seed rows both survive.
+    val out = Graph.labelPropagation(e, seeds, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out === Seq((1L, 5L), (2L, 3L), (2L, 6L), (8L, 3L), (9L, 3L)))
+  }
+
+  test("hits: driver finish == distributed fixed-point rounds") {
+    // Directed, NOT symmetrized — hubs and authorities must differ.
+    val e = randomPairs(71, 500)
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    for (iters <- Seq(1, 3, 5))
+      assertSame(Graph.hits(e, iters),
+        Graph.hits(e, iters, localEdgeCap = 0L))
+  }
+
+  test("pageRank: driver finish == distributed fixed-point rounds") {
+    val e = randomEdges(79, 500)
+    for (iters <- Seq(1, 5))
+      assertSame(Graph.pageRank(e, iters),
+        Graph.pageRank(e, iters, localEdgeCap = 0L))
+    // Dangling mass: a directed chain with a pure sink.
+    val chain = Seq((1L, 2L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    assertSame(Graph.pageRank(chain),
+      Graph.pageRank(chain, localEdgeCap = 0L))
+  }
+
+  test("personalizedPageRank: driver finish == distributed, " +
+    "off-graph seeds count toward |S|") {
+    val e = randomEdges(83, 500)
+    // 5000 is not a node of the graph — it still inflates |S| in the
+    // teleport denominator on both paths.
+    val seeds = Seq(0L, 3L, 17L, 5000L).toDF("node")
+    for (iters <- Seq(1, 5))
+      assertSame(Graph.personalizedPageRank(e, seeds, iters),
+        Graph.personalizedPageRank(e, seeds, iters, localEdgeCap = 0L))
+  }
+
+  test("weightedPageRank: driver finish == distributed, " +
+    "per-(src,weight) memoized rounds") {
+    val rnd = new scala.util.Random(97)
+    val e = (1 to 600).map { _ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong,
+        (rnd.nextInt(5) + 1).toLong)
+    }.toDF("src", "dst", "weight")
+      .groupBy("src", "dst").agg(sum("weight").as("weight"))
+    for (iters <- Seq(1, 5))
+      assertSame(Graph.weightedPageRank(e, iters),
+        Graph.weightedPageRank(e, iters, localEdgeCap = 0L))
+  }
+
   test("boruvkaTrace: primitive-array driver finish keeps the trace") {
     // A weighted graph with tied weights across two components; the
     // lowered default cap + gate-retry path must reproduce the fully
