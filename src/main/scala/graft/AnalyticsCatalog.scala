@@ -404,6 +404,20 @@ object AnalyticsCatalog {
     "q_holt" -> ((s, d) =>
       graft.query.Analytics.holtForecast(Tables.events(s, d))),
 
+    // Per-nation SES (r13 VERDICT #6): the same sorted fold keyed by
+    // (nation, event_type) over the shared broadcast-nation daily
+    // rollup — the segment-key delegation discipline, zero new plan
+    // shapes.
+    "q_ses_by_nation" -> ((s, d) =>
+      graft.query.Analytics.sesByNation(
+        Tables.events(s, d), Tables.customer(s, d))),
+
+    // Per-nation Holt — the (level, trend, sse) fold on the same
+    // segmented series.
+    "q_holt_by_nation" -> ((s, d) =>
+      graft.query.Analytics.holtByNation(
+        Tables.events(s, d), Tables.customer(s, d))),
+
     // Two-proportion z-test on order conversion (>=1 order after the
     // split date) under the ':prop' md5 lottery — the binary-outcome
     // member of the experiment family.
@@ -2744,6 +2758,88 @@ object AnalyticsCatalog {
         |FROM rec r JOIN nn n
         |  ON r.event_type = n.event_type AND r.t = n.n""".stripMargin,
 
+    // Per-nation SES twin: the q_ses recursive-CTE device with the
+    // nation key riding every CTE and the recursion keyed on
+    // (nation, event_type).
+    "q_ses_by_nation" ->
+      """WITH RECURSIVE seg AS MATERIALIZED (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, event_type,
+        |    ts, value
+        |  FROM events JOIN customer ON user_id = c_custkey),
+        |daily AS MATERIALIZED (
+        |  SELECT nation, event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM seg GROUP BY 1, 2, 3),
+        |idx AS MATERIALIZED (
+        |  SELECT nation, event_type, CAST(x AS DOUBLE) AS x,
+        |    row_number() OVER (
+        |      PARTITION BY nation, event_type ORDER BY day) AS t
+        |  FROM daily),
+        |nn AS (SELECT nation, event_type, COUNT(*) AS n
+        |       FROM idx GROUP BY 1, 2),
+        |rec AS (
+        |  SELECT nation, event_type, t, x AS level, 0e0 AS sse
+        |  FROM idx WHERE t = 1
+        |  UNION ALL
+        |  SELECT i.nation, i.event_type, i.t,
+        |    3e-1 * i.x + 7e-1 * r.level,
+        |    r.sse + (i.x - r.level) * (i.x - r.level)
+        |  FROM rec r JOIN idx i
+        |    ON i.nation = r.nation AND i.event_type = r.event_type
+        |      AND i.t = r.t + 1)
+        |SELECT n.nation, n.event_type, n.n AS n_days,
+        |  round(r.level, 6) AS level,
+        |  round(CASE WHEN n.n > 1
+        |    THEN sqrt(r.sse / CAST(n.n - 1 AS DOUBLE)) END, 6) AS rmse
+        |FROM rec r JOIN nn n
+        |  ON r.nation = n.nation AND r.event_type = n.event_type
+        |    AND r.t = n.n""".stripMargin,
+
+    // Per-nation Holt twin: same keyed recursion with the (level,
+    // trend, sse) state; the newLevel subtree written out verbatim.
+    "q_holt_by_nation" ->
+      """WITH RECURSIVE seg AS MATERIALIZED (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, event_type,
+        |    ts, value
+        |  FROM events JOIN customer ON user_id = c_custkey),
+        |daily AS MATERIALIZED (
+        |  SELECT nation, event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM seg GROUP BY 1, 2, 3),
+        |idx AS MATERIALIZED (
+        |  SELECT nation, event_type, CAST(x AS DOUBLE) AS x,
+        |    row_number() OVER (
+        |      PARTITION BY nation, event_type ORDER BY day) AS t
+        |  FROM daily),
+        |nn AS (SELECT nation, event_type, COUNT(*) AS n
+        |       FROM idx GROUP BY 1, 2),
+        |rec AS (
+        |  SELECT nation, event_type, t, x AS level, 0e0 AS trend,
+        |    0e0 AS sse
+        |  FROM idx WHERE t = 1
+        |  UNION ALL
+        |  SELECT i.nation, i.event_type, i.t,
+        |    3e-1 * i.x + 7e-1 * (r.level + r.trend),
+        |    2e-1 * ((3e-1 * i.x + 7e-1 * (r.level + r.trend))
+        |        - r.level)
+        |      + 8e-1 * r.trend,
+        |    r.sse + (i.x - (r.level + r.trend))
+        |      * (i.x - (r.level + r.trend))
+        |  FROM rec r JOIN idx i
+        |    ON i.nation = r.nation AND i.event_type = r.event_type
+        |      AND i.t = r.t + 1)
+        |SELECT n.nation, n.event_type, n.n AS n_days,
+        |  round(r.level, 6) AS level,
+        |  round(r.trend, 6) AS trend,
+        |  round(r.level + r.trend, 6) AS forecast_next,
+        |  round(CASE WHEN n.n > 1
+        |    THEN sqrt(r.sse / CAST(n.n - 1 AS DOUBLE)) END, 6) AS rmse
+        |FROM rec r JOIN nn n
+        |  ON r.nation = n.nation AND r.event_type = n.event_type
+        |    AND r.t = n.n""".stripMargin,
+
     // Two-proportion z twin: same ':prop' md5 lottery, integer cells,
     // same pooled-variance double tree.
     "q_prop_ztest" ->
@@ -2768,8 +2864,10 @@ object AnalyticsCatalog {
         |  FROM units),
         |fin AS (
         |  SELECT *,
-        |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
-        |    CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+        |    CASE WHEN n1 > 0
+        |      THEN CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS p1,
+        |    CASE WHEN n2 > 0
+        |      THEN CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS p2,
         |    CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pp
         |  FROM g),
         |zz AS (

@@ -190,7 +190,9 @@ object Bench {
     "q_mcnemar", "q_nb_auc",
     // r13 wave 7: kernel-free embedding-distribution drift +
     // label-coherence silhouette.
-    "q_embed_energy", "q_silhouette")
+    "q_embed_energy", "q_silhouette",
+    // r14: per-nation forecasting (segment-keyed sorted folds).
+    "q_ses_by_nation", "q_holt_by_nation")
 
   /** Every oracled query NOT in [[headline]], mapped to the benched
     * representative of its operator family (VERDICT r7 #2: "no oracled

@@ -2412,12 +2412,23 @@ object Analytics {
   def sesForecast(events: DataFrame): DataFrame =
     sesFinish(dailySeries(events))
 
-  private[graft] def sesFinish(daily: DataFrame): DataFrame = {
+  private[graft] def sesFinish(daily: DataFrame): DataFrame =
+    sesKeyed(daily, Seq("event_type"))
+
+  /** The SES fold generalized over an explicit SEGMENT KEY list (r13
+    * VERDICT #6 — the mannKendallKeyed delegation discipline): keys =
+    * [event_type] reproduces the global plan bit-for-bit; the
+    * per-nation variant adds the segment in front, which keys the
+    * collect and fold by segment — still one calendar-bounded sorted
+    * array per group, no new plan shapes.
+    */
+  private[graft] def sesKeyed(daily: DataFrame,
+                              keys: Seq[String]): DataFrame = {
     val states = transform(
       sort_array(collect_list(struct(col("t"), col("x")))),
       e => struct(e.getField("x").cast("double").as("level"),
         lit(0.0).as("sse")))
-    daily.groupBy(col("event_type"))
+    daily.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), states.as("st"))
       .withColumn("f", aggregate(
         slice(col("st"), lit(2), greatest(size(col("st")) - 1, lit(0))),
@@ -2428,12 +2439,22 @@ object Analytics {
           (acc.getField("sse")
             + (e.getField("level") - acc.getField("level"))
             * (e.getField("level") - acc.getField("level"))).as("sse"))))
-      .select(col("event_type"), col("n").as("n_days"),
+      .select(keys.map(col) ++ Seq(col("n").as("n_days"),
         round(col("f.level"), 6).as("level"),
         round(when(col("n") > 1L,
           sqrt(col("f.sse") / (col("n") - 1L).cast("double"))), 6)
-          .as("rmse"))
+          .as("rmse")): _*)
   }
+
+  /** PER-NATION SES (r13 VERDICT #6): the same sorted-fold smoothing
+    * computed independently per customer nation — the broadcast
+    * nation join and per-(nation, type) daily rollup shared with
+    * [[mannKendallByNation]], then [[sesKeyed]] with the segment in
+    * front.
+    */
+  def sesByNation(events: DataFrame, customers: DataFrame): DataFrame =
+    sesKeyed(dailySeriesByNation(events, customers),
+      Seq("nation", "event_type"))
 
   /** HOLT'S LINEAR TREND smoothing (Holt '57) — the level+trend
     * member of the forecasting family: with forecast f = L + T,
@@ -2447,7 +2468,14 @@ object Analytics {
   def holtForecast(events: DataFrame): DataFrame =
     holtFinish(dailySeries(events))
 
-  private[graft] def holtFinish(daily: DataFrame): DataFrame = {
+  private[graft] def holtFinish(daily: DataFrame): DataFrame =
+    holtKeyed(daily, Seq("event_type"))
+
+  /** The Holt fold over an explicit SEGMENT KEY list — see
+    * [[sesKeyed]]; keys = [event_type] IS the global plan.
+    */
+  private[graft] def holtKeyed(daily: DataFrame,
+                               keys: Seq[String]): DataFrame = {
     val states = transform(
       sort_array(collect_list(struct(col("t"), col("x")))),
       e => struct(e.getField("x").cast("double").as("level"),
@@ -2455,7 +2483,7 @@ object Analytics {
     def f(acc: Column) = acc.getField("level") + acc.getField("trend")
     def newLevel(acc: Column, e: Column) =
       lit(0.3) * e.getField("level") + lit(0.7) * f(acc)
-    daily.groupBy(col("event_type"))
+    daily.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), states.as("st"))
       .withColumn("f", aggregate(
         slice(col("st"), lit(2), greatest(size(col("st")) - 1, lit(0))),
@@ -2467,14 +2495,19 @@ object Analytics {
           (acc.getField("sse")
             + (e.getField("level") - f(acc))
             * (e.getField("level") - f(acc))).as("sse"))))
-      .select(col("event_type"), col("n").as("n_days"),
+      .select(keys.map(col) ++ Seq(col("n").as("n_days"),
         round(col("f.level"), 6).as("level"),
         round(col("f.trend"), 6).as("trend"),
         round(col("f.level") + col("f.trend"), 6).as("forecast_next"),
         round(when(col("n") > 1L,
           sqrt(col("f.sse") / (col("n") - 1L).cast("double"))), 6)
-          .as("rmse"))
+          .as("rmse")): _*)
   }
+
+  /** PER-NATION Holt — see [[sesByNation]]. */
+  def holtByNation(events: DataFrame, customers: DataFrame): DataFrame =
+    holtKeyed(dailySeriesByNation(events, customers),
+      Seq("nation", "event_type"))
 
   /** TWO-PROPORTION Z-TEST — the CONVERSION-RATE member of the
     * experiment family ([[welchTTest]] tests means, [[srmCheck]]
@@ -2500,14 +2533,24 @@ object Analytics {
         pmod(TextOps.fingerprint64(
           concat(col("c_custkey").cast("string"), lit(":prop"))),
           lit(2L)).as("arm"))
+    propZTestFinish(units)
+  }
+
+  /** Stateless finish for [[propZTest]] over a (cv, arm) unit frame —
+    * factored out (r14) so the streaming twin's per-unit conversion
+    * state replays the identical z arithmetic verbatim.
+    */
+  def propZTestFinish(units: DataFrame): DataFrame = {
     val g = units.agg(
       sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
       sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n2"),
       sum(when(col("arm") === 1L, col("cv")).otherwise(0L)).as("c1"),
       sum(when(col("arm") === 0L, col("cv")).otherwise(0L)).as("c2"))
     def d(c: Column) = c.cast("double")
-    val p1 = d(col("c1")) / d(col("n1"))
-    val p2 = d(col("c2")) / d(col("n2"))
+    // Empty-arm guard (r13 ADVICE): a 0-denominator rate reads null,
+    // not NaN — z/significant were already gated by `ok` below.
+    val p1 = when(col("n1") > 0L, d(col("c1")) / d(col("n1")))
+    val p2 = when(col("n2") > 0L, d(col("c2")) / d(col("n2")))
     val pp = d(col("c1") + col("c2")) / d(col("n1") + col("n2"))
     val se = sqrt(pp * (lit(1.0) - pp)
       * (lit(1.0) / d(col("n1")) + lit(1.0) / d(col("n2"))))
@@ -2549,6 +2592,14 @@ object Analytics {
       .join(per, col("c_custkey") === col("o_custkey"), "left")
       .select(coalesce(col("pre"), lit(0L)).as("pre"),
         coalesce(col("post"), lit(0L)).as("post"))
+    mcnemarFinish(units)
+  }
+
+  /** Stateless finish for [[mcnemar]] over a (pre, post) flag frame —
+    * factored out (r14) for the streaming twin (see
+    * [[propZTestFinish]]).
+    */
+  def mcnemarFinish(units: DataFrame): DataFrame = {
     val g = units.agg(count(lit(1)).as("n_units"),
       sum(when(col("pre") === 1L && col("post") === 0L, 1L)
         .otherwise(0L)).as("b"),
@@ -2901,8 +2952,17 @@ object Analytics {
     * ≤ |nations|·|types|·|days|² — still calendar-bounded.
     */
   def mannKendallByNation(events: DataFrame,
-                          customers: DataFrame): DataFrame = {
-    val daily = withNation(events, customers)
+                          customers: DataFrame): DataFrame =
+    mannKendallKeyed(dailySeriesByNation(events, customers),
+      Seq("nation", "event_type"))
+
+  /** Daily per-(nation, type) cents totals with a dense per-segment
+    * time index — [[dailySeries]] with the nation segment in front,
+    * shared by every per-nation sequential stat (MK, SES, Holt).
+    */
+  private def dailySeriesByNation(events: DataFrame,
+                                  customers: DataFrame): DataFrame =
+    withNation(events, customers)
       .select(col("nation"), col("event_type"),
         to_date(col("ts")).as("day"),
         round(col("value") * 100, 0).cast("long").as("cents"))
@@ -2911,8 +2971,6 @@ object Analytics {
       .withColumn("t", row_number().over(
         Window.partitionBy(col("nation"), col("event_type"))
           .orderBy(col("day"))))
-    mannKendallKeyed(daily, Seq("nation", "event_type"))
-  }
 
   /** Events keyed to the customer nation — the shared segment join
     * under the per-nation sequential stats (broadcast dim, exactly

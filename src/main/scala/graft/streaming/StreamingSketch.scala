@@ -324,6 +324,60 @@ object StreamingSketch {
             lit(":did"))), lit(2L)).as("arm")))
   }
 
+  /** Incremental state shared by BOTH batch-only experiment tests of
+    * r13 (r13 VERDICT #5) — [[graft.query.Analytics.propZTest]] and
+    * [[graft.query.Analytics.mcnemar]]: per-unit (pre, post) 0/1
+    * ACTIVITY flags, merged by integer max — the exact sufficient
+    * statistic for conversion (any post-split order) and for the
+    * discordant pre/post cells alike, two longs per customer
+    * (unit-bounded, the [[didStream]] state shape). Rows: one
+    * (k, post, v=1) per order plus the order-less-unit zero row
+    * (k, post=true, v=0), mirroring each batch operator's customer
+    * left join. Both finishes below replay the factored batch tails
+    * verbatim.
+    */
+  def flagStream(rows: Dataset[UnitSpend]): Dataset[UnitPrePost] =
+    rows.groupByKey(_.k)(Encoders.scalaLong)
+      .mapGroupsWithState[(Long, Long), UnitPrePost](
+        GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[UnitSpend],
+         state: GroupState[(Long, Long)]) =>
+          var (pre, post) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { r =>
+            val f = if (r.v > 0L) 1L else 0L
+            if (r.post) post = math.max(post, f)
+            else pre = math.max(pre, f)
+          }
+          state.update((pre, post))
+          UnitPrePost(k, pre, post)
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(),
+        Encoders.product[UnitPrePost])
+
+  /** Stateless finish for the two-proportion z twin: cv IS the post
+    * flag; the md5 ':prop' arm re-derives from the unit key; the
+    * pooled-variance z replays through the shared
+    * `Analytics.propZTestFinish`.
+    */
+  def propZTestFromFlags(units: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.query.Analytics.propZTestFinish(
+      units.select(col("post").as("cv"),
+        pmod(graft.functions.TextOps.fingerprint64(
+          concat(col("k").cast("string"),
+            lit(":prop"))), lit(2L)).as("arm")))
+  }
+
+  /** Stateless finish for the McNemar twin: the discordant cells are
+    * integer aggregates of the finished flag table, replayed through
+    * the shared `Analytics.mcnemarFinish`.
+    */
+  def mcnemarFromFlags(units: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.query.Analytics.mcnemarFinish(
+      units.select(org.apache.spark.sql.functions.col("pre"),
+        org.apache.spark.sql.functions.col("post")))
+
   case class PhraseLang(phrase: String, en: Boolean)
   case class PhraseCounts(phrase: String, ya: Long, yb: Long)
 

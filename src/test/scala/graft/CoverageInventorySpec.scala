@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** COVERAGE.md rot gate (r13 VERDICT #3): the operator->gate inventory
+  * went stale twice (r11, r13), so completeness is now CI-enforced the
+  * way `CatalogIntegritySpec` enforces query/oracle pairing:
+  *  - every `SparkEntry.queries` key must appear in COVERAGE.md (a new
+  *    birth without an inventory row fails the suite);
+  *  - every query named in the generated "Full catalog inventory"
+  *    section must still exist in the catalog (no stale rows).
+  */
+class CoverageInventorySpec extends AnyFunSuite {
+
+  private lazy val coverage = {
+    val s = scala.io.Source.fromFile("COVERAGE.md", "UTF-8")
+    try s.mkString finally s.close()
+  }
+
+  test("every catalog query appears in COVERAGE.md") {
+    val missing = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(coverage.contains)
+    assert(missing.isEmpty,
+      s"catalog queries without a COVERAGE.md row (add one to the " +
+        s"current round's section AND the generated inventory):\n  " +
+        missing.mkString("\n  "))
+  }
+
+  test("the generated inventory section has no stale rows") {
+    val idx = coverage.indexOf("## Full catalog inventory")
+    assert(idx >= 0, "the generated inventory section is missing")
+    val known = SparkEntry.queries.keySet
+    val stale = """\bq_\w+\b""".r.findAllIn(coverage.substring(idx))
+      .toSet.filterNot(known)
+    assert(stale.isEmpty,
+      s"inventory rows for queries no longer in the catalog:\n  " +
+        stale.toSeq.sorted.mkString("\n  "))
+  }
+}
