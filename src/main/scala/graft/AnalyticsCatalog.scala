@@ -319,8 +319,11 @@ object AnalyticsCatalog {
     // "was this clustering worth anything" audit — partition +
     // modularity both inside the differential.
     "q_modularity" -> ((s, d) => {
+      // Eager checkpoint: the purchase-edge chain feeds BOTH the LP
+      // partition and the community stats — uncheckpointed it ran
+      // twice (r14 substrate audit, PLANS.md).
       val edges = graft.operators.Graph.purchaseEdges(
-        Tables.orders(s, d), Tables.lineitem(s, d))
+        Tables.orders(s, d), Tables.lineitem(s, d)).localCheckpoint()
       graft.operators.Graph.modularity(edges,
         graft.operators.Graph.labelPropagation(edges,
           Tables.supplier(s, d).filter(col("s_suppkey") % 5 === 0)
@@ -600,8 +603,9 @@ object AnalyticsCatalog {
     // boundary-quality companion to q_modularity (cut / min-side
     // volume, exact integers, one division).
     "q_conductance" -> ((s, d) => {
+      // Shared-substrate checkpoint — see q_modularity.
       val edges = graft.operators.Graph.purchaseEdges(
-        Tables.orders(s, d), Tables.lineitem(s, d))
+        Tables.orders(s, d), Tables.lineitem(s, d)).localCheckpoint()
       graft.operators.Graph.conductance(edges,
         graft.operators.Graph.labelPropagation(edges,
           Tables.supplier(s, d).filter(col("s_suppkey") % 5 === 0)

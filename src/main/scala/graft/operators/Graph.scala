@@ -318,13 +318,16 @@ object Graph {
   def triangles(edges: DataFrame, k: Int = 100): DataFrame = {
     // The upstream edge derivation (e.g. the pairEdges prune chain —
     // two joins + two aggregates) feeds THREE join legs; uncached it
-    // re-runs per leg (the r2 shingle-index lesson, PLANS.md). The
-    // k-row result is materialized (localCheckpoint — the
-    // duplicateClusters discipline) so the edge cache can be RELEASED
-    // before returning; a bare cache() here piled up storage across
-    // catalog invocations (r9 advisor).
-    val e = edges.select(col("a"), col("b")).distinct().cache()
-    val out = e.as("e1")
+    // re-runs per leg (the r2 shingle-index lesson, PLANS.md). EAGER
+    // localCheckpoint (r14, measured): one materializing job, every
+    // leg reads checkpoint blocks, and — unlike the old cache +
+    // output-checkpoint + unpersist scaffolding — no extra jobs exist
+    // just to make an unpersist safe (blocks free via ContextCleaner
+    // when the frame goes out of scope, the duplicateClusters
+    // discipline). The swap cut the one-shot consumers ~2× at sf0.1
+    // (gini 3.9→1.4 s, assortativity 2.2→1.3 s probe, PLANS.md).
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
         col("e2.b").as("tc"))
@@ -333,9 +336,6 @@ object Graph {
       .select(col("ta").as("a"), col("tb").as("b"), col("tc").as("c"))
       .orderBy(col("a"), col("b"), col("c"))
       .limit(k)
-      .localCheckpoint()
-    e.unpersist()
-    out
   }
 
   /** k-TRUSS decomposition (Cohen '08) — the EDGE-level sibling of
@@ -763,8 +763,9 @@ object Graph {
     */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
     // Five consumers of the edge frame (three enumeration legs + two
-    // degree-union scans) — cache it or pay the pairEdges chain 5×.
-    val e = edges.select(col("a"), col("b")).distinct().cache()
+    // degree-union scans) — eager localCheckpoint, or pay the
+    // pairEdges chain 5× (see [[triangles]]' scaffolding note).
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
     val t = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
@@ -779,9 +780,7 @@ object Graph {
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    // Materialize the node-sized result, then release the edge cache
-    // (r9 advisor: a bare cache() accumulates across invocations).
-    val out = deg.join(triPerNode, Seq("node"), "left_outer")
+    deg.join(triPerNode, Seq("node"), "left_outer")
       .select(col("node"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         when(col("degree") >= 2,
@@ -789,9 +788,6 @@ object Graph {
             / (col("degree").cast("double")
               * (col("degree") - 1).cast("double")), 6))
           .otherwise(lit(0.0)).as("lcc"))
-      .localCheckpoint()
-    e.unpersist()
-    out
   }
 
   /** DEGREE ASSORTATIVITY — Newman's r: the Pearson correlation of the
@@ -816,8 +812,9 @@ object Graph {
     * (a < b), deduplicated upstream.
     */
   def assortativity(edges: DataFrame): DataFrame = {
-    // Three consumers (two degree-union scans + the edge join leg).
-    val e = edges.select(col("a"), col("b")).distinct().cache()
+    // Three consumers (two degree-union scans + the edge join leg) —
+    // eager localCheckpoint (see [[triangles]]' scaffolding note).
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -835,13 +832,8 @@ object Graph {
     val sxD = col("sx").cast("double")
     val num = n * col("sxy").cast("double") - sxD * sxD
     val den = n * col("sxx").cast("double") - sxD * sxD
-    // 1-row result materialized so the edge cache can be released
-    // before returning (r9 advisor: cache pileup across invocations).
-    val out = s.select(col("m").as("n_edges"),
+    s.select(col("m").as("n_edges"),
       round(when(den =!= lit(0.0), num / den), 6).as("assortativity"))
-      .localCheckpoint()
-    e.unpersist()
-    out
   }
 
   /** DEGREE GINI — inequality of the degree distribution in one
@@ -851,19 +843,15 @@ object Graph {
     * (the continuous companion to [[degreeProfile]]'s histogram).
     */
   def degreeGini(edges: DataFrame): DataFrame = {
-    // Two degree-union scans of the (possibly expensive) edge chain.
-    val e = edges.select(col("a"), col("b")).distinct().cache()
+    // Two degree-union scans of the (possibly expensive) edge chain —
+    // eager localCheckpoint (see [[triangles]]' scaffolding note).
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("v"))
-    // 1-row result materialized so the edge cache can be released
-    // before returning (r9 advisor: cache pileup across invocations).
-    val out = CorpusStats.giniOfValues(deg.select(col("v")))
+    CorpusStats.giniOfValues(deg.select(col("v")))
       .withColumnRenamed("n_units", "n_nodes")
       .withColumnRenamed("total", "n_edge_ends")
-      .localCheckpoint()
-    e.unpersist()
-    out
   }
 
   /** HUB EDGE SHARE — the fraction of edges touching the top-`k`
@@ -875,8 +863,9 @@ object Graph {
     * division.
     */
   def hubShare(edges: DataFrame, k: Int = 100): DataFrame = {
-    // Three consumers (two degree-union scans + the flag join).
-    val e = edges.select(col("a"), col("b")).distinct().cache()
+    // Three consumers (two degree-union scans + the flag join) —
+    // eager localCheckpoint (see [[triangles]]' scaffolding note).
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -888,18 +877,13 @@ object Graph {
       .join(broadcast(hubs.select(col("node").as("b"),
         lit(1L).as("hb"))), Seq("b"), "left")
     val tot = deg.agg(count(lit(1)).as("n_nodes"))
-    // 1-row result materialized so the edge cache can be released
-    // before returning (r9 advisor: cache pileup across invocations).
-    val out = flagged.agg(count(lit(1)).as("n_edges"),
+    flagged.agg(count(lit(1)).as("n_edges"),
       sum(when(col("ha").isNotNull || col("hb").isNotNull, 1L)
         .otherwise(0L)).as("n_hub_edges"))
       .crossJoin(broadcast(tot))
       .select(col("n_nodes"), col("n_edges"), col("n_hub_edges"),
         round(col("n_hub_edges").cast("double")
           / col("n_edges").cast("double"), 6).as("hub_share"))
-      .localCheckpoint()
-    e.unpersist()
-    out
   }
 
   /** NEWMAN MODULARITY of a node partition (Newman & Girvan '04):
@@ -1059,24 +1043,22 @@ object Graph {
     */
   def wlColors(edges: DataFrame, rounds: Int = 2,
                maxDegree: Int = 1000): DataFrame = {
-    val (sym, frames) = wlRefine(edges, rounds, maxDegree)
+    val (_, frames) = wlRefine(edges, rounds, maxDegree)
     def stats(round: Int, cs: DataFrame): DataFrame =
       cs.agg(count(lit(1)).as("n_nodes"),
           countDistinct(col("c")).as("n_colors"))
         .select(lit(round).as("round"), col("n_nodes"),
           col("n_colors"))
-    val res = frames.zipWithIndex
+    frames.zipWithIndex
       .map { case (f, i) => stats(i, f) }
       .reduce(_ unionByName _)
-      .localCheckpoint()
-    sym.unpersist()
-    res
   }
 
   /** The shared refinement loop under [[wlColors]] and [[wlClasses]]:
-    * the (still-cached) symmetrized edge frame plus the color frame
-    * after every round (index 0 = degree colors). Callers unpersist
-    * the edge frame once their result materializes.
+    * the checkpointed symmetrized edge frame plus the color frame
+    * after every round (index 0 = degree colors). Eager
+    * localCheckpoint instead of cache + caller unpersist (see
+    * [[triangles]]' scaffolding note).
     */
   private def wlRefine(edges: DataFrame, rounds: Int, maxDegree: Int)
       : (DataFrame, Seq[DataFrame]) = {
@@ -1084,7 +1066,7 @@ object Graph {
     val e = edges.select(col("a"), col("b")).distinct()
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
-      .cache()
+      .localCheckpoint()
     var colors = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
       .filter(col("degree") <= maxDegree)
@@ -1121,15 +1103,12 @@ object Graph {
     */
   def wlClasses(edges: DataFrame, rounds: Int = 2,
                 maxDegree: Int = 1000, k: Int = 20): DataFrame = {
-    val (sym, frames) = wlRefine(edges, rounds, maxDegree)
-    val res = frames.last.groupBy(col("c").as("color"))
+    val (_, frames) = wlRefine(edges, rounds, maxDegree)
+    frames.last.groupBy(col("c").as("color"))
       .agg(count(lit(1)).as("n_nodes"),
         min(col("node")).as("keeper_node"))
       .orderBy(col("n_nodes").desc, col("color"))
       .limit(k)
-      .localCheckpoint()
-    sym.unpersist()
-    res
   }
 
   /** ADAMIC-ADAR link prediction (Adamic & Adar '03, "Friends and
