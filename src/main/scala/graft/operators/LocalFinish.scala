@@ -430,6 +430,91 @@ object LocalFinish {
     nodes.toSeq.map(nd => (nd, sparkRound(pr(nd), 6))).toDF("node", "pr")
   }
 
+  /** LLOYD'S K-MEANS, exact emulation of [[Quantizer.fit]]'s
+    * distributed loop over pre-collected (vec_id, e: Array[Double])
+    * rows: init = the k lowest-id vectors as cells 0..k-1; assignment
+    * = argmin over cells (ascending) of the SEQUENTIAL left-fold
+    * Σ(x−y)² with the (d2, cell) tie-break; re-estimation = per
+    * (cell, dim) the ASCENDING-sorted sequential left-fold sum divided
+    * by the count — the exact IEEE trees `aggregate`/`sort_array`
+    * evaluate distributed, so the trained centroids (and every DuckDB
+    * twin that replicates the training) are bit-identical. Cells that
+    * lose all members drop from the frame, ids never renumber.
+    */
+  def kmeansLocal(spark: org.apache.spark.sql.SparkSession,
+                  rows: Array[org.apache.spark.sql.Row],
+                  k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val vs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = rows(i).getLong(0)
+      vs(i) = rows(i).getSeq[Double](1).toArray
+      i += 1
+    }
+    // sort vectors by vec_id for the lowest-id init
+    val order = Array.range(0, n).sortBy(ids)
+    var cells: Array[Int] = Array.range(0, math.min(k, n))
+    var cents: Array[Array[Double]] =
+      order.take(math.min(k, n)).map(vs)
+    for (_ <- 1 to iters) {
+      // assignment: per vector, min (d2, cell) over ascending cells
+      val asg = new Array[Int](n)
+      i = 0
+      while (i < n) {
+        val e = vs(i)
+        var best = -1
+        var bestD = 0.0
+        var c = 0
+        while (c < cells.length) {
+          val ct = cents(c)
+          var d = 0.0
+          var j = 0
+          while (j < e.length) {
+            val t = e(j) - ct(j); d += t * t; j += 1
+          }
+          if (best < 0 || d < bestD) { best = c; bestD = d }
+          c += 1
+        }
+        asg(i) = best
+        i += 1
+      }
+      // re-estimation: sorted sequential fold per (cell, dim)
+      val dim = if (n > 0) vs(0).length else 0
+      val newCells = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val newCents = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      var c = 0
+      while (c < cells.length) {
+        val members = (0 until n).filter(asg(_) == c)
+        if (members.nonEmpty) {
+          val ct = new Array[Double](dim)
+          var j = 0
+          while (j < dim) {
+            val vals = members.map(m => vs(m)(j)).toArray
+            java.util.Arrays.sort(vals)
+            var s = 0.0
+            var q = 0
+            while (q < vals.length) { s += vals(q); q += 1 }
+            ct(j) = s / vals.length
+            j += 1
+          }
+          newCells += cells(c)
+          newCents += ct
+        }
+        c += 1
+      }
+      cells = newCells.toArray
+      cents = newCents.toArray
+    }
+    cells.indices.map(c => (cells(c), cents(c).toSeq))
+      .toDF("cell", "centroid")
+      // match the distributed frame's nullable element type exactly
+      .select(col("cell"),
+        col("centroid").cast("array<double>").as("centroid"))
+  }
+
   /** Weighted PageRank, exact emulation of [[Graph.weightedPageRank]]:
     * contribution round(pr·w/wsum·1e12) per EDGE — Spark-rounds are
     * memoized per (source, weight) in nested LongMaps (the boxed-key

@@ -183,6 +183,23 @@ class HybridFinishSpec extends SparkSpec {
         Graph.weightedPageRank(e, iters, localEdgeCap = 0L))
   }
 
+  test("Quantizer.fit: driver k-means == distributed Lloyd loop") {
+    val rnd = new scala.util.Random(113)
+    // Duplicate vectors + a tight pair of clusters to exercise the
+    // (d2, cell) tie-break and the sorted-fold means.
+    val vecs = (0L until 300L).map { id =>
+      val base = if (id % 2 == 0) 0.0 else 10.0
+      val e = Array.fill(8)((base + rnd.nextInt(100) / 100.0).toFloat)
+      (id, e.toSeq)
+    }.toDF("vec_id", "embedding")
+    for (iters <- Seq(1, 3)) {
+      val driver = graft.operators.Quantizer.fit(vecs, 4, iters)
+      val dist = graft.operators.Quantizer.fit(vecs, 4, iters,
+        localFitCap = 0L)
+      assertSame(driver, dist)
+    }
+  }
+
   test("boruvkaTrace: primitive-array driver finish keeps the trace") {
     // A weighted graph with tied weights across two components; the
     // lowered default cap + gate-retry path must reproduce the fully
