@@ -1084,7 +1084,7 @@ object ScaleCatalog {
         |  FROM embeddings WHERE label = 0
         |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || ':panel'),
         |    1, 15))::BIGINT, vec_id
-        |  LIMIT 1000),
+        |  LIMIT 512),
         |vb AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
         |    list_inner_product(CAST(embedding AS DOUBLE[]),
@@ -1092,7 +1092,7 @@ object ScaleCatalog {
         |  FROM embeddings WHERE label = 1
         |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || ':panel'),
         |    1, 15))::BIGINT, vec_id
-        |  LIMIT 1000),
+        |  LIMIT 512),
         |ab AS (
         |  SELECT COALESCE(CAST(SUM(CAST(round(1e6 * sqrt(GREATEST(
         |      a.n2 + b.n2 - 2.0 * list_inner_product(a.e, b.e),

@@ -359,8 +359,8 @@ object Graph {
     * `localCheckpoint()`. Output: surviving (a, b) edges with
     * support measured ON the surviving subgraph.
     */
-  def kTruss(edges: DataFrame, k: Int = 4, rounds: Int = 5)
-      : DataFrame = {
+  def kTruss(edges: DataFrame, k: Int = 4, rounds: Int = 5,
+             localEdgeCap: Long = 2000000L): DataFrame = {
     // supports() enumerates only edges in ≥1 triangle, so triangle-free
     // edges vanish from the join regardless of the threshold — the peel
     // is only the k-truss for k ≥ 3 (where such edges are rightly cut).
@@ -385,7 +385,22 @@ object Graph {
     var n = e.count()
     var r = 0
     var converged = false
+    // HYBRID FINISH (r14, the kCore per-round gate): edge peeling
+    // contracts monotonically and every support is an exact integer,
+    // so under the cap LocalFinish.kTrussPeel runs the SAME loop over
+    // the collected rows — bit-identical whether the budget or the
+    // fixpoint stops it; the gate re-checks each round so a big graph
+    // that peels down finishes its tail rounds driver-side.
+    val driverEligible =
+      localEdgeCap > 0 && LocalFinish.allLong(e, "a", "b")
     while (r < rounds && !converged) {
+      if (driverEligible && n <= localEdgeCap) {
+        val (out, used) = LocalFinish.kTrussPeel(e, k, rounds - r)
+        Console.err.println(
+          s"[graft] kTruss: ${r + used} peel rounds (cap $rounds, " +
+            s"driver finish after $r)")
+        return out
+      }
       e = supports(e).filter(col("support") >= k - 2)
         .select(col("a"), col("b"))
         .localCheckpoint()
@@ -427,11 +442,24 @@ object Graph {
     * beyond the cutoff are absent, not NULL-rowed.
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame,
-              maxHops: Int = 4): DataFrame = {
+              maxHops: Int = 4,
+              localEdgeCap: Long = 2000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).sortWithinPartitions(col("src"))
       .cache()
-    var reached = seeds.select(col("node")).distinct()
+    val sd = seeds.select(col("node")).distinct()
+    // HYBRID FINISH (r14 — see [[hits]]): hop distances are exact
+    // integers and the frontier loop never needs more than set
+    // arithmetic, so the driver replay is trivially bit-identical;
+    // gate count = the cache materialization round 1 needed anyway.
+    if (localEdgeCap > 0 && LocalFinish.allLong(e, "src", "dst") &&
+        LocalFinish.allLong(sd, "node") && e.count() <= localEdgeCap) {
+      Console.err.println("[graft] bfsHops: driver finish")
+      val out = LocalFinish.bfsLocal(e, sd, maxHops)
+      e.unpersist()
+      return out
+    }
+    var reached = sd
       .withColumn("dist", lit(0))
       .localCheckpoint()
     for (k <- 1 to maxHops) {
@@ -462,11 +490,17 @@ object Graph {
     * integers; the farthest pick is (dist desc, node asc).
     */
   def diameterTwoSweep(edges: DataFrame, seeds: DataFrame,
-                       maxHops: Int = 6): DataFrame = {
-    val s1 = bfsHops(edges, seeds, maxHops)
+                       maxHops: Int = 6,
+                       localEdgeCap: Long = 2000000L): DataFrame = {
+    // NOTE (r14 probe): checkpointing the raw edge frame here so both
+    // sweeps share one materialization measured SLOWER (2.5 → 3.8 s
+    // driver-path min at sf0.1) than letting each bfsHops build its
+    // own pruned cache — the checkpoint writes the full symmetrized
+    // frame while each sweep only needs the distinct projection.
+    val s1 = bfsHops(edges, seeds, maxHops, localEdgeCap)
     val far = s1.orderBy(col("dist").desc, col("node").asc).limit(1)
       .localCheckpoint()
-    val s2 = bfsHops(edges, far.select(col("node")), maxHops)
+    val s2 = bfsHops(edges, far.select(col("node")), maxHops, localEdgeCap)
     s2.agg(max(col("dist")).as("diameter_lb"),
         count(lit(1)).as("n_reached"))
       .crossJoin(broadcast(far.select(col("node").as("far_node"),

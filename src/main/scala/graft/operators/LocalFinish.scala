@@ -430,6 +430,137 @@ object LocalFinish {
     nodes.toSeq.map(nd => (nd, sparkRound(pr(nd), 6))).toDF("node", "pr")
   }
 
+  /** MULTI-SOURCE BFS, exact emulation of [[Graph.bfsHops]]'s frontier
+    * loop: integer hop distances, frontier-only expansion, newly seen
+    * nodes get round k — all set arithmetic, trivially bit-identical.
+    * Seeds outside the edge list still appear at dist 0 (the reached
+    * frame starts from the seed set on both paths).
+    */
+  def bfsLocal(edges: DataFrame, seeds: DataFrame,
+               maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val flat = collectPairs(edges, "src", "dst")
+    val seedArr = collectCol(seeds.select(col("node")).distinct(), "node")
+    val dist = new scala.collection.mutable.LongMap[Int]()
+    seedArr.foreach(s => dist(s) = 0)
+    var frontier: Array[Long] = seedArr
+    var k = 1
+    while (k <= maxHops && frontier.nonEmpty) {
+      val inF = new scala.collection.mutable.LongMap[Unit]()
+      frontier.foreach(f => inF(f) = ())
+      val fresh = new scala.collection.mutable.LongMap[Unit]()
+      var i = 0
+      while (i < flat.length) {
+        if (inF.contains(flat(i)) && !dist.contains(flat(i + 1)))
+          fresh(flat(i + 1)) = ()
+        i += 2
+      }
+      val fr = new Array[Long](fresh.size)
+      var j = 0
+      fresh.foreachKey { nd => dist(nd) = k; fr(j) = nd; j += 1 }
+      frontier = fr
+      k += 1
+    }
+    val out = new Array[(Long, Int)](dist.size)
+    var j = 0
+    dist.foreachEntry((nd, d) => { out(j) = (nd, d); j += 1 })
+    out.sortBy(_._1).toSeq.toDF("node", "dist")
+  }
+
+  /** k-TRUSS PEEL, exact emulation of [[Graph.kTruss]]'s distributed
+    * loop from the current canonical (a < b) edge frame: per round,
+    * forward-triangle support per edge (each triangle a<b<c adds one
+    * to (a,b), (b,c), (a,c)), keep support ≥ k−2, converge on an
+    * unchanged edge count, stop at the remaining round budget; the
+    * returned frame carries each survivor's support ON the surviving
+    * subgraph (0 where no triangle — matching the distributed left
+    * join's coalesce). Returns (result, rounds consumed).
+    */
+  def kTrussPeel(edges: DataFrame, k: Int, rounds: Int)
+      : (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var flat = collectPairs(edges, "a", "b")
+
+    // forward adjacency (a → sorted higher neighbors) of the current
+    // edge array; support counts in nested primitive maps.
+    def supports(fl: Array[Long])
+        : scala.collection.mutable.LongMap[
+            scala.collection.mutable.LongMap[Long]] = {
+      val adj = new scala.collection.mutable.LongMap[
+        scala.collection.mutable.ArrayBuffer[Long]]()
+      var i = 0
+      while (i < fl.length) {
+        adj.getOrElseUpdate(fl(i),
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += fl(i + 1)
+        i += 2
+      }
+      val sorted = new scala.collection.mutable.LongMap[Array[Long]]()
+      adj.foreachEntry { (n, buf) =>
+        val arr = buf.toArray; java.util.Arrays.sort(arr); sorted(n) = arr
+      }
+      val sup = new scala.collection.mutable.LongMap[
+        scala.collection.mutable.LongMap[Long]]()
+      def bump(x: Long, y: Long): Unit = {
+        val m = sup.getOrElseUpdate(x,
+          new scala.collection.mutable.LongMap[Long]())
+        m(y) = m.getOrElse(y, 0L) + 1L
+      }
+      i = 0
+      while (i < fl.length) {
+        val a = fl(i); val b = fl(i + 1)
+        val na = sorted.getOrNull(a)
+        val nb = sorted.getOrNull(b)
+        if (na != null && nb != null) {
+          // sorted-merge intersection of forward neighborhoods
+          var p = 0; var q = 0
+          while (p < na.length && q < nb.length) {
+            if (na(p) < nb(q)) p += 1
+            else if (na(p) > nb(q)) q += 1
+            else {
+              val c = na(p)
+              bump(a, b); bump(b, c); bump(a, c)
+              p += 1; q += 1
+            }
+          }
+        }
+        i += 2
+      }
+      sup
+    }
+
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val sup = supports(flat)
+      val next = new Array[Long](flat.length)
+      var n = 0
+      var i = 0
+      while (i < flat.length) {
+        val s = sup.getOrNull(flat(i))
+        val sv = if (s == null) 0L else s.getOrElse(flat(i + 1), 0L)
+        if (sv >= k - 2) {
+          next(n) = flat(i); next(n + 1) = flat(i + 1); n += 2
+        }
+        i += 2
+      }
+      converged = n == flat.length
+      flat = java.util.Arrays.copyOf(next, n)
+      r += 1
+    }
+    val finalSup = supports(flat)
+    val out = new Array[(Long, Long, Long)](flat.length / 2)
+    var i = 0
+    while (i < flat.length) {
+      val s = finalSup.getOrNull(flat(i))
+      out(i / 2) = (flat(i), flat(i + 1),
+        if (s == null) 0L else s.getOrElse(flat(i + 1), 0L))
+      i += 2
+    }
+    (out.toSeq.sortBy(t => (t._1, t._2)).toDF("a", "b", "support"), r)
+  }
+
   /** LLOYD'S K-MEANS, exact emulation of [[Quantizer.fit]]'s
     * distributed loop over pre-collected (vec_id, e: Array[Double])
     * rows: init = the k lowest-id vectors as cells 0..k-1; assignment

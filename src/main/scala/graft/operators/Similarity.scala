@@ -786,7 +786,13 @@ object Similarity {
     * never data-sized.
     */
   def energyDistance(vecs: DataFrame, labelA: Int = 0, labelB: Int = 1,
-                     panelCap: Long = 1000L): DataFrame = {
+                     panelCap: Long = 512L): DataFrame = {
+    // panelCap 1000 → 512 (r14 sf1 probe): at sf1 the cap binds for
+    // the first time and 2M capped pair dots cost ~10 s at the
+    // measured ~5 µs/pair 64-dim constant — the r13 silhouette lesson
+    // (|panel|² must budget against that constant); estimator
+    // variance is O(1/√panel), unchanged in kind. Oracle scales sit
+    // under both caps, so results there are identical.
     // Panel pick is an UNBIASED deterministic hash top-k (r13 VERDICT
     // #4): the old `vec_id < cap` prefix is insertion-order-correlated
     // at real scale (oldest source, first shard) — a biased panel for

@@ -183,6 +183,26 @@ class HybridFinishSpec extends SparkSpec {
         Graph.weightedPageRank(e, iters, localEdgeCap = 0L))
   }
 
+  test("bfsHops: driver finish == distributed frontier rounds") {
+    val e = randomEdges(101, 400)
+    // 4444 is an off-graph seed — it must still appear at dist 0.
+    val seeds = Seq(0L, 17L, 4444L).toDF("node")
+    for (hops <- Seq(1, 2, 4))
+      assertSame(Graph.bfsHops(e, seeds, hops),
+        Graph.bfsHops(e, seeds, hops, localEdgeCap = 0L))
+  }
+
+  test("kTruss: driver finish == distributed peel (incl. budget cap)") {
+    // Ordered a < b edges with an embedded clique (survives k=3) and
+    // chains (peel away).
+    val p = randomPairs(107, 400)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    for (budget <- Seq(1, 2, 5))
+      assertSame(Graph.kTruss(p, 3, budget),
+        Graph.kTruss(p, 3, budget, localEdgeCap = 0L))
+  }
+
   test("Quantizer.fit: driver k-means == distributed Lloyd loop") {
     val rnd = new scala.util.Random(113)
     // Duplicate vectors + a tight pair of clusters to exercise the
