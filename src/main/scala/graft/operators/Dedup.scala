@@ -461,24 +461,24 @@ object Dedup {
     // paths compute THE fixpoint, which is unique — HybridFinishSpec
     // pins them equal.
     //
-    // r13 ADVICE restructure: the gate counts the SAME cached
-    // symmetrized frame the distributed loop reads (union-find is
-    // orientation/duplicate-insensitive, so collecting the 2× frame is
-    // output-identical at 2× the cap) — above the cap the count merely
-    // pre-materializes the cache the first round needed anyway, and
-    // there is no second persisted copy of the pairs.
+    // r13 ADVICE restructure, corrected by the r14 anchor measurement:
+    // the pair frame keeps its ONE lazy checkpoint (the gate count
+    // materializes it; the driver collect and the loop's symmetrizing
+    // union both read the same blocks) and the 2× union is NOT
+    // persisted at all — the first r14 attempt cached the union
+    // instead, which left the expensive pair chain UNPERSISTED so each
+    // union branch re-ran it (q_dedup_clusters 1.42 → 3.25 s anchored;
+    // reverted same round). One persisted copy total on both paths.
     val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint(false)
+    if (localEdgeCap > 0 && LocalFinish.allLong(und, "a", "b") &&
+        und.count() <= localEdgeCap) {
+      Console.err.println("[graft] duplicateClusters: driver finish")
+      return LocalFinish.minComponents(und, "a", "b",
+        "doc_id", "canonical_id")
+    }
     val edges = und
       .unionByName(und.select(col("b").as("a"), col("a").as("b")))
-      .cache()
-    if (localEdgeCap > 0 && LocalFinish.allLong(edges, "a", "b") &&
-        edges.count() <= 2L * localEdgeCap) {
-      Console.err.println("[graft] duplicateClusters: driver finish")
-      val out = LocalFinish.minComponents(edges, "a", "b",
-        "doc_id", "canonical_id")
-      edges.unpersist()
-      return out
-    }
     // Per-round LAZY localCheckpoint + one count action (r9) — the
     // same discipline as [[graft.operators.Graph]].pageRank and
     // cc-star's inner star: the count materializes the checkpoint
@@ -519,7 +519,6 @@ object Dedup {
     // part of the perf record.
     Console.err.println(
       s"[graft] duplicateClusters: $r rounds (cap $maxRounds)")
-    edges.unpersist()
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
@@ -625,20 +624,24 @@ object Dedup {
     // pairs on both paths (a node with only self-loops is absent from
     // this operator's output, unlike duplicateClusters').
     //
-    // r13 ADVICE restructure: the gate counts the eager checkpoint of
-    // the symmetrized frame — the loop's round-0 frame, needed either
-    // way — at 2× the cap (union-find is orientation-insensitive), so
-    // above the cap the only added work is one count over checkpoint
-    // blocks and there is no second persisted copy of the pairs.
-    var edges = sym(
-        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
-      .localCheckpoint()
-    if (localEdgeCap > 0 && LocalFinish.allLong(edges, "a", "b") &&
-        edges.count() <= 2L * localEdgeCap) {
+    // r13 ADVICE restructure, corrected by the r14 anchor measurement:
+    // the driver path gates and collects the ONE lazily-checkpointed
+    // pair frame (union-find needs no symmetrization), and the
+    // distributed round-0 sym() reads the same blocks — the first r14
+    // attempt eagerly checkpointed sym() instead, which made the
+    // UNDER-cap path pay the 2× distinct shuffle it never needs
+    // (q_dedup_cc_star 1.47 → 2.28 s anchored; reverted same round).
+    // One persisted copy total on both paths.
+    val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint(false)
+    if (localEdgeCap > 0 && LocalFinish.allLong(und, "a", "b") &&
+        und.count() <= localEdgeCap) {
       Console.err.println("[graft] connectedComponentsStar: driver finish")
-      return LocalFinish.minComponents(edges, "a", "b",
+      return LocalFinish.minComponents(und, "a", "b",
         "doc_id", "canonical_id")
     }
+    var edges = sym(und).localCheckpoint()
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val m = e.groupBy(col("a")).agg(min(col("b")).as("mn"))
         .select(col("a"), least(col("a"), col("mn")).as("m"))
