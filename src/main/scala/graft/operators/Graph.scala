@@ -138,9 +138,11 @@ object Graph {
     // HYBRID FINISH (r14, VERDICT r13 #1 — see [[hits]]): exact
     // replay incl. the whole-seed-frame |S| (seeds outside the graph
     // count toward the teleport denominator on both paths).
+    // The seed frame is ALSO gated (ADVICE r14): a corpus-sized seed
+    // input beside a small edge graph must not collect unbounded.
     if (localEdgeCap > 0 && LocalFinish.allLong(eOut, "src", "dst") &&
         LocalFinish.allLong(sd, "node") &&
-        eOut.count() <= localEdgeCap) {
+        eOut.count() <= localEdgeCap && sd.count() <= localEdgeCap) {
       Console.err.println("[graft] personalizedPageRank: driver finish")
       val out = LocalFinish.pprLocal(eOut, sd, iters, damping)
       eOut.unpersist()
@@ -452,8 +454,12 @@ object Graph {
     // integers and the frontier loop never needs more than set
     // arithmetic, so the driver replay is trivially bit-identical;
     // gate count = the cache materialization round 1 needed anyway.
+    // Seed frame gated too (ADVICE r14 — the labelPropagation
+    // discipline): a corpus-sized seed frame with a small edge graph
+    // must fall through to the distributed loop, not collect.
     if (localEdgeCap > 0 && LocalFinish.allLong(e, "src", "dst") &&
-        LocalFinish.allLong(sd, "node") && e.count() <= localEdgeCap) {
+        LocalFinish.allLong(sd, "node") &&
+        e.count() <= localEdgeCap && sd.count() <= localEdgeCap) {
       Console.err.println("[graft] bfsHops: driver finish")
       val out = LocalFinish.bfsLocal(e, sd, maxHops)
       e.unpersist()

@@ -59,7 +59,13 @@ object Quantizer {
       // ONE bounded execution serves gate AND collect: limit(cap+1)
       // stops early above the cap (we only read the length and fall
       // through); at or below it the row set is the whole corpus.
-      val rows = v.limit((localFitCap + 1).toInt).collect()
+      // Clamp before toInt (ADVICE r14): a cap at/near Int.MaxValue
+      // must degrade to "collect everything" (caller's stated intent),
+      // not overflow to a negative limit and throw. The +1 happens
+      // only on the un-clamped branch so Long.MaxValue is safe too.
+      val lim = if (localFitCap >= Int.MaxValue - 1) Int.MaxValue
+                else (localFitCap + 1).toInt
+      val rows = v.limit(lim).collect()
       if (rows.length <= localFitCap) {
         Console.err.println("[graft] Quantizer.fit: driver finish")
         return LocalFinish.kmeansLocal(vecs.sparkSession, rows, k, iters)

@@ -18,8 +18,13 @@ class CoverageInventorySpec extends AnyFunSuite {
   }
 
   test("every catalog query appears in COVERAGE.md") {
+    // Whole-token match (ADVICE r14): substring containment let a
+    // query whose name prefixes another (q_ses inside q_ses_by_nation)
+    // pass with no row of its own. `_` is a word char, so \b after
+    // q_ses does NOT match inside q_ses_by_nation.
+    val tokens = """\bq_\w+\b""".r.findAllIn(coverage).toSet
     val missing = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(coverage.contains)
+      .filterNot(tokens)
     assert(missing.isEmpty,
       s"catalog queries without a COVERAGE.md row (add one to the " +
         s"current round's section AND the generated inventory):\n  " +

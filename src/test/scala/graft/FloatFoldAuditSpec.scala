@@ -80,6 +80,12 @@ class FloatFoldAuditSpec extends AnyFunSuite {
           mask(k) = true; k += 1
           if (k < text.length) { mask(k) = true; k += 1 }
         } else if (ch == '$' && k + 1 < text.length &&
+            text.charAt(k + 1) == '$') {
+          // "$$" is the interpolation ESCAPE for a literal '$'
+          // (ADVICE r14): mask both, so a following '{' is literal
+          // text, not an interpolation body to unmask.
+          mask(k) = true; mask(k + 1) = true; k += 2
+        } else if (ch == '$' && k + 1 < text.length &&
             text.charAt(k + 1) == '{') {
           mask(k) = true; mask(k + 1) = true; k += 2
           var depth = 1
