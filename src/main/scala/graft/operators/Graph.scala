@@ -139,14 +139,20 @@ object Graph {
     // replay incl. the whole-seed-frame |S| (seeds outside the graph
     // count toward the teleport denominator on both paths).
     // The seed frame is ALSO gated (ADVICE r14): a corpus-sized seed
-    // input beside a small edge graph must not collect unbounded.
+    // input beside a small edge graph must not collect unbounded. The
+    // bounded collect IS the seed materialization pprLocal needs, so
+    // the gate costs zero extra jobs (collectColBounded doc).
     if (localEdgeCap > 0 && LocalFinish.allLong(eOut, "src", "dst") &&
         LocalFinish.allLong(sd, "node") &&
-        eOut.count() <= localEdgeCap && sd.count() <= localEdgeCap) {
-      Console.err.println("[graft] personalizedPageRank: driver finish")
-      val out = LocalFinish.pprLocal(eOut, sd, iters, damping)
-      eOut.unpersist()
-      return out
+        eOut.count() <= localEdgeCap) {
+      LocalFinish.collectColBounded(sd, "node", localEdgeCap) match {
+        case Some(seedArr) =>
+          Console.err.println("[graft] personalizedPageRank: driver finish")
+          val out = LocalFinish.pprLocal(eOut, seedArr, iters, damping)
+          eOut.unpersist()
+          return out
+        case None => // corpus-sized seed frame: distributed loop below
+      }
     }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -456,14 +462,19 @@ object Graph {
     // gate count = the cache materialization round 1 needed anyway.
     // Seed frame gated too (ADVICE r14 — the labelPropagation
     // discipline): a corpus-sized seed frame with a small edge graph
-    // must fall through to the distributed loop, not collect.
+    // must fall through to the distributed loop, not collect. The
+    // bounded collect IS the seed materialization bfsLocal needs, so
+    // the gate costs zero extra jobs (collectColBounded doc).
     if (localEdgeCap > 0 && LocalFinish.allLong(e, "src", "dst") &&
-        LocalFinish.allLong(sd, "node") &&
-        e.count() <= localEdgeCap && sd.count() <= localEdgeCap) {
-      Console.err.println("[graft] bfsHops: driver finish")
-      val out = LocalFinish.bfsLocal(e, sd, maxHops)
-      e.unpersist()
-      return out
+        LocalFinish.allLong(sd, "node") && e.count() <= localEdgeCap) {
+      LocalFinish.collectColBounded(sd, "node", localEdgeCap) match {
+        case Some(seedArr) =>
+          Console.err.println("[graft] bfsHops: driver finish")
+          val out = LocalFinish.bfsLocal(e, seedArr, maxHops)
+          e.unpersist()
+          return out
+        case None => // corpus-sized seed frame: distributed loop below
+      }
     }
     var reached = sd
       .withColumn("dist", lit(0))

@@ -54,6 +54,27 @@ object LocalFinish {
     out
   }
 
+  /** BOUNDED one-long-column collect for driver-finish gates (r15):
+    * limit(cap+1) stops the scan early above the cap; None means
+    * "over cap — take the distributed path". One job serves both the
+    * size gate and the seed materialization the local finish needs
+    * anyway, so gating on seed-frame size costs ZERO extra jobs
+    * (vs. a count() gate + a later collect).
+    */
+  def collectColBounded(df: DataFrame, a: String,
+                        cap: Long): Option[Array[Long]] = {
+    val lim = if (cap >= Int.MaxValue - 1) Int.MaxValue
+              else (cap + 1).toInt
+    val rows = df.select(col(a)).limit(lim).collect()
+    if (rows.length > cap) None
+    else {
+      val out = new Array[Long](rows.length)
+      var i = 0
+      while (i < rows.length) { out(i) = rows(i).getLong(0); i += 1 }
+      Some(out)
+    }
+  }
+
   /** Collect one long column as a flat array. */
   private def collectCol(df: DataFrame, a: String): Array[Long] = {
     val rows = df.select(col(a)).collect()
@@ -395,12 +416,17 @@ object LocalFinish {
     * broadcast); contribution device as [[pageRankLocal]].
     */
   def pprLocal(edges: DataFrame, seeds: DataFrame, iters: Int,
+               damping: Double): DataFrame =
+    pprLocal(edges, collectCol(seeds, "node"), iters, damping)
+
+  /** Pre-collected-seed twin: the caller's bounded gate collect IS the
+    * seed materialization (see [[collectColBounded]]). */
+  def pprLocal(edges: DataFrame, seedArr: Array[Long], iters: Int,
                damping: Double): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val flat = collectPairs(edges, "src", "dst")
     val nodes = nodeIds(flat)
-    val seedArr = collectCol(seeds, "node")
     val ns = seedArr.length
     val isSeed = new scala.collection.mutable.LongMap[Unit]()
     seedArr.foreach(s => isSeed(s) = ())
@@ -437,11 +463,17 @@ object LocalFinish {
     * frame starts from the seed set on both paths).
     */
   def bfsLocal(edges: DataFrame, seeds: DataFrame,
+               maxHops: Int): DataFrame =
+    bfsLocal(edges,
+      collectCol(seeds.select(col("node")).distinct(), "node"), maxHops)
+
+  /** Pre-collected-seed twin: the caller's bounded gate collect IS the
+    * seed materialization (see [[collectColBounded]]). */
+  def bfsLocal(edges: DataFrame, seedArr: Array[Long],
                maxHops: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val flat = collectPairs(edges, "src", "dst")
-    val seedArr = collectCol(seeds.select(col("node")).distinct(), "node")
     val dist = new scala.collection.mutable.LongMap[Int]()
     seedArr.foreach(s => dist(s) = 0)
     var frontier: Array[Long] = seedArr
