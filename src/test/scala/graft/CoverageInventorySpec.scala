@@ -31,6 +31,45 @@ class CoverageInventorySpec extends AnyFunSuite {
         missing.mkString("\n  "))
   }
 
+  test("every inventory implementation cell names a real symbol") {
+    // VERDICT r14 #6: the old generator attributed the nearest
+    // preceding `def`, producing wrong impl cells (q_winnow ->
+    // Bloom.build). tools/gen_coverage.py now attributes the first
+    // graft call in the registration body; this gate pins that every
+    // `Obj.meth` cell resolves to an object/class Obj whose file
+    // defines meth (def or val).
+    val idx = coverage.indexOf("## Full catalog inventory")
+    assert(idx >= 0, "the generated inventory section is missing")
+    val rows = """(?m)^\| (q_\w+) \| `([^`]+)` \| `([^`]+)` \|""".r
+      .findAllMatchIn(coverage.substring(idx)).toSeq
+    assert(rows.nonEmpty, "no inventory rows parsed")
+    val srcDir = new java.io.File("src/main/scala/graft")
+    def allScala(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(allScala)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val sources = allScala(srcDir).map { f =>
+      val s = scala.io.Source.fromFile(f, "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val bad = rows.flatMap { m =>
+      m.group(3) match {
+        case "inline plan" => None
+        case cell =>
+          val Array(obj, meth) = cell.split("\\.", 2)
+          val ok = sources.exists { src =>
+            (s"""(?m)^\\s*(?:case\\s+)?(?:object|class)\\s+$obj\\b""").r
+              .findFirstIn(src).isDefined &&
+            (s"""(?m)\\b(?:def|val)\\s+$meth\\b""").r
+              .findFirstIn(src).isDefined
+          }
+          if (ok) None else Some(s"${m.group(1)} -> $cell")
+      }
+    }
+    assert(bad.isEmpty,
+      s"inventory impl cells naming symbols that don't resolve:\n  " +
+        bad.mkString("\n  "))
+  }
+
   test("the generated inventory section has no stale rows") {
     val idx = coverage.indexOf("## Full catalog inventory")
     assert(idx >= 0, "the generated inventory section is missing")
