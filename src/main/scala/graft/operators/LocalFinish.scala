@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -54,6 +54,30 @@ object LocalFinish {
     out
   }
 
+  /** BOUNDED two-long-column collect for driver-finish gates (r15):
+    * the stride-2 twin of [[collectColBounded]]. One job serves the
+    * cap gate AND the edge materialization the local finish needs —
+    * the driver path skips the distributed substrate (repartition +
+    * sortWithinPartitions + cache + count) entirely.
+    */
+  def collectPairsBounded(df: DataFrame, a: String, b: String,
+                          cap: Long): Option[Array[Long]] = {
+    val lim = if (cap >= Int.MaxValue - 1) Int.MaxValue
+              else (cap + 1).toInt
+    val rows = df.select(col(a), col(b)).limit(lim).collect()
+    if (rows.length > cap) None
+    else {
+      val out = new Array[Long](rows.length * 2)
+      var i = 0
+      while (i < rows.length) {
+        out(2 * i) = rows(i).getLong(0)
+        out(2 * i + 1) = rows(i).getLong(1)
+        i += 1
+      }
+      Some(out)
+    }
+  }
+
   /** BOUNDED one-long-column collect for driver-finish gates (r15):
     * limit(cap+1) stops the scan early above the cap; None means
     * "over cap — take the distributed path". One job serves both the
@@ -85,6 +109,27 @@ object LocalFinish {
   }
 
   /** Collect a three-long-column frame as a flat stride-3 array. */
+  /** BOUNDED three-long-column collect — stride-3 twin of
+    * [[collectPairsBounded]], for the weighted-edge driver gates. */
+  def collectTriplesBounded(df: DataFrame, a: String, b: String,
+                            c: String, cap: Long): Option[Array[Long]] = {
+    val lim = if (cap >= Int.MaxValue - 1) Int.MaxValue
+              else (cap + 1).toInt
+    val rows = df.select(col(a), col(b), col(c)).limit(lim).collect()
+    if (rows.length > cap) None
+    else {
+      val out = new Array[Long](rows.length * 3)
+      var i = 0
+      while (i < rows.length) {
+        out(3 * i) = rows(i).getLong(0)
+        out(3 * i + 1) = rows(i).getLong(1)
+        out(3 * i + 2) = rows(i).getLong(2)
+        i += 1
+      }
+      Some(out)
+    }
+  }
+
   private def collectTriples(df: DataFrame, a: String, b: String,
                              c: String): Array[Long] = {
     val rows = df.select(col(a), col(b), col(c)).collect()
@@ -328,10 +373,15 @@ object LocalFinish {
     * ditto. Contributions depend only on the source node's score, so
     * the per-edge Spark-round collapses to one round per node.
     */
-  def hitsLocal(edges: DataFrame, iters: Int): DataFrame = {
-    val spark = edges.sparkSession
+  def hitsLocal(edges: DataFrame, iters: Int): DataFrame =
+    hitsLocal(edges.sparkSession, collectPairs(edges, "src", "dst"),
+      iters)
+
+  /** Pre-collected twin (r15): the caller's bounded gate collect IS
+    * the edge materialization — no distributed substrate built. */
+  def hitsLocal(spark: SparkSession, flat: Array[Long], iters: Int)
+      : DataFrame = {
     import spark.implicits._
-    val flat = collectPairs(edges, "src", "dst")
     val nodes = nodeIds(flat)
     val n = nodes.length
     var hub = new scala.collection.mutable.LongMap[Double]()
@@ -378,10 +428,14 @@ object LocalFinish {
     * longs per destination; pr' = (1−d)/n + d·(s/1e12).
     */
   def pageRankLocal(edges: DataFrame, iters: Int,
+                    damping: Double): DataFrame =
+    pageRankLocal(edges.sparkSession,
+      collectPairs(edges, "src", "dst"), iters, damping)
+
+  /** Pre-collected twin (r15): see [[hitsLocal]]. */
+  def pageRankLocal(spark: SparkSession, flat: Array[Long], iters: Int,
                     damping: Double): DataFrame = {
-    val spark = edges.sparkSession
     import spark.implicits._
-    val flat = collectPairs(edges, "src", "dst")
     val nodes = nodeIds(flat)
     val n = nodes.length
     val outdeg = new scala.collection.mutable.LongMap[Long]()
@@ -422,10 +476,15 @@ object LocalFinish {
   /** Pre-collected-seed twin: the caller's bounded gate collect IS the
     * seed materialization (see [[collectColBounded]]). */
   def pprLocal(edges: DataFrame, seedArr: Array[Long], iters: Int,
+               damping: Double): DataFrame =
+    pprLocal(edges.sparkSession, collectPairs(edges, "src", "dst"),
+      seedArr, iters, damping)
+
+  /** Fully pre-collected twin (r15): see [[hitsLocal]]. */
+  def pprLocal(spark: SparkSession, flat: Array[Long],
+               seedArr: Array[Long], iters: Int,
                damping: Double): DataFrame = {
-    val spark = edges.sparkSession
     import spark.implicits._
-    val flat = collectPairs(edges, "src", "dst")
     val nodes = nodeIds(flat)
     val ns = seedArr.length
     val isSeed = new scala.collection.mutable.LongMap[Unit]()
@@ -470,13 +529,32 @@ object LocalFinish {
   /** Pre-collected-seed twin: the caller's bounded gate collect IS the
     * seed materialization (see [[collectColBounded]]). */
   def bfsLocal(edges: DataFrame, seedArr: Array[Long],
-               maxHops: Int): DataFrame = {
-    val spark = edges.sparkSession
+               maxHops: Int): DataFrame =
+    bfsLocal(edges.sparkSession, collectPairs(edges, "src", "dst"),
+      seedArr, maxHops)
+
+  /** Fully pre-collected twin (r15): both the edge array and the seed
+    * array come from the caller's bounded gate collects — the driver
+    * path never builds the distributed substrate (repartition + sort
+    * + cache) it would immediately discard. */
+  def bfsLocal(spark: SparkSession, flat: Array[Long],
+               seedArr: Array[Long], maxHops: Int): DataFrame = {
     import spark.implicits._
-    val flat = collectPairs(edges, "src", "dst")
+    val dist = bfsDist(flat, seedArr, maxHops)
+    val out = new Array[(Long, Int)](dist.size)
+    var j = 0
+    dist.foreachEntry((nd, d) => { out(j) = (nd, d); j += 1 })
+    out.sortBy(_._1).toSeq.toDF("node", "dist")
+  }
+
+  /** The frontier loop itself: integer hop distances over a flat
+    * stride-2 edge array — set arithmetic only, order-independent. */
+  private def bfsDist(flat: Array[Long], seedArr: Array[Long],
+                      maxHops: Int)
+      : scala.collection.mutable.LongMap[Int] = {
     val dist = new scala.collection.mutable.LongMap[Int]()
     seedArr.foreach(s => dist(s) = 0)
-    var frontier: Array[Long] = seedArr
+    var frontier: Array[Long] = seedArr.distinct
     var k = 1
     while (k <= maxHops && frontier.nonEmpty) {
       val inF = new scala.collection.mutable.LongMap[Unit]()
@@ -494,10 +572,35 @@ object LocalFinish {
       frontier = fr
       k += 1
     }
-    val out = new Array[(Long, Int)](dist.size)
-    var j = 0
-    dist.foreachEntry((nd, d) => { out(j) = (nd, d); j += 1 })
-    out.sortBy(_._1).toSeq.toDF("node", "dist")
+    dist
+  }
+
+  /** TWO-SWEEP DIAMETER, exact emulation of
+    * [[Graph.diameterTwoSweep]]'s composition: sweep 1 from the seed
+    * set, far node = (max dist, min node) — the distributed
+    * orderBy(dist desc, node asc).limit(1) — then sweep 2 from the
+    * far node; output row (far_node, ecc_seed_lb, diameter_lb,
+    * n_reached) with the distributed path's exact column types. An
+    * empty seed set yields the distributed path's empty frame. */
+  def diameterLocal(spark: SparkSession, flat: Array[Long],
+                    seedArr: Array[Long], maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val s1 = bfsDist(flat, seedArr, maxHops)
+    if (s1.isEmpty)
+      return Seq.empty[(Long, Int, Int, Long)]
+        .toDF("far_node", "ecc_seed_lb", "diameter_lb", "n_reached")
+    var farNode = Long.MaxValue
+    var farDist = -1
+    s1.foreachEntry { (nd, d) =>
+      if (d > farDist || (d == farDist && nd < farNode)) {
+        farDist = d; farNode = nd
+      }
+    }
+    val s2 = bfsDist(flat, Array(farNode), maxHops)
+    var dia = 0
+    s2.foreachEntry((_, d) => if (d > dia) dia = d)
+    Seq((farNode, farDist, dia, s2.size.toLong))
+      .toDF("far_node", "ecc_seed_lb", "diameter_lb", "n_reached")
   }
 
   /** k-TRUSS PEEL, exact emulation of [[Graph.kTruss]]'s distributed
@@ -685,10 +788,15 @@ object LocalFinish {
     * constant within a round.
     */
   def weightedPageRankLocal(edges: DataFrame, iters: Int,
-                            damping: Double): DataFrame = {
-    val spark = edges.sparkSession
+                            damping: Double): DataFrame =
+    weightedPageRankLocal(edges.sparkSession,
+      collectTriples(edges, "src", "dst", "weight"), iters, damping)
+
+  /** Pre-collected twin (r15): see [[hitsLocal]]; `flat` is stride-3
+    * (src, dst, weight). */
+  def weightedPageRankLocal(spark: SparkSession, flat: Array[Long],
+                            iters: Int, damping: Double): DataFrame = {
     import spark.implicits._
-    val flat = collectTriples(edges, "src", "dst", "weight")
     val pairView = new Array[Long](flat.length / 3 * 2)
     var i = 0
     var j = 0

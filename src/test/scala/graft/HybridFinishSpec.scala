@@ -192,6 +192,18 @@ class HybridFinishSpec extends SparkSpec {
         Graph.bfsHops(e, seeds, hops, localEdgeCap = 0L))
   }
 
+  test("diameterTwoSweep: one-collect driver finish == composed sweeps") {
+    val e = randomEdges(103, 400)
+    val seeds = Seq(0L, 23L).toDF("node")
+    for (hops <- Seq(2, 6))
+      assertSame(Graph.diameterTwoSweep(e, seeds, hops),
+        Graph.diameterTwoSweep(e, seeds, hops, localEdgeCap = 0L))
+    // Empty seed set: both paths produce the same empty frame.
+    val none = Seq.empty[Long].toDF("node")
+    assertSame(Graph.diameterTwoSweep(e, none, 4),
+      Graph.diameterTwoSweep(e, none, 4, localEdgeCap = 0L))
+  }
+
   test("kTruss: driver finish == distributed peel (incl. budget cap)") {
     // Ordered a < b edges with an embedded clique (survives k=3) and
     // chains (peel away).
