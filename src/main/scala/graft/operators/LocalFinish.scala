@@ -55,18 +55,27 @@ object LocalFinish {
   }
 
   /** BOUNDED two-long-column collect for driver-finish gates (r15):
-    * the stride-2 twin of [[collectColBounded]]. One job serves the
-    * cap gate AND the edge materialization the local finish needs —
-    * the driver path skips the distributed substrate (repartition +
-    * sortWithinPartitions + cache + count) entirely.
+    * the stride-2 twin of [[collectColBounded]]. A parallel count()
+    * gates, then a parallel collect() reads the SAME frame — the
+    * second action skips the recomputation of any shuffle map stage
+    * in the frame's lineage (Spark reuses shuffle files across jobs
+    * on one RDD), so the pair cost is ~one reduce pass over an
+    * already-written shuffle. The driver path still skips the
+    * distributed substrate (join + repartition + sort + cache)
+    * entirely.
+    *
+    * NOT limit(cap+1): a capped collect plans CollectLimitExec, whose
+    * executeCollect gathers partitions in SERIAL scale-up waves
+    * (1, 4, 16, ... single-threaded row copying) — measured at sf1 as
+    * a 2x regression on the graph family (pagerank 22 → 42 s cold)
+    * versus the parallel count+collect pair.
     */
   def collectPairsBounded(df: DataFrame, a: String, b: String,
                           cap: Long): Option[Array[Long]] = {
-    val lim = if (cap >= Int.MaxValue - 1) Int.MaxValue
-              else (cap + 1).toInt
-    val rows = df.select(col(a), col(b)).limit(lim).collect()
-    if (rows.length > cap) None
+    val proj = df.select(col(a), col(b))
+    if (proj.count() > cap) None
     else {
+      val rows = proj.collect()
       val out = new Array[Long](rows.length * 2)
       var i = 0
       while (i < rows.length) {
@@ -79,19 +88,17 @@ object LocalFinish {
   }
 
   /** BOUNDED one-long-column collect for driver-finish gates (r15):
-    * limit(cap+1) stops the scan early above the cap; None means
-    * "over cap — take the distributed path". One job serves both the
-    * size gate and the seed materialization the local finish needs
-    * anyway, so gating on seed-frame size costs ZERO extra jobs
-    * (vs. a count() gate + a later collect).
+    * count-gate + collect on the same frame (see
+    * [[collectPairsBounded]]'s CollectLimitExec note for why this is
+    * NOT a limit(cap+1)); None means "over cap — take the
+    * distributed path".
     */
   def collectColBounded(df: DataFrame, a: String,
                         cap: Long): Option[Array[Long]] = {
-    val lim = if (cap >= Int.MaxValue - 1) Int.MaxValue
-              else (cap + 1).toInt
-    val rows = df.select(col(a)).limit(lim).collect()
-    if (rows.length > cap) None
+    val proj = df.select(col(a))
+    if (proj.count() > cap) None
     else {
+      val rows = proj.collect()
       val out = new Array[Long](rows.length)
       var i = 0
       while (i < rows.length) { out(i) = rows(i).getLong(0); i += 1 }
@@ -110,14 +117,14 @@ object LocalFinish {
 
   /** Collect a three-long-column frame as a flat stride-3 array. */
   /** BOUNDED three-long-column collect — stride-3 twin of
-    * [[collectPairsBounded]], for the weighted-edge driver gates. */
+    * [[collectPairsBounded]] (same count-gate + collect shape), for
+    * the weighted-edge driver gates. */
   def collectTriplesBounded(df: DataFrame, a: String, b: String,
                             c: String, cap: Long): Option[Array[Long]] = {
-    val lim = if (cap >= Int.MaxValue - 1) Int.MaxValue
-              else (cap + 1).toInt
-    val rows = df.select(col(a), col(b), col(c)).limit(lim).collect()
-    if (rows.length > cap) None
+    val proj = df.select(col(a), col(b), col(c))
+    if (proj.count() > cap) None
     else {
+      val rows = proj.collect()
       val out = new Array[Long](rows.length * 3)
       var i = 0
       while (i < rows.length) {
