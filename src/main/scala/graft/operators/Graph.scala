@@ -537,38 +537,35 @@ object Graph {
                        maxHops: Int = 6,
                        localEdgeCap: Long = 2000000L): DataFrame = {
     // r15 (VERDICT r14 #3): under the cap, BOTH sweeps replay on ONE
-    // bounded edge collect — two jobs total (edges + seeds) instead of
-    // two full bfsHops gate/collect cycles plus a distributed far-node
-    // orderBy. Over the cap the r14 composition below runs unchanged.
-    // (The r14 probe note still applies to that path: checkpointing
-    // the raw edge frame so both sweeps share one materialization
-    // measured SLOWER — 2.5 → 3.8 s driver-path min at sf0.1 — than
-    // letting each bfsHops build its own pruned cache, because the
-    // checkpoint writes the full symmetrized frame while each sweep
-    // only needs the distinct projection.)
-    if (localEdgeCap > 0) {
-      val ed0 = edges.select(col("src"), col("dst")).distinct()
-      val sd = seeds.select(col("node")).distinct()
-      if (LocalFinish.allLong(ed0, "src", "dst") &&
-          LocalFinish.allLong(sd, "node")) {
-        // Checkpoint rationale at [[pageRank]]; over the cap the
-        // composed path's two bfsHops calls re-derive (and checkpoint)
-        // their own pruned frames, so this one is only gate-deep.
-        val ed = ed0.localCheckpoint()
-        (LocalFinish.collectPairsBounded(ed, "src", "dst", localEdgeCap),
-         LocalFinish.collectColBounded(sd, "node", localEdgeCap)) match {
-          case (Some(flat), Some(seedArr)) =>
-            Console.err.println("[graft] diameterTwoSweep: driver finish")
-            return LocalFinish.diameterLocal(edges.sparkSession, flat,
-              seedArr, maxHops)
-          case _ => // over cap: composed distributed path below
-        }
+    // bounded edge collect — the whole query is two gate jobs (edges +
+    // seeds) plus the driver loop. Over the cap, BOTH sweeps consume
+    // the same checkpointed distinct pair frame, so the caller's edge
+    // substrate (at sf1: the orders⋈lineitem symmetrize join) executes
+    // exactly once; each sweep's bfsHops then re-distincts only
+    // block-resident pairs. (This supersedes the r14 probe note about
+    // sharing a checkpoint between sweeps measuring slower — that
+    // probe checkpointed the RAW pre-distinct frame on the under-cap
+    // path, which no longer reaches the composition at all.)
+    val ed0 = edges.select(col("src"), col("dst")).distinct()
+    val sd = seeds.select(col("node")).distinct()
+    val eligible = localEdgeCap > 0 &&
+      LocalFinish.allLong(ed0, "src", "dst") &&
+      LocalFinish.allLong(sd, "node")
+    val ed = if (eligible) ed0.localCheckpoint() else ed0
+    if (eligible) {
+      (LocalFinish.collectPairsBounded(ed, "src", "dst", localEdgeCap),
+       LocalFinish.collectColBounded(sd, "node", localEdgeCap)) match {
+        case (Some(flat), Some(seedArr)) =>
+          Console.err.println("[graft] diameterTwoSweep: driver finish")
+          return LocalFinish.diameterLocal(edges.sparkSession, flat,
+            seedArr, maxHops)
+        case _ => // over cap: composed distributed path below
       }
     }
-    val s1 = bfsHops(edges, seeds, maxHops, localEdgeCap)
+    val s1 = bfsHops(ed, seeds, maxHops, localEdgeCap)
     val far = s1.orderBy(col("dist").desc, col("node").asc).limit(1)
       .localCheckpoint()
-    val s2 = bfsHops(edges, far.select(col("node")), maxHops, localEdgeCap)
+    val s2 = bfsHops(ed, far.select(col("node")), maxHops, localEdgeCap)
     s2.agg(max(col("dist")).as("diameter_lb"),
         count(lit(1)).as("n_reached"))
       .crossJoin(broadcast(far.select(col("node").as("far_node"),
