@@ -490,12 +490,23 @@ object Graph {
       LocalFinish.allLong(ed0, "src", "dst") &&
       LocalFinish.allLong(sd, "node")
     val ed = if (eligible) ed0.localCheckpoint() else ed0
+    bfsHopsPrepared(ed, sd, eligible, maxHops, localEdgeCap)
+  }
+
+  /** [[bfsHops]] on a PREPARED input: `ed` is already the distinct
+    * (src, dst) projection (checkpointed when `eligible`), `sd` the
+    * distinct seed frame. Lets [[diameterTwoSweep]]'s over-cap path
+    * run both sweeps on ONE materialization without each sweep
+    * re-distincting and re-checkpointing the blocks. */
+  private[operators] def bfsHopsPrepared(ed: DataFrame, sd: DataFrame,
+                                         eligible: Boolean, maxHops: Int,
+                                         localEdgeCap: Long): DataFrame = {
     if (eligible) {
       (LocalFinish.collectPairsBounded(ed, "src", "dst", localEdgeCap),
        LocalFinish.collectColBounded(sd, "node", localEdgeCap)) match {
         case (Some(flat), Some(seedArr)) =>
           Console.err.println("[graft] bfsHops: driver finish")
-          return LocalFinish.bfsLocal(edges.sparkSession, flat,
+          return LocalFinish.bfsLocal(ed.sparkSession, flat,
             seedArr, maxHops)
         case _ => // over cap: distributed loop below, on the blocks
       }
@@ -562,10 +573,11 @@ object Graph {
         case _ => // over cap: composed distributed path below
       }
     }
-    val s1 = bfsHops(ed, seeds, maxHops, localEdgeCap)
+    val s1 = bfsHopsPrepared(ed, sd, eligible, maxHops, localEdgeCap)
     val far = s1.orderBy(col("dist").desc, col("node").asc).limit(1)
       .localCheckpoint()
-    val s2 = bfsHops(ed, far.select(col("node")), maxHops, localEdgeCap)
+    val s2 = bfsHopsPrepared(ed, far.select(col("node")), eligible,
+      maxHops, localEdgeCap)
     s2.agg(max(col("dist")).as("diameter_lb"),
         count(lit(1)).as("n_reached"))
       .crossJoin(broadcast(far.select(col("node").as("far_node"),
