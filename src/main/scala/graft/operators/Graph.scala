@@ -745,28 +745,29 @@ object Graph {
     // spreading every seed row — so the result set is bit-identical
     // (HybridFinishSpec pins it, duplicate-seed case included).
     //
-    // r13 ADVICE restructure: the gate's count() now materializes the
-    // SAME cached repartitioned frame the distributed loop reads —
-    // above the cap the count is work the loop's first join needed
-    // anyway, and there is no second persisted copy of the edges
-    // (the old form lazily checkpointed one copy for the gate and
-    // cached a second for the loop). `.distinct()` on the seeds
-    // makes duplicate seed ROWS a no-op on both paths; a node seeded
-    // with several DIFFERENT labels keeps and spreads all of them,
-    // identically on both paths.
+    // r15 restructure (the [[pageRank]] checkpoint rationale applied
+    // here too): the gate counts an eager CHECKPOINT of the distinct
+    // pair frame, so the driver path never builds the repartitioned
+    // cache it would discard, and the over-cap loop builds that cache
+    // FROM the blocks (substrate executes once on every path).
+    // `.distinct()` on the seeds makes duplicate seed ROWS a no-op on
+    // both paths; a node seeded with several DIFFERENT labels keeps
+    // and spreads all of them, identically on both paths.
     val sd = seeds.select(col("node"), col("label")).distinct()
       .localCheckpoint()
-    val e = edges.select(col("src"), col("dst")).distinct()
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val eligible = localEdgeCap > 0 &&
+      LocalFinish.allLong(e0, "src", "dst") &&
+      LocalFinish.allLong(sd, "node", "label")
+    val e1 = if (eligible) e0.localCheckpoint() else e0
+    if (eligible &&
+        e1.count() <= localEdgeCap && sd.count() <= localEdgeCap) {
+      Console.err.println("[graft] labelPropagation: driver finish")
+      return LocalFinish.labelPropLocal(e1, sd, rounds)
+    }
+    val e = e1
       .repartition(col("src")).sortWithinPartitions(col("src"))
       .cache()
-    if (localEdgeCap > 0 && LocalFinish.allLong(e, "src", "dst") &&
-        LocalFinish.allLong(sd, "node", "label") &&
-        e.count() <= localEdgeCap && sd.count() <= localEdgeCap) {
-      Console.err.println("[graft] labelPropagation: driver finish")
-      val out = LocalFinish.labelPropLocal(e, sd, rounds)
-      e.unpersist()
-      return out
-    }
     var lab = sd
     for (_ <- 1 to rounds) {
       val counts = e
