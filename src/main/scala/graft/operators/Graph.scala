@@ -1159,8 +1159,9 @@ object Graph {
     * `rounds`+1 rows of counts. Lineage truncates per round.
     */
   def wlColors(edges: DataFrame, rounds: Int = 2,
-               maxDegree: Int = 1000): DataFrame = {
-    val (_, frames) = wlRefine(edges, rounds, maxDegree)
+               maxDegree: Int = 1000,
+               localEdgeCap: Long = 2000000L): DataFrame = {
+    val (_, frames) = wlRefine(edges, rounds, maxDegree, localEdgeCap)
     def stats(round: Int, cs: DataFrame): DataFrame =
       cs.agg(count(lit(1)).as("n_nodes"),
           countDistinct(col("c")).as("n_colors"))
@@ -1177,13 +1178,25 @@ object Graph {
     * localCheckpoint instead of cache + caller unpersist (see
     * [[triangles]]' scaffolding note).
     */
-  private def wlRefine(edges: DataFrame, rounds: Int, maxDegree: Int)
+  private def wlRefine(edges: DataFrame, rounds: Int, maxDegree: Int,
+                       localEdgeCap: Long = 2000000L)
       : (DataFrame, Seq[DataFrame]) = {
     import graft.functions.TextOps
     val e = edges.select(col("a"), col("b")).distinct()
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
+    // HYBRID FINISH (r15): every refinement round is 2 keyed shuffles
+    // + a checkpoint over a never-contracting node frame, and the
+    // color update is string/integer-exact (md5 fingerprint over the
+    // sorted neighbor-color list), so under the cap the whole loop
+    // replays driver-side bit-identically (LocalFinish.wlRefineLocal;
+    // gate count reads the checkpoint blocks the loop shares).
+    if (localEdgeCap > 0 && LocalFinish.allLong(sym, "src", "dst") &&
+        sym.count() <= localEdgeCap) {
+      Console.err.println("[graft] wlRefine: driver finish")
+      return (sym, LocalFinish.wlRefineLocal(sym, rounds, maxDegree))
+    }
     var colors = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
       .filter(col("degree") <= maxDegree)
@@ -1219,8 +1232,9 @@ object Graph {
     * integer (n desc, color) order.
     */
   def wlClasses(edges: DataFrame, rounds: Int = 2,
-                maxDegree: Int = 1000, k: Int = 20): DataFrame = {
-    val (_, frames) = wlRefine(edges, rounds, maxDegree)
+                maxDegree: Int = 1000, k: Int = 20,
+                localEdgeCap: Long = 2000000L): DataFrame = {
+    val (_, frames) = wlRefine(edges, rounds, maxDegree, localEdgeCap)
     frames.last.groupBy(col("c").as("color"))
       .agg(count(lit(1)).as("n_nodes"),
         min(col("node")).as("keeper_node"))

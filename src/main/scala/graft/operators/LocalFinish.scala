@@ -619,6 +619,75 @@ object LocalFinish {
     * subgraph (0 where no triangle — matching the distributed left
     * join's coalesce). Returns (result, rounds consumed).
     */
+  /** WL COLOR REFINEMENT, exact emulation of [[Graph.wlRefine]]'s
+    * loop (r15): colors start as the degree over the SYMMETRIZED pair
+    * stream (nodes over `maxDegree` dropped); each round every
+    * surviving node's color becomes
+    * fingerprint64("c|cn₁,cn₂,…") over its ASCENDING-sorted surviving
+    * neighbor colors (no eligible neighbor → "c|", the distributed
+    * coalesce-to-empty). fingerprint64 is the first 15 hex chars of
+    * the lowercase md5 of the UTF-8 string, parsed base 16 — exactly
+    * [[graft.functions.TextOps.fingerprint64]]'s conv(substring(md5))
+    * tree, so every round is string/integer-exact. Returns one
+    * (node, c) frame per round INCLUDING round 0, matching the
+    * distributed frames list; both readouts ([[Graph.wlColors]]'
+    * per-round stats, [[Graph.wlClasses]]' top classes) aggregate
+    * these frames identically on either path.
+    */
+  def wlRefineLocal(sym: DataFrame, rounds: Int, maxDegree: Int)
+      : Seq[DataFrame] = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val flat = collectPairs(sym, "src", "dst")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fp64(s: String): Long = {
+      md.reset()
+      val h = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new StringBuilder(15)
+      var i = 0
+      // 15 hex chars = 7.5 bytes — build from the first 8 bytes.
+      while (sb.length < 15) {
+        sb.append("%02x".formatLocal(java.util.Locale.ROOT, h(i)))
+        i += 1
+      }
+      java.lang.Long.parseLong(sb.substring(0, 15), 16)
+    }
+    val deg = new scala.collection.mutable.LongMap[Long]()
+    var i = 0
+    while (i < flat.length) {
+      deg(flat(i)) = deg.getOrElse(flat(i), 0L) + 1L; i += 2
+    }
+    var colors = new scala.collection.mutable.LongMap[Long]()
+    deg.foreachEntry((n, d) => if (d <= maxDegree) colors(n) = d)
+    def toFrame(cs: scala.collection.mutable.LongMap[Long]): DataFrame = {
+      val out = new Array[(Long, Long)](cs.size)
+      var j = 0
+      cs.foreachEntry((n, c) => { out(j) = (n, c); j += 1 })
+      out.sortBy(_._1).toSeq.toDF("node", "c")
+    }
+    var frames = Vector(toFrame(colors))
+    for (_ <- 1 to rounds) {
+      val nbr = new scala.collection.mutable.LongMap[
+        scala.collection.mutable.ArrayBuffer[Long]]()
+      i = 0
+      while (i < flat.length) {
+        val s = flat(i); val d = flat(i + 1)
+        if (colors.contains(s) && colors.contains(d))
+          nbr.getOrElseUpdate(s,
+            new scala.collection.mutable.ArrayBuffer[Long]()) += colors(d)
+        i += 2
+      }
+      val next = new scala.collection.mutable.LongMap[Long]()
+      colors.foreachEntry { (n, c) =>
+        val ns = nbr.get(n).map(_.sorted.mkString(",")).getOrElse("")
+        next(n) = fp64(c.toString + "|" + ns)
+      }
+      colors = next
+      frames = frames :+ toFrame(colors)
+    }
+    frames
+  }
+
   def kTrussPeel(edges: DataFrame, k: Int, rounds: Int)
       : (DataFrame, Int) = {
     val spark = edges.sparkSession

@@ -204,6 +204,22 @@ class HybridFinishSpec extends SparkSpec {
       Graph.diameterTwoSweep(e, none, 4, localEdgeCap = 0L))
   }
 
+  test("wlColors/wlClasses: driver WL refinement == distributed rounds") {
+    // a<b pairs with a clique (degree variety) + hub-capped drop path.
+    val p = randomPairs(109, 300)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    for (rounds <- Seq(1, 2, 3)) {
+      assertSame(Graph.wlColors(p, rounds),
+        Graph.wlColors(p, rounds, localEdgeCap = 0L))
+      assertSame(Graph.wlClasses(p, rounds),
+        Graph.wlClasses(p, rounds, localEdgeCap = 0L))
+    }
+    // maxDegree binding: hubs drop from the color frame on both paths.
+    assertSame(Graph.wlClasses(p, 2, maxDegree = 3),
+      Graph.wlClasses(p, 2, maxDegree = 3, localEdgeCap = 0L))
+  }
+
   test("kTruss: driver finish == distributed peel (incl. budget cap)") {
     // Ordered a < b edges with an embedded clique (survives k=3) and
     // chains (peel away).
