@@ -220,6 +220,41 @@ class HybridFinishSpec extends SparkSpec {
       Graph.wlClasses(p, 2, maxDegree = 3, localEdgeCap = 0L))
   }
 
+  test("over-cap fallback (cap=1): checkpoint-gated distributed path " +
+    "== ineligible path (cap=0)") {
+    // cap=1 takes the THIRD path: eligible, checkpoint built, gate
+    // FAILS, distributed loop runs on the checkpoint blocks — distinct
+    // from both the driver finish (default cap) and the ineligible
+    // path (cap=0, no checkpoint). r15's gate restructure made this
+    // path real; pin it for every restructured operator.
+    val e = randomEdges(131, 300)
+    val seeds = Seq(0L, 17L).toDF("node")
+    val labels = Seq((0L, 10L), (3L, 20L)).toDF("node", "label")
+    val w = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (1L, 3L, 5L))
+      .toDF("src", "dst", "weight")
+    val pairs = randomPairs(137, 200)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    assertSame(Graph.pageRank(e, 2, localEdgeCap = 1L),
+      Graph.pageRank(e, 2, localEdgeCap = 0L))
+    assertSame(Graph.personalizedPageRank(e, seeds, 2, localEdgeCap = 1L),
+      Graph.personalizedPageRank(e, seeds, 2, localEdgeCap = 0L))
+    assertSame(Graph.weightedPageRank(w, 2, localEdgeCap = 1L),
+      Graph.weightedPageRank(w, 2, localEdgeCap = 0L))
+    assertSame(Graph.hits(e, 2, localEdgeCap = 1L),
+      Graph.hits(e, 2, localEdgeCap = 0L))
+    assertSame(Graph.bfsHops(e, seeds, 3, localEdgeCap = 1L),
+      Graph.bfsHops(e, seeds, 3, localEdgeCap = 0L))
+    assertSame(Graph.diameterTwoSweep(e, seeds, 4, localEdgeCap = 1L),
+      Graph.diameterTwoSweep(e, seeds, 4, localEdgeCap = 0L))
+    assertSame(Graph.labelPropagation(e, labels, 2, localEdgeCap = 1L),
+      Graph.labelPropagation(e, labels, 2, localEdgeCap = 0L))
+    assertSame(Graph.wlColors(pairs, 2, localEdgeCap = 1L),
+      Graph.wlColors(pairs, 2, localEdgeCap = 0L))
+    assertSame(Graph.wlClasses(pairs, 2, localEdgeCap = 1L),
+      Graph.wlClasses(pairs, 2, localEdgeCap = 0L))
+  }
+
   test("kTruss: driver finish == distributed peel (incl. budget cap)") {
     // Ordered a < b edges with an embedded clique (survives k=3) and
     // chains (peel away).
