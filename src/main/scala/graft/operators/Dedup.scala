@@ -501,8 +501,10 @@ object Dedup {
     if (localEdgeCap > 0 && LocalFinish.allLong(und, "a", "b") &&
         und.count() <= localEdgeCap) {
       Console.err.println("[graft] duplicateClusters: driver finish")
-      return LocalFinish.minComponents(und, "a", "b",
+      val out = LocalFinish.minComponents(und, "a", "b",
         "doc_id", "canonical_id")
+      LocalFinish.release(und) // collected; blocks are dead (ADVICE r15)
+      return out
     }
     val edges = und
       .unionByName(und.select(col("b").as("a"), col("a").as("b")))
@@ -665,8 +667,10 @@ object Dedup {
     if (localEdgeCap > 0 && LocalFinish.allLong(und, "a", "b") &&
         und.count() <= localEdgeCap) {
       Console.err.println("[graft] connectedComponentsStar: driver finish")
-      return LocalFinish.minComponents(und, "a", "b",
+      val out = LocalFinish.minComponents(und, "a", "b",
         "doc_id", "canonical_id")
+      LocalFinish.release(und) // collected; blocks are dead (ADVICE r15)
+      return out
     }
     var edges = sym(und).localCheckpoint()
     def star(e: DataFrame, large: Boolean): DataFrame = {

@@ -74,6 +74,7 @@ object Graph {
           localEdgeCap) match {
         case Some(flat) =>
           Console.err.println("[graft] pageRank: driver finish")
+          LocalFinish.release(e) // collected; blocks are dead (ADVICE r15)
           return LocalFinish.pageRankLocal(edges.sparkSession, flat,
             iters, damping)
         case None => // over cap: distributed loop below, on the blocks
@@ -159,6 +160,7 @@ object Graph {
        LocalFinish.collectColBounded(sd, "node", localEdgeCap)) match {
         case (Some(flat), Some(seedArr)) =>
           Console.err.println("[graft] personalizedPageRank: driver finish")
+          LocalFinish.release(e) // collected; blocks are dead (ADVICE r15)
           return LocalFinish.pprLocal(edges.sparkSession, flat,
             seedArr, iters, damping)
         case _ => // over cap: distributed loop below, on the blocks
@@ -237,6 +239,7 @@ object Graph {
           localEdgeCap) match {
         case Some(flat) =>
           Console.err.println("[graft] weightedPageRank: driver finish")
+          LocalFinish.release(e) // collected; blocks are dead (ADVICE r15)
           return LocalFinish.weightedPageRankLocal(edges.sparkSession,
             flat, iters, damping)
         case None => // over cap: distributed loop below, on the blocks
@@ -430,6 +433,7 @@ object Graph {
         Console.err.println(
           s"[graft] kTruss: ${r + used} peel rounds (cap $rounds, " +
             s"driver finish after $r)")
+        LocalFinish.release(e) // collected; blocks are dead (ADVICE r15)
         return out
       }
       e = supports(e).filter(col("support") >= k - 2)
@@ -490,22 +494,30 @@ object Graph {
       LocalFinish.allLong(ed0, "src", "dst") &&
       LocalFinish.allLong(sd, "node")
     val ed = if (eligible) ed0.localCheckpoint() else ed0
-    bfsHopsPrepared(ed, sd, eligible, maxHops, localEdgeCap)
+    bfsHopsPrepared(ed, sd, eligible, maxHops, localEdgeCap,
+      releaseOnDriverFinish = true)
   }
 
   /** [[bfsHops]] on a PREPARED input: `ed` is already the distinct
     * (src, dst) projection (checkpointed when `eligible`), `sd` the
     * distinct seed frame. Lets [[diameterTwoSweep]]'s over-cap path
     * run both sweeps on ONE materialization without each sweep
-    * re-distincting and re-checkpointing the blocks. */
+    * re-distincting and re-checkpointing the blocks.
+    * `releaseOnDriverFinish` must be true ONLY when the caller never
+    * reads `ed` again after a driver finish: [[bfsHops]] owns its
+    * frame (true); [[diameterTwoSweep]] reuses `ed` across two sweeps
+    * whose lazy plans may re-read the blocks (false). */
   private[operators] def bfsHopsPrepared(ed: DataFrame, sd: DataFrame,
                                          eligible: Boolean, maxHops: Int,
-                                         localEdgeCap: Long): DataFrame = {
+                                         localEdgeCap: Long,
+                                         releaseOnDriverFinish: Boolean =
+                                           false): DataFrame = {
     if (eligible) {
       (LocalFinish.collectPairsBounded(ed, "src", "dst", localEdgeCap),
        LocalFinish.collectColBounded(sd, "node", localEdgeCap)) match {
         case (Some(flat), Some(seedArr)) =>
           Console.err.println("[graft] bfsHops: driver finish")
+          if (releaseOnDriverFinish) LocalFinish.release(ed)
           return LocalFinish.bfsLocal(ed.sparkSession, flat,
             seedArr, maxHops)
         case _ => // over cap: distributed loop below, on the blocks
@@ -568,6 +580,7 @@ object Graph {
        LocalFinish.collectColBounded(sd, "node", localEdgeCap)) match {
         case (Some(flat), Some(seedArr)) =>
           Console.err.println("[graft] diameterTwoSweep: driver finish")
+          LocalFinish.release(ed) // collected; blocks are dead (ADVICE r15)
           return LocalFinish.diameterLocal(edges.sparkSession, flat,
             seedArr, maxHops)
         case _ => // over cap: composed distributed path below
@@ -644,6 +657,7 @@ object Graph {
           localEdgeCap) match {
         case Some(flat) =>
           Console.err.println("[graft] hits: driver finish")
+          LocalFinish.release(e) // collected; blocks are dead (ADVICE r15)
           return LocalFinish.hitsLocal(edges.sparkSession, flat, iters)
         case None => // over cap: distributed loop below, on the blocks
       }
@@ -763,7 +777,10 @@ object Graph {
     if (eligible &&
         e1.count() <= localEdgeCap && sd.count() <= localEdgeCap) {
       Console.err.println("[graft] labelPropagation: driver finish")
-      return LocalFinish.labelPropLocal(e1, sd, rounds)
+      val out = LocalFinish.labelPropLocal(e1, sd, rounds)
+      LocalFinish.release(e1) // collected; blocks are dead (ADVICE r15)
+      LocalFinish.release(sd)
+      return out
     }
     val e = e1
       .repartition(col("src")).sortWithinPartitions(col("src"))
@@ -842,6 +859,7 @@ object Graph {
         Console.err.println(
           s"[graft] kCore: ${r + used} peel rounds (cap $rounds, " +
             s"driver finish after $r)")
+        LocalFinish.release(e) // collected; blocks are dead (ADVICE r15)
         return out
       }
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -1195,6 +1213,8 @@ object Graph {
     if (localEdgeCap > 0 && LocalFinish.allLong(sym, "src", "dst") &&
         sym.count() <= localEdgeCap) {
       Console.err.println("[graft] wlRefine: driver finish")
+      // No release(sym) here (ADVICE r15 survey): sym is part of the
+      // RETURN value — wlColors/wlClasses read it after this returns.
       return (sym, LocalFinish.wlRefineLocal(sym, rounds, maxDegree))
     }
     var colors = sym.groupBy(col("src").as("node"))
@@ -1526,6 +1546,15 @@ object Graph {
           localMst = scala.collection.mutable.HashSet(
             crossMst.collect()
               .map(x => (x.getLong(0), x.getLong(1))).toSeq: _*)
+          // Switch complete: every remaining round is driver-side and
+          // the trace is built from `stats`, so no frame is ever read
+          // again — drop their checkpoint blocks now instead of
+          // waiting for GC (ADVICE r15). release() walks the plan, so
+          // mst's union-of-checkpoints frees each leaf.
+          LocalFinish.release(contracted)
+          LocalFinish.release(frontier)
+          LocalFinish.release(labels)
+          LocalFinish.release(mst)
         } else nextGateGroups = nGroups / 2
       }
       if (localPairs != null) {

@@ -106,6 +106,26 @@ object LocalFinish {
     }
   }
 
+  /** Drop the storage blocks behind a `localCheckpoint`ed frame whose
+    * LAST reader has finished (ADVICE r15): every driver-finish path
+    * returns a driver-BUILT result, so the gate checkpoint (up to
+    * localEdgeCap rows per query) would otherwise stay resident until
+    * ContextCleaner notices the dead reference at the next GC — a
+    * silent storage-memory tax on long multi-query sessions. The
+    * unpersist is async (blocking = false) and schedules NO job, so
+    * the r14 lesson ("no extra jobs exist just to make an unpersist
+    * safe") is respected. Call ONLY when the frame can never be read
+    * again: a localCheckpoint has no lineage to recompute from, so a
+    * released frame is unrecoverable by design. No-op on frames that
+    * are not checkpoint-backed.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Collect one long column as a flat array. */
   private def collectCol(df: DataFrame, a: String): Array[Long] = {
     val rows = df.select(col(a)).collect()
@@ -115,7 +135,6 @@ object LocalFinish {
     out
   }
 
-  /** Collect a three-long-column frame as a flat stride-3 array. */
   /** BOUNDED three-long-column collect — stride-3 twin of
     * [[collectPairsBounded]] (same count-gate + collect shape), for
     * the weighted-edge driver gates. */
@@ -137,6 +156,7 @@ object LocalFinish {
     }
   }
 
+  /** Collect a three-long-column frame as a flat stride-3 array. */
   private def collectTriples(df: DataFrame, a: String, b: String,
                              c: String): Array[Long] = {
     val rows = df.select(col(a), col(b), col(c)).collect()
@@ -610,15 +630,6 @@ object LocalFinish {
       .toDF("far_node", "ecc_seed_lb", "diameter_lb", "n_reached")
   }
 
-  /** k-TRUSS PEEL, exact emulation of [[Graph.kTruss]]'s distributed
-    * loop from the current canonical (a < b) edge frame: per round,
-    * forward-triangle support per edge (each triangle a<b<c adds one
-    * to (a,b), (b,c), (a,c)), keep support ≥ k−2, converge on an
-    * unchanged edge count, stop at the remaining round budget; the
-    * returned frame carries each survivor's support ON the surviving
-    * subgraph (0 where no triangle — matching the distributed left
-    * join's coalesce). Returns (result, rounds consumed).
-    */
   /** WL COLOR REFINEMENT, exact emulation of [[Graph.wlRefine]]'s
     * loop (r15): colors start as the degree over the SYMMETRIZED pair
     * stream (nodes over `maxDegree` dropped); each round every
@@ -688,6 +699,15 @@ object LocalFinish {
     frames
   }
 
+  /** k-TRUSS PEEL, exact emulation of [[Graph.kTruss]]'s distributed
+    * loop from the current canonical (a < b) edge frame: per round,
+    * forward-triangle support per edge (each triangle a<b<c adds one
+    * to (a,b), (b,c), (a,c)), keep support ≥ k−2, converge on an
+    * unchanged edge count, stop at the remaining round budget; the
+    * returned frame carries each survivor's support ON the surviving
+    * subgraph (0 where no triangle — matching the distributed left
+    * join's coalesce). Returns (result, rounds consumed).
+    */
   def kTrussPeel(edges: DataFrame, k: Int, rounds: Int)
       : (DataFrame, Int) = {
     val spark = edges.sparkSession
