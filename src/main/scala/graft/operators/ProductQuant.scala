@@ -65,6 +65,18 @@ object ProductQuant {
   /** Train the m×ksub codebook: (m, cell, centroid). Init = the `ksub`
     * lowest-vec_id vectors' subvectors (cell = id rank); each iteration
     * re-estimates per-(m, cell, pos) means with the sorted fold.
+    *
+    * Iterative-lineage discipline (r16 — the same defect the r14
+    * audit found in [[Quantizer.fit]]): without truncation iteration
+    * k's plan NESTS all previous ones, so every later broadcast of
+    * `cents` re-evaluates every earlier assign+re-estimate chain and
+    * the corpus-side subvector explode runs a quadratic number of
+    * times. Each iteration therefore ends in an eager
+    * `localCheckpoint()` of the m·ksub-row centroid frame (128 rows at
+    * the defaults — constant-sized, never corpus-sized; the corpus
+    * `sub` frame itself stays unpersisted exactly as Quantizer.fit's
+    * over-cap path keeps `v`). Values are unchanged — checkpointing
+    * only materializes the same operation tree the oracle replicates.
     */
   def fit(vecs: DataFrame, m: Int = 8, ksub: Int = 16,
           iters: Int = 3): DataFrame = {
@@ -89,6 +101,7 @@ object ProductQuant {
           .as("pm"))
         .select(col("m"), col("cell"),
           transform(col("pm"), _.getField("mu")).as("centroid"))
+        .localCheckpoint()
     }
     cents
   }
