@@ -66,17 +66,17 @@ object ProductQuant {
     * lowest-vec_id vectors' subvectors (cell = id rank); each iteration
     * re-estimates per-(m, cell, pos) means with the sorted fold.
     *
-    * Iterative-lineage discipline (r16 — the same defect the r14
-    * audit found in [[Quantizer.fit]]): without truncation iteration
-    * k's plan NESTS all previous ones, so every later broadcast of
-    * `cents` re-evaluates every earlier assign+re-estimate chain and
-    * the corpus-side subvector explode runs a quadratic number of
-    * times. Each iteration therefore ends in an eager
-    * `localCheckpoint()` of the m·ksub-row centroid frame (128 rows at
-    * the defaults — constant-sized, never corpus-sized; the corpus
-    * `sub` frame itself stays unpersisted exactly as Quantizer.fit's
-    * over-cap path keeps `v`). Values are unchanged — checkpointing
-    * only materializes the same operation tree the oracle replicates.
+    * NEGATIVE PROBE, recorded (r16): ending each iteration in an
+    * eager `localCheckpoint()` of the m·ksub-row centroid frame — the
+    * move that fixed [[Quantizer.fit]]'s nested-lineage waste in r14 —
+    * measured 2.4× SLOWER here at sf0.1 (q_knn_pq 1.70→4.10 min,
+    * q_knn_ivf_pq 1.69→3.98, residual 2.13→5.09; controls 1.01×) for
+    * only a marginal sf1 gain (0.77–0.80× against a 0.89× control).
+    * Unlike Quantizer's k-row frame, the nested plan here is ONE job
+    * whose repeated `sub` exchange ReuseExchange already deduplicates;
+    * per-iteration checkpoints break that reuse and pay iters extra
+    * jobs, each re-scanning the subvector explode. Reverted same
+    * round — the nested single-job plan IS the cheap form.
     */
   def fit(vecs: DataFrame, m: Int = 8, ksub: Int = 16,
           iters: Int = 3): DataFrame = {
@@ -101,7 +101,6 @@ object ProductQuant {
           .as("pm"))
         .select(col("m"), col("cell"),
           transform(col("pm"), _.getField("mu")).as("centroid"))
-        .localCheckpoint()
     }
     cents
   }
