@@ -39,28 +39,42 @@ object Itemsets {
     * for items in ≥ `minItemSupport` baskets, a < b. The shared core
     * under [[frequentPairs]] and [[associationRules]] (which need the
     * per-item counts in their output); [[pairEdges]] runs its own
-    * leaner count-free chain.
+    * count-free chain.
+    *
+    * r16 restructure (output-identical; the [[pairEdges]] lean-core
+    * lesson applied to the counting consumers): the per-item counts
+    * are ATTACHED AFTER pair aggregation by two equi-joins of the
+    * aggregated pair frame against the item-cardinality freq frame,
+    * instead of riding every exploded pair row through the shuffle as
+    * a 4-column key. The basket branch prunes with a left-semi join
+    * (nothing attached) and folds the per-basket distinct into
+    * `collect_set` — the (bk, it) pre-distinct shuffle feeds only the
+    * exact freq count, which stays distinct-based because
+    * minItemSupport is SEMANTIC here (n_a/n_b appear in the output
+    * and the prune gates pair membership at any minPairSupport).
     */
   private def prunedPairCounts(baskets: DataFrame, basketCol: String,
                                itemCol: String, minItemSupport: Int)
       : (DataFrame, DataFrame) = {
-    val items = baskets
-      .select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+    val raw = baskets
+      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
+    val items = raw.distinct()
     val freq = items.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
       .filter(col("n_item") >= minItemSupport)
-    val fi = items.join(freq, Seq("it"))
-    val counts = fi.groupBy(col("bk"))
-      .agg(sort_array(collect_list(struct(col("it"), col("n_item"))))
-        .as("xs"))
+    val counts = raw.join(freq.select(col("it")), Seq("it"), "left_semi")
+      .groupBy(col("bk"))
+      .agg(sort_array(collect_set(col("it"))).as("xs"))
       .select(explode(expr(
         """flatten(transform(xs, (x, i) ->
           |  transform(slice(xs, i + 2, size(xs) - i - 1), y ->
-          |    struct(x.it AS a, y.it AS b,
-          |           x.n_item AS n_a, y.n_item AS n_b))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"),
-        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_ab"))
+      .join(freq.select(col("it").as("a"), col("n_item").as("n_a")),
+        Seq("a"))
+      .join(freq.select(col("it").as("b"), col("n_item").as("n_b")),
+        Seq("b"))
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"))
     (items, counts)
   }
 
