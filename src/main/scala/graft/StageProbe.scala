@@ -124,6 +124,30 @@ object StageProbe {
           Dedup.dedupPipelineAudit(corpus).count())
         Seq(s1, s2, s3, s4)
       }),
+      // q_modularity (r16): the slowest remaining query without a
+      // stage table — substrate (purchase edges), the LP fixpoint on
+      // it, then the full composed Q readout, so "is it the edges,
+      // the rounds, or the stats?" reads off one table.
+      "modularity" -> ((spark: SparkSession, d: String) => {
+        import graft.queries.Tables
+        import graft.operators.Graph
+        def edges = Graph.purchaseEdges(
+          Tables.orders(spark, d), Tables.lineitem(spark, d))
+        def seeds = Tables.supplier(spark, d)
+          .filter(col("s_suppkey") % 5 === 0)
+          .select((col("s_suppkey") * 2L + 1L).as("node"),
+            col("s_nationkey").cast("long").as("label"))
+        val s1 = timed("substrate:purchaseEdges")(edges.count())
+        spark.sqlContext.clearCache()
+        val s2 = timed("stage:labelPropagation")(
+          Graph.labelPropagation(edges, seeds).count())
+        spark.sqlContext.clearCache()
+        val s3 = timed("full:modularity")({
+          val e = edges.localCheckpoint()
+          Graph.modularity(e, Graph.labelPropagation(e, seeds)).count()
+        })
+        Seq(s1, s2, s3)
+      }),
       // q_dup_rate_by_source (VERDICT r15 #3): pair generation vs the
       // id-mapping/aggregation readout on top of it.
       "dup_rate_by_source" -> ((spark: SparkSession, d: String) => {
