@@ -155,6 +155,57 @@ class Round16OpsSpec extends SparkSpec {
     assert(oracle(1, 1).contains((10L, 20L)))
   }
 
+  test("pairEdges + frequentPairs (r16 restructures): seeded-random " +
+    "basket tables match brute-force references, counts and lift " +
+    "included") {
+    import graft.operators.Itemsets
+    for (seed <- Seq(101, 202, 303, 404)) {
+      val rnd = new scala.util.Random(seed)
+      // 8-12 baskets, 1-7 items each from a 10-item universe, with
+      // deliberate duplicate (bk, it) rows.
+      val rows: Seq[(Long, Long)] = (1 to 8 + rnd.nextInt(5)).flatMap {
+        bk =>
+          val n = 1 + rnd.nextInt(7)
+          (1 to n).map(_ => (bk.toLong, (1 + rnd.nextInt(10)).toLong)) ++
+            (if (rnd.nextBoolean()) Seq((bk.toLong,
+              (1 + rnd.nextInt(10)).toLong)) else Seq.empty)
+      }
+      val baskets = rows.toDF("bk", "it")
+      val sets = rows.distinct.groupBy(_._1).values
+        .map(_.map(_._2).toSet).toSeq
+      val nItem = sets.flatten.groupBy(identity)
+        .map { case (i, xs) => i -> xs.size }
+      def brutePairs(minItem: Int): Map[(Long, Long), Int] =
+        sets.map(_.filter(i => nItem(i) >= minItem))
+          .flatMap(_.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+          .groupBy(identity).map { case (k, xs) => k -> xs.size }
+      // pairEdges across both prune regimes.
+      for ((mi, mp) <- Seq((2, 2), (3, 2), (1, 3))) {
+        val got = Itemsets.pairEdges(baskets, "bk", "it", mi, mp)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = brutePairs(mi).filter(_._2 >= mp).keySet
+        assert(got == want, s"seed=$seed pairEdges($mi, $mp)")
+      }
+      // frequentPairs: n_a / n_b / n_ab / lift against brute force.
+      val mi = 2
+      val bp = brutePairs(mi)
+      val nB = sets.size
+      val got = Itemsets.frequentPairs(baskets, "bk", "it", mi, k = 100)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getAs[Double]("lift"))))
+      assert(got.map(_._1).toSet == bp.keySet, s"seed=$seed pair set")
+      got.foreach { case ((a, b), (nab, na, nb2, lift)) =>
+        assert(nab == bp((a, b)).toLong, s"seed=$seed n_ab($a,$b)")
+        assert(na == nItem(a).toLong && nb2 == nItem(b).toLong,
+          s"seed=$seed n_a/n_b($a,$b)")
+        val want = BigDecimal(nab.toDouble * nB / (na * nb2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(lift == want, s"seed=$seed lift($a,$b)")
+      }
+    }
+  }
+
   test("LocalFinish.release drops a localCheckpoint's storage blocks " +
     "and is a no-op on plans with no checkpoint behind them") {
     import graft.operators.LocalFinish
